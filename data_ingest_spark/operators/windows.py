@@ -1,0 +1,102 @@
+"""Window/rank operators (SURVEY.md §2.5 W1–W6).
+
+Reference citations:
+  W1 src/QC_helpers/cellSizeDistribution.r:61-62
+  W2 src/QC_helpers/cellSizeDistribution.r:30-47 (barcode inflection)
+  W4 src/4_Prepare_experiment.r:128-131 (top-30 genes)
+  W5 src/4_Prepare_experiment.r:78-80  (dense cells_id 0..n-1)
+  W6 src/4_Prepare_experiment.r:64-74  (duplicate gene-name rename)
+
+Scale notes: W1/W2 windows are partitioned by sample — per-sample cell
+counts (≤ ~10^5 in the reference domain) sort within one task each.
+W5's global ordering is the one inherently serial operator; it is kept
+because the reference contract requires *dense* 0..n-1 ids
+(src/test_object.r:26-29). At 100 TB scale prefer
+``zipWithIndex``-style two-pass dense ranking (sort within partitions,
+offset by partition prefix sums) — Spark's row_number over an
+un-partitioned window funnels through a single task. The two-pass
+variant is implemented in ``dense_ids_scalable``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def barcode_rank(cells: DataFrame, order_col: str = "nCount_RNA") -> DataFrame:
+    """W1: rank cells per sample by descending UMI total (knee plot)."""
+    w = W.partitionBy("sample").orderBy(F.desc(order_col), "barcode")
+    return cells.withColumn("rank", F.row_number().over(w))
+
+
+def barcode_inflection(cells: DataFrame, threshold_low: float = 100.0,
+                       order_col: str = "nCount_RNA") -> DataFrame:
+    """W2: CalculateBarcodeInflections — per sample, rank barcodes by
+    descending UMI total, form the discrete derivative of log10(total)
+    w.r.t. log10(rank) above ``threshold_low``, and return the total at
+    the steepest drop (auto minCellSize)."""
+    ranked = barcode_rank(cells.filter(F.col(order_col) > F.lit(threshold_low)),
+                          order_col)
+    w = W.partitionBy("sample").orderBy("rank")
+    d = ranked.withColumn(
+        "deriv",
+        (F.log10(F.col(order_col)) - F.log10(F.lag(order_col).over(w)))
+        / (F.log10(F.col("rank")) - F.log10(F.lag("rank").over(w))),
+    ).filter(F.col("deriv").isNotNull())
+    return d.groupBy("sample").agg(
+        F.min_by(order_col, "deriv").alias("inflection_ncount")
+    )
+
+
+def top_k_genes(gene_totals: DataFrame, k: int = 30,
+                total_col: str = "total_umi") -> DataFrame:
+    """W4: k highest-expressed genes; ties broken by gene id so the
+    result is deterministic (TakeOrderedAndProject — no full sort)."""
+    return gene_totals.orderBy(F.desc(total_col), "gene").limit(k)
+
+
+def dense_ids(cells: DataFrame, order: list[str] | None = None,
+              id_col: str = "cells_id") -> DataFrame:
+    """W5: stable dense 0..n-1 ids over (sample, barcode) order.
+    Single-task global window — fine up to ~10^7 rows; see
+    ``dense_ids_scalable`` for the 100 TB path."""
+    order = order or ["sample", "barcode"]
+    w = W.orderBy(*order)
+    return cells.withColumn(id_col, F.row_number().over(w) - 1)
+
+
+def dense_ids_scalable(cells: DataFrame, order: list[str] | None = None,
+                       id_col: str = "cells_id") -> DataFrame:
+    """W5 at scale: dense ids without a single-task global sort.
+    Range-repartition on the order key, rank within partitions, then
+    offset each partition by the prefix sum of partition sizes (two
+    narrow passes + one tiny driver-side cumsum)."""
+    order = order or ["sample", "barcode"]
+    parted = cells.repartitionByRange(*order).sortWithinPartitions(*order)
+    with_pid = parted.withColumn("_pid", F.spark_partition_id())
+    w = W.partitionBy("_pid").orderBy(*order)
+    local = with_pid.withColumn("_local", F.row_number().over(w) - 1)
+    sizes = {r["_pid"]: r["n"] for r in
+             local.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    offmap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]) \
+        if offsets else F.create_map()
+    return (local.withColumn(id_col, (F.col("_local") + offmap[F.col("_pid")])
+                             .cast("int"))
+            .drop("_pid", "_local"))
+
+
+def dedup_gene_names(genes: DataFrame, name_col: str = "name",
+                     id_col: str = "gene") -> DataFrame:
+    """W6: gene symbols duplicated anywhere (first occurrence included)
+    are renamed to "<name> - <id>" (src/4_Prepare_experiment.r:64-74)."""
+    w = W.partitionBy(name_col)
+    return genes.withColumn(
+        name_col,
+        F.when(F.count("*").over(w) > 1,
+               F.concat_ws(" - ", F.col(name_col), F.col(id_col)))
+        .otherwise(F.col(name_col)),
+    )

@@ -1,0 +1,39 @@
+"""SparkSession factory tuned for the local harness and for scale.
+
+Local mode is a single JVM; the settings below are chosen so the same
+code runs unchanged on a multi-executor cluster:
+
+- AQE on (runtime coalescing, skew-join splitting) so shuffle-partition
+  counts self-correct at any scale factor.
+- shuffle.partitions sized to cores locally; on a real cluster this is
+  overridden by AQE's coalescing from the 2048 initial partitions.
+- Arrow enabled for every pandas-UDF boundary.
+- Session timezone pinned to UTC so timestamp semantics match the
+  DuckDB oracle (UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "data-ingest-spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
