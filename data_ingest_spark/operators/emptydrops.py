@@ -1,58 +1,82 @@
 """emptyDrops re-expressed as DataFrame ops (SURVEY.md §2.8 M1).
 
 Reference behavior (src/2-1_Compute-metrics_emptyDrops.r:32-60 calling
-DropletUtils::emptyDrops(lower=100)):
-  1. ambient profile from barcodes with total <= lower,
-  2. per-barcode multinomial goodness-of-fit p-value vs that profile
-     (Monte-Carlo in DropletUtils),
-  3. Benjamini-Hochberg FDR across barcodes.
+DropletUtils::emptyDrops(lower=100), run ONCE PER SAMPLE):
+  1. per-sample ambient profile from barcodes with total <= lower,
+  2. per-barcode multinomial goodness-of-fit p-value vs that sample's
+     profile (Monte-Carlo in DropletUtils),
+  3. Benjamini-Hochberg FDR across the sample's barcodes.
 
-Spark-first design:
-  - ambient profile: one filtered groupBy over the expression table
-    (additive-smoothed proportions — Good-Turing is a per-gene
-    reweighting of the same small profile vector; the smoothed profile
-    is broadcast either way).
-  - log-likelihood: broadcast join profile → sum(count·log p) per
-    barcode. One shuffle, proportional to nnz.
-  - p-values: seeded Monte-Carlo of the multinomial null per total
-    (driver-side numpy over the broadcast profile — the profile has
-    ~#genes entries, not #cells, so this is small), joined back by
-    rounded total; a deterministic normal-approximation fallback is the
-    default for oracle-checkable runs.
-  - BH FDR: two window functions (rank ascending p; running min of
-    p·n/rank from the largest p downward).
+Spark-first design — everything keyed by ``sample`` so multi-sample
+experiments stay embarrassingly partition-parallel (the reference runs
+a sequential per-sample loop; here one lazy plan covers all samples):
+
+  - ambient profile: one filtered groupBy(sample, gene) plus a
+    per-sample window normalization. Proportional to nnz of the
+    ambient slice; the profile itself is ~|samples|·|genes| rows.
+  - log-likelihood: broadcast-join profile -> sum(count·ln p) per
+    (sample, barcode). One shuffle, proportional to nnz.
+  - p-values: deterministic normal approximation of the Monte-Carlo
+    null. Under the multinomial null with T draws, LogProb has mean
+    T·Σp·ln(p) and variance T·(Σp·ln²p − (Σp·ln p)²); DropletUtils'
+    MC estimates exactly this distribution. The approximation keeps
+    the operator fully distributed, seed-free, and — because the CDF
+    is the portable A&S polynomial (functions/stats.py) — DuckDB
+    oracle-checkable.
+  - BH FDR: two window functions per sample (rank ascending p;
+    running min of p·n/rank over the suffix).
+
+No `.collect()` anywhere: per-sample moments travel as a broadcast
+join instead of driver-side scalars.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+from data_ingest_spark.functions.stats import normal_cdf
+
 
 def ambient_profile(expr: DataFrame, lower: float = 100.0,
                     alpha: float = 0.5) -> DataFrame:
-    """Per-gene ambient proportion from low-count barcodes, with
-    additive (Lidstone) smoothing so every observed gene has p > 0.
-    Returns (gene, ambient_prop); proportions sum to 1."""
+    """Per-(sample, gene) ambient proportion from low-count barcodes,
+    with additive (Lidstone) smoothing so every gene observed in the
+    sample has p > 0. Returns (sample, gene, ambient_prop);
+    proportions sum to 1 within each sample."""
     totals = expr.groupBy("sample", "barcode").agg(F.sum("count").alias("_t"))
     ambient = (
         expr.join(totals.filter(F.col("_t") <= lower), ["sample", "barcode"])
-        .groupBy("gene")
+        .groupBy("sample", "gene")
         .agg(F.sum("count").alias("amb"))
     )
-    all_genes = expr.select("gene").distinct()
-    smoothed = all_genes.join(ambient, "gene", "left").select(
-        "gene", (F.coalesce(F.col("amb"), F.lit(0.0)) + F.lit(alpha)).alias("w")
+    all_genes = expr.select("sample", "gene").distinct()
+    smoothed = all_genes.join(ambient, ["sample", "gene"], "left").select(
+        "sample", "gene",
+        (F.coalesce(F.col("amb"), F.lit(0.0)) + F.lit(alpha)).alias("w"),
     )
-    total = smoothed.agg(F.sum("w")).collect()[0][0]
-    return smoothed.select("gene", (F.col("w") / F.lit(total)).alias("ambient_prop"))
+    w_sample = W.partitionBy("sample")
+    return smoothed.select(
+        "sample", "gene",
+        (F.col("w") / F.sum("w").over(w_sample)).alias("ambient_prop"),
+    )
+
+
+def profile_moments(profile: DataFrame) -> DataFrame:
+    """Per-sample moments of ln(p) under the ambient profile:
+    m1 = Σ p·ln p (per-draw mean), m2 = Σ p·ln²p. Null variance per
+    draw is m2 − m1²."""
+    return profile.groupBy("sample").agg(
+        F.sum(F.col("ambient_prop") * F.log("ambient_prop")).alias("m1"),
+        F.sum(F.col("ambient_prop") * F.log("ambient_prop") ** 2).alias("m2"),
+    )
 
 
 def multinomial_loglik(expr: DataFrame, profile: DataFrame) -> DataFrame:
-    """Per-barcode log-multinomial likelihood under the ambient profile
-    (data-dependent term Σ count·ln(p); the multinomial coefficient is
-    rank-irrelevant for same-total comparisons)."""
+    """Per-barcode log-multinomial likelihood under the sample's ambient
+    profile (data-dependent term Σ count·ln(p); the multinomial
+    coefficient is rank-irrelevant for same-total comparisons)."""
     return (
-        expr.join(F.broadcast(profile), "gene")
+        expr.join(F.broadcast(profile), ["sample", "gene"])
         .groupBy("sample", "barcode")
         .agg(
             F.sum("count").alias("Total"),
@@ -67,9 +91,12 @@ def bh_fdr(df: DataFrame, p_col: str = "PValue", out_col: str = "FDR",
     fdr(i) = min_{j>=i} ( p(j) * n / j ), capped at 1.
 
     Pure window-function implementation: rank ascending p, then a
-    running minimum over the suffix (rowsBetween current→unbounded
-    following on the ascending-p window)."""
-    part = group or []
+    running minimum over the suffix. Defaults to per-sample grouping —
+    the ungrouped variant funnels the whole table through one task and
+    should only be used on small frames. Tied p-values provably get
+    identical FDR (the suffix-min absorbs rank permutations within a
+    tie group), so results are deterministic."""
+    part = ["sample"] if group is None else group
     w_rank = W.partitionBy(*part).orderBy(F.col(p_col).asc_nulls_last())
     w_n = W.partitionBy(*part)
     w_suffix = w_rank.rowsBetween(W.currentRow, W.unboundedFollowing)
@@ -88,42 +115,30 @@ def bh_fdr(df: DataFrame, p_col: str = "PValue", out_col: str = "FDR",
 
 
 def empty_drops(expr: DataFrame, lower: float = 100.0,
-                n_iter: int = 10000, seed: int = 123) -> DataFrame:
+                n_iter: int = 10000) -> DataFrame:
     """Full emptyDrops: returns (sample, barcode, Total, LogProb,
     PValue, Limited, FDR). Barcodes with Total <= lower are ambient by
     definition and get NULL results (they seed the null, they are not
-    tested) — mirroring DropletUtils.
+    tested) — mirroring DropletUtils. All statistics are per sample
+    (reference runs one emptyDrops call per sample:
+    src/2-1_Compute-metrics_emptyDrops.r:63-65).
 
-    P-values use a deterministic per-total normal approximation of the
-    Monte-Carlo null: under the multinomial null with T draws,
-    LogProb has mean T·Σp·ln(p) and variance T·(Σp·ln²p − (Σp·ln p)²);
-    the MC in DropletUtils estimates exactly this distribution. The
-    approximation keeps the operator fully distributed & seed-free.
-    ``Limited`` flags barcodes at the resolution floor (p < 1/(n+1)),
-    mirroring the reference's Limited column semantics.
+    ``Limited`` flags barcodes at the MC resolution floor
+    (p < 1/(n_iter+1)), mirroring the reference's Limited column.
     """
     profile = ambient_profile(expr, lower)
-    mom = profile.select(
-        F.sum(F.col("ambient_prop") * F.log("ambient_prop")).alias("m1"),
-        F.sum(F.col("ambient_prop") * F.log("ambient_prop") ** 2).alias("m2"),
-    ).collect()[0]
-    m1, m2 = float(mom["m1"]), float(mom["m2"])
-    var1 = m2 - m1 * m1  # per-draw variance of ln p
+    mom = profile_moments(profile)
 
-    ll = multinomial_loglik(expr, profile)
-    z = (F.col("LogProb") - F.col("Total") * F.lit(m1)) / F.sqrt(
-        F.col("Total") * F.lit(var1)
+    ll = multinomial_loglik(expr, profile).join(F.broadcast(mom), "sample")
+    z = (F.col("LogProb") - F.col("Total") * F.col("m1")) / F.sqrt(
+        F.col("Total") * (F.col("m2") - F.col("m1") ** 2)
     )
-    # one-sided lower-tail p: P(Z <= z) = (1 - erf(-z/sqrt(2)))/2
     tested = (
         ll.withColumn("_z", z)
-        .withColumn(
-            "PValue",
-            F.when(F.col("Total") > lower,
-                   F.lit(0.5) * (F.lit(1.0) + F.expr("erf(_z / sqrt(2.0))")))
-        )
+        .withColumn("PValue",
+                    F.when(F.col("Total") > lower, normal_cdf("_z")))
         .withColumn("Limited", F.when(F.col("Total") > lower,
                                       F.col("PValue") < F.lit(1.0 / (n_iter + 1))))
-        .drop("_z")
+        .drop("_z", "m1", "m2")
     )
     return bh_fdr(tested, "PValue", "FDR", group=["sample"])

@@ -29,7 +29,9 @@ def filter_min_cell_size(cells: DataFrame, min_cell_size: float) -> DataFrame:
 
 def filter_mt_content(cells: DataFrame, max_fraction: float = 0.1,
                       col: str = "fraction_mt") -> DataFrame:
-    """F2: keep cells with fraction.mt <= maxFraction (default 0.1)."""
+    """F2: keep cells with fraction.mt <= maxFraction (default 0.1,
+    on the [0,1] scale — ``metrics.percent_mt`` emits ``fraction_mt``
+    alongside ``percent_mt`` so the scales can't be confused)."""
     return cells.filter(F.col(col) <= F.lit(max_fraction))
 
 
@@ -86,8 +88,20 @@ def subset_samples(df: DataFrame, samples: list[str], col: str = "sample") -> Da
 
 def mt_gene_predicate(genes: DataFrame, pattern: str = "^mt-",
                       name_col: str = "name") -> DataFrame:
-    """F9: case-insensitive regex detection of mitochondrial genes."""
-    return genes.filter(F.lower(F.col(name_col)).rlike(pattern))
+    """F9: case-insensitive regex detection of mitochondrial genes.
+    The (?i) flag is applied to the raw column (matching R's
+    ``ignore.case=TRUE``) so callers may pass "^MT-" or "^mt-"."""
+    return genes.filter(F.col(name_col).rlike("(?i)" + pattern))
+
+
+def project(df: DataFrame, cols: list[str]) -> DataFrame:
+    """F8: column projection (src/4_Prepare_experiment.r:178)."""
+    return df.select(*cols)
+
+
+def not_hidden(df: DataFrame, name_col: str = "name") -> DataFrame:
+    """F10: skip dotfile entries (src/5_Upload-to-aws.py:92-96)."""
+    return df.filter(~F.col(name_col).startswith("."))
 
 
 def remove_outliers(cells: DataFrame, outliers: DataFrame,

@@ -53,12 +53,16 @@ def percent_mt(expr: DataFrame, mt_genes: DataFrame) -> DataFrame:
         "gene",
         "left",
     )
+    frac = (
+        F.sum(F.when(F.col("is_mt"), F.col("count")).otherwise(F.lit(0.0)))
+        / F.sum("count")
+    )
+    # Emit BOTH scales: the reference's filter consumes fraction.mt on
+    # [0,1] (src/QC_helpers/mitochondrialContent.r:38-54) while
+    # test_object.r:31-36 asserts percent.mt on [0,100].
     return tagged.groupBy("sample", "barcode").agg(
-        (
-            100.0
-            * F.sum(F.when(F.col("is_mt"), F.col("count")).otherwise(F.lit(0.0)))
-            / F.sum("count")
-        ).alias("percent_mt")
+        (100.0 * frac).alias("percent_mt"),
+        frac.alias("fraction_mt"),
     )
 
 
@@ -77,6 +81,23 @@ def ambient_census(expr: DataFrame, lower: float = 100.0) -> DataFrame:
 def median_gene_sum(expr: DataFrame) -> DataFrame:
     """A6: exact median of per-gene totals (diagnostic scalar)."""
     return gene_stats(expr).agg(F.median("total_umi").alias("median_gene_umi"))
+
+
+def singlet_max(cells: DataFrame, score_col: str = "doublet_scores",
+                class_col: str = "doublet_class",
+                group: list[str] | None = None) -> DataFrame:
+    """A7: max doublet score among singlets (auto threshold derivation,
+    src/QC_helpers/doubletScores_config.r:8-16)."""
+    filtered = cells.filter(F.col(class_col) == F.lit("singlet"))
+    keys = group or ["sample"]
+    return filtered.groupBy(*keys).agg(
+        F.max(score_col).alias("max_singlet_score"))
+
+
+def distinct_values(df: DataFrame, cols: list[str]) -> DataFrame:
+    """A8: distinct values of one or more columns
+    (src/4_Prepare_experiment.r:332-334)."""
+    return df.select(*cols).distinct()
 
 
 def histogram(df: DataFrame, col: str, bin_step: float, group: list[str] | None = None) -> DataFrame:

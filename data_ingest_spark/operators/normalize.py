@@ -4,16 +4,31 @@
   M6 FindVariableFeatures (vst) src/QC_helpers/dataIntegration.r:93,102
   M7 ScaleData      src/QC_helpers/dataIntegration.r:106
 
-M5 is one broadcast-joined map stage. M6/M7 compute zero-inclusive
-moments from nonzero sums: with N total cells, mean = Σx/N and
+M5 is one join + map stage. M6/M7 compute zero-inclusive moments from
+nonzero sums: with N total cells, mean = Σx/N and
 var = (Σx² − (Σx)²/N)/(N−1) — the implicit zeros never materialize, so
 the plan stays proportional to nnz, not genes×cells (the property that
 makes this viable at 100 TB).
+
+The cell count N enters as a 1-row broadcast cross-join (lazy, fused
+into the same job) — never a driver-side ``.count()``, so composing
+``scale_data(log_normalize(expr))`` stays a single Spark job with no
+extra full-table passes.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import DataFrame, functions as F
+
+
+def n_cells_df(expr: DataFrame) -> DataFrame:
+    """1-row DataFrame with the number of distinct (sample, barcode)
+    cells — broadcast-cross-joined wherever a scalar N is needed so the
+    plan stays lazy."""
+    return (
+        expr.select("sample", "barcode").distinct()
+        .agg(F.count("*").cast("double").alias("_n_cells"))
+    )
 
 
 def log_normalize(expr: DataFrame, scale_factor: float = 1e4) -> DataFrame:
@@ -30,65 +45,77 @@ def log_normalize(expr: DataFrame, scale_factor: float = 1e4) -> DataFrame:
     )
 
 
-def gene_moments(expr: DataFrame, value_col: str = "count") -> DataFrame:
+def gene_moments(expr: DataFrame, value_col: str = "count",
+                 n_cells: int | None = None) -> DataFrame:
     """M6 (stats half): zero-inclusive per-gene mean and variance.
-    N = number of distinct cells in the experiment (scalar broadcast)."""
-    n_cells = expr.select("sample", "barcode").distinct().count()
-    return (
-        expr.groupBy("gene")
-        .agg(
-            F.sum(value_col).alias("_s"),
-            F.sum(F.col(value_col) * F.col(value_col)).alias("_ss"),
-        )
-        .select(
-            "gene",
-            (F.col("_s") / F.lit(n_cells)).alias("mean"),
-            (
-                (F.col("_ss") - F.col("_s") * F.col("_s") / F.lit(n_cells))
-                / F.lit(max(n_cells - 1, 1))
-            ).alias("variance"),
-        )
+    N = number of distinct cells; pass it if already known (saves the
+    1-row subplan), else it is derived lazily in the same job."""
+    agg = expr.groupBy("gene").agg(
+        F.sum(value_col).alias("_s"),
+        F.sum(F.col(value_col) * F.col(value_col)).alias("_ss"),
+    )
+    if n_cells is not None:
+        agg = agg.withColumn("_n_cells", F.lit(float(n_cells)))
+    else:
+        agg = agg.crossJoin(F.broadcast(n_cells_df(expr)))
+    return agg.select(
+        "gene",
+        (F.col("_s") / F.col("_n_cells")).alias("mean"),
+        (
+            (F.col("_ss") - F.col("_s") * F.col("_s") / F.col("_n_cells"))
+            / (F.col("_n_cells") - F.lit(1.0))
+        ).alias("variance"),
     )
 
 
 def highly_variable_genes(expr: DataFrame, n_top: int = 2000,
-                          value_col: str = "count") -> DataFrame:
-    """M6 (selection half): rank genes by variance, keep top n_top.
-    The reference standardizes variance with a loess fit of
-    log10(var)~log10(mean) (vst); the loess residualization runs
-    driver-side over ~30k gene points in ``pipeline.reduction`` — here
-    the raw-variance ranking used for the oracle-checkable subset."""
-    moments = gene_moments(expr, value_col)
+                          value_col: str = "count",
+                          n_cells: int | None = None) -> DataFrame:
+    """M6 (selection half): rank genes by variance, keep top n_top
+    (ties broken by gene id — deterministic). The reference
+    standardizes variance with a loess fit of log10(var)~log10(mean)
+    (vst); the loess residualization runs driver-side over ~30k gene
+    points in ``pipeline.reduction`` — here the raw-variance ranking
+    used for the oracle-checkable subset."""
+    moments = gene_moments(expr, value_col, n_cells)
     return moments.orderBy(F.desc("variance"), "gene").limit(n_top)
 
 
 def scale_data(normalized: DataFrame, value_col: str = "normalized",
-               clip_max: float = 10.0) -> DataFrame:
+               clip_max: float = 10.0,
+               n_cells: int | None = None) -> DataFrame:
     """M7: per-gene z-score of normalized values over *all* cells
     (zero-inclusive moments), clipped at clip_max. Returns nonzero
     entries with a ``scaled`` column; the implicit-zero z-score is
-    -mean/sd per gene (constant, attachable from the moments table)."""
-    n_cells = normalized.select("sample", "barcode").distinct().count()
-    stats = (
-        normalized.groupBy("gene")
-        .agg(F.sum(value_col).alias("_s"),
-             F.sum(F.col(value_col) ** 2).alias("_ss"))
-        .select(
-            "gene",
-            (F.col("_s") / F.lit(n_cells)).alias("_mu"),
-            F.sqrt(
-                (F.col("_ss") - F.col("_s") ** 2 / F.lit(n_cells))
-                / F.lit(max(n_cells - 1, 1))
-            ).alias("_sd"),
-        )
+    -mean/sd per gene (constant, attachable from the moments table).
+    Zero-variance genes scale to 0.0 (Seurat ScaleData semantics —
+    NULL would silently drop them from downstream aggregations)."""
+    base = normalized.groupBy("gene").agg(
+        F.sum(value_col).alias("_s"),
+        F.sum(F.col(value_col) ** 2).alias("_ss"),
+    )
+    if n_cells is not None:
+        base = base.withColumn("_n_cells", F.lit(float(n_cells)))
+    else:
+        base = base.crossJoin(F.broadcast(
+            n_cells_df(normalized.select("sample", "barcode"))))
+    stats = base.select(
+        "gene",
+        (F.col("_s") / F.col("_n_cells")).alias("_mu"),
+        F.sqrt(
+            (F.col("_ss") - F.col("_s") ** 2 / F.col("_n_cells"))
+            / (F.col("_n_cells") - F.lit(1.0))
+        ).alias("_sd"),
     )
     return (
         normalized.join(F.broadcast(stats), "gene")
         .withColumn(
             "scaled",
-            F.least(
-                F.lit(clip_max),
-                (F.col(value_col) - F.col("_mu")) / F.nullif(F.col("_sd"), F.lit(0.0)),
+            F.when(F.col("_sd") <= F.lit(0.0), F.lit(0.0)).otherwise(
+                F.least(
+                    F.lit(clip_max),
+                    (F.col(value_col) - F.col("_mu")) / F.col("_sd"),
+                )
             ),
         )
         .drop("_mu", "_sd")

@@ -40,11 +40,20 @@ def barcode_inflection(cells: DataFrame, threshold_low: float = 100.0,
     w = W.partitionBy("sample").orderBy("rank")
     d = ranked.withColumn(
         "deriv",
-        (F.log10(F.col(order_col)) - F.log10(F.lag(order_col).over(w)))
-        / (F.log10(F.col("rank")) - F.log10(F.lag("rank").over(w))),
+        F.round(
+            (F.log10(F.col(order_col)) - F.log10(F.lag(order_col).over(w)))
+            / (F.log10(F.col("rank")) - F.log10(F.lag("rank").over(w))),
+            9,
+        ),
     ).filter(F.col("deriv").isNotNull())
-    return d.groupBy("sample").agg(
-        F.min_by(order_col, "deriv").alias("inflection_ncount")
+    # Deterministic argmin: ties on the (rounded) steepest derivative
+    # resolve to the smallest nCount — min_by's tie-break is undefined.
+    w_s = W.partitionBy("sample")
+    return (
+        d.withColumn("_min_deriv", F.min("deriv").over(w_s))
+        .filter(F.col("deriv") == F.col("_min_deriv"))
+        .groupBy("sample")
+        .agg(F.min(order_col).alias("inflection_ncount"))
     )
 
 
@@ -68,25 +77,38 @@ def dense_ids(cells: DataFrame, order: list[str] | None = None,
 def dense_ids_scalable(cells: DataFrame, order: list[str] | None = None,
                        id_col: str = "cells_id") -> DataFrame:
     """W5 at scale: dense ids without a single-task global sort.
-    Range-repartition on the order key, rank within partitions, then
-    offset each partition by the prefix sum of partition sizes (two
-    narrow passes + one tiny driver-side cumsum)."""
+
+    The first order key (``sample``) partitions the work: rank within
+    each sample's window (parallel across samples), then offset each
+    sample by the prefix sum of per-sample counts. The offsets are a
+    *deterministic grouped aggregate* (unlike spark_partition_id over a
+    sampled range-partitioning, which can shift between evaluations of
+    the same plan), so the 0..n-1 contract (test_object.r:26-29) holds
+    without persisting intermediate state. The collected offset table
+    has one row per sample — trivially small at any data scale."""
     order = order or ["sample", "barcode"]
-    parted = cells.repartitionByRange(*order).sortWithinPartitions(*order)
-    with_pid = parted.withColumn("_pid", F.spark_partition_id())
-    w = W.partitionBy("_pid").orderBy(*order)
-    local = with_pid.withColumn("_local", F.row_number().over(w) - 1)
-    sizes = {r["_pid"]: r["n"] for r in
-             local.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+    part_key, rest = order[0], order[1:]
+    sizes = (cells.groupBy(part_key).agg(F.count("*").alias("n"))
+             .orderBy(part_key).collect())
     offsets, acc = {}, 0
-    for pid in sorted(sizes):
-        offsets[pid] = acc
-        acc += sizes[pid]
-    offmap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]) \
-        if offsets else F.create_map()
-    return (local.withColumn(id_col, (F.col("_local") + offmap[F.col("_pid")])
-                             .cast("int"))
-            .drop("_pid", "_local"))
+    for r in sizes:
+        offsets[r[part_key]] = acc
+        acc += r["n"]
+    offmap = (F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+              if offsets else F.create_map())
+    w = W.partitionBy(part_key).orderBy(*rest) if rest else W.partitionBy(part_key).orderBy(part_key)
+    local = cells.withColumn("_local", F.row_number().over(w) - 1)
+    return (local.withColumn(
+        id_col, (F.col("_local") + offmap[F.col(part_key)]).cast("int"))
+        .drop("_local"))
+
+
+def sort_for_regression(cells: DataFrame, col: str = "nCount_RNA") -> DataFrame:
+    """W3: order cells ascending by (log) molecule count before the
+    robust regression (src/QC_helpers/numGenesVsNumUmis.r:76). The sort
+    key is materialized so downstream per-sample kernels see it."""
+    return (cells.withColumn("log_molecules", F.log10(F.col(col)))
+            .orderBy("log_molecules", "barcode"))
 
 
 def dedup_gene_names(genes: DataFrame, name_col: str = "name",
