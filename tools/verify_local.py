@@ -1,0 +1,103 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registry query on Spark and its DuckDB oracle side by side
+at the given scale factor, compares row count, sorted column names, and
+order-insensitive values (exact string canonicalization after the
+registry's own rounding). Exits nonzero on any mismatch.
+
+Usage: python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, canonicalize values to strings, sort rows."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_float_dtype(s):
+            df[c] = s.map(lambda v: "NULL" if pd.isna(v) else repr(round(float(v), 9)))
+        elif pd.api.types.is_bool_dtype(s):
+            df[c] = s.map(lambda v: "NULL" if pd.isna(v) else str(bool(v)))
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.map(lambda v: "NULL" if pd.isna(v) else str(int(v)))
+        else:
+            df[c] = s.map(lambda v: "NULL" if v is None or (isinstance(v, float) and pd.isna(v))
+                          else str(v))
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    from data_ingest_spark.harness import registry
+    from data_ingest_spark.session import get_spark
+
+    spark = get_spark("verify-local", cpus=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+    failures, passed, weak = [], 0, 0
+    for name, (fn, sql) in registry.REGISTRY.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"spark error: {e}"))
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if sql is None:
+            ok = len(sdf) >= 0
+            weak += 1
+            print(f"weak {name}: rows={len(sdf)} (no oracle)")
+            continue
+        try:
+            odf = con.execute(sql).df()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"duckdb error: {e}"))
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        if len(sdf) != len(odf):
+            failures.append((name, f"rows {len(sdf)} vs {len(odf)}"))
+            print(f"FAIL {name}: rows {len(sdf)} vs {len(odf)}")
+            continue
+        if sorted(map(str.lower, sdf.columns)) != sorted(map(str.lower, odf.columns)):
+            failures.append((name, f"schema {sorted(sdf.columns)} vs {sorted(odf.columns)}"))
+            print(f"FAIL {name}: schema {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+            continue
+        odf.columns = [c for c in odf.columns]
+        a, b = canon(sdf), canon(odf.rename(columns=dict(
+            zip(sorted(odf.columns, key=str.lower), sorted(sdf.columns, key=str.lower)))))
+        if a.equals(b):
+            passed += 1
+            print(f"PASS {name}: rows={len(a)}")
+        else:
+            neq = (a != b)
+            bad_cols = [c for c in a.columns if neq[c].any()]
+            idx = neq.any(axis=1)
+            sample_a = a[idx].head(3).to_dict("records")
+            sample_b = b[idx].head(3).to_dict("records")
+            failures.append((name, f"values differ in {bad_cols}"))
+            print(f"FAIL {name}: values differ in {bad_cols}\n  spark: {sample_a}\n  duck : {sample_b}")
+
+    print(f"\n{passed} passed, {weak} weak (no oracle), {len(failures)} failed")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
