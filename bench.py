@@ -1,0 +1,79 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is materialized with the no-op sink (full computation, no
+driver-side collect) and timed wall-clock. The headline set covers the
+heavy shapes: wide aggregation, broadcast join, window, the emptyDrops
+analytic plan, normalize/scale full-table math, and the LLM-pipeline
+extensions when present.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "a1_a2_cell_counts",
+    "a4_percent_mt",
+    "f6_prune",
+    "j1_emptydrops",
+    "w2_barcode_inflection",
+    "w5_dense_ids",
+    "m1_empty_drops",
+    "m4_ols_band",
+    "m5_log_normalize",
+    "m6_hvg",
+    "m7_scale_data",
+    # extensions (present from round 2 on); missing names are skipped
+    "x1_exact_dedup",
+    "x2_minhash_lsh_pairs",
+    "x5_ann_topk",
+    "x7_text_quality",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    from data_ingest_spark.harness import registry
+    from data_ingest_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = registry.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # Warm the JVM + parquet footers once so timings measure the plans,
+    # not first-touch classloading.
+    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -570,17 +570,18 @@ WITH expr AS ({_EXPR_SQL}),
  sm AS (SELECT a.sample, a.gene,
                COALESCE(amb.amb, 0.0) + {_ED_ALPHA} AS w
         FROM allg a LEFT JOIN amb ON a.sample = amb.sample AND a.gene = amb.gene),
- prof AS (SELECT sample, gene,
-                 w / SUM(w) OVER (PARTITION BY sample) AS p
-          FROM sm),
- mom AS (SELECT sample, SUM(p * ln(p)) AS m1, SUM(p * ln(p) * ln(p)) AS m2
-         FROM prof GROUP BY 1),
+ mom AS (SELECT sample, ln(SUM(w)) AS lnW,
+                SUM(w * ln(w)) / SUM(w) - ln(SUM(w)) AS m1,
+                (SUM(w * ln(w) * ln(w)) - 2 * ln(SUM(w)) * SUM(w * ln(w))
+                 + ln(SUM(w)) * ln(SUM(w)) * SUM(w)) / SUM(w) AS m2
+         FROM sm GROUP BY 1),
  ll AS (SELECT e.sample, e.barcode, SUM(e.cnt) AS total,
-               SUM(e.cnt * ln(pr.p)) AS logprob
-        FROM expr e JOIN prof pr ON e.sample = pr.sample AND e.gene = pr.gene
+               SUM(e.cnt * ln(s.w)) AS slnw
+        FROM expr e JOIN sm s ON e.sample = s.sample AND e.gene = s.gene
         GROUP BY 1, 2),
- zt AS (SELECT ll.sample, ll.barcode, ll.total, ll.logprob,
-               (ll.logprob - ll.total * m.m1)
+ zt AS (SELECT ll.sample, ll.barcode, ll.total,
+               ll.slnw - ll.total * m.lnW AS logprob,
+               ((ll.slnw - ll.total * m.lnW) - ll.total * m.m1)
                  / sqrt(ll.total * (m.m2 - m.m1 * m.m1)) AS z
         FROM ll JOIN mom m ON ll.sample = m.sample),
  pv AS (SELECT sample, barcode, total, logprob,

@@ -18,7 +18,7 @@ extra full-table passes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 
 def n_cells_df(expr: DataFrame) -> DataFrame:
@@ -89,34 +89,30 @@ def scale_data(normalized: DataFrame, value_col: str = "normalized",
     entries with a ``scaled`` column; the implicit-zero z-score is
     -mean/sd per gene (constant, attachable from the moments table).
     Zero-variance genes scale to 0.0 (Seurat ScaleData semantics —
-    NULL would silently drop them from downstream aggregations)."""
-    base = normalized.groupBy("gene").agg(
-        F.sum(value_col).alias("_s"),
-        F.sum(F.col(value_col) ** 2).alias("_ss"),
-    )
+    NULL would silently drop them from downstream aggregations).
+
+    Single-pass plan: the per-gene moments come from window aggregates
+    over a gene-partitioned shuffle of the SAME evaluation that emits
+    the rows — the ``normalized`` lineage (itself a join) is computed
+    once, not once for stats and again for the projection. Only the
+    scalar N needs a second (cheap, map-side-combined) subplan."""
     if n_cells is not None:
-        base = base.withColumn("_n_cells", F.lit(float(n_cells)))
+        base = normalized.withColumn("_n_cells", F.lit(float(n_cells)))
     else:
-        base = base.crossJoin(F.broadcast(
+        base = normalized.crossJoin(F.broadcast(
             n_cells_df(normalized.select("sample", "barcode"))))
-    stats = base.select(
-        "gene",
-        (F.col("_s") / F.col("_n_cells")).alias("_mu"),
-        F.sqrt(
-            (F.col("_ss") - F.col("_s") ** 2 / F.col("_n_cells"))
-            / (F.col("_n_cells") - F.lit(1.0))
-        ).alias("_sd"),
-    )
+    w_g = W.partitionBy("gene")
+    s = F.sum(value_col).over(w_g)
+    ss = F.sum(F.col(value_col) ** 2).over(w_g)
+    mu = s / F.col("_n_cells")
+    sd = F.sqrt((ss - s ** 2 / F.col("_n_cells"))
+                / (F.col("_n_cells") - F.lit(1.0)))
     return (
-        normalized.join(F.broadcast(stats), "gene")
-        .withColumn(
+        base.withColumn(
             "scaled",
-            F.when(F.col("_sd") <= F.lit(0.0), F.lit(0.0)).otherwise(
-                F.least(
-                    F.lit(clip_max),
-                    (F.col(value_col) - F.col("_mu")) / F.col("_sd"),
-                )
+            F.when(sd <= F.lit(0.0), F.lit(0.0)).otherwise(
+                F.least(F.lit(clip_max), (F.col(value_col) - mu) / sd)
             ),
         )
-        .drop("_mu", "_sd")
+        .drop("_n_cells")
     )
