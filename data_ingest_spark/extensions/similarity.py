@@ -1,0 +1,136 @@
+"""Similarity search over an embedding column (`array<float>`).
+
+Three tiers:
+
+  cosine_topk         — brute-force exact top-k: broadcast the query
+                        set against the full corpus. O(N·Q·d) but
+                        embarrassingly parallel and exact — the
+                        baseline and the verifier for the ANN tiers.
+  cosine_topk_ivf     — IVF-style: restrict each query to its coarse
+                        cell (here the `label` column stands in for a
+                        k-means cell id; in production the cell id is
+                        assigned by a trained coarse quantizer). The
+                        join keys on the cell, so the shuffle is
+                        cell-partitioned — N/cells work per query.
+  cosine_topk_lsh     — random-hyperplane LSH: sign-bit bucket from
+                        fixed md5-derived hyperplanes; queries only
+                        compare within their bucket. Deterministic
+                        planes → oracle-checkable.
+
+All arithmetic is float64 (cast up from float32 storage) and every
+similarity is rounded to 6dp BEFORE ranking, with the neighbor id as
+tie-break, so ordering is reproducible across engines.
+
+100 TB posture: the corpus side is never collected or broadcast — only
+the (small) query set is. Dot products are `zip_with`+`aggregate`
+Column expressions (JVM, codegen), not Python UDFs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def _dvec(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def with_cosine(df: DataFrame, a_col: str, b_col: str,
+                out_col: str = "cosine") -> DataFrame:
+    """cos(a, b) in float64, rounded to 6dp."""
+    a, b = _dvec(F.col(a_col)), _dvec(F.col(b_col))
+    return df.withColumn(
+        out_col, F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6))
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact brute-force top-k cosine neighbors for each query vector.
+    `queries` is (query_id, query_vec); the query set is broadcast, the
+    corpus streams — one pass, no shuffle of the corpus."""
+    scored = with_cosine(
+        emb.select(F.col(id_col).alias("neighbor_id"), vec_col)
+        .crossJoin(F.broadcast(queries)),
+        "query_vec", vec_col,
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    return _rank_topk(scored, k)
+
+
+def cosine_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    cell_col: str = "label") -> DataFrame:
+    """IVF top-k: each query only scans its own coarse cell (nprobe=1).
+    `queries` is (query_id, query_vec, <cell_col>). The equi-join on
+    the cell makes the scan N/cells per query and shuffle-partitioned
+    by cell — the 1000-executor shape for ANN at corpus scale."""
+    scored = with_cosine(
+        emb.select(F.col(id_col).alias("neighbor_id"), vec_col, cell_col)
+        .join(F.broadcast(queries), cell_col),
+        "query_vec", vec_col,
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    return _rank_topk(scored, k)
+
+
+def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: weight (j, i) is the
+    first md5 nibble of "j|i", centered (−7.5..7.5). Fixed data —
+    identical constants can be inlined into an oracle query."""
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{j}|{i}".encode()).hexdigest()
+            row.append(int(h[0], 16) - 7.5)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_col(vec_col: str, planes: list[list[float]]):
+    """Sign-bit bucket string from fixed hyperplanes: bit j is 1 iff
+    plane_j · v > 0."""
+    v = _dvec(F.col(vec_col))
+    bits = []
+    for row in planes:
+        w = F.array(*[F.lit(x) for x in row])
+        bits.append(F.when(_dot(w, v) > 0, "1").otherwise("0"))
+    return F.concat(*bits)
+
+
+def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_planes: int = 4, dim: int = 64) -> DataFrame:
+    """LSH-bucketed top-k: corpus and queries are bucketed by the sign
+    pattern of fixed random hyperplanes; each query scans one bucket
+    (~N/2^planes). Approximate — recall loss at bucket boundaries is
+    the standard LSH trade-off; `cosine_topk` is the exact verifier."""
+    planes = hyperplanes(n_planes, dim)
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"), vec_col,
+        lsh_bucket_col(vec_col, planes).alias("_bkt"))
+    q = queries.withColumn("_bkt", lsh_bucket_col("query_vec", planes))
+    scored = with_cosine(
+        corpus.join(F.broadcast(q), "_bkt"), "query_vec", vec_col,
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    return _rank_topk(scored, k)

@@ -1,0 +1,148 @@
+"""Text analysis operators over a `documents(doc_id, text, ...)` table.
+
+All operators are pure Column expressions (JVM-side, whole-stage
+codegen, no Python UDFs) and deterministic, so each has an exact DuckDB
+oracle. Tokenization is whitespace-based; hashing is md5-of-utf8 so
+both engines agree byte-for-byte.
+
+100 TB posture: everything here is a map-only stage over the documents
+table except `simhash` (one explode + one groupBy(doc_id) shuffle,
+proportional to token count) — no global state, no driver collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Small deterministic stopword lists used by quality scoring and the
+# language-ID heuristic. Kept tiny on purpose: the operator contract is
+# the scoring *mechanism*; swap in real lists at deployment.
+STOPWORDS_EN = ["the", "a", "is", "of", "and", "to", "in", "it"]
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "en": ["the", "a", "is", "of", "and", "it"],
+    "es": ["el", "los", "las", "y", "es", "que"],
+    "fr": ["le", "la", "les", "et", "est", "que"],
+    "zh": ["de", "shi", "le", "bu", "zai", "you"],
+}
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    """Lower-cased whitespace tokens."""
+    return F.split(F.lower(F.col(text_col)), r"\s+")
+
+
+def shingles_col(text_col: str = "text", k: int = 3) -> Column:
+    """Word k-shingles (k consecutive tokens joined by a space). A
+    document shorter than k tokens yields one shingle = the whole
+    document."""
+    toks = tokens_col(text_col)
+    idx = F.sequence(F.lit(0), F.size(toks) - k)
+    windows = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(k)])
+    )
+    return F.when(F.size(toks) >= k, windows).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def token_count(df: DataFrame, text_col: str = "text",
+                out_col: str = "n_tokens") -> DataFrame:
+    """BPE-ish token count: maximal runs of letters, digits, or a single
+    other non-space character (the pre-tokenizer split every BPE-family
+    tokenizer applies before merges)."""
+    # Four backslashes: Python -> SQL literal -> regex \s (Spark SQL
+    # string literals consume one escape level).
+    pat = "[a-z]+|[0-9]+|[^a-z0-9\\\\s]"
+    return df.withColumn(
+        out_col,
+        F.size(F.expr(f"regexp_extract_all(lower({text_col}), '{pat}', 0)")),
+    )
+
+
+def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features + a composite score in [0, 1]:
+    whitespace token count, mean token length, punctuation ratio,
+    stopword ratio. The score rewards length (saturating at 100
+    tokens), low punctuation density, and natural-language stopword
+    density — the standard cheap quality gate for LLM corpus filtering."""
+    toks = tokens_col(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(text_col)
+    punct = F.length(F.regexp_replace(F.lower(F.col(text_col)),
+                                      "[a-z0-9\\s]", ""))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    punct_ratio = punct / n_chars
+    stop_ratio = n_stop / n_tok
+    score = (0.3 * F.least(F.lit(1.0), n_tok / F.lit(100.0))
+             + 0.4 * (1.0 - punct_ratio) + 0.3 * stop_ratio)
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars_m"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            out_col: str = "pred_lang") -> DataFrame:
+    """Marker-token language ID: score each candidate language by its
+    marker-token hits, predict the argmax (ties broken alphabetically),
+    'und' (undetermined) when no marker hits at all."""
+    toks = tokens_col(text_col)
+
+    def _contains_any(markers: list[str]):
+        arr = F.array(*[F.lit(x) for x in markers])
+        return lambda t: F.array_contains(arr, t)
+
+    scores = {
+        lang: F.size(F.filter(toks, _contains_any(markers)))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # Reverse alphabetical fold so the FIRST alphabetical max wins.
+    for lang in sorted(scores, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return df.withColumn(out_col, F.when(best > 0, pred).otherwise(F.lit("und")))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", k: int = 3,
+                keep: int = 5, out_col: str = "fingerprint") -> DataFrame:
+    """Document fingerprint: md5 over the `keep` smallest distinct
+    shingle hashes (a deterministic min-k sketch — the winnowing idea
+    with a global instead of rolling window). Two documents share a
+    fingerprint iff their `keep` smallest shingle hashes coincide."""
+    hashes = F.array_sort(F.array_distinct(F.transform(
+        shingles_col(text_col, k), lambda s: F.md5(s.cast("binary")))))
+    return df.withColumn(
+        out_col,
+        F.md5(F.concat_ws(",", F.slice(hashes, 1, keep)).cast("binary")),
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            out_col: str = "simhash") -> DataFrame:
+    """Nibble-weight SimHash: each token votes (nibble − 7.5) on each of
+    the first 16 hex digits of its md5; a dimension's bit is 1 iff the
+    weighted vote sum is positive. Returns a 16-char '0'/'1' string.
+    Near-duplicate documents agree on most bits (compare via Hamming
+    distance on the bit string).
+
+    One explode + one groupBy(id) — shuffle volume proportional to
+    token occurrences, the scalable SimHash shape (no per-pair work)."""
+    tok = df.select(id_col, F.explode(tokens_col(text_col)).alias("_tok"))
+    tok = tok.withColumn("_h", F.md5(F.col("_tok").cast("binary")))
+    bits = []
+    for pos in range(1, 17):
+        nib = F.expr(f"instr('0123456789abcdef', substr(_h, {pos}, 1)) - 1")
+        bits.append(F.when(F.sum(nib - 7.5) > 0, "1").otherwise("0")
+                    .alias(f"_b{pos}"))
+    agg = tok.groupBy(id_col).agg(*bits)
+    return agg.select(
+        id_col,
+        F.concat(*[F.col(f"_b{p}") for p in range(1, 17)]).alias(out_col),
+    )

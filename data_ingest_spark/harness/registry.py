@@ -713,6 +713,360 @@ def q_scale_data(spark, sf):
                          F.round("scaled", 6).alias("scaled"))
 
 
+# ------------------------------------------------- X: LLM-pipeline extensions
+from data_ingest_spark.extensions import (dedup as dd, multimodal as mm,  # noqa: E402
+                                          similarity as sim, text as tx)
+
+# Deterministic duplicate-bearing corpora built from `documents` (the
+# synthetic corpus has no duplicates, so each dedup query plants its
+# own: full copies for exact dedup, head-truncated copies for near-dup).
+_DUP_SQL = ("SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0")
+_NEARDUP_SQL = (
+    "SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 1000000, "
+    "array_to_string(string_split_regex(text, '\\s+')[3:], ' ') "
+    "FROM documents WHERE doc_id % 10 = 0")
+
+
+def _dup_corpus(spark, sf):
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    return docs.unionByName(docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+
+
+def _neardup_corpus(spark, sf):
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    mutated = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice(F.split(F.col("text"), r"\s+"), 3, 1 << 20), " ")
+        .alias("text"))
+    return docs.unionByName(mutated)
+
+
+def _shingle_ctes(src: str) -> str:
+    """DuckDB CTEs mirroring text.shingles_col(k=3) + dedup.shingle_sets."""
+    return f"""
+ toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM {src}),
+ shl AS (SELECT doc_id,
+           CASE WHEN len(tk) >= 3
+                THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                      FOR i IN generate_series(1, len(tk) - 2)]
+                ELSE [array_to_string(tk, ' ')] END AS shingles
+         FROM toks),
+ shx AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM shl)"""
+
+
+@_q("x1_exact_dedup", f"""
+WITH corpus AS ({_DUP_SQL})
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
+""")
+def q_exact_dedup(spark, sf):
+    return dd.exact_dedup(_dup_corpus(spark, sf))
+
+
+@_q("x2_minhash_lsh_pairs", f"""
+WITH corpus AS ({_NEARDUP_SQL}),{_shingle_ctes('corpus')},
+ sig AS (SELECT s.doc_id, j.j,
+                MIN(md5(CAST(j.j AS VARCHAR) || '|' || s.shingle)) AS mh
+         FROM shx s CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS j) j
+         GROUP BY 1, 2),
+ band AS (SELECT doc_id, j // 3 AS band,
+                 md5(string_agg(mh, ',' ORDER BY j)) AS bucket
+          FROM sig GROUP BY doc_id, j // 3),
+ cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket
+          WHERE a.doc_id < b.doc_id),
+ sizes AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY 1),
+ inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
+           FROM cand c JOIN shx x ON x.doc_id = c.id_a
+                       JOIN shx y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+           GROUP BY 1, 2)
+SELECT i.id_a, i.id_b,
+       ROUND(i.i / (sa.n + sb.n - i.i), 6) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+             JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.i / (sa.n + sb.n - i.i) >= 0.5
+""")
+def q_minhash_lsh(spark, sf):
+    pairs = dd.near_dup_pairs(_neardup_corpus(spark, sf), threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_SIMHASH_BITS = ", ".join(
+    f"CASE WHEN SUM(strpos('0123456789abcdef', substr(hh, {p}, 1)) - 8.5) > 0 "
+    f"THEN '1' ELSE '0' END AS b{p}" for p in range(1, 17))
+_SIMHASH_CONCAT = " || ".join(f"b{p}" for p in range(1, 17))
+
+
+@_q("x3_simhash", f"""
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+              FROM documents),
+ h AS (SELECT doc_id, md5(tok) AS hh FROM toks),
+ bits AS (SELECT doc_id, {_SIMHASH_BITS} FROM h GROUP BY doc_id)
+SELECT doc_id, {_SIMHASH_CONCAT} AS simhash FROM bits
+""")
+def q_simhash(spark, sf):
+    return tx.simhash(load(spark, sf, "documents"))
+
+
+@_q("x4_jaccard_blocked", """
+WITH d AS (SELECT doc_id, text, source || chr(1) || CAST(CAST(FLOOR(n_chars / 100) AS BIGINT) AS VARCHAR) AS blk
+           FROM documents),
+ shx AS (SELECT DISTINCT doc_id,
+                unnest(string_split_regex(lower(text), '\\s+')) AS shingle
+         FROM d),
+ cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM d a JOIN d b ON a.blk = b.blk WHERE a.doc_id < b.doc_id),
+ sizes AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY 1),
+ inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
+           FROM cand c JOIN shx x ON x.doc_id = c.id_a
+                       JOIN shx y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+           GROUP BY 1, 2)
+SELECT i.id_a, i.id_b, ROUND(i.i / (sa.n + sb.n - i.i), 6) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+             JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.i / (sa.n + sb.n - i.i) >= 0.6
+""")
+def q_jaccard_blocked(spark, sf):
+    docs = load(spark, sf, "documents").withColumn(
+        "_band", F.floor(F.col("n_chars") / 100).cast("long").cast("string"))
+    pairs = dd.jaccard_pairs_blocked(docs, ["source", "_band"], k=1,
+                                     threshold=0.6)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_ANN_Q = "vec_id % 50 = 0"
+_COS = ("ROUND(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) "
+        "* sqrt(list_dot_product(cv, cv))), 6)")
+
+
+@_q("x5_ann_topk", f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE {_ANN_Q}),
+ c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+ s AS (SELECT q.query_id, c.neighbor_id, {_COS} AS cosine
+       FROM q CROSS JOIN c WHERE c.neighbor_id <> q.query_id),
+ r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       FROM s)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+""")
+def q_ann_topk(spark, sf):
+    emb = load(spark, sf, "embeddings")
+    queries = emb.filter(F.expr(_ANN_Q)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    return sim.cosine_topk(emb, queries, k=5)
+
+
+@_q("x6_ann_ivf", f"""
+WITH q AS (SELECT vec_id AS query_id, label, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE {_ANN_Q}),
+ c AS (SELECT vec_id AS neighbor_id, label, embedding::DOUBLE[] AS cv
+       FROM embeddings),
+ s AS (SELECT q.query_id, c.neighbor_id, {_COS} AS cosine
+       FROM q JOIN c ON q.label = c.label WHERE c.neighbor_id <> q.query_id),
+ r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       FROM s)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+""")
+def q_ann_ivf(spark, sf):
+    emb = load(spark, sf, "embeddings")
+    queries = emb.filter(F.expr(_ANN_Q)).select(
+        F.col("vec_id").alias("query_id"), "label",
+        F.col("embedding").alias("query_vec"))
+    return sim.cosine_topk_ivf(emb, queries, k=5)
+
+
+def _planes_sql() -> str:
+    planes = sim.hyperplanes(4, 64)
+    bits = []
+    for row in planes:
+        arr = "[" + ", ".join(str(x) for x in row) + "]"
+        bits.append(f"CASE WHEN list_dot_product(v, {arr}) > 0 "
+                    f"THEN '1' ELSE '0' END")
+    return " || ".join(bits)
+
+
+@_q("x11_ann_lsh", f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ b AS (SELECT vec_id, v, {_planes_sql()} AS bkt FROM e),
+ q AS (SELECT vec_id AS query_id, v AS qv, bkt FROM b WHERE {_ANN_Q}),
+ s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+              ROUND(list_dot_product(qv, c.v) / (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+       FROM q JOIN b c ON q.bkt = c.bkt WHERE c.vec_id <> q.query_id),
+ r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       FROM s)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+""")
+def q_ann_lsh(spark, sf):
+    emb = load(spark, sf, "embeddings")
+    queries = emb.filter(F.expr(_ANN_Q)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    return sim.cosine_topk_lsh(emb, queries, k=5, n_planes=4, dim=64)
+
+
+_STOP_SQL = "['the', 'a', 'is', 'of', 'and', 'to', 'in', 'it']"
+
+
+@_q("x7_text_quality", f"""
+WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk,
+                  length(text) AS nc,
+                  length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS np,
+                  text
+           FROM documents),
+ m AS (SELECT doc_id, len(tk) AS n_tokens, nc AS n_chars_m,
+              np / nc AS pr,
+              len(list_filter(tk, x -> list_contains({_STOP_SQL}, x))) / len(tk) AS sr
+       FROM t)
+SELECT doc_id, n_tokens, n_chars_m, ROUND(pr, 6) AS punct_ratio,
+       ROUND(sr, 6) AS stopword_ratio,
+       ROUND(0.3 * least(1.0, n_tokens / 100.0) + 0.4 * (1.0 - pr) + 0.3 * sr,
+             6) AS quality_score
+FROM m
+""")
+def q_text_quality(spark, sf):
+    return tx.text_quality(load(spark, sf, "documents"))
+
+
+def _lang_sql() -> str:
+    scores = {lang: (f"len(list_filter(tk, x -> list_contains(["
+                     + ", ".join(f"'{m}'" for m in markers)
+                     + "], x)))")
+              for lang, markers in sorted(tx.LANG_MARKERS.items())}
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    case = " ".join(f"WHEN {expr} = best THEN '{lang}'"
+                    for lang, expr in scores.items())
+    return f"""
+WITH t AS (SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS tk
+           FROM documents),
+ s AS (SELECT doc_id, lang, tk, {best} AS best FROM t)
+SELECT doc_id, lang,
+       CASE WHEN best > 0 THEN CASE {case} END ELSE 'und' END AS pred_lang
+FROM s"""
+
+
+@_q("x8_lang_id", _lang_sql())
+def q_lang_id(spark, sf):
+    return tx.lang_id(load(spark, sf, "documents")).select(
+        "doc_id", "lang", "pred_lang")
+
+
+@_q("x9_token_count", """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+            AS INT) AS n_tokens
+FROM documents
+""")
+def q_token_count(spark, sf):
+    return tx.token_count(load(spark, sf, "documents")).select(
+        "doc_id", "n_tokens")
+
+
+@_q("x10_fingerprint", f"""
+WITH src AS (SELECT doc_id, text FROM documents),{_shingle_ctes('src')},
+ d AS (SELECT doc_id, list_sort(list_distinct(list_transform(shingles,
+                s -> md5(s)))) AS hs
+       FROM shl)
+SELECT doc_id, md5(array_to_string(hs[1:5], ',')) AS fingerprint FROM d
+""")
+def q_fingerprint(spark, sf):
+    return tx.fingerprint(load(spark, sf, "documents")).select(
+        "doc_id", "fingerprint")
+
+
+@_q("x12_multimodal_meta", """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256, 'bin' AS format
+FROM documents
+""")
+def q_multimodal_meta(spark, sf):
+    docs = load(spark, sf, "documents").withColumn(
+        "payload", F.col("text").cast("binary"))
+    return mm.extract_binary_meta(docs)
+
+
+# ------------------------------------------------- E: event-stream windows
+
+
+def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts normalized to a microsecond TIMESTAMP (the file
+    stores TIMESTAMP(NANOS), which Spark reads as long nanos under the
+    nanosAsLong flag; truncation toward zero matches DuckDB's
+    ns→µs cast)."""
+    ev = load(spark, sf_dir, "events")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
+
+
+@_q("e1_tumbling_window", """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS total_value
+FROM (SELECT event_type, value, ts::TIMESTAMP AS ts FROM events) GROUP BY 1, 2
+""")
+def q_tumbling(spark, sf):
+    ev = events_df(spark, sf)
+    return ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    ).select(F.col("w.start").alias("window_start"), "event_type", "n",
+             "total_value")
+
+
+@_q("e2_sliding_window", """
+WITH b AS (SELECT event_type, value,
+                  make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)
+                                 * 1000000) AS b30
+           FROM (SELECT event_type, value, ts::TIMESTAMP AS ts FROM events)),
+ w AS (SELECT event_type, value,
+              unnest([b30, b30 - INTERVAL 30 MINUTE]) AS window_start
+       FROM b)
+SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS total_value
+FROM w GROUP BY 1, 2
+""")
+def q_sliding(spark, sf):
+    ev = events_df(spark, sf)
+    return ev.groupBy(
+        F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+    ).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    ).select(F.col("w.start").alias("window_start"), "event_type", "n",
+             "total_value")
+
+
+@_q("e3_session_window", """
+WITH o AS (SELECT user_id, ts, value,
+                  CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS brk
+           FROM (SELECT user_id, value, ts::TIMESTAMP AS ts FROM events)
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+ s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+       FROM o)
+SELECT user_id, MIN(ts) AS session_start, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS total_value
+FROM s GROUP BY user_id, sid
+""")
+def q_session(spark, sf):
+    ev = events_df(spark, sf)
+    return ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    ).select("user_id", F.col("w.start").alias("session_start"), "n",
+             "total_value")
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

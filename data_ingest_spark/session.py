@@ -30,6 +30,10 @@ def get_spark(app_name: str = "data-ingest-spark", cpus: int | None = None) -> S
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # The harness events table stores TIMESTAMP(NANOS); Spark has no
+        # nanosecond timestamp type, so read as long and convert (see
+        # harness.registry.events_df).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
