@@ -1,0 +1,133 @@
+"""Tests for the LLM-pipeline extension operators."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_ingest_spark.extensions import (dedup as dd, multimodal as mm,
+                                          similarity as sim, text as tx)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+        (3, "quick brown fox jumps over the lazy dog today"),        # near dup of 1
+        (4, "completely different content about spark engines here"),
+        (5, "der hund ist nicht der beste und das ist gut"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    groups = dd.exact_dedup(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["keep_id"] == 1 and groups[0]["n_copies"] == 2
+    kept = dd.dedup_keep_first(docs)
+    assert kept.count() == 4
+    assert 2 not in {r["doc_id"] for r in kept.collect()}
+
+
+def test_near_dup_pairs_finds_planted_pair(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dd.near_dup_pairs(docs, threshold=0.4).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.4 <= pairs[(1, 3)] < 1.0
+    assert all(a < b for a, b in pairs)
+    assert not any({4, 5} & {a, b} for a, b in pairs)
+
+
+def test_simhash_near_dups_close(docs):
+    h = {r["doc_id"]: r["simhash"] for r in tx.simhash(docs).collect()}
+    assert all(len(v) == 16 and set(v) <= {"0", "1"} for v in h.values())
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))
+    assert ham(h[1], h[2]) == 0                 # identical text
+    assert ham(h[1], h[3]) <= ham(h[1], h[4])   # near-dup at most as far
+
+
+def test_jaccard_blocked(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d", "s1"), (2, "a b c e", "s1"), (3, "a b c d", "s2")],
+        "doc_id long, text string, source string")
+    pairs = dd.jaccard_pairs_blocked(df, ["source"], k=1, threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}  # 3 blocked away
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import math
+    rows = []
+    for i in range(40):
+        theta = (i % 8) * math.pi / 16
+        rows.append((i, [math.cos(theta), math.sin(theta), 0.0, 0.0], i % 2))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_topk_exact(emb):
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    out = sim.cosine_topk(emb, q, k=3).collect()
+    assert [r["neighbor_id"] for r in out] == [8, 16, 24]  # same angle, id asc
+    assert all(abs(r["cosine"] - 1.0) < 1e-6 for r in out)
+    assert all(r["neighbor_id"] != 0 for r in out)
+
+
+def test_cosine_topk_ivf_restricts_to_cell(emb):
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "label",
+        F.col("embedding").alias("query_vec"))
+    out = sim.cosine_topk_ivf(emb, q, k=5).collect()
+    assert all(r["neighbor_id"] % 2 == 0 for r in out)  # label 0 cell only
+
+
+def test_lsh_bucket_recall_on_identical_vectors(emb):
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    out = sim.cosine_topk_lsh(emb, q, k=3, n_planes=4, dim=4).collect()
+    # identical vectors land in the same bucket by construction
+    assert 8 in {r["neighbor_id"] for r in out}
+
+
+def test_text_quality_ranges(docs):
+    for r in tx.text_quality(docs).collect():
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert r["n_tokens"] > 0
+
+
+def test_lang_id_markers(docs):
+    preds = {r["doc_id"]: r["pred_lang"] for r in tx.lang_id(docs).collect()}
+    assert preds[1] == "en"
+    assert preds[5] == "de"
+
+
+def test_token_count_bpe_ish(spark):
+    df = spark.createDataFrame([(1, "Hello, world! 42")], "doc_id long, text string")
+    # tokens: hello , world ! 42 -> 5
+    assert tx.token_count(df).collect()[0]["n_tokens"] == 5
+
+
+def test_fingerprint_stability(docs):
+    fp = {r["doc_id"]: r["fingerprint"] for r in tx.fingerprint(docs).collect()}
+    assert fp[1] == fp[2]          # identical docs, identical fingerprint
+    assert fp[1] != fp[4]
+    assert all(len(v) == 32 for v in fp.values())
+
+
+def test_multimodal_meta_and_fake_decode(spark):
+    payloads = [(1, b"\x89PNG\r\n\x1a\nrest"), (2, b"\xff\xd8\xffjpegdata"),
+                (3, b"plain bytes")]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    meta = {r["doc_id"]: (r["format"], r["n_bytes"])
+            for r in mm.extract_binary_meta(df).collect()}
+    assert meta[1][0] == "png" and meta[2][0] == "jpeg" and meta[3][0] == "bin"
+    assert meta[3][1] == len(b"plain bytes")
+
+    dec = mm.decode_image_fake(df)
+    rows = dec.collect()
+    assert dec.schema == mm.DECODED_IMAGE_SCHEMA
+    assert all(16 <= r["width"] < 80 and 1 <= r["n_channels"] <= 4 for r in rows)
+
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(df)

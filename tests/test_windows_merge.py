@@ -1,0 +1,72 @@
+"""Window/sort/merge operator tests, incl. the test_object.r invariants
+(dense ids 0..n-1 at src/test_object.r:26-29, dedup names at :47)."""
+
+import pyspark.sql.functions as F
+
+from data_ingest_spark.operators import merge as mg, metrics as mx, windows as wd
+
+
+def test_barcode_rank(expr):
+    cells = mx.cell_counts(expr)
+    out = wd.barcode_rank(cells)
+    m = {(r["sample"], r["barcode"]): r["rank"] for r in out.collect()}
+    assert m[("s1", "b2")] == 1  # highest nCount in s1
+    assert m[("s1", "b3")] == 3
+
+
+def test_dense_ids_contract(sf_expr):
+    """cells_id must be dense 0..n-1 in (sample, barcode) order — both
+    implementations, checked on the real sf0.001 table."""
+    cells = mx.cell_counts(sf_expr).select("sample", "barcode")
+    n = cells.count()
+    for impl in (wd.dense_ids, wd.dense_ids_scalable):
+        out = impl(cells)
+        ids = [r["cells_id"] for r in
+               out.orderBy("sample", "barcode").collect()]
+        assert ids == list(range(n)), impl.__name__
+
+
+def test_dedup_gene_names(spark):
+    genes = spark.createDataFrame(
+        [("E1", "ACTB"), ("E2", "ACTB"), ("E3", "TP53")],
+        "gene string, name string")
+    m = {r["gene"]: r["name"] for r in wd.dedup_gene_names(genes).collect()}
+    # duplicated() | duplicated(fromLast): BOTH occurrences renamed
+    assert m == {"E1": "ACTB - E1", "E2": "ACTB - E2", "E3": "TP53"}
+
+
+def test_top_k_genes(expr):
+    gs = mx.gene_stats(expr)
+    top2 = wd.top_k_genes(gs, 2).collect()
+    assert [r["gene"] for r in top2] == ["ENSG1", "ENSG2"]
+
+
+def test_merge_samples_prefixes_barcodes(expr):
+    a = expr.filter(F.col("sample") == "s1")
+    b = expr.filter(F.col("sample") == "s2")
+    merged = mg.merge_samples([a, b])
+    bcs = {r["barcode"] for r in merged.select("barcode").distinct().collect()}
+    assert bcs == {"s1_b1", "s1_b2", "s1_b3", "s2_b4"}
+    assert merged.count() == expr.count()
+
+
+def test_union_dedup(spark):
+    a = spark.createDataFrame([("E1", "A")], "gene string, name string")
+    b = spark.createDataFrame([("E1", "A"), ("E2", "B")], "gene string, name string")
+    assert mg.union_dedup([a, b]).count() == 2
+
+
+def test_barcode_inflection_monotone(sf_expr):
+    """Inflection nCount must lie within the observed range above the
+    low threshold, per sample."""
+    cells = mx.cell_counts(sf_expr)
+    infl = {r["sample"]: r["inflection_ncount"]
+            for r in wd.barcode_inflection(cells, 100.0).collect()}
+    rng = {r["sample"]: (r["lo"], r["hi"]) for r in
+           cells.filter(F.col("nCount_RNA") > 100)
+           .groupBy("sample")
+           .agg(F.min("nCount_RNA").alias("lo"), F.max("nCount_RNA").alias("hi"))
+           .collect()}
+    for s, v in infl.items():
+        lo, hi = rng[s]
+        assert lo <= v <= hi
