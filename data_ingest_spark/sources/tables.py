@@ -1,0 +1,109 @@
+"""S2–S5: schema'd TSV/CSV contract readers, dense-table scan, JSON
+config, and Parquet checkpointing.
+
+Every intermediate-file contract from FIXTURES.md §B gets an explicit
+StructType (SURVEY §1.2: "explicit schemas on every reader").
+References: doublet scores src/help.r:8-17; annotations
+src/1_Preproc.r:143-146 & src/3_Seurat.r:67; flag file
+src/3_Seurat.r:135-136 → src/4_Prepare_experiment.r:91; dense table
+src/1_Preproc.r:150-160; config src/1_Preproc.r:72-93,166; RDS
+checkpoints src/1_Preproc.r:174 et al. → Parquet here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (DoubleType, StringType, StructField, StructType)
+
+DOUBLET_SCORES_SCHEMA = StructType([
+    StructField("barcode", StringType()),
+    StructField("doublet_scores", DoubleType()),
+    StructField("doublet_class", StringType()),
+])
+
+ANNOTATIONS_SCHEMA = StructType([
+    StructField("input", StringType()),
+    StructField("name", StringType()),
+])
+
+FLAG_SCHEMA = StructType([
+    StructField("samples", StringType()),
+    StructField("flag_filtered", StringType()),
+])
+
+
+def read_doublet_scores(spark: SparkSession, path: str) -> DataFrame:
+    """doublet-scores-<sample>.csv: headerless barcode/score/class
+    (src/2-2_Compute-metrics_doublets.r:35-38)."""
+    return spark.read.csv(path, sep="\t", header=False,
+                          schema=DOUBLET_SCORES_SCHEMA)
+
+
+def read_features_annotations(spark: SparkSession, path: str) -> DataFrame:
+    """features_annotations.tsv with header (src/1_Preproc.r:146);
+    renamed to the engine's (gene, name) contract."""
+    df = spark.read.csv(path, sep="\t", header=True,
+                        schema=ANNOTATIONS_SCHEMA)
+    return df.select(F.col("input").alias("gene"), "name")
+
+
+def read_flag_file(spark: SparkSession, path: str) -> DataFrame:
+    """df_flag_filtered.txt: (samples, 'Filtered'|'Unfiltered') with a
+    derived boolean (src/5_Upload-to-aws.py:79-85 semantics)."""
+    df = spark.read.csv(path, sep="\t", header=True, schema=FLAG_SCHEMA)
+    return df.withColumn("prefiltered", F.col("flag_filtered") == "Filtered")
+
+
+def read_dense_table(spark: SparkSession, path: str,
+                     sample: str) -> DataFrame:
+    """S3: dense text matrix (genes × cells, first column = gene id) →
+    long DF via stack (src/1_Preproc.r:150-160; untested in the
+    reference, melt here keeps only nonzeros)."""
+    raw = spark.read.csv(path, sep="\t", header=True, inferSchema=True)
+    gene_col = raw.columns[0]
+    cells = raw.columns[1:]
+    stack = ", ".join(f"'{c}', `{c}`" for c in cells)
+    long = raw.selectExpr(
+        f"`{gene_col}` as gene",
+        f"stack({len(cells)}, {stack}) as (barcode, count)")
+    return long.filter(F.col("count") > 0).select(
+        F.lit(sample).alias("sample"), "barcode", "gene",
+        F.col("count").cast("int"))
+
+
+REQUIRED_CONFIG_KEYS = ["name", "input", "samples"]
+
+
+def load_config(path: str) -> dict:
+    """S4: meta.json with the reference's imperative key checks
+    (src/1_Preproc.r:78-93). Driver-side — config is scalar metadata."""
+    with open(path) as fh:
+        cfg = json.load(fh)
+    missing = [k for k in REQUIRED_CONFIG_KEYS if k not in cfg]
+    if missing:
+        raise ValueError(f"meta.json missing keys: {missing}")
+    if not isinstance(cfg["samples"], list) or not cfg["samples"]:
+        raise ValueError("meta.json: samples must be a non-empty list")
+    return cfg
+
+
+def checkpoint(df: DataFrame, out_dir: str, name: str,
+               partition_by: list[str] | None = None) -> str:
+    """S5: stage-boundary Parquet checkpoint (the reference's RDS
+    restartability contract, src/1_Preproc.r:174). Partitioned by
+    `sample` by default so downstream per-sample predicates prune."""
+    path = os.path.join(out_dir, name)
+    writer = df.write.mode("overwrite")
+    cols = partition_by if partition_by is not None else (
+        ["sample"] if "sample" in df.columns else None)
+    if cols:
+        writer = writer.partitionBy(*cols)
+    writer.parquet(path)
+    return path
+
+
+def read_checkpoint(spark: SparkSession, out_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, name))

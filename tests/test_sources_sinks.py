@@ -1,0 +1,155 @@
+"""S1 10x reader against a synthetic FIXTURES.md §A directory; TSV
+contract readers; MTX/TSV/JSON sinks round-trip."""
+
+import gzip
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_ingest_spark.sinks import exports as sk
+from data_ingest_spark.sources import tables as tb, tenx as tx
+
+
+@pytest.fixture(scope="module")
+def tenx_dir(tmp_path_factory):
+    """Two-sample 10x input: sample_a V3 (gz), sample_b V2 (plain)."""
+    root = tmp_path_factory.mktemp("tenx")
+    triplets = [(1, 1, 5), (1, 2, 3), (2, 2, 7), (3, 1, 1)]
+    features = ["ENSG1\tACTB\tGene Expression",
+                "ENSG2\tMT-CO1\tGene Expression",
+                "ENSG3\tTP53\tGene Expression"]
+    barcodes = ["AAAC-1", "GGGT-1"]
+    mtx = ["%%MatrixMarket matrix coordinate integer general",
+           "% extra comment",
+           "3 2 4"] + [f"{g} {c} {v}" for g, c, v in triplets]
+
+    a = root / "sample_a"
+    a.mkdir()
+    for fname, lines in [("features.tsv.gz", features),
+                         ("barcodes.tsv.gz", barcodes),
+                         ("matrix.mtx.gz", mtx)]:
+        with gzip.open(a / fname, "wt") as fh:
+            fh.write("\n".join(lines) + "\n")
+
+    b = root / "sample_b"
+    b.mkdir()
+    for fname, lines in [("genes.tsv", features),
+                         ("barcodes.tsv", barcodes),
+                         ("matrix.mtx", mtx)]:
+        (b / fname).write_text("\n".join(lines) + "\n")
+
+    (root / "meta.json").write_text(json.dumps({
+        "name": "t", "organism": "hsapiens", "input": {"type": "10x"},
+        "samples": ["sample_a", "sample_b"],
+        "metadata": {"condition": ["WT", "KO"]}}))
+    return str(root)
+
+
+def test_detect_layout(tenx_dir):
+    assert tx.detect_layout(os.path.join(tenx_dir, "sample_a")) == "v3"
+    assert tx.detect_layout(os.path.join(tenx_dir, "sample_b")) == "v2"
+    with pytest.raises(ValueError):
+        tx.detect_layout(tenx_dir)
+
+
+def test_read_10x_sample_triplets(spark, tenx_dir):
+    expr, annots = tx.read_10x_sample(
+        spark, os.path.join(tenx_dir, "sample_a"), "sample_a")
+    got = {(r["barcode"], r["gene"]): r["count"] for r in expr.collect()}
+    assert got == {("AAAC-1", "ENSG1"): 5, ("GGGT-1", "ENSG1"): 3,
+                   ("GGGT-1", "ENSG2"): 7, ("AAAC-1", "ENSG3"): 1}
+    assert {(r["gene"], r["name"]) for r in annots.collect()} == {
+        ("ENSG1", "ACTB"), ("ENSG2", "MT-CO1"), ("ENSG3", "TP53")}
+
+
+def test_read_10x_experiment_merges(spark, tenx_dir):
+    cfg = tb.load_config(os.path.join(tenx_dir, "meta.json"))
+    expr, annots = tx.read_10x_experiment(spark, tenx_dir, cfg["samples"])
+    assert expr.count() == 8  # 4 nonzeros x 2 samples
+    assert {r["sample"] for r in expr.select("sample").distinct().collect()} \
+        == {"sample_a", "sample_b"}
+    assert annots.count() == 3  # union-deduped across samples
+
+
+def test_load_config_validation(tenx_dir, tmp_path):
+    cfg = tb.load_config(os.path.join(tenx_dir, "meta.json"))
+    assert cfg["samples"] == ["sample_a", "sample_b"]
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"name": "x"}))
+    with pytest.raises(ValueError):
+        tb.load_config(str(bad))
+
+
+def test_contract_readers(spark, tmp_path):
+    ds = tmp_path / "doublet-scores-a.csv"
+    ds.write_text("b1\t0.1\tsinglet\nb2\t0.9\tdoublet\n")
+    out = tb.read_doublet_scores(spark, str(ds)).collect()
+    assert out[0]["doublet_scores"] == 0.1
+
+    fl = tmp_path / "df_flag_filtered.txt"
+    fl.write_text("samples\tflag_filtered\ns1\tFiltered\ns2\tUnfiltered\n")
+    flags = {r["samples"]: r["prefiltered"]
+             for r in tb.read_flag_file(spark, str(fl)).collect()}
+    assert flags == {"s1": True, "s2": False}
+
+    an = tmp_path / "features_annotations.tsv"
+    an.write_text("input\tname\nENSG1\tACTB\n")
+    assert tb.read_features_annotations(spark, str(an)).collect()[0]["gene"] \
+        == "ENSG1"
+
+
+def test_dense_table_scan(spark, tmp_path):
+    t = tmp_path / "dense.tsv"
+    t.write_text("gene\tc1\tc2\nG1\t0\t5\nG2\t3\t0\n")
+    out = {(r["barcode"], r["gene"]): r["count"]
+           for r in tb.read_dense_table(spark, str(t), "s").collect()}
+    assert out == {("c2", "G1"): 5, ("c1", "G2"): 3}
+
+
+def test_checkpoint_roundtrip(spark, expr, tmp_path):
+    path = tb.checkpoint(expr, str(tmp_path), "stage1")
+    back = tb.read_checkpoint(spark, str(tmp_path), "stage1")
+    assert back.count() == expr.count()
+    assert os.path.isdir(path)
+    # partitioned by sample for downstream pruning
+    assert any(d.startswith("sample=") for d in os.listdir(path))
+
+
+def test_write_mtx_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 1, 5), (2, 3, 7)], "cell_idx int, gene_idx int, count int")
+    out = str(tmp_path / "mtx")
+    sk.write_mtx(df, out)
+    part = [f for f in os.listdir(out) if f.startswith("part-")][0]
+    lines = open(os.path.join(out, part)).read().strip().split("\n")
+    assert lines[0].startswith("%%MatrixMarket")
+    assert lines[1] == "2 3 2"
+    assert set(lines[2:]) == {"1 1 5", "2 3 7"}
+
+
+def test_cell_sets_json_and_checksum(spark, tmp_path):
+    cells = spark.createDataFrame(
+        [("s1", 2), ("s1", 0), ("s2", 1)], "samples string, cells_id int")
+    tree = sk.cell_sets_json(cells, "samples", "sample", "metadataCategorical",
+                             colors=["#111111", "#222222"])
+    assert tree["rootNode"] is True
+    assert tree["children"][0] == {
+        "key": "sample-s1", "name": "s1", "cellIds": [0, 2],
+        "color": "#111111"}
+    p = tmp_path / "cell_sets.json"
+    sk.write_json(tree, str(p))
+    assert json.load(open(p))["children"][1]["cellIds"] == [1]
+
+    c1 = sk.experiment_checksum([str(p), str(tmp_path / "missing.tsv")])
+    c2 = sk.experiment_checksum([str(p)])
+    assert c1 == c2  # skip-missing semantics (5_Upload-to-aws.py:201-207)
+
+
+def test_upload_sink_stub(spark):
+    sink = sk.UploadSink()
+    sink.put_record("experiments", {"experimentId": "e1"})
+    sink.put_object("cell_sets.json", b"{}")
+    assert sink.records[0][0] == "experiments"
+    assert sink.objects[0][1] == b"{}"
