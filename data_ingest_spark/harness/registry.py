@@ -1067,6 +1067,143 @@ def q_session(spark, sf):
              "total_value")
 
 
+# ------------------------------------------------- M: ML stage (M2, M8–M13, pipeline)
+#
+# The deterministic graph ops (kNN, SNN) run on the embeddings table and
+# carry full DuckDB oracles. The inherently iterative/eigen ops (PCA,
+# LPA/Louvain, spectral embedding, MNN integration, doublet simulation)
+# are seeded+deterministic but not ANSI-SQL-expressible → rows-only.
+
+
+def _emb_pc_arr(spark, sf):
+    """embeddings as a reduced-space table: sample=label,
+    barcode=vec_id, pc=float64 array."""
+    return load(spark, sf, "embeddings").select(
+        F.col("label").cast("string").alias("sample"),
+        F.col("vec_id").cast("string").alias("barcode"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("pc"))
+
+
+def _emb_pc_cols(spark, sf, dim: int = 64):
+    emb = _emb_pc_arr(spark, sf)
+    cols = [F.col("pc").getItem(i).alias(f"pc_{i}") for i in range(dim)]
+    return emb.select("sample", "barcode", *cols)
+
+
+_KNN_EDGES_SQL = """
+v AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding::DOUBLE[] AS e
+      FROM embeddings),
+ s AS (SELECT a.id AS src, b.id AS dst,
+              ROUND(list_dot_product(a.e, b.e)
+                    / (sqrt(list_dot_product(a.e, a.e))
+                       * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+       FROM v a CROSS JOIN v b WHERE a.id <> b.id),
+ r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY src
+                      ORDER BY cosine DESC, dst) AS BIGINT) AS rank
+       FROM s)"""
+
+
+@_q("m12_knn_exact", f"""
+WITH {_KNN_EDGES_SQL}
+SELECT src, dst, cosine, rank FROM r WHERE rank <= 10
+""")
+def q_knn_exact(spark, sf):
+    from data_ingest_spark.operators import neighbors as nb
+    return nb.knn_exact(_emb_pc_arr(spark, sf), k=10, id_cols=("barcode",))
+
+
+@_q("m12_snn_graph", f"""
+WITH {_KNN_EDGES_SQL},
+ e AS (SELECT src, dst FROM r WHERE rank <= 10),
+ i AS (SELECT a.src AS u, b.src AS v, CAST(COUNT(*) AS BIGINT) AS c
+       FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+       GROUP BY 1, 2)
+SELECT u AS src, v AS dst, ROUND(c / (20.0 - c), 9) AS snn_weight
+FROM i WHERE c / (20.0 - c) >= 1.0 / 15.0
+""")
+def q_snn_graph(spark, sf):
+    from data_ingest_spark.operators import neighbors as nb
+    knn = nb.knn_exact(_emb_pc_arr(spark, sf), k=10, id_cols=("barcode",))
+    snn = nb.snn_graph(knn, k=10)
+    return snn.withColumn("snn_weight", F.round("snn_weight", 9))
+
+
+@_q("m13_label_propagation")
+def q_label_propagation(spark, sf):
+    from data_ingest_spark.operators import clustering as cl, neighbors as nb
+    knn = nb.knn_exact(_emb_pc_arr(spark, sf), k=10, id_cols=("barcode",))
+    snn = nb.snn_graph(knn, k=10)
+    return cl.label_propagation(snn, max_iter=5)
+
+
+@_q("m13_louvain")
+def q_louvain(spark, sf):
+    from data_ingest_spark.operators import clustering as cl, neighbors as nb
+    knn = nb.knn_exact(_emb_pc_arr(spark, sf), k=10, id_cols=("barcode",))
+    snn = nb.snn_graph(knn, k=10)
+    return cl.louvain_driver(snn)
+
+
+@_q("m2_doublet_scores")
+def q_doublet_scores(spark, sf):
+    from data_ingest_spark.operators import doublets as db
+    out = db.doublet_scores(expr_df(spark, sf), seed=42)
+    return out.withColumn("doublet_scores", F.round("doublet_scores", 6))
+
+
+@_q("m8_pca")
+def q_pca(spark, sf):
+    from data_ingest_spark.operators import reduction as rd
+    expr = expr_df(spark, sf)
+    normalized = nz.log_normalize(expr)
+    hvgs = nz.highly_variable_genes(normalized, 200, value_col="normalized")
+    scaled = nz.scale_data(
+        normalized.join(F.broadcast(hvgs.select("gene")), "gene"))
+    scores, _ = rd.run_pca(rd.assemble_vectors(scaled, hvgs), k=10)
+    k = scores.select("pc").head()["pc"].size
+    return rd.pc_columns(scores, k).select("sample", "barcode")
+
+
+@_q("m9_integrate_mnn")
+def q_integrate(spark, sf):
+    from data_ingest_spark.operators import integrate as ig
+    out = ig.integrate_mnn(_emb_pc_cols(spark, sf))
+    rounded = [F.round(c, 6).alias(c) for c in out.columns
+               if c.startswith("pc_")]
+    return out.select("sample", "barcode", *rounded)
+
+
+@_q("m10_spectral_embedding")
+def q_spectral(spark, sf):
+    from data_ingest_spark.operators import embedding as em
+    out = em.spectral_embedding(_emb_pc_cols(spark, sf), k=15)
+    return out.select("sample", "barcode", F.round("x", 6).alias("x"),
+                      F.round("y", 6).alias("y"), "method")
+
+
+@_q("p1_qc_pipeline")
+def q_qc_pipeline(spark, sf):
+    """End-to-end stage 1→4 chain (filters → doublets → normalize →
+    HVG → scale → PCA → kNN/SNN → clustering) on a 1-in-20 barcode
+    subsample; returns the final cells table."""
+    from data_ingest_spark.pipeline import Experiment, assemble_cells, run_qc
+    expr = expr_df(spark, sf).filter(F.col("barcode") % 20 == 0)
+    genes = expr.select("gene").distinct().withColumn(
+        "name", F.concat(F.lit("G"), F.col("gene")))
+    cells = assemble_cells(expr, genes=genes)
+    exp = Experiment(expression=expr, cells=cells, genes=genes)
+    final, _ = run_qc(exp, {
+        "cellSizeDistribution": {"minCellSize": 1.0},
+        "doubletScores": {"probabilityThreshold": 1.0},
+        "dataIntegration": {"nfeatures": 200, "numPCs": 10,
+                            "integrate": False},
+        "configureEmbedding": {"k": 10, "computeEmbedding": False},
+    })
+    return final.cells.select("sample", "barcode", "cluster",
+                              F.col("nCount_RNA").cast("double").alias("ncount"),
+                              F.col("nFeature_RNA").cast("long").alias("nfeature"))
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -1,0 +1,112 @@
+"""M12: kNN graph + shared-nearest-neighbor (SNN) graph on PCA space.
+
+Reference: FindNeighbors(k.param=20, annoy.metric='cosine') at
+/root/reference/src/QC_helpers/configureEmbedding.r:111-113; the SNN
+edge weight is the Jaccard of the two cells' neighbor sets (Seurat
+default, pruned below 1/15).
+
+Two physical strategies, one logical result:
+  knn_exact   — brute-force over a broadcast of the (N × d) reduced
+                matrix: exact, right when N·d fits a broadcast
+                (reduced dims always do at reference scale). The dot
+                products are `zip_with`+`aggregate` Column expressions
+                (JVM, whole-stage codegen) over plain array<double>
+                columns — no Python in the O(N²) hot path.
+  knn_lsh     — BucketedRandomProjectionLSH approxSimilarityJoin on
+                unit-normalized vectors (cosine ≙ Euclidean on the
+                sphere): the 100 TB path, bucketed join instead of
+                all-pairs.
+SNN is pure joins on the kNN edge list: |A∩B| via neighbor-set
+self-join, Jaccard = inter / (2k − inter).
+
+Cosines are rounded to 6dp BEFORE ranking with the neighbor id as the
+tie-break (same discipline as extensions.similarity) so rankings are
+reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.feature import BucketedRandomProjectionLSH
+from pyspark.ml.linalg import Vectors, VectorUDT
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from data_ingest_spark.extensions.similarity import _dot, _dvec, _norm
+
+
+def _normalized(vectors: DataFrame, vec_col: str = "pc") -> DataFrame:
+    """Unit-norm ml.linalg vector column from an array or vector column
+    (Spark ML LSH needs VectorUDT; this is O(N), off the hot path)."""
+    def unit(v):
+        d = Vectors.dense([float(x) for x in v])
+        return d / (d.norm(2) or 1.0)
+    return vectors.withColumn("_unit", F.udf(unit, VectorUDT())(vec_col))
+
+
+def knn_exact(scores: DataFrame, k: int = 20,
+              id_cols: tuple[str, ...] = ("sample", "barcode"),
+              vec_col: str = "pc") -> DataFrame:
+    """Exact cosine kNN via a broadcast self-join on the reduced
+    matrix. Returns (src, dst, cosine, rank) with src = concat of id
+    cols; `vec_col` is array<double|float>. Broadcasting the reduced
+    matrix is the deliberate trade: at 50 dims even 1e6 cells is
+    ~400 MB, the documented ceiling."""
+    ids = F.concat_ws("_", *id_cols)
+    base = scores.select(ids.alias("id"), F.col(vec_col).alias("_v"))
+    right = base.select(F.col("id").alias("dst"), F.col("_v").alias("_v2"))
+    a, b = _dvec(F.col("_v")), _dvec(F.col("_v2"))
+    scored = (
+        base.crossJoin(F.broadcast(right))
+        .filter(F.col("id") != F.col("dst"))
+        .select(F.col("id").alias("src"), "dst",
+                F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6).alias("cosine"))
+    )
+    w = W.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def knn_lsh(scores: DataFrame, k: int = 20, bucket_length: float = 0.5,
+            num_tables: int = 3,
+            id_cols: tuple[str, ...] = ("sample", "barcode"),
+            vec_col: str = "pc", max_distance: float = 1.2,
+            seed: int = 42) -> DataFrame:
+    """Approximate kNN: LSH-bucketed similarity join on unit vectors
+    (Euclidean ≤ max_distance ⇔ cosine ≥ 1 − max_distance²/2). Same
+    output contract as knn_exact; recall < 1 at bucket boundaries."""
+    ids = F.concat_ws("_", *id_cols)
+    unit = _normalized(scores, vec_col).select(ids.alias("id"), "_unit")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="_unit", outputCol="_h", bucketLength=bucket_length,
+        numHashTables=num_tables, seed=seed)
+    model = lsh.fit(unit)
+    joined = model.approxSimilarityJoin(unit, unit, max_distance,
+                                        distCol="_d")
+    pairs = (
+        joined.select(F.col("datasetA.id").alias("src"),
+                      F.col("datasetB.id").alias("dst"),
+                      F.round(1.0 - F.col("_d") ** 2 / 2.0, 6).alias("cosine"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    w = W.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def snn_graph(knn: DataFrame, k: int = 20,
+              prune: float = 1.0 / 15.0) -> DataFrame:
+    """SNN edges (src, dst, snn_weight) from a kNN edge list: Jaccard
+    of neighbor sets, computed by joining the edge list with itself on
+    the shared neighbor — shuffle keyed by neighbor id, no all-pairs.
+    Edges below `prune` are dropped (Seurat prune.SNN)."""
+    a = knn.select(F.col("src").alias("u"), F.col("dst").alias("n"))
+    b = knn.select(F.col("src").alias("v"), F.col("dst").alias("n"))
+    inter = (
+        a.join(b, "n")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v").agg(F.count("*").alias("_inter"))
+    )
+    jac = inter.withColumn(
+        "snn_weight", F.col("_inter") / (2.0 * k - F.col("_inter")))
+    return (jac.filter(F.col("snn_weight") >= prune)
+            .select(F.col("u").alias("src"), F.col("v").alias("dst"),
+                    "snn_weight"))

@@ -1,0 +1,252 @@
+"""The QC step registry — the platform's public query surface.
+
+Reference contract (src/QC_helpers/*.r): every step is
+`step(scdata, config) -> list(data, config, plotData)`, chained by
+stage 4; per-sample default configs are derived by
+`add_custom_config_per_sample` (src/4_Prepare_experiment.r:310-334).
+
+Here: `Step = Callable[[Experiment, dict], StepResult]`, registered in
+STEPS in the reference's execution order
+(src/4_Prepare_experiment.r:222-269 config list). `run_qc` composes
+them into ONE lazy plan — the reference's seven eager passes become a
+single Catalyst-optimized DAG; nothing materializes until the caller
+writes a checkpoint.
+
+Step ↔ reference file map:
+  cellSizeDistribution  cellSizeDistribution.r  (F1 + W1/W2 auto)
+  mitochondrialContent  mitochondrialContent.r  (F2)
+  classifier            classifier.r            (F3, emptyDrops FDR)
+  numGenesVsNumUmis     numGenesVsNumUmis.r     (M4 band + F11)
+  doubletScores         doubletScores.r         (F4 + A7 auto)
+  dataIntegration       dataIntegration.r       (M5-M9)
+  configureEmbedding    configureEmbedding.r    (M12-M13 + M10/M11)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, functions as F
+
+from data_ingest_spark.operators import (clustering as cl, doublets as db,
+                                         embedding as em, filters as fl,
+                                         integrate as ig, metrics as mx,
+                                         neighbors as nb, normalize as nz,
+                                         reduction as rd, regression as rg,
+                                         windows as wd)
+from data_ingest_spark.pipeline.experiment import Experiment
+
+
+@dataclass
+class StepResult:
+    data: Experiment
+    config: dict
+    plot_data: dict[str, DataFrame] = field(default_factory=dict)
+
+
+Step = Callable[[Experiment, dict], StepResult]
+STEPS: dict[str, Step] = {}
+
+
+def _step(name: str):
+    def deco(fn: Step) -> Step:
+        STEPS[name] = fn
+        return fn
+    return deco
+
+
+def _filter_cells(exp: Experiment, kept: DataFrame) -> Experiment:
+    return exp.subset_cells(kept)
+
+
+@_step("cellSizeDistribution")
+def cell_size_distribution(exp: Experiment, config: dict) -> StepResult:
+    """F1 with the W2 knee auto-threshold when none is configured
+    (cellSizeDistribution.r:50-74, *_config.r:15-33); plotData =
+    barcode-rank curve (W1)."""
+    cfg = dict(config)
+    if cfg.get("minCellSize") is None:
+        infl = wd.barcode_inflection(
+            exp.cells, cfg.get("thresholdLow", 100.0))
+        cfg["minCellSize"] = {r["sample"]: r["inflection_ncount"]
+                              for r in infl.collect()}
+    thr = cfg["minCellSize"]
+    if isinstance(thr, dict):
+        spark = exp.cells.sparkSession
+        thr_df = spark.createDataFrame(
+            [(s, float(v)) for s, v in thr.items()],
+            "sample string, _thr double")
+        kept = (exp.cells.join(F.broadcast(thr_df), "sample")
+                .filter(F.col("nCount_RNA") >= F.col("_thr")).drop("_thr"))
+    else:
+        kept = fl.filter_min_cell_size(exp.cells, float(thr))
+    return StepResult(_filter_cells(exp, kept), cfg,
+                      {"barcode_rank": wd.barcode_rank(exp.cells)})
+
+
+@_step("mitochondrialContent")
+def mitochondrial_content(exp: Experiment, config: dict) -> StepResult:
+    """F2 (mitochondrialContent.r:38-54): fraction scale, default 0.1."""
+    cfg = {"maxFraction": 0.1, **config}
+    kept = fl.filter_mt_content(exp.cells, cfg["maxFraction"])
+    return StepResult(_filter_cells(exp, kept), cfg,
+                      {"mt_hist": mx.histogram(exp.cells, "fraction_mt",
+                                               0.05, group=["sample"])})
+
+
+@_step("classifier")
+def classifier(exp: Experiment, config: dict) -> StepResult:
+    """F3 (classifier.r:63): emptyDrops_FDR <= 0.01; NULL rows drop
+    (R NA-subset semantics)."""
+    cfg = {"FDR": 0.01, **config}
+    if "emptyDrops_FDR" not in exp.cells.columns:
+        return StepResult(exp, cfg, {})
+    kept = fl.filter_classifier_fdr(exp.cells, cfg["FDR"], "emptyDrops_FDR")
+    return StepResult(_filter_cells(exp, kept), cfg, {})
+
+
+@_step("numGenesVsNumUmis")
+def num_genes_vs_num_umis(exp: Experiment, config: dict) -> StepResult:
+    """M4 + F11 (numGenesVsNumUmis.r:51-112): robust log-log band,
+    p.level auto = min(0.001, 1/ncells) (numGenesVsNumUmis_config.r)."""
+    cfg = dict(config)
+    banded = rg.huber_band_outliers(exp.cells, z=cfg.get("z", 3.29))
+    outliers = banded.filter(F.col("is_outlier"))
+    kept = fl.remove_outliers(exp.cells, outliers)
+    return StepResult(_filter_cells(exp, kept), cfg,
+                      {"band": banded.select("sample", "barcode", "pred",
+                                             "is_outlier")})
+
+
+@_step("doubletScores")
+def doublet_scores_step(exp: Experiment, config: dict) -> StepResult:
+    """F4 (doubletScores.r:49): threshold default 0.25, or the A7
+    singlet-max auto (doubletScores_config.r:8-16)."""
+    cfg = {"probabilityThreshold": 0.25, **config}
+    if "doublet_scores" not in exp.cells.columns:
+        scored = db.doublet_scores(exp.expression)
+        cells = exp.cells.join(scored, ["sample", "barcode"], "left")
+        exp = exp.with_(cells=cells)
+    if cfg.get("auto"):
+        auto = mx.singlet_max(exp.cells)
+        cfg["probabilityThreshold"] = {
+            r["sample"]: r["max_singlet_score"] for r in auto.collect()}
+    thr = cfg["probabilityThreshold"]
+    if isinstance(thr, dict):
+        spark = exp.cells.sparkSession
+        thr_df = spark.createDataFrame(
+            [(s, float(v)) for s, v in thr.items()],
+            "sample string, _thr double")
+        kept = (exp.cells.join(F.broadcast(thr_df), "sample")
+                .filter(F.col("doublet_scores") <= F.col("_thr"))
+                .drop("_thr"))
+    else:
+        kept = fl.filter_doublet_score(exp.cells, float(thr))
+    return StepResult(_filter_cells(exp, kept), cfg, {})
+
+
+@_step("dataIntegration")
+def data_integration(exp: Experiment, config: dict) -> StepResult:
+    """M5 normalize → M6 HVG → M7 scale → M8 PCA → M9 integrate when
+    multi-sample (dataIntegration.r:86-112)."""
+    cfg = {"nfeatures": 2000, "numPCs": 50, **config}
+    normalized = nz.log_normalize(exp.expression)
+    hvgs = nz.highly_variable_genes(normalized, cfg["nfeatures"],
+                                    value_col="normalized").cache()
+    scaled = nz.scale_data(
+        normalized.join(F.broadcast(hvgs.select("gene")), "gene"))
+    # PCA consumes the assembled vectors three times (dim probe, fit,
+    # transform): materialize once instead of recomputing the
+    # normalize→HVG→scale chain per action.
+    vectors = rd.assemble_vectors(scaled, hvgs).localCheckpoint()
+    pcs, explained = rd.run_pca(vectors, cfg["numPCs"])
+    k = len(explained)
+    red = rd.pc_columns(pcs, k)
+    n_samples = exp.cells.select("sample").distinct().count()
+    if n_samples > 1 and cfg.get("integrate", True):
+        red = ig.integrate_mnn(red)
+    misc = {**exp.misc, "explained_variance": explained, "numPCs": k}
+    return StepResult(exp.with_(normalized=normalized, reductions=red,
+                                misc=misc), cfg, {})
+
+
+@_step("configureEmbedding")
+def configure_embedding(exp: Experiment, config: dict) -> StepResult:
+    """M12 kNN/SNN → M13 clustering → M10 embedding
+    (configureEmbedding.r:73-115)."""
+    cfg = {"k": 20, "resolution": 0.5, "method": "spectral",
+           "computeEmbedding": True, **config}
+    knn = nb.knn_exact(_with_vec(exp.reductions), k=cfg["k"])
+    snn = nb.snn_graph(knn, k=cfg["k"])
+    clusters = cl.label_propagation(snn)
+    plots: dict[str, DataFrame] = {"snn": snn}
+    if cfg["computeEmbedding"]:
+        plots["embedding"] = em.embed_umap(exp.reductions)
+    cells = (exp.cells.withColumn(
+        "_id", F.concat_ws("_", "sample", "barcode"))
+        .join(clusters.withColumnRenamed("id", "_id"), "_id", "left")
+        .drop("_id"))
+    return StepResult(exp.with_(cells=cells), cfg, plots)
+
+
+def _with_vec(red: DataFrame) -> DataFrame:
+    pc_cols = [c for c in red.columns if c.startswith("pc_")]
+    return red.withColumn(
+        "pc", F.array(*[F.col(c).cast("double") for c in pc_cols]))
+
+
+DEFAULT_ORDER = ["cellSizeDistribution", "mitochondrialContent", "classifier",
+                 "numGenesVsNumUmis", "doubletScores", "dataIntegration",
+                 "configureEmbedding"]
+
+
+def _truncate(new: Experiment, old: Experiment) -> Experiment:
+    """Lazy localCheckpoint on every slot a step changed. Steps contain
+    eager actions (PCA fit, auto-threshold collects, LPA rounds); without
+    truncation each one re-executes the whole upstream chain (doublet
+    scoring, IRLS, ...) and the nested plan blows up Catalyst analysis
+    time. At cluster scale the same boundaries are where the reference
+    writes its stage RDS checkpoints (§3 IR list) — swap localCheckpoint
+    for a Parquet write/read for fault-tolerant multi-job runs."""
+    kw = {}
+    for slot in ("expression", "cells", "normalized", "reductions"):
+        a, b = getattr(new, slot), getattr(old, slot)
+        if a is not None and a is not b:
+            kw[slot] = a.localCheckpoint(eager=False)
+    return new.with_(**kw) if kw else new
+
+
+def run_qc(exp: Experiment, config: dict | None = None,
+           order: list[str] | None = None) -> tuple[Experiment, dict]:
+    """Chain the steps (reference order); returns the final Experiment
+    and the enriched config (the config_dataProcessing.json content)."""
+    config = dict(config or {})
+    out_cfg: dict[str, Any] = {}
+    exp = _truncate(exp, Experiment(expression=None, cells=None))
+    for name in order or DEFAULT_ORDER:
+        res = STEPS[name](exp, config.get(name, {}))
+        new, out_cfg[name] = res.data, res.config
+        exp = _truncate(new, exp)
+    return exp, out_cfg
+
+
+def derive_config_per_sample(exp: Experiment) -> dict:
+    """add_custom_config_per_sample (4_Prepare_experiment.r:310-334):
+    per-sample auto thresholds — W2 knee for minCellSize, A7 singlet
+    max for probabilityThreshold, M4's auto p.level."""
+    knee = {r["sample"]: r["inflection_ncount"]
+            for r in wd.barcode_inflection(exp.cells, 100.0).collect()}
+    cfg: dict[str, Any] = {"cellSizeDistribution": {}}
+    for s, v in knee.items():
+        cfg["cellSizeDistribution"][f"sample-{s}"] = {
+            "minCellSize": float(v), "binStep": 200}
+    if "doublet_scores" in exp.cells.columns:
+        auto = {r["sample"]: r["max_singlet_score"]
+                for r in mx.singlet_max(exp.cells).collect()}
+        cfg["doubletScores"] = {
+            f"sample-{s}": {"probabilityThreshold": float(v)}
+            for s, v in auto.items()}
+    n = exp.cells.count()
+    cfg["numGenesVsNumUmis"] = {"pLevel": min(0.001, 1.0 / max(n, 1))}
+    return cfg

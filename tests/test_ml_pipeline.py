@@ -1,0 +1,153 @@
+"""ML operators (M2, M8, M12, M13, M10, M9) and end-to-end pipeline
+assembly. Non-deterministic-by-nature ops get property + seed-stability
+checks (SURVEY §5), not value hashes."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_ingest_spark.harness import registry
+from data_ingest_spark.operators import (clustering as cl, doublets as db,
+                                         embedding as em, integrate as ig,
+                                         neighbors as nb, normalize as nz,
+                                         reduction as rd)
+from data_ingest_spark.pipeline import (Experiment, assemble_cells,
+                                        derive_config_per_sample, run_qc)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def small_expr(spark):
+    """~120-cell 2-sample synthetic with two planted expression
+    programs, so PCA/clustering have structure to find."""
+    import random
+    random.seed(5)
+    rows = []
+    for s in ("sa", "sb"):
+        for i in range(60):
+            bc = f"{s}_c{i:03d}"
+            program = i % 2
+            for g in range(20):
+                base = 30 if (g < 10) == (program == 0) else 2
+                v = max(1, int(random.gauss(base, 3)))
+                rows.append((s, bc, f"G{g:02d}", v))
+    return spark.createDataFrame(
+        rows, "sample string, barcode string, gene string, count int")
+
+
+def test_pca_pipeline(small_expr):
+    normalized = nz.log_normalize(small_expr)
+    hvgs = nz.highly_variable_genes(normalized, 20, value_col="normalized")
+    scaled = nz.scale_data(normalized)
+    vectors = rd.assemble_vectors(scaled, hvgs)
+    assert vectors.count() == 120
+    scores, explained = rd.run_pca(vectors, k=5)
+    assert len(explained) == 5
+    assert explained[0] > 0.3  # planted 2-program structure dominates
+    assert abs(sum(explained)) <= 1.0 + 1e-9
+    cols = rd.pc_columns(scores, 5)
+    assert {f"pc_{i}" for i in range(5)} <= set(cols.columns)
+
+
+@pytest.fixture(scope="module")
+def pcs(small_expr):
+    normalized = nz.log_normalize(small_expr)
+    hvgs = nz.highly_variable_genes(normalized, 20, value_col="normalized")
+    scaled = nz.scale_data(normalized)
+    scores, _ = rd.run_pca(rd.assemble_vectors(scaled, hvgs), k=5)
+    return rd.pc_columns(scores, 5).cache()
+
+
+def test_knn_exact_properties(pcs):
+    from data_ingest_spark.pipeline.steps import _with_vec
+    knn = nb.knn_exact(_with_vec(pcs), k=5)
+    per_src = knn.groupBy("src").count().select(F.min("count"), F.max("count")).head()
+    assert per_src == (5, 5)
+    assert knn.filter(F.col("src") == F.col("dst")).count() == 0
+    assert knn.filter((F.col("cosine") > 1.000001) | (F.col("cosine") < -1.000001)).count() == 0
+
+
+def test_snn_and_clustering_find_planted_programs(pcs):
+    from data_ingest_spark.pipeline.steps import _with_vec
+    knn = nb.knn_exact(_with_vec(pcs), k=10)
+    snn = nb.snn_graph(knn, k=10)
+    assert snn.filter("snn_weight < 0 or snn_weight > 1").count() == 0
+    for impl in (cl.label_propagation, cl.louvain_driver):
+        labels = impl(snn)
+        got = {r["id"]: r["cluster"] for r in labels.collect()}
+        # cells of the same planted program must co-cluster
+        programs = {}
+        for cid, lab in got.items():
+            prog = int(cid.split("_c")[1]) % 2
+            programs.setdefault(prog, set()).add(lab)
+        # each program maps to exactly one dominant cluster
+        assert len(programs[0] & programs[1]) == 0, impl.__name__
+
+
+def test_spectral_embedding_shape_and_determinism(pcs):
+    e1 = em.spectral_embedding(pcs, k=10).collect()
+    e2 = em.spectral_embedding(pcs, k=10).collect()
+    assert len(e1) == 120
+    assert all(r["method"] == "spectral" for r in e1)
+    m1 = {(r["sample"], r["barcode"]): (r["x"], r["y"]) for r in e1}
+    m2 = {(r["sample"], r["barcode"]): (r["x"], r["y"]) for r in e2}
+    for k_ in m1:
+        assert abs(m1[k_][0] - m2[k_][0]) < 1e-9
+        assert abs(m1[k_][1] - m2[k_][1]) < 1e-9
+
+
+def test_doublet_scores_properties(small_expr):
+    out = db.doublet_scores(small_expr, seed=42).cache()
+    assert out.count() == 120
+    assert out.filter("doublet_scores < 0 or doublet_scores > 1").count() == 0
+    assert {r["doublet_class"] for r in out.select("doublet_class").distinct().collect()} \
+        <= {"singlet", "doublet"}
+    again = db.doublet_scores(small_expr, seed=42)
+    assert out.exceptAll(again).count() == 0  # seed-stable
+
+
+def test_integrate_mnn_reduces_batch_shift(spark, pcs):
+    # Shift sample sb by a constant vector clearly larger than the
+    # cloud spread; integration should remove most of it. (A shift of
+    # the same order as the spread is MNN's known-degenerate regime —
+    # edge cells pair across mismatched subpopulations.)
+    shifted = pcs.withColumn(
+        "pc_0", F.when(F.col("sample") == "sb", F.col("pc_0") + 30.0)
+        .otherwise(F.col("pc_0")))
+    means = lambda df: {r["sample"]: r["m"] for r in
+                        df.groupBy("sample").agg(F.avg("pc_0").alias("m")).collect()}
+    before = means(shifted)
+    after = means(ig.integrate_mnn(shifted))
+    gap_before = abs(before["sa"] - before["sb"])
+    gap_after = abs(after["sa"] - after["sb"])
+    assert gap_after < gap_before * 0.5
+
+
+def test_assemble_cells_and_run_qc(spark, small_expr):
+    genes = spark.createDataFrame(
+        [(f"G{g:02d}", f"SYM{g}" if g else "MT-X") for g in range(20)],
+        "gene string, name string")
+    cells = assemble_cells(small_expr, genes=genes)
+    assert cells.count() == 120
+    ids = sorted(r["cells_id"] for r in cells.collect())
+    assert ids == list(range(120))
+    assert "percent_mt" in cells.columns
+
+    exp = Experiment(expression=small_expr, cells=cells, genes=genes)
+    final, cfg = run_qc(exp, {
+        "cellSizeDistribution": {"minCellSize": 1.0},
+        "doubletScores": {"probabilityThreshold": 1.0},
+        "dataIntegration": {"nfeatures": 20, "numPCs": 5},
+        "configureEmbedding": {"k": 10},
+    })
+    assert final.reductions is not None
+    assert "cluster" in final.cells.columns
+    assert final.cells.count() > 0
+    assert 0 < cfg["dataIntegration"]["numPCs"] <= 5
+    assert "explained_variance" in final.misc
+
+    derived = derive_config_per_sample(exp.with_(cells=final.cells))
+    assert any(k.startswith("sample-") for k in derived["cellSizeDistribution"])
+    assert derived["numGenesVsNumUmis"]["pLevel"] <= 0.001
