@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from data_ingest_spark.extensions.text import shingles_col
+from data_ingest_spark.functions.partitioning import spread
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id",
@@ -79,7 +80,7 @@ def minhash_bands(df: DataFrame, id_col: str = "doc_id",
     volume is |shingle occurrences|·num_hashes, map-side-combined down
     to |docs|·num_hashes immediately."""
     rows = num_hashes // bands
-    sh = shingle_sets(df, id_col, text_col, k)
+    sh = shingle_sets(spread(df), id_col, text_col, k)
     hashed = sh.crossJoin(
         F.broadcast(df.sparkSession.range(num_hashes).select(
             F.col("id").cast("int").alias("_j")))
@@ -142,6 +143,9 @@ def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     """MinHash-LSH near-duplicate detection: band-bucket candidates,
     then exact-Jaccard verification, keeping pairs ≥ threshold.
     Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    # Shingling + num_hashes md5s per shingle is the CPU hot path:
+    # widen a small/single-file scan to all cores first (no-op at scale).
+    df = spread(df)
     bb = minhash_bands(df, id_col, text_col, k, num_hashes, bands)
     left = bb.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
     right = bb.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
@@ -161,8 +165,8 @@ def jaccard_pairs_blocked(df: DataFrame, block_cols: list[str],
     """Exact n-gram Jaccard over pairs sharing a blocking key (e.g.
     same source + same length band). The block join replaces LSH when
     a cheap domain key already bounds the candidate set."""
-    keyed = df.select(F.col(id_col), F.col(text_col),
-                      F.concat_ws("\x01", *block_cols).alias("_blk"))
+    keyed = spread(df).select(F.col(id_col), F.col(text_col),
+                              F.concat_ws("\x01", *block_cols).alias("_blk"))
     left = keyed.select(F.col("_blk"), F.col(id_col).alias("id_a"))
     right = keyed.select(F.col("_blk"), F.col(id_col).alias("id_b"))
     cand = (

@@ -101,3 +101,70 @@ def decode_image_fake(df: DataFrame, id_col: str = "doc_id",
                 "pixels": pdf[bin_col].map(lambda b: bytes(b)[:64]),
             })
     return df.mapInPandas(fn, DECODED_IMAGE_SCHEMA)
+
+
+RESIZED_IMAGE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_channels", IntegerType()),
+    StructField("pixels", BinaryType()),
+])
+
+
+def resize_image(decoded: DataFrame, width: int = 224,
+                 height: int = 224) -> DataFrame:
+    """Resize stage over a decoded-image frame (production body:
+    PIL `Image.resize` / cv2.resize inside the same contract). The
+    deterministic stand-in tiles-or-truncates the pixel buffer to the
+    target size so byte volume scales the way a real resize does.
+    Composes after `decode_image[_fake]` as a second mapInPandas stage
+    on the SAME partitioning — no shuffle between decode and resize."""
+    target = width * height
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            px = pdf["pixels"].map(
+                lambda b: (bytes(b) * (target // max(len(b), 1) + 1))[:target])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "width": width, "height": height,
+                "n_channels": pdf["n_channels"].astype("int32"),
+                "pixels": px,
+            })
+    return decoded.mapInPandas(fn, RESIZED_IMAGE_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("frame", BinaryType()),
+])
+
+
+def frame_sample(df: DataFrame, every_n: int = 8, max_frames: int = 4,
+                 id_col: str = "doc_id", bin_col: str = "payload",
+                 frame_bytes: int = 32) -> DataFrame:
+    """Video frame-sampling stage — STUB mechanics, real plumbing.
+    Production body: pyav/ffmpeg keyframe iteration emitting one row
+    per sampled frame. The stand-in treats the payload as a
+    concatenation of fixed-size 'frames' and emits every
+    `every_n`-th one (up to `max_frames`), exercising the 1→N row
+    expansion shape (mapInPandas may return more rows than it got —
+    the contract a real decoder needs)."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for did, payload in zip(pdf[id_col], pdf[bin_col]):
+                raw = bytes(payload)
+                n = max(len(raw) // frame_bytes, 1)
+                taken = 0
+                for i in range(0, n, every_n):
+                    if taken >= max_frames:
+                        break
+                    ids.append(int(did)); idxs.append(i)
+                    frames.append(raw[i * frame_bytes:(i + 1) * frame_bytes])
+                    taken += 1
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "frame_idx": pd.Series(idxs, dtype="int32"),
+                                "frame": pd.Series(frames, dtype=object)})
+    return df.mapInPandas(fn, FRAME_SAMPLE_SCHEMA)

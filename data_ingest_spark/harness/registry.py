@@ -993,6 +993,49 @@ def q_multimodal_meta(spark, sf):
     return mm.extract_binary_meta(docs)
 
 
+@_q("x13_frame_sample", """
+WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS nb FROM documents)
+SELECT doc_id, CAST(g.i AS INTEGER) AS frame_idx,
+       substring(hx, g.i*64+1, 64) AS frame_hex
+FROM d, (SELECT unnest(generate_series(0, 24, 8)) AS i) g
+WHERE g.i < greatest(nb // 32, 1)
+""")
+def q_frame_sample(spark, sf):
+    """Video-style frame sampling (fake decode): every 8th 32-byte
+    'frame' of the payload, ≤4 per doc. Oracle compares in the hex
+    domain (hex of sliced bytes ≡ sliced hex)."""
+    docs = load(spark, sf, "documents").withColumn(
+        "payload", F.col("text").cast("binary"))
+    out = mm.frame_sample(docs, every_n=8, max_frames=4, frame_bytes=32)
+    return out.select("doc_id", "frame_idx",
+                      F.hex("frame").alias("frame_hex"))
+
+
+@_q("x14_resize_image", """
+WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS nb FROM documents)
+SELECT doc_id, 64 AS width, 64 AS height,
+       substring(repeat(substring(hx, 1, 128),
+                 CAST(4096 // greatest(least(nb, 64), 1) AS INTEGER) + 1),
+                 1, 8192) AS pixels_hex
+FROM d
+""")
+def q_resize_image(spark, sf):
+    """decode(fake) → resize(64×64) two-stage mapInPandas chain; the
+    oracle reproduces the deterministic tile-or-truncate in hex. Only
+    (width, height, pixels) are oracle-compared — n_channels comes from
+    sha256 digest BYTES, which DuckDB can't index into."""
+    docs = load(spark, sf, "documents").withColumn(
+        "payload", F.col("text").cast("binary"))
+    decoded = mm.decode_image_fake(docs)
+    out = mm.resize_image(decoded, width=64, height=64)
+    return out.select("doc_id",
+                      F.col("width").cast("int").alias("width"),
+                      F.col("height").cast("int").alias("height"),
+                      F.hex("pixels").alias("pixels_hex"))
+
+
 # ------------------------------------------------- E: event-stream windows
 
 

@@ -1,0 +1,45 @@
+"""functions.partitioning: spread must widen narrow scans and no-op on
+wide ones; salted_join must produce exactly the plain join's result
+while sharding the hot key."""
+
+import pyspark.sql.functions as F
+
+from data_ingest_spark.functions.partitioning import salted_join, spread
+
+
+def test_spread_widens_narrow_input(spark):
+    narrow = spark.range(1000).coalesce(1)
+    assert narrow.rdd.getNumPartitions() == 1
+    wide = spread(narrow)
+    assert wide.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_spread_noop_on_wide_input(spark):
+    already = spark.range(1000).repartition(
+        spark.sparkContext.defaultParallelism * 2)
+    assert spread(already) is already
+
+
+def test_salted_join_matches_plain_join(spark):
+    # one monster key (90% of rows) + a long tail
+    big = spark.range(2000).select(
+        F.when(F.col("id") < 1800, F.lit("hot")).otherwise(
+            F.concat(F.lit("k"), F.col("id"))).alias("k"),
+        F.col("id").alias("v"))
+    small = spark.createDataFrame(
+        [("hot", 1.0)] + [(f"k{i}", float(i)) for i in range(1800, 1900)],
+        "k string, w double")
+    plain = big.join(small, ["k"]).groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("v").alias("sv"))
+    salted = salted_join(big, small, ["k"]).groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("v").alias("sv"))
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    big = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    small = spark.createDataFrame([("a", 10.0)], "k string, w double")
+    out = salted_join(big, small, ["k"], how="left").collect()
+    got = {r["k"]: r["w"] for r in out}
+    assert got == {"a": 10.0, "b": None}

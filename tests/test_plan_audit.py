@@ -1,0 +1,94 @@
+"""Physical-plan regression tests: the 100 TB contract is a property
+of the plan. A change that adds a shuffle, drops a broadcast, or stops
+pushing a filter to the parquet scan fails here even though small-SF
+results stay correct."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_ingest_spark.harness import registry
+from data_ingest_spark.plans import (assert_no_cartesian,
+                                     assert_pushed_filters,
+                                     broadcast_join_count,
+                                     codegen_span_count, physical_plan,
+                                     scan_columns, shuffle_count)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _fresh_cache(spark):
+    """Cached subtrees (e.g. emptyDrops' persisted weights) print their
+    stored plan inside InMemoryRelation, inflating Exchange counts —
+    audit the uncached plan."""
+    spark.catalog.clearCache()
+    yield
+
+
+def q(spark, name):
+    return registry.REGISTRY[name][0](spark, SF)
+
+
+def test_cell_counts_single_shuffle_pruned_scan(spark):
+    """A1/A2 is one partial+final aggregation: exactly one shuffle, and
+    the scan reads only the 3 needed lineitem columns (of 16)."""
+    df = q(spark, "a1_a2_cell_counts")
+    assert shuffle_count(df) == 1
+    assert all(len(cols) <= 4 for cols in scan_columns(df))
+
+
+def test_dimension_joins_broadcast_no_shuffle(spark):
+    """J4 customer⋈nation must broadcast the dimension, never
+    shuffle-join it."""
+    df = q(spark, "j4_sample_metadata")
+    assert broadcast_join_count(df) >= 1
+    assert shuffle_count(df) == 0
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """A filter on a scanned column must appear in PushedFilters."""
+    df = (registry.load(spark, SF, "orders")
+          .filter(F.col("o_totalprice") > 1000.0)
+          .select("o_orderkey", "o_totalprice"))
+    assert_pushed_filters(df, "GreaterThan(o_totalprice")
+    assert scan_columns(df) == [["o_orderkey", "o_totalprice"]]
+
+
+def test_no_cartesian_anywhere(spark):
+    """No registry query may degenerate to a cartesian product (the
+    kNN brute-force is an explicit broadcast nested-loop, which is the
+    documented exception and still not a CartesianProduct node)."""
+    for name, (fn, _) in registry.REGISTRY.items():
+        if name.startswith(("m13", "m10", "m9", "m2", "p1")):
+            continue  # driver-side / applyInPandas paths, audited in their own tests
+        assert_no_cartesian(fn(spark, SF))
+
+
+def test_empty_drops_shuffle_budget(spark):
+    """M1's documented shape: totals + ambient + distinct + loglik +
+    moments + FDR windows. The static plan must stay within 9 shuffles
+    (persisted weights subtree counted once per consumer) — a
+    regression that re-normalizes per-row or loses the broadcast joins
+    pushes this past the budget."""
+    df = q(spark, "m1_empty_drops")
+    assert shuffle_count(df) <= 9
+    assert broadcast_join_count(df) >= 2
+
+
+def test_hot_path_runs_codegen(spark):
+    """The expression-table aggregations must run inside
+    WholeStageCodegen (JVM fused loops), not as interpreted rows."""
+    assert codegen_span_count(q(spark, "a1_a2_cell_counts")) >= 1
+    assert codegen_span_count(q(spark, "m5_log_normalize")) >= 1
+
+
+def test_minhash_no_pathological_codegen(spark):
+    """The MinHash signature plan must keep the shingle explode OUT of
+    the per-hash expression (the inlined variant compiled a
+    pathological codegen function; see dedup.minhash_bands docstring):
+    the exploded shingles feed a cross join with the tiny hash index
+    range, then aggregate."""
+    df = q(spark, "x2_minhash_lsh_pairs")
+    plan = physical_plan(df)
+    assert plan.count("Generate explode") <= 2
+    assert_no_cartesian(df)

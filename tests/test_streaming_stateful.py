@@ -1,0 +1,73 @@
+"""applyInPandasWithState operators: cross-micro-batch state must
+dedup / accumulate correctly. The file stream runs maxFilesPerTrigger=1
+so each parquet file becomes its own micro-batch."""
+
+import os
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_ingest_spark.streaming import stateful as st
+
+HASH_SCHEMA = "content_hash string, doc_id long"
+EVENT_SCHEMA = "user_id long, value double"
+
+
+def _write_batches(spark, tmpdir, schema, batches):
+    """One FLAT parquet file per batch (the file-stream source does not
+    descend into Spark's directory-per-write layout), mtimes strictly
+    increasing so the source picks them up in order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    os.makedirs(tmpdir, exist_ok=True)
+    names = [f.strip().split()[0] for f in schema.split(",")]
+    for i, rows in enumerate(batches):
+        path = os.path.join(tmpdir, f"b{i}.parquet")
+        cols = {n: [r[j] for r in rows] for j, n in enumerate(names)}
+        pq.write_table(pa.table(cols), path)
+        t = time.time() + i
+        os.utime(path, (t, t))
+    return tmpdir
+
+
+def _drain(df, name, mode):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(mode).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return df.sparkSession.table(name)
+
+
+def test_streaming_dedup_first_occurrence_only(spark, tmp_path):
+    d = _write_batches(spark, str(tmp_path / "h"), HASH_SCHEMA, [
+        [("A", 10), ("B", 20), ("A", 11)],
+        [("A", 30), ("C", 40)],
+    ])
+    stream = (spark.readStream.schema(HASH_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    out = _drain(st.streaming_dedup(stream), "t_dedup", "append")
+    rows = {r["content_hash"]: r["doc_id"] for r in out.collect()}
+    # every hash exactly once, ids from the batch that introduced them
+    assert out.count() == 3
+    assert rows["B"] == 20 and rows["C"] == 40
+    assert rows["A"] in (10, 30)  # batch order may vary; once either way
+
+
+def test_running_user_stats_accumulate(spark, tmp_path):
+    d = _write_batches(spark, str(tmp_path / "e"), EVENT_SCHEMA, [
+        [(1, 5.0), (1, 7.0), (2, 1.0)],
+        [(1, 3.0), (2, 9.0), (3, 2.0)],
+    ])
+    stream = (spark.readStream.schema(EVENT_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    out = _drain(st.running_user_stats(stream), "t_stats", "update")
+    # update-mode memory sink appends each emission; the running values
+    # are monotone so the final state per user is the row max
+    final = (out.groupBy("user_id")
+             .agg(F.max("n_events").alias("n"),
+                  F.max("total_value").alias("s"),
+                  F.max("max_value").alias("mx")))
+    got = {r["user_id"]: (r["n"], r["s"], r["mx"]) for r in final.collect()}
+    assert got[1] == (3, 15.0, 7.0)
+    assert got[2] == (2, 10.0, 9.0)
+    assert got[3] == (1, 2.0, 2.0)
