@@ -1171,11 +1171,48 @@ def q_snn_graph(spark, sf):
     return snn.withColumn("snn_weight", F.round("snn_weight", 9))
 
 
-@_q("m13_label_propagation")
+# LPA vote sums must compare identically in Spark and DuckDB, so the
+# SNN weight c/(20−c) is scaled by LCM(10..19) = 232792560 to an EXACT
+# int64 — float summation order can flip a >= at the last ulp, integer
+# sums cannot. (c ∈ 1..10 ⇒ 20−c ∈ 10..19 divides the LCM; sums stay
+# far below 2^53 so double-held integers remain exact.)
+_LPA_SCALE = 232792560
+
+
+def _lpa_oracle_sql(iters: int = 5) -> str:
+    sql = f"""
+WITH {_KNN_EDGES_SQL},
+ e AS (SELECT src, dst FROM r WHERE rank <= 10),
+ i AS (SELECT a.src AS u, b.src AS v, COUNT(*) AS c
+       FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+       GROUP BY 1, 2),
+ sn AS (SELECT u, v, CAST(c * ({_LPA_SCALE} // (20 - c)) AS BIGINT) AS w
+        FROM i WHERE c / (20.0 - c) >= 1.0 / 15.0),
+ und AS (SELECT u AS src, v AS dst, w FROM sn
+         UNION ALL SELECT v, u, w FROM sn),
+ l0 AS (SELECT src AS id, src AS label FROM (SELECT DISTINCT src FROM und))"""
+    for k in range(iters):
+        sql += f""",
+ v{k} AS (SELECT e.src, l.label AS nl, SUM(e.w) AS w
+          FROM und e JOIN l{k} l ON e.dst = l.id GROUP BY 1, 2),
+ b{k} AS (SELECT src, MIN(nl) AS new FROM (
+            SELECT src, nl, w, MAX(w) OVER (PARTITION BY src) AS mw
+            FROM v{k}) t
+          WHERE w >= mw GROUP BY src),
+ l{k + 1} AS (SELECT l.id, COALESCE(b.new, l.label) AS label
+              FROM l{k} l LEFT JOIN b{k} b ON l.id = b.src)"""
+    return sql + f"\nSELECT id, label AS cluster FROM l{iters}"
+
+
+@_q("m13_label_propagation", _lpa_oracle_sql(5))
 def q_label_propagation(spark, sf):
+    """Weighted LPA, 5 rounds, integer-scaled votes (see _LPA_SCALE).
+    Fully oracle-checked: the DuckDB side unrolls the same 5 rounds."""
     from data_ingest_spark.operators import clustering as cl, neighbors as nb
     knn = nb.knn_exact(_emb_pc_arr(spark, sf), k=10, id_cols=("barcode",))
-    snn = nb.snn_graph(knn, k=10)
+    snn = nb.snn_graph(knn, k=10).withColumn(
+        "snn_weight",
+        F.round(F.col("snn_weight") * _LPA_SCALE).cast("double"))
     return cl.label_propagation(snn, max_iter=5)
 
 
@@ -1202,7 +1239,10 @@ def q_pca(spark, sf):
     hvgs = nz.highly_variable_genes(normalized, 200, value_col="normalized")
     scaled = nz.scale_data(
         normalized.join(F.broadcast(hvgs.select("gene")), "gene"))
-    scores, _ = rd.run_pca(rd.assemble_vectors(scaled, hvgs), k=10)
+    # PCA consumes the vectors three times (dim probe, fit, transform):
+    # materialize once instead of recomputing normalize→HVG→scale.
+    vectors = rd.assemble_vectors(scaled, hvgs).localCheckpoint()
+    scores, _ = rd.run_pca(vectors, k=10)
     k = scores.select("pc").head()["pc"].size
     return rd.pc_columns(scores, k).select("sample", "barcode")
 
