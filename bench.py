@@ -36,6 +36,11 @@ HEADLINE = [
     "x2_minhash_lsh_pairs",
     "x5_ann_topk",
     "x7_text_quality",
+    "x13_frame_sample",
+    # graph / event-window shapes
+    "m12_knn_exact",
+    "m12_snn_graph",
+    "e3_session_window",
 ]
 
 
