@@ -117,6 +117,17 @@ def test_checkpoint_roundtrip(spark, expr, tmp_path):
     assert any(d.startswith("sample=") for d in os.listdir(path))
 
 
+def test_write_tsv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "name string, v int")
+    out = str(tmp_path / "tsv")
+    sk.write_tsv(df, out)
+    part = [f for f in os.listdir(out) if f.startswith("part-")][0]
+    lines = open(os.path.join(out, part)).read().strip().split("\n")
+    assert lines[0] == "name\tv"
+    assert set(lines[1:]) == {"a\t1", "b\t2"}
+
+
 def test_write_mtx_roundtrip(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, 1, 5), (2, 3, 7)], "cell_idx int, gene_idx int, count int")
