@@ -62,40 +62,58 @@ def dedup_keep_first(df: DataFrame, id_col: str = "doc_id",
     return df.join(keep.select(id_col), id_col, "left_semi")
 
 
+#: Universal-hash family for MinHash: h_j(s) = (a_j·h28(s) + b_j) mod P
+#: with h28(s) = the first 7 hex digits of md5(s) as an integer and P
+#: the Mersenne prime 2^31−1. One md5 per shingle instead of one per
+#: (shingle, hash) — 12× less hashing — and the affine mixing stays in
+#: exact int64 (28-bit h × 31-bit a < 2^59), so Spark and DuckDB agree
+#: bit-for-bit.
+MERSENNE31 = 2147483647
+
+
+def hash_params(num_hashes: int) -> list[tuple[int, int]]:
+    return [((999983 * (j + 1)) % MERSENNE31,
+             (998244353 * (j + 1)) % MERSENNE31)
+            for j in range(num_hashes)]
+
+
 def minhash_bands(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", k: int = 3,
                   num_hashes: int = 12, bands: int = 4) -> DataFrame:
     """(id, band, bucket) — LSH band buckets from a MinHash signature.
 
-    Hash family j (j = 0..num_hashes-1) is min over shingles of
-    md5('<j>|' + shingle) compared lexically; band b's bucket is the
-    md5 of its rows' concatenation (rows ordered by j). Probability
-    that two documents share ≥1 bucket ≈ 1 − (1 − J^r)^b with
-    r = num_hashes/bands.
+    Hash family j is the universal family above; band b's bucket is the
+    md5 of its signature rows joined in j order. Probability that two
+    documents share ≥1 bucket ≈ 1 − (1 − J^r)^b with r = num_hashes/bands.
 
-    Plan shape: explode shingles once, cross-join the tiny hash-index
-    range, then two groupBys — NOT num_hashes inlined copies of the
-    shingle expression per row (that version compiled a pathological
-    whole-stage-codegen function: 106 s vs 3 s on 550 docs). Shuffle
-    volume is |shingle occurrences|·num_hashes, map-side-combined down
-    to |docs|·num_hashes immediately."""
+    Plan shape: explode shingles once, md5 each shingle ONCE, cross-join
+    the tiny (j, a, b) parameter table, integer-mix per row — NOT
+    num_hashes inlined copies of the shingle expression per row (that
+    version compiled a pathological whole-stage-codegen function:
+    106 s vs 3 s on 550 docs), and NOT an md5 per (shingle, j) (the
+    previous form; hashing dominated the stage). Shuffle volume is
+    |shingle occurrences|·num_hashes ints, map-side-combined down to
+    |docs|·num_hashes immediately."""
     rows = num_hashes // bands
-    sh = shingle_sets(spread(df), id_col, text_col, k)
-    hashed = sh.crossJoin(
-        F.broadcast(df.sparkSession.range(num_hashes).select(
-            F.col("id").cast("int").alias("_j")))
-    ).select(
+    sh = shingle_sets(spread(df), id_col, text_col, k).withColumn(
+        "_h28",
+        F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 7),
+               16, 10).cast("long"))
+    params = df.sparkSession.createDataFrame(
+        [(j, a, b) for j, (a, b) in enumerate(hash_params(num_hashes))],
+        "_j int, _a long, _b long")
+    hashed = sh.crossJoin(F.broadcast(params)).select(
         id_col, "_j",
-        F.md5(F.concat(F.col("_j").cast("string"), F.lit("|"),
-                       F.col("shingle")).cast("binary")).alias("_h"),
-    )
-    sig = hashed.groupBy(id_col, "_j").agg(F.min("_h").alias("_mh"))
+        ((F.col("_a") * F.col("_h28") + F.col("_b")) % MERSENNE31)
+        .alias("_mh"))
+    sig = hashed.groupBy(id_col, "_j").agg(F.min("_mh").alias("_mh"))
     return (
         sig.withColumn("band", F.expr(f"_j div {rows}"))
         .groupBy(id_col, "band")
         .agg(F.md5(F.concat_ws(",", F.transform(
             F.array_sort(F.collect_list(F.struct("_j", "_mh"))),
-            lambda s: s["_mh"])).cast("binary")).alias("bucket"))
+            lambda s: s["_mh"].cast("string"))).cast("binary"))
+            .alias("bucket"))
         .select(id_col, "band", "bucket")
     )
 
@@ -143,10 +161,13 @@ def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     """MinHash-LSH near-duplicate detection: band-bucket candidates,
     then exact-Jaccard verification, keeping pairs ≥ threshold.
     Returns (id_a, id_b, jaccard) with id_a < id_b."""
-    # Shingling + num_hashes md5s per shingle is the CPU hot path:
-    # widen a small/single-file scan to all cores first (no-op at scale).
+    # Shingling is the CPU hot path: widen a small/single-file scan to
+    # all cores first (no-op at scale), and persist the two frames each
+    # consumed by multiple joins — bands (candidate self-join) and the
+    # shingle membership (sizes + both sides of the intersection join)
+    # — so the tokenize→shingle→explode subtree runs once, not 5×.
     df = spread(df)
-    bb = minhash_bands(df, id_col, text_col, k, num_hashes, bands)
+    bb = minhash_bands(df, id_col, text_col, k, num_hashes, bands).persist()
     left = bb.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
     right = bb.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
     cand = (
@@ -154,7 +175,7 @@ def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b").distinct()
     )
-    membership = shingle_sets(df, id_col, text_col, k)
+    membership = shingle_sets(df, id_col, text_col, k).persist()
     return jaccard_of_pairs(cand, membership).filter(
         F.col("jaccard") >= threshold)
 

@@ -767,14 +767,23 @@ def q_exact_dedup(spark, sf):
     return dd.exact_dedup(_dup_corpus(spark, sf))
 
 
+def _minhash_params_values() -> str:
+    from data_ingest_spark.extensions.dedup import hash_params
+    return ", ".join(f"({j}, {a}, {b})"
+                     for j, (a, b) in enumerate(hash_params(12)))
+
+
 @_q("x2_minhash_lsh_pairs", f"""
 WITH corpus AS ({_NEARDUP_SQL}),{_shingle_ctes('corpus')},
  sig AS (SELECT s.doc_id, j.j,
-                MIN(md5(CAST(j.j AS VARCHAR) || '|' || s.shingle)) AS mh
-         FROM shx s CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS j) j
+                MIN((j.a * CAST(concat('0x', substr(md5(s.shingle), 1, 7))
+                            AS BIGINT) + j.b) % 2147483647) AS mh
+         FROM shx s CROSS JOIN (VALUES {_minhash_params_values()})
+              j(j, a, b)
          GROUP BY 1, 2),
  band AS (SELECT doc_id, j // 3 AS band,
-                 md5(string_agg(mh, ',' ORDER BY j)) AS bucket
+                 md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j))
+                   AS bucket
           FROM sig GROUP BY doc_id, j // 3),
  cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket

@@ -29,8 +29,12 @@ def test_exact_dedup(docs):
 
 
 def test_near_dup_pairs_finds_planted_pair(docs):
+    # bands = num_hashes (1 row per band) makes candidate recall
+    # 1-(1-J)^12 ≈ 1-4e-8 at the planted pair's J=0.75 — banding is
+    # probabilistic by design, the default (12,4) leaves ~11% misses.
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
-             for r in dd.near_dup_pairs(docs, threshold=0.4).collect()}
+             for r in dd.near_dup_pairs(docs, threshold=0.4,
+                                        num_hashes=12, bands=12).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
     assert (1, 3) in pairs and 0.4 <= pairs[(1, 3)] < 1.0
     assert all(a < b for a, b in pairs)
