@@ -1273,6 +1273,44 @@ def q_spectral(spark, sf):
                       F.round("y", 6).alias("y"), "method")
 
 
+@_q("p2_qc_filters", """
+WITH cells AS (
+  SELECT l_returnflag AS sample, l_orderkey AS barcode,
+         SUM(l_quantity) AS ncount,
+         CAST(COUNT(CASE WHEN l_quantity > 0 THEN 1 END) AS BIGINT)
+           AS nfeature,
+         SUM(CASE WHEN l_partkey % 50 = 0 THEN l_quantity ELSE 0 END)
+           / SUM(l_quantity) AS fmt
+  FROM lineitem GROUP BY 1, 2)
+SELECT sample, barcode, ncount, nfeature, ROUND(fmt, 9) AS fraction_mt
+FROM cells WHERE ncount >= 30 AND fmt <= 0.2
+""")
+def q_qc_filters(spark, sf):
+    """The ORCHESTRATION layer under a full value oracle: assemble_cells
+    → step chain (cellSize → mito → classifier-no-op) through run_qc's
+    Experiment/subset_cells machinery. All-integer sums make the
+    fraction comparisons engine-exact, so unlike p1 (which includes
+    eigen/RNG stages) this path hash-matches DuckDB."""
+    from data_ingest_spark.pipeline import Experiment, assemble_cells, run_qc
+    expr = expr_df(spark, sf)
+    genes = expr.select("gene").distinct().withColumn(
+        "name",
+        F.when(F.col("gene") % 50 == 0,
+               F.concat(F.lit("MT-"), F.col("gene")))
+        .otherwise(F.concat(F.lit("G"), F.col("gene"))))
+    cells = assemble_cells(expr, genes=genes)
+    exp = Experiment(expression=expr, cells=cells, genes=genes)
+    final, _ = run_qc(exp, {
+        "cellSizeDistribution": {"minCellSize": 30.0},
+        "mitochondrialContent": {"maxFraction": 0.2},
+    }, order=["cellSizeDistribution", "mitochondrialContent", "classifier"])
+    return final.cells.select(
+        "sample", "barcode",
+        F.col("nCount_RNA").cast("double").alias("ncount"),
+        F.col("nFeature_RNA").cast("long").alias("nfeature"),
+        F.round("fraction_mt", 9).alias("fraction_mt"))
+
+
 @_q("p1_qc_pipeline")
 def q_qc_pipeline(spark, sf):
     """End-to-end stage 1→4 chain (filters → doublets → normalize →
