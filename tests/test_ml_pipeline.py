@@ -151,3 +151,27 @@ def test_assemble_cells_and_run_qc(spark, small_expr):
     derived = derive_config_per_sample(exp.with_(cells=final.cells))
     assert any(k.startswith("sample-") for k in derived["cellSizeDistribution"])
     assert derived["numGenesVsNumUmis"]["pLevel"] <= 0.001
+
+
+def test_umap_tsne_fallback_to_spectral(pcs):
+    # Neither umap-learn nor sklearn ships in this container: the
+    # wrappers must fall back to the deterministic spectral embedding
+    # and say so in the method column.
+    for fn in (em.embed_umap, em.embed_tsne):
+        out = fn(pcs)
+        rows = out.select("method").distinct().collect()
+        assert [r["method"] for r in rows] == ["spectral"]
+        assert out.count() == 120
+
+
+def test_knn_lsh_pairs_subset_of_exact(pcs):
+    from data_ingest_spark.pipeline.steps import _with_vec
+    vec = _with_vec(pcs)
+    exact = {(r["src"], r["dst"]) for r in
+             nb.knn_exact(vec, k=10).collect()}
+    lsh = nb.knn_lsh(vec, k=10, max_distance=2.0).collect()
+    got = {(r["src"], r["dst"]) for r in lsh}
+    # recall is approximate but the planted 2-program geometry is easy:
+    # most exact edges must appear, cosines must be valid
+    assert len(got & exact) > len(exact) * 0.6
+    assert all(-1.000001 <= r["cosine"] <= 1.000001 for r in lsh)
