@@ -24,6 +24,19 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     return df
 
 
+def write_bucketed(df: DataFrame, table: str, keys: list[str],
+                   num_buckets: int = 16) -> None:
+    """Persist `df` as a bucketed+sorted parquet table so every future
+    equi-join or aggregation on `keys` is co-located: Spark reads the
+    bucket layout from the catalog and plans SortMergeJoin with NO
+    Exchange on either side. This is the 100 TB answer to 'the same
+    join key is used by every stage': pay the shuffle once at write
+    time, never again. (tests/test_partitioning.py asserts the
+    no-shuffle join plan.)"""
+    (df.write.mode("overwrite").format("parquet")
+     .bucketBy(num_buckets, *keys).sortBy(*keys).saveAsTable(table))
+
+
 def salted_join(big: DataFrame, small: DataFrame, keys: list[str],
                 how: str = "inner", salt: int = 16) -> DataFrame:
     """Skew-resistant equi-join: salt the BIG side's key with a random

@@ -93,6 +93,29 @@ def q_gene_stats(spark, sf):
         F.col("n_cells").cast("long").alias("n_cells"))
 
 
+@_q("v1_sql_surface", """
+SELECT l_returnflag AS sample,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_cells,
+       CAST(SUM(l_quantity) AS DOUBLE) AS total_umi,
+       ROUND(SUM(l_quantity) / COUNT(DISTINCT l_orderkey), 6)
+         AS mean_cell_size
+FROM lineitem GROUP BY 1
+""")
+def q_sql_surface(spark, sf):
+    """The spark.sql front door: the same engine tables are reachable
+    as temp views and queried with SQL text — the exact plan the
+    DataFrame API builds (Catalyst does not care which surface fed it).
+    One query keeps the surface itself under the correctness gate."""
+    expr_df(spark, sf).createOrReplaceTempView("expression")
+    return spark.sql("""
+        SELECT sample,
+               CAST(COUNT(DISTINCT barcode) AS BIGINT) AS n_cells,
+               CAST(SUM(count) AS DOUBLE) AS total_umi,
+               ROUND(SUM(count) / COUNT(DISTINCT barcode), 6)
+                 AS mean_cell_size
+        FROM expression GROUP BY sample""")
+
+
 @_q("a4_percent_mt", """
 SELECT l_returnflag AS sample, l_orderkey AS barcode,
        ROUND(100.0 * SUM(CASE WHEN l_partkey % 13 = 0 THEN l_quantity ELSE 0.0 END)

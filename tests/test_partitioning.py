@@ -43,3 +43,18 @@ def test_salted_left_join_keeps_unmatched(spark):
     out = salted_join(big, small, ["k"], how="left").collect()
     got = {r["k"]: r["w"] for r in out}
     assert got == {"a": 10.0, "b": None}
+
+
+def test_bucketed_join_no_shuffle(spark):
+    from data_ingest_spark.functions.partitioning import write_bucketed
+    from data_ingest_spark.plans import shuffle_count
+    a = spark.range(1000).select(F.col("id"), (F.col("id") * 2).alias("x"))
+    b = spark.range(1000).select(F.col("id"), (F.col("id") * 3).alias("y"))
+    write_bucketed(a, "t_bkt_a", ["id"], num_buckets=8)
+    write_bucketed(b, "t_bkt_b", ["id"], num_buckets=8)
+    joined = (spark.table("t_bkt_a")
+              .join(spark.table("t_bkt_b").hint("merge"), "id"))
+    # bucket layout makes both sides pre-partitioned and pre-sorted:
+    # the merge join needs no Exchange at all
+    assert shuffle_count(joined) == 0
+    assert joined.count() == 1000
