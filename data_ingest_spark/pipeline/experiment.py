@@ -9,10 +9,12 @@ annotations → `genes`; @reductions → `reductions`.
 
 from __future__ import annotations
 
+import json
+import os
 from dataclasses import dataclass, field, replace
 from typing import Any
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from data_ingest_spark.operators import joins as jn, metrics as mx, windows as wd
 
@@ -45,6 +47,37 @@ class Experiment:
             out["reductions"] = self.reductions.join(
                 keys, ["sample", "barcode"], "left_semi")
         return self.with_(**out)
+
+    _SLOTS = ("expression", "cells", "genes", "normalized", "reductions")
+
+    def save(self, out_dir: str) -> str:
+        """Stage-boundary checkpoint of every populated slot as a
+        sample-partitioned parquet dataset plus misc.json — the
+        engine's version of the reference's between-stage RDS files
+        (src/1_Preproc.r:174, src/3_Seurat.r:125): a later job resumes
+        from disk instead of recomputing the lineage."""
+        from data_ingest_spark.sources.tables import checkpoint
+        os.makedirs(out_dir, exist_ok=True)
+        for slot in self._SLOTS:
+            df = getattr(self, slot)
+            if df is not None:
+                checkpoint(df, out_dir, slot)
+        with open(os.path.join(out_dir, "misc.json"), "w") as fh:
+            json.dump(self.misc, fh, default=str)
+        return out_dir
+
+    @classmethod
+    def load(cls, spark: SparkSession, out_dir: str) -> "Experiment":
+        from data_ingest_spark.sources.tables import read_checkpoint
+        kw: dict[str, Any] = {}
+        for slot in cls._SLOTS:
+            if os.path.isdir(os.path.join(out_dir, slot)):
+                kw[slot] = read_checkpoint(spark, out_dir, slot)
+        misc_path = os.path.join(out_dir, "misc.json")
+        if os.path.exists(misc_path):
+            with open(misc_path) as fh:
+                kw["misc"] = json.load(fh)
+        return cls(**kw)
 
 
 def assemble_cells(expr: DataFrame, genes: DataFrame | None = None,

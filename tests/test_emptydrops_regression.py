@@ -104,3 +104,30 @@ def test_huber_rlm_matches_ols_on_clean_data(spark):
     # exact log-log linear data: slope 1, intercept log10(0.5)
     assert abs(fit["slope"] - 1.0) < 1e-6
     assert abs(fit["intercept"] - math.log10(0.5)) < 1e-6
+
+
+def test_bh_fdr_matches_reference_impl_hypothesis(spark):
+    """Property: bh_fdr equals the textbook BH procedure on arbitrary
+    p-vectors (hypothesis-generated, including ties and extremes)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(st.floats(min_value=0.0, max_value=1.0,
+                              allow_nan=False), min_size=1, max_size=40))
+    def run(ps):
+        df = spark.createDataFrame(
+            [("s", i, float(p)) for i, p in enumerate(ps)],
+            "sample string, barcode long, PValue double")
+        got = {r["barcode"]: r["FDR"]
+               for r in ed.bh_fdr(df, "PValue").collect()}
+        n = len(ps)
+        order = sorted(range(n), key=lambda i: ps[i])
+        want, running = {}, 1.0
+        for rank in range(n, 0, -1):
+            i = order[rank - 1]
+            running = min(running, ps[i] * n / rank)
+            want[i] = min(1.0, running)
+        for i in range(n):
+            assert abs(got[i] - want[i]) < 1e-12, (ps, i)
+
+    run()

@@ -175,3 +175,22 @@ def test_knn_lsh_pairs_subset_of_exact(pcs):
     # most exact edges must appear, cosines must be valid
     assert len(got & exact) > len(exact) * 0.6
     assert all(-1.000001 <= r["cosine"] <= 1.000001 for r in lsh)
+
+
+def test_experiment_save_load_roundtrip(spark, small_expr, tmp_path):
+    genes = small_expr.select("gene").distinct().withColumn(
+        "name", F.concat(F.lit("G"), F.col("gene")))
+    cells = assemble_cells(small_expr, genes=genes)
+    exp = Experiment(expression=small_expr, cells=cells, genes=genes,
+                     misc={"numPCs": 5})
+    out = str(tmp_path / "ckpt")
+    exp.save(out)
+    back = Experiment.load(spark, out)
+    assert back.cells.count() == 120
+    assert back.expression.count() == small_expr.count()
+    assert back.normalized is None and back.reductions is None
+    assert back.misc == {"numPCs": 5}
+    # checkpointed slots are sample-partitioned for predicate pruning
+    import os
+    assert any(d.startswith("sample=")
+               for d in os.listdir(f"{out}/expression"))
