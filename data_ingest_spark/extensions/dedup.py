@@ -11,10 +11,11 @@ Four tiers, each one Spark-shape class stronger (and costlier):
   jaccard_pairs_blocked— exact n-gram Jaccard within cheap blocking
                          keys (never all-pairs)
 
-Determinism: min-hash uses the LEXICAL minimum of salted md5 hex
-strings (md5 is identical in Spark and DuckDB, string ordering is
-identical), so signatures, buckets, candidate sets, and verified pairs
-are all bit-reproducible across engines — every operator here is
+Determinism: min-hash uses an exact-int64 universal hash family over a
+28-bit md5 prefix (see MERSENNE31 below; md5 and integer arithmetic are
+identical in Spark and DuckDB), so signatures, buckets, candidate
+sets, verified pairs, and the connected-component cluster labels are
+all bit-reproducible across engines — every operator here is
 oracle-checkable.
 
 100 TB posture: no operator compares all pairs. LSH bounds the join to
@@ -198,3 +199,45 @@ def jaccard_pairs_blocked(df: DataFrame, block_cols: list[str],
     membership = shingle_sets(keyed, id_col, text_col, k)
     return jaccard_of_pairs(cand, membership).filter(
         F.col("jaccard") >= threshold)
+
+
+def dup_clusters(pairs: DataFrame, id_cols: tuple[str, str] = ("id_a", "id_b"),
+                 max_iter: int = 20,
+                 checkpoint_every: int = 5) -> DataFrame:
+    """(doc_id, cluster) — connected components over a duplicate-pair
+    edge list; cluster = the component's minimum doc id, so labels are
+    canonical and engine-exact (integer min, no floats).
+
+    Distributed min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels — one join + one
+    groupBy per round, converging in O(component diameter) rounds
+    (near-dup clusters are shallow: most are cliques from a shared
+    bucket). Lineage is truncated periodically like
+    clustering.label_propagation. The canonical corpus then follows
+    with one semi-join on (doc_id = cluster)."""
+    a, b = id_cols
+    edges = (pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+             .unionByName(pairs.select(F.col(b).alias("src"),
+                                       F.col(a).alias("dst")))
+             .distinct().localCheckpoint())
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("lbl", F.col("id")))
+    for i in range(max_iter):
+        nbr_min = (edges.join(labels.select(F.col("id").alias("dst"),
+                                            F.col("lbl").alias("_nl")), "dst")
+                   .groupBy("src").agg(F.min("_nl").alias("_nm")))
+        new_labels = (labels.join(nbr_min.withColumnRenamed("src", "id"),
+                                  "id", "left")
+                      .select("id", F.least("lbl", F.coalesce("_nm", "lbl"))
+                              .alias("lbl")))
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint()
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"), "id")
+                       .filter("n.lbl != o.lbl").count())
+            if changed == 0:
+                labels = new_labels
+                break
+        labels = new_labels
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("lbl").alias("cluster"))

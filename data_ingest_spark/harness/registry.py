@@ -827,6 +827,41 @@ def q_minhash_lsh(spark, sf):
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+@_q("x15_dup_clusters", """
+WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL
+                SELECT doc_id + 1000000, text
+                FROM documents WHERE doc_id % 10 = 0),
+ groups AS (SELECT md5(text) AS h, MIN(doc_id) AS keep, COUNT(*) AS n
+            FROM corpus GROUP BY 1 HAVING COUNT(*) > 1),
+ pairs AS (SELECT g.keep AS id_a, c.doc_id AS id_b
+           FROM groups g JOIN corpus c ON md5(c.text) = g.h
+           WHERE c.doc_id > g.keep),
+ edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+ nodes AS (SELECT DISTINCT src AS id FROM edges),
+ walk AS (
+   WITH RECURSIVE reach(src, dst) AS (
+     SELECT id, id FROM nodes
+     UNION
+     SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+   SELECT src, dst FROM reach)
+SELECT src AS doc_id, MIN(dst) AS cluster FROM walk GROUP BY 1
+""")
+def q_dup_clusters(spark, sf):
+    """Connected components over exact-duplicate pairs (deterministic
+    star edges: every copy links to the group minimum; component label
+    = min id, matched by DuckDB's recursive transitive closure)."""
+    corpus = _dup_corpus(spark, sf)
+    groups = dd.exact_dedup(corpus)
+    h = F.md5(F.col("text").cast("binary"))
+    pairs = (corpus.select("doc_id", h.alias("content_hash"))
+             .join(groups, "content_hash")
+             .filter(F.col("doc_id") > F.col("keep_id"))
+             .select(F.col("keep_id").alias("id_a"),
+                     F.col("doc_id").alias("id_b")))
+    return dd.dup_clusters(pairs)
+
+
 _SIMHASH_BITS = ", ".join(
     f"CASE WHEN SUM(strpos('0123456789abcdef', substr(hh, {p}, 1)) - 8.5) > 0 "
     f"THEN '1' ELSE '0' END AS b{p}" for p in range(1, 17))

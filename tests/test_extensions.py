@@ -135,3 +135,13 @@ def test_multimodal_meta_and_fake_decode(spark):
 
     with pytest.raises(NotImplementedError):
         mm.decode_image(df)
+
+
+def test_dup_clusters_multi_hop_chain(spark):
+    # a-b-c-d chain plus isolated pair (10,11): components must close
+    # transitively, labels = component minimum
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (3, 4), (10, 11)], "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster"]
+           for r in dd.dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
