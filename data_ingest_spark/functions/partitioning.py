@@ -11,6 +11,8 @@ shuffle.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 
@@ -32,7 +34,19 @@ def write_bucketed(df: DataFrame, table: str, keys: list[str],
     Exchange on either side. This is the 100 TB answer to 'the same
     join key is used by every stage': pay the shuffle once at write
     time, never again. (tests/test_partitioning.py asserts the
-    no-shuffle join plan.)"""
+    no-shuffle join plan.)
+
+    Idempotent across sessions: drops a catalog entry AND a leftover
+    warehouse directory from a previous (in-memory-catalog) session —
+    saveAsTable refuses a location that exists without a table."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(warehouse, table.lower()),
+                  ignore_errors=True)
     (df.write.mode("overwrite").format("parquet")
      .bucketBy(num_buckets, *keys).sortBy(*keys).saveAsTable(table))
 
