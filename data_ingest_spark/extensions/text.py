@@ -146,3 +146,30 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         id_col,
         F.concat(*[F.col(f"_b{p}") for p in range(1, 17)]).alias(out_col),
     )
+
+
+def tf_idf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+           min_df: int = 1) -> DataFrame:
+    """(doc_id, token, tf, df_count, tfidf) — classic smoothed TF-IDF:
+    tf = term occurrences within the document, idf = ln((1+N)/(1+df))+1
+    (sklearn's smooth_idf), tfidf = tf·idf.
+
+    Plan shape: one explode of tokens, one groupBy(doc, token) for tf
+    (map-side combined), one groupBy(token) for df joined back
+    broadcast-or-shuffle by token. N rides along as a literal computed
+    from a scalar count — no per-row subqueries, two shuffles total.
+    At 100 TB both shuffles key on token; hot tokens (stopwords) are
+    exactly the rows `min_df` pruning and stopword filtering drop
+    first."""
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens_col(text_col)).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = (tf.groupBy("token")
+             .agg(F.count("*").alias("df_count"))
+             .filter(F.col("df_count") >= min_df))
+    n_docs = df.select(id_col).distinct().count()
+    idf = F.log((F.lit(1.0) + F.lit(float(n_docs)))
+                / (F.lit(1.0) + F.col("df_count"))) + F.lit(1.0)
+    return (tf.join(dfreq, "token")
+            .select(id_col, "token", "tf", "df_count",
+                    (F.col("tf") * idf).alias("tfidf")))

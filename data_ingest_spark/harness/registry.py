@@ -1060,6 +1060,25 @@ def q_multimodal_meta(spark, sf):
     return mm.extract_binary_meta(docs)
 
 
+@_q("x16_tfidf", """
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+'))
+                       AS token FROM documents),
+ tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY 1, 2),
+ dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df_count
+           FROM tf GROUP BY 1 HAVING COUNT(*) >= 5),
+ n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents)
+SELECT t.doc_id, t.token, t.tf, d.df_count,
+       ROUND(t.tf * (ln((1.0 + n.nd) / (1.0 + d.df_count)) + 1.0), 6)
+         AS tfidf
+FROM tf t JOIN dfreq d USING (token) CROSS JOIN n
+""")
+def q_tfidf(spark, sf):
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    out = tx.tf_idf(docs, min_df=5)
+    return out.withColumn("tfidf", F.round("tfidf", 6))
+
+
 @_q("x13_frame_sample", """
 WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
                   octet_length(encode(text)) AS nb FROM documents)

@@ -7,10 +7,12 @@ only at the stage boundaries the reference's restartability contract
 requires.
 """
 
-from data_ingest_spark.pipeline.experiment import Experiment, assemble_cells
+from data_ingest_spark.pipeline.experiment import (Experiment,
+                                                   assemble_cells,
+                                                   validate_experiment)
 from data_ingest_spark.pipeline.steps import (STEPS, StepResult,
                                               derive_config_per_sample,
                                               run_qc)
 
-__all__ = ["Experiment", "assemble_cells", "STEPS", "StepResult",
-           "derive_config_per_sample", "run_qc"]
+__all__ = ["Experiment", "assemble_cells", "validate_experiment", "STEPS",
+           "StepResult", "derive_config_per_sample", "run_qc"]

@@ -80,6 +80,52 @@ class Experiment:
         return cls(**kw)
 
 
+def validate_experiment(exp: Experiment) -> list[str]:
+    """The engine's version of the reference's final-object testthat
+    suite (src/test_object.r:4-50): returns a list of violated
+    invariants (empty = valid). Checks are single aggregations —
+    cheap enough to run at every stage boundary.
+
+      - required cell columns present (test_object.r:5-12)
+      - cells_id dense 0..n-1 (test_object.r:26-29)
+      - percent_mt within [0, 100] / fraction_mt within [0, 1]
+      - no duplicated (gene) ids and no duplicated gene names after W6
+        (test_object.r:47)
+    """
+    problems: list[str] = []
+    required = {"sample", "barcode", "nCount_RNA", "nFeature_RNA"}
+    missing = required - set(exp.cells.columns)
+    if missing:
+        problems.append(f"cells missing columns {sorted(missing)}")
+    if "cells_id" in exp.cells.columns:
+        stats = exp.cells.agg(
+            F.count("*").alias("n"),
+            F.min("cells_id").alias("lo"), F.max("cells_id").alias("hi"),
+            F.countDistinct("cells_id").alias("nd")).head()
+        if not (stats["lo"] == 0 and stats["hi"] == stats["n"] - 1
+                and stats["nd"] == stats["n"]):
+            problems.append(
+                f"cells_id not dense 0..{stats['n'] - 1}: "
+                f"min={stats['lo']} max={stats['hi']} distinct={stats['nd']}")
+    if "percent_mt" in exp.cells.columns:
+        bad = exp.cells.filter(
+            (F.col("percent_mt") < 0) | (F.col("percent_mt") > 100)).count()
+        if bad:
+            problems.append(f"{bad} cells with percent_mt outside [0,100]")
+    if exp.genes is not None:
+        n, nd = exp.genes.agg(
+            F.count("*"), F.countDistinct("gene")).head()
+        if n != nd:
+            problems.append(f"duplicated gene ids ({n - nd})")
+        if "name" in exp.genes.columns:
+            n, ndn = exp.genes.agg(
+                F.count("*"), F.countDistinct("name")).head()
+            if n != ndn:
+                problems.append(f"duplicated gene names after dedup "
+                                f"({n - ndn})")
+    return problems
+
+
 def assemble_cells(expr: DataFrame, genes: DataFrame | None = None,
                    emptydrops: DataFrame | None = None,
                    doublet_scores: DataFrame | None = None,

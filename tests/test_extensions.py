@@ -145,3 +145,17 @@ def test_dup_clusters_multi_hop_chain(spark):
     got = {r["doc_id"]: r["cluster"]
            for r in dd.dup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_tf_idf_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "b b d")], "doc_id long, text string")
+    import math
+    rows = {(r["doc_id"], r["token"]): (r["tf"], r["df_count"], r["tfidf"])
+            for r in tx.tf_idf(df).collect()}
+    # token 'a': df=2; doc1 tf=2
+    idf_a = math.log((1 + 3) / (1 + 2)) + 1.0
+    assert rows[(1, "a")][0] == 2
+    assert abs(rows[(1, "a")][2] - 2 * idf_a) < 1e-12
+    # singleton token 'd' survives min_df=1
+    assert rows[(3, "d")][1] == 1

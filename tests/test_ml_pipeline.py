@@ -194,3 +194,21 @@ def test_experiment_save_load_roundtrip(spark, small_expr, tmp_path):
     import os
     assert any(d.startswith("sample=")
                for d in os.listdir(f"{out}/expression"))
+
+
+def test_validate_experiment_invariants(spark, small_expr):
+    from data_ingest_spark.pipeline import validate_experiment
+    genes = spark.createDataFrame(
+        [(f"G{g:02d}", f"SYM{g}") for g in range(20)],
+        "gene string, name string")
+    exp = Experiment(expression=small_expr,
+                     cells=assemble_cells(small_expr, genes=genes),
+                     genes=genes)
+    assert validate_experiment(exp) == []
+    # break the dense-id contract and the gene-name dedup
+    broken = exp.with_(
+        cells=exp.cells.withColumn("cells_id", F.col("cells_id") + 1),
+        genes=genes.withColumn("name", F.lit("same")))
+    problems = validate_experiment(broken)
+    assert any("cells_id" in p for p in problems)
+    assert any("gene names" in p for p in problems)
