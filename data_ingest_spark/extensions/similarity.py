@@ -149,3 +149,27 @@ def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 5,
         corpus.join(F.broadcast(q), "_bkt"), "query_vec", vec_col,
     ).filter(F.col("neighbor_id") != F.col("query_id"))
     return _rank_topk(scored, k)
+
+
+def embedding_near_dups(emb: DataFrame, threshold: float = 0.9,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        n_planes: int = 4, dim: int = 64) -> DataFrame:
+    """(id_a, id_b, cosine) — embedding-cosine near-duplicate pairs,
+    id_a < id_b, cosine ≥ threshold. The candidate set is the LSH
+    bucket self-join (same deterministic hyperplanes as
+    cosine_topk_lsh), never all-pairs: at corpus scale work is
+    Σ bucket², tunable with n_planes. Like every LSH method, recall
+    < 1 for pairs split across a boundary — raise n_planes and union
+    rotations, or drop to cosine_topk for the exact verifier."""
+    planes = hyperplanes(n_planes, dim)
+    keyed = emb.select(F.col(id_col), F.col(vec_col),
+                       lsh_bucket_col(vec_col, planes).alias("_bkt"))
+    a = keyed.select(F.col(id_col).alias("id_a"),
+                     F.col(vec_col).alias("_va"), "_bkt")
+    b = keyed.select(F.col(id_col).alias("id_b"),
+                     F.col(vec_col).alias("_vb"), "_bkt")
+    pairs = a.join(b, "_bkt").filter(F.col("id_a") < F.col("id_b"))
+    return (with_cosine(pairs, "_va", "_vb")
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))

@@ -980,6 +980,24 @@ def q_ann_lsh(spark, sf):
     return sim.cosine_topk_lsh(emb, queries, k=5, n_planes=4, dim=64)
 
 
+@_q("x17_embedding_dups", f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ b AS (SELECT vec_id, v, {_planes_sql()} AS bkt FROM e),
+ s AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+              ROUND(list_dot_product(a.v, c.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+       FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id)
+SELECT id_a, id_b, cosine FROM s WHERE cosine >= 0.35
+""")
+def q_embedding_dups(spark, sf):
+    """Embedding-cosine near-dup pairs within deterministic LSH
+    buckets (the last dedup tier of the brief); both engines threshold
+    the 6dp-rounded cosine."""
+    emb = load(spark, sf, "embeddings")
+    return sim.embedding_near_dups(emb, threshold=0.35)
+
+
 _STOP_SQL = "['the', 'a', 'is', 'of', 'and', 'to', 'in', 'it']"
 
 

@@ -159,3 +159,12 @@ def test_tf_idf_values(spark):
     assert abs(rows[(1, "a")][2] - 2 * idf_a) < 1e-12
     # singleton token 'd' survives min_df=1
     assert rows[(3, "d")][1] == 1
+
+
+def test_embedding_near_dups_finds_identical_vectors(emb):
+    # ids 0 and 8 share an angle (theta repeats mod 8): cosine 1.0
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in sim.embedding_near_dups(
+                 emb, threshold=0.99, n_planes=4, dim=4).collect()}
+    assert (0, 8) in pairs and abs(pairs[(0, 8)] - 1.0) < 1e-6
+    assert all(a < b for a, b in pairs)
