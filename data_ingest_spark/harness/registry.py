@@ -1214,6 +1214,129 @@ def q_session(spark, sf):
              "total_value")
 
 
+@_q("e4_asof_join", """
+WITH l AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, value
+           FROM events WHERE event_type = 'purchase'),
+ r AS (SELECT user_id, ts::TIMESTAMP AS ts, MAX(value) AS signup_value
+       FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+ j AS (SELECT l.event_id, l.user_id, l.ts, l.value,
+              r.ts AS signup_ts, r.signup_value,
+              ROW_NUMBER() OVER (PARTITION BY l.event_id
+                                 ORDER BY r.ts DESC) AS rn
+       FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts)
+SELECT event_id, user_id, ts, value, signup_ts, signup_value,
+       CAST(date_diff('second', signup_ts, ts) AS BIGINT) AS lag_s
+FROM j WHERE rn = 1
+""")
+def q_asof_join(spark, sf):
+    """As-of join: each purchase ⟵ the user's latest signup at-or-before
+    it. Spark side is the single-shuffle union+window operator
+    (operators/asof.py); the oracle is the naive rank-over-range-join
+    formulation — different plan, same semantics."""
+    from data_ingest_spark.operators.asof import asof_join
+    ev = events_df(spark, sf)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value")
+    right = (ev.filter(F.col("event_type") == "signup")
+             .groupBy("user_id", "ts")
+             .agg(F.max("value").alias("signup_value")))
+    res = asof_join(left, right, on=["user_id"], left_ts="ts",
+                    right_ts="ts", suffix="_signup")
+    return res.select(
+        "event_id", "user_id", "ts", "value",
+        F.col("ts_signup").alias("signup_ts"), "signup_value",
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts_signup"))
+        .cast("long").alias("lag_s"))
+
+
+@_q("e5_range_count", """
+WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, value
+           FROM events),
+ l AS (SELECT event_id, user_id, ts FROM e
+       WHERE event_id % 7 = 0),
+ m AS (SELECT l.event_id, CAST(COUNT(*) AS BIGINT) AS n_prior,
+              ROUND(SUM(r.value), 2) AS prior_value
+       FROM l JOIN e r
+         ON l.user_id = r.user_id
+        AND r.ts >= l.ts - INTERVAL 10 MINUTE AND r.ts <= l.ts
+        AND r.event_id <> l.event_id
+       GROUP BY 1)
+SELECT l.event_id, l.user_id, l.ts,
+       COALESCE(m.n_prior, 0) AS n_prior,
+       COALESCE(m.prior_value, 0.0) AS prior_value
+FROM l LEFT JOIN m ON l.event_id = m.event_id
+""")
+def q_range_count(spark, sf):
+    """Bucketed range join: for each probe event (every 7th), count and
+    sum same-user events in the trailing 10 minutes. Spark side expands
+    probes to candidate 10-minute buckets and equi-joins (no
+    BroadcastNestedLoop); oracle is the naive interval join."""
+    from data_ingest_spark.operators.asof import range_join_buckets
+    ev = events_df(spark, sf).select("event_id", "user_id", "ts", "value")
+    probes = ev.filter(F.col("event_id") % 7 == 0).select(
+        "event_id", "user_id", "ts")
+    j = range_join_buckets(probes, ev, left_ts="ts", right_ts="ts",
+                           lower_s=-600.0, upper_s=0.0, on=["user_id"])
+    m = (j.filter(F.col("event_id_r") != F.col("event_id"))
+         .groupBy("event_id")
+         .agg(F.count("*").alias("n_prior"),
+              F.round(F.sum("value"), 2).alias("prior_value")))
+    return (probes.join(m, "event_id", "left")
+            .select("event_id", "user_id", "ts",
+                    F.coalesce("n_prior", F.lit(0)).alias("n_prior"),
+                    F.coalesce("prior_value", F.lit(0.0))
+                    .alias("prior_value")))
+
+
+@_q("e6_rollup", """
+WITH b AS (SELECT CAST(ts::TIMESTAMP::DATE AS VARCHAR) AS day,
+                  event_type, value FROM events)
+SELECT COALESCE(day, 'ALL') AS day,
+       COALESCE(event_type, 'ALL') AS event_type,
+       CAST(COUNT(value) AS BIGINT) AS n, ROUND(SUM(value), 2) AS total_value
+FROM b GROUP BY ROLLUP(day, event_type)
+""")
+def q_rollup(spark, sf):
+    """Hierarchical rollup (day, event_type) → day → grand total in one
+    pass — Spark's ROLLUP grouping sets, map-side combinable."""
+    ev = events_df(spark, sf).withColumn(
+        "day", F.col("ts").cast("date").cast("string"))
+    return (ev.rollup("day", "event_type")
+            .agg(F.count("value").alias("n"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .select(F.coalesce("day", F.lit("ALL")).alias("day"),
+                    F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+                    "n", "total_value"))
+
+
+@_q("e7_pivot", """
+SELECT user_id,
+       CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+       CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error,
+       CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+       CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
+       CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view,
+       ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2)
+           AS purchase_value
+FROM events GROUP BY user_id
+""")
+def q_pivot(spark, sf):
+    """Wide pivot of event counts per user. Explicit value list keeps it
+    a single-pass pivot (no extra distinct scan to discover columns)."""
+    ev = events_df(spark, sf)
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    piv = (ev.groupBy("user_id").pivot("event_type", kinds).count())
+    pv = (ev.filter(F.col("event_type") == "purchase")
+          .groupBy("user_id")
+          .agg(F.round(F.sum("value"), 2).alias("purchase_value")))
+    out = piv.join(pv, "user_id", "left")
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(f"n_{k}")
+          for k in kinds],
+        F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"))
+
+
 # ------------------------------------------------- M: ML stage (M2, M8–M13, pipeline)
 #
 # The deterministic graph ops (kNN, SNN) run on the embeddings table and
