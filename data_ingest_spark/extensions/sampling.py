@@ -1,0 +1,72 @@
+"""Deterministic sampling and dataset splitting for training pipelines.
+
+A 100 TB corpus cannot use ``df.sample`` for train/test assignment:
+resampling must be reproducible across reruns, engines, and partition
+layouts, and a document's split must never depend on which executor
+saw it. The standard fix is content-addressed assignment — hash the
+row's stable id with a seed and map the hash to a bucket in [0, 10000).
+Everything here is a narrow projection (no shuffle, no UDF, pure
+whole-stage-codegen expressions), so it streams at scan speed.
+
+Cross-engine determinism (same bytes in Spark and DuckDB): bucket =
+``int(md5(seed || ':' || id)[:7 hex], 16) % 10000``, the registry's
+established md5-prefix idiom.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+BUCKETS = 10_000
+
+
+def hash_bucket(id_col: Column, seed: int) -> Column:
+    """Deterministic bucket in [0, BUCKETS) from a stable id."""
+    h = F.md5(F.concat_ws(":", F.lit(str(seed)), id_col.cast("string"))
+              .cast("binary"))
+    return (F.conv(F.substring(h, 1, 7), 16, 10).cast("long") % BUCKETS)
+
+
+def hash_bucket_sql(id_expr: str, seed: int) -> str:
+    """The DuckDB-equivalent SQL expression (oracle twin)."""
+    return (f"CAST(concat('0x', substr(md5('{seed}:' || "
+            f"CAST({id_expr} AS VARCHAR)), 1, 7)) AS BIGINT) % {BUCKETS}")
+
+
+def hash_split(df: DataFrame, id_col: str, weights: dict[str, float],
+               seed: int = 42, out_col: str = "split") -> DataFrame:
+    """Assign each row a split label with the given weights.
+
+    Weights need not sum to 1 — they are normalized. Assignment is a
+    pure function of (seed, id): stable under reruns, repartitioning,
+    and incremental data arrival (new rows never move old rows across
+    splits).
+    """
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    b = hash_bucket(F.col(id_col), seed)
+    expr, acc = None, 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total * BUCKETS
+        cond = b < F.lit(int(round(acc)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(out_col, out)
+
+
+def stratified_sample(df: DataFrame, id_col: str, fraction: float,
+                      seed: int = 42) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows by id hash.
+
+    Stratification comes for free: the hash is independent of every
+    other column, so within any stratum the kept share converges to
+    ``fraction``. Unlike ``df.sample`` the result is exactly
+    reproducible and stable under repartitioning.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    cut = int(round(fraction * BUCKETS))
+    return df.filter(hash_bucket(F.col(id_col), seed) < F.lit(cut))

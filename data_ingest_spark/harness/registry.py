@@ -1140,6 +1140,41 @@ def q_resize_image(spark, sf):
                       F.hex("pixels").alias("pixels_hex"))
 
 
+def _bucket_sql(id_expr: str, seed: int) -> str:
+    from data_ingest_spark.extensions.sampling import hash_bucket_sql
+    return hash_bucket_sql(id_expr, seed)
+
+
+@_q("x18_hash_split", f"""
+WITH b AS (SELECT lang, {{expr}} AS bkt FROM documents)
+SELECT lang,
+       CASE WHEN bkt < 8000 THEN 'train'
+            WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY 1, 2
+""".format(expr=_bucket_sql("doc_id", 42)))
+def q_hash_split(spark, sf):
+    """Deterministic 80/10/10 split of documents, counted per language
+    — content-addressed assignment, stable under reruns/repartition."""
+    from data_ingest_spark.extensions.sampling import hash_split
+    docs = load(spark, sf, "documents")
+    out = hash_split(docs, "doc_id",
+                     {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42)
+    return out.groupBy("lang", "split").agg(F.count("*").alias("n"))
+
+
+@_q("x19_stratified_sample", f"""
+SELECT doc_id, source FROM documents
+WHERE {_bucket_sql("doc_id", 7)} < 2000
+""")
+def q_stratified_sample(spark, sf):
+    """Deterministic 20% sample by id hash — exact row set reproduced
+    by the oracle, which df.sample cannot promise."""
+    from data_ingest_spark.extensions.sampling import stratified_sample
+    docs = load(spark, sf, "documents").select("doc_id", "source")
+    return stratified_sample(docs, "doc_id", 0.2, seed=7)
+
+
 # ------------------------------------------------- E: event-stream windows
 
 
