@@ -30,7 +30,7 @@ the bucket-count aggregate, noted here for the scale path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 from data_ingest_spark.extensions.text import shingles_col
 from data_ingest_spark.functions.partitioning import spread
@@ -241,3 +241,28 @@ def dup_clusters(pairs: DataFrame, id_cols: tuple[str, str] = ("id_a", "id_b"),
         labels = new_labels
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("lbl").alias("cluster"))
+
+
+def dedup_against(incoming: DataFrame, existing: DataFrame,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Incremental dedup: incoming rows whose content does not already
+    appear in the existing corpus (and is not duplicated within the
+    incoming batch itself — smallest id wins there).
+
+    The existing side reduces to DISTINCT content hashes before the
+    anti-join, so the shuffle carries one 32-byte row per unique
+    existing document, not the corpus. This is the daily-ingest
+    primitive at 100 TB: the hash set is also the natural thing to
+    persist (bucketed by hash) so tomorrow's batch joins co-located.
+    """
+    h = F.md5(F.col(text_col).cast("binary"))
+    seen = existing.select(h.alias("_h")).distinct()
+    batch_first = (
+        incoming.withColumn("_h", h)
+        .withColumn("_rk", F.row_number().over(
+            W.partitionBy("_h").orderBy(F.col(id_col).asc())))
+        .filter(F.col("_rk") == 1)
+    )
+    return (batch_first.join(seen, "_h", "left_anti")
+            .drop("_h", "_rk"))

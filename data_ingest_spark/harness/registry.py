@@ -1140,6 +1140,48 @@ def q_resize_image(spark, sf):
                       F.hex("pixels").alias("pixels_hex"))
 
 
+@_q("x20_incremental_dedup", """
+WITH existing AS (SELECT DISTINCT md5(text) AS h FROM documents),
+ inc AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents
+         WHERE doc_id % 3 = 0
+         UNION ALL
+         SELECT doc_id + 2000000, text || ' [v2]' FROM documents
+         WHERE doc_id % 5 = 0
+         UNION ALL
+         SELECT doc_id + 3000000, text || ' [v2]' FROM documents
+         WHERE doc_id % 5 = 0),
+ firsts AS (SELECT doc_id, md5(text) AS content_hash,
+                   ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS rk
+            FROM inc)
+SELECT f.doc_id, f.content_hash FROM firsts f
+WHERE f.rk = 1
+  AND NOT EXISTS (SELECT 1 FROM existing e WHERE e.h = f.content_hash)
+""")
+def q_incremental_dedup(spark, sf):
+    """Daily-ingest dedup: a synthetic incoming batch (copies of the
+    corpus + genuinely-new texts + batch-internal dups) anti-joined
+    against the existing corpus's distinct content hashes. Only the
+    new texts' first occurrences survive."""
+    from data_ingest_spark.extensions.dedup import dedup_against
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    inc = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        .unionAll(
+            docs.filter(F.col("doc_id") % 5 == 0)
+            .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" [v2]")).alias("text")))
+        .unionAll(
+            docs.filter(F.col("doc_id") % 5 == 0)
+            .select((F.col("doc_id") + 3000000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" [v2]")).alias("text"))))
+    out = dedup_against(inc, docs, id_col="doc_id", text_col="text")
+    return out.select("doc_id",
+                      F.md5(F.col("text").cast("binary"))
+                      .alias("content_hash"))
+
+
 def _bucket_sql(id_expr: str, seed: int) -> str:
     from data_ingest_spark.extensions.sampling import hash_bucket_sql
     return hash_bucket_sql(id_expr, seed)
@@ -1370,6 +1412,27 @@ def q_pivot(spark, sf):
         *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(f"n_{k}")
           for k in kinds],
         F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"))
+
+
+@_q("e8_percentiles", """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99,
+       ROUND(AVG(value), 6) AS mean_value
+FROM events GROUP BY event_type
+""")
+def q_percentiles(spark, sf):
+    """Exact linear-interpolation percentiles per group — Spark's
+    `percentile` and DuckDB's `quantile_cont` agree bit-for-bit at 6dp.
+    (At 100 TB you'd switch to approx_percentile; the exact form is the
+    correctness anchor the sketch is judged against.)"""
+    ev = events_df(spark, sf)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.round(F.avg("value"), 6).alias("mean_value"))
 
 
 # ------------------------------------------------- M: ML stage (M2, M8–M13, pipeline)
