@@ -1,0 +1,78 @@
+"""Cardinality sketches.
+
+``kmv_distinct`` is a k-minimum-values estimator: hash every value to
+a uniform 60-bit integer, keep the k smallest distinct hashes, and
+estimate ``(k-1) / (h_k / 2^60)`` where ``h_k`` is the k-th smallest.
+Standard error ~ 1/sqrt(k-2). Unlike HLL its output is a pure
+function of the value set — deterministic integer hashing end to end —
+so the driver hash-checks it against the same arithmetic in DuckDB.
+
+Scale posture: the grouped form is one distinct-shuffle plus a per-group
+window (groups parallelize; the k-th smallest needs only a rank-k scan
+per group). The global form uses ``orderBy(h).limit(k)``, which Spark
+executes as TakeOrderedAndProject — per-partition top-k then a k-sized
+merge on the driver side of the exchange, never a global sort. At
+100 TB you'd persist the per-partition k-minima as the mergeable
+sketch state; the merge is again "k smallest of the union".
+
+``hll_distinct`` wraps Spark's native HyperLogLog++ aggregate for the
+cases where a 1-2% error is fine and the sketch must be O(1) memory;
+its value is engine-specific, so it is property-tested against exact
+counts rather than oracle-hashed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+TWO_60 = float(1 << 60)
+
+
+def _h60(col: F.Column) -> F.Column:
+    return F.conv(F.substring(F.md5(col.cast("string").cast("binary")),
+                              1, 15), 16, 10).cast("long")
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 256,
+                 group_cols: list[str] | None = None) -> DataFrame:
+    """Per-group (or global) distinct-count estimate plus the exact
+    count for reference: (group..., n_distinct_exact, kmv_estimate).
+    Groups with fewer than k distinct values report the exact count
+    as the estimate (the sketch is lossless below its capacity)."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if group_cols:
+        v = df.select(*group_cols, _h60(F.col(col)).alias("_h")).distinct()
+        wrk = W.partitionBy(*group_cols).orderBy("_h")
+        wall = W.partitionBy(*group_cols)
+        r = (v.withColumn("_rk", F.row_number().over(wrk))
+             .withColumn("_nd", F.count("*").over(wall)))
+        est = F.when(
+            F.max("_nd") < F.lit(k), F.max("_nd").cast("double")
+        ).otherwise(
+            F.lit(float(k - 1))
+            / (F.max(F.when(F.col("_rk") == k, F.col("_h"))) / F.lit(TWO_60)))
+        return (r.filter(F.col("_rk") <= k)
+                .groupBy(*group_cols)
+                .agg(F.max("_nd").cast("long").alias("n_distinct_exact"),
+                     F.round(est, 6).alias("kmv_estimate")))
+    v = df.select(_h60(F.col(col)).alias("_h")).distinct()
+    nd = v.count()
+    if nd < k:
+        est_val = float(nd)
+    else:
+        hk = v.orderBy("_h").limit(k).agg(F.max("_h")).collect()[0][0]
+        est_val = (k - 1) / (hk / TWO_60)
+    return df.sparkSession.createDataFrame(
+        [(int(nd), round(est_val, 6))],
+        "n_distinct_exact long, kmv_estimate double")
+
+
+def hll_distinct(df: DataFrame, col: str,
+                 group_cols: list[str] | None = None,
+                 rsd: float = 0.02) -> DataFrame:
+    """HyperLogLog++ distinct estimate (engine-native, O(1) state)."""
+    agg = F.approx_count_distinct(col, rsd=rsd).alias("hll_estimate")
+    if group_cols:
+        return df.groupBy(*group_cols).agg(agg)
+    return df.agg(agg)

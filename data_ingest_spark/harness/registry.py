@@ -1182,6 +1182,30 @@ def q_incremental_dedup(spark, sf):
                       .alias("content_hash"))
 
 
+@_q("x21_kmv_distinct", """
+WITH v AS (SELECT DISTINCT lang,
+                  CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+           FROM documents),
+ r AS (SELECT lang, h,
+              ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rk,
+              COUNT(*) OVER (PARTITION BY lang) AS nd
+       FROM v)
+SELECT lang, CAST(MAX(nd) AS BIGINT) AS n_distinct_exact,
+       ROUND(CASE WHEN MAX(nd) < 64 THEN CAST(MAX(nd) AS DOUBLE)
+             ELSE 63.0 / (MAX(CASE WHEN rk = 64 THEN h END)
+                          / 1152921504606846976.0)
+             END, 6) AS kmv_estimate
+FROM r WHERE rk <= 64 GROUP BY lang
+""")
+def q_kmv_distinct(spark, sf):
+    """KMV distinct sketch per language (k=64): deterministic integer
+    hashing makes the *estimate itself* oracle-checkable — the sketch
+    the reference pipeline would use for corpus cardinality dashboards."""
+    from data_ingest_spark.extensions.sketches import kmv_distinct
+    docs = load(spark, sf, "documents")
+    return kmv_distinct(docs, "text", k=64, group_cols=["lang"])
+
+
 def _bucket_sql(id_expr: str, seed: int) -> str:
     from data_ingest_spark.extensions.sampling import hash_bucket_sql
     return hash_bucket_sql(id_expr, seed)

@@ -1,0 +1,48 @@
+"""KMV / HLL sketch properties (extensions/sketches.py)."""
+
+from pyspark.sql import functions as F
+
+from data_ingest_spark.extensions.sketches import hll_distinct, kmv_distinct
+
+
+def _vals(spark, n, prefix="v"):
+    return spark.range(n).select(
+        F.concat(F.lit(prefix), F.col("id").cast("string")).alias("val"),
+        (F.col("id") % 2).cast("string").alias("grp"))
+
+
+def test_kmv_is_lossless_below_capacity(spark):
+    df = _vals(spark, 40)
+    row = kmv_distinct(df, "val", k=64).collect()[0]
+    assert row["n_distinct_exact"] == 40
+    assert row["kmv_estimate"] == 40.0
+
+
+def test_kmv_estimate_accuracy_global_and_grouped(spark):
+    df = _vals(spark, 5000)
+    g = kmv_distinct(df, "val", k=256).collect()[0]
+    assert abs(g["kmv_estimate"] - 5000) / 5000 < 0.25   # ~4 sigma
+    rows = kmv_distinct(df, "val", k=256, group_cols=["grp"]).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["n_distinct_exact"] == 2500
+        assert abs(r["kmv_estimate"] - 2500) / 2500 < 0.25
+
+
+def test_kmv_ignores_duplicates(spark):
+    df = _vals(spark, 1000)
+    dup = df.unionAll(df).unionAll(df)
+    a = kmv_distinct(df, "val", k=128).collect()[0]["kmv_estimate"]
+    b = kmv_distinct(dup, "val", k=128).collect()[0]["kmv_estimate"]
+    assert a == b
+
+
+def test_hll_within_tolerance(spark):
+    df = _vals(spark, 10000)
+    est = hll_distinct(df, "val", rsd=0.02).collect()[0]["hll_estimate"]
+    assert abs(est - 10000) / 10000 < 0.10
+    per = {r["grp"]: r["hll_estimate"]
+           for r in hll_distinct(df, "val", group_cols=["grp"]).collect()}
+    assert set(per) == {"0", "1"}
+    for v in per.values():
+        assert abs(v - 5000) / 5000 < 0.10
