@@ -1565,6 +1565,42 @@ def q_label_propagation(spark, sf):
     return cl.label_propagation(snn, max_iter=5)
 
 
+def _pagerank_oracle_sql(iters: int = 5) -> str:
+    t = "1000000000000"
+    sql = f"""
+WITH {_KNN_EDGES_SQL},
+ e AS (SELECT DISTINCT src, dst FROM r WHERE rank <= 10),
+ deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+ ew AS (SELECT e.src, e.dst, d.outdeg FROM e JOIN deg d ON e.src = d.src),
+ nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+ nn AS (SELECT COUNT(*) AS n FROM nodes),
+ p0 AS (SELECT id, CAST({t} // n AS BIGINT) AS r FROM nodes CROSS JOIN nn)"""
+    for k in range(iters):
+        sql += f""",
+ c{k} AS (SELECT ew.dst, SUM(p.r // ew.outdeg) AS s
+          FROM ew JOIN p{k} p ON ew.src = p.id GROUP BY 1),
+ p{k + 1} AS (SELECT nodes.id,
+                     CAST(({t} * 15) // (100 * nn.n)
+                          + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+              FROM nodes CROSS JOIN nn
+              LEFT JOIN c{k} c ON nodes.id = c.dst)"""
+    return sql + f"""
+SELECT id, r AS rank_int, ROUND(r / 1000000000000.0, 9) AS rank
+FROM p{iters}"""
+
+
+@_q("g1_pagerank", _pagerank_oracle_sql(5))
+def q_pagerank(spark, sf):
+    """Integer fixed-point PageRank, 5 rounds, over the directed k=10
+    kNN graph of the embeddings table. Exact-int arithmetic makes the
+    iterative ranks themselves hash-checkable (see operators/graph.py);
+    the oracle unrolls the same rounds in DuckDB."""
+    from data_ingest_spark.operators import neighbors as nb
+    from data_ingest_spark.operators.graph import pagerank
+    knn = nb.knn_exact(_emb_pc_arr(spark, sf), k=10, id_cols=("barcode",))
+    return pagerank(knn.select("src", "dst"), max_iter=5)
+
+
 @_q("m13_louvain")
 def q_louvain(spark, sf):
     from data_ingest_spark.operators import clustering as cl, neighbors as nb
