@@ -1021,6 +1021,40 @@ def q_text_quality(spark, sf):
     return tx.text_quality(load(spark, sf, "documents"))
 
 
+@_q("x22_quality_deciles", f"""
+WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk,
+                  length(text) AS nc,
+                  length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS np
+           FROM documents),
+ m AS (SELECT doc_id, len(tk) AS n_tokens, np / nc AS pr,
+              len(list_filter(tk, x -> list_contains({_STOP_SQL}, x)))
+                / len(tk) AS sr
+       FROM t),
+ q AS (SELECT doc_id,
+              ROUND(0.3 * least(1.0, n_tokens / 100.0) + 0.4 * (1.0 - pr)
+                    + 0.3 * sr, 6) AS qs
+       FROM m),
+ d AS (SELECT doc_id, qs,
+              CAST(NTILE(10) OVER (ORDER BY qs, doc_id) AS BIGINT) AS decile
+       FROM q)
+SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(qs) AS min_score, MAX(qs) AS max_score
+FROM d GROUP BY 1
+""")
+def q_quality_deciles(spark, sf):
+    """Curriculum binning: documents ranked by quality score into 10
+    equal-count deciles via the scalable NTILE (coarse-bucket rank +
+    offset — no single-task global window), summarized per decile.
+    Hash-matches DuckDB's NTILE."""
+    from data_ingest_spark.operators.windows import ntile_scalable
+    q = tx.text_quality(load(spark, sf, "documents")).select(
+        "doc_id", F.col("quality_score").alias("qs"))
+    d = ntile_scalable(q, 10, "qs", ["doc_id"], out_col="decile")
+    return d.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.min("qs").alias("min_score"), F.max("qs").alias("max_score"))
+
+
 def _lang_sql() -> str:
     scores = {lang: (f"len(list_filter(tk, x -> list_contains(["
                      + ", ".join(f"'{m}'" for m in markers)

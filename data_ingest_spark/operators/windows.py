@@ -122,3 +122,41 @@ def dedup_gene_names(genes: DataFrame, name_col: str = "name",
                F.concat_ws(" - ", F.col(name_col), F.col(id_col)))
         .otherwise(F.col(name_col)),
     )
+
+
+def ntile_scalable(df: DataFrame, k: int, value_col: str,
+                   tiebreak_cols: list[str] | None = None,
+                   coarse=None, out_col: str = "tile") -> DataFrame:
+    """Global NTILE(k) over (value, tiebreaks) without the single-task
+    global window.
+
+    ``coarse`` is any Column MONOTONE in ``value_col`` with modest
+    cardinality (default ``floor(value * 32)``, right for scores in
+    [0, 1]); it partitions the sort so ranking parallelizes, exactly
+    like ``dense_ids_scalable``: rank within each coarse bucket, then
+    shift by the prefix sum of bucket counts (one collected row per
+    bucket). The tile assignment reproduces SQL NTILE semantics —
+    first ``n mod k`` tiles get the extra row — so it hash-matches a
+    DuckDB NTILE oracle."""
+    tiebreak_cols = tiebreak_cols or []
+    cb = coarse if coarse is not None else F.floor(F.col(value_col) * 32)
+    d = df.withColumn("_cb", cb.cast("long"))
+    sizes = d.groupBy("_cb").agg(F.count("*").alias("n")) \
+        .orderBy("_cb").collect()
+    offsets, acc = {}, 0
+    for r in sizes:
+        offsets[r["_cb"]] = acc
+        acc += r["n"]
+    n = acc
+    if n == 0:
+        return df.withColumn(out_col, F.lit(None).cast("long")).drop()
+    offmap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = W.partitionBy("_cb").orderBy(F.col(value_col), *tiebreak_cols)
+    rank = (F.row_number().over(w) + offmap[F.col("_cb")]).cast("long")
+    base, extra = n // k, n % k
+    thr = extra * (base + 1)
+    tile = F.when(
+        rank <= F.lit(thr), F.ceil(rank / F.lit(base + 1))
+    ).otherwise(
+        F.lit(extra) + F.ceil((rank - F.lit(thr)) / F.lit(max(base, 1))))
+    return (d.withColumn(out_col, tile.cast("long")).drop("_cb"))

@@ -70,3 +70,28 @@ def test_barcode_inflection_monotone(sf_expr):
     for s, v in infl.items():
         lo, hi = rng[s]
         assert lo <= v <= hi
+
+
+def test_ntile_scalable_matches_native_ntile(spark):
+    from pyspark.sql import Window, functions as F
+    from data_ingest_spark.operators.windows import ntile_scalable
+    df = spark.range(137).select(
+        F.col("id"),
+        ((F.col("id") * 37 % 100) / 100.0).alias("score"))
+    native = df.withColumn(
+        "tile", F.ntile(7).over(Window.orderBy("score", "id")).cast("long"))
+    scalable = ntile_scalable(df, 7, "score", ["id"])
+    a = {(r["id"], r["tile"]) for r in native.collect()}
+    b = {(r["id"], r["tile"]) for r in scalable.collect()}
+    assert a == b
+
+
+def test_ntile_scalable_no_single_task_exchange(spark):
+    from pyspark.sql import functions as F
+    from data_ingest_spark.operators.windows import ntile_scalable
+    df = spark.range(1000).select(
+        F.col("id"), ((F.col("id") % 97) / 97.0).alias("score"))
+    out = ntile_scalable(df, 10, "score", ["id"])
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
