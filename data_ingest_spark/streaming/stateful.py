@@ -108,3 +108,16 @@ def running_user_stats(events: DataFrame) -> DataFrame:
             .applyInPandasWithState(fn, USER_STATS_SCHEMA, USER_STATE_SCHEMA,
                                     "update",
                                     GroupStateTimeout.NoTimeout))
+
+
+def streaming_dedup_native(df: DataFrame, key_cols: list[str],
+                           ts_col: str = "ts",
+                           watermark: str = "10 minutes") -> DataFrame:
+    """Engine-native streaming dedup: dropDuplicatesWithinWatermark
+    keeps each key's first arrival and ages state out with the
+    watermark — the JVM/RocksDB-state-store scale path, preferred over
+    :func:`streaming_dedup` (Python state) when no custom per-key
+    logic is needed. State size is bounded by keys seen within one
+    watermark horizon instead of a TTL scan."""
+    return (df.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(key_cols))

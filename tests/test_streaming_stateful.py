@@ -71,3 +71,20 @@ def test_running_user_stats_accumulate(spark, tmp_path):
     assert got[1] == (3, 15.0, 7.0)
     assert got[2] == (2, 10.0, 9.0)
     assert got[3] == (1, 2.0, 2.0)
+
+
+def test_streaming_dedup_native_within_watermark(spark, tmp_path):
+    import datetime as dt
+    schema = "content_hash string, doc_id long, ts timestamp"
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    d = _write_batches(spark, str(tmp_path / "n"), schema, [
+        [("A", 10, t0), ("B", 20, t0), ("A", 11, t0)],
+        [("A", 30, t0 + dt.timedelta(minutes=1)),
+         ("C", 40, t0 + dt.timedelta(minutes=2))],
+    ])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    out = _drain(st.streaming_dedup_native(stream, ["content_hash"]),
+                 "t_dedup_native", "append")
+    assert out.count() == 3  # A, B, C each exactly once
+    assert {r["content_hash"] for r in out.collect()} == {"A", "B", "C"}
