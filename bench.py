@@ -41,6 +41,12 @@ HEADLINE = [
     "m12_knn_exact",
     "m12_snn_graph",
     "e3_session_window",
+    # round-2 additions: time-series joins, sketch, split, graph
+    "e4_asof_join",
+    "e5_range_count",
+    "x18_hash_split",
+    "x21_kmv_distinct",
+    "g1_pagerank",
 ]
 
 
