@@ -1240,6 +1240,40 @@ def q_kmv_distinct(spark, sf):
     return kmv_distinct(docs, "text", k=64, group_cols=["lang"])
 
 
+@_q("x23_snapshot_diff", """
+WITH old AS (SELECT doc_id, md5(text) AS h FROM documents
+             WHERE doc_id % 7 <> 0),
+ new AS (SELECT doc_id,
+                md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [edited]'
+                         ELSE text END) AS h
+         FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000, md5(text) FROM documents
+         WHERE doc_id % 3 = 0)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.h IS NULL THEN 'added'
+            WHEN n.h IS NULL THEN 'removed'
+            WHEN o.h <> n.h THEN 'changed' END AS change
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+WHERE o.h IS NULL OR n.h IS NULL OR o.h <> n.h
+""")
+def q_snapshot_diff(spark, sf):
+    """Corpus CDC: the old snapshot drops every 7th doc; the new one
+    edits every 5th, restores the dropped, and appends copies of every
+    3rd under new ids. The diff classifies added/removed/changed."""
+    from data_ingest_spark.extensions.cdc import snapshot_diff
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = (docs.withColumn(
+        "text", F.when(F.col("doc_id") % 5 == 0,
+                       F.concat(F.col("text"), F.lit(" [edited]")))
+        .otherwise(F.col("text")))
+        .unionAll(docs.filter(F.col("doc_id") % 3 == 0)
+                  .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                          "text")))
+    return snapshot_diff(old, new)
+
+
 def _bucket_sql(id_expr: str, seed: int) -> str:
     from data_ingest_spark.extensions.sampling import hash_bucket_sql
     return hash_bucket_sql(id_expr, seed)

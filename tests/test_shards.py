@@ -56,3 +56,16 @@ def test_dedup_against_drops_seen_and_batch_dups(spark):
     out = sorted(r["doc_id"] for r in
                  dedup_against(incoming, existing).collect())
     assert out == [11, 13]
+
+
+def test_snapshot_diff_classifies_all_transitions(spark):
+    from data_ingest_spark.extensions.cdc import snapshot_diff
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B!"), (4, "d")], "doc_id long, text string")
+    got = {r["doc_id"]: r["change"] for r in snapshot_diff(old, new).collect()}
+    assert got == {2: "changed", 3: "removed", 4: "added"}
+    full = {r["doc_id"]: r["change"] for r in
+            snapshot_diff(old, new, include_unchanged=True).collect()}
+    assert full[1] == "unchanged" and len(full) == 4

@@ -1,0 +1,82 @@
+"""Stream-stream interval join ≡ its batch twin; stream-static enrich."""
+
+import datetime as dt
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import functions as F
+
+from data_ingest_spark.streaming.joins import (stream_static_enrich,
+                                               stream_stream_interval_join)
+
+SCHEMA = "event_id long, user_id string, ts timestamp, value double"
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _write_batches(tmpdir, batches):
+    os.makedirs(tmpdir, exist_ok=True)
+    names = [f.strip().split()[0] for f in SCHEMA.split(",")]
+    for i, rows in enumerate(batches):
+        path = os.path.join(tmpdir, f"b{i}.parquet")
+        cols = {n: [r[j] for r in rows] for j, n in enumerate(names)}
+        pq.write_table(pa.table(cols), path)
+        t = time.time() + i
+        os.utime(path, (t, t))
+    return tmpdir
+
+
+def _drain(df, name):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return df.sparkSession.table(name)
+
+
+def _sec(s):
+    return T0 + dt.timedelta(seconds=s)
+
+
+def test_stream_stream_join_matches_batch_twin(spark, tmp_path):
+    purchases = [[(1, "u1", _sec(100), 9.0), (2, "u2", _sec(200), 8.0)],
+                 [(3, "u1", _sec(400), 7.0)]]
+    clicks = [[(11, "u1", _sec(80), 0.0), (12, "u1", _sec(95), 0.0),
+               (13, "u2", _sec(300), 0.0)],
+              [(14, "u1", _sec(390), 0.0), (15, "u3", _sec(50), 0.0)]]
+    pd_dir = _write_batches(str(tmp_path / "p"), purchases)
+    cl_dir = _write_batches(str(tmp_path / "c"), clicks)
+
+    def read(d):
+        return (spark.readStream.schema(SCHEMA)
+                .option("maxFilesPerTrigger", 1).parquet(d))
+
+    out = _drain(stream_stream_interval_join(
+        read(pd_dir), read(cl_dir), on="user_id",
+        lower_s=-60.0, upper_s=0.0, watermark="5 minutes"),
+        "t_ssj")
+    got = sorted((r["event_id"], r["event_id_r"]) for r in out.collect())
+    # batch twin: same interval condition on static frames
+    lp = spark.createDataFrame([r for b in purchases for r in b], SCHEMA)
+    lc = spark.createDataFrame([r for b in clicks for r in b], SCHEMA)
+    want = sorted((r["event_id"], r["cid"]) for r in lp.join(
+        lc.select(F.col("event_id").alias("cid"),
+                  F.col("user_id").alias("cuid"),
+                  F.col("ts").alias("cts")),
+        (F.col("user_id") == F.col("cuid"))
+        & (F.col("cts") >= F.col("ts") - F.expr("INTERVAL 60 SECONDS"))
+        & (F.col("cts") <= F.col("ts"))).collect())
+    assert got == want and len(got) == 3
+
+
+def test_stream_static_enrich_broadcasts(spark, tmp_path):
+    ev_dir = _write_batches(str(tmp_path / "e"),
+                            [[(1, "u1", _sec(10), 1.0),
+                              (2, "u9", _sec(20), 2.0)]])
+    dim = spark.createDataFrame([("u1", "gold")], "user_id string, tier string")
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(ev_dir))
+    out = _drain(stream_static_enrich(stream, dim, "user_id"), "t_sse")
+    rows = {r["event_id"]: r["tier"] for r in out.collect()}
+    assert rows == {1: "gold", 2: None}
