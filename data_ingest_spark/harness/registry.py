@@ -1274,6 +1274,39 @@ def q_snapshot_diff(spark, sf):
     return snapshot_diff(old, new)
 
 
+@_q("x24_fuzzy_join", """
+WITH clean AS (SELECT p_partkey AS clean_id, p_name AS name FROM part),
+ dirty AS (SELECT p_partkey AS dirty_id,
+                  substr(p_name, 1, (p_partkey % length(p_name)))
+                    || substr(p_name, (p_partkey % length(p_name)) + 2)
+                    AS name
+           FROM part WHERE p_partkey % 10 = 0)
+SELECT d.dirty_id, c.clean_id, d.name AS name, c.name AS name_r
+FROM dirty d JOIN clean c
+  ON abs(length(d.name) - length(c.name)) <= 1
+ AND levenshtein(d.name, c.name) <= 1
+""")
+def q_fuzzy_join(spark, sf):
+    """Entity resolution: part names with one deterministically-deleted
+    character joined back to the catalog within edit distance 1 —
+    deletion-neighborhood blocking (linear key expansion + equi-join),
+    never a cross join. Oracle is the naive levenshtein join."""
+    from data_ingest_spark.extensions.fuzzy import fuzzy_join
+    part = load(spark, sf, "part")
+    clean = part.select(F.col("p_partkey").alias("clean_id"),
+                        F.col("p_name").alias("name"))
+    dirty = (part.filter(F.col("p_partkey") % 10 == 0)
+             .select(F.col("p_partkey").alias("dirty_id"),
+                     F.expr("concat(substring(p_name, 1, "
+                            "p_partkey % length(p_name)), "
+                            "substring(p_name, "
+                            "(p_partkey % length(p_name)) + 2))")
+                     .alias("name")))
+    j = fuzzy_join(dirty, clean, "name")
+    return j.select("dirty_id", F.col("clean_id_r").alias("clean_id"),
+                    "name", "name_r")
+
+
 def _bucket_sql(id_expr: str, seed: int) -> str:
     from data_ingest_spark.extensions.sampling import hash_bucket_sql
     return hash_bucket_sql(id_expr, seed)

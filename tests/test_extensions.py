@@ -168,3 +168,35 @@ def test_embedding_near_dups_finds_identical_vectors(emb):
                  emb, threshold=0.99, n_planes=4, dim=4).collect()}
     assert (0, 8) in pairs and abs(pairs[(0, 8)] - 1.0) < 1e-6
     assert all(a < b for a, b in pairs)
+
+
+def test_fuzzy_join_distance_one_semantics(spark):
+    from data_ingest_spark.extensions.fuzzy import fuzzy_join
+    left = spark.createDataFrame(
+        [(1, "spark"), (2, "spa"), (3, "zzz")], "id long, name string")
+    right = spark.createDataFrame(
+        [(10, "spark"),   # exact
+         (11, "spark!"),  # one insert
+         (12, "spork"),   # one substitution
+         (13, "spar"),    # one deletion
+         (14, "sprk"),    # one deletion elsewhere
+         (15, "park"),    # distance 2 from spark? s->p... no: delete 's' = distance 1
+         (16, "scala")],  # far
+        "rid long, name string")
+    got = {(r["id"], r["rid_r"]) for r in
+           fuzzy_join(left, right, "name").collect()}
+    import itertools
+    def lev(a, b):
+        d = {(i, 0): i for i in range(len(a) + 1)}
+        d.update({(0, j): j for j in range(len(b) + 1)})
+        for i, j in itertools.product(range(1, len(a) + 1),
+                                      range(1, len(b) + 1)):
+            d[i, j] = min(d[i - 1, j] + 1, d[i, j - 1] + 1,
+                          d[i - 1, j - 1] + (a[i - 1] != b[j - 1]))
+        return d[len(a), len(b)]
+    want = {(l, r) for l, ln in [(1, "spark"), (2, "spa"), (3, "zzz")]
+            for r, rn in [(10, "spark"), (11, "spark!"), (12, "spork"),
+                          (13, "spar"), (14, "sprk"), (15, "park"),
+                          (16, "scala")]
+            if lev(ln, rn) <= 1}
+    assert got == want
