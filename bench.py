@@ -47,6 +47,8 @@ HEADLINE = [
     "x18_hash_split",
     "x21_kmv_distinct",
     "g1_pagerank",
+    "v2_tpch_q1",
+    "v4_tpch_q5",
 ]
 
 

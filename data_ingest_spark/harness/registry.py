@@ -1274,6 +1274,110 @@ def q_snapshot_diff(spark, sf):
     return snapshot_diff(old, new)
 
 
+@_q("v2_tpch_q1", """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+           AS sum_charge,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-06-30'
+GROUP BY 1, 2
+""")
+def q_tpch_q1(spark, sf):
+    """TPC-H Q1 shape (pricing summary): the canonical wide
+    single-shuffle aggregation with map-side partials; every arithmetic
+    stays in whole-stage codegen."""
+    li = load(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1999-06-30").cast("timestamp"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"))
+
+
+@_q("v3_tpch_q3", """
+WITH r AS (SELECT l.l_orderkey, o.o_orderdate,
+                  ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+                      AS revenue
+           FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+           WHERE c.c_mktsegment = 'BUILDING'
+             AND o.o_orderdate < TIMESTAMP '1998-03-15'
+             AND l.l_shipdate > TIMESTAMP '1998-03-15'
+           GROUP BY 1, 2)
+SELECT l_orderkey, o_orderdate, revenue FROM r
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""")
+def q_tpch_q3(spark, sf):
+    """TPC-H Q3 shape (shipping priority): selective dimension filter →
+    two joins → aggregate → top-k. Revenue is rounded BEFORE ranking in
+    both engines so the top-10 cut is deterministic; the limit runs as
+    TakeOrderedAndProject."""
+    cust = load(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = load(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = load(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    j = (orders.join(F.broadcast(cust),
+                     orders["o_custkey"] == cust["c_custkey"])
+         .join(li, li["l_orderkey"] == orders["o_orderkey"]))
+    r = j.groupBy("l_orderkey", "o_orderdate").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2).alias("revenue"))
+    return r.orderBy(F.desc("revenue"), "l_orderkey").limit(10)
+
+
+@_q("v4_tpch_q5", """
+SELECT n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+""")
+def q_tpch_q5(spark, sf):
+    """TPC-H Q5 shape (local supplier volume): six-way star join. The
+    three dimensions (supplier, nation, region) broadcast; only the
+    fact-fact joins shuffle."""
+    cust = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    orders = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = load(spark, sf, "lineitem")
+    sup = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load(spark, sf, "nation")
+    reg = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    j = (orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+         .join(li, li["l_orderkey"] == orders["o_orderkey"])
+         .join(F.broadcast(sup),
+               (li["l_suppkey"] == sup["s_suppkey"])
+               & (cust["c_nationkey"] == sup["s_nationkey"]))
+         .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+         .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"]))
+    return j.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2).alias("revenue"))
+
+
 @_q("x24_fuzzy_join", """
 WITH clean AS (SELECT p_partkey AS clean_id, p_name AS name FROM part),
  dirty AS (SELECT p_partkey AS dirty_id,
