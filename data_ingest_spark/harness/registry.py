@@ -1664,6 +1664,55 @@ def q_percentiles(spark, sf):
         F.round(F.avg("value"), 6).alias("mean_value"))
 
 
+@_q("e9_multires_rollup", """
+SELECT CAST(ts::TIMESTAMP::DATE AS VARCHAR) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+""")
+def q_multires_rollup(spark, sf):
+    """Hypertable-style rollup reuse: the daily aggregate is derived
+    from the HOURLY rollup (sum of partial sums + sum of counts), not
+    from raw events — the incremental-aggregation contract that lets a
+    100 TB store keep only coarse tiers hot. The oracle computes daily
+    from raw, proving the reaggregation is lossless. Rounding happens
+    only at the final tier (partials stay exact doubles)."""
+    ev = events_df(spark, sf)
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"),
+                         "event_type")
+              .agg(F.count("*").alias("n"), F.sum("value").alias("sv")))
+    return (hourly.groupBy(
+        F.col("hour").cast("date").cast("string").alias("day"),
+        "event_type")
+        .agg(F.sum("n").alias("n"),
+             F.round(F.sum("sv"), 2).alias("total_value")))
+
+
+@_q("e10_running_stats", """
+SELECT event_id, user_id, ts,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS n_so_far,
+       ROUND(SUM(value) OVER w, 2) AS value_so_far,
+       ROUND(value - LAG(value) OVER w, 2) AS delta_prev,
+       CAST(date_diff('second', LAG(ts::TIMESTAMP) OVER w, ts::TIMESTAMP)
+            AS BIGINT) AS gap_s
+FROM (SELECT event_id, user_id, value, ts::TIMESTAMP AS ts FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def q_running_stats(spark, sf):
+    """Per-user running aggregates + lag deltas in one window pass
+    (partitioned by user — parallel, no global window)."""
+    ev = events_df(spark, sf)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return ev.select(
+        "event_id", "user_id", "ts",
+        F.row_number().over(w).cast("long").alias("n_so_far"),
+        F.round(F.sum("value").over(wf), 2).alias("value_so_far"),
+        F.round(F.col("value") - F.lag("value").over(w), 2)
+        .alias("delta_prev"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+        .cast("long").alias("gap_s"))
+
+
 # ------------------------------------------------- M: ML stage (M2, M8–M13, pipeline)
 #
 # The deterministic graph ops (kNN, SNN) run on the embeddings table and
