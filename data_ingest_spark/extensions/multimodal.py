@@ -21,8 +21,8 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
-                               StructField, StructType)
+from pyspark.sql.types import (BinaryType, DoubleType, IntegerType, LongType,
+                               StringType, StructField, StructType)
 
 #: Magic-byte sniffing table (prefix → format tag).
 _MAGIC = [
@@ -168,3 +168,49 @@ def frame_sample(df: DataFrame, every_n: int = 8, max_frames: int = 4,
                                 "frame_idx": pd.Series(idxs, dtype="int32"),
                                 "frame": pd.Series(frames, dtype=object)})
     return df.mapInPandas(fn, FRAME_SAMPLE_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_samples", LongType()),
+    StructField("mean_level", DoubleType()),
+    StructField("rms", DoubleType()),
+    StructField("zcr", DoubleType()),
+])
+
+
+def audio_features(df: DataFrame, id_col: str = "doc_id",
+                   bin_col: str = "payload") -> DataFrame:
+    """Audio feature-extraction stage: mean level, RMS energy, and
+    zero-crossing rate per clip.
+
+    The decode stand-in treats the payload as unsigned 8-bit PCM
+    centered at 128 (a real deployment decodes wav/flac here — same
+    contract: binary in, fixed feature schema out). The kernel is a
+    vectorized numpy pass per Arrow batch (mapInPandas): O(bytes),
+    no per-row Python, no shuffle — features come out at scan speed,
+    partitioned exactly like the input."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, mean, rms, zcr = [], [], [], [], []
+            for i, b in zip(pdf[id_col], pdf[bin_col]):
+                x = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.float64)
+                n = x.size
+                ids.append(int(i))
+                ns.append(n)
+                if n == 0:
+                    mean.append(None), rms.append(None), zcr.append(None)
+                    continue
+                c = x - 128.0
+                mean.append(round(float(x.mean()), 6))
+                rms.append(round(float(np.sqrt((c * c).mean())), 6))
+                if n < 2:
+                    zcr.append(0.0)
+                else:
+                    cross = int(((c[:-1] * c[1:]) < 0).sum())
+                    zcr.append(round(cross / (n - 1), 6))
+            yield pd.DataFrame({"doc_id": ids, "n_samples": ns,
+                                "mean_level": mean, "rms": rms, "zcr": zcr})
+    return df.mapInPandas(fn, AUDIO_FEATURES_SCHEMA)

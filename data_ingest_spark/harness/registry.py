@@ -1446,6 +1446,31 @@ def q_stratified_sample(spark, sf):
     return stratified_sample(docs, "doc_id", 0.2, seed=7)
 
 
+@_q("x25_audio_features", """
+WITH b AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hx FROM documents),
+ s AS (SELECT doc_id, i,
+              CAST(concat('0x', substr(hx, 2 * i - 1, 2)) AS INT) AS byte
+       FROM b CROSS JOIN UNNEST(range(1, length(hx) // 2 + 1)) AS t(i)),
+ l AS (SELECT doc_id, byte,
+              LEAD(byte) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+       FROM s)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+       ROUND(AVG(byte), 6) AS mean_level,
+       ROUND(sqrt(AVG((byte - 128.0) * (byte - 128.0))), 6) AS rms,
+       ROUND(SUM(CASE WHEN (byte - 128.0) * (nxt - 128.0) < 0
+                      THEN 1 ELSE 0 END) / (COUNT(*) - 1.0), 6) AS zcr
+FROM l GROUP BY doc_id
+""")
+def q_audio_features(spark, sf):
+    """Audio stage plumbing with a full value oracle: payload bytes as
+    8-bit PCM → mean level / RMS / zero-crossing rate via the numpy
+    mapInPandas kernel. Byte sums are integer-valued doubles, so both
+    engines agree exactly despite different summation orders."""
+    docs = load(spark, sf, "documents").withColumn(
+        "payload", F.col("text").cast("binary"))
+    return mm.audio_features(docs)
+
+
 # ------------------------------------------------- E: event-stream windows
 
 

@@ -200,3 +200,19 @@ def test_fuzzy_join_distance_one_semantics(spark):
                           (16, "scala")]
             if lev(ln, rn) <= 1}
     assert got == want
+
+
+def test_audio_features_known_values(spark):
+    from data_ingest_spark.extensions import multimodal as mm
+    # bytes [100, 156, 100]: centered [-28, 28, -28] -> 2 crossings,
+    # rms = 28, mean = 118.666667
+    df = spark.createDataFrame(
+        [(1, bytes([100, 156, 100])), (2, b""), (3, bytes([7]))],
+        "doc_id long, payload binary")
+    rows = {r["doc_id"]: r for r in mm.audio_features(df).collect()}
+    assert rows[1]["n_samples"] == 3
+    assert rows[1]["mean_level"] == round((100 + 156 + 100) / 3, 6)
+    assert rows[1]["rms"] == 28.0
+    assert rows[1]["zcr"] == 1.0          # 2 crossings / 2 gaps
+    assert rows[2]["rms"] is None         # empty clip -> nulls
+    assert rows[3]["zcr"] == 0.0          # single sample, no gaps
