@@ -1,0 +1,79 @@
+"""Sequence packing and weighted corpus mixing for pretraining.
+
+``pack_sequences`` assigns documents to fixed-token-budget training
+sequences by contiguous packing: order the corpus deterministically,
+take the running token total, and cut a new sequence every ``budget``
+tokens (documents may straddle a cut — exactly how pretraining packs
+token streams; the bin id is the sequence a document *starts* in).
+
+The global running sum is the distributed-prefix-sum pattern (same as
+windows.dense_ids_scalable / ntile_scalable): partition the order key
+into coarse ranges, window-sum within each range in parallel, then
+shift every range by the collected per-range token totals — one small
+driver-side prefix sum, never a single-task global window.
+
+``weighted_mix`` resamples a corpus to target source weights with
+content-addressed Bernoulli draws (seeded md5 bucket < weight·10⁴):
+deterministic, layout-independent, one codegen filter — the standard
+way to hit a data-mixing recipe without a shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from data_ingest_spark.extensions.sampling import BUCKETS, hash_bucket
+
+
+def pack_sequences(df: DataFrame, budget: int,
+                   order_col: str = "doc_id",
+                   token_col: str = "n_tokens",
+                   coarse_ranges: int = 32,
+                   out_col: str = "seq_id") -> DataFrame:
+    """Add ``seq_id``: the 0-based training sequence this row starts
+    in, under contiguous packing at ``budget`` tokens per sequence.
+    Ordering is by ``order_col`` (must be unique)."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    # Monotone coarse split of the order-key domain via approximate
+    # quantile boundaries. The split only controls PARALLELISM: any
+    # monotone bucketing yields the same seq_ids (ranks and offsets
+    # compose to the same global running sum), so approxQuantile's
+    # wobble cannot change the result.
+    probs = [i / coarse_ranges for i in range(1, coarse_ranges)]
+    bounds = df.approxQuantile(order_col, probs, 0.001)
+    expr = F.lit(0)
+    for i, b in enumerate(bounds):
+        expr = F.when(F.col(order_col) > F.lit(b), i + 1).otherwise(expr)
+    d = df.withColumn("_rng", expr.cast("int"))
+
+    totals = (d.groupBy("_rng").agg(F.sum(token_col).alias("t"))
+              .orderBy("_rng").collect())
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[r["_rng"]] = acc
+        acc += r["t"]
+    offmap = (F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+              if offsets else F.create_map())
+
+    w = (W.partitionBy("_rng").orderBy(order_col)
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    run = F.sum(token_col).over(w) + offmap[F.col("_rng")]
+    start = run - F.col(token_col)          # tokens before this doc
+    return (d.withColumn(out_col,
+                         F.floor(start / F.lit(budget)).cast("long"))
+            .drop("_rng"))
+
+
+def weighted_mix(df: DataFrame, weights: dict[str, float],
+                 strata_col: str = "source", id_col: str = "doc_id",
+                 seed: int = 11) -> DataFrame:
+    """Deterministically subsample each stratum to its target weight
+    (fraction in [0, 1]; strata absent from ``weights`` are dropped)."""
+    for k, v in weights.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"weight out of [0,1] for {k}")
+    cut = F.create_map(*[F.lit(x) for k, v in weights.items()
+                         for x in (k, int(round(v * BUCKETS)))])
+    b = hash_bucket(F.col(id_col), seed)
+    return df.filter(b < F.coalesce(cut[F.col(strata_col)], F.lit(0)))

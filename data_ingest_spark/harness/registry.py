@@ -1446,6 +1446,63 @@ def q_stratified_sample(spark, sf):
     return stratified_sample(docs, "doc_id", 0.2, seed=7)
 
 
+@_q("x26_sequence_packing", """
+WITH t AS (SELECT doc_id,
+                  len(string_split_regex(lower(text), '\\s+')) AS n_tokens
+           FROM documents),
+ r AS (SELECT doc_id, n_tokens,
+              SUM(n_tokens) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+                  AS start_tok
+       FROM t),
+ s AS (SELECT doc_id, n_tokens,
+              CAST(FLOOR(start_tok / 2048.0) AS BIGINT) AS seq_id
+       FROM r)
+SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM s GROUP BY 1
+""")
+def q_sequence_packing(spark, sf):
+    """Contiguous sequence packing at 2048 tokens/sequence: each doc's
+    seq_id = floor(tokens-before-it / budget) via the distributed
+    prefix-sum (coarse ranges + offsets — no single-task window),
+    summarized per sequence. The oracle is the naive global window."""
+    from data_ingest_spark.extensions.packing import pack_sequences
+    from data_ingest_spark.extensions.text import tokens_col
+    docs = load(spark, sf, "documents").select(
+        "doc_id", F.size(tokens_col("text")).alias("n_tokens"))
+    packed = pack_sequences(docs, budget=2048, order_col="doc_id",
+                            token_col="n_tokens")
+    return packed.groupBy("seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"))
+
+
+@_q("x27_weighted_mix", f"""
+WITH w AS (SELECT doc_id, source FROM documents
+           WHERE CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                      THEN {{b}} < 10000
+                      WHEN source IN ('src5','src6','src7') THEN {{b}} < 5000
+                      WHEN source IN ('src8','src9') THEN {{b}} < 2500
+                      ELSE FALSE END)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY 1
+""".format(b=_bucket_sql("doc_id", 11)))
+def q_weighted_mix(spark, sf):
+    """Data-mixing recipe: keep 100% of five sources, 50% of three,
+    25% of two, drop the rest — content-addressed Bernoulli draws,
+    zero shuffles before the count."""
+    from data_ingest_spark.extensions.packing import weighted_mix
+    docs = load(spark, sf, "documents")
+    weights = {f"src{i}": 1.0 for i in range(5)}
+    weights.update({f"src{i}": 0.5 for i in range(5, 8)})
+    weights.update({f"src{i}": 0.25 for i in range(8, 10)})
+    mixed = weighted_mix(docs, weights, seed=11)
+    return mixed.groupBy("source").agg(F.count("*").alias("n"))
+
+
 @_q("x25_audio_features", """
 WITH b AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hx FROM documents),
  s AS (SELECT doc_id, i,

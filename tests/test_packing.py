@@ -1,0 +1,55 @@
+"""Sequence packing and weighted mixing (extensions/packing.py)."""
+
+from pyspark.sql import Window, functions as F
+
+from data_ingest_spark.extensions.packing import pack_sequences, weighted_mix
+
+
+def _docs(spark, n=500):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 97 + 1).cast("long").alias("n_tokens"))
+
+
+def test_pack_matches_naive_global_window(spark):
+    docs = _docs(spark)
+    got = {r["doc_id"]: r["seq_id"] for r in
+           pack_sequences(docs, budget=256, coarse_ranges=8).collect()}
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow)
+    naive = {r["doc_id"]: r["seq_id"] for r in docs.withColumn(
+        "seq_id", F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                          / 256).cast("long")).collect()}
+    assert got == naive
+
+
+def test_pack_seq_ids_monotone_and_dense_enough(spark):
+    docs = _docs(spark, 300)
+    rows = sorted(pack_sequences(docs, budget=512).collect(),
+                  key=lambda r: r["doc_id"])
+    seqs = [r["seq_id"] for r in rows]
+    assert seqs[0] == 0
+    assert all(b - a in (0, 1) for a, b in zip(seqs, seqs[1:]))  # no gaps
+
+
+def test_pack_layout_independent(spark):
+    docs = _docs(spark)
+    a = {r["doc_id"]: r["seq_id"] for r in
+         pack_sequences(docs, budget=300, coarse_ranges=4).collect()}
+    b = {r["doc_id"]: r["seq_id"] for r in
+         pack_sequences(docs.repartition(17), budget=300,
+                        coarse_ranges=13).collect()}
+    assert a == b
+
+
+def test_weighted_mix_hits_targets(spark):
+    docs = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string"))
+        .alias("source"))
+    out = weighted_mix(docs, {"s0": 1.0, "s1": 0.5, "s2": 0.0},
+                       seed=3)
+    counts = dict(out.groupBy("source").count().collect())
+    assert counts.get("s0") == 1000          # keep-all is exact
+    assert "s2" not in counts and "s3" not in counts
+    assert abs(counts["s1"] / 1000 - 0.5) < 0.1
