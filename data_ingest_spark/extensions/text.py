@@ -173,3 +173,33 @@ def tf_idf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return (tf.join(dfreq, "token")
             .select(id_col, "token", "tf", "df_count",
                     (F.col("tf") * idf).alias("tfidf")))
+
+
+def chunk_documents(df: DataFrame, size: int = 512, overlap: int = 64,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split each document into fixed-size character chunks with
+    overlap: chunk i covers [i*(size-overlap), i*(size-overlap)+size).
+    Emits (id, chunk_idx, chunk_start, chunk_text, n_chunk_chars).
+
+    Pure codegen: sequence + explode + substring — the chunk explosion
+    happens scan-side with no shuffle and no UDF, so a 100 TB corpus
+    chunks at read speed and the output inherits the input
+    partitioning (chunks of one doc stay in one partition)."""
+    if size <= 0 or not 0 <= overlap < size:
+        raise ValueError("need size > 0 and 0 <= overlap < size")
+    step = size - overlap
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.length(text_col) - F.lit(overlap)) / F.lit(step))
+    ).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx")
+    out = df.select(F.col(id_col), F.length(text_col).alias("_len"),
+                    F.col(text_col).alias("_t"), idx)
+    start = (F.col("chunk_idx") * step).cast("int")
+    chunk = F.substring(F.col("_t"), start + 1, size)
+    return out.select(
+        F.col(id_col), F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.cast("long").alias("chunk_start"),
+        chunk.alias("chunk_text"),
+        F.length(chunk).cast("long").alias("n_chunk_chars"))

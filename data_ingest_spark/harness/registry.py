@@ -1503,6 +1503,25 @@ def q_weighted_mix(spark, sf):
     return mixed.groupBy("source").agg(F.count("*").alias("n"))
 
 
+@_q("x28_chunking", """
+WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+ n AS (SELECT doc_id, text,
+              GREATEST(1, CAST(CEIL((len - 64) / 448.0) AS INT)) AS nc
+       FROM d),
+ c AS (SELECT doc_id, i AS chunk_idx, CAST(i * 448 AS BIGINT) AS chunk_start,
+              substr(text, i * 448 + 1, 512) AS chunk_text
+       FROM n CROSS JOIN UNNEST(range(0, nc)) AS t(i))
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_start,
+       chunk_text, CAST(length(chunk_text) AS BIGINT) AS n_chunk_chars
+FROM c
+""")
+def q_chunking(spark, sf):
+    """RAG/pretraining chunking: 512-char chunks, 64-char overlap —
+    sequence+explode+substring, all codegen, no shuffle, no UDF."""
+    return tx.chunk_documents(load(spark, sf, "documents"),
+                              size=512, overlap=64)
+
+
 @_q("x25_audio_features", """
 WITH b AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hx FROM documents),
  s AS (SELECT doc_id, i,

@@ -53,3 +53,25 @@ def test_weighted_mix_hits_targets(spark):
     assert counts.get("s0") == 1000          # keep-all is exact
     assert "s2" not in counts and "s3" not in counts
     assert abs(counts["s1"] / 1000 - 0.5) < 0.1
+
+
+def test_chunking_covers_text_with_overlap(spark):
+    from data_ingest_spark.extensions.text import chunk_documents
+    text = "abcdefghij" * 10  # 100 chars
+    df = spark.createDataFrame([(1, text), (2, "short")],
+                               "doc_id long, text string")
+    rows = sorted(chunk_documents(df, size=40, overlap=10).collect(),
+                  key=lambda r: (r["doc_id"], r["chunk_idx"]))
+    one = [r for r in rows if r["doc_id"] == 1]
+    # starts step by size-overlap; reassembly of non-overlap parts
+    # reproduces the document exactly
+    assert [r["chunk_start"] for r in one] == [0, 30, 60]
+    rebuilt = one[0]["chunk_text"] + "".join(
+        r["chunk_text"][10:] for r in one[1:])
+    assert rebuilt == text
+    # consecutive chunks agree on their 10-char overlap
+    for a, b in zip(one, one[1:]):
+        assert a["chunk_text"][-10:] == b["chunk_text"][:10] or \
+            len(a["chunk_text"]) < 40
+    short = [r for r in rows if r["doc_id"] == 2]
+    assert len(short) == 1 and short[0]["chunk_text"] == "short"
