@@ -70,3 +70,18 @@ def stratified_sample(df: DataFrame, id_col: str, fraction: float,
         raise ValueError("fraction must be in [0, 1]")
     cut = int(round(fraction * BUCKETS))
     return df.filter(hash_bucket(F.col(id_col), seed) < F.lit(cut))
+
+
+def stratified_quota(df: DataFrame, strata_col: str, k: int,
+                     id_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Exactly ``min(k, stratum size)`` rows per stratum, chosen by
+    hash order — the deterministic 'k examples per source' primitive
+    for eval-set construction. Selection is content-addressed (hash of
+    the id, tie-broken by id), so the drawn set is stable across
+    reruns and layouts; the per-stratum window parallelizes across
+    strata (no global sort)."""
+    from pyspark.sql import Window as W
+    b = hash_bucket(F.col(id_col), seed)
+    w = W.partitionBy(strata_col).orderBy(b.asc(), F.col(id_col).asc())
+    return (df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k).drop("_rk"))

@@ -1446,6 +1446,44 @@ def q_stratified_sample(spark, sf):
     return stratified_sample(docs, "doc_id", 0.2, seed=7)
 
 
+@_q("x29_stratified_quota", f"""
+WITH h AS (SELECT doc_id, source,
+                  {_bucket_sql("doc_id", 42)} AS b
+           FROM documents),
+ r AS (SELECT doc_id, source,
+              ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY b, doc_id) AS rk
+       FROM h)
+SELECT doc_id, source FROM r WHERE rk <= 5
+""")
+def q_stratified_quota(spark, sf):
+    """Exactly-5-per-source eval draw, content-addressed and layout-
+    independent; the oracle replays the same hash order."""
+    from data_ingest_spark.extensions.sampling import stratified_quota
+    docs = load(spark, sf, "documents").select("doc_id", "source")
+    return stratified_quota(docs, "source", k=5, seed=42)
+
+
+def _profile_col_sql(c: str) -> str:
+    return (f"SELECT '{c}' AS \"column\", CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_nulls, "
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"CAST(MIN({c}) AS VARCHAR) AS min_value, "
+            f"CAST(MAX({c}) AS VARCHAR) AS max_value FROM documents")
+
+
+@_q("x30_profile",
+    " UNION ALL ".join(_profile_col_sql(c)
+                       for c in ["doc_id", "text", "lang", "source",
+                                 "n_chars"]))
+def q_profile(spark, sf):
+    """Ingestion data-quality profile of documents: one scan, one row
+    per column (nulls / exact distincts / min / max)."""
+    from data_ingest_spark.extensions.profile import profile_table
+    return profile_table(load(spark, sf, "documents"))
+
+
 @_q("x26_sequence_packing", """
 WITH t AS (SELECT doc_id,
                   len(string_split_regex(lower(text), '\\s+')) AS n_tokens

@@ -56,3 +56,31 @@ def test_sample_plan_is_scan_plus_filter_only(spark):
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_stratified_quota_exact_k_and_stable(spark):
+    from data_ingest_spark.extensions.sampling import stratified_quota
+    docs = _docs(spark)
+    out = stratified_quota(docs, "source", k=3, seed=1)
+    counts = dict(out.groupBy("source").count().collect())
+    sizes = dict(docs.groupBy("source").count().collect())
+    assert all(counts[s] == min(3, sizes[s]) for s in counts)
+    ids1 = {r["doc_id"] for r in out.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in
+            stratified_quota(docs.repartition(9), "source", k=3, seed=1)
+            .select("doc_id").collect()}
+    assert ids1 == ids2
+
+
+def test_profile_counts_and_extremes(spark):
+    from data_ingest_spark.extensions.profile import profile_table
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a")], "id long, v string")
+    p = {r["column"]: r for r in profile_table(df).collect()}
+    assert p["id"]["n_rows"] == 3 and p["id"]["n_nulls"] == 0
+    assert p["id"]["n_distinct"] == 3
+    assert p["id"]["min_value"] == "1" and p["id"]["max_value"] == "3"
+    assert p["v"]["n_nulls"] == 1 and p["v"]["n_distinct"] == 1
+    approx = {r["column"]: r["n_distinct"] for r in
+              profile_table(df, exact_distinct=False).collect()}
+    assert approx["id"] >= 2
