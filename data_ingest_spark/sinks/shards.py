@@ -92,3 +92,31 @@ def verify_shards(spark: SparkSession, path: str, id_col: str = "doc_id",
     a = {tuple(r) for r in manifest.select(*cols).collect()}
     b = {tuple(r) for r in fresh.select(*cols).collect()}
     return a == b
+
+
+def compact_parquet(spark: SparkSession, src: str, dest: str,
+                    target_file_bytes: int = 128 * 1024 * 1024,
+                    sort_cols: list[str] | None = None) -> int:
+    """Rewrite a small-file parquet directory as ``ceil(bytes/target)``
+    right-sized files; returns the output file count.
+
+    Small-file proliferation (streaming micro-batches, per-task
+    outputs) is the classic long-lived-dataset killer: every file costs a
+    driver listing, a footer read, and a task. Input size comes from
+    the filesystem listing, not a scan; the rewrite is one job —
+    repartition(n) (plus optional sortWithinPartitions for locality).
+    Writes to a NEW directory: atomic swap/retirement of the old one
+    is the caller's (catalog's) move.
+    """
+    import glob as _glob
+    import os as _os
+    total = sum(_os.path.getsize(p)
+                for p in _glob.glob(_os.path.join(src, "**", "*.parquet"),
+                                    recursive=True))
+    n = max(1, -(-total // int(target_file_bytes)))
+    df = spark.read.parquet(src)
+    out = df.repartition(n)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    out.write.mode("overwrite").parquet(dest)
+    return n

@@ -69,3 +69,17 @@ def test_snapshot_diff_classifies_all_transitions(spark):
     full = {r["doc_id"]: r["change"] for r in
             snapshot_diff(old, new, include_unchanged=True).collect()}
     assert full[1] == "unchanged" and len(full) == 4
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from data_ingest_spark.sinks.shards import compact_parquet
+    import glob
+    src = str(tmp_path / "frag")
+    _docs(spark).repartition(24).write.parquet(src)
+    assert len(glob.glob(src + "/*.parquet")) == 24
+    dest = str(tmp_path / "compact")
+    n = compact_parquet(spark, src, dest, target_file_bytes=10**9)
+    assert n == 1
+    assert len(glob.glob(dest + "/*.parquet")) == 1
+    assert (spark.read.parquet(dest).count()
+            == spark.read.parquet(src).count())
