@@ -1484,6 +1484,60 @@ def q_profile(spark, sf):
     return profile_table(load(spark, sf, "documents"))
 
 
+@_q("x31_vocab_topk", """
+WITH t AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+           FROM documents),
+ c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+       FROM t WHERE token <> '' GROUP BY 1)
+SELECT token, n FROM c ORDER BY n DESC, token LIMIT 100
+""")
+def q_vocab_topk(spark, sf):
+    """Vocabulary heavy hitters: the canonical wordcount — explode +
+    map-side-combined count + TakeOrderedAndProject top-100 with a
+    token tie-break."""
+    from data_ingest_spark.extensions.text import tokens_col
+    docs = load(spark, sf, "documents")
+    return (docs.select(F.explode(tokens_col("text")).alias("token"))
+            .filter(F.col("token") != "")
+            .groupBy("token").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "token").limit(100))
+
+
+@_q("x32_negative_samples", f"""
+WITH n AS (SELECT COUNT(*) AS total FROM embeddings),
+ j AS (SELECT vec_id, i AS neg_rank
+       FROM embeddings CROSS JOIN UNNEST(range(0, 4)) AS t(i)),
+ h AS (SELECT vec_id, neg_rank,
+              CAST(concat('0x', substr(md5('13:' || CAST(vec_id AS VARCHAR)
+                    || ':' || CAST(neg_rank AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % (SELECT total FROM n) AS raw
+       FROM j)
+SELECT vec_id AS anchor_id, CAST(neg_rank AS BIGINT) AS neg_rank,
+       CAST(CASE WHEN raw = vec_id
+                 THEN (raw + 1) % (SELECT total FROM n)
+                 ELSE raw END AS BIGINT) AS neg_id
+FROM h
+""")
+def q_negative_samples(spark, sf):
+    """Contrastive negative mining: 4 deterministic pseudo-random
+    negatives per anchor from the contiguous id space (seeded md5 mod
+    N, self remapped to the next id) — pure codegen, reproducible
+    across engines and reruns."""
+    emb = load(spark, sf, "embeddings")
+    n = emb.count()
+    h = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.lit("13"), F.col("vec_id").cast("string"),
+        F.col("neg_rank").cast("string")).cast("binary")), 1, 15),
+        16, 10).cast("long") % n
+    return (emb.select("vec_id")
+            .withColumn("neg_rank",
+                        F.explode(F.sequence(F.lit(0), F.lit(3))))
+            .select(F.col("vec_id").alias("anchor_id"),
+                    F.col("neg_rank").cast("long").alias("neg_rank"),
+                    F.when(h == F.col("vec_id"), (h + 1) % n)
+                    .otherwise(h).cast("long").alias("neg_id")))
+
+
 @_q("x26_sequence_packing", """
 WITH t AS (SELECT doc_id,
                   len(string_split_regex(lower(text), '\\s+')) AS n_tokens

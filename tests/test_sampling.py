@@ -84,3 +84,13 @@ def test_profile_counts_and_extremes(spark):
     approx = {r["column"]: r["n_distinct"] for r in
               profile_table(df, exact_distinct=False).collect()}
     assert approx["id"] >= 2
+
+
+def test_negative_samples_properties(spark):
+    from data_ingest_spark.harness import registry
+    fn, _ = registry.REGISTRY["x32_negative_samples"]
+    out = fn(spark, "/root/testdata/sf0.001").collect()
+    n_anchors = len({r["anchor_id"] for r in out})
+    assert len(out) == 4 * n_anchors
+    assert all(r["neg_id"] != r["anchor_id"] for r in out)
+    assert all(0 <= r["neg_id"] < n_anchors for r in out)
