@@ -1906,6 +1906,72 @@ def q_running_stats(spark, sf):
         .cast("long").alias("gap_s"))
 
 
+@_q("e11_funnel", """
+WITH s AS (SELECT user_id, MIN(ts::TIMESTAMP) AS t_signup FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+ c AS (SELECT e.user_id, MIN(e.ts::TIMESTAMP) AS t_click
+       FROM events e JOIN s ON e.user_id = s.user_id
+       WHERE e.event_type = 'click' AND e.ts::TIMESTAMP > s.t_signup
+       GROUP BY 1),
+ p AS (SELECT e.user_id, MIN(e.ts::TIMESTAMP) AS t_purchase
+       FROM events e JOIN c ON e.user_id = c.user_id
+       WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP > c.t_click
+       GROUP BY 1)
+SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_signup,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_after,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_after
+""")
+def q_funnel(spark, sf):
+    """Ordered funnel: signup → later click → later purchase. Each
+    stage is a min-timestamp aggregate joined to the previous stage —
+    three shuffles keyed by user, no window over the full stream."""
+    ev = events_df(spark, sf).select("user_id", "event_type", "ts")
+    s = (ev.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("t_signup")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .join(s, "user_id")
+         .filter(F.col("ts") > F.col("t_signup"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter(F.col("ts") > F.col("t_click"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
+    return (s.agg(F.count("*").alias("n_signup"))
+            .crossJoin(c.agg(F.count("*").alias("n_click_after")))
+            .crossJoin(p.agg(F.count("*").alias("n_purchase_after"))))
+
+
+@_q("e12_cohort_retention", """
+WITH s AS (SELECT user_id,
+                  date_trunc('week', MIN(ts::TIMESTAMP)) AS cohort_week
+           FROM events WHERE event_type = 'signup' GROUP BY 1),
+ a AS (SELECT e.user_id, s.cohort_week,
+              CAST(date_diff('week', s.cohort_week,
+                             date_trunc('week', e.ts::TIMESTAMP))
+                   AS BIGINT) AS week_offset
+       FROM events e JOIN s ON e.user_id = s.user_id
+       WHERE e.ts::TIMESTAMP >= s.cohort_week)
+SELECT cohort_week, week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+FROM a GROUP BY 1, 2
+""")
+def q_cohort_retention(spark, sf):
+    """Cohort retention triangle: users bucketed by first-signup week,
+    counted distinct per week offset of any later activity."""
+    ev = events_df(spark, sf)
+    s = (ev.filter(F.col("event_type") == "signup")
+         .groupBy("user_id")
+         .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week")))
+    a = (ev.join(s, "user_id")
+         .filter(F.col("ts") >= F.col("cohort_week"))
+         .select("user_id", "cohort_week",
+                 ((F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+                   - F.unix_timestamp("cohort_week"))
+                  / (7 * 86400)).cast("long").alias("week_offset")))
+    return (a.groupBy("cohort_week", "week_offset")
+            .agg(F.count_distinct("user_id").alias("active_users")))
+
+
 # ------------------------------------------------- M: ML stage (M2, M8–M13, pipeline)
 #
 # The deterministic graph ops (kNN, SNN) run on the embeddings table and
@@ -2046,6 +2112,33 @@ def q_pagerank(spark, sf):
     from data_ingest_spark.operators.graph import pagerank
     knn = nb.knn_exact(_emb_pc_arr(spark, sf), k=10, id_cols=("barcode",))
     return pagerank(knn.select("src", "dst"), max_iter=5)
+
+
+@_q("g2_triangles", f"""
+WITH {_KNN_EDGES_SQL},
+ d AS (SELECT src, dst FROM r WHERE rank <= 10),
+ u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       FROM d),
+ tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         FROM u e1 JOIN u e2 ON e1.b = e2.a
+         JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri
+""")
+def q_triangles(spark, sf):
+    """Triangle count on the undirected kNN graph: canonical-order
+    edges (a<b) joined twice — the standard distributed formulation;
+    each join keys on a vertex so the shuffle is by node, and the
+    ordering ensures each triangle counts exactly once."""
+    from data_ingest_spark.operators import neighbors as nb
+    knn = nb.knn_exact(_emb_pc_arr(spark, sf), k=10, id_cols=("barcode",))
+    u = (knn.select(F.least("src", "dst").alias("a"),
+                    F.greatest("src", "dst").alias("b"))
+         .distinct())
+    e1 = u.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = u.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = u.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    return tri.agg(F.count("*").alias("n_triangles"))
 
 
 @_q("m13_louvain")
