@@ -266,3 +266,22 @@ def dedup_against(incoming: DataFrame, existing: DataFrame,
     )
     return (batch_first.join(seen, "_h", "left_anti")
             .drop("_h", "_rk"))
+
+
+def cap_repetitions(df: DataFrame, k: int = 2, id_col: str = "doc_id",
+                    text_col: str = "text", seed: int = 5) -> DataFrame:
+    """Repetition control: keep at most ``k`` copies of any identical
+    content (training corpora tolerate a few repeats, not hundreds).
+    Survivors are chosen by content-addressed hash order (seeded md5 of
+    the id, tie-broken by id) so the kept set is layout-stable; the
+    window partitions by content hash — parallel across contents, and
+    the heaviest key's partition is bounded by the largest duplicate
+    group, which capping itself keeps from mattering downstream."""
+    from data_ingest_spark.extensions.sampling import hash_bucket
+    h = F.md5(F.col(text_col).cast("binary"))
+    b = hash_bucket(F.col(id_col), seed)
+    w = W.partitionBy("_h").orderBy(b.asc(), F.col(id_col).asc())
+    return (df.withColumn("_h", h)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .drop("_h", "_rk"))

@@ -1538,6 +1538,45 @@ def q_negative_samples(spark, sf):
                     .otherwise(h).cast("long").alias("neg_id")))
 
 
+@_q("x33_cap_repetitions", f"""
+WITH corpus AS (SELECT doc_id, text FROM documents
+                UNION ALL SELECT doc_id + 1000000, text FROM documents
+                WHERE doc_id % 5 = 0
+                UNION ALL SELECT doc_id + 2000000, text FROM documents
+                WHERE doc_id % 10 = 0),
+ r AS (SELECT doc_id, md5(text) AS h,
+              ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                 ORDER BY {_bucket_sql("doc_id", 5)},
+                                          doc_id) AS rk
+       FROM corpus)
+SELECT h AS content_hash, CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN rk <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM r GROUP BY 1 HAVING COUNT(*) > 1
+""")
+def q_cap_repetitions(spark, sf):
+    """Repetition capping at k=2 over a corpus with planted 2x/3x
+    duplicates; reports kept-vs-total per duplicated content."""
+    from data_ingest_spark.extensions.dedup import cap_repetitions
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    corpus = (docs
+              .unionAll(docs.filter(F.col("doc_id") % 5 == 0)
+                        .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                                "text"))
+              .unionAll(docs.filter(F.col("doc_id") % 10 == 0)
+                        .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                                "text")))
+    kept = cap_repetitions(corpus, k=2, seed=5)
+    h = F.md5(F.col("text").cast("binary"))
+    totals = (corpus.select(h.alias("content_hash"))
+              .groupBy("content_hash")
+              .agg(F.count("*").alias("n_total"))
+              .filter(F.col("n_total") > 1))
+    kc = (kept.select(h.alias("content_hash"))
+          .groupBy("content_hash").agg(F.count("*").alias("n_kept")))
+    return totals.join(kc, "content_hash").select(
+        "content_hash", "n_total", "n_kept")
+
+
 @_q("x26_sequence_packing", """
 WITH t AS (SELECT doc_id,
                   len(string_split_regex(lower(text), '\\s+')) AS n_tokens

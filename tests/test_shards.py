@@ -83,3 +83,17 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     assert len(glob.glob(dest + "/*.parquet")) == 1
     assert (spark.read.parquet(dest).count()
             == spark.read.parquet(src).count())
+
+
+def test_cap_repetitions_keeps_at_most_k(spark):
+    from data_ingest_spark.extensions.dedup import cap_repetitions
+    rows = [(i, "dup") for i in range(10)] + [(100, "unique")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = cap_repetitions(df, k=3)
+    counts = dict(out.groupBy("text").count().collect())
+    assert counts == {"dup": 3, "unique": 1}
+    # layout-stable survivor set
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in
+         cap_repetitions(df.repartition(7), k=3).collect()}
+    assert a == b
