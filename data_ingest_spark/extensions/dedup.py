@@ -268,6 +268,37 @@ def dedup_against(incoming: DataFrame, existing: DataFrame,
             .drop("_h", "_rk"))
 
 
+def decontaminate(corpus: DataFrame, benchmark: DataFrame, k: int = 3,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: for each corpus document, count how
+    many of its distinct word ``k``-shingles also occur anywhere in the
+    ``benchmark`` set (the standard n-gram-overlap test-set-leakage
+    check for training corpora). Returns
+    ``(doc_id, n_hit_shingles, n_shingles, contaminated)`` for
+    documents with at least one hit; join back anti-style to drop them.
+
+    Plan shape: the benchmark side collapses to DISTINCT shingles
+    before the join — at 100 TB the corpus explodes scan-side while the
+    benchmark (test sets are tiny) broadcasts, so the only shuffle is
+    the final groupBy(doc_id) count, proportional to *hits*, not to
+    corpus size. No all-pairs comparison anywhere.
+    """
+    bench_sh = (benchmark
+                .select(F.explode(shingles_col(text_col, k)).alias("_sh"))
+                .distinct())
+    corpus_sh = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_col(text_col, k))).alias("_sh"))
+    sizes = corpus_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    hits = (corpus_sh.join(F.broadcast(bench_sh), "_sh")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_hit_shingles")))
+    return (hits.join(sizes, id_col)
+            .select(id_col, "n_hit_shingles", "n_shingles",
+                    F.lit(True).alias("contaminated")))
+
+
 def cap_repetitions(df: DataFrame, k: int = 2, id_col: str = "doc_id",
                     text_col: str = "text", seed: int = 5) -> DataFrame:
     """Repetition control: keep at most ``k`` copies of any identical

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from data_ingest_spark.extensions.text import tokens_col
+
 
 def profile_table(df: DataFrame, cols: list[str] | None = None,
                   exact_distinct: bool = True) -> DataFrame:
@@ -43,3 +45,46 @@ def profile_table(df: DataFrame, cols: list[str] | None = None,
                  F.col(f"_max_{c}").alias("max_value"))
         for c in cols])
     return row.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def token_drift(df: DataFrame, group_col: str = "source", top_k: int = 5,
+                text_col: str = "text") -> DataFrame:
+    """Distribution-drift detector: for each group (corpus slice), the
+    ``top_k`` most over-represented tokens versus the whole corpus.
+
+    The drift score is the exact-integer cross product
+    ``n_gt * total_tokens - n_t * group_tokens`` (positive ⇔ token t is
+    over-represented in group g relative to the corpus) — the numerator
+    of the p_g(t) − p(t) difference cleared of denominators. Integer
+    arithmetic keeps it bit-exact across engines and summation orders,
+    where a float KL/PSI would differ in the last ulp.
+
+    Plan shape: one explode → one groupBy(group, token) map-side
+    combined count; the token-marginal and the two totals derive from
+    that aggregate (token marginal is a second small shuffle on token);
+    the top-k per group is a window over groups — parallel across
+    groups, partition size = vocabulary of one group. At 100 TB the
+    per-(group, token) aggregate is the only corpus-sized shuffle.
+    """
+    from pyspark.sql import Window as W
+    tok = df.select(F.col(group_col).alias("grp"),
+                    F.explode(tokens_col(text_col)).alias("token"))
+    gt = tok.groupBy("grp", "token").agg(F.count("*").alias("n_gt"))
+    t_marg = gt.groupBy("token").agg(F.sum("n_gt").alias("n_t"))
+    g_tot = gt.groupBy("grp").agg(F.sum("n_gt").alias("g_tokens"))
+    total = gt.agg(F.sum("n_gt").alias("all_tokens"))
+    # t_marg is vocabulary-sized — leave the join strategy to AQE
+    # (shuffle-join on token at 100 TB; auto-broadcast when small).
+    scored = (gt.join(t_marg, "token")
+              .join(F.broadcast(g_tot), "grp")
+              .crossJoin(F.broadcast(total))
+              .select("grp", "token",
+                      (F.col("n_gt") * F.col("all_tokens")
+                       - F.col("n_t") * F.col("g_tokens"))
+                      .alias("drift_score")))
+    w = W.partitionBy("grp").orderBy(F.col("drift_score").desc(),
+                                     F.col("token").asc())
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= top_k)
+            .select(F.col("grp").alias(group_col), "token",
+                    "drift_score", F.col("rk").cast("long").alias("rk")))

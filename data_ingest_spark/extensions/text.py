@@ -175,6 +175,74 @@ def tf_idf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                     (F.col("tf") * idf).alias("tfidf")))
 
 
+# PII patterns deliberately restricted to syntax with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB): character classes,
+# bounded repetition, \d, word boundaries.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d[\d ()-]{7,}\d",
+}
+
+
+def pii_redact(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """PII scrubbing: replace emails, IPv4 addresses, and international
+    phone numbers with ``[EMAIL]`` / ``[IP]`` / ``[PHONE]`` tokens and
+    count each redaction class. Returns
+    ``(doc_id, clean_text, n_email, n_ipv4, n_phone)``.
+
+    Map-only codegen stage (regexp_extract_all + regexp_replace, no
+    UDF, no shuffle): at 100 TB this runs at parquet scan speed and
+    pushes down the column projection. Patterns are applied
+    longest-capture-first (email before phone) so a digit-bearing email
+    local-part is not double-redacted."""
+    # F.regexp_extract_all with a lit pattern (not F.expr) so the Java
+    # regex reaches the engine unmangled by SQL string-literal escapes.
+    counts = {
+        name: F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
+        for name, pat in PII_PATTERNS.items()
+    }
+    clean = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        clean = F.regexp_replace(clean, pat, f"[{name.upper()[:5]}]")
+    return df.select(
+        F.col(id_col), clean.alias("clean_text"),
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["phone"].alias("n_phone"),
+    )
+
+
+def bpe_pair_counts(df: DataFrame, top_k: int = 50,
+                    text_col: str = "text") -> DataFrame:
+    """First iteration of BPE vocabulary training: global counts of
+    adjacent character pairs inside words, weighted by word frequency.
+    Returns the ``top_k`` pairs as ``(pair, pair_count)`` with a
+    deterministic tie-break on the pair string.
+
+    Plan shape: explode tokens → groupBy(word) count (map-side
+    combined, so the pair stage works on the *vocabulary*, not the
+    corpus — the classic BPE trick) → explode character pairs of each
+    vocab word → groupBy(pair) weighted sum → top-k. Two shuffles, both
+    keyed on low-cardinality keys; the corpus-sized explode never
+    leaves the scan stage. All-integer arithmetic, so exact across
+    engines."""
+    words = (df.select(F.explode(tokens_col(text_col)).alias("w"))
+             .filter(F.length("w") >= 2)
+             .groupBy("w").agg(F.count("*").alias("f")))
+    pairs = words.select(
+        F.explode(F.expr(
+            "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"
+        )).alias("pair"),
+        F.col("f"))
+    counts = pairs.groupBy("pair").agg(F.sum("f").alias("pair_count"))
+    # orderBy+limit compiles to TakeOrderedAndProject: per-partition
+    # top-k then a driver merge of k rows — no single-task window.
+    return counts.orderBy(F.col("pair_count").desc(),
+                          F.col("pair").asc()).limit(top_k)
+
+
 def chunk_documents(df: DataFrame, size: int = 512, overlap: int = 64,
                     id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:

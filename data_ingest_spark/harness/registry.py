@@ -2289,6 +2289,114 @@ def q_qc_pipeline(spark, sf):
                               F.col("nFeature_RNA").cast("long").alias("nfeature"))
 
 
+@_q("x34_decontam", f"""
+WITH src AS (SELECT doc_id, text FROM documents),{_shingle_ctes('src')},
+ bsh AS (SELECT DISTINCT shingle FROM shx WHERE doc_id % 97 = 0),
+ csh AS (SELECT doc_id, shingle FROM shx WHERE doc_id % 97 <> 0),
+ sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM csh GROUP BY 1),
+ hits AS (SELECT c.doc_id, COUNT(*) AS n_hit
+          FROM csh c JOIN bsh b ON c.shingle = b.shingle GROUP BY 1)
+SELECT h.doc_id, CAST(h.n_hit AS BIGINT) AS n_hit_shingles,
+       CAST(s.n_shingles AS BIGINT) AS n_shingles, TRUE AS contaminated
+FROM hits h JOIN sizes s ON s.doc_id = h.doc_id
+""")
+def q_decontam(spark, sf):
+    """Benchmark decontamination: docs sharing any 3-gram with the
+    held-out 'benchmark' slice (doc_id % 97 = 0). Benchmark shingles
+    broadcast; only the hit counts shuffle."""
+    docs = load(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return dd.decontaminate(corpus, bench, k=3)
+
+
+def _pii_oracle_sql() -> str:
+    from data_ingest_spark.extensions.text import PII_PATTERNS
+    e, i, p = (PII_PATTERNS["email"], PII_PATTERNS["ipv4"],
+               PII_PATTERNS["phone"])
+    aug = ("text || ' contact doc' || CAST(doc_id AS VARCHAR)"
+           " || '@example.com from 10.0.'"
+           " || CAST(doc_id % 256 AS VARCHAR) || '.7 call +1 555 000 '"
+           " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')")
+    return f"""
+WITH aug AS (SELECT doc_id, {aug} AS t FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(
+    t, '{e}', '[EMAIL]', 'g'), '{i}', '[IPV4]', 'g'),
+    '{p}', '[PHONE]', 'g') AS clean_text,
+  CAST(len(regexp_extract_all(t, '{e}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(t, '{i}')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(t, '{p}')) AS BIGINT) AS n_phone
+FROM aug
+"""
+
+
+@_q("x35_pii_redact", _pii_oracle_sql())
+def q_pii_redact(spark, sf):
+    """PII scrubbing over a deterministically augmented corpus (each
+    doc gets a synthetic email/IP/phone derived from doc_id, so the
+    oracle checks real redactions, not all-zero counts)."""
+    from data_ingest_spark.extensions.text import pii_redact
+    docs = load(spark, sf, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact doc"),
+            F.col("doc_id").cast("string"), F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +1 555 000 "),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"))
+    out = pii_redact(aug)
+    return out.select("doc_id", "clean_text",
+                      F.col("n_email").cast("long").alias("n_email"),
+                      F.col("n_ipv4").cast("long").alias("n_ipv4"),
+                      F.col("n_phone").cast("long").alias("n_phone"))
+
+
+@_q("x36_bpe_pairs", """
+WITH t AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+           FROM documents),
+ wf AS (SELECT w, COUNT(*) AS f FROM t WHERE length(w) >= 2 GROUP BY 1),
+ p AS (SELECT unnest([substr(w, i, 2) FOR i IN
+                      generate_series(1, length(w) - 1)]) AS pair, f
+       FROM wf),
+ c AS (SELECT pair, CAST(SUM(f) AS BIGINT) AS pair_count FROM p GROUP BY 1)
+SELECT pair, pair_count FROM c ORDER BY pair_count DESC, pair LIMIT 50
+""")
+def q_bpe_pairs(spark, sf):
+    """First BPE merge iteration: adjacent-char pair counts over the
+    vocabulary, weighted by word frequency; integer-exact top-50."""
+    from data_ingest_spark.extensions.text import bpe_pair_counts
+    return bpe_pair_counts(load(spark, sf, "documents"), top_k=50)
+
+
+@_q("x37_token_drift", """
+WITH tok AS (SELECT source AS grp,
+                    unnest(string_split_regex(lower(text), '\\s+')) AS token
+             FROM documents),
+ gt AS (SELECT grp, token, COUNT(*) AS n_gt FROM tok GROUP BY 1, 2),
+ tm AS (SELECT token, SUM(n_gt) AS n_t FROM gt GROUP BY 1),
+ gtot AS (SELECT grp, SUM(n_gt) AS g_tokens FROM gt GROUP BY 1),
+ tot AS (SELECT SUM(n_gt) AS all_tokens FROM gt),
+ sc AS (SELECT g.grp, g.token,
+               g.n_gt * t.all_tokens - m.n_t * go.g_tokens AS drift_score
+        FROM gt g JOIN tm m USING (token) JOIN gtot go USING (grp)
+             CROSS JOIN tot t),
+ rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
+                  ORDER BY drift_score DESC, token) AS rk FROM sc)
+SELECT grp AS source, token, CAST(drift_score AS BIGINT) AS drift_score,
+       CAST(rk AS BIGINT) AS rk
+FROM rk WHERE rk <= 5
+""")
+def q_token_drift(spark, sf):
+    """Per-source distribution drift: top-5 over-represented tokens by
+    the exact-integer cross-product score (no float KL, bit-exact)."""
+    from data_ingest_spark.extensions.profile import token_drift
+    return token_drift(load(spark, sf, "documents"), group_col="source",
+                       top_k=5)
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -216,3 +216,49 @@ def test_audio_features_known_values(spark):
     assert rows[1]["zcr"] == 1.0          # 2 crossings / 2 gaps
     assert rows[2]["rms"] is None         # empty clip -> nulls
     assert rows[3]["zcr"] == 0.0          # single sample, no gaps
+
+
+def test_decontaminate_flags_shared_ngrams(docs):
+    bench = docs.filter(F.col("doc_id") == 1)
+    corpus = docs.filter(F.col("doc_id") > 1)
+    hits = {r["doc_id"]: r for r in dd.decontaminate(corpus, bench).collect()}
+    assert 2 in hits                       # exact copy: all shingles hit
+    assert hits[2]["n_hit_shingles"] == hits[2]["n_shingles"]
+    assert 3 in hits                       # near-dup shares most 3-grams
+    assert 0 < hits[3]["n_hit_shingles"] < hits[3]["n_shingles"]
+    assert 4 not in hits and 5 not in hits  # unrelated docs clean
+
+
+def test_pii_redact_counts_and_text(spark):
+    rows = [(1, "mail a@b.co and c.d@e.org ip 10.0.0.1 call +1 555 123 4567"),
+            (2, "no pii here at all")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in tx.pii_redact(df).collect()}
+    assert out[1]["n_email"] == 2 and out[1]["n_ipv4"] == 1
+    assert out[1]["n_phone"] == 1
+    assert out[1]["clean_text"] == \
+        "mail [EMAIL] and [EMAIL] ip [IPV4] call [PHONE]"
+    assert out[2]["clean_text"] == "no pii here at all"
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 0, 0)
+
+
+def test_bpe_pair_counts_weighted_by_word_freq(spark):
+    rows = [(1, "aa aa ab"), (2, "aa ba")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {r["pair"]: r["pair_count"]
+             for r in tx.bpe_pair_counts(df).collect()}
+    assert pairs == {"aa": 3, "ab": 1, "ba": 1}
+
+
+def test_token_drift_exact_scores(spark):
+    from data_ingest_spark.extensions.profile import token_drift
+    rows = [(1, "x x y", "s1"), (2, "y y y", "s2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r["source"], r["token"]): r["drift_score"]
+           for r in token_drift(df, top_k=2).collect()}
+    # s1: x appears 2/3 locally vs 2/6 globally -> 2*6 - 2*3 = 6
+    assert out[("s1", "x")] == 6
+    # s2: y appears 3/3 locally vs 4/6 globally -> 3*6 - 4*3 = 6
+    assert out[("s2", "y")] == 6
+    # under-represented tokens score negative
+    assert out[("s1", "y")] == 1 * 6 - 4 * 3
