@@ -49,6 +49,9 @@ HEADLINE = [
     "g1_pagerank",
     "v2_tpch_q1",
     "v4_tpch_q5",
+    "x34_decontam",
+    "x36_bpe_pairs",
+    "p3_curate",
 ]
 
 

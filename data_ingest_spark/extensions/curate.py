@@ -1,0 +1,54 @@
+"""End-to-end LLM corpus curation: the composed pipeline a training
+run actually executes, built entirely from the extension operators so
+the whole chain stays one lazy Spark plan.
+
+Stages (each individually oracle-checked elsewhere; the composition is
+oracle-checked as ``p3_curate``):
+
+  1. PII redaction           — map-only regex scrub (text.pii_redact)
+  2. Quality gate            — min whitespace-token count, map-only
+  3. Exact dedup, keep-first — one shuffle on content hash
+  4. Benchmark decontamination — n-gram overlap vs a held-out set,
+                               benchmark side broadcast (dedup.decontaminate)
+  5. Deterministic split     — content-addressed train/valid/test
+                               assignment, map-only (sampling.hash_split)
+
+100 TB posture: stages 1, 2, and 5 are narrow (scan-speed, no
+shuffle); stage 3 shuffles (hash, id) pairs once; stage 4 shuffles
+only shingle *hits*. Nothing collects to the driver; split assignment
+is a pure function of (seed, doc_id) so reruns and incremental
+arrivals never reshuffle existing examples across splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from data_ingest_spark.extensions.dedup import (decontaminate,
+                                                dedup_keep_first)
+from data_ingest_spark.extensions.sampling import hash_split
+from data_ingest_spark.extensions.text import pii_redact, tokens_col
+
+DEFAULT_SPLITS = {"train": 0.9, "valid": 0.05, "test": 0.05}
+
+
+def curate_corpus(docs: DataFrame, benchmark: DataFrame | None = None,
+                  min_tokens: int = 30, shingle_k: int = 3,
+                  weights: dict[str, float] | None = None,
+                  seed: int = 42, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Run the full curation chain; returns
+    ``(doc_id, split, n_tokens)`` for every surviving document."""
+    weights = weights or DEFAULT_SPLITS
+    red = pii_redact(docs, id_col=id_col, text_col=text_col)
+    clean = (red.select(id_col, F.col("clean_text").alias(text_col))
+             .withColumn("n_tokens", F.size(tokens_col(text_col)))
+             .filter(F.col("n_tokens") >= min_tokens))
+    kept = dedup_keep_first(clean, id_col=id_col, text_col=text_col)
+    if benchmark is not None:
+        hits = decontaminate(kept, benchmark, k=shingle_k,
+                             id_col=id_col, text_col=text_col)
+        kept = kept.join(hits.select(id_col), id_col, "left_anti")
+    out = hash_split(kept, id_col, weights, seed=seed)
+    return out.select(id_col, "split",
+                      F.col("n_tokens").cast("long").alias("n_tokens"))

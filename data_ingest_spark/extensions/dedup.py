@@ -280,21 +280,24 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame, k: int = 3,
 
     Plan shape: the benchmark side collapses to DISTINCT shingles
     before the join — at 100 TB the corpus explodes scan-side while the
-    benchmark (test sets are tiny) broadcasts, so the only shuffle is
-    the final groupBy(doc_id) count, proportional to *hits*, not to
-    corpus size. No all-pairs comparison anywhere.
+    benchmark (test sets are tiny) broadcasts. Hit marking is a LEFT
+    broadcast join, so the shingle count and the hit count come out of
+    ONE groupBy(doc_id) over a single corpus scan — no second
+    evaluation of the (interpreted-lambda) shingle expression. No
+    all-pairs comparison anywhere.
     """
     bench_sh = (benchmark
                 .select(F.explode(shingles_col(text_col, k)).alias("_sh"))
-                .distinct())
+                .distinct()
+                .withColumn("_hit", F.lit(1)))
     corpus_sh = corpus.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles_col(text_col, k))).alias("_sh"))
-    sizes = corpus_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    hits = (corpus_sh.join(F.broadcast(bench_sh), "_sh")
-            .groupBy(id_col)
-            .agg(F.count("*").alias("n_hit_shingles")))
-    return (hits.join(sizes, id_col)
+    marked = corpus_sh.join(F.broadcast(bench_sh), "_sh", "left")
+    agg = marked.groupBy(id_col).agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit_shingles"))
+    return (agg.filter(F.col("n_hit_shingles") > 0)
             .select(id_col, "n_hit_shingles", "n_shingles",
                     F.lit(True).alias("contaminated")))
 

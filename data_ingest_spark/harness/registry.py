@@ -2397,6 +2397,60 @@ def q_token_drift(spark, sf):
                        top_k=5)
 
 
+def _curate_oracle_sql() -> str:
+    from data_ingest_spark.extensions.sampling import hash_bucket_sql
+    from data_ingest_spark.extensions.text import PII_PATTERNS
+    e, i, p = (PII_PATTERNS["email"], PII_PATTERNS["ipv4"],
+               PII_PATTERNS["phone"])
+    b = hash_bucket_sql("doc_id", 42)
+    sh = ("CASE WHEN len(tk) >= 3 THEN [tk[i] || ' ' || tk[i+1] || ' ' || "
+          "tk[i+2] FOR i IN generate_series(1, len(tk) - 2)] "
+          "ELSE [array_to_string(tk, ' ')] END")
+    return f"""
+WITH red AS (SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(
+          text, '{e}', '[EMAIL]', 'g'), '{i}', '[IPV4]', 'g'),
+          '{p}', '[PHONE]', 'g') AS t
+      FROM documents WHERE doc_id % 97 <> 0),
+ qual AS (SELECT doc_id, t,
+                 len(string_split_regex(lower(t), '\\s+')) AS n_tokens
+          FROM red
+          WHERE len(string_split_regex(lower(t), '\\s+')) >= 30),
+ first AS (SELECT doc_id, t, n_tokens, ROW_NUMBER() OVER (
+             PARTITION BY md5(t) ORDER BY doc_id) AS rk FROM qual),
+ kept AS (SELECT doc_id, t, n_tokens FROM first WHERE rk = 1),
+ ctoks AS (SELECT doc_id, string_split_regex(lower(t), '\\s+') AS tk
+           FROM kept),
+ csh AS (SELECT DISTINCT doc_id, unnest({sh}) AS shingle FROM ctoks),
+ btoks AS (SELECT string_split_regex(lower(text), '\\s+') AS tk
+           FROM documents WHERE doc_id % 97 = 0),
+ bsh AS (SELECT DISTINCT unnest({sh}) AS shingle FROM btoks),
+ dirty AS (SELECT DISTINCT c.doc_id FROM csh c JOIN bsh b USING (shingle)),
+ clean AS (SELECT k.doc_id, k.n_tokens FROM kept k
+           LEFT JOIN dirty d ON k.doc_id = d.doc_id
+           WHERE d.doc_id IS NULL)
+SELECT doc_id,
+       CASE WHEN {b} < 9000 THEN 'train'
+            WHEN {b} < 9500 THEN 'valid'
+            ELSE 'test' END AS split,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM clean
+"""
+
+
+@_q("p3_curate", _curate_oracle_sql())
+def q_curate(spark, sf):
+    """End-to-end corpus curation under a full value oracle: PII scrub
+    → min-token quality gate → exact dedup keep-first → benchmark
+    decontamination (held-out doc_id % 97 = 0 slice) → deterministic
+    content-addressed train/valid/test split."""
+    from data_ingest_spark.extensions.curate import curate_corpus
+    docs = load(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return curate_corpus(corpus, bench, min_tokens=30)
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

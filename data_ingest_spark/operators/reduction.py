@@ -24,6 +24,9 @@ def assemble_vectors(values: DataFrame, hvgs: DataFrame,
     vectors over the HVG vocabulary. The gene→index map is the
     broadcast side; assembly is one groupBy over the (already
     HVG-filtered) long table."""
+    # Ungrouped window is intentional: the vocabulary is the HVG list,
+    # bounded by nfeatures (~2000) regardless of corpus size, so the
+    # single task holds thousands of rows, never the data.
     vocab = hvgs.select("gene").distinct().withColumn(
         "_gidx", F.row_number().over(W.orderBy("gene")) - 1)
     dim = vocab.count()

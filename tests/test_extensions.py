@@ -262,3 +262,25 @@ def test_token_drift_exact_scores(spark):
     assert out[("s2", "y")] == 6
     # under-represented tokens score negative
     assert out[("s1", "y")] == 1 * 6 - 4 * 3
+
+
+def test_curate_corpus_stage_semantics(spark):
+    from data_ingest_spark.extensions.curate import curate_corpus
+    long_a = " ".join(f"w{i}" for i in range(40))
+    long_b = " ".join(f"v{i}" for i in range(40))
+    rows = [
+        (1, long_a + " unique tail one"),
+        (2, long_a + " unique tail one"),        # exact dup of 1 -> dropped
+        (3, "too short to pass the gate"),       # quality-gated
+        (4, long_b + " contaminated by bench"),  # shares bench shingles
+        (5, "leak marker contaminated by bench "
+            + " ".join(f"b{i}" for i in range(30))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = docs.filter(F.col("doc_id") == 5)
+    corpus = docs.filter(F.col("doc_id") < 5)
+    out = {r["doc_id"]: r for r in
+           curate_corpus(corpus, bench, min_tokens=30).collect()}
+    assert set(out) == {1}                      # 2 dup, 3 short, 4 dirty
+    assert out[1]["split"] in {"train", "valid", "test"}
+    assert out[1]["n_tokens"] == 43
