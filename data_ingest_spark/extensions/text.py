@@ -243,6 +243,45 @@ def bpe_pair_counts(df: DataFrame, top_k: int = 50,
                           F.col("pair").asc()).limit(top_k)
 
 
+def tokenize_with_vocab(df: DataFrame, vocab_size: int = 1000,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Corpus tokenization: build a frequency-ranked word vocabulary
+    (id = dense rank, most frequent = 0, ties broken by token) and map
+    every document to its id sequence; out-of-vocabulary tokens map to
+    -1. Returns ``(doc_id, ids_csv, n_tokens, n_oov)`` with the id
+    sequence in document order.
+
+    Plan shape: one explode → groupBy(token) count (map-side combined)
+    → top-``vocab_size`` via TakeOrderedAndProject → rank window over
+    the *vocabulary* (bounded by vocab_size, never the corpus) → the
+    vocab broadcasts back onto the exploded tokens → one
+    groupBy(doc_id) rebuilds sequences. Two corpus-sized shuffles
+    total; the vocabulary is the only driver-adjacent object and is
+    capped by construction."""
+    from pyspark.sql import Window as W
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_col(text_col)).alias("pos", "token"))
+    counts = (toks.groupBy("token").agg(F.count("*").alias("c"))
+              .orderBy(F.col("c").desc(), F.col("token").asc())
+              .limit(vocab_size))
+    vocab = counts.withColumn(
+        "tid", F.row_number().over(
+            W.orderBy(F.col("c").desc(), F.col("token").asc())) - 1)
+    mapped = (toks.join(F.broadcast(vocab.select("token", "tid")),
+                        "token", "left")
+              .select(id_col, "pos",
+                      F.coalesce(F.col("tid"), F.lit(-1)).alias("tid")))
+    seq = F.transform(
+        F.sort_array(F.collect_list(F.struct("pos", "tid"))),
+        lambda s: s["tid"].cast("string"))
+    return (mapped.groupBy(id_col)
+            .agg(F.concat_ws(",", seq).alias("ids_csv"),
+                 F.count("*").cast("long").alias("n_tokens"),
+                 F.sum((F.col("tid") == -1).cast("long")).alias("n_oov")))
+
+
 def chunk_documents(df: DataFrame, size: int = 512, overlap: int = 64,
                     id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:

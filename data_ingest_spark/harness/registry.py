@@ -2451,6 +2451,33 @@ def q_curate(spark, sf):
     return curate_corpus(corpus, bench, min_tokens=30)
 
 
+@_q("x38_tokenize_ids", """
+WITH toks AS (SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\\s+')) AS token,
+                     unnest(generate_series(1,
+                       len(string_split_regex(lower(text), '\\s+')))) AS pos
+              FROM documents),
+ counts AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY 1
+            ORDER BY c DESC, token LIMIT 1000),
+ vocab AS (SELECT token, ROW_NUMBER() OVER (ORDER BY c DESC, token) - 1 AS tid
+           FROM counts)
+SELECT t.doc_id,
+       string_agg(CAST(COALESCE(v.tid, -1) AS VARCHAR), ','
+                  ORDER BY t.pos) AS ids_csv,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov
+FROM toks t LEFT JOIN vocab v ON v.token = t.token
+GROUP BY t.doc_id
+""")
+def q_tokenize_ids(spark, sf):
+    """Vocab tokenization: frequency-ranked 1000-word vocabulary, docs
+    mapped to id sequences (OOV = -1), sequence order preserved."""
+    from data_ingest_spark.extensions.text import tokenize_with_vocab
+    return tokenize_with_vocab(load(spark, sf, "documents"),
+                               vocab_size=1000)
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

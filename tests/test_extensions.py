@@ -284,3 +284,14 @@ def test_curate_corpus_stage_semantics(spark):
     assert set(out) == {1}                      # 2 dup, 3 short, 4 dirty
     assert out[1]["split"] in {"train", "valid", "test"}
     assert out[1]["n_tokens"] == 43
+
+
+def test_tokenize_with_vocab_ids_and_oov(spark):
+    rows = [(1, "b a b c"), (2, "a a b zz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           tx.tokenize_with_vocab(df, vocab_size=3).collect()}
+    # counts: a=3, b=3, c=1, zz=1 -> vocab a=0, b=1, c=2 (ties by token)
+    assert out[1]["ids_csv"] == "1,0,1,2"
+    assert out[2]["ids_csv"] == "0,0,1,-1" and out[2]["n_oov"] == 1
+    assert out[2]["n_tokens"] == 4
