@@ -35,3 +35,37 @@ def snapshot_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
     if not include_unchanged:
         out = out.filter(F.col("change") != "unchanged")
     return out
+
+
+def scd2_history(events: DataFrame, key_col: str = "user_id",
+                 attr_col: str = "event_type", ts_col: str = "ts",
+                 tie_col: str = "event_id") -> DataFrame:
+    """Type-2 slowly-changing-dimension history: collapse each key's
+    attribute stream into validity intervals. Returns
+    ``(key, attr, valid_from, valid_to, n_events)`` where ``valid_to``
+    is the next interval's start (NULL = current). Consecutive equal
+    values merge into one interval (gaps-and-islands via a
+    change-flag running sum); ordering ties break on ``tie_col`` so
+    the history is deterministic.
+
+    Plan shape: one shuffle on the key, then two window passes and a
+    groupBy — all partitioned by key, so the work parallelizes across
+    keys and no single task ever sees more than one key's stream. At
+    100 TB the key-partitioned shuffle is the only data movement, and
+    a bucketed-by-key event log would eliminate it entirely."""
+    from pyspark.sql import Window as W
+    w = W.partitionBy(key_col).orderBy(ts_col, tie_col)
+    chg = F.when(
+        F.lag(attr_col).over(w).eqNullSafe(F.col(attr_col)), 0).otherwise(1)
+    isl = (events.select(key_col, attr_col, ts_col, tie_col)
+           .withColumn("_chg", chg)
+           .withColumn("_island", F.sum("_chg").over(
+               w.rowsBetween(W.unboundedPreceding, W.currentRow))))
+    runs = (isl.groupBy(key_col, "_island")
+            .agg(F.first(attr_col).alias(attr_col),
+                 F.min(ts_col).alias("valid_from"),
+                 F.count("*").cast("long").alias("n_events")))
+    w2 = W.partitionBy(key_col).orderBy("valid_from")
+    return (runs.select(key_col, attr_col, "valid_from",
+                        F.lead("valid_from").over(w2).alias("valid_to"),
+                        "n_events"))

@@ -2478,6 +2478,32 @@ def q_tokenize_ids(spark, sf):
                                vocab_size=1000)
 
 
+@_q("e13_scd2", """
+WITH o AS (SELECT user_id, event_type, ts::TIMESTAMP AS ts, event_id,
+             CASE WHEN lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS NOT DISTINCT FROM event_type THEN 0 ELSE 1 END AS chg
+           FROM events),
+ isl AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS island
+         FROM o),
+ runs AS (SELECT user_id, island, MIN(event_type) AS event_type,
+                 MIN(ts) AS valid_from,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM isl GROUP BY 1, 2)
+SELECT user_id, event_type, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+         AS valid_to,
+       n_events
+FROM runs
+""")
+def q_scd2(spark, sf):
+    """SCD2 validity intervals over each user's event_type stream
+    (gaps-and-islands; consecutive equal values merge)."""
+    from data_ingest_spark.extensions.cdc import scd2_history
+    return scd2_history(events_df(spark, sf))
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

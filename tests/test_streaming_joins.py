@@ -80,3 +80,24 @@ def test_stream_static_enrich_broadcasts(spark, tmp_path):
     out = _drain(stream_static_enrich(stream, dim, "user_id"), "t_sse")
     rows = {r["event_id"]: r["tier"] for r in out.collect()}
     assert rows == {1: "gold", 2: None}
+
+
+def test_scd2_history_intervals(spark):
+    from datetime import datetime as dt
+    from data_ingest_spark.extensions.cdc import scd2_history
+    rows = [
+        (1, 7, dt(2024, 1, 1, 0, 0), "a"),
+        (2, 7, dt(2024, 1, 1, 0, 5), "a"),   # same attr -> merges
+        (3, 7, dt(2024, 1, 1, 0, 9), "b"),   # change
+        (4, 7, dt(2024, 1, 1, 0, 12), "a"),  # back to a: new interval
+        (5, 8, dt(2024, 1, 1, 1, 0), "x"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    hist = sorted(scd2_history(ev).collect(),
+                  key=lambda r: (r["user_id"], r["valid_from"]))
+    u7 = [r for r in hist if r["user_id"] == 7]
+    assert [r["event_type"] for r in u7] == ["a", "b", "a"]
+    assert u7[0]["n_events"] == 2 and u7[0]["valid_to"] == u7[1]["valid_from"]
+    assert u7[2]["valid_to"] is None          # current interval open
+    assert hist[-1]["user_id"] == 8 and hist[-1]["valid_to"] is None
