@@ -243,6 +243,75 @@ def bpe_pair_counts(df: DataFrame, top_k: int = 50,
                           F.col("pair").asc()).limit(top_k)
 
 
+LOGP_SCALE = 1_000_000
+
+
+def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Perplexity-proxy quality score: per-document mean token
+    log-probability under the corpus's own add-1-smoothed unigram
+    model (low = gibberish / rare-token soup, high = typical text).
+    Returns ``(doc_id, n_tokens, avg_logprob)``.
+
+    Determinism at the float boundary: each token's log-probability is
+    fixed-pointed once (round(ln(p)·1e6) as int64) in the *model*, so
+    the per-document reduction is an integer sum — exact in any
+    summation order and across engines; the single rounding of the
+    final mean is the only float step.
+
+    Plan shape: explode → groupBy(token) count (the model, map-side
+    combined) → broadcast-or-shuffle join back onto tokens → one
+    groupBy(doc). The model's two scalars (total count, vocab size)
+    ride along via a 1-row cross join, keeping the plan fully lazy."""
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens_col(text_col)).alias("token"))
+    model = toks.groupBy("token").agg(F.count("*").alias("c"))
+    scal = model.agg(F.sum("c").alias("tot"),
+                     F.count("*").alias("v"))
+    logp = (model.crossJoin(F.broadcast(scal))
+            .select("token",
+                    F.round(F.log((F.col("c") + F.lit(1.0))
+                                  / (F.col("tot") + F.col("v")))
+                            * LOGP_SCALE)
+                    .cast("long").alias("logp_i")))
+    return (toks.join(logp, "token")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.round(F.sum("logp_i")
+                         / F.count("*") / LOGP_SCALE, 6)
+                 .alias("avg_logprob")))
+
+
+def boilerplate_score(df: DataFrame, k: int = 3, min_df: int = 5,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Template/boilerplate detector: the fraction of a document's
+    distinct ``k``-shingles that are corpus-common (appear in ≥
+    ``min_df`` documents). Docs near 1.0 are templated — headers,
+    licenses, scraped nav chrome — the rows a curation pass
+    down-weights or drops. Returns
+    ``(doc_id, n_shingles, n_common, common_ratio)``.
+
+    Plan shape: one distinct-shingle explode, a groupBy(shingle)
+    document-frequency aggregate, a join back on shingle (the df table
+    is shingle-keyed — AQE broadcasts it when small), and a final
+    groupBy(doc). Integer counts + one rounded ratio, so the oracle is
+    exact."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_col(text_col, k)))
+        .alias("_sh"))
+    dfreq = sh.groupBy("_sh").agg(F.count("*").alias("_df"))
+    marked = sh.join(dfreq, "_sh").select(
+        id_col, (F.col("_df") >= min_df).cast("long").alias("_common"))
+    return (marked.groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_shingles"),
+                 F.sum("_common").alias("n_common"))
+            .select(id_col, "n_shingles", "n_common",
+                    F.round(F.col("n_common") / F.col("n_shingles"), 6)
+                    .alias("common_ratio")))
+
+
 def tokenize_with_vocab(df: DataFrame, vocab_size: int = 1000,
                         id_col: str = "doc_id",
                         text_col: str = "text") -> DataFrame:

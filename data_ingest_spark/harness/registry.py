@@ -2504,6 +2504,45 @@ def q_scd2(spark, sf):
     return scd2_history(events_df(spark, sf))
 
 
+@_q("x39_unigram_logprob", """
+WITH toks AS (SELECT doc_id,
+                unnest(string_split_regex(lower(text), '\\s+')) AS token
+              FROM documents),
+ model AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY 1),
+ scal AS (SELECT SUM(c) AS tot, COUNT(*) AS v FROM model),
+ logp AS (SELECT token,
+                 CAST(ROUND(ln((c + 1.0) / (tot + v)) * 1000000) AS BIGINT)
+                   AS logp_i
+          FROM model CROSS JOIN scal)
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(SUM(l.logp_i) / COUNT(*) / 1000000, 6) AS avg_logprob
+FROM toks t JOIN logp l ON l.token = t.token
+GROUP BY t.doc_id
+""")
+def q_unigram_logprob(spark, sf):
+    """Unigram-LM quality score: mean fixed-point token log-prob under
+    the corpus's own add-1 model (integer-exact reduction)."""
+    from data_ingest_spark.extensions.text import unigram_logprob
+    return unigram_logprob(load(spark, sf, "documents"))
+
+
+@_q("x40_boilerplate", f"""
+WITH src AS (SELECT doc_id, text FROM documents),{_shingle_ctes('src')},
+ dfreq AS (SELECT shingle, COUNT(*) AS dfc FROM shx GROUP BY 1),
+ marked AS (SELECT s.doc_id, CASE WHEN d.dfc >= 5 THEN 1 ELSE 0 END AS cm
+            FROM shx s JOIN dfreq d ON d.shingle = s.shingle)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(cm) AS BIGINT) AS n_common,
+       ROUND(SUM(cm) / COUNT(*), 6) AS common_ratio
+FROM marked GROUP BY doc_id
+""")
+def q_boilerplate(spark, sf):
+    """Boilerplate detection: fraction of a doc's distinct 3-shingles
+    appearing in >= 5 documents corpus-wide."""
+    from data_ingest_spark.extensions.text import boilerplate_score
+    return boilerplate_score(load(spark, sf, "documents"), k=3, min_df=5)
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -295,3 +295,26 @@ def test_tokenize_with_vocab_ids_and_oov(spark):
     assert out[1]["ids_csv"] == "1,0,1,2"
     assert out[2]["ids_csv"] == "0,0,1,-1" and out[2]["n_oov"] == 1
     assert out[2]["n_tokens"] == 4
+
+
+def test_unigram_logprob_ranks_typical_above_rare(spark):
+    rows = [(1, "a a a a"), (2, "a a q z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in tx.unigram_logprob(df).collect()}
+    # 'a' has count 6 of 8; rare 'q'/'z' drag doc 2 down
+    assert out[1]["avg_logprob"] > out[2]["avg_logprob"]
+    assert out[1]["n_tokens"] == 4
+    import math
+    exp_a = round(round(math.log(7 / 11) * 1e6) / 1e6, 6)
+    assert abs(out[1]["avg_logprob"] - exp_a) < 1e-9
+
+
+def test_boilerplate_score_flags_template_docs(spark):
+    template = "this page is generated by wiki engine"
+    rows = ([(i, template) for i in range(6)]
+            + [(10, "completely original prose with unusual phrasing here")])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["common_ratio"]
+           for r in tx.boilerplate_score(df, min_df=5).collect()}
+    assert out[0] == 1.0          # template shingles shared by 6 docs
+    assert out[10] == 0.0         # unique doc shares nothing
