@@ -80,8 +80,11 @@ def hash_params(num_hashes: int) -> list[tuple[int, int]]:
 
 def minhash_bands(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", k: int = 3,
-                  num_hashes: int = 12, bands: int = 4) -> DataFrame:
+                  num_hashes: int = 12, bands: int = 4,
+                  membership: bool = False) -> DataFrame:
     """(id, band, bucket) — LSH band buckets from a MinHash signature.
+    With ``membership=True``, ``df`` is already an (id, shingle) table
+    (lets callers reuse one shingle pass across signature + verify).
 
     Hash family j is the universal family above; band b's bucket is the
     md5 of its signature rows joined in j order. Probability that two
@@ -96,7 +99,9 @@ def minhash_bands(df: DataFrame, id_col: str = "doc_id",
     |shingle occurrences|·num_hashes ints, map-side-combined down to
     |docs|·num_hashes immediately."""
     rows = num_hashes // bands
-    sh = shingle_sets(spread(df), id_col, text_col, k).withColumn(
+    base = (df if membership
+            else shingle_sets(spread(df), id_col, text_col, k))
+    sh = base.withColumn(
         "_h28",
         F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 7),
                16, 10).cast("long"))
@@ -121,11 +126,11 @@ def minhash_bands(df: DataFrame, id_col: str = "doc_id",
 
 def shingle_sets(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", k: int = 3) -> DataFrame:
-    """(id, shingle) exploded distinct shingle membership table."""
-    return df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles_col(text_col, k))).alias("shingle"),
-    )
+    """(id, shingle) exploded distinct shingle membership table
+    (Arrow mapInPandas kernel — the Column-expression path is
+    interpreted and ~7× slower; see text.shingle_rows)."""
+    from data_ingest_spark.extensions.text import shingle_rows
+    return shingle_rows(df, id_col=id_col, text_col=text_col, k=k)
 
 
 def jaccard_of_pairs(pairs: DataFrame, membership: DataFrame,
@@ -168,7 +173,11 @@ def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     # shingle membership (sizes + both sides of the intersection join)
     # — so the tokenize→shingle→explode subtree runs once, not 5×.
     df = spread(df)
-    bb = minhash_bands(df, id_col, text_col, k, num_hashes, bands).persist()
+    # One shingle pass feeds BOTH the signature computation and the
+    # exact-Jaccard verification.
+    membership = shingle_sets(df, id_col, text_col, k).persist()
+    bb = minhash_bands(membership, id_col, text_col, k, num_hashes, bands,
+                       membership=True).persist()
     left = bb.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
     right = bb.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
     cand = (
@@ -286,13 +295,14 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame, k: int = 3,
     evaluation of the (interpreted-lambda) shingle expression. No
     all-pairs comparison anywhere.
     """
-    bench_sh = (benchmark
-                .select(F.explode(shingles_col(text_col, k)).alias("_sh"))
-                .distinct()
+    from data_ingest_spark.extensions.text import shingle_rows
+    bench_sh = (shingle_rows(benchmark, id_col=id_col, text_col=text_col,
+                             k=k)
+                .select(F.col("shingle").alias("_sh")).distinct()
                 .withColumn("_hit", F.lit(1)))
-    corpus_sh = corpus.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles_col(text_col, k))).alias("_sh"))
+    corpus_sh = (shingle_rows(corpus, id_col=id_col, text_col=text_col,
+                              k=k)
+                 .withColumnRenamed("shingle", "_sh"))
     marked = corpus_sh.join(F.broadcast(bench_sh), "_sh", "left")
     agg = marked.groupBy(id_col).agg(
         F.count("*").alias("n_shingles"),
