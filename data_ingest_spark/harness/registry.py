@@ -2543,6 +2543,61 @@ def q_boilerplate(spark, sf):
     return boilerplate_score(load(spark, sf, "documents"), k=3, min_df=5)
 
 
+@_q("v5_tpch_q6", """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l_shipdate < TIMESTAMP '1999-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""")
+def q_tpch_q6(spark, sf):
+    """TPC-H Q6 shape (forecast revenue): fully-pushed-down selective
+    scan → single scalar aggregate. All four predicates reach the
+    parquet reader as PushedFilters; zero shuffles beyond the final
+    1-row partial-merge."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+        .alias("revenue"),
+        F.count("*").alias("n_items"))
+
+
+@_q("v6_tpch_q18", """
+WITH big AS (SELECT l_orderkey FROM lineitem
+             GROUP BY 1 HAVING SUM(l_quantity) > 200)
+SELECT c.c_custkey, o.o_orderkey, o.o_orderdate,
+       ROUND(o.o_totalprice, 2) AS o_totalprice,
+       ROUND(SUM(l.l_quantity), 2) AS total_qty
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+     JOIN big b ON b.l_orderkey = o.o_orderkey
+GROUP BY 1, 2, 3, 4
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+""")
+def q_tpch_q18(spark, sf):
+    """TPC-H Q18 shape (large-volume customers): HAVING-filtered
+    aggregate drives a semi-join-style reduction of lineitem before
+    the customer/orders joins; top-100 via TakeOrderedAndProject."""
+    li = load(spark, sf, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("_sq"))
+           .filter(F.col("_sq") > 200).select("l_orderkey"))
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer").select("c_custkey")
+    j = (li.join(F.broadcast(big), "l_orderkey")
+         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+         .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]))
+    return (j.groupBy("c_custkey", "o_orderkey", "o_orderdate",
+                      F.round("o_totalprice", 2).alias("o_totalprice"))
+            .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+            .orderBy(F.desc("o_totalprice"), "o_orderkey").limit(100))
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
