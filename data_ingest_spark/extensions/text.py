@@ -60,7 +60,12 @@ def shingle_rows(df: DataFrame, id_col: str = "doc_id",
     k-windows joined by space, short docs collapse to one whole-doc
     shingle, per-doc distinct) in Python over Arrow batches: ~7×
     faster at sf0.1 and embarrassingly parallel. Input is spread to
-    defaultParallelism first so small scans don't starve cores."""
+    defaultParallelism first so small scans don't starve cores.
+
+    Case-folding note: Python ``str.lower`` and Spark/DuckDB ``lower``
+    agree on ASCII (and all simple 1:1 Unicode mappings); locale-style
+    multi-char folds (e.g. ``İ``) are out of contract — match the
+    engines' behavior before relying on it for non-ASCII corpora."""
     import re
 
     from pyspark.sql.types import StringType, StructField, StructType

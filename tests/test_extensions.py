@@ -318,3 +318,25 @@ def test_boilerplate_score_flags_template_docs(spark):
            for r in tx.boilerplate_score(df, min_df=5).collect()}
     assert out[0] == 1.0          # template shingles shared by 6 docs
     assert out[10] == 0.0         # unique doc shares nothing
+
+
+def test_shingle_rows_matches_column_path_on_edge_cases(spark):
+    rows = [
+        (1, "a b c d e"),
+        (2, " leading space"),
+        (3, "trailing space "),
+        (4, "tab\tand\nnewline separated"),
+        (5, "one"),
+        (6, "two words"),
+        (7, "MIXED Case TOKENS here"),
+        (8, "a  double  space  run"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = {(r["doc_id"], r["shingle"])
+            for r in tx.shingle_rows(df, k=3).collect()}
+    slow = {(r["doc_id"], r["shingle"])
+            for r in df.select(
+                "doc_id",
+                F.explode(F.array_distinct(tx.shingles_col("text", 3)))
+                .alias("shingle")).collect()}
+    assert fast == slow

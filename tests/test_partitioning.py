@@ -58,3 +58,22 @@ def test_bucketed_join_no_shuffle(spark):
     # the merge join needs no Exchange at all
     assert shuffle_count(joined) == 0
     assert joined.count() == 1000
+
+
+def test_hive_partition_pruning(spark, tmp_path):
+    """A date-partitioned layout must prune at planning time: a
+    single-partition predicate reads one directory, and the scan node
+    reports the partition filter — the layout contract for any
+    date-keyed 100 TB table."""
+    df = spark.range(300).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("day"))
+    path = str(tmp_path / "by_day")
+    df.write.partitionBy("day").mode("overwrite").parquet(path)
+
+    back = spark.read.parquet(path).filter(F.col("day") == "1")
+    assert back.count() == 100
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan
+    files = back.select(F.input_file_name()).distinct().collect()
+    assert all("day=1" in r[0] for r in files)
