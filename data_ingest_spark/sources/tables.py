@@ -16,7 +16,8 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import (DoubleType, StringType, StructField, StructType)
+from pyspark.sql.types import (DoubleType, LongType, StringType,
+                               StructField, StructType)
 
 DOUBLET_SCORES_SCHEMA = StructType([
     StructField("barcode", StringType()),
@@ -107,3 +108,41 @@ def checkpoint(df: DataFrame, out_dir: str, name: str,
 
 def read_checkpoint(spark: SparkSession, out_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, name))
+
+
+DOCUMENTS_JSONL_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("text", StringType()),
+    StructField("lang", StringType()),
+    StructField("source", StringType()),
+])
+
+
+def read_jsonl_corpus(spark: SparkSession, path: str,
+                      schema: StructType | None = None) -> DataFrame:
+    """JSON-Lines corpus reader — the interchange format LLM corpora
+    ship in. Explicit schema (no inference pass over 100 TB);
+    PERMISSIVE mode routes malformed lines to ``_corrupt_record``
+    instead of failing the job, and the caller audits
+    ``filter(_corrupt_record IS NOT NULL)`` before dropping it (cache
+    the parsed frame first — Spark disallows querying only the corrupt
+    column straight off raw files).
+
+    Scale: newline-delimited JSON splits at arbitrary byte offsets, so
+    a single huge file still parallelizes; schema projection prunes
+    unread fields at parse time."""
+    schema = schema or DOCUMENTS_JSONL_SCHEMA
+    full = StructType(schema.fields
+                      + [StructField("_corrupt_record", StringType())])
+    return spark.read.schema(full).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record").json(path)
+
+
+def write_jsonl_corpus(df: DataFrame, path: str,
+                       partitions: int | None = None) -> None:
+    """JSON-Lines corpus writer (one object per line, gzip-friendly).
+    ``partitions`` controls output file count — repartition BEFORE the
+    write so downstream consumers see uniformly-sized files instead of
+    one file per upstream task."""
+    out = df.repartition(partitions) if partitions else df
+    out.write.mode("overwrite").json(path)

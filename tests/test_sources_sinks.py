@@ -164,3 +164,27 @@ def test_upload_sink_stub(spark):
     sink.put_object("cell_sets.json", b"{}")
     assert sink.records[0][0] == "experiments"
     assert sink.objects[0][1] == b"{}"
+
+
+def test_jsonl_corpus_roundtrip_and_corrupt_records(spark, tmp_path):
+    from data_ingest_spark.sources.tables import (read_jsonl_corpus,
+                                                  write_jsonl_corpus)
+    src = spark.createDataFrame(
+        [(1, "hello world", "en", "web"), (2, "hallo welt", "de", "book")],
+        "doc_id long, text string, lang string, source string")
+    out = str(tmp_path / "corpus")
+    write_jsonl_corpus(src, out, partitions=2)
+    back = read_jsonl_corpus(spark, out)
+    got = {r["doc_id"]: r["text"]
+           for r in back.filter("_corrupt_record IS NULL").collect()}
+    assert got == {1: "hello world", 2: "hallo welt"}
+
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text('{"doc_id": 3, "text": "ok", "lang": "en", "source": "s"}\n'
+                   'NOT JSON AT ALL\n')
+    mixed = read_jsonl_corpus(spark, str(bad)).cache()
+    try:
+        assert mixed.filter("_corrupt_record IS NOT NULL").count() == 1
+        assert mixed.filter("_corrupt_record IS NULL").count() == 1
+    finally:
+        mixed.unpersist()
