@@ -88,3 +88,41 @@ def test_streaming_dedup_native_within_watermark(spark, tmp_path):
                  "t_dedup_native", "append")
     assert out.count() == 3  # A, B, C each exactly once
     assert {r["content_hash"] for r in out.collect()} == {"A", "B", "C"}
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Stopping a checkpointed query and restarting it after new input
+    arrives must process ONLY the new files (offset log) and never
+    re-emit old rows into the append sink — the exactly-once resume
+    contract a production ingest relies on."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batches(spark, src, EVENT_SCHEMA, [
+        [(1, 1.0), (2, 2.0)],
+    ])
+
+    def run_once():
+        stream = (spark.readStream.schema(EVENT_SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(src)
+                  .withColumn("doubled", F.col("value") * 2))
+        q = (stream.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(out).count()
+    assert first == 2
+
+    _write_batches(spark, src, EVENT_SCHEMA, [
+        [(3, 3.0)],
+    ])
+    # second batch file needs a distinct name from batch 0's
+    os.rename(os.path.join(src, "b0.parquet"),
+              os.path.join(src, "b9.parquet"))
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 3                       # 2 old + 1 new, no re-emit
+    assert {r["user_id"] for r in rows} == {1, 2, 3}
+    assert all(r["doubled"] == r["value"] * 2 for r in rows)
