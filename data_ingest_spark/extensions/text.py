@@ -212,13 +212,17 @@ def tf_idf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     toks = df.select(F.col(id_col),
                      F.explode(tokens_col(text_col)).alias("token"))
     tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    # N rides along as a broadcast 1-row aggregate (no driver-side
+    # .count() — the plan stays lazy and the corpus is scanned once).
+    n_docs = df.agg(
+        F.count_distinct(F.col(id_col)).cast("double").alias("_n"))
     dfreq = (tf.groupBy("token")
              .agg(F.count("*").alias("df_count"))
              .filter(F.col("df_count") >= min_df))
-    n_docs = df.select(id_col).distinct().count()
-    idf = F.log((F.lit(1.0) + F.lit(float(n_docs)))
-                / (F.lit(1.0) + F.col("df_count"))) + F.lit(1.0)
+    idf = (F.log((F.lit(1.0) + F.col("_n"))
+                 / (F.lit(1.0) + F.col("df_count"))) + F.lit(1.0))
     return (tf.join(dfreq, "token")
+            .crossJoin(F.broadcast(n_docs))
             .select(id_col, "token", "tf", "df_count",
                     (F.col("tf") * idf).alias("tfidf")))
 
