@@ -37,6 +37,26 @@ def snapshot_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
     return out
 
 
+def merge_upsert(target: DataFrame, source: DataFrame,
+                 key_cols: list[str]) -> DataFrame:
+    """MERGE semantics without a table format: source rows replace
+    matching target rows (matched ⇒ UPDATE), unmatched source rows
+    append (⇒ INSERT), untouched target rows pass through. Both sides
+    must share a schema.
+
+    Plan shape: one full-outer-shaped pass expressed as target
+    anti-join source (one shuffle on the key) unioned with source —
+    cheaper than a true full-outer + per-column coalesce since whole
+    rows win, not per-column merges. At 100 TB both sides bucketed by
+    key make the anti-join co-located; the result is the new snapshot
+    to write back (pair with snapshot_diff for the audit trail)."""
+    if target.columns != source.columns:
+        raise ValueError("merge_upsert requires identical schemas: "
+                         f"{target.columns} vs {source.columns}")
+    return target.join(source.select(*key_cols), key_cols,
+                       "left_anti").unionByName(source)
+
+
 def scd2_history(events: DataFrame, key_col: str = "user_id",
                  attr_col: str = "event_type", ts_col: str = "ts",
                  tie_col: str = "event_id") -> DataFrame:

@@ -2598,6 +2598,42 @@ def q_tpch_q18(spark, sf):
             .orderBy(F.desc("o_totalprice"), "o_orderkey").limit(100))
 
 
+@_q("x41_merge_upsert", """
+WITH src AS (SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+                    ROUND(o_totalprice + 1.5, 2) AS o_totalprice
+             FROM orders WHERE o_orderkey % 10 = 0
+             UNION ALL
+             SELECT o_orderkey, o_custkey,
+                    ROUND(o_totalprice * 2, 2) AS o_totalprice
+             FROM orders WHERE o_orderkey % 7 = 0),
+ tgt AS (SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2)
+               AS o_totalprice FROM orders)
+SELECT t.o_orderkey, t.o_custkey, t.o_totalprice FROM tgt t
+WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice FROM src
+""")
+def q_merge_upsert(spark, sf):
+    """MERGE/upsert snapshot: updates (orderkey % 7 = 0, doubled
+    price) replace matching rows; inserts (shifted keys) append;
+    everything else passes through."""
+    from data_ingest_spark.extensions.cdc import merge_upsert
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"))
+    inserts = (orders.filter(F.col("o_orderkey") % 10 == 0)
+               .select((F.col("o_orderkey") + 1000000000)
+                       .alias("o_orderkey"), "o_custkey",
+                       F.round(F.col("o_totalprice") + 1.5, 2)
+                       .alias("o_totalprice")))
+    updates = (orders.filter(F.col("o_orderkey") % 7 == 0)
+               .select("o_orderkey", "o_custkey",
+                       F.round(F.col("o_totalprice") * 2, 2)
+                       .alias("o_totalprice")))
+    return merge_upsert(orders, inserts.unionByName(updates),
+                        ["o_orderkey"])
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -101,3 +101,16 @@ def test_scd2_history_intervals(spark):
     assert u7[0]["n_events"] == 2 and u7[0]["valid_to"] == u7[1]["valid_from"]
     assert u7[2]["valid_to"] is None          # current interval open
     assert hist[-1]["user_id"] == 8 and hist[-1]["valid_to"] is None
+
+
+def test_merge_upsert_semantics(spark):
+    from data_ingest_spark.extensions.cdc import merge_upsert
+    tgt = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    src = spark.createDataFrame(
+        [(2, "B"), (9, "Z")], "k long, v string")
+    got = {r["k"]: r["v"] for r in merge_upsert(tgt, src, ["k"]).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 9: "Z"}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        merge_upsert(tgt, src.select("v", "k"), ["k"])
