@@ -2634,6 +2634,50 @@ def q_merge_upsert(spark, sf):
                         ["o_orderkey"])
 
 
+@_q("v7_scalar_functions", """
+SELECT o_orderkey,
+       regexp_matches(o_orderpriority, '^[12]') AS is_urgent,
+       o_orderstatus || ':' || o_orderpriority AS status_pri,
+       ROUND(log10(o_totalprice), 6) AS log_price,
+       CASE WHEN o_totalprice > 150000 THEN 'big' ELSE 'small' END
+           AS size_class,
+       lower(o_orderpriority) AS pri_lower,
+       md5(CAST(o_orderkey AS VARCHAR)) AS key_hash,
+       CAST(EXTRACT(year FROM o_orderdate::TIMESTAMP) AS BIGINT)
+           AS order_year,
+       CAST(EXTRACT(month FROM o_orderdate::TIMESTAMP) AS BIGINT)
+           AS order_month,
+       CAST(FLOOR(o_totalprice) AS BIGINT) AS price_int,
+       substr(CAST(o_orderkey AS VARCHAR), 1, 2) AS key_prefix
+FROM orders WHERE o_orderkey % 100 = 0
+""")
+def q_scalar_functions(spark, sf):
+    """X1–X9 scalar families in one oracle-checked row set: regex
+    predicate, string concat/lower/substr, math (log10/round), CASE,
+    hashing (md5), timestamp extraction, casts — all whole-stage
+    codegen, map-only, filter pushed to the scan."""
+    o = load(spark, sf, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    if dict(o.dtypes).get("o_orderdate") == "bigint":
+        o = o.withColumn("o_orderdate",
+                         F.timestamp_micros(F.expr("o_orderdate div 1000")))
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").rlike("^[12]").alias("is_urgent"),
+        F.concat_ws(":", "o_orderstatus", "o_orderpriority")
+        .alias("status_pri"),
+        F.round(F.log10("o_totalprice"), 6).alias("log_price"),
+        F.when(F.col("o_totalprice") > 150000, "big").otherwise("small")
+        .alias("size_class"),
+        F.lower("o_orderpriority").alias("pri_lower"),
+        F.md5(F.col("o_orderkey").cast("string").cast("binary"))
+        .alias("key_hash"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.floor("o_totalprice").cast("long").alias("price_int"),
+        F.substring(F.col("o_orderkey").cast("string"), 1, 2)
+        .alias("key_prefix"))
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
