@@ -2678,6 +2678,53 @@ def q_scalar_functions(spark, sf):
         .alias("key_prefix"))
 
 
+@_q("x42_ann_recall", f"""
+WITH q AS (SELECT vec_id AS query_id, label, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE {_ANN_Q}),
+ c AS (SELECT vec_id AS neighbor_id, label, embedding::DOUBLE[] AS cv
+       FROM embeddings),
+ es AS (SELECT q.query_id, c.neighbor_id, {_COS} AS cosine
+        FROM q CROSS JOIN c WHERE c.neighbor_id <> q.query_id),
+ er AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id) AS rank FROM es),
+ vs AS (SELECT q.query_id, c.neighbor_id, {_COS} AS cosine
+        FROM q JOIN c ON q.label = c.label
+        WHERE c.neighbor_id <> q.query_id),
+ vr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id) AS rank FROM vs),
+ ex AS (SELECT query_id, neighbor_id FROM er WHERE rank <= 5),
+ ap AS (SELECT query_id, neighbor_id FROM vr WHERE rank <= 5),
+ hit AS (SELECT e.query_id, COUNT(a.neighbor_id) AS n_hit
+         FROM ex e LEFT JOIN ap a
+           ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         GROUP BY 1)
+SELECT query_id, CAST(n_hit AS BIGINT) AS n_hit,
+       ROUND(n_hit / 5.0, 6) AS recall_at_5
+FROM hit
+""")
+def q_ann_recall(spark, sf):
+    """ANN quality evaluation under the oracle: per-query recall@5 of
+    the IVF index versus exact brute-force — the measurement that
+    decides whether a bucketed index is good enough to replace the
+    exact path at scale. Exact and approximate top-k both come from
+    the library operators; the join+count is integer-exact."""
+    emb = load(spark, sf, "embeddings")
+    queries = emb.filter(F.expr(_ANN_Q)).select(
+        F.col("vec_id").alias("query_id"), "label",
+        F.col("embedding").alias("query_vec"))
+    exact = sim.cosine_topk(emb, queries.drop("label"), k=5).select(
+        "query_id", "neighbor_id")
+    approx = sim.cosine_topk_ivf(emb, queries, k=5).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an"))
+    hits = (exact.join(approx,
+                       (F.col("query_id") == F.col("aq"))
+                       & (F.col("neighbor_id") == F.col("an")), "left")
+            .groupBy("query_id")
+            .agg(F.count("an").alias("n_hit")))
+    return hits.select("query_id", "n_hit",
+                       F.round(F.col("n_hit") / 5.0, 6).alias("recall_at_5"))
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
