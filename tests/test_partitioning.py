@@ -77,3 +77,15 @@ def test_hive_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan and "day" in plan
     files = back.select(F.input_file_name()).distinct().collect()
     assert all("day=1" in r[0] for r in files)
+
+
+def test_observe_stage_metrics_single_pass(spark, tmp_path):
+    from data_ingest_spark.functions.observe import observe_stage
+    df = spark.range(100).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id"))
+        .alias("v"))
+    obs, audited = observe_stage(
+        df, "gate", {"n_null_v": F.sum(F.col("v").isNull().cast("long"))})
+    audited.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    assert obs.get == {"n_rows": 100, "n_null_v": 10}

@@ -220,3 +220,23 @@ def test_webdataset_roundtrip_deterministic(spark, tmp_path):
     d2 = {s: hashlib.md5(open(os.path.join(out2, s), "rb").read()).hexdigest()
           for s in os.listdir(out2) if s.endswith(".tar")}
     assert d1 == d2
+
+
+def test_tenx_python_datasource_matches_native_reader(spark, tenx_dir):
+    from data_ingest_spark.sources.tenx_datasource import TenxDataSource
+    spark.dataSource.register(TenxDataSource)
+    ds = (spark.read.format("tenx").option("path", tenx_dir)
+          .option("samples", "sample_a,sample_b").load())
+    got = {(r["sample"], r["barcode"], r["gene"]): (r["count"],
+                                                    r["gene_name"])
+           for r in ds.collect()}
+    native, _ = tx.read_10x_experiment(spark, tenx_dir,
+                                       ["sample_a", "sample_b"])
+    want = {(r["sample"], r["barcode"], r["gene"]): r["count"]
+            for r in native.collect()}
+    assert set(got) == set(want)
+    assert all(got[k][0] == want[k] for k in want)
+    assert got[("sample_a", "GGGT-1", "ENSG2")][1] == "MT-CO1"
+    # auto-discovery: omit the samples option, dirs found from layout
+    auto = spark.read.format("tenx").option("path", tenx_dir).load()
+    assert auto.count() == ds.count()
