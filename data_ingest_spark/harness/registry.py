@@ -2725,6 +2725,48 @@ def q_ann_recall(spark, sf):
                        F.round(F.col("n_hit") / 5.0, 6).alias("recall_at_5"))
 
 
+@_q("e14_cube", """
+SELECT COALESCE(event_type, '<all>') AS event_type,
+       COALESCE(CAST(user_id % 10 AS VARCHAR), '<all>') AS user_mod,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY CUBE (event_type, CAST(user_id % 10 AS VARCHAR))
+""")
+def q_cube(spark, sf):
+    """CUBE grouping sets: all 2^2 aggregation granularities in one
+    pass (Expand + single shuffle), NULL roll-up slots labeled."""
+    ev = load(spark, sf, "events").withColumn(
+        "user_mod", (F.col("user_id") % 10).cast("string"))
+    return (ev.cube("event_type", "user_mod")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .select(F.coalesce("event_type", F.lit("<all>"))
+                    .alias("event_type"),
+                    F.coalesce("user_mod", F.lit("<all>"))
+                    .alias("user_mod"),
+                    "n", "total_value"))
+
+
+@_q("e15_unpivot", """
+SELECT o_orderkey, kind, ROUND(val, 2) AS val
+FROM (SELECT o_orderkey, ROUND(o_totalprice, 2) AS price,
+             CAST(o_custkey AS DOUBLE) AS cust
+      FROM orders WHERE o_orderkey % 50 = 0)
+UNPIVOT (val FOR kind IN (price, cust))
+""")
+def q_unpivot(spark, sf):
+    """UNPIVOT/melt: wide columns → (key, kind, val) long rows via
+    the native unpivot (stack) — scan-side, no shuffle."""
+    o = (load(spark, sf, "orders")
+         .filter(F.col("o_orderkey") % 50 == 0)
+         .select("o_orderkey",
+                 F.round("o_totalprice", 2).alias("price"),
+                 F.col("o_custkey").cast("double").alias("cust")))
+    return (o.unpivot("o_orderkey", ["price", "cust"], "kind", "val")
+            .select("o_orderkey", "kind", F.round("val", 2).alias("val")))
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
