@@ -114,3 +114,46 @@ def test_merge_upsert_semantics(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         merge_upsert(tgt, src.select("v", "k"), ["k"])
+
+
+def test_foreachbatch_upsert_snapshot(spark, tmp_path):
+    """Streaming → keyed snapshot via foreachBatch + merge_upsert:
+    each micro-batch upserts into a parquet snapshot (staging dir +
+    atomic swap), so the snapshot always holds the latest value per
+    key — the streaming ingest pattern for a mutable dimension."""
+    import shutil
+    from data_ingest_spark.extensions.cdc import merge_upsert
+    src = str(tmp_path / "src")
+    snap = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate([[(1, "a"), (2, "b")],
+                              [(2, "B"), (3, "c")]]):
+        p = os.path.join(src, f"up{i}.parquet")
+        pq.write_table(pa.table({"k": [r[0] for r in rows],
+                                 "v": [r[1] for r in rows]}), p)
+        t = time.time() + i
+        os.utime(p, (t, t))
+
+    def apply_batch(bdf, _epoch):
+        batch = bdf.dropDuplicates(["k"])
+        if os.path.exists(snap):
+            target = bdf.sparkSession.read.parquet(snap)
+            merged = merge_upsert(target, batch, ["k"])
+        else:
+            merged = batch
+        staging = snap + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.exists(snap):
+            shutil.rmtree(snap)
+        os.rename(staging, snap)
+
+    q = (spark.readStream.schema("k long, v string")
+         .option("maxFilesPerTrigger", 1).parquet(src)
+         .writeStream.foreachBatch(apply_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {r["k"]: r["v"] for r in spark.read.parquet(snap).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
