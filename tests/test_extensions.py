@@ -340,3 +340,22 @@ def test_shingle_rows_matches_column_path_on_edge_cases(spark):
                 F.explode(F.array_distinct(tx.shingles_col("text", 3)))
                 .alias("shingle")).collect()}
     assert fast == slow
+
+
+def test_shingle_rows_matches_column_path_fuzz(spark):
+    import random
+    rng = random.Random(13)
+    alphabet = list("ab XY\t\n  ")
+    rows = [(i, "".join(rng.choice(alphabet)
+                        for _ in range(rng.randrange(0, 40))) or "x")
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in (1, 2, 3):
+        fast = {(r["doc_id"], r["shingle"])
+                for r in tx.shingle_rows(df, k=k).collect()}
+        slow = {(r["doc_id"], r["shingle"])
+                for r in df.select(
+                    "doc_id",
+                    F.explode(F.array_distinct(tx.shingles_col("text", k)))
+                    .alias("shingle")).collect()}
+        assert fast == slow, f"k={k}"
