@@ -92,3 +92,39 @@ def test_minhash_no_pathological_codegen(spark):
     plan = physical_plan(df)
     assert plan.count("Generate explode") <= 2
     assert_no_cartesian(df)
+
+
+def test_decontam_broadcasts_benchmark_single_corpus_pass(spark):
+    """x34: the benchmark shingle set must broadcast (test sets are
+    tiny), and hit-count + shingle-count must come from ONE corpus
+    aggregation — two shuffles total (the groupBy and the bench-side
+    distinct), never a second corpus pass."""
+    df = q(spark, "x34_decontam")
+    assert broadcast_join_count(df) >= 1
+    assert shuffle_count(df) <= 4
+
+
+def test_tpch_q6_full_pushdown_no_join(spark):
+    """v5: all four predicates reach the parquet scan; the plan is a
+    scan → partial agg → single-row exchange, nothing else."""
+    df = q(spark, "v5_tpch_q6")
+    assert_pushed_filters(df, "l_shipdate", "l_discount", "l_quantity")
+    assert broadcast_join_count(df) == 0
+    assert shuffle_count(df) == 1
+
+
+def test_curate_reuses_dedup_exchange(spark):
+    """p3: the composed pipeline's dedup subtree feeds two consumers
+    (decontamination + anti-join); the executed plan must share it via
+    ReusedExchange instead of recomputing the upstream stages."""
+    df = q(spark, "p3_curate")
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
+
+
+def test_tokenize_vocab_broadcasts_back(spark):
+    """x38: the capped vocabulary must broadcast onto the exploded
+    token stream — a shuffle join there would move the corpus."""
+    df = q(spark, "x38_tokenize_ids")
+    assert broadcast_join_count(df) >= 1
