@@ -105,23 +105,30 @@ def minhash_bands(df: DataFrame, id_col: str = "doc_id",
         "_h28",
         F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 7),
                16, 10).cast("long"))
-    params = df.sparkSession.createDataFrame(
-        [(j, a, b) for j, (a, b) in enumerate(hash_params(num_hashes))],
-        "_j int, _a long, _b long")
-    hashed = sh.crossJoin(F.broadcast(params)).select(
-        id_col, "_j",
-        ((F.col("_a") * F.col("_h28") + F.col("_b")) % MERSENNE31)
-        .alias("_mh"))
-    sig = hashed.groupBy(id_col, "_j").agg(F.min("_mh").alias("_mh"))
-    return (
-        sig.withColumn("band", F.expr(f"_j div {rows}"))
-        .groupBy(id_col, "band")
-        .agg(F.md5(F.concat_ws(",", F.transform(
-            F.array_sort(F.collect_list(F.struct("_j", "_mh"))),
-            lambda s: s["_mh"].cast("string"))).cast("binary"))
-            .alias("bucket"))
-        .select(id_col, "band", "bucket")
-    )
+    # All num_hashes minima in ONE groupBy(id): the per-hash mix is a
+    # two-op integer expression, so 12 inlined aggregates stay cheap in
+    # codegen (the pathological version inlined the SHINGLE expression,
+    # not the mix), map-side combine collapses each partition to one
+    # row per doc, and the (id, j) shuffle + parameter cross-join of
+    # the previous form disappear entirely.
+    aggs = [
+        F.min((F.lit(a) * F.col("_h28") + F.lit(b)) % MERSENNE31)
+        .alias(f"_mh{j}")
+        for j, (a, b) in enumerate(hash_params(num_hashes))
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *[
+                F.col(f"_mh{b * rows + r}").cast("string")
+                for r in range(rows)]).cast("binary")).alias("bucket"))
+        for b in range(bands)
+    ]
+    return (sig.select(F.col(id_col),
+                       F.explode(F.array(*band_structs)).alias("_bb"))
+            .select(id_col, F.col("_bb.band").alias("band"),
+                    F.col("_bb.bucket").alias("bucket")))
 
 
 def shingle_sets(df: DataFrame, id_col: str = "doc_id",
