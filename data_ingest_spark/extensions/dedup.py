@@ -32,7 +32,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-from data_ingest_spark.extensions.text import shingles_col
 from data_ingest_spark.functions.partitioning import spread
 
 
@@ -90,14 +89,14 @@ def minhash_bands(df: DataFrame, id_col: str = "doc_id",
     md5 of its signature rows joined in j order. Probability that two
     documents share ≥1 bucket ≈ 1 − (1 − J^r)^b with r = num_hashes/bands.
 
-    Plan shape: explode shingles once, md5 each shingle ONCE, cross-join
-    the tiny (j, a, b) parameter table, integer-mix per row — NOT
-    num_hashes inlined copies of the shingle expression per row (that
-    version compiled a pathological whole-stage-codegen function:
-    106 s vs 3 s on 550 docs), and NOT an md5 per (shingle, j) (the
-    previous form; hashing dominated the stage). Shuffle volume is
-    |shingle occurrences|·num_hashes ints, map-side-combined down to
-    |docs|·num_hashes immediately."""
+    Plan shape: explode shingles once, md5 each shingle ONCE, then ALL
+    ``num_hashes`` minima in a single groupBy(id) — each hash is a
+    two-op integer mix over the shared ``_h28``, so the inlined
+    aggregates stay cheap in codegen (the historical pathological
+    version inlined the SHINGLE expression per hash: 106 s vs 3 s on
+    550 docs), map-side combine collapses every partition to one row
+    per doc before the only shuffle, and band buckets derive from the
+    signature columns map-side (no second shuffle)."""
     rows = num_hashes // bands
     base = (df if membership
             else shingle_sets(spread(df), id_col, text_col, k))

@@ -23,7 +23,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window as W, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 _SIDE = "_asof_side"
 _TS = "_asof_ts"
