@@ -76,3 +76,55 @@ def hll_distinct(df: DataFrame, col: str,
     if group_cols:
         return df.groupBy(*group_cols).agg(agg)
     return df.agg(agg)
+
+
+CMS_DEPTH, CMS_WIDTH = 4, 1024
+
+
+def _cms_pos(col: F.Column, row: int, width: int) -> F.Column:
+    """Deterministic bucket for hash row ``row``: md5-prefix integer of
+    'row:value' mod width — identical arithmetic in DuckDB."""
+    h = F.md5(F.concat_ws(":", F.lit(str(row)), col.cast("string"))
+              .cast("binary"))
+    return F.conv(F.substring(h, 1, 7), 16, 10).cast("long") % width
+
+
+def count_min_build(df: DataFrame, col: str, depth: int = CMS_DEPTH,
+                    width: int = CMS_WIDTH) -> DataFrame:
+    """Count-Min sketch state: ``(row, pos, cell_count)`` — depth×width
+    integer cells summarizing the frequency of every value of ``col``.
+    The sketch is MERGEABLE (cell-wise +) and its size is O(depth·width)
+    regardless of input — the 100 TB property: shard sketches build
+    independently per partition-range and add up exactly.
+
+    One explode-free pass: the input is unioned through ``depth``
+    bucket projections (stack), then a single groupBy((row, pos)) with
+    map-side combine. Deterministic integer state ⇒ exact oracle."""
+    rows = [df.select(F.lit(r).alias("row"),
+                      _cms_pos(F.col(col), r, width).alias("pos"))
+            for r in range(depth)]
+    allrows = rows[0]
+    for r in rows[1:]:
+        allrows = allrows.unionByName(r)
+    return (allrows.groupBy("row", "pos")
+            .agg(F.count("*").alias("cell_count")))
+
+
+def count_min_estimate(sketch: DataFrame, probes: DataFrame,
+                       col: str, depth: int = CMS_DEPTH,
+                       width: int = CMS_WIDTH) -> DataFrame:
+    """Point-frequency estimates for ``probes[col]``: the minimum over
+    the depth cells each probe hashes into (classic CMS upper bound —
+    ``est >= true``, overestimates only from collisions). The sketch
+    side is tiny (≤ depth·width rows) and broadcasts."""
+    out = None
+    for r in range(depth):
+        joined = (probes
+                  .select(F.col(col),
+                          F.lit(r).alias("row"),
+                          _cms_pos(F.col(col), r, width).alias("pos"))
+                  .join(F.broadcast(sketch), ["row", "pos"], "left")
+                  .select(col, F.coalesce("cell_count", F.lit(0))
+                          .alias("est")))
+        out = joined if out is None else out.unionByName(joined)
+    return out.groupBy(col).agg(F.min("est").alias("est_count"))

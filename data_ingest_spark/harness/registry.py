@@ -2767,6 +2767,48 @@ def q_unpivot(spark, sf):
             .select("o_orderkey", "kind", F.round("val", 2).alias("val")))
 
 
+@_q("x43_count_min", """
+WITH toks AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+              FROM documents),
+ cells AS (SELECT r.r AS row,
+                  CAST(concat('0x', substr(md5(CAST(r.r AS VARCHAR) || ':'
+                       || tok), 1, 7)) AS BIGINT) % 1024 AS pos,
+                  COUNT(*) AS cell_count
+           FROM toks CROSS JOIN (VALUES (0), (1), (2), (3)) r(r)
+           GROUP BY 1, 2),
+ probes AS (SELECT DISTINCT tok FROM toks ORDER BY tok LIMIT 20),
+ est AS (SELECT p.tok, MIN(COALESCE(c.cell_count, 0)) AS est_count
+         FROM probes p CROSS JOIN (VALUES (0), (1), (2), (3)) r(r)
+         LEFT JOIN cells c
+           ON c.row = r.r
+          AND c.pos = CAST(concat('0x', substr(md5(CAST(r.r AS VARCHAR)
+                      || ':' || p.tok), 1, 7)) AS BIGINT) % 1024
+         GROUP BY 1),
+ exact AS (SELECT tok, COUNT(*) AS true_count FROM toks GROUP BY 1)
+SELECT e.tok AS token, CAST(e.est_count AS BIGINT) AS est_count,
+       CAST(x.true_count AS BIGINT) AS true_count
+FROM est e JOIN exact x ON x.tok = e.tok
+""")
+def q_count_min(spark, sf):
+    """Count-Min sketch: build the 4×1024 integer cell state over the
+    token stream, estimate the 20 lexicographically-first tokens, and
+    emit estimate vs truth (est >= true by construction; both exact
+    integers, so the sketch itself is oracle-checked)."""
+    from data_ingest_spark.extensions.sketches import (count_min_build,
+                                                       count_min_estimate)
+    from data_ingest_spark.extensions.text import tokens_col
+    toks = (load(spark, sf, "documents")
+            .select(F.explode(tokens_col("text")).alias("token")))
+    sketch = count_min_build(toks, "token")
+    probes = (toks.select("token").distinct()
+              .orderBy("token").limit(20))
+    est = count_min_estimate(sketch, probes, "token")
+    exact = toks.groupBy("token").agg(F.count("*").alias("true_count"))
+    return (est.join(exact, "token")
+            .select("token", F.col("est_count").cast("long").alias("est_count"),
+                    F.col("true_count").cast("long").alias("true_count")))
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -46,3 +46,29 @@ def test_hll_within_tolerance(spark):
     assert set(per) == {"0", "1"}
     for v in per.values():
         assert abs(v - 5000) / 5000 < 0.10
+
+
+def test_count_min_upper_bound_and_merge(spark):
+    from data_ingest_spark.extensions.sketches import (count_min_build,
+                                                       count_min_estimate)
+    df = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 7 + [("c",)] * 1, "v string")
+    sketch = count_min_build(df, "v")
+    probes = spark.createDataFrame([("a",), ("b",), ("c",)], "v string")
+    est = {r["v"]: r["est_count"]
+           for r in count_min_estimate(sketch, probes, "v").collect()}
+    assert est["a"] >= 50 and est["b"] >= 7 and est["c"] >= 1
+    # width 1024 >> 3 values: no collisions, estimates exact
+    assert est == {"a": 50, "b": 7, "c": 1}
+
+    # mergeability: sketch(x ∪ y) == cellwise-sum of sketches
+    x = spark.createDataFrame([("a",)] * 30, "v string")
+    y = spark.createDataFrame(
+        [("a",)] * 20 + [("b",)] * 7 + [("c",)] * 1, "v string")
+    sx, sy = count_min_build(x, "v"), count_min_build(y, "v")
+    merged = (sx.unionByName(sy).groupBy("row", "pos")
+              .agg(F.sum("cell_count").alias("cell_count")))
+    whole = {(r["row"], r["pos"]): r["cell_count"]
+             for r in sketch.collect()}
+    got = {(r["row"], r["pos"]): r["cell_count"] for r in merged.collect()}
+    assert got == whole
