@@ -128,3 +128,44 @@ def count_min_estimate(sketch: DataFrame, probes: DataFrame,
                           .alias("est")))
         out = joined if out is None else out.unionByName(joined)
     return out.groupBy(col).agg(F.min("est").alias("est_count"))
+
+
+BLOOM_BITS, BLOOM_HASHES = 4096, 3
+
+
+def bloom_build(df: DataFrame, col: str, bits: int = BLOOM_BITS,
+                hashes: int = BLOOM_HASHES) -> DataFrame:
+    """Bloom filter state as a DISTINCT set of set-bit positions
+    (``pos`` rows, ≤ bits) — the deterministic relational encoding of
+    the bitset (md5-derived positions, exact in both engines). Like
+    the CMS, the state is mergeable (set union) and O(bits) regardless
+    of input size."""
+    rows = [df.select(_cms_pos(F.col(col), r, bits).alias("pos"))
+            for r in range(hashes)]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.distinct()
+
+
+def bloom_prune(probe: DataFrame, bloom: DataFrame, col: str,
+                bits: int = BLOOM_BITS,
+                hashes: int = BLOOM_HASHES) -> DataFrame:
+    """Keep probe rows whose key PASSES the filter (all ``hashes``
+    positions set) — no false negatives, bounded false positives. The
+    bloom side broadcasts (≤ bits rows); the probe side never
+    shuffles: this is the classic pre-join pruning that cuts shuffle
+    volume before an expensive join at 100 TB."""
+    marked = probe
+    for r in range(hashes):
+        hit = (bloom.select(F.col("pos").alias(f"_p{r}"))
+               .withColumn(f"_hit{r}", F.lit(1)))
+        marked = (marked
+                  .withColumn(f"_p{r}", _cms_pos(F.col(col), r, bits))
+                  .join(F.broadcast(hit), f"_p{r}", "left"))
+    cond = None
+    for r in range(hashes):
+        c = F.col(f"_hit{r}").isNotNull()
+        cond = c if cond is None else cond & c
+    drop = [c for r in range(hashes) for c in (f"_p{r}", f"_hit{r}")]
+    return marked.filter(cond).drop(*drop)

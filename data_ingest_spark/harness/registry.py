@@ -2809,6 +2809,52 @@ def q_count_min(spark, sf):
                     F.col("true_count").cast("long").alias("true_count")))
 
 
+@_q("x44_bloom_prune", """
+WITH keys AS (SELECT DISTINCT c_custkey FROM customer
+              WHERE c_mktsegment = 'BUILDING'),
+ bloom AS (SELECT DISTINCT
+             CAST(concat('0x', substr(md5(CAST(r.r AS VARCHAR) || ':'
+                  || CAST(c_custkey AS VARCHAR)), 1, 7)) AS BIGINT) % 4096
+               AS pos
+           FROM keys CROSS JOIN (VALUES (0), (1), (2)) r(r)),
+ probe AS (SELECT o_orderkey, o_custkey FROM orders),
+ passed AS (SELECT p.o_orderkey, p.o_custkey FROM probe p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM (VALUES (0), (1), (2)) r(r)
+              WHERE CAST(concat('0x', substr(md5(CAST(r.r AS VARCHAR) || ':'
+                    || CAST(p.o_custkey AS VARCHAR)), 1, 7)) AS BIGINT)
+                    % 4096 NOT IN (SELECT pos FROM bloom))),
+ truth AS (SELECT o_orderkey FROM probe
+           WHERE o_custkey IN (SELECT c_custkey FROM keys))
+SELECT CAST((SELECT COUNT(*) FROM probe) AS BIGINT) AS n_probe,
+       CAST((SELECT COUNT(*) FROM passed) AS BIGINT) AS n_pass,
+       CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT COUNT(*) FROM passed) -
+            (SELECT COUNT(*) FROM truth) AS BIGINT) AS n_false_pos
+""")
+def q_bloom_prune(spark, sf):
+    """Bloom-filter join pruning: a 4096-bit filter over BUILDING
+    customers prunes the orders probe side before any join. No false
+    negatives (every true match passes); the surviving excess is the
+    bounded false-positive set — all four counts integer-exact."""
+    from data_ingest_spark.extensions.sketches import (bloom_build,
+                                                       bloom_prune)
+    keys = (load(spark, sf, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey").distinct())
+    bloom = bloom_build(keys, "c_custkey")
+    probe = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    passed = bloom_prune(probe, bloom, "o_custkey")
+    truth = probe.join(keys, probe["o_custkey"] == keys["c_custkey"],
+                       "left_semi")
+    return (probe.agg(F.count("*").alias("n_probe"))
+            .crossJoin(passed.agg(F.count("*").alias("n_pass")))
+            .crossJoin(truth.agg(F.count("*").alias("n_true")))
+            .select("n_probe", "n_pass", "n_true",
+                    (F.col("n_pass") - F.col("n_true"))
+                    .alias("n_false_pos")))
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

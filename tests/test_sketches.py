@@ -72,3 +72,17 @@ def test_count_min_upper_bound_and_merge(spark):
              for r in sketch.collect()}
     got = {(r["row"], r["pos"]): r["cell_count"] for r in merged.collect()}
     assert got == whole
+
+
+def test_bloom_no_false_negatives(spark):
+    from data_ingest_spark.extensions.sketches import (bloom_build,
+                                                       bloom_prune)
+    keys = spark.createDataFrame([(i,) for i in range(0, 100, 7)],
+                                 "k long")
+    bloom = bloom_build(keys, "k")
+    probe = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    passed = {r["k"] for r in bloom_prune(probe, bloom, "k").collect()}
+    members = set(range(0, 100, 7))
+    assert members <= passed                 # zero false negatives
+    # 4096 bits vs 15 keys: false positives essentially impossible
+    assert passed == members
