@@ -2855,6 +2855,39 @@ def q_bloom_prune(spark, sf):
                     .alias("n_false_pos")))
 
 
+@_q("x45_semantic_dedup", f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ b AS (SELECT vec_id, v, {_planes_sql()} AS bkt FROM e),
+ prs AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b
+         FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
+         WHERE ROUND(list_dot_product(a.v, c.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(c.v, c.v))), 6) >= 0.35),
+ edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+           UNION SELECT id_b, id_a FROM prs),
+ nodes AS (SELECT DISTINCT src AS id FROM edges),
+ walk AS (
+   WITH RECURSIVE reach(src, dst) AS (
+     SELECT id, id FROM nodes
+     UNION
+     SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+   SELECT src, dst FROM reach),
+ comp AS (SELECT src AS vec_id, MIN(dst) AS cluster FROM walk GROUP BY 1)
+SELECT vec_id, cluster, vec_id = cluster AS kept FROM comp
+""")
+def q_semantic_dedup(spark, sf):
+    """Semantic dedup end-to-end: LSH-bucketed embedding-cosine pairs
+    → connected components → keep the minimum id per cluster. The
+    composed kept/dropped decision — the final step of the
+    embedding-tier dedup — under a full value oracle."""
+    from data_ingest_spark.extensions.dedup import dup_clusters
+    pairs = sim.embedding_near_dups(load(spark, sf, "embeddings"),
+                                    threshold=0.35).select("id_a", "id_b")
+    comp = dup_clusters(pairs, id_cols=("id_a", "id_b"))
+    return comp.select(F.col("doc_id").alias("vec_id"), "cluster",
+                       (F.col("doc_id") == F.col("cluster")).alias("kept"))
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
