@@ -85,3 +85,20 @@ def stratified_quota(df: DataFrame, strata_col: str, k: int,
     w = W.partitionBy(strata_col).orderBy(b.asc(), F.col(id_col).asc())
     return (df.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= k).drop("_rk"))
+
+
+def importance_sample(df: DataFrame, weight_col: str, id_col: str = "doc_id",
+                      temperature: float = 1.0, seed: int = 21) -> DataFrame:
+    """Quality-weighted corpus sampling: keep each row with
+    probability ``weight^temperature`` (weight in [0, 1]), decided by
+    the row's content-addressed hash bucket — the up/down-weighting
+    step that turns a quality score into a training distribution.
+    Higher temperature sharpens toward high-quality rows.
+
+    Deterministic: keep ⟺ bucket(id) < floor(weight^T · BUCKETS); both
+    factors are pure functions of the row, so the sample is stable
+    across reruns, partitionings, and engines (exact oracle). Map-only
+    — no shuffle, no RNG state."""
+    cut = F.floor(F.pow(F.col(weight_col), F.lit(float(temperature)))
+                  * BUCKETS)
+    return df.filter(hash_bucket(F.col(id_col), seed) < cut)

@@ -2888,6 +2888,38 @@ def q_semantic_dedup(spark, sf):
                        (F.col("doc_id") == F.col("cluster")).alias("kept"))
 
 
+@_q("x46_importance_sample", f"""
+WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk,
+                  length(text) AS nc,
+                  length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+                    AS np
+           FROM documents),
+ m AS (SELECT doc_id, len(tk) AS n_tokens,
+              np / nc AS pr,
+              len(list_filter(tk, x -> list_contains({_STOP_SQL}, x)))
+                / len(tk) AS sr
+       FROM t),
+ q AS (SELECT doc_id,
+              ROUND(0.3 * least(1.0, n_tokens / 100.0)
+                    + 0.4 * (1.0 - pr) + 0.3 * sr, 6) AS quality_score
+       FROM m)
+SELECT doc_id, quality_score
+FROM q
+WHERE CAST(concat('0x', substr(md5('21:' || CAST(doc_id AS VARCHAR)), 1, 7))
+      AS BIGINT) % 10000
+    < FLOOR(quality_score * quality_score * 10000)
+""")
+def q_importance_sample(spark, sf):
+    """Quality-weighted sampling at temperature 2: keep probability =
+    quality_score², decided content-addressed — the step that turns a
+    quality signal into a training distribution, map-only and exactly
+    reproducible."""
+    from data_ingest_spark.extensions.sampling import importance_sample
+    scored = tx.text_quality(load(spark, sf, "documents")).select(
+        "doc_id", "quality_score")
+    return importance_sample(scored, "quality_score", temperature=2.0)
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

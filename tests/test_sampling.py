@@ -94,3 +94,20 @@ def test_negative_samples_properties(spark):
     assert len(out) == 4 * n_anchors
     assert all(r["neg_id"] != r["anchor_id"] for r in out)
     assert all(0 <= r["neg_id"] < n_anchors for r in out)
+
+
+def test_importance_sample_monotone_in_weight(spark):
+    from data_ingest_spark.extensions.sampling import importance_sample
+    rows = ([(i, 1.0) for i in range(100)]          # always kept
+            + [(i, 0.0) for i in range(100, 200)]   # never kept
+            + [(i, 0.5) for i in range(200, 400)])  # ~25% at T=2
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    kept = {r["doc_id"]
+            for r in importance_sample(df, "w", temperature=2.0).collect()}
+    assert set(range(100)) <= kept
+    assert not kept & set(range(100, 200))
+    mid = len(kept & set(range(200, 400)))
+    assert 25 <= mid <= 75                     # hash-binomial around 50
+    again = {r["doc_id"]
+             for r in importance_sample(df, "w", temperature=2.0).collect()}
+    assert kept == again                       # exactly reproducible
