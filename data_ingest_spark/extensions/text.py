@@ -362,6 +362,38 @@ def boilerplate_score(df: DataFrame, k: int = 3, min_df: int = 5,
                     .alias("common_ratio")))
 
 
+def bigram_lm(df: DataFrame, top_k: int = 100,
+              text_col: str = "text") -> DataFrame:
+    """Count-based bigram LM estimation: corpus-wide bigram counts and
+    the conditional probability P(w2 | w1) = c(w1 w2) / c(w1·) — the
+    classic n-gram LM training step (the model behind cheap perplexity
+    filters). Returns the ``top_k`` bigrams by count (ties broken on
+    the pair) as ``(w1, w2, pair_count, cond_prob)``.
+
+    Plan shape: bigrams explode scan-side from the token array (no
+    self-join on position — adjacent pairs come from one pass over
+    each document), one groupBy(w1, w2) with map-side combine; the
+    left-marginal c(w1·) derives from that aggregate with a second
+    small shuffle on w1. Counts are integers; the single division is
+    rounded once — exact oracle."""
+    toks = tokens_col(text_col)
+    pairs = F.expr(
+        "transform(sequence(1, size(_tk) - 1), "
+        "i -> struct(element_at(_tk, i) AS w1, "
+        "element_at(_tk, i + 1) AS w2))")
+    bg = (df.select(toks.alias("_tk"))
+          .filter(F.size("_tk") >= 2)
+          .select(F.explode(pairs).alias("_bg"))
+          .select("_bg.w1", "_bg.w2"))
+    counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("pair_count"))
+    marg = counts.groupBy("w1").agg(F.sum("pair_count").alias("_c1"))
+    return (counts.join(marg, "w1")
+            .select("w1", "w2", "pair_count",
+                    F.round(F.col("pair_count") / F.col("_c1"), 6)
+                    .alias("cond_prob"))
+            .orderBy(F.desc("pair_count"), "w1", "w2").limit(top_k))
+
+
 def tokenize_with_vocab(df: DataFrame, vocab_size: int = 1000,
                         id_col: str = "doc_id",
                         text_col: str = "text") -> DataFrame:

@@ -2920,6 +2920,26 @@ def q_importance_sample(spark, sf):
     return importance_sample(scored, "quality_score", temperature=2.0)
 
 
+@_q("x47_bigram_lm", """
+WITH t AS (SELECT string_split_regex(lower(text), '\\s+') AS tk
+           FROM documents),
+ bg AS (SELECT unnest([{'w1': tk[i], 'w2': tk[i+1]}
+                       FOR i IN generate_series(1, len(tk) - 1)],
+                      recursive := true)
+        FROM t WHERE len(tk) >= 2),
+ c AS (SELECT w1, w2, COUNT(*) AS pair_count FROM bg GROUP BY 1, 2),
+ m AS (SELECT w1, SUM(pair_count) AS c1 FROM c GROUP BY 1)
+SELECT c.w1, c.w2, CAST(c.pair_count AS BIGINT) AS pair_count,
+       ROUND(c.pair_count / m.c1, 6) AS cond_prob
+FROM c JOIN m ON m.w1 = c.w1
+ORDER BY pair_count DESC, c.w1, c.w2 LIMIT 100
+""")
+def q_bigram_lm(spark, sf):
+    """Bigram LM: corpus pair counts + P(w2|w1), top-100."""
+    from data_ingest_spark.extensions.text import bigram_lm
+    return bigram_lm(load(spark, sf, "documents"), top_k=100)
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

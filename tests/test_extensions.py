@@ -359,3 +359,14 @@ def test_shingle_rows_matches_column_path_fuzz(spark):
                     F.explode(F.array_distinct(tx.shingles_col("text", k)))
                     .alias("shingle")).collect()}
         assert fast == slow, f"k={k}"
+
+
+def test_bigram_lm_conditional_probabilities(spark):
+    rows = [(1, "a b a b"), (2, "a c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["w1"], r["w2"]): (r["pair_count"], r["cond_prob"])
+           for r in tx.bigram_lm(df).collect()}
+    # bigrams: (a,b)x2, (b,a)x1, (a,c)x1 -> c(a·)=3, c(b·)=1
+    assert got[("a", "b")] == (2, round(2 / 3, 6))
+    assert got[("a", "c")] == (1, round(1 / 3, 6))
+    assert got[("b", "a")] == (1, 1.0)
