@@ -2940,6 +2940,28 @@ def q_bigram_lm(spark, sf):
     return bigram_lm(load(spark, sf, "documents"), top_k=100)
 
 
+@_q("x48_diversity_sample", f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ b AS (SELECT vec_id, {_planes_sql()} AS bucket FROM e)
+SELECT bucket, MIN(vec_id) AS rep_id,
+       CAST(COUNT(*) AS BIGINT) AS bucket_size
+FROM b GROUP BY 1
+""")
+def q_diversity_sample(spark, sf):
+    """Diversity-aware subset selection: one representative per
+    semantic LSH bucket (min id) + bucket mass — the cheap
+    coreset-style pick that spreads a sample across embedding-space
+    regions instead of density peaks. Map-side bucket hash, one
+    groupBy — no pairwise distances."""
+    emb = load(spark, sf, "embeddings")
+    planes = sim.hyperplanes(4, 64)
+    bucketed = emb.select(
+        "vec_id", sim.lsh_bucket_col("embedding", planes).alias("bucket"))
+    return (bucketed.groupBy("bucket")
+            .agg(F.min("vec_id").alias("rep_id"),
+                 F.count("*").alias("bucket_size")))
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
