@@ -88,3 +88,39 @@ def token_drift(df: DataFrame, group_col: str = "source", top_k: int = 5,
             .filter(F.col("rk") <= top_k)
             .select(F.col("grp").alias(group_col), "token",
                     "drift_score", F.col("rk").cast("long").alias("rk")))
+
+
+DECAY_SCALE = 1_000_000
+
+
+def decayed_counts(events: DataFrame, half_life_s: float,
+                   asof_expr: str, key_col: str = "user_id",
+                   ts_col: str = "ts") -> DataFrame:
+    """Feature-store primitive: per-key exponentially-decayed event
+    count and value mass as of a reference instant —
+    ``w = 0.5^(age / half_life)`` — recency-weighted activity features
+    for ranking/training.
+
+    Determinism at the float boundary (the x39 pattern): each row's
+    decay weight is fixed-pointed once (round(w·1e6) as int64, a pure
+    per-row function), the per-key reduction is an exact integer sum,
+    and the final rescale is the only float step — so the aggregate is
+    independent of summation order and engine.
+
+    Map-only weight computation + one groupBy(key): at 100 TB this is
+    a single shuffle of (key, int, int) partial sums."""
+    # Fractional-second age (cast-to-double keeps microseconds, like
+    # DuckDB's epoch()); weight via exp(ln(0.5)·age/hl) with ln(0.5)
+    # as a shared literal so the only libm call is the trusted exp.
+    LN_HALF = -0.6931471805599453
+    age = (F.expr(asof_expr).cast("double") - F.col(ts_col).cast("double"))
+    w_i = F.round(F.exp(F.lit(LN_HALF) * age / F.lit(half_life_s))
+                  * DECAY_SCALE).cast("long")
+    return (events
+            .filter(F.col(ts_col) <= F.expr(asof_expr))
+            .select(F.col(key_col), w_i.alias("_w"),
+                    F.col("value"))
+            .groupBy(key_col)
+            .agg(F.round(F.sum("_w") / DECAY_SCALE, 6)
+                 .alias("decayed_count"),
+                 F.count("*").cast("long").alias("n_events")))

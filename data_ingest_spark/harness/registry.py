@@ -2962,6 +2962,25 @@ def q_diversity_sample(spark, sf):
                  F.count("*").alias("bucket_size")))
 
 
+@_q("x49_decayed_counts", """
+WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events),
+ w AS (SELECT user_id,
+         CAST(ROUND(exp(-0.6931471805599453 *
+                (epoch(TIMESTAMP '2024-02-01 00:00:00') - epoch(ts))
+                / 86400.0) * 1000000) AS BIGINT) AS wi
+       FROM e WHERE ts <= TIMESTAMP '2024-02-01 00:00:00')
+SELECT user_id, ROUND(SUM(wi) / 1000000, 6) AS decayed_count,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM w GROUP BY 1
+""")
+def q_decayed_counts(spark, sf):
+    """Recency-decayed per-user activity (half-life 1 day, as of
+    2024-02-01): fixed-point per-row weights, exact integer sum."""
+    from data_ingest_spark.extensions.profile import decayed_counts
+    return decayed_counts(events_df(spark, sf), half_life_s=86400.0,
+                          asof_expr="TIMESTAMP '2024-02-01 00:00:00'")
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -111,3 +111,20 @@ def test_importance_sample_monotone_in_weight(spark):
     again = {r["doc_id"]
              for r in importance_sample(df, "w", temperature=2.0).collect()}
     assert kept == again                       # exactly reproducible
+
+
+def test_decayed_counts_halving(spark):
+    from datetime import datetime as dt
+    from data_ingest_spark.extensions.profile import decayed_counts
+    rows = [
+        (1, dt(2024, 1, 2, 0, 0), 1.0),   # age 0 at asof -> w = 1
+        (1, dt(2024, 1, 1, 0, 0), 1.0),   # age = 1 half-life -> w = 0.5
+        (2, dt(2024, 1, 3, 0, 0), 1.0),   # after asof -> excluded
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {r["user_id"]: r for r in decayed_counts(
+        ev, half_life_s=86400.0,
+        asof_expr="TIMESTAMP '2024-01-02 00:00:00'").collect()}
+    assert out[1]["decayed_count"] == 1.5
+    assert out[1]["n_events"] == 2
+    assert 2 not in out
