@@ -370,3 +370,26 @@ def test_bigram_lm_conditional_probabilities(spark):
     assert got[("a", "b")] == (2, round(2 / 3, 6))
     assert got[("a", "c")] == (1, round(1 / 3, 6))
     assert got[("b", "a")] == (1, 1.0)
+
+
+def test_operators_survive_empty_input(spark):
+    """Empty-corpus robustness: every text/dedup operator must return
+    an empty (not crashed) result — the state of affairs at a fresh
+    partition or a fully-filtered upstream."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert dd.exact_dedup(empty).count() == 0
+    assert dd.dedup_keep_first(empty).count() == 0
+    assert dd.near_dup_pairs(empty).count() == 0
+    assert tx.shingle_rows(empty).count() == 0
+    assert tx.simhash(empty).count() == 0
+    assert tx.text_quality(empty).count() == 0
+    assert tx.bpe_pair_counts(empty).count() == 0
+    assert tx.bigram_lm(empty).count() == 0
+    assert tx.tokenize_with_vocab(empty).count() == 0
+    assert tx.unigram_logprob(empty).count() == 0
+    assert tx.boilerplate_score(empty).count() == 0
+
+    from data_ingest_spark.extensions.curate import curate_corpus
+    bench = spark.createDataFrame([(99, "x y z")],
+                                  "doc_id long, text string")
+    assert curate_corpus(empty, bench).count() == 0
