@@ -2981,6 +2981,31 @@ def q_decayed_counts(spark, sf):
                           asof_expr="TIMESTAMP '2024-02-01 00:00:00'")
 
 
+@_q("e16_json_props", """
+SELECT event_type,
+       CAST(CAST(json_extract(props, '$.k') AS INTEGER) // 10 AS BIGINT)
+         AS k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+""")
+def q_json_props(spark, sf):
+    """Semi-structured payload parsing: the events ``props`` JSON
+    string → typed field → bucketed aggregate. from_json with an
+    explicit schema stays JVM-side (no UDF) and prunes to the one
+    parsed field."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    schema = StructType([StructField("k", IntegerType())])
+    ev = load(spark, sf, "events").withColumn(
+        "_p", F.from_json("props", schema))
+    return (ev.groupBy(
+                "event_type",
+                F.floor(F.col("_p.k") / 10).cast("long").alias("k_bucket"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("total_value")))
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -86,3 +86,15 @@ def test_bloom_no_false_negatives(spark):
     assert members <= passed                 # zero false negatives
     # 4096 bits vs 15 keys: false positives essentially impossible
     assert passed == members
+
+
+def test_percentile_approx_within_tolerance(spark):
+    """approx quantiles (GK sketch) vs exact on a known distribution:
+    the approximate path for 100 TB must land within its accuracy
+    bound."""
+    df = spark.range(10000).select((F.col("id") % 1000).alias("v"))
+    row = df.agg(
+        F.percentile_approx("v", [0.5, 0.9], 10000).alias("approx"),
+        F.expr("percentile(v, array(0.5, 0.9))").alias("exact")).head()
+    for a, e in zip(row["approx"], row["exact"]):
+        assert abs(a - e) <= 10          # 1% of the 0..999 domain
