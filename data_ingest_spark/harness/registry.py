@@ -3006,6 +3006,64 @@ def q_json_props(spark, sf):
                  F.round(F.sum("value"), 2).alias("total_value")))
 
 
+@_q("v8_array_functions", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id % 25 = 0)
+SELECT vec_id,
+       CAST(len(v) AS BIGINT) AS dim,
+       ROUND(v[1], 6) AS first_val,
+       ROUND(sqrt(list_dot_product(v, v)), 6) AS l2_norm,
+       ROUND(list_aggregate(v, 'sum'), 6) AS sum_val,
+       ROUND(list_aggregate(v, 'max'), 6) AS max_val,
+       CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_positive
+FROM e
+""")
+def q_array_functions(spark, sf):
+    """Higher-order array functions as an explicit oracle row: size,
+    element access, dot-product norm, sequential fold (same fold order
+    in both engines ⇒ identical doubles), filter count."""
+    e = (load(spark, sf, "embeddings")
+         .filter(F.col("vec_id") % 25 == 0)
+         .select("vec_id",
+                 F.col("embedding").cast("array<double>").alias("v")))
+    dot = F.aggregate(F.zip_with("v", "v", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return e.select(
+        "vec_id",
+        F.size("v").cast("long").alias("dim"),
+        F.round(F.element_at("v", 1), 6).alias("first_val"),
+        F.round(F.sqrt(dot), 6).alias("l2_norm"),
+        F.round(F.aggregate("v", F.lit(0.0), lambda a, x: a + x), 6)
+        .alias("sum_val"),
+        F.round(F.array_max("v"), 6).alias("max_val"),
+        F.size(F.filter("v", lambda x: x > 0)).cast("long")
+        .alias("n_positive"))
+
+
+@_q("e17_datetime_functions", """
+SELECT event_id,
+       date_trunc('day', ts::TIMESTAMP) AS day,
+       date_trunc('hour', ts::TIMESTAMP) AS hour,
+       CAST(EXTRACT(dow FROM ts::TIMESTAMP) AS BIGINT) AS dow_sunday0,
+       CAST(EXTRACT(hour FROM ts::TIMESTAMP) AS BIGINT) AS hour_of_day,
+       CAST(EXTRACT(epoch FROM date_trunc('day', ts::TIMESTAMP))
+            AS BIGINT) AS day_epoch
+FROM events WHERE event_id % 97 = 0
+""")
+def q_datetime_functions(spark, sf):
+    """Datetime family: truncation, day-of-week (normalized to
+    Sunday=0 — Spark's dayofweek is Sunday=1), epoch extraction."""
+    ev = events_df(spark, sf).filter(F.col("event_id") % 97 == 0)
+    return ev.select(
+        "event_id",
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        (F.dayofweek("ts") - 1).cast("long").alias("dow_sunday0"),
+        F.hour("ts").cast("long").alias("hour_of_day"),
+        F.unix_timestamp(F.date_trunc("day", "ts")).cast("long")
+        .alias("day_epoch"))
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
