@@ -121,3 +121,40 @@ def streaming_dedup_native(df: DataFrame, key_cols: list[str],
     watermark horizon instead of a TTL scan."""
     return (df.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(key_cols))
+
+
+SEQ_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("event_id", LongType()),
+    StructField("seq", LongType()),
+])
+
+SEQ_STATE_SCHEMA = StructType([StructField("next_seq", LongType())])
+
+
+def stateful_sequence(events: DataFrame) -> DataFrame:
+    """Per-key monotonically increasing sequence numbers ACROSS
+    micro-batches (input columns: user_id, event_id): event i of a
+    user gets seq = lifetime position, regardless of which batch it
+    arrived in — the event-ordering primitive behind per-entity
+    changelogs and exactly-once downstream merges. Within a batch,
+    rows order by event_id so the assignment is deterministic.
+
+    State is one int64 per key — O(keys) total, partitioned by the
+    grouping shuffle like all GroupState."""
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        nxt = state.get[0] if state.exists else 0
+        out_ids, out_seqs = [], []
+        for pdf in pdfs:
+            for eid in sorted(int(x) for x in pdf["event_id"]):
+                out_ids.append(eid)
+                out_seqs.append(nxt)
+                nxt += 1
+        state.update((int(nxt),))
+        yield pd.DataFrame({"user_id": [int(key[0])] * len(out_ids),
+                            "event_id": out_ids, "seq": out_seqs})
+
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(fn, SEQ_SCHEMA, SEQ_STATE_SCHEMA,
+                                    "append", GroupStateTimeout.NoTimeout))

@@ -126,3 +126,19 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     assert len(rows) == 3                       # 2 old + 1 new, no re-emit
     assert {r["user_id"] for r in rows} == {1, 2, 3}
     assert all(r["doubled"] == r["value"] * 2 for r in rows)
+
+
+def test_stateful_sequence_continues_across_batches(spark, tmp_path):
+    from data_ingest_spark.streaming.stateful import stateful_sequence
+    src = _write_batches(spark, str(tmp_path / "seq"),
+                         "user_id long, event_id long", [
+        [(7, 100), (7, 101), (8, 200)],
+        [(7, 102), (8, 201), (8, 202)],
+    ])
+    stream = (spark.readStream.schema("user_id long, event_id long")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = _drain(stateful_sequence(stream), "seqs", "append")
+    got = {(r["user_id"], r["event_id"]): r["seq"] for r in out.collect()}
+    assert got[(7, 100)] == 0 and got[(7, 101)] == 1
+    assert got[(7, 102)] == 2              # continues across the batch gap
+    assert got[(8, 200)] == 0 and got[(8, 201)] == 1 and got[(8, 202)] == 2
