@@ -214,3 +214,42 @@ def audio_features(df: DataFrame, id_col: str = "doc_id",
             yield pd.DataFrame({"doc_id": ids, "n_samples": ns,
                                 "mean_level": mean, "rms": rms, "zcr": zcr})
     return df.mapInPandas(fn, AUDIO_FEATURES_SCHEMA)
+
+
+IMAGE_FEATURES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("mean_px", DoubleType()),
+    StructField("min_px", IntegerType()),
+    StructField("max_px", IntegerType()),
+    StructField("hist_0", LongType()),
+    StructField("hist_1", LongType()),
+    StructField("hist_2", LongType()),
+    StructField("hist_3", LongType()),
+])
+
+
+def image_features(resized: DataFrame) -> DataFrame:
+    """Feature-extraction stage over a (resized) pixel frame: mean /
+    min / max intensity and a 4-bin histogram (byte // 64) — the
+    numeric summary a downstream quality gate or near-dup hash
+    consumes. numpy over Arrow batches, third mapInPandas stage on the
+    SAME partitioning as decode → resize (still no shuffle). Integer
+    counts + one rounded mean ⇒ exact oracle."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "mean_px", "min_px", "max_px",
+                                   "hist_0", "hist_1", "hist_2", "hist_3")}
+            for did, buf in zip(pdf["doc_id"], pdf["pixels"]):
+                a = np.frombuffer(bytes(buf), dtype=np.uint8)
+                hist = np.bincount(a // 64, minlength=4)
+                out["doc_id"].append(int(did))
+                out["mean_px"].append(round(float(int(a.sum())) / a.size, 6))
+                out["min_px"].append(int(a.min()))
+                out["max_px"].append(int(a.max()))
+                for b in range(4):
+                    out[f"hist_{b}"].append(int(hist[b]))
+            yield pd.DataFrame(out)
+
+    return resized.mapInPandas(fn, IMAGE_FEATURES_SCHEMA)

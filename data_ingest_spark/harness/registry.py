@@ -3064,6 +3064,39 @@ def q_datetime_functions(spark, sf):
         .alias("day_epoch"))
 
 
+@_q("x50_image_features", """
+WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS nb FROM documents),
+ tiled AS (SELECT doc_id,
+             substring(repeat(substring(hx, 1, 128),
+                       CAST(4096 // greatest(least(nb, 64), 1) AS INTEGER)
+                       + 1), 1, 8192) AS hx2
+           FROM d),
+ px AS (SELECT doc_id,
+               CAST(concat('0x', substr(hx2, 2 * i - 1, 2)) AS BIGINT) AS v
+        FROM tiled CROSS JOIN (SELECT unnest(generate_series(1, 4096)) AS i))
+SELECT doc_id,
+       ROUND(SUM(v) / 4096.0, 6) AS mean_px,
+       CAST(MIN(v) AS INTEGER) AS min_px,
+       CAST(MAX(v) AS INTEGER) AS max_px,
+       CAST(SUM(CASE WHEN v // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS hist_0,
+       CAST(SUM(CASE WHEN v // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hist_1,
+       CAST(SUM(CASE WHEN v // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS hist_2,
+       CAST(SUM(CASE WHEN v // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS hist_3
+FROM px GROUP BY doc_id
+""")
+def q_image_features(spark, sf):
+    """decode(fake) → resize(64×64) → feature-extract: the full
+    three-stage multimodal chain, last stage emitting mean/min/max
+    intensity + 4-bin histogram — all integer-exact vs the hex-domain
+    oracle."""
+    docs = load(spark, sf, "documents").withColumn(
+        "payload", F.col("text").cast("binary"))
+    resized = mm.resize_image(mm.decode_image_fake(docs),
+                              width=64, height=64)
+    return mm.image_features(resized)
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

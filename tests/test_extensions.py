@@ -393,3 +393,15 @@ def test_operators_survive_empty_input(spark):
     bench = spark.createDataFrame([(99, "x y z")],
                                   "doc_id long, text string")
     assert curate_corpus(empty, bench).count() == 0
+
+
+def test_image_features_known_buffer(spark):
+    df = spark.createDataFrame([(1, bytes([0, 64, 128, 192] * 16))],
+                               "doc_id long, payload binary")
+    resized = mm.resize_image(mm.decode_image_fake(df), width=8, height=8)
+    r = mm.image_features(resized).collect()[0]
+    # 64-byte pattern tiled to 64 px: 16 bytes per bin
+    assert (r["hist_0"], r["hist_1"], r["hist_2"], r["hist_3"]) == (
+        16, 16, 16, 16)
+    assert r["min_px"] == 0 and r["max_px"] == 192
+    assert r["mean_px"] == (0 + 64 + 128 + 192) / 4
