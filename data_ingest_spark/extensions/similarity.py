@@ -173,3 +173,60 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.9,
     return (with_cosine(pairs, "_va", "_vb")
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+def kmeans_ivf_index(emb: DataFrame, n_cells: int = 8, seed: int = 11,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding"):
+    """Train a real IVF coarse quantizer: Spark ML KMeans centroids
+    over the corpus, every vector assigned to its nearest centroid.
+    Returns (assigned_df with `ivf_cell`, model). The production ANN
+    index build: the KMeans fit is a distributed Lloyd's iteration
+    (treeAggregate per step), assignment is one map-side pass, and the
+    index persists as a plain column — re-partition/bucket by
+    `ivf_cell` to co-locate each cell's postings at 100 TB."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = emb.withColumn("_fv", array_to_vector(
+        F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="_fv",
+                   predictionCol="ivf_cell").fit(feat)
+    return model.transform(feat).drop("_fv"), model
+
+
+def cosine_topk_kmeans_ivf(emb: DataFrame, query_ids: list[int],
+                           k: int = 5, n_cells: int = 8, nprobe: int = 2,
+                           seed: int = 11, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """End-to-end KMeans-IVF search with nprobe > 1: queries scan
+    their `nprobe` nearest centroid cells only. Centroids live on the
+    driver (n_cells × dim — tiny); cell membership joins
+    shuffle-partitioned by cell. The recall/cost dial is
+    (n_cells, nprobe) — the standard IVF trade-off."""
+    import numpy as np
+
+    assigned, model = kmeans_ivf_index(emb, n_cells, seed, id_col, vec_col)
+    centers = np.vstack([c for c in model.clusterCenters()])
+
+    qvecs = (emb.filter(F.col(id_col).isin(query_ids))
+             .select(F.col(id_col).alias("query_id"),
+                     F.col(vec_col).alias("query_vec")).collect())
+    probe_rows = []
+    for r in qvecs:
+        v = np.asarray(r["query_vec"], dtype=float)
+        d = ((centers - v) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:nprobe]:
+            probe_rows.append((r["query_id"], list(map(float, v)),
+                               int(cell)))
+    spark = emb.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, f"query_id long, query_vec array<double>, ivf_cell int")
+
+    scored = with_cosine(
+        assigned.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(vec_col), "ivf_cell")
+        .join(F.broadcast(probes), "ivf_cell"),
+        "query_vec", vec_col,
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    return _rank_topk(scored.drop("ivf_cell"), k)

@@ -3097,6 +3097,21 @@ def q_image_features(spark, sf):
     return mm.image_features(resized)
 
 
+@_q("x51_kmeans_ivf")
+def q_kmeans_ivf(spark, sf):
+    """Real IVF ANN: Spark ML KMeans coarse quantizer + nprobe=2
+    search (rows-only: the KMeans fit is iterative, not
+    SQL-expressible; recall vs exact is property-tested in
+    test_extensions)."""
+    from data_ingest_spark.extensions.similarity import (
+        cosine_topk_kmeans_ivf)
+    emb = load(spark, sf, "embeddings")
+    qids = [r["vec_id"] for r in
+            emb.filter(F.col("vec_id") % 50 == 0).select("vec_id")
+            .collect()]
+    return cosine_topk_kmeans_ivf(emb, qids, k=5, n_cells=8, nprobe=2)
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

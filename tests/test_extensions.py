@@ -405,3 +405,25 @@ def test_image_features_known_buffer(spark):
         16, 16, 16, 16)
     assert r["min_px"] == 0 and r["max_px"] == 192
     assert r["mean_px"] == (0 + 64 + 128 + 192) / 4
+
+
+def test_kmeans_ivf_recall_against_exact(spark):
+    import math
+    rows = []
+    for i in range(200):
+        theta = (i % 16) * math.pi / 32
+        rows.append((i, [math.cos(theta), math.sin(theta),
+                         float(i % 3) / 10, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qids = [0, 5, 10]
+    approx = sim.cosine_topk_kmeans_ivf(emb, qids, k=5, n_cells=4,
+                                        nprobe=2)
+    q = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    exact = sim.cosine_topk(emb, q, k=5)
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.6          # nprobe=2 of 4 cells on clustered data
+    assert all(qid in {x for x, _ in a} for qid in qids)
