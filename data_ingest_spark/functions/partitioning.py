@@ -71,3 +71,33 @@ def salted_join(big: DataFrame, small: DataFrame, keys: list[str],
         F.broadcast(small.sparkSession.range(salt)
                     .select(F.col("id").cast("int").alias("_salt"))))
     return b.join(s, keys + ["_salt"], how).drop("_salt")
+
+
+def morton_code(x, y, bits: int = 16):
+    """Z-order (Morton) interleave of two non-negative int columns —
+    the multi-dimensional clustering key behind Z-ordered layouts:
+    sorting by it co-locates rows close in BOTH dimensions, so
+    min/max-based data skipping prunes on either column. Pure integer
+    bit arithmetic (identical in any engine)."""
+    from pyspark.sql import functions as F
+    # Disjoint bit positions: summation == bitwise OR (and Column `|`
+    # is logical OR in PySpark, so + is also the correct spelling).
+    code = F.lit(0).cast("long")
+    for i in range(bits):
+        code = (code
+                + F.shiftleft(F.shiftright(x, i) % 2, 2 * i)
+                + F.shiftleft(F.shiftright(y, i) % 2, 2 * i + 1))
+    return code
+
+
+def zorder_write(df, path: str, col_x: str, col_y: str,
+                 n_files: int = 8, bits: int = 16) -> None:
+    """Write parquet Z-ordered on (col_x, col_y): range-partition by
+    the Morton code, sort within partitions — each output file then
+    holds a compact Z-curve segment, giving tight per-file min/max on
+    both columns for scan-time skipping."""
+    from pyspark.sql import functions as F
+    coded = df.withColumn("_z", morton_code(F.col(col_x), F.col(col_y),
+                                            bits))
+    (coded.repartitionByRange(n_files, "_z").sortWithinPartitions("_z")
+     .drop("_z").write.mode("overwrite").parquet(path))

@@ -3112,6 +3112,35 @@ def q_kmeans_ivf(spark, sf):
     return cosine_topk_kmeans_ivf(emb, qids, k=5, n_cells=8, nprobe=2)
 
 
+def _morton_sql_terms(x: str, y: str, bits: int = 16) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({x} // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({y} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@_q("x52_zorder", f"""
+SELECT o_orderkey,
+       CAST({_morton_sql_terms('(o_custkey % 65536)',
+                               '(CAST(FLOOR(o_totalprice) AS BIGINT) % 65536)')}
+            AS BIGINT) AS zcode
+FROM orders WHERE o_orderkey % 20 = 0
+""")
+def q_zorder(spark, sf):
+    """Z-order clustering key: 16-bit Morton interleave of
+    (custkey, price) — the layout key that makes min/max skipping work
+    on both columns; bit arithmetic, exact across engines. (Disjoint
+    OR terms ≡ the oracle's sum.)"""
+    from data_ingest_spark.functions.partitioning import morton_code
+    o = load(spark, sf, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    return o.select(
+        "o_orderkey",
+        morton_code(F.col("o_custkey") % 65536,
+                    F.floor("o_totalprice").cast("long") % 65536)
+        .alias("zcode"))
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

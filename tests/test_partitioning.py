@@ -89,3 +89,30 @@ def test_observe_stage_metrics_single_pass(spark, tmp_path):
         df, "gate", {"n_null_v": F.sum(F.col("v").isNull().cast("long"))})
     audited.write.mode("overwrite").parquet(str(tmp_path / "out"))
     assert obs.get == {"n_rows": 100, "n_null_v": 10}
+
+
+def test_zorder_write_locality(spark, tmp_path):
+    """Z-ordered files must carry tight ranges on BOTH dimensions:
+    after sorting by the Morton code, each output file's x-range and
+    y-range span a fraction of the domain (the property min/max data
+    skipping exploits)."""
+    from data_ingest_spark.functions.partitioning import (morton_code,
+                                                          zorder_write)
+    import itertools
+    rows = [(x, y) for x, y in itertools.product(range(64), range(64))]
+    df = spark.createDataFrame(rows, "x long, y long")
+    path = str(tmp_path / "z")
+    zorder_write(df, path, "x", "y", n_files=16, bits=6)
+
+    per_file = (spark.read.parquet(path)
+                .groupBy(F.input_file_name().alias("f"))
+                .agg((F.max("x") - F.min("x")).alias("xr"),
+                     (F.max("y") - F.min("y")).alias("yr"))
+                .collect())
+    assert len(per_file) >= 8
+    avg_span = sum(r["xr"] + r["yr"] for r in per_file) / (2 * len(per_file))
+    assert avg_span <= 32          # each file covers <= half the domain
+
+    got = df.select(morton_code(F.col("x"), F.col("y"), 6).alias("z")) \
+            .agg(F.count_distinct("z")).head()[0]
+    assert got == 4096             # interleave is a bijection on 6+6 bits
