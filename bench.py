@@ -52,6 +52,8 @@ HEADLINE = [
     "x34_decontam",
     "x36_bpe_pairs",
     "p3_curate",
+    "x38_tokenize_ids",
+    "e13_scd2",
 ]
 
 

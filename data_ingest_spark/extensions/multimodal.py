@@ -17,6 +17,7 @@ stages over the same partitioning.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -245,7 +246,10 @@ def image_features(resized: DataFrame) -> DataFrame:
                 a = np.frombuffer(bytes(buf), dtype=np.uint8)
                 hist = np.bincount(a // 64, minlength=4)
                 out["doc_id"].append(int(did))
-                out["mean_px"].append(round(float(int(a.sum())) / a.size, 6))
+                # HALF_UP to match SQL ROUND (Python round is banker's)
+                s_ = int(a.sum())
+                out["mean_px"].append(
+                    math.floor(s_ / a.size * 1e6 + 0.5) / 1e6)
                 out["min_px"].append(int(a.min()))
                 out["max_px"].append(int(a.max()))
                 for b in range(4):

@@ -3141,6 +3141,46 @@ def q_zorder(spark, sf):
         .alias("zcode"))
 
 
+@_q("v9_window_functions", """
+WITH o AS (SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price
+           FROM orders WHERE o_custkey % 40 = 0)
+SELECT o_custkey, o_orderkey, price,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+       CAST(RANK() OVER w AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+       ROUND(PERCENT_RANK() OVER w, 6) AS prank,
+       ROUND(CUME_DIST() OVER w, 6) AS cdist,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       ROUND(LAG(price, 1, 0.0) OVER w, 2) AS prev_price,
+       ROUND(LEAD(price, 1, 0.0) OVER w, 2) AS next_price,
+       ROUND(SUM(price) OVER (PARTITION BY o_custkey ORDER BY price,
+             o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS running_total
+FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY price, o_orderkey)
+""")
+def q_window_functions(spark, sf):
+    """The analytic window-function family in one oracle row: ranking
+    (row_number/rank/dense_rank), distribution (percent_rank /
+    cume_dist / ntile), offsets (lag/lead), and a running frame — all
+    per-key windows, parallel across customers."""
+    w = W.partitionBy("o_custkey").orderBy("price", "o_orderkey")
+    o = (load(spark, sf, "orders").filter(F.col("o_custkey") % 40 == 0)
+         .select("o_custkey", "o_orderkey",
+                 F.round("o_totalprice", 2).alias("price")))
+    return o.select(
+        "o_custkey", "o_orderkey", "price",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.lag("price", 1, 0.0).over(w), 2).alias("prev_price"),
+        F.round(F.lead("price", 1, 0.0).over(w), 2).alias("next_price"),
+        F.round(F.sum("price").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2)
+        .alias("running_total"))
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
