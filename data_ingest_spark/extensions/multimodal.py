@@ -205,13 +205,15 @@ def audio_features(df: DataFrame, id_col: str = "doc_id",
                     mean.append(None), rms.append(None), zcr.append(None)
                     continue
                 c = x - 128.0
-                mean.append(round(float(x.mean()), 6))
-                rms.append(round(float(np.sqrt((c * c).mean())), 6))
+                # HALF_UP (SQL ROUND); Python round is banker's
+                r6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
+                mean.append(r6(float(x.mean())))
+                rms.append(r6(float(np.sqrt((c * c).mean()))))
                 if n < 2:
                     zcr.append(0.0)
                 else:
                     cross = int(((c[:-1] * c[1:]) < 0).sum())
-                    zcr.append(round(cross / (n - 1), 6))
+                    zcr.append(r6(cross / (n - 1)))
             yield pd.DataFrame({"doc_id": ids, "n_samples": ns,
                                 "mean_level": mean, "rms": rms, "zcr": zcr})
     return df.mapInPandas(fn, AUDIO_FEATURES_SCHEMA)
