@@ -230,3 +230,69 @@ def cosine_topk_kmeans_ivf(emb: DataFrame, query_ids: list[int],
         "query_vec", vec_col,
     ).filter(F.col("neighbor_id") != F.col("query_id"))
     return _rank_topk(scored.drop("ivf_cell"), k)
+
+
+PQ_SUBSPACES, PQ_CODEWORDS = 8, 16
+
+
+def pq_codebooks(dim: int = 64, m: int = PQ_SUBSPACES,
+                 ncodes: int = PQ_CODEWORDS) -> list:
+    """Deterministic PQ codebooks: entry (j, c, i) is the first md5
+    nibble of "j|c|i", centered — fixed constants both engines can
+    inline (the production path trains these with per-subspace KMeans;
+    the codebook CONTRACT — m subspaces × ncodes centroids — is what
+    matters to the encoder)."""
+    sub = dim // m
+    books = []
+    for j in range(m):
+        rows = []
+        for c in range(ncodes):
+            rows.append([
+                int(hashlib.md5(f"{j}|{c}|{i}".encode())
+                    .hexdigest()[0], 16) - 7.5
+                for i in range(sub)])
+        books.append(rows)
+    return books
+
+
+def pq_encode(emb: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding", dim: int = 64,
+              m: int = PQ_SUBSPACES,
+              ncodes: int = PQ_CODEWORDS) -> DataFrame:
+    """Product-quantization encoding: each vector → ``m`` 4-bit codes
+    (argmax of the rounded similarity score ``2·v_j·cb − ‖cb‖²`` per
+    subspace, ties to the smallest codeword). 64 floats compress to
+    8 nibbles — the memory layout that lets an ANN index hold billions
+    of vectors in RAM; distance queries then use per-subspace lookup
+    tables instead of float vectors.
+
+    numpy over Arrow batches, map-only (no shuffle); scores rounded
+    6dp before the argmax so the codes are bit-identical to the SQL
+    oracle (the x5-family dot-product parity pattern)."""
+    import numpy as np
+    books = pq_codebooks(dim, m, ncodes)
+    sub = dim // m
+    cb = np.asarray(books)                       # (m, ncodes, sub)
+    norm2 = (cb * cb).sum(axis=2)                # (m, ncodes)
+
+    def fn(batches):
+        for pdf in batches:
+            ids, codes = [], []
+            for vid, v in zip(pdf[id_col], pdf[vec_col]):
+                x = np.asarray(v, dtype=np.float64)
+                row = []
+                for j in range(m):
+                    seg = x[j * sub:(j + 1) * sub]
+                    score = 2.0 * (cb[j] @ seg) - norm2[j]
+                    score = np.floor(score * 1e6 + 0.5) / 1e6
+                    row.append(int(np.argmax(score)))
+                ids.append(int(vid))
+                codes.append(",".join(str(c) for c in row))
+            import pandas as pd
+            yield pd.DataFrame({"vec_id": ids, "pq_code": codes})
+
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+    schema = StructType([StructField("vec_id", LongType()),
+                         StructField("pq_code", StringType())])
+    return emb.select(id_col, vec_col).mapInPandas(fn, schema)

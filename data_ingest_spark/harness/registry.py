@@ -3181,6 +3181,40 @@ def q_window_functions(spark, sf):
         .alias("running_total"))
 
 
+def _pq_oracle_sql() -> str:
+    books = sim.pq_codebooks(64, 8, 16)
+    rows = []
+    for j, bk in enumerate(books):
+        for c, vec in enumerate(bk):
+            lst = "[" + ", ".join(str(x) for x in vec) + "]"
+            n2 = sum(x * x for x in vec)
+            rows.append(f"({j}, {c}, {n2}, {lst}::DOUBLE[])")
+    values = ",\n  ".join(rows)
+    return f"""
+WITH cb(j, c, norm2, w) AS (VALUES
+  {values}),
+ e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ seg AS (SELECT vec_id, cb.j, cb.c,
+                ROUND(2 * list_dot_product(v[cb.j * 8 + 1 : cb.j * 8 + 8],
+                                           cb.w) - cb.norm2, 6) AS score
+         FROM e CROSS JOIN cb),
+ pick AS (SELECT vec_id, j, c,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                    ORDER BY score DESC, c) AS rn
+          FROM seg)
+SELECT vec_id,
+       string_agg(CAST(c AS VARCHAR), ',' ORDER BY j) AS pq_code
+FROM pick WHERE rn = 1 GROUP BY vec_id
+"""
+
+
+@_q("x53_pq_encode", _pq_oracle_sql())
+def q_pq_encode(spark, sf):
+    """PQ encoding: 64-dim float vectors → 8 codes from deterministic
+    codebooks (rounded-score argmax, exact across engines)."""
+    return sim.pq_encode(load(spark, sf, "embeddings"))
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -427,3 +427,20 @@ def test_kmeans_ivf_recall_against_exact(spark):
     recall = len(a & e) / len(e)
     assert recall >= 0.6          # nprobe=2 of 4 cells on clustered data
     assert all(qid in {x for x, _ in a} for qid in qids)
+
+
+def test_pq_encode_deterministic_and_reconstructive(spark):
+    import numpy as np
+    books = sim.pq_codebooks(64, 8, 16)
+    # a vector equal to codeword 5 in every subspace must encode to 5s
+    v = [float(x) for j in range(8) for x in books[j][5]]
+    df = spark.createDataFrame([(1, v), (2, [0.0] * 64)],
+                               "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["pq_code"] for r in sim.pq_encode(df).collect()}
+    assert got[1] == ",".join(["5"] * 8)
+    # zero vector: score = -norm2, argmax = smallest-norm codeword
+    expect = [int(np.argmin([sum(x * x for x in books[j][c])
+                             for c in range(16)])) for j in range(8)]
+    assert got[2] == ",".join(str(c) for c in expect)
+    again = {r["vec_id"]: r["pq_code"] for r in sim.pq_encode(df).collect()}
+    assert got == again
