@@ -296,3 +296,64 @@ def pq_encode(emb: DataFrame, id_col: str = "vec_id",
     schema = StructType([StructField("vec_id", LongType()),
                          StructField("pq_code", StringType())])
     return emb.select(id_col, vec_col).mapInPandas(fn, schema)
+
+
+def pq_search(emb: DataFrame, query_ids: list[int], k: int = 5,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              dim: int = 64, m: int = PQ_SUBSPACES,
+              ncodes: int = PQ_CODEWORDS) -> DataFrame:
+    """Asymmetric-distance PQ search: queries keep their full vectors,
+    candidates are scored from their 4-bit codes via per-subspace
+    lookup tables — the RAM-resident scoring mode of every large-scale
+    ANN system (pair with the IVF cell filter to prune the scan).
+
+    LUT entries are fix-pointed (round(score·1e6) as int64) so the
+    8-term candidate score is an exact integer sum — bit-identical to
+    the SQL oracle. The LUT is (n_queries × m × ncodes) ints — tiny,
+    shipped in the closure; codes scan map-only, then one top-k."""
+    import numpy as np
+    books = pq_codebooks(dim, m, ncodes)
+    sub = dim // m
+    cb = np.asarray(books)
+    norm2 = (cb * cb).sum(axis=2)
+
+    qrows = (emb.filter(F.col(id_col).isin(query_ids))
+             .select(id_col, vec_col).collect())
+    luts = {}
+    for r in qrows:
+        x = np.asarray(r[vec_col], dtype=np.float64)
+        lut = np.empty((m, ncodes), dtype=np.int64)
+        for j in range(m):
+            seg = x[j * sub:(j + 1) * sub]
+            score = 2.0 * (cb[j] @ seg) - norm2[j]
+            lut[j] = np.floor(score * 1e6 + 0.5)
+        luts[int(r[id_col])] = lut
+
+    codes = pq_encode(emb, id_col, vec_col, dim, m, ncodes)
+
+    def fn(batches):
+        import pandas as pd
+        for pdf in batches:
+            out = {"query_id": [], "neighbor_id": [], "score_i": []}
+            for vid, code in zip(pdf["vec_id"], pdf["pq_code"]):
+                cs = [int(c) for c in code.split(",")]
+                for qid, lut in luts.items():
+                    if int(vid) == qid:
+                        continue
+                    s = int(sum(lut[j][cs[j]] for j in range(m)))
+                    out["query_id"].append(qid)
+                    out["neighbor_id"].append(int(vid))
+                    out["score_i"].append(s)
+            yield pd.DataFrame(out)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+    schema = StructType([StructField("query_id", LongType()),
+                         StructField("neighbor_id", LongType()),
+                         StructField("score_i", LongType())])
+    scored = codes.mapInPandas(fn, schema)
+    w = W.partitionBy("query_id").orderBy(F.col("score_i").desc(),
+                                          F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "score_i",
+                    F.col("rank").cast("long").alias("rank")))

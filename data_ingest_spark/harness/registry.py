@@ -3215,6 +3215,60 @@ def q_pq_encode(spark, sf):
     return sim.pq_encode(load(spark, sf, "embeddings"))
 
 
+def _pq_search_oracle_sql() -> str:
+    books = sim.pq_codebooks(64, 8, 16)
+    rows = []
+    for j, bk in enumerate(books):
+        for c, vec in enumerate(bk):
+            lst = "[" + ", ".join(str(x) for x in vec) + "]"
+            n2 = sum(x * x for x in vec)
+            rows.append(f"({j}, {c}, {n2}, {lst}::DOUBLE[])")
+    values = ",\n  ".join(rows)
+    return f"""
+WITH cb(j, c, norm2, w) AS (VALUES
+  {values}),
+ e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ seg AS (SELECT vec_id, cb.j, cb.c,
+                ROUND(2 * list_dot_product(v[cb.j * 8 + 1 : cb.j * 8 + 8],
+                                           cb.w) - cb.norm2, 6) AS score
+         FROM e CROSS JOIN cb),
+ pick AS (SELECT vec_id, j, c,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                    ORDER BY score DESC, c) AS rn
+          FROM seg),
+ codes AS (SELECT vec_id, j, c FROM pick WHERE rn = 1),
+ q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+ lut AS (SELECT q.query_id, cb.j, cb.c,
+                CAST(FLOOR((2 * list_dot_product(
+                       qv[cb.j * 8 + 1 : cb.j * 8 + 8], cb.w)
+                     - cb.norm2) * 1000000 + 0.5) AS BIGINT) AS s_i
+         FROM q CROSS JOIN cb),
+ scored AS (SELECT l.query_id, cd.vec_id AS neighbor_id,
+                   SUM(l.s_i) AS score_i
+            FROM codes cd JOIN lut l ON l.j = cd.j AND l.c = cd.c
+            WHERE cd.vec_id <> l.query_id
+            GROUP BY 1, 2),
+ rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY score_i DESC, neighbor_id) AS rank
+        FROM scored)
+SELECT query_id, neighbor_id, CAST(score_i AS BIGINT) AS score_i,
+       CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= 5
+"""
+
+
+@_q("x54_pq_search", _pq_search_oracle_sql())
+def q_pq_search(spark, sf):
+    """PQ asymmetric-distance search: integer LUT scores over the
+    4-bit codes, top-5 per query — the complete compressed-domain ANN
+    path under a full value oracle."""
+    emb = load(spark, sf, "embeddings")
+    qids = [r["vec_id"] for r in
+            emb.filter(F.col("vec_id") % 50 == 0).select("vec_id")
+            .collect()]
+    return sim.pq_search(emb, qids, k=5)
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
