@@ -1,0 +1,42 @@
+"""Driver-contract guard: __spark_entry__ must keep the exact surface
+the harness calls — entry(spark) with rows and a stable schema,
+queries()/oracle_sql() as dicts with matching keys and aligned column
+names (the driver hashes values under sorted column names, so a
+Spark/oracle column-name drift breaks the gate even when values
+match)."""
+
+import importlib.util
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "__spark_entry__.py")
+    spec = importlib.util.spec_from_file_location("_entry", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_entry_returns_rows_with_stable_schema(spark, entry_mod):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert df.columns == ["sample", "barcode", "ncount", "nfeature",
+                          "mean_normalized"]
+
+
+def test_registry_contract_shapes(entry_mod):
+    q, o = entry_mod.queries(), entry_mod.oracle_sql()
+    assert len(q) >= 130 and len(o) >= 125
+    assert set(o) <= set(q)
+    rows_only = set(q) - set(o)
+    # only the iterative-ML set may lack oracles
+    assert rows_only <= {"m2_doublet_scores", "m8_pca", "m9_integrate_mnn",
+                         "m10_spectral_embedding", "m13_louvain",
+                         "p1_qc_pipeline", "x51_kmeans_ivf"}
+    assert all(callable(fn) for fn in q.values())
+    assert all(isinstance(s, str) and "SELECT" in s.upper()
+               for s in o.values())
