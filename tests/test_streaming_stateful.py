@@ -142,3 +142,55 @@ def test_stateful_sequence_continues_across_batches(spark, tmp_path):
     assert got[(7, 100)] == 0 and got[(7, 101)] == 1
     assert got[(7, 102)] == 2              # continues across the batch gap
     assert got[(8, 200)] == 0 and got[(8, 201)] == 1 and got[(8, 202)] == 2
+
+
+def test_streaming_corpus_curation_end_to_end(spark, tmp_path):
+    """Incremental curation: a document stream is deduped across
+    micro-batches (first occurrence wins), quality-gated, and appended
+    to a curated parquet corpus via foreachBatch — the streaming twin
+    of extensions.curate: new corpus slices flow in continuously and
+    exactly-once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from data_ingest_spark.extensions.text import pii_redact, tokens_col
+    from data_ingest_spark.streaming.stateful import streaming_dedup
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    long = " ".join(f"w{i}" for i in range(35))
+    batches = [
+        [(1, long + " one"), (2, "too short")],
+        [(3, long + " one"), (4, long + " four")],   # 3 dups 1's content
+    ]
+    for i, rows in enumerate(batches):
+        p = os.path.join(src, f"d{i}.parquet")
+        pq.write_table(pa.table({"doc_id": [r[0] for r in rows],
+                                 "text": [r[1] for r in rows]}), p)
+        t = time.time() + i
+        os.utime(p, (t, t))
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    hashed = stream.select(
+        F.md5(F.col("text").cast("binary")).alias("content_hash"),
+        "doc_id")
+    firsts = streaming_dedup(hashed)
+
+    def absorb(bdf, _epoch):
+        docs = bdf.sparkSession.read.parquet(src)
+        batch = (bdf.join(docs, "doc_id")
+                 .withColumn("n_tokens", F.size(tokens_col("text")))
+                 .filter(F.col("n_tokens") >= 30))
+        clean = pii_redact(batch).select("doc_id", "clean_text")
+        (batch.select("doc_id", "n_tokens").join(clean, "doc_id")
+         .write.mode("append").parquet(out))
+
+    q = (firsts.writeStream.foreachBatch(absorb)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1, 4}        # 2 gated, 3 deduped across batches
