@@ -357,3 +357,32 @@ def pq_search(emb: DataFrame, query_ids: list[int], k: int = 5,
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "score_i",
                     F.col("rank").cast("long").alias("rank")))
+
+
+def quantize_int8(emb: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Scalar int8 quantization with a per-vector scale: scale =
+    round(max|v|/127, 6); q_i = half-up-round(v_i/scale) clamped to
+    [-127, 127] — 4× smaller embeddings for storage/serving, dims
+    preserved (vs PQ's codebook compression). Emitted as
+    ``(vec_id, scale, q_csv, max_err)``: max_err is the worst absolute
+    reconstruction error, the quality audit a serving deploy gates on.
+
+    Column-land and deterministic: the scale is rounded before the
+    divide so both engines quantize identical doubles; all outputs are
+    ints or 6dp-rounded. Map-only — no shuffle at any size."""
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.round(amax / F.lit(127.0), 6)
+    q = F.transform(
+        v, lambda x: F.greatest(
+            F.lit(-127.0),
+            F.least(F.lit(127.0), F.floor(x / scale + 0.5))))
+    err = F.round(F.array_max(F.zip_with(
+        v, q, lambda x, qi: F.abs(x - qi * scale))), 6)
+    return emb.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        F.concat_ws(",", F.transform(
+            q, lambda x: x.cast("long").cast("string"))).alias("q_csv"),
+        err.alias("max_err"))

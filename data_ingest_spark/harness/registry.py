@@ -3269,6 +3269,29 @@ def q_pq_search(spark, sf):
     return sim.pq_search(emb, qids, k=5)
 
 
+@_q("x55_quantize_int8", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ s AS (SELECT vec_id, v,
+              ROUND(list_aggregate(list_transform(v, x -> abs(x)), 'max')
+                    / 127.0, 6) AS scale
+       FROM e),
+ q AS (SELECT vec_id, scale, v,
+              list_transform(v, x -> greatest(-127.0,
+                least(127.0, FLOOR(x / scale + 0.5)))) AS qv
+       FROM s)
+SELECT vec_id, scale,
+       array_to_string(list_transform(qv,
+         x -> CAST(CAST(x AS BIGINT) AS VARCHAR)), ',') AS q_csv,
+       ROUND(list_aggregate(list_transform(list_zip(v, qv),
+         p -> abs(p[1] - p[2] * scale)), 'max'), 6) AS max_err
+FROM q
+""")
+def q_quantize_int8(spark, sf):
+    """int8 embedding quantization with per-vector scale and a
+    reconstruction-error audit column."""
+    return sim.quantize_int8(load(spark, sf, "embeddings"))
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

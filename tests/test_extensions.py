@@ -444,3 +444,20 @@ def test_pq_encode_deterministic_and_reconstructive(spark):
     assert got[2] == ",".join(str(c) for c in expect)
     again = {r["vec_id"]: r["pq_code"] for r in sim.pq_encode(df).collect()}
     assert got == again
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [127.0, -127.0, 63.5, 1.0])],
+        "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in sim.quantize_int8(df).collect()}
+    for vid, vec in [(1, [1.0, -0.5, 0.25, 0.0]),
+                     (2, [127.0, -127.0, 63.5, 1.0])]:
+        r = out[vid]
+        qs = [int(x) for x in r["q_csv"].split(",")]
+        assert all(-127 <= q <= 127 for q in qs)
+        # reconstruction error bounded by half a quantization step
+        assert r["max_err"] <= r["scale"] / 2 + 1e-9
+        recon = [q * r["scale"] for q in qs]
+        assert max(abs(a - b) for a, b in zip(vec, recon)) <= \
+            r["max_err"] + 1e-9
