@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from data_ingest_spark.extensions.text import tokens_col
+from data_ingest_spark.functions.stats import epoch_seconds
 
 
 def profile_table(df: DataFrame, cols: list[str] | None = None,
@@ -113,11 +114,13 @@ def decayed_counts(events: DataFrame, half_life_s: float,
     # DuckDB's epoch()); weight via exp(ln(0.5)·age/hl) with ln(0.5)
     # as a shared literal so the only libm call is the trusted exp.
     LN_HALF = -0.6931471805599453
-    age = (F.expr(asof_expr).cast("double") - F.col(ts_col).cast("double"))
+    ts_s = epoch_seconds(ts_col)
+    asof_s = epoch_seconds(F.expr(asof_expr))
+    age = asof_s - ts_s
     w_i = F.round(F.exp(F.lit(LN_HALF) * age / F.lit(half_life_s))
                   * DECAY_SCALE).cast("long")
     return (events
-            .filter(F.col(ts_col) <= F.expr(asof_expr))
+            .filter(ts_s <= asof_s)
             .select(F.col(key_col), w_i.alias("_w"),
                     F.col("value"))
             .groupBy(key_col)

@@ -39,3 +39,16 @@ def normal_cdf_sql(z_expr: str) -> str:
 def normal_cdf(z_col: str) -> Column:
     """Spark Column form of :func:`normal_cdf_sql` over a column name."""
     return F.expr(normal_cdf_sql(z_col))
+
+
+def epoch_seconds(c: Column | str) -> Column:
+    """Seconds since the epoch as a double (microsecond precision).
+
+    Safe for TIMESTAMP and TIMESTAMP_NTZ inputs alike: Spark refuses a
+    direct NTZ→double cast, so the column goes through TIMESTAMP_LTZ
+    first. With the session timezone pinned to UTC (session.py) the NTZ
+    reading matches DuckDB's ``epoch(ts)`` naive-as-UTC semantics.
+    Numeric inputs round-trip unchanged, so callers may pass columns
+    that are already epoch seconds."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("timestamp_ltz").cast("double")

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+from data_ingest_spark.functions.stats import epoch_seconds
+
 _SIDE = "_asof_side"
 _TS = "_asof_ts"
 
@@ -96,8 +98,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
                    *[F.col("_m_" + c).alias(c) for c in out_payload]))
 
     if tolerance_s is not None:
-        gap = F.abs(F.col(left_ts).cast("double")
-                    - F.col(ren[right_ts]).cast("double"))
+        gap = F.abs(epoch_seconds(left_ts)
+                    - epoch_seconds(ren[right_ts]))
         keep = gap <= F.lit(float(tolerance_s))
         res = res.select(
             *on, left_ts, *[c for c in left_cols if c not in on + [left_ts]],
@@ -135,16 +137,16 @@ def range_join_buckets(left: DataFrame, right: DataFrame,
            for c in right.columns if c not in on}
     r = right.select(
         *[F.col(k).alias(f"_rk_{k}") for k in on],
-        F.floor(F.col(right_ts).cast("double") / bucket).alias("_rb"),
+        F.floor(epoch_seconds(right_ts) / bucket).alias("_rb"),
         *[F.col(c).alias(ren[c]) for c in ren])
 
-    lo = F.floor((F.col(left_ts).cast("double") + F.lit(float(lower_s))) / bucket)
-    hi = F.floor((F.col(left_ts).cast("double") + F.lit(float(upper_s))) / bucket)
+    lo = F.floor((epoch_seconds(left_ts) + F.lit(float(lower_s))) / bucket)
+    hi = F.floor((epoch_seconds(left_ts) + F.lit(float(upper_s))) / bucket)
     l = left.withColumn("_lb", F.explode(F.sequence(lo.cast("long"),
                                                     hi.cast("long"))))
 
-    rt = F.col(ren[right_ts]).cast("double")
-    lt = F.col(left_ts).cast("double")
+    rt = epoch_seconds(ren[right_ts])
+    lt = epoch_seconds(left_ts)
     cond = (F.col("_lb") == F.col("_rb"))
     for k in on:
         cond = cond & (F.col(k) == F.col(f"_rk_{k}"))
