@@ -334,6 +334,35 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
                  .alias("avg_logprob")))
 
 
+def intra_doc_repetition(df: DataFrame, k: int = 2,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Gopher-style intra-document repetition gate: the fraction of a
+    document's word ``k``-grams that are repeats of a ``k``-gram seen
+    earlier in the SAME document (``(total − distinct) / total``).
+    High values mark degenerate text — loops, keyword stuffing, OCR
+    stutter — that LLM curation drops before training. Complements
+    :func:`boilerplate_score`, which measures *cross*-document
+    commonality. Returns ``(id, n_ngrams, n_distinct,
+    dup_ngram_ratio)``.
+
+    Plan shape: map-only — the n-gram array, its distinct size, and
+    the ratio are all per-row Column expressions; the only shuffle is
+    whatever the caller adds. At 100 TB this runs at scan speed with
+    zero state, the ideal shape for a first-pass quality filter.
+    Short docs (< k tokens) collapse to one whole-doc n-gram, giving
+    ratio 0 rather than a null."""
+    sh = shingles_col(text_col, k)
+    n = F.size(sh)
+    d = F.size(F.array_distinct(sh))
+    return df.select(
+        id_col,
+        n.cast("long").alias("n_ngrams"),
+        d.cast("long").alias("n_distinct"),
+        F.round((n - d) / n, 6).alias("dup_ngram_ratio"),
+    )
+
+
 def boilerplate_score(df: DataFrame, k: int = 3, min_df: int = 5,
                       id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:

@@ -3292,6 +3292,25 @@ def q_quantize_int8(spark, sf):
     return sim.quantize_int8(load(spark, sf, "embeddings"))
 
 
+@_q("x56_intra_repetition", r"""
+WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+              FROM documents),
+ ng AS (SELECT doc_id,
+               array_to_string(t[u.i:least(u.i + 1, len(t))], ' ') AS g
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 1, 1))) AS u(i))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+       ROUND((COUNT(*) - COUNT(DISTINCT g)) * 1.0 / COUNT(*), 6)
+       AS dup_ngram_ratio
+FROM ng GROUP BY doc_id
+""")
+def q_intra_repetition(spark, sf):
+    """Gopher-style intra-document repetition: fraction of word
+    bigrams repeated within the same doc. Map-only scan-speed gate."""
+    from data_ingest_spark.extensions.text import intra_doc_repetition
+    return intra_doc_repetition(load(spark, sf, "documents"), k=2)
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -320,6 +320,20 @@ def test_boilerplate_score_flags_template_docs(spark):
     assert out[10] == 0.0         # unique doc shares nothing
 
 
+def test_intra_doc_repetition_scores_degenerate_text(spark):
+    rows = [
+        (1, "spam spam spam spam spam"),        # every bigram identical
+        (2, "each word appears exactly once"),  # no repeated bigram
+        (3, "one"),                             # shorter than k -> ratio 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in tx.intra_doc_repetition(df, k=2).collect()}
+    assert out[1]["n_ngrams"] == 4 and out[1]["n_distinct"] == 1
+    assert out[1]["dup_ngram_ratio"] == 0.75
+    assert out[2]["dup_ngram_ratio"] == 0.0
+    assert out[3]["n_ngrams"] == 1 and out[3]["dup_ngram_ratio"] == 0.0
+
+
 def test_shingle_rows_matches_column_path_on_edge_cases(spark):
     rows = [
         (1, "a b c d e"),
