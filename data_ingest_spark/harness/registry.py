@@ -2598,6 +2598,135 @@ def q_tpch_q18(spark, sf):
             .orderBy(F.desc("o_totalprice"), "o_orderkey").limit(100))
 
 
+@_q("v10_tpch_q4", """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
+  AND o.o_orderdate < TIMESTAMP '1999-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY 1
+""")
+def q_tpch_q4(spark, sf):
+    """TPC-H Q4 shape (order-priority checking): correlated EXISTS
+    becomes a left-semi join with a cross-side inequality on top of
+    the orderkey equi-key — date predicates push to the orders scan."""
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")))
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    sem = o.join(li, (o["o_orderkey"] == li["l_orderkey"])
+                 & (li["l_shipdate"] > o["o_orderdate"]), "left_semi")
+    return sem.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count"))
+
+
+@_q("v11_tpch_q13", """
+WITH c_orders AS (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM c_orders GROUP BY 1
+""")
+def q_tpch_q13(spark, sf):
+    """TPC-H Q13 shape (customer order distribution): left outer join
+    preserving order-less customers, count of non-null keys per
+    customer, then a second aggregate over the counts — the two-level
+    shuffle pattern AQE coalesces at scale."""
+    c = load(spark, sf, "customer").select("c_custkey")
+    o = load(spark, sf, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@_q("v12_tpch_q14", """
+SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END), 2) AS promo_revenue,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-07-01'
+""")
+def q_tpch_q14(spark, sf):
+    """TPC-H Q14 shape (promotion effect): date-pruned lineitem scan,
+    broadcast join to part, conditional aggregate in one pass. The
+    promo share is reported as two separately-rounded sums so the
+    oracle comparison stays exact-at-6dp instead of a ratio of floats."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-07-01").cast("timestamp")))
+    p = load(spark, sf, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(p),
+                    li["l_partkey"] == p["p_partkey"])
+            .agg(F.round(100.0 * F.sum(F.when(F.col("p_type") == "PROMO",
+                                              rev).otherwise(0.0)), 2)
+                 .alias("promo_revenue"),
+                 F.round(F.sum(rev), 2).alias("total_revenue")))
+
+
+@_q("v13_tpch_q16", """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 2, 3, 4, 5)
+GROUP BY 1, 2, 3
+""")
+def q_tpch_q16(spark, sf):
+    """TPC-H Q16 shape (parts/supplier relationship): exclusion
+    predicates on the dimension, distinct-count of suppliers per
+    (brand, type, size) via lineitem as the part-supplier bridge."""
+    p = (load(spark, sf, "part")
+         .filter((F.col("p_brand") != "Brand#1")
+                 & F.col("p_size").isin(1, 2, 3, 4, 5))
+         .select("p_partkey", "p_brand", "p_type", "p_size"))
+    li = load(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    return (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+@_q("v14_tpch_q22", """
+WITH avg_bal AS (SELECT AVG(c_acctbal) AS a FROM customer
+                 WHERE c_acctbal > 0.0),
+ recent AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey,
+     avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM recent r
+                  WHERE r.o_custkey = c.c_custkey)
+GROUP BY 1
+""")
+def q_tpch_q22(spark, sf):
+    """TPC-H Q22 shape (global sales opportunity): scalar-subquery
+    threshold kept lazy as a broadcast 1-row cross join, anti-join
+    against recently-active customers, broadcast nation lookup."""
+    c = load(spark, sf, "customer")
+    avg_bal = (c.filter(F.col("c_acctbal") > 0.0)
+               .agg(F.avg("c_acctbal").alias("_a")))
+    recent = (load(spark, sf, "orders")
+              .filter(F.col("o_orderdate")
+                      >= F.lit("2000-01-01").cast("timestamp"))
+              .select("o_custkey").distinct())
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    sel = (c.crossJoin(F.broadcast(avg_bal))
+           .filter(F.col("c_acctbal") > F.col("_a"))
+           .join(recent, c["c_custkey"] == recent["o_custkey"],
+                 "left_anti")
+           .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]))
+    return sel.groupBy("n_name").agg(
+        F.count("*").alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+
+
 @_q("x41_merge_upsert", """
 WITH src AS (SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
                     ROUND(o_totalprice + 1.5, 2) AS o_totalprice
