@@ -137,26 +137,39 @@ def empty_drops(expr: DataFrame, lower: float = 100.0,
     Plan shape (scale-tuned): the smoothed ambient WEIGHTS
     (sample, gene, w) are computed once and persisted — the table is
     |samples|·|genes| rows (kilobytes per sample), and both consumers
-    (per-sample moments, likelihood join) would otherwise recompute its
-    three-shuffle subtree. Normalization never materializes: with
-    W = Σw per sample, ln p = ln w − ln W, so the per-sample moments
-    come algebraically from one tiny aggregation
+    (per-sample moments, likelihood join) would otherwise recompute
+    its subtree. The ambient gene sums are computed by SUBTRACTION:
+    amb(gene) = total(gene) − cell(gene), where `cell` restricts to
+    the NON-ambient barcodes. That inversion matters at 100 TB: the
+    ambient barcodes are the overwhelming majority of rows (droplet
+    data is mostly empties), so joining them directly forces a
+    full-fact-table shuffle, whereas the non-ambient barcode list is
+    the small side (real cells) — AQE turns that join into a
+    broadcast, and every remaining shuffle in the plan carries only
+    partially-aggregated (map-side combined) data. Counts are
+    integers, so the subtraction is exact. Normalization never
+    materializes: with W = Σw per sample, ln p = ln w − ln W, so the
+    per-sample moments come algebraically from one tiny aggregation
     (m1 = Σw·ln w / W − ln W; m2 = (Σw·ln²w − 2lnW·Σw·ln w + ln²W·W)/W)
-    and the per-barcode log-likelihood is Σc·ln w − T·ln W — no
-    window-normalization stage, one pass over the expression table.
+    and the per-barcode log-likelihood is Σc·ln w − T·ln W — one pass
+    over the expression table.
     """
     totals = expr.groupBy("sample", "barcode").agg(F.sum("count").alias("_t"))
-    ambient = (
-        expr.join(totals.filter(F.col("_t") <= lower).select("sample", "barcode"),
-                  ["sample", "barcode"], "left_semi")
+    cells_bc = totals.filter(F.col("_t") > lower).select("sample", "barcode")
+    gene_all = expr.groupBy("sample", "gene").agg(
+        F.sum("count").alias("_g_all"))
+    gene_cells = (
+        expr.join(cells_bc, ["sample", "barcode"])
         .groupBy("sample", "gene")
-        .agg(F.sum("count").alias("amb"))
+        .agg(F.sum("count").alias("_g_cells"))
     )
-    all_genes = expr.select("sample", "gene").distinct()
-    weights = all_genes.join(ambient, ["sample", "gene"], "left").select(
-        "sample", "gene",
-        (F.coalesce(F.col("amb"), F.lit(0.0)) + F.lit(alpha)).alias("w"),
-    ).persist()
+    weights = (
+        gene_all.join(gene_cells, ["sample", "gene"], "left")
+        .select("sample", "gene",
+                (F.col("_g_all") - F.coalesce(F.col("_g_cells"), F.lit(0))
+                 + F.lit(alpha)).alias("w"))
+        .persist()
+    )
 
     lnw = F.log("w")
     mom = weights.groupBy("sample").agg(
