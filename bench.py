@@ -54,6 +54,11 @@ HEADLINE = [
     "p3_curate",
     "x38_tokenize_ids",
     "e13_scd2",
+    # late round-2 additions: repetition gate + TPC-H shapes
+    "x56_intra_repetition",
+    "v10_tpch_q4",
+    "v12_tpch_q14",
+    "v14_tpch_q22",
 ]
 
 

@@ -3421,6 +3421,62 @@ def q_quantize_int8(spark, sf):
     return sim.quantize_int8(load(spark, sf, "embeddings"))
 
 
+@_q("u3_intersect_except", """
+WITH cn AS (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nk
+            FROM customer),
+ sn AS (SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS nk FROM supplier
+        WHERE s_acctbal > 4900.0)
+SELECT 'both' AS which, nk FROM (SELECT nk FROM cn INTERSECT
+                                 SELECT nk FROM sn) a
+UNION ALL
+SELECT 'cust_only' AS which, nk FROM (SELECT nk FROM cn EXCEPT
+                                      SELECT nk FROM sn) b
+""")
+def q_intersect_except(spark, sf):
+    """§2.6 set-operation surface beyond the reference: INTERSECT and
+    EXCEPT (distinct semantics) over nation key sets, tagged and
+    unioned into one result."""
+    cn = (load(spark, sf, "customer")
+          .select(F.col("c_nationkey").cast("long").alias("nk")).distinct())
+    sn = (load(spark, sf, "supplier")
+          .filter(F.col("s_acctbal") > 4900.0)
+          .select(F.col("s_nationkey").cast("long").alias("nk")).distinct())
+    both = cn.intersect(sn).select(F.lit("both").alias("which"), "nk")
+    only = cn.subtract(sn).select(F.lit("cust_only").alias("which"), "nk")
+    return both.unionByName(only)
+
+
+@_q("e18_try_functions", """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN TRY_CAST(lang AS INTEGER) IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS bad_int_casts,
+       CAST(SUM(CASE WHEN TRY_CAST(CAST(n_chars AS VARCHAR) AS BIGINT)
+                          = n_chars THEN 1 ELSE 0 END) AS BIGINT)
+       AS roundtrip_casts,
+       CAST(SUM(CASE WHEN (CASE WHEN n_chars % 7 = 0 THEN NULL
+                           ELSE ROUND(n_chars / (n_chars % 7), 6) END)
+                     IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       AS div_null_rows
+FROM documents
+""")
+def q_try_functions(spark, sf):
+    """Error-safe scalar family: try_cast on unparseable strings,
+    cast round-trip, try_divide null-on-zero — the ANSI-adjacent
+    behaviors a pipeline relies on instead of job-killing exceptions.
+    DuckDB lacks try_divide, so the oracle guards the denominator
+    with CASE; the null-ness contract is what's compared."""
+    d = load(spark, sf, "documents")
+    bad = F.expr("try_cast(lang AS int)").isNull().cast("long")
+    rt = (F.expr("try_cast(cast(n_chars AS string) AS bigint)")
+          == F.col("n_chars")).cast("long")
+    div = F.round(F.try_divide(F.col("n_chars"),
+                               F.col("n_chars") % 7), 6)
+    return d.agg(F.count("*").alias("n_docs"),
+                 F.sum(bad).alias("bad_int_casts"),
+                 F.sum(rt).alias("roundtrip_casts"),
+                 F.sum(div.isNull().cast("long")).alias("div_null_rows"))
+
+
 @_q("x56_intra_repetition", r"""
 WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
               FROM documents),

@@ -110,6 +110,19 @@ def read_checkpoint(spark: SparkSession, out_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, name))
 
 
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet dataset whose schema evolved across writes
+    (columns added over time, e.g. a corpus that gained a `lang`
+    column mid-ingest). ``mergeSchema`` unions the footers' schemas;
+    files written before a column existed yield NULL for it.
+
+    Scale note: schema merging reads every file footer up front —
+    fine at thousands of files, a real listing cost at millions. For
+    long-lived 100 TB datasets prefer a catalog-declared schema and
+    plain reads; this reader is the migration/exploration path."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 DOCUMENTS_JSONL_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("text", StringType()),

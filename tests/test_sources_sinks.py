@@ -117,6 +117,19 @@ def test_checkpoint_roundtrip(spark, expr, tmp_path):
     assert any(d.startswith("sample=") for d in os.listdir(path))
 
 
+def test_read_parquet_evolving_merges_added_column(spark, tmp_path):
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string") \
+        .write.parquet(path)
+    spark.createDataFrame([(3, "c", "en")],
+                          "doc_id long, text string, lang string") \
+        .write.mode("append").parquet(path)
+    back = tb.read_parquet_evolving(spark, path)
+    assert set(back.columns) == {"doc_id", "text", "lang"}
+    rows = {r["doc_id"]: r["lang"] for r in back.collect()}
+    assert rows[3] == "en" and rows[1] is None
+
+
 def test_write_tsv_roundtrip(spark, tmp_path):
     df = spark.createDataFrame(
         [("a", 1), ("b", 2)], "name string, v int")
