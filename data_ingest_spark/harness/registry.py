@@ -712,6 +712,18 @@ def q_hvg(spark, sf):
         "gene", F.round("variance", 6).alias("variance"))
 
 
+@_q("m6_vst")
+def q_vst(spark, sf):
+    """Full Seurat vst HVG selection (loess-standardized variance).
+    Rows-only: the driver-side loess fit is not SQL-expressible; the
+    numeric contract is pinned by tests/test_normalize_joins.py
+    against an independent numpy recomputation."""
+    return nz.find_variable_features_vst(expr_df(spark, sf), 500).select(
+        "gene", F.round("mean", 6).alias("mean"),
+        F.round("sd_exp", 6).alias("sd_exp"),
+        F.round("std_variance", 6).alias("std_variance"))
+
+
 @_q("m7_scale_data", f"""
 WITH expr AS ({_EXPR_SQL}),
  totals AS (SELECT sample, barcode, SUM(cnt) AS t FROM expr GROUP BY 1, 2),

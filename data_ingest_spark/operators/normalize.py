@@ -71,14 +71,82 @@ def gene_moments(expr: DataFrame, value_col: str = "count",
 def highly_variable_genes(expr: DataFrame, n_top: int = 2000,
                           value_col: str = "count",
                           n_cells: int | None = None) -> DataFrame:
-    """M6 (selection half): rank genes by variance, keep top n_top
-    (ties broken by gene id — deterministic). The reference
-    standardizes variance with a loess fit of log10(var)~log10(mean)
-    (vst); the loess residualization runs driver-side over ~30k gene
-    points in ``pipeline.reduction`` — here the raw-variance ranking
-    used for the oracle-checkable subset."""
+    """M6 (selection half, oracle-checkable subset): rank genes by raw
+    variance, keep top n_top (ties broken by gene id — deterministic).
+    The reference's full vst standardization (loess) is
+    :func:`vst_standardized_variance` — kept separate because the
+    loess fit is not SQL-expressible, so this variant carries the
+    DuckDB oracle."""
     moments = gene_moments(expr, value_col, n_cells)
     return moments.orderBy(F.desc("variance"), "gene").limit(n_top)
+
+
+def vst_standardized_variance(expr: DataFrame, value_col: str = "count",
+                              span: float = 0.3,
+                              n_cells: int | None = None) -> DataFrame:
+    """M6, full Seurat FindVariableFeatures(vst) semantics
+    (src/QC_helpers/dataIntegration.r:93,102):
+
+    1. zero-inclusive per-gene mean/variance,
+    2. loess(log10(var) ~ log10(mean), span=0.3, degree=2) over genes
+       with var > 0 → expected sd per gene,
+    3. standardized variance = variance of (x − μ)/σ_expected with
+       values clipped ABOVE at √N (zeros included analytically:
+       the N − nnz implicit entries each contribute (−μ/σ)², never
+       clipped since it is negative).
+
+    Scale split: the loess runs driver-side over the per-gene moments
+    (~10⁴–10⁵ rows — independent of cell count), its predictions
+    rejoin as a broadcast table, and the standardized pass is one
+    groupBy(gene) over nonzeros. Eager at the moments boundary (one
+    aggregation job), distributed everywhere data is large.
+
+    Returns (gene, mean, variance, sd_exp, std_variance).
+    """
+    import numpy as np
+
+    from data_ingest_spark.functions.loess import loess_fit
+
+    if n_cells is None:
+        n_cells = int(n_cells_df(expr).collect()[0][0])
+    clip = float(n_cells) ** 0.5
+
+    mom = gene_moments(expr, value_col, n_cells).toPandas()
+    pos = mom[mom["variance"] > 0.0]
+    fitted = loess_fit(np.log10(pos["mean"].to_numpy()),
+                       np.log10(pos["variance"].to_numpy()), span=span)
+    pos = pos.assign(sd_exp=np.sqrt(np.power(10.0, fitted)))
+    fit_df = expr.sparkSession.createDataFrame(
+        pos[["gene", "mean", "variance", "sd_exp"]])
+
+    z = F.least(F.lit(clip),
+                (F.col(value_col) - F.col("mean")) / F.col("sd_exp"))
+    per_gene = (
+        expr.join(F.broadcast(fit_df), "gene")
+        .groupBy("gene")
+        .agg(F.sum(z * z).alias("_s_nz"),
+             F.count("*").alias("_nnz"),
+             F.first("mean").alias("mean"),
+             F.first("variance").alias("variance"),
+             F.first("sd_exp").alias("sd_exp"))
+    )
+    n = F.lit(float(n_cells))
+    z0g = (F.lit(0.0) - F.col("mean")) / F.col("sd_exp")
+    return per_gene.select(
+        "gene", "mean", "variance", "sd_exp",
+        ((F.col("_s_nz") + (n - F.col("_nnz")) * z0g * z0g)
+         / (n - F.lit(1.0))).alias("std_variance"),
+    )
+
+
+def find_variable_features_vst(expr: DataFrame, n_top: int = 2000,
+                               value_col: str = "count",
+                               span: float = 0.3,
+                               n_cells: int | None = None) -> DataFrame:
+    """M6 end-to-end: top ``n_top`` genes by vst standardized variance
+    (ties broken by gene id)."""
+    sv = vst_standardized_variance(expr, value_col, span, n_cells)
+    return sv.orderBy(F.desc("std_variance"), "gene").limit(n_top)
 
 
 def scale_data(normalized: DataFrame, value_col: str = "normalized",

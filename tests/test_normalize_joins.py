@@ -44,6 +44,59 @@ def test_hvg_ranking(expr):
     assert top1[0]["gene"] == "ENSG1"  # dominated by the 50-count cell
 
 
+def test_loess_fit_reproduces_exact_quadratic():
+    """A degree-2 local fit must reproduce data that IS a quadratic."""
+    import numpy as np
+
+    from data_ingest_spark.functions.loess import loess_fit
+
+    rng = np.random.default_rng(7)
+    x = np.sort(rng.uniform(-3, 3, 200))
+    y = 2.0 + 3.0 * x + 0.5 * x * x
+    fitted = loess_fit(x, y, span=0.3, degree=2)
+    assert np.max(np.abs(fitted - y)) < 1e-8
+
+
+def test_vst_standardized_variance_matches_numpy(spark):
+    """Spark vst == independent numpy recomputation of the Seurat
+    definition (zero-inclusive moments, loess-expected sd, upper-clip
+    at sqrt(N))."""
+    import numpy as np
+
+    from data_ingest_spark.functions.loess import loess_fit
+
+    rng = np.random.default_rng(42)
+    n_cells, n_genes = 40, 12
+    dense = rng.poisson(3.0, size=(n_genes, n_cells)).astype(float)
+    dense[5, :] = 0.0
+    dense[5, :4] = [60.0, 55.0, 70.0, 65.0]  # overdispersed gene
+    rows = [("s", f"b{c}", f"G{g:02d}", float(dense[g, c]))
+            for g in range(n_genes) for c in range(n_cells)
+            if dense[g, c] > 0]
+    # every barcode appears (Poisson(3) never yields an all-zero cell
+    # across 12 genes at this seed) -> N is the full 40
+    df = spark.createDataFrame(
+        rows, "sample string, barcode string, gene string, count double")
+    out = {r["gene"]: r for r in nz.vst_standardized_variance(df).collect()}
+
+    mu = dense.mean(axis=1)
+    var = dense.var(axis=1, ddof=1)
+    fitted = loess_fit(np.log10(mu[var > 0]), np.log10(var[var > 0]),
+                       span=0.3)
+    sd_exp = np.sqrt(10.0 ** fitted)
+    clip = np.sqrt(n_cells)
+    refs = {}
+    for i, g in enumerate(np.nonzero(var > 0)[0]):
+        z = np.minimum(clip, (dense[g] - mu[g]) / sd_exp[i])
+        ref = (z ** 2).sum() / (n_cells - 1)
+        refs[f"G{g:02d}"] = ref
+        got = out[f"G{g:02d}"]
+        assert abs(got["sd_exp"] - sd_exp[i]) < 1e-9
+        assert abs(got["std_variance"] - ref) < 1e-9
+    top = nz.find_variable_features_vst(df, 1).collect()[0]
+    assert top["gene"] == max(refs, key=refs.get)
+
+
 def test_join_emptydrops_prefixes_columns(spark, expr):
     cells = mx.cell_counts(expr)
     edt = spark.createDataFrame(
