@@ -150,10 +150,18 @@ def doublet_scores_step(exp: Experiment, config: dict) -> StepResult:
 def data_integration(exp: Experiment, config: dict) -> StepResult:
     """M5 normalize → M6 HVG → M7 scale → M8 PCA → M9 integrate when
     multi-sample (dataIntegration.r:86-112)."""
-    cfg = {"nfeatures": 2000, "numPCs": 50, **config}
+    cfg = {"nfeatures": 2000, "numPCs": 50,
+           "selection_method": "vst", **config}
     normalized = nz.log_normalize(exp.expression)
-    hvgs = nz.highly_variable_genes(normalized, cfg["nfeatures"],
-                                    value_col="normalized").cache()
+    # Seurat FindVariableFeatures(vst) selects on RAW counts
+    # (dataIntegration.r:93,102); "dispersion" falls back to the
+    # raw-variance ranking of normalized values (oracle-checkable).
+    if cfg["selection_method"] == "vst":
+        hvgs = nz.find_variable_features_vst(
+            exp.expression, cfg["nfeatures"]).cache()
+    else:
+        hvgs = nz.highly_variable_genes(normalized, cfg["nfeatures"],
+                                        value_col="normalized").cache()
     scaled = nz.scale_data(
         normalized.join(F.broadcast(hvgs.select("gene")), "gene"))
     # PCA consumes the assembled vectors three times (dim probe, fit,
