@@ -191,7 +191,6 @@ def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b").distinct()
     )
-    membership = shingle_sets(df, id_col, text_col, k).persist()
     return jaccard_of_pairs(cand, membership).filter(
         F.col("jaccard") >= threshold)
 

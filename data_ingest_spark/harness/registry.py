@@ -808,8 +808,10 @@ def _minhash_params_values() -> str:
                      for j, (a, b) in enumerate(hash_params(12)))
 
 
-@_q("x2_minhash_lsh_pairs", f"""
-WITH corpus AS ({_NEARDUP_SQL}),{_shingle_ctes('corpus')},
+# The MinHash-LSH pipeline as a reusable CTE chain (expects `corpus`
+# and the _shingle_ctes to be in scope); `found` is the verified
+# >= 0.5 pair set. Shared by x2 (pair listing) and x57 (recall eval).
+_MINHASH_FOUND_CTES = f"""
  sig AS (SELECT s.doc_id, j.j,
                 MIN((j.a * CAST(concat('0x', substr(md5(s.shingle), 1, 7))
                             AS BIGINT) + j.b) % 2147483647) AS mh
@@ -827,16 +829,67 @@ WITH corpus AS ({_NEARDUP_SQL}),{_shingle_ctes('corpus')},
  inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
            FROM cand c JOIN shx x ON x.doc_id = c.id_a
                        JOIN shx y ON y.doc_id = c.id_b AND y.shingle = x.shingle
-           GROUP BY 1, 2)
-SELECT i.id_a, i.id_b,
-       ROUND(i.i / (sa.n + sb.n - i.i), 6) AS jaccard
-FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
-             JOIN sizes sb ON sb.doc_id = i.id_b
-WHERE i.i / (sa.n + sb.n - i.i) >= 0.5
+           GROUP BY 1, 2),
+ found AS (SELECT i.id_a, i.id_b,
+                  ROUND(i.i / (sa.n + sb.n - i.i), 6) AS jaccard
+           FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+                        JOIN sizes sb ON sb.doc_id = i.id_b
+           WHERE i.i / (sa.n + sb.n - i.i) >= 0.5)"""
+
+
+@_q("x2_minhash_lsh_pairs", f"""
+WITH corpus AS ({_NEARDUP_SQL}),{_shingle_ctes('corpus')},{_MINHASH_FOUND_CTES}
+SELECT id_a, id_b, jaccard FROM found
 """)
 def q_minhash_lsh(spark, sf):
     pairs = dd.near_dup_pairs(_neardup_corpus(spark, sf), threshold=0.5)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@_q("x57_minhash_recall", f"""
+WITH corpus AS ({_NEARDUP_SQL}),{_shingle_ctes('corpus')},{_MINHASH_FOUND_CTES},
+ planted AS (SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+             FROM documents WHERE doc_id % 10 = 0),
+ tint AS (SELECT p.id_a, p.id_b, COUNT(*) AS i
+          FROM planted p JOIN shx x ON x.doc_id = p.id_a
+                         JOIN shx y ON y.doc_id = p.id_b
+                                   AND y.shingle = x.shingle
+          GROUP BY 1, 2),
+ truth AS (SELECT t.id_a, t.id_b
+           FROM tint t JOIN sizes sa ON sa.doc_id = t.id_a
+                       JOIN sizes sb ON sb.doc_id = t.id_b
+           WHERE t.i / (sa.n + sb.n - t.i) >= 0.5)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(SUM(CASE WHEN f.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       AS n_found,
+       ROUND(SUM(CASE WHEN f.id_a IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS recall
+FROM truth t LEFT JOIN found f
+  ON f.id_a = t.id_a AND f.id_b = t.id_b
+""")
+def q_minhash_recall(spark, sf):
+    """Recall of the MinHash-LSH near-dup pipeline against ground
+    truth: the planted (doc, truncated-copy) pairs whose TRUE Jaccard
+    clears the threshold. The x42 eval-rigor pattern applied to dedup
+    — an approximate path ships with its measured recall, under a
+    full value oracle (both sides of the comparison are
+    deterministic)."""
+    corpus = _neardup_corpus(spark, sf)
+    docs = load(spark, sf, "documents")
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1000000).alias("id_b"))
+    membership = dd.shingle_sets(corpus)
+    truth = (dd.jaccard_of_pairs(planted, membership)
+             .filter(F.col("jaccard") >= 0.5).select("id_a", "id_b"))
+    found = (dd.near_dup_pairs(corpus, threshold=0.5)
+             .select("id_a", "id_b"))
+    caught = truth.join(found, ["id_a", "id_b"], "left_semi")
+    return (truth.agg(F.count("*").alias("n_truth"))
+            .crossJoin(caught.agg(F.count("*").alias("n_found")))
+            .select("n_truth", "n_found",
+                    F.round(F.col("n_found") / F.col("n_truth"), 6)
+                    .alias("recall")))
 
 
 @_q("x15_dup_clusters", """
