@@ -62,6 +62,29 @@ def dedup_keep_first(df: DataFrame, id_col: str = "doc_id",
     return df.join(keep.select(id_col), id_col, "left_semi")
 
 
+def dedup_keep_best(df: DataFrame, score_col: str,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Survivorship-policy dedup: among rows sharing a content hash,
+    keep the one with the HIGHEST ``score_col`` (ties broken by
+    smallest id — fully deterministic). The policy real curation
+    pipelines want: when the same text arrives from several sources,
+    retain the copy with the best provenance/quality metadata, not an
+    arbitrary id. One shuffle on the hash via max_by semantics."""
+    h = F.md5(F.col(text_col).cast("binary"))
+    keep = (
+        df.select(F.col(id_col).alias("_kid"), h.alias("_h"),
+                  F.col(score_col).alias("_sc"))
+        # max_by with a deterministic tiebreak: order by (score desc,
+        # id asc) packed as a struct max on (score, -id)
+        .groupBy("_h")
+        .agg(F.max(F.struct(F.col("_sc"), (-F.col("_kid")).alias("_nid")))
+             .alias("_best"))
+        .select((-F.col("_best._nid")).alias(id_col))
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
 #: Universal-hash family for MinHash: h_j(s) = (a_j·h28(s) + b_j) mod P
 #: with h28(s) = the first 7 hex digits of md5(s) as an integer and P
 #: the Mersenne prime 2^31−1. One md5 per shingle instead of one per

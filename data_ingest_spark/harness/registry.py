@@ -2293,6 +2293,37 @@ def q_spectral(spark, sf):
                       F.round("y", 6).alias("y"), "method")
 
 
+@_q("m11_tsne")
+def q_tsne(spark, sf):
+    """M11 t-SNE (configureEmbedding.r:85-100): sklearn TSNE when the
+    library is present; in this container the deterministic spectral
+    fallback — the same contract as M10 (rows-only: iterative)."""
+    from data_ingest_spark.operators import embedding as em
+    out = em.embed_tsne(_emb_pc_cols(spark, sf))
+    return out.select("sample", "barcode", F.round("x", 6).alias("x"),
+                      F.round("y", 6).alias("y"), "method")
+
+
+@_q("x58_dedup_keep_best", f"""
+WITH corpus AS ({_DUP_SQL}),
+ sc AS (SELECT doc_id, CAST((doc_id * 37) % 101 AS DOUBLE) AS score,
+               md5(text) AS h
+        FROM corpus),
+ rk AS (SELECT doc_id, score,
+               ROW_NUMBER() OVER (PARTITION BY h
+                                  ORDER BY score DESC, doc_id ASC) AS rn
+        FROM sc)
+SELECT doc_id, score FROM rk WHERE rn = 1
+""")
+def q_dedup_keep_best(spark, sf):
+    """Survivorship-policy dedup: keep the highest-scoring copy per
+    content hash (deterministic tiebreak), exercised on the planted
+    duplicate corpus with a synthetic per-copy score."""
+    corpus = _dup_corpus(spark, sf).withColumn(
+        "score", ((F.col("doc_id") * 37) % 101).cast("double"))
+    return dd.dedup_keep_best(corpus, "score").select("doc_id", "score")
+
+
 @_q("p2_qc_filters", """
 WITH cells AS (
   SELECT l_returnflag AS sample, l_orderkey AS barcode,

@@ -320,6 +320,17 @@ def test_boilerplate_score_flags_template_docs(spark):
     assert out[10] == 0.0         # unique doc shares nothing
 
 
+def test_dedup_keep_best_prefers_score_then_min_id(spark):
+    rows = [
+        (1, "same text", 0.2), (2, "same text", 0.9),  # 2 wins on score
+        (3, "other text", 0.5), (4, "other text", 0.5),  # tie -> min id 3
+        (5, "unique", 0.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, score double")
+    kept = {r["doc_id"] for r in dd.dedup_keep_best(df, "score").collect()}
+    assert kept == {2, 3, 5}
+
+
 def test_intra_doc_repetition_scores_degenerate_text(spark):
     rows = [
         (1, "spam spam spam spam spam"),        # every bigram identical
