@@ -305,6 +305,41 @@ def dedup_against(incoming: DataFrame, existing: DataFrame,
             .drop("_h", "_rk"))
 
 
+def near_dups_against(incoming: DataFrame, existing: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      k: int = 3, num_hashes: int = 12, bands: int = 4,
+                      threshold: float = 0.6) -> DataFrame:
+    """Incremental FUZZY dedup: incoming docs that near-duplicate the
+    existing corpus. Returns ``(id_new, id_old, jaccard)`` pairs with
+    jaccard >= threshold — anti-join incoming against ``id_new`` to
+    keep only genuinely novel documents.
+
+    The fuzzy companion to :func:`dedup_against`: candidates come from
+    an LSH band-bucket join BETWEEN the two corpora (never within one,
+    never all-pairs), verified by exact Jaccard over both membership
+    tables. At 100 TB the existing side's (id, band, bucket) table and
+    shingle membership are the artifacts to persist, bucketed by
+    ``bucket`` — each daily batch then joins co-located against
+    yesterday's state instead of re-shingling the archive."""
+    inc_m = shingle_sets(spread(incoming), id_col, text_col, k).persist()
+    ex_m = shingle_sets(spread(existing), id_col, text_col, k).persist()
+    inc_b = minhash_bands(inc_m, id_col, text_col, k, num_hashes, bands,
+                          membership=True)
+    ex_b = minhash_bands(ex_m, id_col, text_col, k, num_hashes, bands,
+                         membership=True)
+    cand = (
+        inc_b.select("band", "bucket", F.col(id_col).alias("id_a"))
+        .join(ex_b.select("band", "bucket", F.col(id_col).alias("id_b")),
+              ["band", "bucket"])
+        .select("id_a", "id_b").distinct()
+    )
+    membership = inc_m.unionByName(ex_m)
+    return (jaccard_of_pairs(cand, membership)
+            .filter(F.col("jaccard") >= threshold)
+            .select(F.col("id_a").alias("id_new"),
+                    F.col("id_b").alias("id_old"), "jaccard"))
+
+
 def decontaminate(corpus: DataFrame, benchmark: DataFrame, k: int = 3,
                   id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:

@@ -808,10 +808,12 @@ def _minhash_params_values() -> str:
                      for j, (a, b) in enumerate(hash_params(12)))
 
 
-# The MinHash-LSH pipeline as a reusable CTE chain (expects `corpus`
-# and the _shingle_ctes to be in scope); `found` is the verified
-# >= 0.5 pair set. Shared by x2 (pair listing) and x57 (recall eval).
-_MINHASH_FOUND_CTES = f"""
+# The MinHash-LSH pipeline as reusable CTE chains (expect `corpus`
+# and the _shingle_ctes in scope). _MINHASH_BAND_CTES ends at band
+# buckets + sizes; the candidate/verify stage differs per use (x2/x57
+# pair within the corpus, x59 joins across the incoming/existing
+# boundary).
+_MINHASH_BAND_CTES = f"""
  sig AS (SELECT s.doc_id, j.j,
                 MIN((j.a * CAST(concat('0x', substr(md5(s.shingle), 1, 7))
                             AS BIGINT) + j.b) % 2147483647) AS mh
@@ -822,10 +824,12 @@ _MINHASH_FOUND_CTES = f"""
                  md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j))
                    AS bucket
           FROM sig GROUP BY doc_id, j // 3),
+ sizes AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY 1)"""
+
+_MINHASH_FOUND_CTES = _MINHASH_BAND_CTES + """,
  cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket
           WHERE a.doc_id < b.doc_id),
- sizes AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY 1),
  inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
            FROM cand c JOIN shx x ON x.doc_id = c.id_a
                        JOIN shx y ON y.doc_id = c.id_b AND y.shingle = x.shingle
@@ -890,6 +894,37 @@ def q_minhash_recall(spark, sf):
             .select("n_truth", "n_found",
                     F.round(F.col("n_found") / F.col("n_truth"), 6)
                     .alias("recall")))
+
+
+@_q("x59_incremental_neardup", f"""
+WITH corpus AS ({_NEARDUP_SQL}),{_shingle_ctes('corpus')},{_MINHASH_BAND_CTES},
+ cand AS (SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
+          FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket
+          WHERE a.doc_id >= 1000000 AND b.doc_id < 1000000),
+ inter AS (SELECT c.id_new, c.id_old, COUNT(*) AS i
+           FROM cand c JOIN shx x ON x.doc_id = c.id_new
+                       JOIN shx y ON y.doc_id = c.id_old
+                                 AND y.shingle = x.shingle
+           GROUP BY 1, 2)
+SELECT i.id_new, i.id_old,
+       ROUND(i.i / (sa.n + sb.n - i.i), 6) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.id_new
+             JOIN sizes sb ON sb.doc_id = i.id_old
+WHERE i.i / (sa.n + sb.n - i.i) >= 0.5
+""")
+def q_incremental_neardup(spark, sf):
+    """Daily-ingest fuzzy dedup: LSH candidates ACROSS the
+    incoming/existing boundary only (never within a side, never
+    all-pairs), verified by exact Jaccard. Incoming = the planted
+    truncated copies; existing = the base documents."""
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    incoming = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice(F.split(F.col("text"), r"\s+"), 3, 1 << 20),
+                     " ").alias("text"))
+    pairs = dd.near_dups_against(incoming, docs, threshold=0.5)
+    return pairs.select("id_new", "id_old",
+                        F.round("jaccard", 6).alias("jaccard"))
 
 
 @_q("x15_dup_clusters", """

@@ -320,6 +320,21 @@ def test_boilerplate_score_flags_template_docs(spark):
     assert out[10] == 0.0         # unique doc shares nothing
 
 
+def test_near_dups_against_crosses_sides_only(spark):
+    existing = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely different archival content right here")],
+        "doc_id long, text string")
+    incoming = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+         (101, "entirely novel text with no earlier counterpart at all"),
+         (102, "another novel document unrelated to archive contents")],
+        "doc_id long, text string")
+    pairs = dd.near_dups_against(incoming, existing, threshold=0.5).collect()
+    assert {(r["id_new"], r["id_old"]) for r in pairs} == {(100, 1)}
+    assert pairs[0]["jaccard"] == 1.0
+
+
 def test_dedup_keep_best_prefers_score_then_min_id(spark):
     rows = [
         (1, "same text", 0.2), (2, "same text", 0.9),  # 2 wins on score
