@@ -41,11 +41,22 @@ EVENT_SCHEMA_NANOS = StructType([
 
 def read_events_stream(spark: SparkSession, path: str,
                        glob: str = "events.parquet") -> DataFrame:
-    """Parquet file-stream over the events table; normalizes the
-    nanosecond-long `ts` to a microsecond timestamp."""
-    ev = (spark.readStream.schema(EVENT_SCHEMA_NANOS)
+    """Parquet file-stream over the events table, normalized to a
+    microsecond `ts` timestamp. File streams need a declared schema,
+    and the harness has shipped the column both as TIMESTAMP(NANOS)
+    (read as long under the nanosAsLong flag) and as a plain
+    microsecond timestamp — so probe the footer with a batch read
+    (driver-side, metadata only) and adapt."""
+    batch = spark.read.option("pathGlobFilter", glob).parquet(path)
+    if dict(batch.dtypes)["ts"] == "bigint":
+        ev = (spark.readStream.schema(EVENT_SCHEMA_NANOS)
+              .option("pathGlobFilter", glob).parquet(path))
+        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = (spark.readStream.schema(batch.schema)
           .option("pathGlobFilter", glob).parquet(path))
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Watermarks demand TIMESTAMP (with local zone); NTZ reinterprets
+    # as the same UTC instant under the pinned session timezone.
+    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour",
