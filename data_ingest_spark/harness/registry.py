@@ -743,7 +743,8 @@ SELECT norm.sample, norm.barcode, norm.gene,
 FROM norm JOIN mo ON norm.gene = mo.gene
 """)
 def q_scale_data(spark, sf):
-    scaled = nz.scale_data(nz.log_normalize(expr_df(spark, sf)))
+    e = expr_df(spark, sf)
+    scaled = nz.scale_data(nz.log_normalize(e), n_cells_src=e)
     return scaled.select("sample", "barcode", "gene",
                          F.round("scaled", 6).alias("scaled"))
 
@@ -2302,7 +2303,8 @@ def q_pca(spark, sf):
     normalized = nz.log_normalize(expr)
     hvgs = nz.highly_variable_genes(normalized, 200, value_col="normalized")
     scaled = nz.scale_data(
-        normalized.join(F.broadcast(hvgs.select("gene")), "gene"))
+        normalized.join(F.broadcast(hvgs.select("gene")), "gene"),
+        n_cells_src=expr)
     # PCA consumes the vectors three times (dim probe, fit, transform):
     # materialize once instead of recomputing normalize→HVG→scale.
     vectors = rd.assemble_vectors(scaled, hvgs).localCheckpoint()

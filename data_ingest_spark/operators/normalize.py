@@ -151,7 +151,8 @@ def find_variable_features_vst(expr: DataFrame, n_top: int = 2000,
 
 def scale_data(normalized: DataFrame, value_col: str = "normalized",
                clip_max: float = 10.0,
-               n_cells: int | None = None) -> DataFrame:
+               n_cells: int | None = None,
+               n_cells_src: DataFrame | None = None) -> DataFrame:
     """M7: per-gene z-score of normalized values over *all* cells
     (zero-inclusive moments), clipped at clip_max. Returns nonzero
     entries with a ``scaled`` column; the implicit-zero z-score is
@@ -163,12 +164,18 @@ def scale_data(normalized: DataFrame, value_col: str = "normalized",
     over a gene-partitioned shuffle of the SAME evaluation that emits
     the rows — the ``normalized`` lineage (itself a join) is computed
     once, not once for stats and again for the projection. Only the
-    scalar N needs a second (cheap, map-side-combined) subplan."""
+    scalar N needs a second (cheap, map-side-combined) subplan;
+    pass ``n_cells_src`` (e.g. the raw expression table) so that
+    subplan is a 2-column scan instead of re-evaluating the normalize
+    join lineage. When scaling an HVG-subset frame, ``n_cells_src``
+    is also the semantically right N: every cell counts, including
+    cells expressing no HVG gene."""
     if n_cells is not None:
         base = normalized.withColumn("_n_cells", F.lit(float(n_cells)))
     else:
+        src = n_cells_src if n_cells_src is not None else normalized
         base = normalized.crossJoin(F.broadcast(
-            n_cells_df(normalized.select("sample", "barcode"))))
+            n_cells_df(src.select("sample", "barcode"))))
     w_g = W.partitionBy("gene")
     s = F.sum(value_col).over(w_g)
     ss = F.sum(F.col(value_col) ** 2).over(w_g)

@@ -163,7 +163,8 @@ def data_integration(exp: Experiment, config: dict) -> StepResult:
         hvgs = nz.highly_variable_genes(normalized, cfg["nfeatures"],
                                         value_col="normalized").cache()
     scaled = nz.scale_data(
-        normalized.join(F.broadcast(hvgs.select("gene")), "gene"))
+        normalized.join(F.broadcast(hvgs.select("gene")), "gene"),
+        n_cells_src=exp.expression)
     # PCA consumes the assembled vectors three times (dim probe, fit,
     # transform): materialize once instead of recomputing the
     # normalize→HVG→scale chain per action.
