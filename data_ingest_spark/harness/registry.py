@@ -1604,6 +1604,83 @@ def q_vocab_topk(spark, sf):
             .orderBy(F.desc("n"), "token").limit(100))
 
 
+@_q("x60_topk_per_group", """
+WITH t AS (SELECT source, unnest(string_split_regex(lower(text), '\\s+'))
+                  AS token
+           FROM documents),
+ c AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n
+       FROM t WHERE token <> '' GROUP BY 1, 2),
+ r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+                      ORDER BY n DESC, token) AS BIGINT) AS rk
+       FROM c)
+SELECT source, token, n, rk FROM r WHERE rk <= 10
+""")
+def q_topk_per_group(spark, sf):
+    """Per-GROUP heavy hitters (top tokens per source): the global
+    top-k trick doesn't apply, so rank inside a source-partitioned
+    window — distributed, no collect, state bounded by k per group."""
+    from pyspark.sql import Window as W
+
+    from data_ingest_spark.extensions.text import tokens_col
+    docs = load(spark, sf, "documents")
+    counts = (docs.select("source",
+                          F.explode(tokens_col("text")).alias("token"))
+              .filter(F.col("token") != "")
+              .groupBy("source", "token").agg(F.count("*").alias("n")))
+    w = W.partitionBy("source").orderBy(F.desc("n"), "token")
+    return (counts.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= 10))
+
+
+@_q("e19_session_stats", """
+WITH ev AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events),
+ d AS (SELECT user_id, ts,
+              CASE WHEN epoch(ts) - epoch(LAG(ts) OVER
+                     (PARTITION BY user_id ORDER BY ts)) > 1800
+                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        IS NULL
+                   THEN 1 ELSE 0 END AS brk
+       FROM ev),
+ s AS (SELECT user_id, ts,
+              SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess
+       FROM d),
+ g AS (SELECT user_id, sess, CAST(COUNT(*) AS BIGINT) AS n_events,
+              epoch(MAX(ts)) - epoch(MIN(ts)) AS dur
+       FROM s GROUP BY 1, 2)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       ROUND(AVG(dur), 6) AS avg_session_s,
+       ROUND(MAX(dur), 6) AS max_session_s
+FROM g GROUP BY 1
+""")
+def q_session_stats(spark, sf):
+    """Batch sessionization via gaps-and-islands (30-min inactivity
+    boundary): lag to mark breaks, running sum to number sessions,
+    two aggregations for per-user session stats — the batch twin of
+    the streaming session_window (e3), one sorted shuffle on user."""
+    from pyspark.sql import Window as W
+
+    from data_ingest_spark.functions.stats import epoch_seconds
+    ev = events_df(spark, sf).select("user_id", "ts")
+    w = W.partitionBy("user_id").orderBy("ts")
+    sec = epoch_seconds("ts")
+    brk = F.when(F.lag("ts").over(w).isNull()
+                 | ((sec - epoch_seconds(F.lag("ts").over(w))) > 1800),
+                 1).otherwise(0)
+    sess = (ev.withColumn("_brk", brk)
+            .withColumn("sess", F.sum("_brk").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow))))
+    g = (sess.groupBy("user_id", "sess")
+         .agg(F.count("*").alias("n_events"),
+              (F.max(sec) - F.min(sec)).alias("dur")))
+    return (g.groupBy("user_id")
+            .agg(F.count("*").alias("n_sessions"),
+                 F.sum("n_events").alias("n_events"),
+                 F.round(F.avg("dur"), 6).alias("avg_session_s"),
+                 F.round(F.max("dur"), 6).alias("max_session_s")))
+
+
 @_q("x32_negative_samples", f"""
 WITH n AS (SELECT COUNT(*) AS total FROM embeddings),
  j AS (SELECT vec_id, i AS neg_rank
