@@ -2373,6 +2373,79 @@ def q_doublet_scores(spark, sf):
     return out.withColumn("doublet_scores", F.round("doublet_scores", 6))
 
 
+@_q("m2_doublets_native", f"""
+WITH expr AS ({_EXPR_SQL}),
+ c AS (SELECT sample, barcode, SUM(cnt) AS tot, COUNT(*) AS nf
+       FROM expr GROUP BY 1, 2),
+ o AS (SELECT sample, barcode,
+              ROW_NUMBER() OVER (PARTITION BY sample
+                ORDER BY md5(CAST(barcode AS VARCHAR)),
+                         CAST(barcode AS VARCHAR)) - 1 AS rn
+       FROM c),
+ asg AS (SELECT sample, barcode, rn // 2 AS pid FROM o),
+ fullp AS (SELECT sample, pid FROM asg GROUP BY 1, 2 HAVING COUNT(*) = 2),
+ simg AS (SELECT a.sample, a.pid, e.gene, SUM(e.cnt) AS c2
+          FROM expr e JOIN asg a ON e.sample = a.sample
+                                AND e.barcode = a.barcode
+               JOIN fullp f ON f.sample = a.sample AND f.pid = a.pid
+          GROUP BY 1, 2, 3),
+ sim AS (SELECT sample, pid, SUM(c2) AS tot, COUNT(*) AS nf
+         FROM simg GROUP BY 1, 2),
+ pts AS (SELECT sample, 0 AS lbl,
+                CAST(FLOOR(ln(1.0 + tot) * 1000000 + 0.5) AS BIGINT) AS f1,
+                CAST(FLOOR(ln(1.0 + nf) * 1000000 + 0.5) AS BIGINT) AS f2
+         FROM c
+         UNION ALL
+         SELECT sample, 1,
+                CAST(FLOOR(ln(1.0 + tot) * 1000000 + 0.5) AS BIGINT),
+                CAST(FLOOR(ln(1.0 + nf) * 1000000 + 0.5) AS BIGINT)
+         FROM sim),
+ ptw AS (SELECT sample, f1, f2,
+                SUM(CASE WHEN lbl = 0 THEN 1 ELSE 0 END) AS m0,
+                SUM(lbl) AS m1,
+                f1 // 500000 AS gx, f2 // 500000 AS gy
+         FROM pts GROUP BY 1, 2, 3),
+ q AS (SELECT p.sample, p.f1 AS qf1, p.f2 AS qf2,
+              p.gx + o.dx AS gx, p.gy + o.dy AS gy
+       FROM ptw p CROSS JOIN (VALUES (-1, -1), (-1, 0), (-1, 1), (0, -1),
+            (0, 0), (0, 1), (1, -1), (1, 0), (1, 1)) o(dx, dy)
+       WHERE p.m0 > 0),
+ cnd AS (SELECT q.sample, q.qf1, q.qf2, n.f1, n.f2,
+                n.m0 - CASE WHEN n.f1 = q.qf1 AND n.f2 = q.qf2
+                            THEN 1 ELSE 0 END AS m0a,
+                n.m1,
+                (q.qf1 - n.f1) * (q.qf1 - n.f1)
+                + (q.qf2 - n.f2) * (q.qf2 - n.f2) AS d2
+         FROM q JOIN ptw n ON n.sample = q.sample AND n.gx = q.gx
+                          AND n.gy = q.gy),
+ cl AS (SELECT sample, qf1, qf2, f1, f2, d2, 0 AS lbl, m0a AS m
+        FROM cnd WHERE m0a > 0
+        UNION ALL
+        SELECT sample, qf1, qf2, f1, f2, d2, 1, m1 FROM cnd WHERE m1 > 0),
+ tk AS (SELECT *, LEAST(m, GREATEST(0, 10 - (SUM(m) OVER
+                  (PARTITION BY sample, qf1, qf2
+                   ORDER BY d2, lbl, f1, f2
+                   ROWS UNBOUNDED PRECEDING) - m))) AS take
+        FROM cl),
+ sc AS (SELECT sample, qf1, qf2,
+               SUM(take * lbl) * 1.0 / SUM(take) AS score
+        FROM tk GROUP BY 1, 2, 3)
+SELECT c.sample, CAST(c.barcode AS VARCHAR) AS barcode,
+       ROUND(sc.score, 6) AS doublet_scores,
+       CASE WHEN sc.score > 0.25 THEN 'doublet' ELSE 'singlet' END
+       AS doublet_class
+FROM c JOIN sc ON sc.sample = c.sample
+  AND sc.qf1 = CAST(FLOOR(ln(1.0 + c.tot) * 1000000 + 0.5) AS BIGINT)
+  AND sc.qf2 = CAST(FLOOR(ln(1.0 + c.nf) * 1000000 + 0.5) AS BIGINT)
+""")
+def q_doublets_native(spark, sf):
+    """M2 v2 — distributed, derandomized doublet scoring with a FULL
+    value oracle (hash-paired simulated doublets + grid-bucketed kNN
+    vote; every stage shuffle-bounded DataFrame ops)."""
+    from data_ingest_spark.operators import doublets as db
+    return db.doublet_scores_grid(expr_df(spark, sf))
+
+
 @_q("m8_pca")
 def q_pca(spark, sf):
     from data_ingest_spark.operators import reduction as rd

@@ -97,3 +97,130 @@ def doublet_scores(expr: DataFrame, n_sim_ratio: float = 1.0, k: int = 20,
         return _score_sample(pdf, n_sim_ratio, k, threshold, seed)
 
     return expr.groupBy("sample").applyInPandas(fn, _out_schema(expr))
+
+
+def doublet_scores_grid(expr: DataFrame, k: int = 10,
+                        threshold: float = 0.25,
+                        cell_size: float = 0.5) -> DataFrame:
+    """M2 v2 — fully DISTRIBUTED doublet scoring (SURVEY §7 step 8's
+    native path): no applyInPandas, no per-sample pivot, every stage a
+    shuffle-bounded DataFrame op, so a single sample larger than one
+    executor's memory still works.
+
+    Mechanism (same neighborhood-vote core as the applyInPandas
+    variant, derandomized so the result carries a full value oracle):
+
+    1. real cells: (total, n_features) per barcode — A1/A2.
+    2. artificial doublets: cells hash-ordered per sample (md5 of the
+       barcode — an arbitrary-but-fixed permutation standing in for
+       scDblFinder's random pairing) and paired consecutively; each
+       pair's expression profiles sum gene-wise, giving exact
+       (total, n_features-of-union) per simulated doublet.
+    3. features (ln(1+total), ln(1+nf)) for both populations; kNN by
+       GRID BUCKETING over DISTINCT WEIGHTED FEATURE POINTS: the vote
+       depends only on distinct feature values, so points collapse to
+       (f1, f2, #real, #sim) first — on degenerate/low-cardinality
+       feature spaces (where a naive per-individual grid join
+       explodes quadratically) the candidate set is bounded by
+       distinct values, and on spread-out spaces by bucket occupancy.
+       Each distinct query point expands to its 3×3 grid neighborhood
+       (a 9-row explode — an equi-join, never a distance
+       cross-product); candidates rank by squared distance with a
+       deterministic tiebreak, and the k nearest INDIVIDUALS are
+       taken by cumulative multiplicity (the boundary point
+       contributes partially). Neighbors beyond one grid cell
+       (distance > cell_size) are out of candidate range —
+       acceptable: votes at that distance carry no signal.
+
+    Returns (sample, barcode, doublet_scores, doublet_class) with
+    barcode as string (union typing with pair ids).
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    cells = expr.groupBy("sample", "barcode").agg(
+        F.sum("count").alias("tot"), F.count("*").alias("nf"))
+    rn = F.row_number().over(
+        W.partitionBy("sample")
+        .orderBy(F.md5(F.col("barcode").cast("string")),
+                 F.col("barcode").cast("string"))) - 1
+    assign = cells.select("sample", "barcode",
+                          F.floor(rn / 2).alias("pid"))
+    pair_sz = assign.groupBy("sample", "pid").agg(F.count("*").alias("_m"))
+    full_pairs = (assign.join(pair_sz.filter(F.col("_m") == 2)
+                              .select("sample", "pid"), ["sample", "pid"]))
+    sim = (expr.join(full_pairs, ["sample", "barcode"])
+           .groupBy("sample", "pid", "gene")
+           .agg(F.sum("count").alias("_c"))
+           .groupBy("sample", "pid")
+           .agg(F.sum("_c").alias("tot"), F.count("*").alias("nf")))
+
+    # Features are FIXED-POINTED once (floor(ln·1e6 + 0.5) as int64,
+    # the x39 pattern): floats never serve as join/group keys or
+    # comparison operands, so a last-ulp libm disagreement between
+    # engines cannot split a point or flip a rank. 1e-6 resolution on
+    # the ln scale is far below any biological signal.
+    grid = int(cell_size * 1_000_000)
+
+    def fx(col):
+        return F.floor(F.log(F.lit(1.0) + col) * 1_000_000
+                       + F.lit(0.5)).cast("long")
+
+    def feats(df, lbl):
+        return df.select("sample", F.lit(lbl).alias("lbl"),
+                         fx(F.col("tot")).alias("f1"),
+                         fx(F.col("nf")).alias("f2"))
+
+    ptw = (feats(cells, 0).unionByName(feats(sim, 1))
+           .groupBy("sample", "f1", "f2")
+           .agg(F.sum(F.when(F.col("lbl") == 0, 1).otherwise(0))
+                .alias("m0"),
+                F.sum("lbl").alias("m1"))
+           .withColumn("gx", F.expr(f"f1 div {grid}"))
+           .withColumn("gy", F.expr(f"f2 div {grid}")))
+    off = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                    for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    q = (ptw.filter(F.col("m0") > 0)
+         .select("sample", F.col("f1").alias("qf1"),
+                 F.col("f2").alias("qf2"), F.explode(off).alias("_o"),
+                 F.col("gx").alias("qgx"), F.col("gy").alias("qgy"))
+         .select("sample", "qf1", "qf2",
+                 (F.col("qgx") + F.col("_o.dx")).alias("gx"),
+                 (F.col("qgy") + F.col("_o.dy")).alias("gy")))
+    same_pt = (F.col("f1") == F.col("qf1")) & (F.col("f2") == F.col("qf2"))
+    cnd = (q.join(ptw.select("sample", "gx", "gy", "f1", "f2", "m0", "m1"),
+                  ["sample", "gx", "gy"])
+           # a real query excludes itself from its own point's reals
+           .withColumn("m0a", F.col("m0") - F.when(same_pt, 1).otherwise(0))
+           # exact int64 squared distance (~5e6 per axis -> < 6e13)
+           .withColumn("_d2",
+                       (F.col("qf1") - F.col("f1"))
+                       * (F.col("qf1") - F.col("f1"))
+                       + (F.col("qf2") - F.col("f2"))
+                       * (F.col("qf2") - F.col("f2"))))
+    sides = F.array(F.struct(F.lit(0).alias("lbl"), F.col("m0a").alias("m")),
+                    F.struct(F.lit(1).alias("lbl"), F.col("m1").alias("m")))
+    cl = (cnd.select("sample", "qf1", "qf2", "f1", "f2", "_d2",
+                     F.explode(sides).alias("_s"))
+          .select("sample", "qf1", "qf2", "f1", "f2", "_d2",
+                  F.col("_s.lbl").alias("lbl"), F.col("_s.m").alias("m"))
+          .filter(F.col("m") > 0))
+    w_cum = (W.partitionBy("sample", "qf1", "qf2")
+             .orderBy("_d2", "lbl", "f1", "f2")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    take = F.least(F.col("m"),
+                   F.greatest(F.lit(0).cast("long"),
+                              F.lit(k) - (F.sum("m").over(w_cum)
+                                          - F.col("m"))))
+    sc = (cl.withColumn("_take", take)
+          .groupBy("sample", "qf1", "qf2")
+          .agg((F.sum(F.col("_take") * F.col("lbl"))
+                / F.sum("_take")).alias("_score")))
+    real_pts = cells.select(
+        "sample", F.col("barcode").cast("string").alias("barcode"),
+        fx(F.col("tot")).alias("qf1"), fx(F.col("nf")).alias("qf2"))
+    return (real_pts.join(sc, ["sample", "qf1", "qf2"])
+            .select("sample", "barcode",
+                    F.round("_score", 6).alias("doublet_scores"),
+                    F.when(F.col("_score") > threshold, "doublet")
+                    .otherwise("singlet").alias("doublet_class")))

@@ -108,6 +108,25 @@ def test_doublet_scores_properties(small_expr):
     assert out.exceptAll(again).count() == 0  # seed-stable
 
 
+def test_doublet_scores_grid_flags_planted_doublet(spark):
+    """20 identical singlets + 1 cell that IS a pairwise sum: the
+    planted cell lands exactly on the simulated-doublet feature point
+    (score 1.0); singlets fill their k neighbors with each other
+    (score 0.0). Fully deterministic — no seed."""
+    rows = []
+    for c in range(20):
+        rows += [("s", f"b{c:02d}", f"G{g:02d}", 2) for g in range(50)]
+    rows += [("s", "dbl", f"G{g:02d}", 4) for g in range(50)]
+    df = spark.createDataFrame(
+        rows, "sample string, barcode string, gene string, count int")
+    out = {r["barcode"]: r for r in db.doublet_scores_grid(df).collect()}
+    assert len(out) == 21
+    assert out["dbl"]["doublet_scores"] == 1.0
+    assert out["dbl"]["doublet_class"] == "doublet"
+    assert out["b00"]["doublet_scores"] == 0.0
+    assert out["b00"]["doublet_class"] == "singlet"
+
+
 def test_integrate_mnn_reduces_batch_shift(spark, pcs):
     # Shift sample sb by a constant vector clearly larger than the
     # cloud spread; integration should remove most of it. (A shift of
