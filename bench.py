@@ -59,6 +59,8 @@ HEADLINE = [
     "v10_tpch_q4",
     "v12_tpch_q14",
     "v14_tpch_q22",
+    "m2_doublets_native",
+    "e19_session_stats",
 ]
 
 
