@@ -87,6 +87,10 @@ def main() -> int:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Several operators persist() intermediates by design; without
+        # eviction those caches accumulate across the suite and the
+        # later queries pay the GC bill. Each query is timed cold.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

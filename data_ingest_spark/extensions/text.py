@@ -346,21 +346,45 @@ def intra_doc_repetition(df: DataFrame, k: int = 2,
     commonality. Returns ``(id, n_ngrams, n_distinct,
     dup_ngram_ratio)``.
 
-    Plan shape: map-only — the n-gram array, its distinct size, and
-    the ratio are all per-row Column expressions; the only shuffle is
-    whatever the caller adds. At 100 TB this runs at scan speed with
-    zero state, the ideal shape for a first-pass quality filter.
-    Short docs (< k tokens) collapse to one whole-doc n-gram, giving
-    ratio 0 rather than a null."""
-    sh = shingles_col(text_col, k)
-    n = F.size(sh)
-    d = F.size(F.array_distinct(sh))
-    return df.select(
-        id_col,
-        n.cast("long").alias("n_ngrams"),
-        d.cast("long").alias("n_distinct"),
-        F.round((n - d) / n, 6).alias("dup_ngram_ratio"),
-    )
+    Plan shape: map-only — zero shuffles, zero state; the ideal shape
+    for a first-pass quality filter. The per-row kernel runs in Python
+    over Arrow batches (mapInPandas) rather than as a Column
+    expression: Spark evaluates higher-order array lambdas
+    interpreted, which measured ~10× slower than the Arrow path on
+    this exact computation (the shingle_rows lesson). Short docs
+    (< k tokens) collapse to one whole-doc n-gram, giving ratio 0
+    rather than a null."""
+    import re
+
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    from data_ingest_spark.functions.partitioning import spread
+
+    out_schema = StructType([df.schema[id_col],
+                             StructField("n_ngrams", LongType()),
+                             StructField("n_distinct", LongType()),
+                             StructField("dup_ngram_ratio", DoubleType())])
+    ws = re.compile(r"\s+")
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            ids, ns, ds, rs = [], [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                toks = ws.split(t.lower())
+                if len(toks) >= k:
+                    grams = [" ".join(toks[j:j + k])
+                             for j in range(len(toks) - k + 1)]
+                else:
+                    grams = [" ".join(toks)]
+                n, d = len(grams), len(set(grams))
+                ids.append(i); ns.append(n); ds.append(d)
+                rs.append(round((n - d) / n, 6))
+            yield pd.DataFrame({id_col: ids, "n_ngrams": ns,
+                                "n_distinct": ds, "dup_ngram_ratio": rs})
+
+    return spread(df.select(id_col, text_col)).mapInPandas(gen, out_schema)
 
 
 def boilerplate_score(df: DataFrame, k: int = 3, min_df: int = 5,
