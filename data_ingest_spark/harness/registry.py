@@ -2377,12 +2377,20 @@ def q_doublet_scores(spark, sf):
 WITH expr AS ({_EXPR_SQL}),
  c AS (SELECT sample, barcode, SUM(cnt) AS tot, COUNT(*) AS nf
        FROM expr GROUP BY 1, 2),
- o AS (SELECT sample, barcode,
-              ROW_NUMBER() OVER (PARTITION BY sample
+ nb AS (SELECT sample, GREATEST(1, COUNT(*) // 64) AS nbk
+        FROM c GROUP BY 1),
+ ob AS (SELECT c.sample, c.barcode,
+               CAST(concat('0x', substr(md5(CAST(c.barcode AS VARCHAR)),
+                                        1, 8)) AS BIGINT) % nb.nbk AS bkt
+        FROM c JOIN nb ON nb.sample = c.sample),
+ o AS (SELECT sample, barcode, bkt,
+              ROW_NUMBER() OVER (PARTITION BY sample, bkt
                 ORDER BY md5(CAST(barcode AS VARCHAR)),
                          CAST(barcode AS VARCHAR)) - 1 AS rn
-       FROM c),
- asg AS (SELECT sample, barcode, rn // 2 AS pid FROM o),
+       FROM ob),
+ asg AS (SELECT sample, barcode,
+                CAST(bkt AS VARCHAR) || '_' || CAST(rn // 2 AS VARCHAR)
+                AS pid FROM o),
  fullp AS (SELECT sample, pid FROM asg GROUP BY 1, 2 HAVING COUNT(*) = 2),
  simg AS (SELECT a.sample, a.pid, e.gene, SUM(e.cnt) AS c2
           FROM expr e JOIN asg a ON e.sample = a.sample

@@ -140,12 +140,30 @@ def doublet_scores_grid(expr: DataFrame, k: int = 10,
 
     cells = expr.groupBy("sample", "barcode").agg(
         F.sum("count").alias("tot"), F.count("*").alias("nf"))
+    # Pairing parallelism: a row_number over partitionBy(sample) alone
+    # is ONE task per sample. Instead the md5 space is bucketed with
+    # an ADAPTIVE bucket count — max(1, n_cells/64) per sample — so
+    # the ordering window runs per (sample, bucket) with ~64 rows per
+    # task at any scale, while tiny samples keep the single-bucket
+    # behavior (every cell pairable). Odd leftovers per bucket go
+    # unpaired (marginally fewer simulated doublets, still Θ(n/2)).
+    # Deterministic: bucket and order both derive from md5(barcode).
+    nb = cells.groupBy("sample").agg(
+        F.greatest(F.lit(1).cast("long"),
+                   (F.count("*") / 64).cast("long")).alias("_nbk"))
+    h = F.md5(F.col("barcode").cast("string"))
+    h32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    withb = (cells.join(F.broadcast(nb), "sample")
+             .select("sample", "barcode",
+                     (h32 % F.col("_nbk")).alias("_bkt")))
     rn = F.row_number().over(
-        W.partitionBy("sample")
+        W.partitionBy("sample", "_bkt")
         .orderBy(F.md5(F.col("barcode").cast("string")),
                  F.col("barcode").cast("string"))) - 1
-    assign = cells.select("sample", "barcode",
-                          F.floor(rn / 2).alias("pid"))
+    assign = withb.select(
+        "sample", "barcode",
+        F.concat_ws("_", F.col("_bkt").cast("string"),
+                    F.floor(rn / 2).cast("string")).alias("pid"))
     pair_sz = assign.groupBy("sample", "pid").agg(F.count("*").alias("_m"))
     full_pairs = (assign.join(pair_sz.filter(F.col("_m") == 2)
                               .select("sample", "pid"), ["sample", "pid"]))
