@@ -70,6 +70,38 @@ def test_stream_stream_join_matches_batch_twin(spark, tmp_path):
     assert got == want and len(got) == 3
 
 
+def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
+    """leftOuter interval join: purchases with no click in the window
+    still emit, with NULL right-side columns, once the watermark
+    passes — the state-eviction semantics inner joins never exercise."""
+    purchases = [[(1, "u1", _sec(100), 9.0),      # matched by click 11
+                  (2, "u2", _sec(200), 8.0)],     # no click in window
+                 [(3, "u9", _sec(250), 7.0)]]     # user with no clicks
+    clicks = [[(11, "u1", _sec(80), 0.0),
+               (13, "u2", _sec(500), 0.0)],       # outside the window
+              # late high-ts rows on both sides advance the watermark
+              # far enough to close and emit the unmatched state
+              [(19, "u1", _sec(5000), 0.0)]]
+    purchases.append([(9, "u1", _sec(5100), 1.0)])
+    pd_dir = _write_batches(str(tmp_path / "p2"), purchases)
+    cl_dir = _write_batches(str(tmp_path / "c2"), clicks)
+
+    def read(d):
+        return (spark.readStream.schema(SCHEMA)
+                .option("maxFilesPerTrigger", 1).parquet(d))
+
+    out = _drain(stream_stream_interval_join(
+        read(pd_dir), read(cl_dir), on="user_id",
+        lower_s=-60.0, upper_s=0.0, watermark="5 minutes",
+        how="leftOuter"), "t_ssj_lo")
+    pairs = {(r["event_id"], r["event_id_r"]) for r in out.collect()}
+    assert (1, 11) in pairs          # matched pair
+    assert (2, None) in pairs        # in-stream user, no click in window
+    assert (3, None) in pairs        # user never clicks
+    inner = {p for p in pairs if p[1] is not None}
+    assert inner <= {(1, 11), (9, 19)}
+
+
 def test_stream_static_enrich_broadcasts(spark, tmp_path):
     ev_dir = _write_batches(str(tmp_path / "e"),
                             [[(1, "u1", _sec(10), 1.0),
