@@ -1030,6 +1030,54 @@ def q_ann_topk(spark, sf):
     return sim.cosine_topk(emb, queries, k=5)
 
 
+@_q("x62_truncation_eval", f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ q AS (SELECT vec_id AS query_id, v AS qv, v[1:16] AS qv16
+       FROM e WHERE {_ANN_Q}),
+ s64 AS (SELECT q.query_id, e.vec_id AS nid,
+                {_COS.replace('cv', 'e.v').replace('qv', 'q.qv')} AS c
+         FROM q JOIN e ON e.vec_id <> q.query_id),
+ r64 AS (SELECT query_id, nid, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY c DESC, nid) AS rk FROM s64),
+ f64 AS (SELECT query_id, nid AS full_top1 FROM r64 WHERE rk = 1),
+ s16 AS (SELECT q.query_id, e.vec_id AS nid,
+                ROUND(list_dot_product(q.qv16, e.v[1:16])
+                      / (sqrt(list_dot_product(q.qv16, q.qv16))
+                         * sqrt(list_dot_product(e.v[1:16], e.v[1:16]))), 6)
+                AS c
+         FROM q JOIN e ON e.vec_id <> q.query_id),
+ r16 AS (SELECT query_id, nid, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY c DESC, nid) AS rk FROM s16),
+ f16 AS (SELECT query_id, nid AS trunc_top1 FROM r16 WHERE rk = 1)
+SELECT f64.query_id, f64.full_top1, f16.trunc_top1,
+       CAST(CASE WHEN f64.full_top1 = f16.trunc_top1
+                 THEN 1 ELSE 0 END AS BIGINT) AS agree
+FROM f64 JOIN f16 ON f16.query_id = f64.query_id
+""")
+def q_truncation_eval(spark, sf):
+    """Matryoshka-style truncation evaluation: does the top-1 cosine
+    neighbor at 16 of 64 dimensions agree with the full-dimension
+    answer, per query? The measured-quality pattern applied to the
+    memory/recall tradeoff every embedding store faces — truncated
+    prefixes are the standard cheap first-stage retriever."""
+    emb = load(spark, sf, "embeddings")
+    qfull = emb.filter(F.expr(_ANN_Q)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    full = (sim.cosine_topk(emb, qfull, k=1)
+            .select("query_id", F.col("neighbor_id").alias("full_top1")))
+    e16 = emb.withColumn("embedding", F.slice("embedding", 1, 16))
+    q16 = e16.filter(F.expr(_ANN_Q)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    trunc = (sim.cosine_topk(e16, q16, k=1)
+             .select("query_id", F.col("neighbor_id").alias("trunc_top1")))
+    return (full.join(trunc, "query_id")
+            .select("query_id", "full_top1", "trunc_top1",
+                    (F.col("full_top1") == F.col("trunc_top1"))
+                    .cast("long").alias("agree")))
+
+
 @_q("x6_ann_ivf", f"""
 WITH q AS (SELECT vec_id AS query_id, label, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE {_ANN_Q}),
@@ -1177,6 +1225,28 @@ FROM s"""
 def q_lang_id(spark, sf):
     return tx.lang_id(load(spark, sf, "documents")).select(
         "doc_id", "lang", "pred_lang")
+
+
+@_q("x61_langid_eval", f"""
+WITH pred AS ({_lang_sql()})
+SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS cell_accuracy
+FROM pred GROUP BY 1, 2
+""")
+def q_langid_eval(spark, sf):
+    """Language-ID confusion matrix against the labeled `lang` column
+    — the measured-quality pattern (x42 ANN recall, x57 LSH recall)
+    applied to the classifier: every approximate/heuristic path in
+    the engine ships with its accuracy measured under a full oracle.
+    cell_accuracy is 1.0 on diagonal cells and 0.0 off-diagonal by
+    construction, making diagonal mass directly summable."""
+    pred = tx.lang_id(load(spark, sf, "documents"))
+    return (pred.groupBy("lang", "pred_lang")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum(F.when(F.col("lang") == F.col("pred_lang"),
+                                      1).otherwise(0)) / F.count("*"), 6)
+                 .alias("cell_accuracy")))
 
 
 @_q("x9_token_count", """
