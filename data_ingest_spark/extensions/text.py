@@ -514,3 +514,25 @@ def chunk_documents(df: DataFrame, size: int = 512, overlap: int = 64,
         start.cast("long").alias("chunk_start"),
         chunk.alias("chunk_text"),
         F.length(chunk).cast("long").alias("n_chunk_chars"))
+
+
+def reassemble_chunks(chunks: DataFrame, overlap: int = 64,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Inverse of :func:`chunk_documents`: rebuild each document from
+    its chunks by ordering on chunk_idx and dropping the first
+    ``overlap`` characters of every chunk after the first. With the
+    same ``overlap`` used to chunk, ``reassemble(chunk(df)) == df``
+    exactly (pinned by the roundtrip test) — the guarantee a RAG/
+    training pipeline needs before it dares store only chunks.
+
+    One groupBy(id): chunks collect per document (documents are
+    driver-bounded units, not corpus-bounded — the same envelope the
+    chunker's consumers already assume), sort by index in the array
+    domain, trim, concatenate. No UDF; array_sort + transform +
+    concat_ws stay JVM-side."""
+    trimmed = F.transform(
+        F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
+        lambda s: F.when(s["chunk_idx"] == 0, s["chunk_text"])
+        .otherwise(F.substring(s["chunk_text"], overlap + 1, 1 << 30)))
+    return (chunks.groupBy(id_col)
+            .agg(F.concat_ws("", trimmed).alias("text")))

@@ -1901,6 +1901,40 @@ def q_chunking(spark, sf):
                               size=512, overlap=64)
 
 
+@_q("x63_chunk_roundtrip", """
+WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+ n AS (SELECT doc_id, text,
+              GREATEST(1, CAST(CEIL((len - 64) / 448.0) AS INT)) AS nc
+       FROM d),
+ c AS (SELECT doc_id, i AS chunk_idx,
+              substr(text, i * 448 + 1, 512) AS chunk_text
+       FROM n CROSS JOIN UNNEST(range(0, nc)) AS t(i)),
+ r AS (SELECT doc_id,
+              string_agg(CASE WHEN chunk_idx = 0 THEN chunk_text
+                              ELSE substr(chunk_text, 65) END, ''
+                         ORDER BY chunk_idx) AS text
+       FROM c GROUP BY 1)
+SELECT r.doc_id,
+       CAST(CASE WHEN r.text = d.text THEN 1 ELSE 0 END AS BIGINT)
+       AS roundtrip_ok,
+       CAST(length(r.text) AS BIGINT) AS n_chars_rebuilt
+FROM r JOIN d ON d.doc_id = r.doc_id
+""")
+def q_chunk_roundtrip(spark, sf):
+    """Chunk → reassemble roundtrip audit: every document rebuilds
+    byte-identically from its 512/64 chunks (roundtrip_ok = 1 for all
+    rows) — the storage-safety guarantee for chunk-only pipelines."""
+    docs = load(spark, sf, "documents")
+    back = tx.reassemble_chunks(
+        tx.chunk_documents(docs, size=512, overlap=64), overlap=64)
+    return (back.withColumnRenamed("text", "_rt")
+            .join(docs.select("doc_id", "text"), "doc_id")
+            .select("doc_id",
+                    (F.col("_rt") == F.col("text")).cast("long")
+                    .alias("roundtrip_ok"),
+                    F.length("_rt").cast("long").alias("n_chars_rebuilt")))
+
+
 @_q("x25_audio_features", """
 WITH b AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hx FROM documents),
  s AS (SELECT doc_id, i,

@@ -75,3 +75,17 @@ def test_chunking_covers_text_with_overlap(spark):
             len(a["chunk_text"]) < 40
     short = [r for r in rows if r["doc_id"] == 2]
     assert len(short) == 1 and short[0]["chunk_text"] == "short"
+
+
+def test_chunk_reassemble_roundtrip(spark):
+    from data_ingest_spark.extensions.text import (chunk_documents,
+                                                   reassemble_chunks)
+    rows = [(1, "abcdefghij" * 13),          # multi-chunk, ragged tail
+            (2, "short"),                     # single chunk
+            (3, "x" * 40),                    # exactly one chunk size
+            (4, "y" * 41)]                    # one char past a boundary
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    back = reassemble_chunks(chunk_documents(df, size=40, overlap=10),
+                             overlap=10)
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert got == dict(rows)
