@@ -429,6 +429,16 @@ def test_operators_survive_empty_input(spark):
     assert tx.unigram_logprob(empty).count() == 0
     assert tx.boilerplate_score(empty).count() == 0
 
+    assert tx.intra_doc_repetition(empty).count() == 0
+    assert tx.reassemble_chunks(
+        tx.chunk_documents(empty), overlap=64).count() == 0
+    some = spark.createDataFrame([(1, "present text")],
+                                 "doc_id long, text string")
+    scored = empty.withColumn("score", F.lit(0.0))
+    assert dd.dedup_keep_best(scored, "score").count() == 0
+    assert dd.near_dups_against(empty, some).count() == 0
+    assert dd.near_dups_against(some, empty).count() == 0
+
     from data_ingest_spark.extensions.curate import curate_corpus
     bench = spark.createDataFrame([(99, "x y z")],
                                   "doc_id long, text string")
