@@ -71,16 +71,17 @@ def dedup_keep_best(df: DataFrame, score_col: str,
     pipelines want: when the same text arrives from several sources,
     retain the copy with the best provenance/quality metadata, not an
     arbitrary id. One shuffle on the hash via max_by semantics."""
+    # row_number ordered by (score desc, id asc): works for ANY id
+    # type (a negated-id struct-max would NULL out on string ids and
+    # silently return nothing); one shuffle on the hash either way.
     h = F.md5(F.col(text_col).cast("binary"))
+    w = W.partitionBy("_h").orderBy(F.col(score_col).desc(),
+                                    F.col(id_col).asc())
     keep = (
-        df.select(F.col(id_col).alias("_kid"), h.alias("_h"),
-                  F.col(score_col).alias("_sc"))
-        # max_by with a deterministic tiebreak: order by (score desc,
-        # id asc) packed as a struct max on (score, -id)
-        .groupBy("_h")
-        .agg(F.max(F.struct(F.col("_sc"), (-F.col("_kid")).alias("_nid")))
-             .alias("_best"))
-        .select((-F.col("_best._nid")).alias(id_col))
+        df.select(F.col(id_col), h.alias("_h"), F.col(score_col))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col)
     )
     return df.join(keep, id_col, "left_semi")
 
@@ -181,6 +182,34 @@ def jaccard_of_pairs(pairs: DataFrame, membership: DataFrame,
               "id_a")
         .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("_nb")),
               "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("_inter")
+             / (F.col("_na") + F.col("_nb") - F.col("_inter"))).alias("jaccard"),
+        )
+    )
+
+
+def jaccard_of_pairs_two_sided(pairs: DataFrame, mem_a: DataFrame,
+                               mem_b: DataFrame,
+                               id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard for cross-corpus candidate pairs where ``id_a``
+    comes from ``mem_a`` and ``id_b`` from ``mem_b``. Unlike unioning
+    the two membership tables into :func:`jaccard_of_pairs`, this stays
+    correct when the two corpora share id values — each side's sizes
+    and the intersection resolve against its own table only."""
+    size_a = mem_a.groupBy(id_col).agg(F.count("*").alias("_na"))
+    size_b = mem_b.groupBy(id_col).agg(F.count("*").alias("_nb"))
+    a = mem_a.select(F.col(id_col).alias("id_a"), "shingle")
+    b = mem_b.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(a, "id_a").join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("_inter"))
+    )
+    return (
+        inter
+        .join(size_a.select(F.col(id_col).alias("id_a"), "_na"), "id_a")
+        .join(size_b.select(F.col(id_col).alias("id_b"), "_nb"), "id_b")
         .select(
             "id_a", "id_b",
             (F.col("_inter")
@@ -333,8 +362,10 @@ def near_dups_against(incoming: DataFrame, existing: DataFrame,
               ["band", "bucket"])
         .select("id_a", "id_b").distinct()
     )
-    membership = inc_m.unionByName(ex_m)
-    return (jaccard_of_pairs(cand, membership)
+    # Two-sided verification: each side's shingle sizes/intersections
+    # resolve against its own membership table, so incoming and
+    # existing corpora may legitimately share id values.
+    return (jaccard_of_pairs_two_sided(cand, inc_m, ex_m)
             .filter(F.col("jaccard") >= threshold)
             .select(F.col("id_a").alias("id_new"),
                     F.col("id_b").alias("id_old"), "jaccard"))

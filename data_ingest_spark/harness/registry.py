@@ -2543,10 +2543,10 @@ WITH expr AS ({_EXPR_SQL}),
                SUM(take * lbl) * 1.0 / SUM(take) AS score
         FROM tk GROUP BY 1, 2, 3)
 SELECT c.sample, CAST(c.barcode AS VARCHAR) AS barcode,
-       ROUND(sc.score, 6) AS doublet_scores,
-       CASE WHEN sc.score > 0.25 THEN 'doublet' ELSE 'singlet' END
-       AS doublet_class
-FROM c JOIN sc ON sc.sample = c.sample
+       COALESCE(ROUND(sc.score, 6), 0.0) AS doublet_scores,
+       CASE WHEN COALESCE(sc.score, 0.0) > 0.25 THEN 'doublet'
+            ELSE 'singlet' END AS doublet_class
+FROM c LEFT JOIN sc ON sc.sample = c.sample
   AND sc.qf1 = CAST(FLOOR(ln(1.0 + c.tot) * 1000000 + 0.5) AS BIGINT)
   AND sc.qf2 = CAST(FLOOR(ln(1.0 + c.nf) * 1000000 + 0.5) AS BIGINT)
 """)

@@ -156,18 +156,25 @@ def doublet_scores_grid(expr: DataFrame, k: int = 10,
     withb = (cells.join(F.broadcast(nb), "sample")
              .select("sample", "barcode",
                      (h32 % F.col("_nbk")).alias("_bkt")))
+    # A pair is FULL iff both slots exist: pid index rn//2 < cnt//2
+    # (the odd leftover has rn//2 == cnt//2). Both rn and cnt come
+    # from the SAME window partition, so full-pair detection costs no
+    # extra shuffle — the previous groupBy(pid)+join round-trip
+    # (one exchange + one join) is gone; semantics identical to the
+    # oracle's HAVING COUNT(*) = 2.
+    wb = W.partitionBy("sample", "_bkt")
     rn = F.row_number().over(
-        W.partitionBy("sample", "_bkt")
-        .orderBy(F.md5(F.col("barcode").cast("string")),
-                 F.col("barcode").cast("string"))) - 1
-    assign = withb.select(
-        "sample", "barcode",
-        F.concat_ws("_", F.col("_bkt").cast("string"),
-                    F.floor(rn / 2).cast("string")).alias("pid"))
-    pair_sz = assign.groupBy("sample", "pid").agg(F.count("*").alias("_m"))
-    full_pairs = (assign.join(pair_sz.filter(F.col("_m") == 2)
-                              .select("sample", "pid"), ["sample", "pid"]))
-    sim = (expr.join(full_pairs, ["sample", "barcode"])
+        wb.orderBy(F.md5(F.col("barcode").cast("string")),
+                   F.col("barcode").cast("string"))) - 1
+    cnt = F.count("*").over(wb)
+    assign = (withb
+              .withColumn("_rn", rn).withColumn("_cnt", cnt)
+              .filter(F.floor(F.col("_rn") / 2) < F.floor(F.col("_cnt") / 2))
+              .select("sample", "barcode",
+                      F.concat_ws("_", F.col("_bkt").cast("string"),
+                                  F.floor(F.col("_rn") / 2).cast("string"))
+                      .alias("pid")))
+    sim = (expr.join(assign, ["sample", "barcode"])
            .groupBy("sample", "pid", "gene")
            .agg(F.sum("count").alias("_c"))
            .groupBy("sample", "pid")
@@ -237,8 +244,15 @@ def doublet_scores_grid(expr: DataFrame, k: int = 10,
     real_pts = cells.select(
         "sample", F.col("barcode").cast("string").alias("barcode"),
         fx(F.col("tot")).alias("qf1"), fx(F.col("nf")).alias("qf2"))
-    return (real_pts.join(sc, ["sample", "qf1", "qf2"])
+    # LEFT join: a strictly isolated real cell (no other real/sim
+    # point within its 3x3 grid neighborhood) produces no candidate
+    # rows and hence no sc row; it still must be classified. With no
+    # simulated doublet anywhere near it, its kNN vote is 0 ⇒ score
+    # 0.0 / singlet — the defined contract, not a dropped row.
+    return (real_pts.join(sc, ["sample", "qf1", "qf2"], "left")
             .select("sample", "barcode",
-                    F.round("_score", 6).alias("doublet_scores"),
-                    F.when(F.col("_score") > threshold, "doublet")
+                    F.coalesce(F.round("_score", 6), F.lit(0.0))
+                    .alias("doublet_scores"),
+                    F.when(F.coalesce(F.col("_score"), F.lit(0.0))
+                           > threshold, "doublet")
                     .otherwise("singlet").alias("doublet_class")))

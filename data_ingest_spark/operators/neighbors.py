@@ -31,28 +31,64 @@ reproducible across engines.
 
 from __future__ import annotations
 
-from pyspark.ml.feature import BucketedRandomProjectionLSH
-from pyspark.ml.linalg import Vectors, VectorUDT
+from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
 from pyspark.sql import DataFrame, Window as W, functions as F
+
+#: worker-side cache of staged matrices, keyed by path — one read per
+#: python worker process, reused across its tasks (see knn_exact).
+_STAGED: dict = {}
+
+
+def _load_staged(path: str):
+    """Read a staged (id, _v) parquet into (ids ndarray, matrix, norms)
+    once per worker process."""
+    if path not in _STAGED:
+        import numpy as np
+        import pyarrow.dataset as ds
+        tbl = ds.dataset(path, format="parquet").to_table()
+        ids = np.array(tbl.column("id").to_pylist(), dtype=object)
+        if len(ids):
+            mat = np.array(tbl.column("_v").to_pylist(), dtype=np.float64)
+            norms = np.sqrt((mat ** 2).sum(axis=1))
+        else:
+            mat = np.zeros((0, 0))
+            norms = np.zeros(0)
+        # canonical id order so results are independent of file layout
+        order = np.argsort(ids.astype(str))
+        _STAGED[path] = (ids[order], mat[order] if len(ids) else mat,
+                         norms[order] if len(ids) else norms)
+    return _STAGED[path]
 
 
 def _normalized(vectors: DataFrame, vec_col: str = "pc") -> DataFrame:
     """Unit-norm ml.linalg vector column from an array or vector column
-    (Spark ML LSH needs VectorUDT; this is O(N), off the hot path)."""
-    def unit(v):
-        d = Vectors.dense([float(x) for x in v])
-        return d / (d.norm(2) or 1.0)
-    return vectors.withColumn("_unit", F.udf(unit, VectorUDT())(vec_col))
+    — all JVM-side (array_to_vector + ML Normalizer), no Python UDF."""
+    dtype = dict(vectors.dtypes)[vec_col]
+    if dtype.startswith("array"):
+        from pyspark.ml.functions import array_to_vector
+        vectors = vectors.withColumn(
+            "_vecml", array_to_vector(F.col(vec_col).cast("array<double>")))
+    else:
+        vectors = vectors.withColumn("_vecml", F.col(vec_col))
+    out = Normalizer(inputCol="_vecml", outputCol="_unit",
+                     p=2.0).transform(vectors)
+    return out.drop("_vecml")
 
 
 def knn_exact(scores: DataFrame, k: int = 20,
               id_cols: tuple[str, ...] = ("sample", "barcode"),
-              vec_col: str = "pc") -> DataFrame:
-    """Exact cosine kNN against a broadcast of the reduced matrix.
+              vec_col: str = "pc",
+              stage_dir: str | None = None) -> DataFrame:
+    """Exact cosine kNN against a STAGED copy of the reduced matrix.
     Returns (src, dst, cosine, rank) with src = concat of id cols;
-    `vec_col` is array<double|float>. Broadcasting the reduced matrix
-    is the deliberate trade: at 50 dims even 1e6 cells is ~400 MB, the
-    documented ceiling. Top-k selection happens INSIDE the map stage
+    `vec_col` is array<double|float>. The (N × d) matrix is written
+    once to ``stage_dir`` (a temp dir locally; pass a DFS path on a
+    cluster) and each executor's python worker reads it ONCE and
+    caches it — no `toPandas()`, no driver-memory round-trip, the
+    executors pull the matrix directly from storage the way a torrent
+    broadcast would. Deliberate trade: at 50 dims even 1e6 cells is
+    ~400 MB per worker, the documented ceiling; beyond that use
+    :func:`knn_lsh`. Top-k selection happens INSIDE the map stage
     (each row's candidates never leave the executor), so the operator
     emits N·k rows, not N².
 
@@ -65,20 +101,20 @@ def knn_exact(scores: DataFrame, k: int = 20,
     ids = F.concat_ws("_", *id_cols)
     base = scores.select(ids.alias("id"),
                          F.col(vec_col).cast("array<double>").alias("_v"))
-    pdf_all = base.toPandas()
-    if len(pdf_all) == 0:
-        return scores.sparkSession.createDataFrame(
-            [], "src string, dst string, cosine double, rank int")
-    mat = np.array(pdf_all["_v"].tolist(), dtype=np.float64)
-    all_ids = pdf_all["id"].to_numpy(dtype=object)
-    norms = np.sqrt((mat ** 2).sum(axis=1))
-    bc = scores.sparkSession.sparkContext.broadcast((all_ids, mat, norms))
+    if stage_dir is None:
+        import tempfile
+        stage_dir = tempfile.mkdtemp(prefix="knn_stage_")
+    path = f"{stage_dir.rstrip('/')}/matrix.parquet"
+    base.write.mode("overwrite").parquet(path)
 
     def _round6_half_up(x: np.ndarray) -> np.ndarray:
         return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
 
     def fn(batches):
-        dst_ids, m, m_norms = bc.value
+        from data_ingest_spark.operators.neighbors import _load_staged
+        dst_ids, m, m_norms = _load_staged(path)
+        if len(dst_ids) == 0:
+            return
         n = len(dst_ids)
         kk = min(k, n - 1)
         # chunk so the similarity block stays ~200M float64s
@@ -114,7 +150,11 @@ def knn_exact(scores: DataFrame, k: int = 20,
                 yield pd.DataFrame({"src": out_src, "dst": out_dst,
                                     "cosine": out_cos, "rank": out_rank})
 
-    return base.mapInPandas(
+    # Map over the STAGED copy, not `base`: the (possibly expensive)
+    # upstream lineage was already evaluated once by the stage write,
+    # so the query side is a plain parquet scan.
+    staged = scores.sparkSession.read.parquet(path)
+    return staged.mapInPandas(
         fn, "src string, dst string, cosine double, rank int")
 
 

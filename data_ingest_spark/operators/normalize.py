@@ -113,11 +113,19 @@ def vst_standardized_variance(expr: DataFrame, value_col: str = "count",
 
     mom = gene_moments(expr, value_col, n_cells).toPandas()
     pos = mom[mom["variance"] > 0.0]
-    fitted = loess_fit(np.log10(pos["mean"].to_numpy()),
-                       np.log10(pos["variance"].to_numpy()), span=span)
-    pos = pos.assign(sd_exp=np.sqrt(np.power(10.0, fitted)))
+    if len(pos) > 0:
+        fitted = loess_fit(np.log10(pos["mean"].to_numpy()),
+                           np.log10(pos["variance"].to_numpy()), span=span)
+        pos = pos.assign(sd_exp=np.sqrt(np.power(10.0, fitted)))
+    else:
+        pos = pos.assign(sd_exp=np.zeros(0))
+    # Explicit schema: createDataFrame cannot infer from an empty
+    # pandas frame (empty input / all-zero-variance genes).
+    gene_type = dict(expr.dtypes)["gene"]
     fit_df = expr.sparkSession.createDataFrame(
-        pos[["gene", "mean", "variance", "sd_exp"]])
+        pos[["gene", "mean", "variance", "sd_exp"]],
+        schema=(f"gene {gene_type}, mean double, variance double, "
+                "sd_exp double"))
 
     z = F.least(F.lit(clip),
                 (F.col(value_col) - F.col("mean")) / F.col("sd_exp"))

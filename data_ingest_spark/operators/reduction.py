@@ -13,17 +13,21 @@ matrix lives on the driver.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.ml.feature import PCA as MLPCA
-from pyspark.ml.linalg import SparseVector, VectorUDT
+from pyspark.ml.functions import array_to_vector, vector_to_array
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 
 def assemble_vectors(values: DataFrame, hvgs: DataFrame,
                      value_col: str = "scaled") -> DataFrame:
-    """(sample, barcode, features: SparseVector) — cells as sparse
-    vectors over the HVG vocabulary. The gene→index map is the
-    broadcast side; assembly is one groupBy over the (already
-    HVG-filtered) long table."""
+    """(sample, barcode, features: Vector) — cells as vectors over the
+    HVG vocabulary. The gene→index map is the broadcast side; assembly
+    is one groupBy over the (already HVG-filtered) long table, then an
+    Arrow-batched scatter into dense arrays (numpy, never row-at-a-time
+    pickling) and a JVM-side `array_to_vector`. Dense is the right
+    layout here: the vocabulary is capped at n_top HVGs (~2000), so a
+    cell is ≤16 KB regardless of corpus size."""
     # Ungrouped window is intentional: the vocabulary is the HVG list,
     # bounded by nfeatures (~2000) regardless of corpus size, so the
     # single task holds thousands of rows, never the data.
@@ -33,23 +37,28 @@ def assemble_vectors(values: DataFrame, hvgs: DataFrame,
 
     pairs = (
         values.join(F.broadcast(vocab), "gene")
-        # sum duplicate (cell, gene) entries first: SparseVector needs
-        # strictly-increasing unique indices, and a long table is not
+        # sum duplicate (cell, gene) entries first: a long table is not
         # guaranteed pre-aggregated. Same shuffle key ⇒ no extra stage.
         .groupBy("sample", "barcode", "_gidx")
         .agg(F.sum(value_col).alias("_v"))
         .groupBy("sample", "barcode")
-        .agg(F.sort_array(F.collect_list(F.struct("_gidx", "_v")))
-             .alias("_pairs"))
+        .agg(F.collect_list(F.struct("_gidx", "_v")).alias("_pairs"))
     )
 
-    @F.udf(returnType=VectorUDT())
-    def to_vec(pairs_list):
-        idx = [p["_gidx"] for p in pairs_list]
-        vals = [float(p["_v"]) for p in pairs_list]
-        return SparseVector(dim, idx, vals)
+    @F.pandas_udf("array<double>")
+    def scatter(pairs_s: pd.Series) -> pd.Series:
+        import numpy as np
 
-    return pairs.select("sample", "barcode", to_vec("_pairs").alias("features"))
+        def one(lst):
+            out = np.zeros(dim)
+            for p in lst:
+                out[p["_gidx"]] = float(p["_v"])
+            return out
+        return pairs_s.map(one)
+
+    return pairs.select(
+        "sample", "barcode",
+        array_to_vector(scatter("_pairs")).alias("features"))
 
 
 def run_pca(vectors: DataFrame, k: int = 50):
@@ -65,8 +74,8 @@ def run_pca(vectors: DataFrame, k: int = 50):
 
 def pc_columns(scores: DataFrame, k: int) -> DataFrame:
     """Explode the pc vector to plain double columns pc_0..pc_{k-1}
-    (the long-term storage layout: Parquet-friendly, oracle-friendly)."""
-    to_arr = F.udf(lambda v: [float(x) for x in v], "array<double>")
-    arr = scores.withColumn("_a", to_arr("pc"))
+    (the long-term storage layout: Parquet-friendly, oracle-friendly).
+    `vector_to_array` is the built-in JVM conversion — no Python."""
+    arr = scores.withColumn("_a", vector_to_array("pc"))
     cols = [F.col("_a").getItem(i).alias(f"pc_{i}") for i in range(k)]
     return arr.select("sample", "barcode", *cols)

@@ -47,12 +47,22 @@ def read_events_stream(spark: SparkSession, path: str,
     (read as long under the nanosAsLong flag) and as a plain
     microsecond timestamp — so probe the footer with a batch read
     (driver-side, metadata only) and adapt."""
-    batch = spark.read.option("pathGlobFilter", glob).parquet(path)
-    if dict(batch.dtypes)["ts"] == "bigint":
+    try:
+        batch = spark.read.option("pathGlobFilter", glob).parquet(path)
+        ts_type = dict(batch.dtypes)["ts"]
+        schema = batch.schema
+    except Exception:
+        # Start-before-data: the directory is empty (or has no
+        # matching files) when the stream is defined — a normal
+        # streaming pattern. Fall back to the declared nanos schema
+        # (what the harness ships) instead of propagating the
+        # 'unable to infer schema' AnalysisException.
+        ts_type, schema = "bigint", EVENT_SCHEMA_NANOS
+    if ts_type == "bigint":
         ev = (spark.readStream.schema(EVENT_SCHEMA_NANOS)
               .option("pathGlobFilter", glob).parquet(path))
         return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    ev = (spark.readStream.schema(batch.schema)
+    ev = (spark.readStream.schema(schema)
           .option("pathGlobFilter", glob).parquet(path))
     # Watermarks demand TIMESTAMP (with local zone); NTZ reinterprets
     # as the same UTC instant under the pinned session timezone.

@@ -444,6 +444,35 @@ def test_operators_survive_empty_input(spark):
                                   "doc_id long, text string")
     assert curate_corpus(empty, bench).count() == 0
 
+    # string doc ids must not break the keep-best tiebreak (a negated
+    # string id would cast to NULL and silently drop everything)
+    sdocs = spark.createDataFrame(
+        [("idA", "same text", 1.0), ("idB", "same text", 2.0),
+         ("idC", "other", 0.5)],
+        "doc_id string, text string, score double")
+    best = {r["doc_id"] for r in
+            dd.dedup_keep_best(sdocs, "score").collect()}
+    assert best == {"idB", "idC"}
+
+    # overlapping id values across the two near_dups_against corpora
+    # must not corrupt the Jaccard (two-sided membership resolution)
+    inc = spark.createDataFrame([(1, "alpha beta gamma delta")],
+                                "doc_id long, text string")
+    ex = spark.createDataFrame([(1, "alpha beta gamma delta")],
+                               "doc_id long, text string")
+    hits = dd.near_dups_against(inc, ex, k=2, threshold=0.9).collect()
+    assert len(hits) == 1 and abs(hits[0]["jaccard"] - 1.0) < 1e-9
+
+    from data_ingest_spark.operators import normalize as nz
+    eexpr = spark.createDataFrame(
+        [], "sample string, barcode long, gene long, count double")
+    assert nz.vst_standardized_variance(eexpr).count() == 0
+    # all-zero-variance genes: loess has nothing to fit; empty result
+    const = spark.createDataFrame(
+        [("s", 1, 10, 2.0), ("s", 2, 10, 2.0)],
+        "sample string, barcode long, gene long, count double")
+    assert nz.vst_standardized_variance(const).count() == 0
+
 
 def test_image_features_known_buffer(spark):
     df = spark.createDataFrame([(1, bytes([0, 64, 128, 192] * 16))],

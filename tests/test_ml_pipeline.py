@@ -127,6 +127,24 @@ def test_doublet_scores_grid_flags_planted_doublet(spark):
     assert out["b00"]["doublet_class"] == "singlet"
 
 
+def test_doublet_scores_grid_keeps_isolated_cell(spark):
+    """A cell whose feature point has NO neighbor (real or simulated)
+    within its 3x3 grid neighborhood must still be classified — score
+    0.0 / singlet — not silently dropped from the output. The far
+    outlier (1 gene, count 1) sits many grid cells away from the dense
+    cluster and every simulated doublet."""
+    rows = []
+    for c in range(20):
+        rows += [("s", f"b{c:02d}", f"G{g:02d}", 2) for g in range(50)]
+    rows += [("s", "lonely", "G00", 1)]
+    df = spark.createDataFrame(
+        rows, "sample string, barcode string, gene string, count int")
+    out = {r["barcode"]: r for r in db.doublet_scores_grid(df).collect()}
+    assert len(out) == 21
+    assert out["lonely"]["doublet_scores"] == 0.0
+    assert out["lonely"]["doublet_class"] == "singlet"
+
+
 def test_integrate_mnn_reduces_batch_shift(spark, pcs):
     # Shift sample sb by a constant vector clearly larger than the
     # cloud spread; integration should remove most of it. (A shift of

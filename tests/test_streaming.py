@@ -34,3 +34,14 @@ def test_session_stream_matches_batch(spark):
     want = registry.REGISTRY["e3_session_window"][0](spark, SF)
     cols = ["user_id", "session_start", "n", "total_value"]
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_stream_defines_on_empty_dir(spark, tmp_path):
+    """Start-before-data: defining the stream on an empty directory
+    must fall back to the declared schema, not raise 'unable to infer
+    schema'. Draining it yields zero rows."""
+    ev = sw.read_events_stream(spark, str(tmp_path))
+    assert ev.isStreaming
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    got = sw.run_available_now(sw.tumbling_counts(ev), "t_empty_dir")
+    assert got.count() == 0
