@@ -2542,7 +2542,7 @@ WITH expr AS ({_EXPR_SQL}),
  sc AS (SELECT sample, qf1, qf2,
                SUM(take * lbl) * 1.0 / SUM(take) AS score
         FROM tk GROUP BY 1, 2, 3)
-SELECT c.sample, CAST(c.barcode AS VARCHAR) AS barcode,
+SELECT c.sample, c.barcode,
        COALESCE(ROUND(sc.score, 6), 0.0) AS doublet_scores,
        CASE WHEN COALESCE(sc.score, 0.0) > 0.25 THEN 'doublet'
             ELSE 'singlet' END AS doublet_class

@@ -40,24 +40,41 @@ def _out_schema(expr: DataFrame) -> StructType:
 
 def _score_sample(pdf: pd.DataFrame, n_sim_ratio: float, k: int,
                   threshold: float, seed: int) -> pd.DataFrame:
-    # cell × feature matrix from the long counts
-    piv = pdf.pivot_table(index="barcode", columns="gene", values="count",
-                          aggfunc="sum", fill_value=0)
-    barcodes = piv.index.to_numpy()
-    x = piv.to_numpy(dtype=np.float64)
+    # SPARSE per-cell stats straight from the long counts — the
+    # features are (total, n_features) for real cells and pairwise
+    # sums, so the dense cells×genes matrix (a pivot_table with
+    # fill_value=0: ~160 GB for 1M cells × 20k genes) never needs to
+    # exist. Memory is bounded by nnz: per-cell totals via bincount,
+    # per-pair union sizes via sorted-gene-list intersections.
+    agg = (pdf.groupby(["barcode", "gene"], sort=False)["count"]
+           .sum().reset_index())
+    # sort=True matches the pivot_table index order the previous dense
+    # implementation used, so seeds pair the same cells.
+    bc_codes, barcodes = pd.factorize(agg["barcode"], sort=True)
     n = len(barcodes)
+    tot = np.bincount(bc_codes, weights=agg["count"].to_numpy(),
+                      minlength=n)
+    nf = np.bincount(bc_codes, minlength=n).astype(np.int64)
+    g_codes, _ = pd.factorize(agg["gene"], sort=False)
+    order = np.lexsort((g_codes, bc_codes))
+    gb, gg = bc_codes[order], g_codes[order]
+    bounds = np.searchsorted(gb, np.arange(n + 1))
+    genes_of = [gg[bounds[i]:bounds[i + 1]] for i in range(n)]
+
     rng = np.random.default_rng(seed)
     n_sim = max(k + 1, int(n * n_sim_ratio))
     ia = rng.integers(0, n, n_sim)
     ib = rng.integers(0, n, n_sim)
-    sim = x[ia] + x[ib]
+    sim_tot = tot[ia] + tot[ib]
+    inter = np.fromiter(
+        (np.intersect1d(genes_of[a], genes_of[b],
+                        assume_unique=True).size
+         for a, b in zip(ia, ib)),
+        dtype=np.int64, count=n_sim)
+    sim_nf = nf[ia] + nf[ib] - inter
 
-    def feats(m):
-        tot = m.sum(axis=1)
-        nf = (m > 0).sum(axis=1)
-        return np.column_stack([np.log1p(tot), np.log1p(nf)])
-
-    real_f, sim_f = feats(x), feats(sim)
+    real_f = np.column_stack([np.log1p(tot), np.log1p(nf)])
+    sim_f = np.column_stack([np.log1p(sim_tot), np.log1p(sim_nf)])
     allf = np.vstack([real_f, sim_f])
     # standardize so both axes weigh equally
     mu, sd = allf.mean(axis=0), allf.std(axis=0) + 1e-12
@@ -132,8 +149,8 @@ def doublet_scores_grid(expr: DataFrame, k: int = 10,
        (distance > cell_size) are out of candidate range —
        acceptable: votes at that distance carry no signal.
 
-    Returns (sample, barcode, doublet_scores, doublet_class) with
-    barcode as string (union typing with pair ids).
+    Returns (sample, barcode, doublet_scores, doublet_class); barcode
+    keeps the input's type.
     """
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
@@ -242,7 +259,7 @@ def doublet_scores_grid(expr: DataFrame, k: int = 10,
           .agg((F.sum(F.col("_take") * F.col("lbl"))
                 / F.sum("_take")).alias("_score")))
     real_pts = cells.select(
-        "sample", F.col("barcode").cast("string").alias("barcode"),
+        "sample", "barcode",
         fx(F.col("tot")).alias("qf1"), fx(F.col("nf")).alias("qf2"))
     # LEFT join: a strictly isolated real cell (no other real/sim
     # point within its 3x3 grid neighborhood) produces no candidate

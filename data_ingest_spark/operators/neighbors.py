@@ -185,6 +185,23 @@ def knn_lsh(scores: DataFrame, k: int = 20, bucket_length: float = 0.5,
             .filter(F.col("rank") <= k))
 
 
+def knn_auto(scores: DataFrame, k: int = 20,
+             id_cols: tuple[str, ...] = ("sample", "barcode"),
+             vec_col: str = "pc",
+             max_exact_rows: int = 2_000_000, **lsh_kwargs) -> DataFrame:
+    """Strategy gate: exact kNN while the reduced matrix fits the
+    documented per-worker staging ceiling (``max_exact_rows`` — 2M
+    rows × 50 dims ≈ 800 MB), LSH-bucketed beyond it. The count is one
+    cheap aggregate over an (already reduced / checkpointed) input;
+    the pipeline calls this instead of hard-wiring knn_exact so a
+    100×-cells run degrades to the bucketed join instead of OOMing."""
+    n = scores.count()
+    if n <= max_exact_rows:
+        return knn_exact(scores, k=k, id_cols=id_cols, vec_col=vec_col)
+    return knn_lsh(scores, k=k, id_cols=id_cols, vec_col=vec_col,
+                   **lsh_kwargs)
+
+
 def snn_graph(knn: DataFrame, k: int = 20,
               prune: float = 1.0 / 15.0) -> DataFrame:
     """SNN edges (src, dst, snn_weight) from a kNN edge list: Jaccard

@@ -125,7 +125,14 @@ def doublet_scores_step(exp: Experiment, config: dict) -> StepResult:
     singlet-max auto (doubletScores_config.r:8-16)."""
     cfg = {"probabilityThreshold": 0.25, **config}
     if "doublet_scores" not in exp.cells.columns:
-        scored = db.doublet_scores(exp.expression)
+        # Distributed grid scorer by default: every stage is a
+        # shuffle-bounded DataFrame op, so a single sample larger than
+        # one executor's memory still works. The applyInPandas variant
+        # (db.doublet_scores) remains the opt-in small-sample path.
+        if cfg.get("scorer") == "pandas":
+            scored = db.doublet_scores(exp.expression)
+        else:
+            scored = db.doublet_scores_grid(exp.expression)
         cells = exp.cells.join(scored, ["sample", "barcode"], "left")
         exp = exp.with_(cells=cells)
     if cfg.get("auto"):
@@ -186,7 +193,11 @@ def configure_embedding(exp: Experiment, config: dict) -> StepResult:
     (configureEmbedding.r:73-115)."""
     cfg = {"k": 20, "resolution": 0.5, "method": "spectral",
            "computeEmbedding": True, **config}
-    knn = nb.knn_exact(_with_vec(exp.reductions), k=cfg["k"])
+    # knn_auto: exact while the matrix fits the staging ceiling,
+    # LSH-bucketed beyond it — the pipeline never hard-wires the
+    # collect-everything strategy.
+    knn = nb.knn_auto(_with_vec(exp.reductions), k=cfg["k"],
+                      max_exact_rows=cfg.get("exactKnnCeiling", 2_000_000))
     snn = nb.snn_graph(knn, k=cfg["k"])
     clusters = cl.label_propagation(snn)
     plots: dict[str, DataFrame] = {"snn": snn}

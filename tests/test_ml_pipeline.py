@@ -190,6 +190,34 @@ def test_assemble_cells_and_run_qc(spark, small_expr):
     assert derived["numGenesVsNumUmis"]["pLevel"] <= 0.001
 
 
+def test_run_qc_defaults_avoid_driver_side_paths(spark, small_expr,
+                                                 monkeypatch):
+    """The default pipeline must route through the distributed
+    operators: grid doublet scoring (not the per-sample applyInPandas
+    densifier) and label propagation (not driver-side Louvain). Booby-
+    trap the non-distributed variants and run the full chain."""
+    from data_ingest_spark.operators import clustering as cl_mod
+    from data_ingest_spark.operators import doublets as db_mod
+
+    def boom(*a, **k):
+        raise AssertionError("non-distributed path used by default")
+    monkeypatch.setattr(db_mod, "doublet_scores", boom)
+    monkeypatch.setattr(cl_mod, "louvain_driver", boom)
+    genes = spark.createDataFrame(
+        [(f"G{g:02d}", f"SYM{g}") for g in range(20)],
+        "gene string, name string")
+    cells = assemble_cells(small_expr, genes=genes)
+    exp = Experiment(expression=small_expr, cells=cells, genes=genes)
+    final, _ = run_qc(exp, {
+        "cellSizeDistribution": {"minCellSize": 1.0},
+        "doubletScores": {"probabilityThreshold": 1.0},
+        "dataIntegration": {"nfeatures": 20, "numPCs": 5},
+        "configureEmbedding": {"k": 10},
+    })
+    assert "cluster" in final.cells.columns
+    assert final.cells.count() > 0
+
+
 def test_umap_tsne_fallback_to_spectral(pcs):
     # Neither umap-learn nor sklearn ships in this container: the
     # wrappers must fall back to the deterministic spectral embedding
