@@ -2584,6 +2584,18 @@ def q_integrate(spark, sf):
     return out.select("sample", "barcode", *rounded)
 
 
+@_q("m9_integrate_mnn_dist")
+def q_integrate_dist(spark, sf):
+    """M9 v2 — distributed MNN (two LSH-bucketed Euclidean similarity
+    joins + mutual filter + grouped correction; no matrix collect).
+    Rows-only like m9: anchor sets under LSH are not SQL-expressible."""
+    from data_ingest_spark.operators import integrate as ig
+    out = ig.integrate_mnn_distributed(_emb_pc_cols(spark, sf))
+    rounded = [F.round(c, 6).alias(c) for c in out.columns
+               if c.startswith("pc_")]
+    return out.select("sample", "barcode", *rounded)
+
+
 @_q("m10_spectral_embedding")
 def q_spectral(spark, sf):
     from data_ingest_spark.operators import embedding as em

@@ -11,14 +11,21 @@ corrected by the inverse-distance-weighted mean of its nearest
 anchors' correction vectors. This is the core of Seurat's
 anchor-integrate loop minus the CCA/rPCA re-basis and anchor scoring.
 Driver-side numpy over the N×d reduced matrix (same ceiling as
-M10/M11); the distributed v2 would replace the MNN search with the
-LSH kNN join from operators.neighbors.
+M10/M11).
+
+v2 (:func:`integrate_mnn_distributed`) is the 100 TB path: the MNN
+search is two LSH-bucketed Euclidean similarity joins
+(BucketedRandomProjectionLSH — never all-pairs), the mutual filter is
+an equi-join of the two directed edge lists, and the correction is a
+grouped weighted mean expressed as d codegen aggregate expressions —
+no driver-side matrix, no collect beyond the 1-row reference-sample
+lookup.
 """
 
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 
 def _matrices_by_sample(pc_cols: DataFrame):
@@ -78,3 +85,119 @@ def integrate_mnn(pc_cols: DataFrame, k_anchor: int = 5,
     schema = "sample string, barcode string, " + ", ".join(
         f"{c} double" for c in feat_cols)
     return spark.createDataFrame(out_rows, schema)
+
+
+def _with_ml_vec(df: DataFrame, feat_cols: list[str]) -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+    return df.withColumn(
+        "_vml",
+        array_to_vector(F.array(*[F.col(c).cast("double")
+                                  for c in feat_cols])))
+
+
+def integrate_mnn_distributed(pc_cols: DataFrame, k_anchor: int = 5,
+                              k_weight: int = 10,
+                              bucket_length: float = 10.0,
+                              num_tables: int = 3,
+                              max_pair_dist: float = 1e9,
+                              seed: int = 42) -> DataFrame:
+    """M9 v2 — fully distributed MNN integration. Same semantics as
+    :func:`integrate_mnn` (reference = lexicographically first sample,
+    anchors = mutual k-nearest pairs, correction = inverse-squared-
+    distance-weighted mean of the k_weight nearest anchors' vectors),
+    re-expressed as DataFrame ops:
+
+      1. directional kNN both ways via ONE LSH Euclidean similarity
+         join (query×ref) ranked per side — bucketed, never all-pairs;
+         ``bucket_length`` tunes recall vs bucket occupancy and
+         ``max_pair_dist`` bounds the join radius at scale.
+      2. mutual filter: inner join of the two directed top-k lists.
+      3. correction vectors (ref − query) attached by id joins.
+      4. per-cell weighting: a second LSH join cell×anchor-point,
+         top-``k_weight`` per cell, then a groupBy(cell) with d
+         codegen sum expressions — arrays never explode.
+
+    Ties rank deterministically by (distance, anchor id). Cells in a
+    sample with no in-range anchors pass through uncorrected (the v1
+    contract for anchorless samples, applied per cell).
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+    feat_cols = [c for c in pc_cols.columns if c.startswith("pc_")]
+    ref_s = pc_cols.agg(F.min("sample")).collect()[0][0]
+    if ref_s is None:
+        return pc_cols.select("sample", "barcode", *feat_cols)
+    ref = pc_cols.filter(F.col("sample") == ref_s)
+    qry = pc_cols.filter(F.col("sample") != ref_s)
+    # SLIM (id, vector) projections for the similarity joins: the
+    # join/distinct inside approxSimilarityJoin carries both sides as
+    # nested structs, and dragging d wide columns through it blows the
+    # struct width (codegen + hash-aggregate over ~140-field rows);
+    # coordinates re-attach by id afterwards.
+    vref = _with_ml_vec(ref, feat_cols).select("sample", "barcode", "_vml")
+    vqry = _with_ml_vec(qry, feat_cols).select("sample", "barcode", "_vml")
+
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="_vml", outputCol="_h", bucketLength=bucket_length,
+        numHashTables=num_tables, seed=seed)
+    model = lsh.fit(vref)
+
+    pairs = (model.approxSimilarityJoin(vqry, vref, max_pair_dist,
+                                        distCol="_d")
+             .select(F.col("datasetA.sample").alias("sample"),
+                     F.col("datasetA.barcode").alias("qb"),
+                     F.col("datasetB.barcode").alias("rb"),
+                     F.col("_d").alias("_d"))
+             .localCheckpoint(eager=False))
+    w_q = W.partitionBy("sample", "qb").orderBy("_d", "rb")
+    w_r = W.partitionBy("sample", "rb").orderBy("_d", "qb")
+    fwd = (pairs.withColumn("_rk", F.row_number().over(w_q))
+           .filter(F.col("_rk") <= k_anchor).select("sample", "qb", "rb"))
+    bwd = (pairs.withColumn("_rk", F.row_number().over(w_r))
+           .filter(F.col("_rk") <= k_anchor).select("sample", "qb", "rb"))
+    mutual = fwd.join(bwd, ["sample", "qb", "rb"])
+
+    # anchor rows: query-side coordinates + the correction vector
+    q_side = qry.select("sample", F.col("barcode").alias("qb"),
+                        *[F.col(c).alias(f"_q{i}")
+                          for i, c in enumerate(feat_cols)])
+    r_side = ref.select(F.col("barcode").alias("rb"),
+                        *[F.col(c).alias(f"_r{i}")
+                          for i, c in enumerate(feat_cols)])
+    anchors = (mutual.join(q_side, ["sample", "qb"]).join(r_side, "rb")
+               .select("sample",
+                       F.concat_ws("|", "qb", "rb").alias("_aid"),
+                       *[F.col(f"_q{i}") for i in range(len(feat_cols))],
+                       *[(F.col(f"_r{i}") - F.col(f"_q{i}"))
+                         .alias(f"_c{i}") for i in range(len(feat_cols))])
+               .localCheckpoint(eager=False))
+    v_anchor = (_with_ml_vec(anchors,
+                             [f"_q{i}" for i in range(len(feat_cols))])
+                .select(F.col("sample").alias("_asample"), "_aid", "_vml"))
+
+    near = (model.approxSimilarityJoin(vqry, v_anchor, max_pair_dist,
+                                       distCol="_d")
+            .filter(F.col("datasetA.sample") == F.col("datasetB._asample"))
+            .select(F.col("datasetA.sample").alias("sample"),
+                    F.col("datasetA.barcode").alias("barcode"),
+                    F.col("datasetB._aid").alias("_aid"),
+                    F.col("_d").alias("_d")))
+    w_c = W.partitionBy("sample", "barcode").orderBy("_d", "_aid")
+    wgt = F.lit(1.0) / (F.lit(1.0) + F.col("_d") * F.col("_d"))
+    corr = (near.withColumn("_rk", F.row_number().over(w_c))
+            .filter(F.col("_rk") <= k_weight)
+            .withColumn("_w", wgt)
+            .join(anchors.select("sample", "_aid",
+                                 *[f"_c{i}"
+                                   for i in range(len(feat_cols))]),
+                  ["sample", "_aid"])
+            .groupBy("sample", "barcode")
+            .agg(*[(F.sum(F.col(f"_c{i}") * F.col("_w")) / F.sum("_w"))
+                   .alias(f"_m{i}") for i in range(len(feat_cols))]))
+
+    fixed = (qry.join(corr, ["sample", "barcode"], "left")
+             .select("sample", "barcode",
+                     *[(F.col(c) + F.coalesce(F.col(f"_m{i}"), F.lit(0.0)))
+                       .alias(c) for i, c in enumerate(feat_cols)]))
+    return (ref.select("sample", "barcode", *feat_cols)
+            .unionByName(fixed))

@@ -181,7 +181,12 @@ def data_integration(exp: Experiment, config: dict) -> StepResult:
     red = rd.pc_columns(pcs, k)
     n_samples = exp.cells.select("sample").distinct().count()
     if n_samples > 1 and cfg.get("integrate", True):
-        red = ig.integrate_mnn(red)
+        # distributed MNN by default (LSH joins, no matrix collect);
+        # the driver-side v1 stays available via integration="driver"
+        if cfg.get("integration") == "driver":
+            red = ig.integrate_mnn(red)
+        else:
+            red = ig.integrate_mnn_distributed(red)
     misc = {**exp.misc, "explained_variance": explained, "numPCs": k}
     return StepResult(exp.with_(normalized=normalized, reductions=red,
                                 misc=misc), cfg, {})

@@ -190,6 +190,29 @@ def test_assemble_cells_and_run_qc(spark, small_expr):
     assert derived["numGenesVsNumUmis"]["pLevel"] <= 0.001
 
 
+def test_integrate_mnn_distributed_matches_v1(spark, pcs):
+    """v2 (LSH joins, no matrix collect) must correct the same planted
+    batch shift as the driver-side v1 and land within tolerance of it
+    at the per-sample-mean level."""
+    shifted = pcs.withColumn(
+        "pc_0", F.when(F.col("sample") == "sb", F.col("pc_0") + 30.0)
+        .otherwise(F.col("pc_0")))
+    means = lambda df: {r["sample"]: r["m"] for r in
+                        df.groupBy("sample").agg(F.avg("pc_0").alias("m"))
+                        .collect()}
+    before = means(shifted)
+    v2 = ig.integrate_mnn_distributed(shifted)
+    assert v2.count() == 120
+    after = means(v2)
+    gap_before = abs(before["sa"] - before["sb"])
+    gap_after = abs(after["sa"] - after["sb"])
+    assert gap_after < gap_before * 0.5
+    v1_after = means(ig.integrate_mnn(shifted))
+    gap_v1 = abs(v1_after["sa"] - v1_after["sb"])
+    # same correction regime as v1 (both collapse the planted shift)
+    assert abs(gap_after - gap_v1) < gap_before * 0.25
+
+
 def test_run_qc_defaults_avoid_driver_side_paths(spark, small_expr,
                                                  monkeypatch):
     """The default pipeline must route through the distributed
