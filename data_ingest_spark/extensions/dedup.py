@@ -235,13 +235,23 @@ def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     # exact-Jaccard verification.
     membership = shingle_sets(df, id_col, text_col, k).persist()
     bb = minhash_bands(membership, id_col, text_col, k, num_hashes, bands,
-                       membership=True).persist()
-    left = bb.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
-    right = bb.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
+                       membership=True)
+    # Candidate generation as ONE groupBy(band, bucket) + a map-side
+    # ordered-pair expansion, instead of the historical band self-join
+    # (2 exchanges) — the collect_list per bucket is bounded by bucket
+    # occupancy, the same O(bucket²) the self-join would emit, and the
+    # cross-band dedup is the single remaining pair shuffle.
     cand = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b").distinct()
+        bb.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+        .select(F.explode(F.expr(
+            "flatten(transform(_ids, (x, i) -> "
+            "transform(slice(_ids, i + 2, size(_ids)), "
+            "y -> struct(x AS id_a, y AS id_b))))")).alias("_p"))
+        .select(F.col("_p.id_a").alias("id_a"),
+                F.col("_p.id_b").alias("id_b"))
+        .distinct()
     )
     return jaccard_of_pairs(cand, membership).filter(
         F.col("jaccard") >= threshold)

@@ -724,6 +724,56 @@ def q_vst(spark, sf):
         F.round("std_variance", 6).alias("std_variance"))
 
 
+@_q("m6_vst_quad", f"""
+WITH expr AS ({_EXPR_SQL}),
+ nc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n
+        FROM (SELECT DISTINCT sample, barcode FROM expr)),
+ g AS (SELECT gene, SUM(cnt) AS s, SUM(cnt * cnt) AS ss FROM expr GROUP BY 1),
+ mom AS (SELECT gene, s / n AS mean, (ss - s * s / n) / (n - 1.0) AS variance, n
+         FROM g, nc),
+ pos AS (SELECT gene, mean, variance, n,
+                log10(mean) AS x, log10(variance) AS y
+         FROM mom WHERE variance > 0.0),
+ xm AS (SELECT AVG(x) AS xm FROM pos),
+ pu AS (SELECT pos.*, x - xm AS u FROM pos, xm),
+ sums AS (SELECT CAST(COUNT(*) AS DOUBLE) AS s0, SUM(u) AS s1,
+                 SUM(u * u) AS s2, SUM(u * u * u) AS s3,
+                 SUM(u * u * u * u) AS s4, SUM(y) AS sy,
+                 SUM(u * y) AS suy, SUM(u * u * y) AS su2y
+          FROM pu),
+ coef AS (SELECT
+   (s0*(s2*s4-s3*s3) - s1*(s1*s4-s2*s3) + s2*(s1*s3-s2*s2)) AS det,
+   (sy*(s2*s4-s3*s3) - s1*(suy*s4-su2y*s3) + s2*(suy*s3-su2y*s2)) AS n0,
+   (s0*(suy*s4-su2y*s3) - sy*(s1*s4-s2*s3) + s2*(s1*su2y-s2*suy)) AS n1,
+   (s0*(s2*su2y-s3*suy) - s1*(s1*su2y-s3*sy) + sy*(s1*s3-s2*s2)) AS n2
+   FROM sums),
+ fit AS (SELECT pu.gene, pu.mean, pu.variance, pu.n,
+                sqrt(power(10.0, (c.n0 / c.det) + (c.n1 / c.det) * pu.u
+                                 + (c.n2 / c.det) * pu.u * pu.u)) AS sd_exp
+         FROM pu, coef c),
+ pg AS (SELECT e.gene,
+               SUM(LEAST(sqrt(f.n), (e.cnt - f.mean) / f.sd_exp)
+                   * LEAST(sqrt(f.n), (e.cnt - f.mean) / f.sd_exp)) AS s_nz,
+               CAST(COUNT(*) AS DOUBLE) AS nnz,
+               ANY_VALUE(f.mean) AS mean, ANY_VALUE(f.variance) AS variance,
+               ANY_VALUE(f.sd_exp) AS sd_exp, ANY_VALUE(f.n) AS n
+        FROM expr e JOIN fit f ON e.gene = f.gene GROUP BY 1)
+SELECT gene, ROUND(mean, 6) AS mean, ROUND(variance, 6) AS variance,
+       ROUND(sd_exp, 6) AS sd_exp,
+       ROUND((s_nz + (n - nnz) * (mean / sd_exp) * (mean / sd_exp))
+             / (n - 1.0), 6) AS std_variance
+FROM pg
+""")
+def q_vst_quad(spark, sf):
+    """M6 with the oracle-exact quadratic smoother — the hash-checkable
+    twin of m6_vst (which keeps Seurat's loess and is rows-only)."""
+    return nz.vst_quadfit_variance(expr_df(spark, sf)).select(
+        "gene", F.round("mean", 6).alias("mean"),
+        F.round("variance", 6).alias("variance"),
+        F.round("sd_exp", 6).alias("sd_exp"),
+        F.round("std_variance", 6).alias("std_variance"))
+
+
 @_q("m7_scale_data", f"""
 WITH expr AS ({_EXPR_SQL}),
  totals AS (SELECT sample, barcode, SUM(cnt) AS t FROM expr GROUP BY 1, 2),
@@ -3903,9 +3953,47 @@ def q_intra_repetition(spark, sf):
     return intra_doc_repetition(load(spark, sf, "documents"), k=2)
 
 
+# Driver-sample ordering. The correctness driver checks a bounded
+# prefix of ``queries()`` each round; round 2 verified the first 50
+# registered names (a/f/j/w/u/m1/m4-m7/v1/x1-x4/x15/x57/x59 — all
+# green in CORRECTNESS_r02.json). Round 3 fronts the queries that have
+# NOT yet received a driver verdict — the distributed ML natives
+# (m2/m12/m13), graph, pipeline composite, TPC-H shapes, the
+# event-analytics family, and the LLM-pipeline extensions — so the
+# next sample extends verified coverage instead of re-checking green
+# rows. Every name below carries a full DuckDB value oracle.
+_ROUND3_PRIORITY = [
+    "m2_doublets_native", "m12_knn_exact", "m12_snn_graph",
+    "m13_label_propagation", "g1_pagerank", "g2_triangles",
+    "p2_qc_filters",
+    "v2_tpch_q1", "v3_tpch_q3", "v4_tpch_q5", "v5_tpch_q6",
+    "v6_tpch_q18", "v10_tpch_q4", "v11_tpch_q13", "v12_tpch_q14",
+    "v13_tpch_q16", "v14_tpch_q22",
+    "v7_scalar_functions", "v8_array_functions", "v9_window_functions",
+    "e1_tumbling_window", "e2_sliding_window", "e3_session_window",
+    "e4_asof_join", "e5_range_count", "e6_rollup", "e7_pivot",
+    "e8_percentiles", "e9_multires_rollup", "e10_running_stats",
+    "e11_funnel", "e12_cohort_retention", "e13_scd2",
+    "x5_ann_topk", "x6_ann_ivf", "x11_ann_lsh", "x7_text_quality",
+    "x8_lang_id", "x9_token_count", "x16_tfidf", "x18_hash_split",
+    "x26_sequence_packing", "x34_decontam", "x38_tokenize_ids",
+    "x33_cap_repetitions", "x21_kmv_distinct", "x43_count_min",
+    "x44_bloom_prune", "x56_intra_repetition", "m6_vst_quad",
+]
+
+
+def _ordered() -> dict[str, tuple[Builder, str | None]]:
+    front = {n: REGISTRY[n] for n in _ROUND3_PRIORITY if n in REGISTRY}
+    rest_oracled = {n: v for n, v in REGISTRY.items()
+                    if n not in front and v[1] is not None}
+    rest_weak = {n: v for n, v in REGISTRY.items()
+                 if n not in front and v[1] is None}
+    return {**front, **rest_oracled, **rest_weak}
+
+
 def queries() -> dict[str, Builder]:
-    return {name: fn for name, (fn, _) in REGISTRY.items()}
+    return {name: fn for name, (fn, _) in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (fn, sql) in REGISTRY.items() if sql is not None}
+    return {name: sql for name, (fn, sql) in _ordered().items() if sql is not None}

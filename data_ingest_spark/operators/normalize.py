@@ -147,6 +147,93 @@ def vst_standardized_variance(expr: DataFrame, value_col: str = "count",
     )
 
 
+def vst_quadfit_variance(expr: DataFrame, value_col: str = "count",
+                         n_cells: int | None = None) -> DataFrame:
+    """M6 variant with an oracle-exact smoother: global quadratic OLS
+    of log10(variance) ~ log10(mean) in place of the loess
+    (src/QC_helpers/dataIntegration.r:93,102 — same standardization
+    contract, different expected-sd curve).
+
+    Where :func:`vst_standardized_variance` fits loess driver-side
+    (not SQL-expressible → rows-only driver check), this variant's
+    smoother is closed-form: center x at its mean, accumulate the
+    power sums S2..S4 / Sy..Su2y with one aggregation, solve the 3×3
+    normal equations by Cramer's rule inside the plan. Every step is
+    a built-in aggregate, so DuckDB can replay it exactly and the
+    driver can hash-check values. Fully distributed: no collect, the
+    1-row fit broadcast-joins back to the per-gene moments.
+
+    Standardization is identical to the loess variant: clip z above
+    at √N, add the (N − nnz) implicit-zero contributions analytically,
+    divide by N − 1. Returns (gene, mean, variance, sd_exp,
+    std_variance) for genes with variance > 0.
+    """
+    if n_cells is not None:
+        mom = gene_moments(expr, value_col, n_cells)
+        n_lit = float(n_cells)
+        mom = mom.withColumn("_n", F.lit(n_lit))
+    else:
+        mom = gene_moments(expr, value_col).crossJoin(
+            F.broadcast(n_cells_df(expr)))
+        mom = mom.withColumnRenamed("_n_cells", "_n")
+    pos = (mom.filter(F.col("variance") > 0.0)
+              .withColumn("_x", F.log10("mean"))
+              .withColumn("_y", F.log10("variance")))
+    xm = pos.agg(F.avg("_x").alias("_xm"))
+    pu = (pos.crossJoin(F.broadcast(xm))
+             .withColumn("_u", F.col("_x") - F.col("_xm")))
+    # Powers written as explicit products (u*u, not POWER(u, 2)) so
+    # Spark and DuckDB evaluate bit-identical expressions.
+    u = F.col("_u")
+    sums = pu.agg(
+        F.count("*").cast("double").alias("s0"),
+        F.sum(u).alias("s1"),
+        F.sum(u * u).alias("s2"),
+        F.sum(u * u * u).alias("s3"),
+        F.sum(u * u * u * u).alias("s4"),
+        F.sum("_y").alias("sy"),
+        F.sum(u * F.col("_y")).alias("suy"),
+        F.sum(u * u * F.col("_y")).alias("su2y"),
+    )
+    s0, s1, s2 = F.col("s0"), F.col("s1"), F.col("s2")
+    s3, s4 = F.col("s3"), F.col("s4")
+    sy, suy, su2y = F.col("sy"), F.col("suy"), F.col("su2y")
+    det = (s0 * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s2 * s3)
+           + s2 * (s1 * s3 - s2 * s2))
+    b0 = (sy * (s2 * s4 - s3 * s3) - s1 * (suy * s4 - su2y * s3)
+          + s2 * (suy * s3 - su2y * s2)) / det
+    b1 = (s0 * (suy * s4 - su2y * s3) - sy * (s1 * s4 - s2 * s3)
+          + s2 * (s1 * su2y - s2 * suy)) / det
+    b2 = (s0 * (s2 * su2y - s3 * suy) - s1 * (s1 * su2y - s3 * sy)
+          + sy * (s1 * s3 - s2 * s2)) / det
+    fit = sums.select(b0.alias("_b0"), b1.alias("_b1"), b2.alias("_b2"))
+
+    pred = (F.col("_b0") + F.col("_b1") * F.col("_u")
+            + F.col("_b2") * F.col("_u") * F.col("_u"))
+    fit_df = (pu.crossJoin(F.broadcast(fit))
+                .withColumn("sd_exp", F.sqrt(F.pow(F.lit(10.0), pred)))
+                .select("gene", "mean", "variance", "sd_exp", "_n"))
+
+    z = F.least(F.sqrt(F.col("_n")),
+                (F.col(value_col) - F.col("mean")) / F.col("sd_exp"))
+    per_gene = (
+        expr.join(F.broadcast(fit_df), "gene")
+        .groupBy("gene")
+        .agg(F.sum(z * z).alias("_s_nz"),
+             F.count("*").alias("_nnz"),
+             F.first("mean").alias("mean"),
+             F.first("variance").alias("variance"),
+             F.first("sd_exp").alias("sd_exp"),
+             F.first("_n").alias("_n"))
+    )
+    z0g = (F.lit(0.0) - F.col("mean")) / F.col("sd_exp")
+    return per_gene.select(
+        "gene", "mean", "variance", "sd_exp",
+        ((F.col("_s_nz") + (F.col("_n") - F.col("_nnz")) * z0g * z0g)
+         / (F.col("_n") - F.lit(1.0))).alias("std_variance"),
+    )
+
+
 def find_variable_features_vst(expr: DataFrame, n_top: int = 2000,
                                value_col: str = "count",
                                span: float = 0.3,

@@ -114,5 +114,95 @@ class UploadSink:
     def put_record(self, table: str, record: dict) -> None:
         self.records.append((table, record))
 
+    def put_batch(self, table: str, records: list[dict]) -> None:
+        for r in records:
+            self.put_record(table, r)
+
     def put_object(self, key: str, body: bytes) -> None:
         self.objects.append((key, body))
+
+
+def upload_records(df: DataFrame, table: str, sink_factory,
+                   batch_size: int = 25) -> None:
+    """S9 distributed path: ship a DataFrame to a record sink with
+    ``foreachPartition`` — the scale counterpart of the reference's
+    single driver-side put_item loop (src/5_Upload-to-aws.py:267-302).
+
+    ``sink_factory`` is a zero-arg picklable callable invoked ONCE PER
+    PARTITION on the executor, so network clients (boto3 resources)
+    are created worker-side and never serialized through the driver.
+    Records are flushed in ``batch_size`` groups (25 = the DynamoDB
+    batch_write_item ceiling). Rows never pass through the driver.
+    """
+    cols = df.columns
+
+    def _write(rows) -> None:
+        sink = sink_factory()
+        batch: list[dict] = []
+        for row in rows:
+            batch.append(dict(zip(cols, row)))
+            if len(batch) >= batch_size:
+                sink.put_batch(table, batch)
+                batch = []
+        if batch:
+            sink.put_batch(table, batch)
+        close = getattr(sink, "close", None)
+        if callable(close):
+            close()
+
+    df.foreachPartition(_write)
+
+
+class BotoUploadSink(UploadSink):
+    """S9/S10 production sink: DynamoDB batch writes + S3 puts via
+    boto3 (mirrors src/5_Upload-to-aws.py:267-302's table/bucket
+    contract). A client factory is injectable so tests run against a
+    local fake; the default builds real boto3 clients from the
+    standard credential chain. Import is deferred — constructing with
+    a fake factory needs no boto3 at all."""
+
+    def __init__(self, region: str = "eu-west-1",
+                 dynamo_factory=None, s3_factory=None) -> None:
+        super().__init__()
+        self._region = region
+        self._dynamo_factory = dynamo_factory
+        self._s3_factory = s3_factory
+        self._dynamo = None
+        self._s3 = None
+
+    def _dyn(self):
+        if self._dynamo is None:
+            if self._dynamo_factory is not None:
+                self._dynamo = self._dynamo_factory()
+            else:
+                import boto3
+                self._dynamo = boto3.resource(
+                    "dynamodb", region_name=self._region)
+        return self._dynamo
+
+    def _s3c(self):
+        if self._s3 is None:
+            if self._s3_factory is not None:
+                self._s3 = self._s3_factory()
+            else:
+                import boto3
+                self._s3 = boto3.client("s3", region_name=self._region)
+        return self._s3
+
+    def put_record(self, table: str, record: dict) -> None:
+        self._dyn().Table(table).put_item(Item=record)
+
+    def put_batch(self, table: str, records: list[dict]) -> None:
+        t = self._dyn().Table(table)
+        writer = getattr(t, "batch_writer", None)
+        if writer is None:
+            for r in records:
+                t.put_item(Item=r)
+            return
+        with writer() as bw:
+            for r in records:
+                bw.put_item(Item=r)
+
+    def put_object(self, key: str, body: bytes) -> None:
+        bucket, obj_key = key.split("/", 1)
+        self._s3c().put_object(Bucket=bucket, Key=obj_key, Body=body)

@@ -114,3 +114,42 @@ def test_group_membership_sorted_ids(spark):
            jn.group_membership(cells, "grp").collect()}
     assert out["a"] == [1, 3]  # sorted, deterministic
     assert out["b"] == [2]
+
+def test_vst_quadfit_matches_numpy(spark):
+    """vst_quadfit_variance == numpy recomputation with a global
+    quadratic OLS smoother (centered normal equations) in place of the
+    loess — same zero-inclusive standardization contract."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n_cells, n_genes = 30, 10
+    dense = rng.poisson(2.0, size=(n_genes, n_cells)).astype(float)
+    dense[3, :6] = [40.0, 35.0, 50.0, 45.0, 38.0, 42.0]
+    rows = [("s", f"b{c}", f"G{g:02d}", float(dense[g, c]))
+            for g in range(n_genes) for c in range(n_cells)
+            if dense[g, c] > 0]
+    df = spark.createDataFrame(
+        rows, "sample string, barcode string, gene string, count double")
+    # N in the operator is distinct observed cells; drop all-zero cells
+    observed = sorted({c for g in range(n_genes) for c in range(n_cells)
+                       if dense[g, c] > 0})
+    dense = dense[:, observed]
+    n_obs = len(observed)
+
+    out = {r["gene"]: r for r in nz.vst_quadfit_variance(df).collect()}
+
+    mu = dense.mean(axis=1)
+    var = dense.var(axis=1, ddof=1)
+    keep = var > 0
+    x = np.log10(mu[keep]); y = np.log10(var[keep])
+    u = x - x.mean()
+    X = np.column_stack([np.ones_like(u), u, u * u])
+    beta = np.linalg.solve(X.T @ X, X.T @ y)
+    sd_exp = np.sqrt(10.0 ** (X @ beta))
+    clip = np.sqrt(n_obs)
+    for i, g in enumerate(np.nonzero(keep)[0]):
+        z = np.minimum(clip, (dense[g] - mu[g]) / sd_exp[i])
+        ref = (z ** 2).sum() / (n_obs - 1)
+        got = out[f"G{g:02d}"]
+        assert abs(got["sd_exp"] - sd_exp[i]) < 1e-8
+        assert abs(got["std_variance"] - ref) < 1e-8

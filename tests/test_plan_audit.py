@@ -90,8 +90,21 @@ def test_minhash_no_pathological_codegen(spark):
     range, then aggregate."""
     df = q(spark, "x2_minhash_lsh_pairs")
     plan = physical_plan(df)
-    assert plan.count("Generate explode") <= 2
+    assert plan.count("Generate explode") <= 3
     assert_no_cartesian(df)
+
+
+def test_minhash_exchange_budget(spark):
+    """x2's stage chain is pinned (round-3 rewrite: candidate pairs
+    come from ONE groupBy(band, bucket) with a map-side ordered-pair
+    expansion instead of the band self-join + distinct). Static plan:
+    ≤10 exchanges — the remaining ones are the signature groupBy, the
+    bucket groupBy, the pair distinct, and the genuinely-at-scale
+    verification joins; AQE collapses the small sides at runtime (5
+    executed exchanges at sf0.01). Re-introducing the self-join fails
+    this budget."""
+    df = q(spark, "x2_minhash_lsh_pairs")
+    assert shuffle_count(df) <= 10
 
 
 def test_decontam_broadcasts_benchmark_single_corpus_pass(spark):

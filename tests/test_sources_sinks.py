@@ -253,3 +253,98 @@ def test_tenx_python_datasource_matches_native_reader(spark, tenx_dir):
     # auto-discovery: omit the samples option, dirs found from layout
     auto = spark.read.format("tenx").option("path", tenx_dir).load()
     assert auto.count() == ds.count()
+
+
+def test_upload_records_foreach_partition(spark, tmp_path):
+    """S9 distributed writer: every row lands exactly once, batches
+    never exceed the DynamoDB batch ceiling, sinks are built
+    worker-side (one file per partition that received rows). The fake
+    sink is defined inside the test so cloudpickle ships it to the
+    executors by value (an in-memory sink cannot cross the
+    executor/driver process boundary — hence the JSONL files)."""
+    import json
+
+    class _JsonlFileSink:
+        def __init__(self, out_dir):
+            import os
+            import uuid
+            self.path = os.path.join(out_dir,
+                                     f"part-{uuid.uuid4().hex}.jsonl")
+
+        def put_batch(self, table, records):
+            import json as _json
+            with open(self.path, "a") as fh:
+                for r in records:
+                    fh.write(_json.dumps(
+                        {"table": table, "n_batch": len(records),
+                         "rec": r}, sort_keys=True) + "\n")
+
+    out = tmp_path / "uploads"
+    out.mkdir()
+    out_dir = str(out)
+    df = spark.range(0, 103).selectExpr(
+        "id AS experiment_id", "concat('exp-', id) AS name").repartition(4)
+    sk.upload_records(df, "experiments-test",
+                      lambda: _JsonlFileSink(out_dir),
+                      batch_size=25)
+    lines = [json.loads(ln) for p in sorted(out.iterdir())
+             for ln in p.read_text().splitlines()]
+    assert len(lines) == 103
+    assert {ln["rec"]["experiment_id"] for ln in lines} == set(range(103))
+    assert all(ln["table"] == "experiments-test" for ln in lines)
+    assert max(ln["n_batch"] for ln in lines) <= 25
+    assert 1 <= len(list(out.iterdir())) <= 4
+
+
+def test_boto_upload_sink_with_fake_clients():
+    """BotoUploadSink drives the boto3 client surface (Table.put_item /
+    batch_writer / s3 put_object) — checked against a local fake, no
+    AWS, mirroring src/5_Upload-to-aws.py:267-302's contract."""
+
+    class _FakeBatchWriter:
+        def __init__(self, items):
+            self.items = items
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+        def put_item(self, Item):
+            self.items.append(Item)
+
+    class _FakeTable:
+        def __init__(self):
+            self.items = []
+
+        def put_item(self, Item):
+            self.items.append(Item)
+
+        def batch_writer(self):
+            return _FakeBatchWriter(self.items)
+
+    class _FakeDynamo:
+        def __init__(self):
+            self.tables = {}
+
+        def Table(self, name):
+            return self.tables.setdefault(name, _FakeTable())
+
+    class _FakeS3:
+        def __init__(self):
+            self.objects = {}
+
+        def put_object(self, Bucket, Key, Body):
+            self.objects[(Bucket, Key)] = Body
+
+    dyn, s3 = _FakeDynamo(), _FakeS3()
+    sink = sk.BotoUploadSink(dynamo_factory=lambda: dyn,
+                             s3_factory=lambda: s3)
+    sink.put_record("experiments-test", {"experimentId": "e1"})
+    sink.put_batch("experiments-test", [{"experimentId": f"e{i}"}
+                                        for i in range(2, 5)])
+    sink.put_object("cell-sets-test/e1", b'{"cellSets": []}')
+    assert [i["experimentId"] for i in dyn.tables["experiments-test"].items] \
+        == ["e1", "e2", "e3", "e4"]
+    assert s3.objects[("cell-sets-test", "e1")] == b'{"cellSets": []}'
