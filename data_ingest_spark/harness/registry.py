@@ -2520,6 +2520,17 @@ def q_louvain(spark, sf):
     return cl.louvain_driver(snn)
 
 
+@_q("m13_louvain_dist")
+def q_louvain_dist(spark, sf):
+    """Distributed Louvain phase 1 (Jacobi-parallel moves; rows-only —
+    iterative modularity optimization isn't SQL-expressible). The
+    scale path for FindClusters(algorithm=1)."""
+    from data_ingest_spark.operators import clustering as cl, neighbors as nb
+    knn = nb.knn_exact(_emb_pc_arr(spark, sf), k=10, id_cols=("barcode",))
+    snn = nb.snn_graph(knn, k=10)
+    return cl.louvain_distributed(snn)
+
+
 @_q("m2_doublet_scores")
 def q_doublet_scores(spark, sf):
     from data_ingest_spark.operators import doublets as db

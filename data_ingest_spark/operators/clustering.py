@@ -3,7 +3,11 @@
 Reference: FindClusters(algorithm=1 Louvain, resolution=0.5) at
 /root/reference/src/QC_helpers/configureEmbedding.r:107-115.
 
-Two implementations:
+Three implementations:
+
+  louvain_distributed — distributed Louvain phase 1: parallel greedy
+      modularity moves (Jacobi-style 2-coloring for determinism), all
+      joins + groupBys — the Louvain semantics at billion-edge scale.
 
   label_propagation — fully distributed: each round every node adopts
       the label with the highest total edge weight among its
@@ -22,7 +26,7 @@ from __future__ import annotations
 
 from collections import defaultdict
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 
 def _undirect(edges: DataFrame) -> DataFrame:
@@ -117,3 +121,77 @@ def louvain_driver(edges: DataFrame, resolution: float = 0.5,
     spark = edges.sparkSession
     return spark.createDataFrame(sorted(label.items()),
                                  "id string, cluster string")
+
+
+def louvain_distributed(edges: DataFrame, resolution: float = 0.5,
+                        max_iter: int = 8,
+                        checkpoint_every: int = 2) -> DataFrame:
+    """(id, cluster) — distributed Louvain phase 1: parallel greedy
+    modularity moves over the edge list, the standard vertex-parallel
+    scheme (each round every *eligible* node evaluates the gain of
+    moving to each neighboring community against the current community
+    degrees and takes the best positive move).
+
+    Determinism & oscillation control: nodes are 2-colored by a stable
+    hash of their id and only one color class may move per round
+    (classic Jacobi-style alternation — two adjacent nodes can never
+    swap communities in the same round, which is the known oscillation
+    mode of naive parallel Louvain). Ties break to the smallest
+    community id. Every step is joins + groupBys keyed by node or
+    community — linear shuffles, no collect, survives a billion-edge
+    graph; lineage is cut with localCheckpoint like label_propagation.
+
+    Scale contract vs ``louvain_driver`` (the sequential parity
+    implementation): same gain formula ΔQ ∝ w(n→C) − γ·deg(n)·ΣC/2m,
+    evaluated Jacobi-parallel instead of Gauss-Seidel-sequential, so
+    cluster boundaries can differ on ambiguous graphs; on
+    well-separated communities both converge to the same partition
+    (pinned by tests/test_clustering.py)."""
+    und = _undirect(edges).localCheckpoint()
+    # deg + m2 once; both are reused every round.
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.sum("snn_weight").alias("deg")).localCheckpoint()
+    m2 = deg.agg(F.sum("deg").alias("_m2"))  # 1-row, broadcast below
+    labels = deg.select("id", F.col("id").alias("comm"),
+                        "deg", F.crc32(F.col("id").cast("string")).alias("_h"))
+
+    for i in range(max_iter):
+        comm_deg = labels.groupBy("comm").agg(F.sum("deg").alias("_cdeg"))
+        # neighbor-community weights per node
+        nb = (und.join(labels.select(F.col("id").alias("dst"),
+                                     F.col("comm").alias("_nc")), "dst")
+                 .groupBy(F.col("src").alias("id"), F.col("_nc"))
+                 .agg(F.sum("snn_weight").alias("_w")))
+        cand = (
+            nb.join(labels.select("id", "comm", "deg", "_h"), "id")
+              .join(comm_deg.withColumnRenamed("comm", "_nc"), "_nc")
+              .crossJoin(F.broadcast(m2))
+              .withColumn(
+                  "_cdeg_adj",
+                  F.when(F.col("_nc") == F.col("comm"),
+                         F.col("_cdeg") - F.col("deg"))
+                   .otherwise(F.col("_cdeg")))
+              .withColumn(
+                  "_gain",
+                  F.col("_w") - F.lit(resolution) * F.col("deg")
+                  * F.col("_cdeg_adj") / F.col("_m2"))
+        )
+        # best positive move per eligible node (color class i % 2),
+        # tie-break to the smallest community id
+        eligible = cand.filter((F.col("_h") % 2) == (i % 2))
+        w_best = W.partitionBy("id").orderBy(F.desc("_gain"), F.asc("_nc"))
+        best = (
+            eligible.filter(F.col("_gain") > 1e-12)
+            .withColumn("_rk", F.row_number().over(w_best))
+            .filter(F.col("_rk") == 1)
+            .select("id", F.col("_nc").alias("_new"))
+        )
+        labels = (labels.join(best, "id", "left")
+                  .select("id", F.coalesce("_new", "comm").alias("comm"),
+                          "deg", "_h"))
+        if (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint()
+
+    # canonical cluster id = min member id
+    rep = labels.groupBy("comm").agg(F.min("id").alias("cluster"))
+    return labels.join(rep, "comm").select("id", "cluster")

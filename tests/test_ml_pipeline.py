@@ -74,7 +74,8 @@ def test_snn_and_clustering_find_planted_programs(pcs):
     knn = nb.knn_exact(_with_vec(pcs), k=10)
     snn = nb.snn_graph(knn, k=10)
     assert snn.filter("snn_weight < 0 or snn_weight > 1").count() == 0
-    for impl in (cl.label_propagation, cl.louvain_driver):
+    for impl in (cl.label_propagation, cl.louvain_driver,
+                 cl.louvain_distributed):
         labels = impl(snn)
         got = {r["id"]: r["cluster"] for r in labels.collect()}
         # cells of the same planted program must co-cluster
@@ -300,3 +301,28 @@ def test_validate_experiment_invariants(spark, small_expr):
     problems = validate_experiment(broken)
     assert any("cells_id" in p for p in problems)
     assert any("gene names" in p for p in problems)
+
+
+def test_louvain_distributed_matches_driver_on_separated_cliques(spark):
+    """On a graph of two well-separated cliques the parallel (Jacobi)
+    and sequential (Gauss-Seidel) Louvain phase-1 find the identical
+    partition, and the result is deterministic across runs."""
+    from data_ingest_spark.operators import clustering as cl
+
+    cliq_a = [(f"a{i}", f"a{j}", 1.0) for i in range(5) for j in range(i + 1, 5)]
+    cliq_b = [(f"b{i}", f"b{j}", 1.0) for i in range(5) for j in range(i + 1, 5)]
+    bridge = [("a0", "b0", 0.05)]
+    edges = spark.createDataFrame(cliq_a + cliq_b + bridge,
+                                  "src string, dst string, snn_weight double")
+    dist = {r["id"]: r["cluster"]
+            for r in cl.louvain_distributed(edges).collect()}
+    seq = {r["id"]: r["cluster"]
+           for r in cl.louvain_driver(edges).collect()}
+    assert dist == seq
+    dist2 = {r["id"]: r["cluster"]
+             for r in cl.louvain_distributed(edges).collect()}
+    assert dist == dist2
+    # exactly two communities, one per clique
+    assert len(set(dist.values())) == 2
+    assert {dist[f"a{i}"] for i in range(5)} == {"a0"}
+    assert {dist[f"b{i}"] for i in range(5)} == {"b0"}
