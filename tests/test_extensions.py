@@ -472,6 +472,18 @@ def test_operators_survive_empty_input(spark):
         [("s", 1, 10, 2.0), ("s", 2, 10, 2.0)],
         "sample string, barcode long, gene long, count double")
     assert nz.vst_standardized_variance(const).count() == 0
+    # the quadratic-smoother variant must survive the same edge cases
+    assert nz.vst_quadfit_variance(eexpr).count() == 0
+    assert nz.vst_quadfit_variance(const).count() == 0
+
+    # round-3 additions: distributed Louvain on an empty edge list,
+    # the foreachPartition upload writer on an empty frame
+    from data_ingest_spark.operators import clustering as cl
+    eedges = spark.createDataFrame(
+        [], "src string, dst string, snn_weight double")
+    assert cl.louvain_distributed(eedges).count() == 0
+    from data_ingest_spark.sinks import exports as sk
+    sk.upload_records(empty, "t", lambda: sk.UploadSink())  # no-op, no crash
 
 
 def test_image_features_known_buffer(spark):
