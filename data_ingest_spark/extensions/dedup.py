@@ -433,3 +433,74 @@ def cap_repetitions(df: DataFrame, k: int = 2, id_col: str = "doc_id",
             .withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= k)
             .drop("_h", "_rk"))
+
+
+def substring_dedup(df: DataFrame, n: int = 20, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Exact-substring deduplication: remove every token span that
+    repeats an ``n``-token window occurring anywhere else in the
+    corpus, keeping exactly one (the globally first) occurrence per
+    window — the technique shown to improve LM training ("deduping
+    training data" with suffix-array exact matches; this is the
+    n-gram-postings formulation of it, which distributes as plain
+    groupBys/joins instead of a monolithic suffix array).
+
+    Contract (deterministic, whitespace-canonical):
+
+    1. tokens = text split on whitespace, positions 0-based;
+    2. every n-token window hashes to md5 of its space-joined tokens;
+    3. a window value seen at >1 (doc, pos) sites is DUPLICATED; its
+       keeper is the smallest (doc, pos) site (lexicographic);
+    4. token (d, i) is removed iff some non-keeper duplicated site
+       (d, s) covers it (s ≤ i < s+n);
+    5. clean_text = kept tokens joined by single spaces (canonical
+       whitespace — same normalization both engines apply).
+
+    Docs with < n tokens pass through untouched. Returns
+    (id, clean_text, n_removed) sorted-stable for hashing.
+
+    Scale shape: windows explode ≈ tokens× rows but immediately
+    collapse in a partial-agg'd groupBy(hash); non-keeper spans —
+    and only those — re-explode to (doc, pos) keys for an equi
+    anti-join (never a range join), so post-shuffle volume is
+    proportional to the duplicated text, not the corpus.
+    """
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), r"\s+").alias("_tk"))
+    # (doc, pos, token) with positions; windows only where a full
+    # n-token slice exists
+    win = toks.select(
+        F.col(id_col),
+        F.posexplode(F.expr(
+            f"CASE WHEN size(_tk) >= {n} THEN "
+            f"transform(sequence(1, size(_tk) - {n} + 1), "
+            f"i -> array_join(slice(_tk, i, {n}), ' ')) "
+            "ELSE array() END")).alias("pos", "_w"))
+    sites = win.select(id_col, "pos", F.md5(F.col("_w").cast("binary"))
+                       .alias("_h"))
+    wk = W.partitionBy("_h").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    marked = (sites
+              .withColumn("_rk", F.row_number().over(wk))
+              .withColumn("_n_sites", F.count("*").over(W.partitionBy("_h"))))
+    removal_spans = marked.filter(
+        (F.col("_n_sites") > 1) & (F.col("_rk") > 1)).select(id_col, "pos")
+    # span -> covered token positions (equi keys, no range join)
+    covered = removal_spans.select(
+        id_col, F.explode(F.expr(
+            f"sequence(pos, pos + {n} - 1)")).alias("tpos")).distinct()
+    tok_rows = toks.select(
+        id_col, F.posexplode("_tk").alias("tpos", "token"))
+    kept = tok_rows.join(covered, [id_col, "tpos"], "left_anti")
+    total = toks.select(id_col, F.size("_tk").alias("_tot"))
+    agg = (kept.groupBy(id_col)
+           .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("tpos", "token"))),
+                        lambda s: s["token"]), " ").alias("clean_text"),
+                F.count("*").alias("_kept")))
+    return (total.join(agg, id_col, "left")
+            .select(id_col,
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    (F.col("_tot") - F.coalesce("_kept", F.lit(0)))
+                    .cast("long").alias("n_removed")))

@@ -3945,6 +3945,51 @@ def q_try_functions(spark, sf):
                  F.sum(div.isNull().cast("long")).alias("div_null_rows"))
 
 
+@_q("x64_substring_dedup", f"""
+WITH corpus AS ({_NEARDUP_SQL}),
+ toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS tk FROM corpus),
+ long_docs AS (SELECT doc_id, tk FROM toks WHERE len(tk) >= 8),
+ win AS (SELECT doc_id,
+                unnest([struct_pack(pos := i - 1,
+                         h := md5(array_to_string(tk[i:i+7], ' ')))
+                        FOR i IN generate_series(1, len(tk) - 7)]) AS u
+         FROM long_docs),
+ sites AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM win),
+ marked AS (SELECT doc_id, pos,
+                   ROW_NUMBER() OVER (PARTITION BY h
+                                      ORDER BY doc_id, pos) AS rk,
+                   COUNT(*) OVER (PARTITION BY h) AS n_sites
+            FROM sites),
+ spans AS (SELECT doc_id, pos FROM marked WHERE n_sites > 1 AND rk > 1),
+ covered AS (SELECT DISTINCT doc_id,
+                    unnest(generate_series(pos, pos + 7)) AS tpos
+             FROM spans),
+ tok_rows AS (SELECT doc_id,
+                     unnest([struct_pack(tpos := i - 1, token := tk[i])
+                             FOR i IN generate_series(1, len(tk))]) AS u
+              FROM toks),
+ trows AS (SELECT doc_id, u.tpos AS tpos, u.token AS token FROM tok_rows),
+ kept AS (SELECT t.doc_id, t.tpos, t.token
+          FROM trows t LEFT JOIN covered c
+            ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+          WHERE c.doc_id IS NULL),
+ agg AS (SELECT doc_id,
+                array_to_string(list(token ORDER BY tpos), ' ') AS clean_text,
+                COUNT(*) AS kept_n
+         FROM kept GROUP BY 1),
+ total AS (SELECT doc_id, len(tk) AS tot FROM toks)
+SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       CAST(t.tot - COALESCE(a.kept_n, 0) AS BIGINT) AS n_removed
+FROM total t LEFT JOIN agg a USING (doc_id)
+""")
+def q_substring_dedup(spark, sf):
+    """Exact-substring dedup (duplicated 8-token windows removed,
+    global-first occurrence kept) over the planted near-dup corpus —
+    the n-gram-postings formulation of suffix-array training-data
+    dedup."""
+    return dd.substring_dedup(_neardup_corpus(spark, sf), n=8)
+
+
 @_q("x56_intra_repetition", r"""
 WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
               FROM documents),

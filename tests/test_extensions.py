@@ -552,3 +552,28 @@ def test_quantize_int8_roundtrip_error_bound(spark):
         recon = [q * r["scale"] for q in qs]
         assert max(abs(a - b) for a, b in zip(vec, recon)) <= \
             r["max_err"] + 1e-9
+
+
+def test_substring_dedup_removes_repeated_window_keeps_first(spark):
+    """Two docs share an exact 8-token run: the first (doc 1) keeps
+    it, the second (doc 2) loses exactly that span; a doc shorter than
+    n passes through untouched; a third doc repeating the run twice
+    internally keeps neither copy (both sites are non-keepers)."""
+    shared = "a b c d e f g h"           # the 8-token window
+    d1 = f"x1 {shared} y1"
+    d2 = f"x2 {shared} y2"
+    d3 = f"{shared} mid {shared}"
+    d4 = "too short"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (4, d4)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dd.substring_dedup(df, n=8).collect()}
+    assert out[1]["clean_text"] == d1 and out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "x2 y2" and out[2]["n_removed"] == 8
+    # doc 3: windows starting at the two shared runs are duplicates of
+    # doc 1's site (1,1); both its sites are non-keepers -> both spans
+    # removed; "mid" survives only if no duplicated window covers it —
+    # the run "b..h mid" windows are unique so mid is covered ONLY by
+    # windows that exist elsewhere... compute: spans at pos 0 and 9
+    # cover tokens 0-7 and 9-16; token 8 ("mid") survives.
+    assert out[3]["clean_text"] == "mid" and out[3]["n_removed"] == 16
+    assert out[4]["clean_text"] == d4 and out[4]["n_removed"] == 0
