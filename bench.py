@@ -61,6 +61,12 @@ HEADLINE = [
     "v14_tpch_q22",
     "m2_doublets_native",
     "e19_session_stats",
+    # round-3 additions: oracle-exact vst smoother, exact-substring
+    # dedup, distributed clustering, pipeline-composite oracle
+    "m6_vst_quad",
+    "x64_substring_dedup",
+    "m13_label_propagation",
+    "p2_qc_filters",
 ]
 
 

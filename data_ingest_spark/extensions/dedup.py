@@ -504,3 +504,50 @@ def substring_dedup(df: DataFrame, n: int = 20, id_col: str = "doc_id",
                     F.coalesce("clean_text", F.lit("")).alias("clean_text"),
                     (F.col("_tot") - F.coalesce("_kept", F.lit(0)))
                     .cast("long").alias("n_removed")))
+
+
+def line_boilerplate_removal(df: DataFrame, min_docs: int = 2,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             sep: str = "\n") -> DataFrame:
+    """Line-level boilerplate removal: drop every line that appears in
+    ≥ ``min_docs`` DISTINCT documents (headers, nav bars, cookie
+    banners — the line-dedup pass web-curation pipelines run before
+    document-level dedup). Unlike :func:`substring_dedup` no occurrence
+    is kept: a line shared widely enough is boilerplate everywhere.
+
+    Contract: lines = text split on ``sep`` (no trimming — byte-exact
+    matching); output text = kept lines rejoined with ``sep`` in
+    original order; (id, clean_text, n_removed_lines).
+
+    Scale shape: explode → groupBy(line-hash) with countDistinct(doc)
+    (partial aggs both levels) → anti-join back. Post-shuffle volume is
+    the distinct-line table; the anti-join keys on the line hash, so
+    skew from empty/short boilerplate lines is bounded by distinct
+    values, and AQE handles the hot keys.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"))
+    boiler = (lines
+              .groupBy(F.md5(F.col("line").cast("binary")).alias("_lh"))
+              .agg(F.countDistinct(F.col(id_col)).alias("_nd"))
+              .filter(F.col("_nd") >= min_docs)
+              .select("_lh"))
+    kept = (lines
+            .withColumn("_lh", F.md5(F.col("line").cast("binary")))
+            .join(boiler, "_lh", "left_anti"))
+    total = df.select(
+        id_col, F.size(F.split(F.col(text_col), sep)).alias("_tot"))
+    agg = (kept.groupBy(id_col)
+           .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("pos", "line"))),
+                        lambda s: s["line"]), sep).alias("clean_text"),
+                F.count("*").alias("_kept")))
+    return (total.join(agg, id_col, "left")
+            .select(id_col,
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    (F.col("_tot") - F.coalesce("_kept", F.lit(0)))
+                    .cast("long").alias("n_removed_lines")))

@@ -101,3 +101,39 @@ def zorder_write(df, path: str, col_x: str, col_y: str,
                                             bits))
     (coded.repartitionByRange(n_files, "_z").sortWithinPartitions("_z")
      .drop("_z").write.mode("overwrite").parquet(path))
+
+
+def compact_parquet(spark, src_path: str, dst_path: str,
+                    target_mb: int = 512) -> int:
+    """Small-files compaction: rewrite a parquet dataset into files of
+    ~``target_mb`` each — the maintenance pass every long-lived 100 TB
+    table needs (streaming sinks and fine-grained ingests leave
+    thousands of KB-scale files whose open/footer overhead dominates
+    scans). Sizing is derived from the SOURCE's actual on-disk bytes
+    (sum of file sizes via the input_file listing), so the result
+    tracks compression ratio instead of guessing from row counts.
+    Returns the number of output files written.
+
+    The write itself is a plain repartition(n) -> parquet: one round-
+    robin shuffle, no driver materialization, safe at any scale.
+    (File sizes come from the local filesystem here; an object-store
+    deployment swaps the getsize loop for its FS listing API.)"""
+    import math
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(src_path)
+    files = [r[0] for r in
+             df.select(F.input_file_name().alias("f")).distinct().collect()]
+    total_bytes = 0
+    for f in files:
+        p = f.removeprefix("file://")
+        try:
+            import os
+            total_bytes += os.path.getsize(p)
+        except OSError:
+            pass
+    n_out = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+    df.repartition(n_out).write.mode("overwrite").parquet(dst_path)
+    out = spark.read.parquet(dst_path)
+    return out.select(F.input_file_name()).distinct().count()

@@ -3990,6 +3990,42 @@ def q_substring_dedup(spark, sf):
     return dd.substring_dedup(_neardup_corpus(spark, sf), n=8)
 
 
+@_q("x65_line_boilerplate", f"""
+WITH corpus AS ({_NEARDUP_SQL}),
+ base AS (SELECT doc_id,
+                 regexp_replace(text, '\\. ', chr(10), 'g') AS text
+          FROM corpus),
+ lns AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM base),
+ lrows AS (SELECT doc_id,
+                  unnest([struct_pack(pos := i - 1, line := ls[i])
+                          FOR i IN generate_series(1, len(ls))]) AS u
+           FROM lns),
+ trows AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM lrows),
+ boiler AS (SELECT line FROM trows
+            GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+ kept AS (SELECT t.doc_id, t.pos, t.line
+          FROM trows t LEFT JOIN boiler b ON t.line = b.line
+          WHERE b.line IS NULL),
+ agg AS (SELECT doc_id,
+                array_to_string(list(line ORDER BY pos), chr(10))
+                  AS clean_text,
+                COUNT(*) AS kept_n
+         FROM kept GROUP BY 1),
+ total AS (SELECT doc_id, len(ls) AS tot FROM lns)
+SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       CAST(t.tot - COALESCE(a.kept_n, 0) AS BIGINT) AS n_removed_lines
+FROM total t LEFT JOIN agg a USING (doc_id)
+""")
+def q_line_boilerplate(spark, sf):
+    """CCNet-style line-level boilerplate removal over the planted
+    near-dup corpus (sentences as lines): any line present in ≥2
+    distinct docs is dropped everywhere."""
+    base = _neardup_corpus(spark, sf).select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"\. ", "\n").alias("text"))
+    return dd.line_boilerplate_removal(base, min_docs=2)
+
+
 @_q("x56_intra_repetition", r"""
 WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
               FROM documents),

@@ -176,9 +176,13 @@ def vst_quadfit_variance(expr: DataFrame, value_col: str = "count",
         mom = gene_moments(expr, value_col).crossJoin(
             F.broadcast(n_cells_df(expr)))
         mom = mom.withColumnRenamed("_n_cells", "_n")
+    # pos is consumed three times (x-mean, power sums, prediction
+    # join); persist the per-GENE frame (rows = genes, independent of
+    # cell count — bounded at any corpus scale) so the expression-table
+    # aggregation underneath runs once, not three times.
     pos = (mom.filter(F.col("variance") > 0.0)
               .withColumn("_x", F.log10("mean"))
-              .withColumn("_y", F.log10("variance")))
+              .withColumn("_y", F.log10("variance"))).persist()
     xm = pos.agg(F.avg("_x").alias("_xm"))
     pu = (pos.crossJoin(F.broadcast(xm))
              .withColumn("_u", F.col("_x") - F.col("_xm")))

@@ -37,7 +37,8 @@ def test_registry_contract_shapes(entry_mod):
     assert rows_only <= {"m2_doublet_scores", "m8_pca", "m9_integrate_mnn",
                          "m9_integrate_mnn_dist",
                          "m10_spectral_embedding", "m11_tsne", "m6_vst",
-                         "m13_louvain", "p1_qc_pipeline", "x51_kmeans_ivf"}
+                         "m13_louvain", "m13_louvain_dist", "p1_qc_pipeline",
+                         "x51_kmeans_ivf"}
     assert all(callable(fn) for fn in q.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper()
                for s in o.values())

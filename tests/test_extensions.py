@@ -577,3 +577,26 @@ def test_substring_dedup_removes_repeated_window_keeps_first(spark):
     # cover tokens 0-7 and 9-16; token 8 ("mid") survives.
     assert out[3]["clean_text"] == "mid" and out[3]["n_removed"] == 16
     assert out[4]["clean_text"] == d4 and out[4]["n_removed"] == 0
+
+
+def test_line_boilerplate_removed_everywhere(spark):
+    """A line shared by >= min_docs distinct docs disappears from ALL
+    of them (no keeper — boilerplate semantics); unique lines and
+    intra-doc repeats survive; order is preserved."""
+    df = spark.createDataFrame(
+        [(1, "COOKIE BANNER\nreal content one\nCOOKIE BANNER"),
+         (2, "COOKIE BANNER\nreal content two"),
+         (3, "only unique text here")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in dd.line_boilerplate_removal(df, min_docs=2).collect()}
+    assert out[1]["clean_text"] == "real content one"
+    assert out[1]["n_removed_lines"] == 2   # both copies dropped
+    assert out[2]["clean_text"] == "real content two"
+    assert out[2]["n_removed_lines"] == 1
+    assert out[3]["clean_text"] == "only unique text here"
+    assert out[3]["n_removed_lines"] == 0
+    # intra-doc repetition alone (1 distinct doc) is NOT boilerplate
+    solo = spark.createDataFrame([(9, "x\nx\ny")], "doc_id long, text string")
+    got = dd.line_boilerplate_removal(solo, min_docs=2).collect()[0]
+    assert got["clean_text"] == "x\nx\ny" and got["n_removed_lines"] == 0

@@ -116,3 +116,20 @@ def test_zorder_write_locality(spark, tmp_path):
     got = df.select(morton_code(F.col("x"), F.col("y"), 6).alias("z")) \
             .agg(F.count_distinct("z")).head()[0]
     assert got == 4096             # interleave is a bijection on 6+6 bits
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from data_ingest_spark.functions.partitioning import compact_parquet
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    # 40 tiny files
+    spark.range(0, 4000).repartition(40).write.parquet(src)
+    import os
+    n_src = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_src == 40
+    n_out = compact_parquet(spark, src, dst, target_mb=512)
+    assert n_out == 1  # everything fits one 512MB target file
+    # data integrity: same ids
+    back = spark.read.parquet(dst)
+    assert back.count() == 4000
+    assert back.agg({"id": "sum"}).collect()[0][0] == sum(range(4000))
