@@ -49,6 +49,7 @@ def label_propagation(edges: DataFrame, max_iter: int = 10,
     und = _undirect(edges).localCheckpoint()
     labels = und.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id"))
+    w_top = W.partitionBy("src").orderBy(F.desc("_w"), F.asc("_nl"))
     for i in range(max_iter):
         votes = (
             und.join(labels.select(F.col("id").alias("dst"),
@@ -56,13 +57,15 @@ def label_propagation(edges: DataFrame, max_iter: int = 10,
             .groupBy("src", "_nl")
             .agg(F.sum("snn_weight").alias("_w"))
         )
-        top = votes.groupBy("src").agg(F.max("_w").alias("_mw"))
-        best = (votes.join(top, "src")
-                .filter(F.col("_w") >= F.col("_mw"))
-                .groupBy("src").agg(F.min("_nl").alias("_new")))
+        # argmax weight with min-label tie-break as ONE window over the
+        # vote shuffle's own (src) partitioning — replaces the
+        # historical groupBy(max) + join + groupBy(min) round-trip
+        # (2 exchanges saved per iteration, identical semantics).
+        best = (votes.withColumn("_rk", F.row_number().over(w_top))
+                .filter(F.col("_rk") == 1)
+                .select(F.col("src").alias("id"), F.col("_nl").alias("_new")))
         # nodes with no neighbors keep their label
-        labels = (labels.join(best.select(F.col("src").alias("id"), "_new"),
-                              "id", "left")
+        labels = (labels.join(best, "id", "left")
                   .select("id", F.coalesce("_new", "label").alias("label")))
         if (i + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint()
