@@ -3195,6 +3195,499 @@ def q_tpch_q22(spark, sf):
         F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
 
 
+# --- TPC-H shapes Q7-Q10 (round 3; adapted to the available columns:
+# no partsupp table, so Q9's supplycost is a retailprice-derived
+# stand-in; the PLAN SHAPES — multi-way dim joins, conditional market
+# share, profit expression, returned-items top-k — are the point).
+
+
+@_q("v24_tpch_q2", """
+WITH cost AS (SELECT l_partkey, l_suppkey,
+                     (((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                        * 10000) // COUNT(*) + 5000) // 10000) / 100.0
+                         AS supply_cost
+              FROM lineitem GROUP BY 1, 2),
+ reg AS (SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+         FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+         WHERE r.r_name = 'ASIA'),
+ rc AS (SELECT c.l_partkey, c.l_suppkey, c.supply_cost
+        FROM cost c JOIN reg ON reg.s_suppkey = c.l_suppkey),
+ mn AS (SELECT l_partkey, MIN(supply_cost) AS min_cost
+        FROM rc GROUP BY 1)
+SELECT reg.s_acctbal, reg.s_name, reg.n_name, p.p_partkey, p.p_brand,
+       rc.supply_cost
+FROM rc JOIN mn ON rc.l_partkey = mn.l_partkey
+             AND rc.supply_cost = mn.min_cost
+ JOIN reg ON reg.s_suppkey = rc.l_suppkey
+ JOIN part p ON p.p_partkey = rc.l_partkey
+WHERE p.p_size BETWEEN 10 AND 20
+ORDER BY reg.s_acctbal DESC, reg.n_name, reg.s_name, p.p_partkey
+LIMIT 100
+""")
+def q_tpch_q2(spark, sf):
+    """TPC-H Q2 (min-cost supplier, adapted: supply cost = the
+    supplier's average shipped price for the part — integer-cent
+    averages are engine-exact; no partsupp in the fixture): correlated
+    per-part MIN over region-scoped suppliers + 4-dim join, top-100
+    with full tie-break."""
+    # exact fixed-point average: integer cents summed exactly, scaled
+    # floor-div by count, half-up to cents — float AVG + ROUND straddles
+    # half-cent boundaries differently across engines
+    cost = (load(spark, sf, "lineitem")
+            .groupBy("l_partkey", "l_suppkey")
+            .agg((F.expr("((sum(cast(round(l_extendedprice * 100) as long)) "
+                         "* 10000) div count(*) + 5000) div 10000") / 100.0)
+                 .alias("supply_cost")))
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    reg = (s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+           .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+           .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    rc = cost.join(F.broadcast(reg),
+                   F.col("l_suppkey") == F.col("s_suppkey"))
+    mn = rc.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.min("supply_cost").alias("min_cost"))
+    p = load(spark, sf, "part").filter(
+        F.col("p_size").between(10, 20)).select(
+        "p_partkey", "p_brand")
+    return (rc.join(mn, (F.col("l_partkey") == F.col("_pk"))
+                    & (F.col("supply_cost") == F.col("min_cost")))
+            .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                    "p_brand", "supply_cost")
+            .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+            .limit(100))
+
+
+@_q("v25_tpch_q11", """
+WITH v AS (SELECT l.l_partkey,
+                  SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                      AS value_s
+           FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+           WHERE n.n_name = 'NATION_5'
+           GROUP BY 1),
+ t AS (SELECT SUM(value_s) AS total_s FROM v)
+SELECT v.l_partkey AS p_partkey,
+       ((v.value_s + 50) // 100) / 100.0 AS part_value
+FROM v, t WHERE v.value_s * 10000 > t.total_s * 2
+""")
+def q_tpch_q11(spark, sf):
+    """TPC-H Q11 (important stock value, adapted: shipped value per
+    part from one nation's suppliers; keep parts holding > 0.02% of
+    the national total). The share test runs in exact int64
+    fixed-point on BOTH sides, so no float boundary can differ."""
+    l = load(spark, sf, "lineitem")
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf, "nation").filter(F.col("n_name") == "NATION_5") \
+        .select("n_nationkey")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    v = (l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .groupBy("l_partkey")
+         .agg(F.sum(price_c * (F.lit(100) - disc_c)).alias("value_s")))
+    t = v.agg(F.sum("value_s").alias("total_s"))
+    return (v.crossJoin(F.broadcast(t))
+            .filter(F.col("value_s") * 10000 > F.col("total_s") * 2)
+            .select(F.col("l_partkey").alias("p_partkey"),
+                    # half-up to cents in EXACT int64 ((v+50) div 100),
+                    # then one exact scale-down: a float ROUND here can
+                    # straddle the half-cent boundary differently per
+                    # engine (Spark rounds the shortest decimal repr,
+                    # DuckDB the binary value)
+                    (F.expr("(value_s + 50) div 100") / 100.0)
+                    .alias("part_value")))
+
+
+@_q("v26_tpch_q20", """
+WITH pq AS (SELECT l_partkey, l_suppkey,
+                   CAST(SUM(l_quantity) AS BIGINT) AS sq
+            FROM lineitem GROUP BY 1, 2),
+ pt AS (SELECT l_partkey, SUM(sq) AS tq FROM pq GROUP BY 1),
+ promo AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+ cand AS (SELECT DISTINCT pq.l_suppkey
+          FROM pq JOIN pt ON pq.l_partkey = pt.l_partkey
+           JOIN promo ON promo.p_partkey = pq.l_partkey
+          WHERE pq.sq * 10 > pt.tq)
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM supplier s JOIN cand ON cand.l_suppkey = s.s_suppkey
+ JOIN nation n ON n.n_nationkey = s.s_nationkey
+""")
+def q_tpch_q20(spark, sf):
+    """TPC-H Q20 (excess-supply suppliers, adapted: suppliers shipping
+    >10% of some PROMO part's total quantity — integer
+    quantities keep the share test exact): the nested
+    IN-chain / semi-join shape."""
+    l = load(spark, sf, "lineitem")
+    pq = (l.groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum("l_quantity").cast("long").alias("sq")))
+    pt = pq.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("sq").alias("tq"))
+    promo = load(spark, sf, "part").filter(
+        F.col("p_type") == "PROMO").select("p_partkey")
+    cand = (pq.join(pt, F.col("l_partkey") == F.col("_pk"))
+            .join(F.broadcast(promo),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .filter(F.col("sq") * 10 > F.col("tq"))
+            .select("l_suppkey").distinct())
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    return (s.join(cand, s["s_suppkey"] == cand["l_suppkey"], "left_semi")
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name", "n_name"))
+
+
+@_q("v15_tpch_q7", """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+ JOIN orders o ON o.o_orderkey = l.l_orderkey
+ JOIN customer c ON c.c_custkey = o.o_custkey
+ JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+ JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+""")
+def q_tpch_q7(spark, sf):
+    """TPC-H Q7 (volume shipping): revenue between two nations by
+    year and direction. Fact joins shuffle; all four dims broadcast."""
+    l = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01"))
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(F.col("n_nationkey").alias("_sk"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("_ck"),
+                  F.col("n_name").alias("cust_nation"))
+    j = (l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sk"))
+         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_ck"))
+         .filter(((F.col("supp_nation") == "NATION_1")
+                  & (F.col("cust_nation") == "NATION_2"))
+                 | ((F.col("supp_nation") == "NATION_2")
+                    & (F.col("cust_nation") == "NATION_1"))))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").cast("long").alias("l_year"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+@_q("v16_tpch_q8", """
+WITH vol AS (
+ SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        l.l_extendedprice * (1 - l.l_discount) AS volume,
+        n2.n_name AS supp_nation
+ FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+ WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
+   AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+   AND o.o_orderdate < TIMESTAMP '1998-01-01')
+SELECT o_year,
+       ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                      ELSE 0 END) / SUM(volume), 6) AS mkt_share
+FROM vol GROUP BY 1
+""")
+def q_tpch_q8(spark, sf):
+    """TPC-H Q8 (national market share): 7-way star join, conditional
+    share-of-total per year."""
+    l = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").filter(F.col("p_type") == "PROMO") \
+        .select("p_partkey")
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")) \
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    n1 = (n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+          .select(F.col("n_nationkey").alias("_ck_n")))
+    n2 = n.select(F.col("n_nationkey").alias("_sk_n"),
+                  F.col("n_name").alias("supp_nation"))
+    j = (l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+         .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("_ck_n"))
+         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("_sk_n")))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)
+                      .otherwise(F.lit(0.0))) / F.sum(vol), 6)
+                .alias("mkt_share")))
+
+
+@_q("v17_tpch_q9", """
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)) * 10
+                 - CAST(ROUND(p.p_retailprice * 100) AS BIGINT)
+                 * CAST(l.l_quantity AS BIGINT) * 100)
+             / 100000.0, 2) AS profit
+FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+ JOIN supplier s ON s.s_suppkey = l.l_suppkey
+ JOIN orders o ON o.o_orderkey = l.l_orderkey
+ JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_type IN ('PROMO', 'SMALL')
+GROUP BY 1, 2
+""")
+def q_tpch_q9(spark, sf):
+    """TPC-H Q9 (product-type profit): profit expression per supplier
+    nation and order year; 0.1·retailprice·qty stands in for the
+    partsupp supplycost (no partsupp table in the fixture)."""
+    l = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").filter(
+        F.col("p_type").isin("PROMO", "SMALL")) \
+        .select("p_partkey", "p_retailprice")
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    n = load(spark, sf, "nation").select("n_nationkey",
+                                         F.col("n_name").alias("nation"))
+    j = (l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+         .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")))
+    # Exact int64 fixed-point (1e-5 dollars): the revenue-minus-cost
+    # cancellation otherwise lands on the half-cent boundary and the
+    # two engines' float sum orders disagree in the last cent.
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    retail_c = F.round(F.col("p_retailprice") * 100).cast("long")
+    qty_i = F.col("l_quantity").cast("long")
+    profit_scaled = (price_c * (F.lit(100) - disc_c) * F.lit(10)
+                     - retail_c * qty_i * F.lit(100))
+    return (j.groupBy("nation",
+                      F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(F.round(F.sum(profit_scaled) / F.lit(100000.0), 2)
+                 .alias("profit")))
+
+
+@_q("v18_tpch_q10", """
+WITH rev AS (
+ SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+        ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+ FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+ WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+   AND o.o_orderdate < TIMESTAMP '1997-07-01'
+   AND l.l_returnflag = 'R'
+ GROUP BY 1, 2, 3, 4)
+SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+FROM rev ORDER BY revenue DESC, c_custkey LIMIT 20
+""")
+def q_tpch_q10(spark, sf):
+    """TPC-H Q10 (returned-item reporting): top-20 customers by
+    returned revenue in a two-quarter window; custkey tie-break."""
+    l = load(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R") \
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-07-01")) \
+        .select("o_orderkey", "o_custkey")
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    j = (l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]))
+    rev = (j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 2)
+                .alias("revenue")))
+    return (rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
+            .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name"))
+
+
+# --- TPC-H shapes Q12/Q15/Q17/Q19/Q21 (round 3; adapted: no
+# l_shipmode/l_commitdate/l_receiptdate columns, so Q12 groups by
+# l_linestatus and Q21's lateness is shipdate > orderdate + 90 days —
+# the priority-count, scalar-subquery-max, correlated-avg,
+# disjunctive-predicate, and only-late-supplier shapes are intact).
+
+
+@_q("v19_tpch_q12", """
+SELECT l.l_linestatus AS ship_mode,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > o.o_orderdate
+GROUP BY 1
+""")
+def q_tpch_q12(spark, sf):
+    """TPC-H Q12 (shipping priority counts; l_linestatus stands in
+    for l_shipmode)."""
+    l = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")) \
+        .select("l_orderkey", "l_linestatus", "l_shipdate")
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+            .groupBy(F.col("l_linestatus").alias("ship_mode"))
+            .agg(F.sum(F.when(hi, 1).otherwise(0)).cast("long")
+                 .alias("high_line_count"),
+                 F.sum(F.when(~hi, 1).otherwise(0)).cast("long")
+                 .alias("low_line_count")))
+
+
+@_q("v20_tpch_q15", """
+WITH rev AS (SELECT l_suppkey,
+                    ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                        AS total_revenue
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+               AND l_shipdate < TIMESTAMP '1997-04-01'
+             GROUP BY 1)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+""")
+def q_tpch_q15(spark, sf):
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier,
+    scalar-subquery max filter (whole-frame max via 1-row broadcast
+    cross-join — no window over a single partition)."""
+    l = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-04-01"))
+    rev = (l.groupBy("l_suppkey")
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 2)
+                .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (rev.crossJoin(F.broadcast(mx))
+            .filter(F.col("total_revenue") == F.col("_mx"))
+            .join(F.broadcast(s),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+@_q("v21_tpch_q17", """
+WITH pa AS (SELECT l_partkey, AVG(l_quantity) AS avg_qty
+            FROM lineitem GROUP BY 1)
+SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+ JOIN pa ON pa.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#11' AND l.l_quantity < 0.2 * pa.avg_qty
+""")
+def q_tpch_q17(spark, sf):
+    """TPC-H Q17 (small-quantity-order revenue): correlated per-part
+    average quantity; integer quantities make the avg exact in both
+    engines, so the 0.2·avg comparison is engine-stable."""
+    l = load(spark, sf, "lineitem")
+    pa = l.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.avg("l_quantity").alias("avg_qty"))
+    p = load(spark, sf, "part").filter(F.col("p_brand") == "Brand#11") \
+        .select("p_partkey")
+    j = (l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+         .join(pa, F.col("l_partkey") == F.col("_pk"))
+         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty")))
+    return j.agg(F.round(F.sum("l_extendedprice") / 7.0, 2)
+                 .alias("avg_yearly"),
+                 F.count("*").cast("long").alias("n_lines"))
+
+
+@_q("v22_tpch_q19", """
+SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+""")
+def q_tpch_q19(spark, sf):
+    """TPC-H Q19 (disjunctive predicate revenue): three OR'd
+    brand/size/quantity bands — the shape Catalyst must NOT turn into
+    three scans."""
+    l = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    band = lambda b, smax, qlo, qhi: (
+        (F.col("p_brand") == b) & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi))
+    j = j.filter(band("Brand#12", 5, 1, 11)
+                 | band("Brand#23", 10, 10, 20)
+                 | band("Brand#24", 15, 20, 30))
+    return j.agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count("*").cast("long").alias("n_lines"))
+
+
+@_q("v23_tpch_q21", """
+WITH lo AS (SELECT l.l_orderkey, l.l_suppkey,
+                   MAX(CASE WHEN l.l_shipdate >
+                                 o.o_orderdate + INTERVAL 90 DAY
+                            THEN 1 ELSE 0 END) AS is_late
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+            GROUP BY 1, 2),
+ ag AS (SELECT l_orderkey, COUNT(*) AS n_supp, SUM(is_late) AS n_late
+        FROM lo GROUP BY 1)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lo JOIN ag ON lo.l_orderkey = ag.l_orderkey
+ JOIN supplier s ON s.s_suppkey = lo.l_suppkey
+WHERE lo.is_late = 1 AND ag.n_supp > 1 AND ag.n_late = 1
+GROUP BY 1
+""")
+def q_tpch_q21(spark, sf):
+    """TPC-H Q21 (suppliers who kept orders waiting): the only-late
+    supplier on multi-supplier finished orders — the EXISTS/NOT-EXISTS
+    pair expressed as per-order supplier aggregates (lateness =
+    shipdate > orderdate + 90 days; no commit/receipt dates in the
+    fixture)."""
+    l = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    o = load(spark, sf, "orders").filter(F.col("o_orderstatus") == "F") \
+        .select("o_orderkey", "o_orderdate")
+    late = F.when(F.col("l_shipdate")
+                  > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
+                  1).otherwise(0)
+    lo = (l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+          .groupBy("l_orderkey", "l_suppkey")
+          .agg(F.max(late).alias("is_late")))
+    ag = lo.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.count("*").alias("n_supp"), F.sum("is_late").alias("n_late"))
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (lo.join(ag, F.col("l_orderkey") == F.col("_ok"))
+            .filter((F.col("is_late") == 1) & (F.col("n_supp") > 1)
+                    & (F.col("n_late") == 1))
+            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count("*").cast("long").alias("numwait")))
+
+
 @_q("x41_merge_upsert", """
 WITH src AS (SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
                     ROUND(o_totalprice + 1.5, 2) AS o_totalprice
