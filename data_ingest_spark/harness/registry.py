@@ -4407,6 +4407,81 @@ def q_intersect_except(spark, sf):
     return both.unionByName(only)
 
 
+@_q("e20_grouping_sets", """
+WITH b AS (SELECT CAST(ts::TIMESTAMP::DATE AS VARCHAR) AS day,
+                  event_type, user_id % 10 AS cohort, value FROM events)
+SELECT COALESCE(day, 'ALL') AS day,
+       COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(CAST(cohort AS VARCHAR), 'ALL') AS cohort,
+       CAST(COUNT(value) AS BIGINT) AS n, ROUND(SUM(value), 2) AS total_value
+FROM b GROUP BY GROUPING SETS ((day, event_type), (event_type, cohort), ())
+""")
+def q_grouping_sets(spark, sf):
+    """Explicit GROUPING SETS (neither pure rollup nor cube): the
+    (day, type) and (type, cohort) marginals plus the grand total in
+    ONE pass — the multi-marginal reporting shape."""
+    b = load(spark, sf, "events").select(
+        F.col("ts").cast("date").cast("string").alias("day"),
+        "event_type",
+        (F.col("user_id") % 10).alias("cohort"),
+        "value")
+    b.createOrReplaceTempView("_gs_events")
+    return spark.sql("""
+        SELECT COALESCE(day, 'ALL') AS day,
+               COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(CAST(cohort AS STRING), 'ALL') AS cohort,
+               CAST(COUNT(value) AS BIGINT) AS n,
+               ROUND(SUM(value), 2) AS total_value
+        FROM _gs_events
+        GROUP BY GROUPING SETS ((day, event_type), (event_type, cohort), ())
+    """)
+
+
+@_q("x67_hierarchy_paths", """
+WITH RECURSIVE edges AS (
+  SELECT p_partkey AS child, p_partkey // 10 AS parent
+  FROM part WHERE p_partkey >= 10
+),
+ paths(node, root, depth) AS (
+  SELECT child, child, 0 FROM edges
+  UNION ALL
+  SELECT p.node, e.parent, p.depth + 1
+  FROM paths p JOIN edges e ON e.child = p.root
+  WHERE p.depth < 6
+)
+SELECT node, root AS ancestor, CAST(depth AS BIGINT) AS depth
+FROM paths WHERE depth > 0
+""")
+def q_hierarchy_paths(spark, sf):
+    """Recursive-CTE equivalent: all (node, ancestor, depth) pairs of
+    the part-key decimal hierarchy (parent = key div 10). Spark has no
+    WITH RECURSIVE; the expansion is the standard bounded iterative
+    self-join with the frontier localCheckpoint'ed per level — the
+    same linear-shuffle-per-level shape a billion-edge hierarchy
+    needs. The DuckDB oracle IS a recursive CTE, so the driver checks
+    the full transitive closure."""
+    edges = (load(spark, sf, "part")
+             .filter(F.col("p_partkey") >= 10)
+             .select(F.col("p_partkey").alias("child"),
+                     (F.col("p_partkey") / 10).cast("long").alias("parent"))
+             ).localCheckpoint()
+    frontier = edges.select(F.col("child").alias("node"),
+                            F.col("parent").alias("ancestor"),
+                            F.lit(1).alias("depth"))
+    out = frontier
+    for d in range(2, 7):  # oracle recursion bound: depth <= 6
+        nxt = (frontier.join(
+                   edges.select(F.col("child").alias("ancestor"),
+                                F.col("parent").alias("_up")), "ancestor")
+               .select("node", F.col("_up").alias("ancestor"),
+                       F.lit(d).alias("depth")))
+        if nxt.isEmpty():
+            break
+        out = out.unionByName(nxt)
+        frontier = nxt.localCheckpoint()
+    return out.select("node", "ancestor", F.col("depth").cast("long"))
+
+
 @_q("e18_try_functions", """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN TRY_CAST(lang AS INTEGER) IS NULL
