@@ -600,3 +600,46 @@ def test_line_boilerplate_removed_everywhere(spark):
     solo = spark.createDataFrame([(9, "x\nx\ny")], "doc_id long, text string")
     got = dd.line_boilerplate_removal(solo, min_docs=2).collect()[0]
     assert got["clean_text"] == "x\nx\ny" and got["n_removed_lines"] == 0
+
+
+def test_substring_dedup_matches_bruteforce_hypothesis(spark):
+    """Property: substring_dedup equals a brute-force Python mirror of
+    its contract on random small-vocabulary corpora (small vocab makes
+    duplicated windows likely)."""
+    from hypothesis import given, settings, strategies as st
+
+    N = 3  # window size
+
+    def brute(docs):
+        toks = {d: t.split() if t else [""] for d, t in docs}
+        # NOTE: python str.split() != split-on-\s+ for empty strings;
+        # generator below never yields empty/whitespace-only text.
+        sites = {}
+        for d in sorted(toks):
+            tk = toks[d]
+            for pos in range(len(tk) - N + 1):
+                sites.setdefault(" ".join(tk[pos:pos + N]), []).append((d, pos))
+        removed = {d: set() for d in toks}
+        for w, occ in sites.items():
+            if len(occ) > 1:
+                for d, pos in sorted(occ)[1:]:
+                    removed[d].update(range(pos, pos + N))
+        out = {}
+        for d, tk in toks.items():
+            kept = [t for i, t in enumerate(tk) if i not in removed[d]]
+            out[d] = (" ".join(kept), len(tk) - len(kept))
+        return out
+
+    word = st.sampled_from(["a", "b", "c", "d"])
+    doc = st.lists(word, min_size=1, max_size=12).map(" ".join)
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=6))
+    def run(texts):
+        docs = list(enumerate(texts))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+               for r in dd.substring_dedup(df, n=N).collect()}
+        assert got == brute(docs), texts
+
+    run()
