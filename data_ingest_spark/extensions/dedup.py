@@ -551,3 +551,48 @@ def line_boilerplate_removal(df: DataFrame, min_docs: int = 2,
                     F.coalesce("clean_text", F.lit("")).alias("clean_text"),
                     (F.col("_tot") - F.coalesce("_kept", F.lit(0)))
                     .cast("long").alias("n_removed_lines")))
+
+
+def containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 3,
+                      threshold: float = 0.8,
+                      max_df: int = 1000) -> DataFrame:
+    """Asymmetric containment detection: (contained_id, container_id,
+    containment) pairs where C(A→B) = |shingles(A) ∩ shingles(B)| /
+    |shingles(A)| ≥ threshold — catches excerpts/quotes swallowed by a
+    longer document, which Jaccard-based near-dup misses (a 10-token
+    excerpt of a 1000-token doc has J ≈ 0.01 but containment 1.0).
+
+    Candidates come from an inverted shingle index with a
+    document-frequency cap: shingles appearing in > ``max_df`` docs
+    (template/boilerplate shingles) are dropped from candidate
+    generation — the standard bound that keeps the posting-list
+    self-join from exploding on common phrases at corpus scale. The
+    containment denominator still uses the FULL shingle-set size, so
+    the cap can only lose candidates (documented recall dial), never
+    corrupt a reported score.
+    """
+    df = spread(df)
+    membership = shingle_sets(df, id_col, text_col, k).persist()
+    sizes = membership.groupBy(id_col).agg(F.count("*").alias("_sz"))
+    rare = (membership.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle"))
+    m = membership.join(rare, "shingle", "left_semi")
+    a = m.select(F.col(id_col).alias("contained_id"), "shingle")
+    b = m.select(F.col(id_col).alias("container_id"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("contained_id") != F.col("container_id"))
+             .groupBy("contained_id", "container_id")
+             .agg(F.count("*").alias("_inter")))
+    # threshold on the RAW int/int ratio (identical in any engine);
+    # rounding is presentation-only — filtering on the rounded value
+    # would admit ratios that round up across the threshold
+    return (inter
+            .join(sizes.select(F.col(id_col).alias("contained_id"),
+                               F.col("_sz").alias("_sa")), "contained_id")
+            .filter(F.col("_inter") / F.col("_sa") >= threshold)
+            .select("contained_id", "container_id",
+                    F.round(F.col("_inter") / F.col("_sa"), 6)
+                    .alias("containment")))

@@ -4482,6 +4482,39 @@ def q_hierarchy_paths(spark, sf):
     return out.select("node", "ancestor", F.col("depth").cast("long"))
 
 
+@_q("e21_range_frame", """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (
+           PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 6)
+           AS trailing_1h_sum,
+       CAST(COUNT(*) OVER (
+           PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS trailing_1h_n
+FROM events
+""")
+def q_range_frame(spark, sf):
+    """Time-RANGE window frames: per-user trailing-1-hour sum/count —
+    the moving-aggregate shape ROWS frames cannot express (frame width
+    is event-time, not row count). One shuffle on user_id; the frame
+    scan is sort-local within the partition."""
+    ev = load(spark, sf, "events")
+    ev.createOrReplaceTempView("_rf_events")
+    return spark.sql("""
+        SELECT event_id, user_id,
+               ROUND(SUM(value) OVER (
+                   PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                             AND CURRENT ROW), 6) AS trailing_1h_sum,
+               CAST(COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS trailing_1h_n
+        FROM _rf_events
+    """)
+
+
 @_q("e18_try_functions", """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN TRY_CAST(lang AS INTEGER) IS NULL
@@ -4592,6 +4625,46 @@ def q_line_boilerplate(spark, sf):
         "doc_id",
         F.regexp_replace(F.col("text"), r"\. ", "\n").alias("text"))
     return dd.line_boilerplate_removal(base, min_docs=2)
+
+
+_EXCERPT_SQL = (
+    "SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 2000000, "
+    "array_to_string(string_split_regex(text, '\\s+')[1:12], ' ') "
+    "FROM documents WHERE doc_id % 10 = 0")
+
+
+def _excerpt_corpus(spark, sf):
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    ex = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.array_join(F.slice(F.split(F.col("text"), r"\s+"), 1, 12), " ")
+        .alias("text"))
+    return docs.unionByName(ex)
+
+
+@_q("x69_containment", f"""
+WITH corpus AS ({_EXCERPT_SQL}),{_shingle_ctes('corpus')},
+ sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shx GROUP BY 1),
+ rare AS (SELECT shingle FROM shx GROUP BY 1 HAVING COUNT(*) <= 1000),
+ m AS (SELECT x.doc_id, x.shingle FROM shx x
+       JOIN rare r ON r.shingle = x.shingle),
+ inter AS (SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+                  COUNT(*) AS i
+           FROM m a JOIN m b ON a.shingle = b.shingle
+                            AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2)
+SELECT contained_id, container_id,
+       ROUND(i / s.sz, 6) AS containment
+FROM inter JOIN sizes s ON s.doc_id = contained_id
+WHERE i / s.sz >= 0.8
+""")
+def q_containment(spark, sf):
+    """Excerpt-containment dedup over a corpus with planted 12-token
+    excerpts: every excerpt is flagged as contained in its source even
+    though its Jaccard to the source is near zero."""
+    return dd.containment_pairs(_excerpt_corpus(spark, sf),
+                                threshold=0.8, max_df=1000)
 
 
 @_q("x56_intra_repetition", r"""

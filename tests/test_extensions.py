@@ -265,6 +265,10 @@ def test_token_drift_exact_scores(spark):
 
 
 def test_curate_corpus_stage_semantics(spark):
+    assert dd.substring_dedup(empty, n=4).count() == 0
+    assert dd.line_boilerplate_removal(empty).count() == 0
+    assert dd.containment_pairs(empty).count() == 0
+
     from data_ingest_spark.extensions.curate import curate_corpus
     long_a = " ".join(f"w{i}" for i in range(40))
     long_b = " ".join(f"v{i}" for i in range(40))
@@ -438,6 +442,10 @@ def test_operators_survive_empty_input(spark):
     assert dd.dedup_keep_best(scored, "score").count() == 0
     assert dd.near_dups_against(empty, some).count() == 0
     assert dd.near_dups_against(some, empty).count() == 0
+
+    assert dd.substring_dedup(empty, n=4).count() == 0
+    assert dd.line_boilerplate_removal(empty).count() == 0
+    assert dd.containment_pairs(empty).count() == 0
 
     from data_ingest_spark.extensions.curate import curate_corpus
     bench = spark.createDataFrame([(99, "x y z")],
@@ -643,3 +651,22 @@ def test_substring_dedup_matches_bruteforce_hypothesis(spark):
         assert got == brute(docs), texts
 
     run()
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A short excerpt of a long doc has near-zero Jaccard but full
+    containment; containment_pairs flags (excerpt -> source) and not
+    the reverse direction at a high threshold."""
+    long_text = " ".join(f"w{i}" for i in range(60))
+    excerpt = " ".join(f"w{i}" for i in range(8))
+    other = " ".join(f"z{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, excerpt), (3, other)],
+        "doc_id long, text string")
+    got = {(r["contained_id"], r["container_id"]): r["containment"]
+           for r in dd.containment_pairs(df, threshold=0.9).collect()}
+    assert got == {(2, 1): 1.0}
+    # Jaccard-based near-dup does NOT pair them at any useful threshold
+    jac = {(r["id_a"], r["id_b"])
+           for r in dd.near_dup_pairs(df, threshold=0.3).collect()}
+    assert (1, 2) not in jac and (2, 1) not in jac
