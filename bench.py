@@ -67,6 +67,8 @@ HEADLINE = [
     "x64_substring_dedup",
     "m13_label_propagation",
     "p2_qc_filters",
+    "x69_containment",
+    "v23_tpch_q21",
 ]
 
 

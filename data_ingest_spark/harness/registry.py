@@ -4695,6 +4695,13 @@ def q_intra_repetition(spark, sf):
 # event-analytics family, and the LLM-pipeline extensions — so the
 # next sample extends verified coverage instead of re-checking green
 # rows. Every name below carries a full DuckDB value oracle.
+#
+# Round-4 rotation plan (for the next builder pass): assuming this
+# round's 50-sample returns green, replace this list with the still
+# unverified oracled remainder — v15–v26 (the completed TPC-H set),
+# e14–e21, x64/x65/x69 and the other x-family entries outside the
+# round-2/round-3 samples — so three rounds of bounded samples
+# jointly cover every oracled query.
 _ROUND3_PRIORITY = [
     "m2_doublets_native", "m12_knn_exact", "m12_snn_graph",
     "m13_label_propagation", "g1_pagerank", "g2_triangles",
