@@ -141,3 +141,23 @@ def test_tokenize_vocab_broadcasts_back(spark):
     token stream — a shuffle join there would move the corpus."""
     df = q(spark, "x38_tokenize_ids")
     assert broadcast_join_count(df) >= 1
+
+
+def test_tpch_round3_shapes_broadcast_dims(spark):
+    """The round-3 TPC-H shapes must keep their star-join plans: every
+    dimension side broadcast (no shuffle-join on a dim), and the fact
+    chain within a fixed exchange budget. Counts measured at authoring
+    time; a regression that turns a dim broadcast into a sort-merge
+    join or adds a fact shuffle fails here."""
+    expect = {
+        "v15_tpch_q7": (5, 1), "v16_tpch_q8": (7, 1),
+        "v17_tpch_q9": (4, 1), "v18_tpch_q10": (3, 1),
+        "v19_tpch_q12": (1, 1), "v20_tpch_q15": (2, 3),
+        "v21_tpch_q17": (2, 2), "v22_tpch_q19": (1, 1),
+        "v23_tpch_q21": (3, 5), "v24_tpch_q2": (7, 5),
+        "v25_tpch_q11": (5, 3), "v26_tpch_q20": (3, 5),
+    }
+    for name, (min_bcast, max_shuffles) in expect.items():
+        df = q(spark, name)
+        assert broadcast_join_count(df) >= min_bcast, name
+        assert shuffle_count(df) <= max_shuffles, name
