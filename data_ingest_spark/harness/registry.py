@@ -4515,6 +4515,57 @@ def q_range_frame(spark, sf):
     """)
 
 
+@_q("x70_hll_accuracy", """
+SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_n,
+       TRUE AS within_bound
+FROM lineitem
+""")
+def q_hll_accuracy(spark, sf):
+    """HLL quality gate, oracle-checkable the same way x57 checks
+    MinHash recall: emit the EXACT distinct count (hash-matched
+    against the oracle) plus a boolean asserting the engine's
+    approx_count_distinct landed within 3x its configured 5% rsd.
+    The approximate value itself can never hash-match — the bound
+    check is the contract."""
+    li = load(spark, sf, "lineitem")
+    agg = li.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("exact_n"),
+        F.approx_count_distinct("l_orderkey", rsd=0.05).alias("_approx"))
+    return agg.select(
+        "exact_n",
+        (F.abs(F.col("_approx") - F.col("exact_n"))
+         / F.col("exact_n") < 0.15).alias("within_bound"))
+
+
+@_q("e22_approx_percentile_accuracy", """
+WITH ex AS (SELECT quantile_cont(o_totalprice, 0.5) AS p50,
+                   quantile_cont(o_totalprice, 0.95) AS p95,
+                   MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+            FROM orders)
+SELECT ROUND(p50, 2) AS exact_p50, ROUND(p95, 2) AS exact_p95,
+       TRUE AS p50_ok, TRUE AS p95_ok
+FROM ex
+""")
+def q_approx_percentile_accuracy(spark, sf):
+    """approx_percentile quality gate: exact p50/p95 (hash-matched)
+    plus booleans asserting the sketch estimates fall within 5% of
+    the exact values — the bound that justifies using the mergeable
+    sketch at scale."""
+    o = load(spark, sf, "orders")
+    agg = o.agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("_e50"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("_e95"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("_a50"),
+        F.expr("approx_percentile(o_totalprice, 0.95, 1000)").alias("_a95"))
+    return agg.select(
+        F.round("_e50", 2).alias("exact_p50"),
+        F.round("_e95", 2).alias("exact_p95"),
+        (F.abs(F.col("_a50") - F.col("_e50")) / F.col("_e50") < 0.05)
+        .alias("p50_ok"),
+        (F.abs(F.col("_a95") - F.col("_e95")) / F.col("_e95") < 0.05)
+        .alias("p95_ok"))
+
+
 @_q("e18_try_functions", """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN TRY_CAST(lang AS INTEGER) IS NULL
