@@ -596,3 +596,32 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("contained_id", "container_id",
                     F.round(F.col("_inter") / F.col("_sa"), 6)
                     .alias("containment")))
+
+
+def remove_contained(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = 3,
+                     threshold: float = 0.8,
+                     max_df: int = 1000) -> DataFrame:
+    """Corpus after dropping every document that is ≥ ``threshold``
+    contained in some OTHER document (the excerpt-removal pass on top
+    of :func:`containment_pairs`). Mutual containment (near-identical
+    docs) keeps the smaller id: a pair where each contains the other
+    would otherwise delete both."""
+    # pairs feeds the mutual self-join AND two drop-set branches:
+    # persist the (bounded) pair table so the shingle/inverted-index
+    # subtree underneath runs once, not four times.
+    pairs = containment_pairs(df, id_col, text_col, k, threshold,
+                              max_df).persist()
+    mutual = (pairs.alias("p")
+              .join(pairs.alias("q"),
+                    (F.col("p.contained_id") == F.col("q.container_id"))
+                    & (F.col("p.container_id") == F.col("q.contained_id")),
+                    "left_semi"))
+    drop = (pairs.join(mutual.select("contained_id", "container_id"),
+                       ["contained_id", "container_id"], "left_anti")
+            .select("contained_id")
+            .unionByName(
+                mutual.filter(F.col("contained_id") > F.col("container_id"))
+                .select("contained_id"))
+            .distinct())
+    return df.join(drop, df[id_col] == drop["contained_id"], "left_anti")

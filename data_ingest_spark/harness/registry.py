@@ -4718,6 +4718,41 @@ def q_containment(spark, sf):
                                 threshold=0.8, max_df=1000)
 
 
+@_q("x71_drop_contained", f"""
+WITH corpus AS ({_EXCERPT_SQL}),{_shingle_ctes('corpus')},
+ sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shx GROUP BY 1),
+ rare AS (SELECT shingle FROM shx GROUP BY 1 HAVING COUNT(*) <= 1000),
+ m AS (SELECT x.doc_id, x.shingle FROM shx x
+       JOIN rare r ON r.shingle = x.shingle),
+ inter AS (SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+                  COUNT(*) AS i
+           FROM m a JOIN m b ON a.shingle = b.shingle
+                            AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2),
+ pairs AS (SELECT contained_id, container_id
+           FROM inter JOIN sizes s ON s.doc_id = contained_id
+           WHERE i / s.sz >= 0.8),
+ mutual AS (SELECT p.contained_id, p.container_id FROM pairs p
+            WHERE EXISTS (SELECT 1 FROM pairs q
+                          WHERE q.contained_id = p.container_id
+                            AND q.container_id = p.contained_id)),
+ drop_ids AS (
+   SELECT contained_id FROM pairs
+   EXCEPT SELECT contained_id FROM mutual
+   UNION SELECT contained_id FROM mutual
+         WHERE contained_id > container_id)
+SELECT c.doc_id FROM corpus c
+LEFT JOIN drop_ids d ON d.contained_id = c.doc_id
+WHERE d.contained_id IS NULL
+""")
+def q_drop_contained(spark, sf):
+    """The containment KEEP-set: the excerpt corpus minus every doc
+    ≥0.8-contained in another (mutual-containment ties keep the
+    smaller id)."""
+    return dd.remove_contained(_excerpt_corpus(spark, sf),
+                               threshold=0.8).select("doc_id")
+
+
 @_q("x56_intra_repetition", r"""
 WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
               FROM documents),

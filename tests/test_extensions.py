@@ -666,3 +666,17 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
     jac = {(r["id_a"], r["id_b"])
            for r in dd.near_dup_pairs(df, threshold=0.3).collect()}
     assert (1, 2) not in jac and (2, 1) not in jac
+
+
+def test_remove_contained_keeps_mutual_smaller_id(spark):
+    """Excerpts vanish; mutual containment (near-identical docs) keeps
+    exactly the smaller id; unrelated docs survive."""
+    long_text = " ".join(f"w{i}" for i in range(40))
+    rows = [(1, long_text),
+            (2, " ".join(f"w{i}" for i in range(6))),   # excerpt of 1
+            (10, "p q r s t u v"), (11, "p q r s t u v"),  # mutual pair
+            (3, " ".join(f"z{i}" for i in range(20)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r["doc_id"] for r in
+            dd.remove_contained(df, threshold=0.8).collect()}
+    assert kept == {1, 10, 3}
