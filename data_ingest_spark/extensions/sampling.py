@@ -102,3 +102,29 @@ def importance_sample(df: DataFrame, weight_col: str, id_col: str = "doc_id",
     cut = F.floor(F.pow(F.col(weight_col), F.lit(float(temperature)))
                   * BUCKETS)
     return df.filter(hash_bucket(F.col(id_col), seed) < cut)
+
+
+def leakage_safe_split(df: DataFrame, pairs: DataFrame,
+                       weights: dict[str, float], id_col: str = "doc_id",
+                       seed: int = 42,
+                       out_col: str = "split") -> DataFrame:
+    """Split assignment where every document connected by duplicate
+    ``pairs`` (id_a, id_b) lands in the SAME split — the split is a
+    pure function of the doc's duplicate-cluster representative
+    (component-minimum id; docs in no pair represent themselves), so
+    duplicated or near-duplicated content can never straddle
+    train/test (the leakage mode a per-doc hash split permits).
+
+    Composes :func:`data_ingest_spark.extensions.dedup.dup_clusters`
+    (iterative small-star joins) with :func:`hash_split`; one extra
+    left join versus the plain split. Output adds a ``rep`` column so
+    the caller (and the oracle) can audit the cluster → split mapping.
+    """
+    from data_ingest_spark.extensions.dedup import dup_clusters
+
+    clusters = dup_clusters(pairs)
+    rep = (df.join(clusters.withColumnRenamed("doc_id", id_col),
+                   id_col, "left")
+           .withColumn("rep", F.coalesce("cluster", F.col(id_col)))
+           .drop("cluster"))
+    return hash_split(rep, "rep", weights, seed, out_col)

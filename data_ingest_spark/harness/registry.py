@@ -4753,6 +4753,51 @@ def q_drop_contained(spark, sf):
                                threshold=0.8).select("doc_id")
 
 
+@_q("x72_leakage_safe_split", """
+WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL
+                SELECT doc_id + 1000000, text
+                FROM documents WHERE doc_id % 10 = 0),
+ groups AS (SELECT md5(text) AS h, MIN(doc_id) AS keep, COUNT(*) AS n
+            FROM corpus GROUP BY 1 HAVING COUNT(*) > 1),
+ prs AS (SELECT g.keep AS id_a, c.doc_id AS id_b
+         FROM groups g JOIN corpus c ON md5(c.text) = g.h
+         WHERE c.doc_id > g.keep),
+ edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+           UNION SELECT id_b, id_a FROM prs),
+ nodes AS (SELECT DISTINCT src AS id FROM edges),
+ walk AS (
+   WITH RECURSIVE reach(src, dst) AS (
+     SELECT id, id FROM nodes
+     UNION
+     SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+   SELECT src, dst FROM reach),
+ cl AS (SELECT src AS doc_id, MIN(dst) AS cluster FROM walk GROUP BY 1),
+ rep AS (SELECT c.doc_id, COALESCE(cl.cluster, c.doc_id) AS rep
+         FROM corpus c LEFT JOIN cl ON cl.doc_id = c.doc_id),
+ b AS (SELECT doc_id, rep, {bkt} AS bkt FROM rep)
+SELECT doc_id, rep,
+       CASE WHEN bkt < 8000 THEN 'train'
+            WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split
+FROM b
+""".format(bkt=_bucket_sql("rep", 42)))
+def q_leakage_safe_split(spark, sf):
+    """Dedup-aware split: exact-dup clusters of the planted corpus all
+    land in one split (split keyed on the cluster-minimum id), so
+    duplicated content cannot straddle train/test. Full value oracle:
+    per-doc (rep, split) assignment."""
+    from data_ingest_spark.extensions.sampling import leakage_safe_split
+    corpus = _dup_corpus(spark, sf)
+    pairs = (dd.exact_dedup(corpus)
+             .join(corpus.select(F.col("doc_id").alias("id_b"),
+                                 F.md5(F.col("text").cast("binary"))
+                                 .alias("content_hash")), "content_hash")
+             .filter(F.col("id_b") > F.col("keep_id"))
+             .select(F.col("keep_id").alias("id_a"), "id_b"))
+    out = leakage_safe_split(
+        corpus, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42)
+    return out.select("doc_id", "rep", "split")
+
+
 @_q("x56_intra_repetition", r"""
 WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
               FROM documents),

@@ -128,3 +128,25 @@ def test_decayed_counts_halving(spark):
     assert out[1]["decayed_count"] == 1.5
     assert out[1]["n_events"] == 2
     assert 2 not in out
+
+
+def test_leakage_safe_split_co_assigns_duplicates(spark):
+    """All docs in a duplicate cluster receive the SAME split; docs in
+    no pair keep their plain hash_split assignment (stable under
+    corpus growth)."""
+    from data_ingest_spark.extensions.sampling import (hash_split,
+                                                       leakage_safe_split)
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(30)] + [(100, "text 7")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame([(7, 100)], "id_a long, id_b long")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = {r["doc_id"]: (r["rep"], r["split"])
+           for r in leakage_safe_split(docs, pairs, w).collect()}
+    assert out[7] == out[100]          # same rep, same split
+    assert out[7][0] == 7
+    plain = {r["doc_id"]: r["split"]
+             for r in hash_split(docs, "doc_id", w).collect()}
+    for i in range(30):
+        if i != 7:
+            assert out[i] == (i, plain[i]), i
