@@ -4566,6 +4566,44 @@ def q_approx_percentile_accuracy(spark, sf):
         .alias("p95_ok"))
 
 
+@_q("e23_gap_fill", """
+WITH d AS (SELECT user_id % 50 AS grp, ts::TIMESTAMP::DATE AS day,
+                  value FROM events),
+ spans AS (SELECT grp, MIN(day) AS lo, MAX(day) AS hi FROM d GROUP BY 1),
+ cal AS (SELECT grp, unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+                     ::DATE AS day
+         FROM spans),
+ agg AS (SELECT grp, day, CAST(COUNT(*) AS BIGINT) AS n,
+                ROUND(SUM(value), 2) AS total
+         FROM d GROUP BY 1, 2)
+SELECT c.grp, CAST(c.day AS VARCHAR) AS day,
+       COALESCE(a.n, 0) AS n, COALESCE(a.total, 0.0) AS total
+FROM cal c LEFT JOIN agg a ON a.grp = c.grp AND a.day = c.day
+""")
+def q_gap_fill(spark, sf):
+    """Time-series gap filling: a dense per-group daily calendar from
+    each group's min..max day, left-joined onto the actual daily
+    aggregates with zero-fill — the resampling pass dashboards and
+    window models need (a groupBy alone silently omits empty days).
+    Calendar generation is sequence()+explode per group row — no
+    driver loop, no cross join."""
+    d = load(spark, sf, "events").select(
+        (F.col("user_id") % 50).alias("grp"),
+        F.col("ts").cast("date").alias("day"), "value")
+    spans = d.groupBy("grp").agg(F.min("day").alias("lo"),
+                                 F.max("day").alias("hi"))
+    cal = spans.select(
+        "grp", F.explode(F.expr(
+            "sequence(lo, hi, interval 1 day)")).alias("day"))
+    agg = d.groupBy("grp", "day").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("value"), 2).alias("total"))
+    return (cal.join(agg, ["grp", "day"], "left")
+            .select("grp", F.col("day").cast("string").alias("day"),
+                    F.coalesce("n", F.lit(0)).alias("n"),
+                    F.coalesce("total", F.lit(0.0)).alias("total")))
+
+
 @_q("e18_try_functions", """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN TRY_CAST(lang AS INTEGER) IS NULL
