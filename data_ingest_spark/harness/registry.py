@@ -4604,6 +4604,50 @@ def q_gap_fill(spark, sf):
                     F.coalesce("total", F.lit(0.0)).alias("total")))
 
 
+@_q("e24_mad_outliers", """
+WITH med AS (SELECT o_orderpriority,
+                    quantile_cont(o_totalprice, 0.5) AS med
+             FROM orders GROUP BY 1),
+ dev AS (SELECT o.o_orderpriority, o.o_orderkey, o.o_totalprice,
+                ABS(o.o_totalprice - m.med) AS ad, m.med
+         FROM orders o JOIN med m
+           ON o.o_orderpriority = m.o_orderpriority),
+ mad AS (SELECT o_orderpriority, quantile_cont(ad, 0.5) AS mad
+         FROM dev GROUP BY 1)
+SELECT d.o_orderpriority AS priority, d.o_orderkey AS orderkey,
+       ROUND((d.o_totalprice - d.med) / (1.4826 * m.mad), 6)
+           AS robust_z,
+       (ABS(d.o_totalprice - d.med) > 3.0 * 1.4826 * m.mad)
+           AS is_outlier
+FROM dev d JOIN mad m ON d.o_orderpriority = m.o_orderpriority
+""")
+def q_mad_outliers(spark, sf):
+    """Robust per-group outlier flagging: median + MAD (scaled by the
+    1.4826 normal-consistency constant) instead of mean/stddev, so a
+    few extreme rows cannot drag the threshold — the robust twin of
+    the M4 regression band. Two exact-percentile aggregations plus a
+    broadcast join back; parity of interpolated percentiles across
+    engines is already pinned by e8."""
+    o = load(spark, sf, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice")
+    med = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med"))
+    dev = (o.join(F.broadcast(med), "o_orderpriority")
+           .withColumn("ad", F.abs(F.col("o_totalprice") - F.col("med"))))
+    mad = dev.groupBy(F.col("o_orderpriority").alias("_p")).agg(
+        F.expr("percentile(ad, 0.5)").alias("mad"))
+    return (dev.join(F.broadcast(mad),
+                     F.col("o_orderpriority") == F.col("_p"))
+            .select(F.col("o_orderpriority").alias("priority"),
+                    F.col("o_orderkey").alias("orderkey"),
+                    F.round((F.col("o_totalprice") - F.col("med"))
+                            / (F.lit(1.4826) * F.col("mad")), 6)
+                    .alias("robust_z"),
+                    (F.abs(F.col("o_totalprice") - F.col("med"))
+                     > F.lit(3.0) * F.lit(1.4826) * F.col("mad"))
+                    .alias("is_outlier")))
+
+
 @_q("e18_try_functions", """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN TRY_CAST(lang AS INTEGER) IS NULL
