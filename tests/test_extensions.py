@@ -680,3 +680,33 @@ def test_remove_contained_keeps_mutual_smaller_id(spark):
     kept = {r["doc_id"] for r in
             dd.remove_contained(df, threshold=0.8).collect()}
     assert kept == {1, 10, 3}
+
+
+def test_dedup_index_incremental_lifecycle(spark, tmp_path):
+    """Persistent LSH index: day-0 build, day-1 batch finds its
+    near-dup of the ARCHIVE from stored tables, day-2 batch finds its
+    near-dup of DAY-1 (proving the append really extended the index) —
+    the archive is never re-shingled."""
+    from data_ingest_spark.extensions.dedup_index import (
+        build_dedup_index, update_dedup_index)
+
+    path = str(tmp_path / "idx")
+    base_text = " ".join(f"tok{i}" for i in range(30))
+    day1_text = " ".join(f"tok{i}" for i in range(2, 30))   # near-dup of base
+    day2_text = " ".join(f"tok{i}" for i in range(2, 28))   # near-dup of day1
+    other = " ".join(f"z{i}" for i in range(25))
+
+    build_dedup_index(spark.createDataFrame(
+        [(1, base_text), (2, other)], "doc_id long, text string"), path)
+
+    d1 = update_dedup_index(spark, path, spark.createDataFrame(
+        [(100, day1_text), (101, "totally different words here now")],
+        "doc_id long, text string"), threshold=0.5)
+    got1 = {(r["id_new"], r["id_old"]) for r in d1.collect()}
+    assert got1 == {(100, 1)}
+
+    d2 = update_dedup_index(spark, path, spark.createDataFrame(
+        [(200, day2_text)], "doc_id long, text string"), threshold=0.5)
+    got2 = {(r["id_new"], r["id_old"]) for r in d2.collect()}
+    assert (200, 100) in got2          # found via the APPENDED state
+    assert all(n == 200 for n, _ in got2)
