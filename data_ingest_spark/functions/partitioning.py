@@ -137,3 +137,35 @@ def compact_parquet(spark, src_path: str, dst_path: str,
     df.repartition(n_out).write.mode("overwrite").parquet(dst_path)
     out = spark.read.parquet(dst_path)
     return out.select(F.input_file_name()).distinct().count()
+
+
+def salted_agg(df: DataFrame, keys: list[str], aggs: dict[str, str],
+               salt: int = 16) -> DataFrame:
+    """Skew-resistant aggregation: shard each key across ``salt``
+    partial groups, aggregate, then combine partials per key. Both
+    stages map-side combine, so a single monster key costs
+    1/``salt``th of a task per stage instead of one unsplittable
+    reducer. ``aggs`` maps column -> 'sum' | 'count' | 'min' | 'max'
+    (the algebraic functions whose partials recombine exactly; avg =
+    sum/count composed by the caller).
+
+    Prefer the plain groupBy until a key is provably hot — salting
+    doubles the shuffle count; it wins only when the straggler costs
+    more than the extra (tiny, pre-combined) second shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    _COMBINE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    _PARTIAL = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    for fn in aggs.values():
+        if fn not in _PARTIAL:
+            raise ValueError(f"unsupported agg '{fn}'; "
+                             f"use {sorted(_PARTIAL)}")
+    shard = F.floor(F.rand(seed=7) * salt).cast("int")
+    partial = (df.withColumn("_salt", shard)
+               .groupBy(*keys, "_salt")
+               .agg(*[_PARTIAL[fn](c).alias(f"_{fn}_{c}")
+                      for c, fn in aggs.items()]))
+    return (partial.groupBy(*keys)
+            .agg(*[_COMBINE[fn](f"_{fn}_{c}").alias(f"{fn}_{c}")
+                   for c, fn in aggs.items()]))

@@ -133,3 +133,27 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == 4000
     assert back.agg({"id": "sum"}).collect()[0][0] == sum(range(4000))
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    from data_ingest_spark.functions.partitioning import salted_agg
+    import pyspark.sql.functions as F
+    # one monster key (90% of rows) + normal keys
+    df = spark.range(0, 10000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 'hot' ELSE concat('k', id % 7) END AS k",
+        "CAST(id AS DOUBLE) AS v")
+    got = {r["k"]: (r["sum_v"], r["count_v"], r["min_v"], r["max_v"])
+           for r in salted_agg(df, ["k"], {"v": "sum"}, salt=8)
+           .join(salted_agg(df, ["k"], {"v": "count"}, salt=8), "k")
+           .join(salted_agg(df, ["k"], {"v": "min"}, salt=8), "k")
+           .join(salted_agg(df, ["k"], {"v": "max"}, salt=8), "k")
+           .collect()}
+    want = {r["k"]: (r["s"], r["c"], r["mn"], r["mx"])
+            for r in df.groupBy("k").agg(
+                F.sum("v").alias("s"), F.count("v").alias("c"),
+                F.min("v").alias("mn"), F.max("v").alias("mx")).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][1] == want[k][1] and got[k][2] == want[k][2] \
+            and got[k][3] == want[k][3], k
+        assert abs(got[k][0] - want[k][0]) < 1e-6, k
