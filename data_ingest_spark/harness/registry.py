@@ -4648,6 +4648,51 @@ def q_mad_outliers(spark, sf):
                     .alias("is_outlier")))
 
 
+@_q("x73_dq_checks", """
+WITH base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS v_nn,
+       CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                       OR o_totalprice > 1000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS v_rng,
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                       OR o_orderstatus NOT IN ('O', 'F', 'P')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS v_set,
+       CAST(SUM(CASE WHEN NOT (o_orderdate <= o_orderdate)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS v_expr
+       FROM orders),
+ uq AS (SELECT CAST(COALESCE(SUM(CASE WHEN k > 1 THEN k END), 0) AS BIGINT)
+                 AS v_uq,
+               CAST(COALESCE(SUM(k), 0) AS BIGINT) AS n_uq
+        FROM (SELECT COUNT(*) AS k FROM orders GROUP BY o_orderkey))
+SELECT rule, col AS "column", v AS n_violations, n AS n_rows,
+       v = 0 AS pass
+FROM (
+  SELECT 'not_null' AS rule, 'o_custkey' AS col, v_nn AS v, n FROM base
+  UNION ALL SELECT 'in_range', 'o_totalprice', v_rng, n FROM base
+  UNION ALL SELECT 'in_set', 'o_orderstatus', v_set, n FROM base
+  UNION ALL SELECT 'expression', 'date_sane', v_expr, n FROM base
+  UNION ALL SELECT 'unique', 'o_orderkey', v_uq, n_uq FROM uq)
+""")
+def q_dq_checks(spark, sf):
+    """Declarative data-quality report over orders: five rule kinds
+    (null / range / set / expression / uniqueness), all row-local
+    rules fused into ONE aggregation pass — integer-exact, so the
+    full report hash-matches the oracle."""
+    from data_ingest_spark.functions.quality import check
+    o = load(spark, sf, "orders")
+    return check(o, [
+        {"rule": "not_null", "column": "o_custkey"},
+        {"rule": "in_range", "column": "o_totalprice",
+         "lo": 0.0, "hi": 1000000.0},
+        {"rule": "in_set", "column": "o_orderstatus",
+         "allowed": ["O", "F", "P"]},
+        {"rule": "expression", "column": "date_sane",
+         "expr": "o_orderdate <= o_orderdate"},
+        {"rule": "unique", "column": "o_orderkey"},
+    ])
+
+
 @_q("e18_try_functions", """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN TRY_CAST(lang AS INTEGER) IS NULL

@@ -710,3 +710,29 @@ def test_dedup_index_incremental_lifecycle(spark, tmp_path):
     got2 = {(r["id_new"], r["id_old"]) for r in d2.collect()}
     assert (200, 100) in got2          # found via the APPENDED state
     assert all(n == 200 for n, _ in got2)
+
+
+def test_dq_check_rule_semantics(spark):
+    """Each rule kind counts exactly its violations; row-local rules
+    share one aggregation; nulls violate range/set/match rules."""
+    from data_ingest_spark.functions.quality import check
+    df = spark.createDataFrame(
+        [(1, 5.0, "a", "x1"), (2, -1.0, "b", "x2"),
+         (2, 50.0, None, "zz"), (None, None, "c", "x3")],
+        "id long, v double, cat string, code string")
+    out = {(r["rule"], r["column"]): (r["n_violations"], r["pass"])
+           for r in check(df, [
+               {"rule": "not_null", "column": "id"},
+               {"rule": "in_range", "column": "v", "lo": 0.0, "hi": 10.0},
+               {"rule": "in_set", "column": "cat", "allowed": ["a", "b"]},
+               {"rule": "matches", "column": "code", "pattern": "^x[0-9]$"},
+               {"rule": "unique", "column": "id"},
+           ]).collect()}
+    assert out[("not_null", "id")] == (1, False)
+    # violations: -1 out of range, 50 out of range, null -> 3
+    assert out[("in_range", "v")] == (3, False)
+    assert out[("in_set", "cat")] == (2, False)   # None + 'c'
+    assert out[("matches", "code")] == (1, False)  # 'zz'
+    assert out[("unique", "id")] == (2, False)     # two rows share id 2
+    clean = check(df.limit(0), [{"rule": "not_null", "column": "id"}])
+    assert clean.collect()[0]["pass"] is True
