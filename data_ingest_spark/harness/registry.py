@@ -2520,6 +2520,20 @@ def q_louvain(spark, sf):
     return cl.louvain_driver(snn)
 
 
+@_q("m10_spectral_dist")
+def q_spectral_dist(spark, sf):
+    """Distributed Laplacian-eigenmap embedding over the SNN graph
+    (rows-only: power iteration on a degenerate-free direction is
+    deterministic but not SQL-expressible). The scale path when the
+    reduced matrix exceeds the driver ceiling of m10/m11."""
+    from data_ingest_spark.operators import clustering as cl, neighbors as nb
+    from data_ingest_spark.operators.embedding import (
+        spectral_embedding_distributed)
+    knn = nb.knn_exact(_emb_pc_arr(spark, sf), k=10, id_cols=("barcode",))
+    snn = nb.snn_graph(knn, k=10)
+    return spectral_embedding_distributed(cl._undirect(snn), n_iter=20)
+
+
 @_q("m13_louvain_dist")
 def q_louvain_dist(spark, sf):
     """Distributed Louvain phase 1 (Jacobi-parallel moves; rows-only —

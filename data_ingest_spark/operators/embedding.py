@@ -117,3 +117,99 @@ def embed_tsne(pc_cols: DataFrame, seed: int = 42) -> DataFrame:
     rows = [(s, b, float(e[0]), float(e[1]), "tsne")
             for (s, b), e in zip(ids, emb)]
     return spark.createDataFrame(rows, EMBEDDING_SCHEMA)
+
+
+def spectral_embedding_distributed(edges: DataFrame, n_iter: int = 30,
+                                   ) -> DataFrame:
+    """Distributed Laplacian-eigenmap 2-D embedding of a weighted
+    graph (the SNN/kNN graph the driver-side variant eigensolves):
+    deflated power iteration on the random-walk operator P = D⁻¹W,
+    entirely as joins + groupBys over the edge list — the scale path
+    when N×d no longer fits one driver (the known ceiling of
+    `spectral_embedding`, Seurat included).
+
+    Method: P's dominant eigenvector is constant (eigenvalue 1); the
+    next two give the embedding. Each round multiplies the current
+    basis by P (one join + one grouped sum — the same linear shuffle
+    as PageRank), then re-orthonormalizes with degree-weighted
+    Gram-Schmidt whose SIX inner products come from ONE fused
+    aggregation; only those scalars cross to the driver (closed-form
+    coefficients applied map-side), and the state localCheckpoints
+    every round so lineage stays flat. Deterministic: init derives
+    from md5(id), iteration count fixed, and each output column's
+    global sign makes its largest-|value| node (smallest id on ties)
+    positive.
+
+    Returns (id, x, y, method='spectral_dist'). Expects an UNDIRECTED
+    edge list (src, dst, snn_weight) — pass both directions like
+    clustering's `_undirect`."""
+    from pyspark.sql import functions as F
+
+    und = edges.select("src", "dst", "snn_weight").localCheckpoint()
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.sum("snn_weight").alias("deg")).localCheckpoint()
+
+    h = F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 7),
+               16, 10).cast("double")
+    h2 = F.conv(F.substring(F.md5(F.concat(F.lit("2|"),
+                                           F.col("id").cast("string"))),
+                            1, 7), 16, 10).cast("double")
+    state = deg.select(
+        "id", "deg",
+        (h / F.lit(float(1 << 28)) - 0.5).alias("v1"),
+        (h2 / F.lit(float(1 << 28)) - 0.5).alias("v2"))
+
+    def _orthonormalize(s: DataFrame) -> DataFrame:
+        """Degree-weighted Gram-Schmidt vs the constant vector and
+        between columns. Raw moments in ONE aggregation; coefficients
+        derived in closed form from the 6 scalars."""
+        d, d1, d2, s11, s12, s22 = s.agg(
+            F.sum("deg"),
+            F.sum(F.col("deg") * F.col("v1")),
+            F.sum(F.col("deg") * F.col("v2")),
+            F.sum(F.col("deg") * F.col("v1") * F.col("v1")),
+            F.sum(F.col("deg") * F.col("v1") * F.col("v2")),
+            F.sum(F.col("deg") * F.col("v2") * F.col("v2"))).first()
+        a, b = d1 / d, d2 / d
+        n1sq = max(s11 - d1 * d1 / d, 1e-300)
+        c12 = s12 - d1 * d2 / d
+        n2sq = max((s22 - d2 * d2 / d) - c12 * c12 / n1sq, 1e-300)
+        inv_n1, inv_n2 = n1sq ** -0.5, n2sq ** -0.5
+        g = c12 / n1sq
+        u1 = F.col("v1") - F.lit(a)
+        u2 = (F.col("v2") - F.lit(b)) - F.lit(g) * u1
+        return s.select("id", "deg",
+                        (u1 * F.lit(inv_n1)).alias("v1"),
+                        (u2 * F.lit(inv_n2)).alias("v2"))
+
+    state = _orthonormalize(state).localCheckpoint()
+    for _ in range(n_iter):
+        nbr = (und.join(state.select(F.col("id").alias("dst"),
+                                     F.col("v1").alias("_w1"),
+                                     F.col("v2").alias("_w2")), "dst")
+               .groupBy(F.col("src").alias("id"))
+               .agg(F.sum(F.col("snn_weight") * F.col("_w1")).alias("s1"),
+                    F.sum(F.col("snn_weight") * F.col("_w2")).alias("s2")))
+        state = (state.join(nbr, "id", "left")
+                 .select("id", "deg",
+                         (F.coalesce("s1", F.lit(0.0))
+                          / F.col("deg")).alias("v1"),
+                         (F.coalesce("s2", F.lit(0.0))
+                          / F.col("deg")).alias("v2")))
+        state = _orthonormalize(state).localCheckpoint()
+
+    # deterministic global sign: the largest-|value| node (smallest id
+    # on ties) of each column is made positive — scalar lookups, never
+    # a global sort
+    out = state
+    for c in ("v1", "v2"):
+        mx = out.agg(F.max(F.abs(F.col(c)))).first()[0]
+        pid = out.filter(F.abs(F.col(c)) == F.lit(mx)) \
+                 .agg(F.min("id")).first()[0]
+        val = out.filter(F.col("id") == F.lit(pid)) \
+                 .select(c).first()[0]
+        if val < 0:
+            out = out.withColumn(c, -F.col(c))
+    return out.select("id", F.col("v1").alias("x"),
+                      F.col("v2").alias("y"),
+                      F.lit("spectral_dist").alias("method"))

@@ -36,7 +36,8 @@ def test_registry_contract_shapes(entry_mod):
     # only the iterative-ML set may lack oracles
     assert rows_only <= {"m2_doublet_scores", "m8_pca", "m9_integrate_mnn",
                          "m9_integrate_mnn_dist",
-                         "m10_spectral_embedding", "m11_tsne", "m6_vst",
+                         "m10_spectral_embedding", "m10_spectral_dist",
+                         "m11_tsne", "m6_vst",
                          "m13_louvain", "m13_louvain_dist", "p1_qc_pipeline",
                          "x51_kmeans_ivf"}
     assert all(callable(fn) for fn in q.values())

@@ -326,3 +326,37 @@ def test_louvain_distributed_matches_driver_on_separated_cliques(spark):
     assert len(set(dist.values())) == 2
     assert {dist[f"a{i}"] for i in range(5)} == {"a0"}
     assert {dist[f"b{i}"] for i in range(5)} == {"b0"}
+
+
+def test_spectral_embedding_distributed_separates_cliques(spark):
+    """Distributed Laplacian-eigenmap embedding: on two weakly-bridged
+    cliques the first coordinate separates the communities by sign
+    (Fiedler structure), the result is deterministic across runs, and
+    every node is embedded."""
+    from data_ingest_spark.operators import clustering as cl
+    from data_ingest_spark.operators.embedding import (
+        spectral_embedding_distributed)
+
+    cliq_a = [(f"a{i}", f"a{j}", 1.0) for i in range(5) for j in range(i + 1, 5)]
+    cliq_b = [(f"b{i}", f"b{j}", 1.0) for i in range(5) for j in range(i + 1, 5)]
+    bridge = [("a0", "b0", 0.05)]
+    edges = spark.createDataFrame(cliq_a + cliq_b + bridge,
+                                  "src string, dst string, snn_weight double")
+    und = cl._undirect(edges)
+    e1 = {r["id"]: (r["x"], r["y"])
+          for r in spectral_embedding_distributed(und).collect()}
+    assert len(e1) == 10
+    xs_a = [e1[f"a{i}"][0] for i in range(5)]
+    xs_b = [e1[f"b{i}"][0] for i in range(5)]
+    assert (all(v > 0 for v in xs_a) and all(v < 0 for v in xs_b)) or \
+           (all(v < 0 for v in xs_a) and all(v > 0 for v in xs_b))
+    e2 = {r["id"]: (r["x"], r["y"])
+          for r in spectral_embedding_distributed(und).collect()}
+    for k in e1:
+        # x (the Fiedler direction) has an eigengap -> stable; y lies
+        # in the cliques' DEGENERATE eigenspace where any eigensolver
+        # resolves the direction arbitrarily, so only its magnitude
+        # scale is comparable
+        assert abs(e1[k][0] - e2[k][0]) < 1e-6
+    assert abs(max(abs(v[1]) for v in e1.values())
+               - max(abs(v[1]) for v in e2.values())) < 0.3
