@@ -536,3 +536,59 @@ def reassemble_chunks(chunks: DataFrame, overlap: int = 64,
         .otherwise(F.substring(s["chunk_text"], overlap + 1, 1 << 30)))
     return (chunks.groupBy(id_col)
             .agg(F.concat_ws("", trimmed).alias("text")))
+
+
+def perplexity_buckets(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", lang_col: str = "lang",
+                       n_buckets: int = 3) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing: score every
+    document by mean token log-probability under its OWN language's
+    add-1 unigram model, then split each language into equal-count
+    quality tertiles — ``head`` (most typical text), ``middle``,
+    ``tail`` (rare-token soup / gibberish). CCNet keeps head+middle
+    for LM training and drops tail; the bucket label is the standard
+    curation signal.
+
+    Determinism follows :func:`unigram_logprob`: token log-probs are
+    fixed-pointed once in the model (int64), the per-document
+    reduction is an integer sum, and the NTILE ordering ties break on
+    the id — identical across engines and partitionings.
+
+    Plan: explode → groupBy(lang, token) model → per-lang scalars
+    broadcast back → one groupBy(doc) → one window per lang. The
+    model is vocabulary-sized (tiny next to the corpus); the window
+    partitions by language, so no global sort — at 100 TB each
+    language's rank runs in its own shuffle partition set, and a
+    skewed dominant language can be pre-split by ntile-on-sample if
+    ever needed.
+
+    Returns ``(doc_id, lang, n_tokens, avg_logprob, bucket)``.
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(F.col(id_col), F.col(lang_col).alias("lang"),
+                     F.explode(tokens_col(text_col)).alias("token"))
+    model = toks.groupBy("lang", "token").agg(F.count("*").alias("c"))
+    scal = model.groupBy("lang").agg(F.sum("c").alias("tot"),
+                                     F.count("*").alias("v"))
+    logp = (model.join(F.broadcast(scal), "lang")
+            .select("lang", "token",
+                    F.round(F.log((F.col("c") + F.lit(1.0))
+                                  / (F.col("tot") + F.col("v")))
+                            * LOGP_SCALE)
+                    .cast("long").alias("logp_i")))
+    scored = (toks.join(logp, ["lang", "token"])
+              .groupBy(id_col, "lang")
+              .agg(F.count("*").cast("long").alias("n_tokens"),
+                   F.round(F.sum("logp_i")
+                           / F.count("*") / LOGP_SCALE, 6)
+                   .alias("avg_logprob")))
+    w = W.partitionBy("lang").orderBy(F.col("avg_logprob").desc(),
+                                      F.col(id_col).asc())
+    names = {1: "head", 2: "middle", 3: "tail"}
+    tile = F.ntile(n_buckets).over(w)
+    bucket = tile.cast("string") if n_buckets != 3 else (
+        F.when(tile == 1, names[1]).when(tile == 2, names[2])
+        .otherwise(names[3]))
+    return scored.select(id_col, "lang", "n_tokens", "avg_logprob",
+                         bucket.alias("bucket"))

@@ -4707,6 +4707,39 @@ def q_dq_checks(spark, sf):
     ])
 
 
+@_q("x74_ppl_buckets", """
+WITH toks AS (SELECT doc_id, lang,
+                unnest(string_split_regex(lower(text), '\\s+')) AS token
+              FROM documents),
+ model AS (SELECT lang, token, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+ scal AS (SELECT lang, SUM(c) AS tot, COUNT(*) AS v FROM model GROUP BY 1),
+ logp AS (SELECT m.lang, m.token,
+                 CAST(ROUND(ln((m.c + 1.0) / (s.tot + s.v)) * 1000000)
+                      AS BIGINT) AS logp_i
+          FROM model m JOIN scal s ON m.lang = s.lang),
+ scored AS (SELECT t.doc_id, t.lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   ROUND(SUM(l.logp_i) / COUNT(*) / 1000000, 6)
+                     AS avg_logprob
+            FROM toks t
+            JOIN logp l ON l.lang = t.lang AND l.token = t.token
+            GROUP BY 1, 2)
+SELECT doc_id, lang, n_tokens, avg_logprob,
+       CASE NTILE(3) OVER (PARTITION BY lang
+                           ORDER BY avg_logprob DESC, doc_id ASC)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS bucket
+FROM scored
+""")
+def q_ppl_buckets(spark, sf):
+    """CCNet-style per-language perplexity tertiles: each document
+    scored under its own language's add-1 unigram LM (integer-exact
+    fixed-point reduction), then NTILE(3) per language → head /
+    middle / tail. The standard keep-head-and-middle curation gate."""
+    from data_ingest_spark.extensions.text import perplexity_buckets
+    return perplexity_buckets(load(spark, sf, "documents"))
+
+
 @_q("e18_try_functions", """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN TRY_CAST(lang AS INTEGER) IS NULL

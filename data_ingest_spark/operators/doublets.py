@@ -155,8 +155,13 @@ def doublet_scores_grid(expr: DataFrame, k: int = 10,
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
+    # One row per cell — tiny next to the fact table, and consumed by
+    # FOUR downstream subtrees (bucket counts, pairing, features, the
+    # final barcode join). Persisted, the fact table is scanned and
+    # shuffled ONCE for per-cell stats instead of four times; at 100 TB
+    # this is the difference between one 10 TB shuffle and four.
     cells = expr.groupBy("sample", "barcode").agg(
-        F.sum("count").alias("tot"), F.count("*").alias("nf"))
+        F.sum("count").alias("tot"), F.count("*").alias("nf")).persist()
     # Pairing parallelism: a row_number over partitionBy(sample) alone
     # is ONE task per sample. Instead the md5 space is bucketed with
     # an ADAPTIVE bucket count — max(1, n_cells/64) per sample — so
@@ -213,13 +218,18 @@ def doublet_scores_grid(expr: DataFrame, k: int = 10,
                          fx(F.col("tot")).alias("f1"),
                          fx(F.col("nf")).alias("f2"))
 
+    # Distinct weighted feature points: bounded by distinct (f1, f2)
+    # values, orders of magnitude smaller than the cell count. Used as
+    # BOTH sides of the grid-neighborhood join — persisted so the
+    # union+aggregate runs once, not once per join side.
     ptw = (feats(cells, 0).unionByName(feats(sim, 1))
            .groupBy("sample", "f1", "f2")
            .agg(F.sum(F.when(F.col("lbl") == 0, 1).otherwise(0))
                 .alias("m0"),
                 F.sum("lbl").alias("m1"))
            .withColumn("gx", F.expr(f"f1 div {grid}"))
-           .withColumn("gy", F.expr(f"f2 div {grid}")))
+           .withColumn("gy", F.expr(f"f2 div {grid}"))
+           .persist())
     off = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
                     for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
     q = (ptw.filter(F.col("m0") > 0)

@@ -309,6 +309,26 @@ def test_unigram_logprob_ranks_typical_above_rare(spark):
     assert abs(out[1]["avg_logprob"] - exp_a) < 1e-9
 
 
+def test_perplexity_buckets_head_middle_tail(spark):
+    # Six docs in one language: typical text ranks head, rare-token
+    # soup ranks tail; buckets are equal-count tertiles per language.
+    rows = [(i, "the cat sat on the mat", "en") for i in range(1, 5)]
+    rows += [(5, "qq zz xx vv kk jj", "en"),
+             (6, "the cat zz qq on vv", "en"),
+             (7, "der hund und die katze", "de")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in tx.perplexity_buckets(df).collect()}
+    assert out[1]["bucket"] == "head"          # most typical
+    assert out[5]["bucket"] == "tail"          # rare-token soup
+    assert out[5]["avg_logprob"] < out[1]["avg_logprob"]
+    # a single-doc language fills bucket 1 only
+    assert out[7]["bucket"] == "head"
+    # per-language tertiles: en has 6 docs -> 2 per bucket
+    from collections import Counter
+    en = Counter(r["bucket"] for r in out.values() if r["lang"] == "en")
+    assert en == {"head": 2, "middle": 2, "tail": 2}
+
+
 def test_boilerplate_score_flags_template_docs(spark):
     template = "this page is generated by wiki engine"
     rows = ([(i, template) for i in range(6)]
