@@ -52,3 +52,41 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame | None = None,
     out = hash_split(kept, id_col, weights, seed=seed)
     return out.select(id_col, "split",
                       F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
+def training_prep(docs: DataFrame, budget: int = 512,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """The tokenizer-facing end of the pipeline: perplexity gate →
+    exact dedup → token counts → contiguous sequence packing, reported
+    as per-training-sequence statistics ``(seq_id, n_docs,
+    total_tokens, first_doc, last_doc)``.
+
+    Composition of already-oracled stages: documents in the ``tail``
+    perplexity tertile of their language drop (CCNet keep-head+middle),
+    exact duplicates keep the smallest id, survivors pack contiguously
+    at ``budget`` tokens per sequence via the distributed prefix sum
+    (coarse ranges + offsets — no single-task window). Everything is
+    deterministic, so the whole chain carries one value oracle.
+
+    100 TB posture: two corpus shuffles for the gate (model + score),
+    one for the dedup hash, one scan for token counts, and the packing
+    prefix-sum's tiny per-range offset collect. No stage holds more
+    than a vocabulary or a range map on the driver.
+    """
+    from data_ingest_spark.extensions.packing import pack_sequences
+    from data_ingest_spark.extensions.text import perplexity_buckets
+
+    keep = (perplexity_buckets(docs, id_col=id_col, text_col=text_col)
+            .filter(F.col("bucket") != "tail")
+            .select(id_col))
+    gated = docs.join(keep, id_col, "left_semi")
+    deduped = dedup_keep_first(gated, id_col=id_col, text_col=text_col)
+    wt = deduped.select(F.col(id_col),
+                        F.size(tokens_col(text_col)).alias("n_tokens"))
+    packed = pack_sequences(wt, budget, order_col=id_col)
+    return (packed.groupBy("seq_id")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("total_tokens"),
+                 F.min(id_col).alias("first_doc"),
+                 F.max(id_col).alias("last_doc")))

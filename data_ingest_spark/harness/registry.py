@@ -4740,6 +4740,54 @@ def q_ppl_buckets(spark, sf):
     return perplexity_buckets(load(spark, sf, "documents"))
 
 
+@_q("p4_training_prep", """
+WITH toks AS (SELECT doc_id, lang,
+                unnest(string_split_regex(lower(text), '\\s+')) AS token
+              FROM documents),
+ model AS (SELECT lang, token, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+ scal AS (SELECT lang, SUM(c) AS tot, COUNT(*) AS v FROM model GROUP BY 1),
+ logp AS (SELECT m.lang, m.token,
+                 CAST(ROUND(ln((m.c + 1.0) / (s.tot + s.v)) * 1000000)
+                      AS BIGINT) AS logp_i
+          FROM model m JOIN scal s ON m.lang = s.lang),
+ scored AS (SELECT t.doc_id, t.lang,
+                   ROUND(SUM(l.logp_i) / COUNT(*) / 1000000, 6)
+                     AS avg_logprob
+            FROM toks t
+            JOIN logp l ON l.lang = t.lang AND l.token = t.token
+            GROUP BY 1, 2),
+ bk AS (SELECT doc_id,
+               NTILE(3) OVER (PARTITION BY lang
+                              ORDER BY avg_logprob DESC, doc_id ASC) AS b
+        FROM scored),
+ gated AS (SELECT d.doc_id, d.text FROM documents d
+           JOIN bk ON bk.doc_id = d.doc_id AND bk.b < 3),
+ keep AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+ wt AS (SELECT g.doc_id,
+               len(string_split_regex(lower(g.text), '\\s+')) AS n_tokens
+        FROM gated g JOIN keep k ON k.doc_id = g.doc_id),
+ r AS (SELECT doc_id, n_tokens,
+              SUM(n_tokens) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+                AS start_tok
+       FROM wt),
+ s AS (SELECT doc_id, n_tokens,
+              CAST(FLOOR(start_tok / 512.0) AS BIGINT) AS seq_id
+       FROM r)
+SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM s GROUP BY 1
+""")
+def q_training_prep(spark, sf):
+    """The tokenizer-facing capstone: perplexity gate (drop the tail
+    tertile per language) → exact dedup keep-first → whitespace token
+    counts → contiguous 512-token sequence packing via the distributed
+    prefix sum — reported per training sequence, full value oracle."""
+    from data_ingest_spark.extensions.curate import training_prep
+    return training_prep(load(spark, sf, "documents"))
+
+
 @_q("e18_try_functions", """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN TRY_CAST(lang AS INTEGER) IS NULL

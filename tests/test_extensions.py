@@ -286,6 +286,34 @@ def test_curate_corpus_stage_semantics(spark):
     assert out[1]["n_tokens"] == 43
 
 
+def test_training_prep_gates_dedups_and_packs(spark):
+    from data_ingest_spark.extensions.curate import training_prep
+    typical = "the cat sat on the mat"             # 6 tokens
+    rows = [(i, typical, "en") for i in range(1, 5)]
+    rows += [(5, typical, "en"),                   # still typical
+             (6, "qq zz xx vv kk jj", "en")]       # tail -> gated out
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, text string, lang string")
+    out = {r["seq_id"]: r for r in training_prep(docs, budget=10).collect()}
+    # 6 docs -> tail tertile (2 docs: the rare-token doc + the worst
+    # typical tie, highest doc_id) gated; dup keep-first leaves ONE
+    # typical doc (doc 1) of 6 tokens -> a single 1-doc sequence.
+    assert list(out) == [0]
+    assert out[0]["n_docs"] == 1
+    assert out[0]["total_tokens"] == 6
+    assert out[0]["first_doc"] == 1 and out[0]["last_doc"] == 1
+    # distinct texts pack contiguously across the budget boundary
+    rows2 = [(i, " ".join(f"w{i}_{j}" for j in range(4)), "en")
+             for i in range(1, 10)]                # 9 docs x 4 tokens
+    docs2 = spark.createDataFrame(rows2,
+                                  "doc_id long, text string, lang string")
+    packed = {r["seq_id"]: r
+              for r in training_prep(docs2, budget=8).collect()}
+    # tail tertile (3 of 9) gated -> 6 docs x 4 tokens at budget 8
+    assert sum(r["n_docs"] for r in packed.values()) == 6
+    assert all(r["total_tokens"] <= 8 for r in packed.values())
+
+
 def test_tokenize_with_vocab_ids_and_oov(spark):
     rows = [(1, "b a b c"), (2, "a a b zz")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
