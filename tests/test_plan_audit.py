@@ -126,6 +126,32 @@ def test_tpch_q6_full_pushdown_no_join(spark):
     assert shuffle_count(df) == 1
 
 
+def test_doublets_grid_scans_fact_table_twice_only(spark):
+    """m2: the per-cell aggregate and distinct-point table are
+    persisted, so the static plan must read the fact parquet at most
+    twice (per-cell stats + the pair-sum join) — losing a persist
+    regresses to 9 scans / four fact shuffles."""
+    df = q(spark, "m2_doublets_native")
+    assert len(scan_columns(df)) <= 2
+
+
+def test_ppl_buckets_broadcasts_model(spark):
+    """x74: the per-language LM scalars and vocabulary-sized logp
+    table broadcast back onto the token stream; a shuffle join there
+    would move the corpus twice."""
+    df = q(spark, "x74_ppl_buckets")
+    assert broadcast_join_count(df) >= 2
+    assert shuffle_count(df) <= 5
+
+
+def test_training_prep_shuffle_budget(spark):
+    """p4: gate (model + score) + dedup hash + packing ranges must
+    stay within the composed budget; the keep-sets broadcast."""
+    df = q(spark, "p4_training_prep")
+    assert shuffle_count(df) <= 13
+    assert broadcast_join_count(df) >= 5
+
+
 def test_curate_reuses_dedup_exchange(spark):
     """p3: the composed pipeline's dedup subtree feeds two consumers
     (decontamination + anti-join); the executed plan must share it via
