@@ -53,12 +53,16 @@ def pack_sequences(df: DataFrame, budget: int,
     for r in totals:
         offsets[r["_rng"]] = acc
         acc += r["t"]
-    offmap = (F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-              if offsets else F.create_map())
+    # Empty input: an argless create_map() types as map<void,void> and
+    # map()[_rng] fails analysis — a zero literal is the identity
+    # offset for the (empty) result.
+    offmap_at = (F.create_map(*[F.lit(x) for kv in offsets.items()
+                                for x in kv])[F.col("_rng")]
+                 if offsets else F.lit(0).cast("long"))
 
     w = (W.partitionBy("_rng").orderBy(order_col)
          .rowsBetween(W.unboundedPreceding, W.currentRow))
-    run = F.sum(token_col).over(w) + offmap[F.col("_rng")]
+    run = F.sum(token_col).over(w) + offmap_at
     start = run - F.col(token_col)          # tokens before this doc
     return (d.withColumn(out_col,
                          F.floor(start / F.lit(budget)).cast("long"))

@@ -5058,7 +5058,7 @@ def q_intra_repetition(spark, sf):
 _ROUND3_PRIORITY = [
     "m2_doublets_native", "m12_knn_exact", "m12_snn_graph",
     "m13_label_propagation", "g1_pagerank", "g2_triangles",
-    "p2_qc_filters",
+    "p2_qc_filters", "p4_training_prep", "x74_ppl_buckets",
     "v2_tpch_q1", "v3_tpch_q3", "v4_tpch_q5", "v5_tpch_q6",
     "v6_tpch_q18", "v10_tpch_q4", "v11_tpch_q13", "v12_tpch_q14",
     "v13_tpch_q16", "v14_tpch_q22",

@@ -491,10 +491,16 @@ def test_operators_survive_empty_input(spark):
     assert dd.line_boilerplate_removal(empty).count() == 0
     assert dd.containment_pairs(empty).count() == 0
 
-    from data_ingest_spark.extensions.curate import curate_corpus
+    from data_ingest_spark.extensions.curate import (curate_corpus,
+                                                     training_prep)
     bench = spark.createDataFrame([(99, "x y z")],
                                   "doc_id long, text string")
     assert curate_corpus(empty, bench).count() == 0
+
+    empty_lang = spark.createDataFrame(
+        [], "doc_id long, text string, lang string")
+    assert tx.perplexity_buckets(empty_lang).count() == 0
+    assert training_prep(empty_lang).count() == 0
 
     # string doc ids must not break the keep-best tiebreak (a negated
     # string id would cast to NULL and silently drop everything)
