@@ -2605,17 +2605,15 @@ WITH expr AS ({_EXPR_SQL}),
                 + (q.qf2 - n.f2) * (q.qf2 - n.f2) AS d2
          FROM q JOIN ptw n ON n.sample = q.sample AND n.gx = q.gx
                           AND n.gy = q.gy),
- cl AS (SELECT sample, qf1, qf2, f1, f2, d2, 0 AS lbl, m0a AS m
-        FROM cnd WHERE m0a > 0
-        UNION ALL
-        SELECT sample, qf1, qf2, f1, f2, d2, 1, m1 FROM cnd WHERE m1 > 0),
+ cl AS (SELECT sample, qf1, qf2, f1, f2, d2, m0a, m1, m0a + m1 AS m
+        FROM cnd WHERE m0a + m1 > 0),
  tk AS (SELECT *, LEAST(m, GREATEST(0, 10 - (SUM(m) OVER
                   (PARTITION BY sample, qf1, qf2
-                   ORDER BY d2, lbl, f1, f2
+                   ORDER BY d2, f1, f2
                    ROWS UNBOUNDED PRECEDING) - m))) AS take
         FROM cl),
  sc AS (SELECT sample, qf1, qf2,
-               SUM(take * lbl) * 1.0 / SUM(take) AS score
+               SUM(GREATEST(0, take - m0a)) * 1.0 / SUM(take) AS score
         FROM tk GROUP BY 1, 2, 3)
 SELECT c.sample, c.barcode,
        COALESCE(ROUND(sc.score, 6), 0.0) AS doublet_scores,

@@ -250,24 +250,28 @@ def doublet_scores_grid(expr: DataFrame, k: int = 10,
                        * (F.col("qf1") - F.col("f1"))
                        + (F.col("qf2") - F.col("f2"))
                        * (F.col("qf2") - F.col("f2"))))
-    sides = F.array(F.struct(F.lit(0).alias("lbl"), F.col("m0a").alias("m")),
-                    F.struct(F.lit(1).alias("lbl"), F.col("m1").alias("m")))
-    cl = (cnd.select("sample", "qf1", "qf2", "f1", "f2", "_d2",
-                     F.explode(sides).alias("_s"))
+    # ONE row per candidate point carrying both multiplicities — the
+    # historical per-label explode doubled the window input (the
+    # query's largest intermediate). Candidates rank point-major by
+    # (d2, f1, f2); within a point its reals are taken before its
+    # sims (the real-then-sim order the label sort encoded), so
+    # sim_take = clamp(take_total − m0a, 0, m1) exactly.
+    cl = (cnd.withColumn("_m", F.col("m0a") + F.col("m1"))
+          .filter(F.col("_m") > 0)
           .select("sample", "qf1", "qf2", "f1", "f2", "_d2",
-                  F.col("_s.lbl").alias("lbl"), F.col("_s.m").alias("m"))
-          .filter(F.col("m") > 0))
+                  "m0a", "m1", "_m"))
     w_cum = (W.partitionBy("sample", "qf1", "qf2")
-             .orderBy("_d2", "lbl", "f1", "f2")
+             .orderBy("_d2", "f1", "f2")
              .rowsBetween(W.unboundedPreceding, W.currentRow))
-    take = F.least(F.col("m"),
+    take = F.least(F.col("_m"),
                    F.greatest(F.lit(0).cast("long"),
-                              F.lit(k) - (F.sum("m").over(w_cum)
-                                          - F.col("m"))))
+                              F.lit(k) - (F.sum("_m").over(w_cum)
+                                          - F.col("_m"))))
+    sim_take = F.greatest(F.lit(0).cast("long"), take - F.col("m0a"))
     sc = (cl.withColumn("_take", take)
+          .withColumn("_sim_take", sim_take)
           .groupBy("sample", "qf1", "qf2")
-          .agg((F.sum(F.col("_take") * F.col("lbl"))
-                / F.sum("_take")).alias("_score")))
+          .agg((F.sum("_sim_take") / F.sum("_take")).alias("_score")))
     real_pts = cells.select(
         "sample", "barcode",
         fx(F.col("tot")).alias("qf1"), fx(F.col("nf")).alias("qf2"))
