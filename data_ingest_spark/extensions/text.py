@@ -592,3 +592,36 @@ def perplexity_buckets(df: DataFrame, id_col: str = "doc_id",
         .otherwise(names[3]))
     return scored.select(id_col, "lang", "n_tokens", "avg_logprob",
                          bucket.alias("bucket"))
+
+
+def token_entropy(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-document Shannon entropy of the token distribution —
+    ``H = ln(n) − (Σ c·ln c)/n`` over the document's own token
+    histogram. Low entropy flags degenerate text (one token repeated;
+    keyword stuffing) independently of any corpus model: the
+    complement of :func:`unigram_logprob` (which scores typicality
+    against the corpus) and :func:`intra_doc_repetition` (which
+    scores n-gram repeats).
+
+    Determinism: each count's ``ln c`` is fixed-pointed once
+    (round(ln(c)·1e6) as int64), so the per-document reduction is an
+    integer sum — exact in any order and across engines; the final
+    subtraction and rounding are the only float steps.
+
+    Plan: explode → groupBy(doc, token) histogram → one groupBy(doc).
+    Two corpus shuffles, both map-side combined; no global state.
+
+    Returns ``(doc_id, n_tokens, entropy)``.
+    """
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens_col(text_col)).alias("token"))
+    hist = toks.groupBy(id_col, "token").agg(F.count("*").alias("c"))
+    lnc_i = F.round(F.log("c") * LOGP_SCALE).cast("long")
+    return (hist.groupBy(id_col)
+            .agg(F.sum("c").cast("long").alias("n_tokens"),
+                 F.sum(F.col("c") * lnc_i).alias("_s"))
+            .select(id_col, "n_tokens",
+                    F.round(F.log("n_tokens")
+                            - F.col("_s") / F.col("n_tokens") / LOGP_SCALE,
+                            6).alias("entropy")))

@@ -4786,6 +4786,56 @@ def q_training_prep(spark, sf):
     return training_prep(load(spark, sf, "documents"))
 
 
+@_q("x76_token_entropy", """
+WITH toks AS (SELECT doc_id,
+                unnest(string_split_regex(lower(text), '\\s+')) AS token
+              FROM documents),
+ hist AS (SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       ROUND(ln(SUM(c))
+             - SUM(c * CAST(ROUND(ln(c) * 1000000) AS BIGINT))
+               / SUM(c) / 1000000, 6) AS entropy
+FROM hist GROUP BY doc_id
+""")
+def q_token_entropy(spark, sf):
+    """Per-doc Shannon entropy of the token histogram (integer-exact
+    fixed-point reduction) — the corpus-model-free degenerate-text
+    flag."""
+    from data_ingest_spark.extensions.text import token_entropy
+    return token_entropy(load(spark, sf, "documents"))
+
+
+@_q("e25_salted_agg", """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS count_value,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       ROUND(MIN(value), 6) AS min_value, ROUND(MAX(value), 6)
+         AS max_value
+FROM events GROUP BY 1
+""")
+def q_salted_agg(spark, sf):
+    """Two-stage salted aggregation under the value oracle: the skew
+    path for a monster grouping key (each key shards across 16
+    partial groups, partials recombine exactly). The oracle is the
+    plain GROUP BY — algebraic partials are shard-invariant, and the
+    summed column is fixed-pointed so reassociation cannot move a
+    ulp."""
+    from data_ingest_spark.functions.partitioning import salted_agg
+    ev = load(spark, sf, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    out = salted_agg(ev, ["event_type"],
+                     {"value": "count", "cents": "sum"}, salt=16)
+    mm = salted_agg(ev, ["event_type"], {"value": "min"}, salt=16).join(
+        salted_agg(ev, ["event_type"], {"value": "max"}, salt=16),
+        "event_type")
+    return (out.join(mm, "event_type")
+            .select("event_type",
+                    F.col("count_value").cast("long").alias("count_value"),
+                    F.col("sum_cents").cast("long").alias("sum_cents"),
+                    F.round("min_value", 6).alias("min_value"),
+                    F.round("max_value", 6).alias("max_value")))
+
+
 @_q("e18_try_functions", """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN TRY_CAST(lang AS INTEGER) IS NULL

@@ -357,6 +357,19 @@ def test_perplexity_buckets_head_middle_tail(spark):
     assert en == {"head": 2, "middle": 2, "tail": 2}
 
 
+def test_token_entropy_flags_degenerate_text(spark):
+    import math
+    rows = [(1, "a a a a"),            # one token -> H = 0
+            (2, "a b c d"),            # uniform -> H = ln 4
+            (3, "a a b b")]            # two tokens -> H = ln 2
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in tx.token_entropy(df).collect()}
+    assert out[1]["entropy"] == 0.0
+    assert abs(out[2]["entropy"] - math.log(4)) < 1e-5
+    assert abs(out[3]["entropy"] - math.log(2)) < 1e-5
+    assert out[1]["n_tokens"] == 4
+
+
 def test_boilerplate_score_flags_template_docs(spark):
     template = "this page is generated by wiki engine"
     rows = ([(i, template) for i in range(6)]
