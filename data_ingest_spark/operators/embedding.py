@@ -137,8 +137,8 @@ def spectral_embedding_distributed(edges: DataFrame, n_iter: int = 30,
     coefficients applied map-side), and the state localCheckpoints
     every round so lineage stays flat. Deterministic: init derives
     from md5(id), iteration count fixed, and each output column's
-    global sign makes its largest-|value| node (smallest id on ties)
-    positive.
+    global sign makes the smallest-id node among the half-max-|value|
+    set positive (ulp-tolerant anchor).
 
     Returns (id, x, y, method='spectral_dist'). Expects an UNDIRECTED
     edge list (src, dst, snn_weight) — pass both directions like
@@ -198,17 +198,22 @@ def spectral_embedding_distributed(edges: DataFrame, n_iter: int = 30,
                           / F.col("deg")).alias("v2")))
         state = _orthonormalize(state).localCheckpoint()
 
-    # deterministic global sign: the largest-|value| node (smallest id
-    # on ties) of each column is made positive — scalar lookups, never
-    # a global sort
+    # deterministic global sign: the smallest-id node among those with
+    # |value| >= half the max is made positive — scalar lookups, never
+    # a global sort. Anchoring on exact max-|value| equality is NOT
+    # run-stable: on symmetric graphs many nodes tie at the max up to
+    # float-summation ulps, and the ulp ordering (hence the tiebreak
+    # node, hence the global sign) varies with reduce order. The
+    # half-max cut is ulp-tolerant, and the anchor's own sign is well
+    # away from zero by construction.
     out = state
     for c in ("v1", "v2"):
         mx = out.agg(F.max(F.abs(F.col(c)))).first()[0]
-        pid = out.filter(F.abs(F.col(c)) == F.lit(mx)) \
-                 .agg(F.min("id")).first()[0]
-        val = out.filter(F.col("id") == F.lit(pid)) \
-                 .select(c).first()[0]
-        if val < 0:
+        if not mx or mx <= 0.0:
+            continue
+        val = (out.filter(F.abs(F.col(c)) >= F.lit(0.5 * mx))
+               .agg(F.min_by(c, "id")).first()[0])
+        if val is not None and val < 0:
             out = out.withColumn(c, -F.col(c))
     return out.select("id", F.col("v1").alias("x"),
                       F.col("v2").alias("y"),

@@ -716,6 +716,37 @@ def test_substring_dedup_matches_bruteforce_hypothesis(spark):
     run()
 
 
+def test_token_entropy_matches_python_mirror_hypothesis(spark):
+    """Property: the fixed-point entropy reduction equals the direct
+    Python computation (same fixed-pointing) on random corpora."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    word = st.sampled_from(["a", "b", "c", "dd"])
+    doc = st.lists(word, min_size=1, max_size=15).map(" ".join)
+
+    def mirror(text):
+        toks = text.split(" ")
+        n = len(toks)
+        from collections import Counter
+        s = sum(c * round(math.log(c) * 1e6)
+                for c in Counter(toks).values())
+        return round(math.log(n) - s / n / 1e6, 6)
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=5))
+    def run(texts):
+        docs = list(enumerate(texts))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r["doc_id"]: r["entropy"]
+               for r in tx.token_entropy(df).collect()}
+        for d, t in docs:
+            assert abs(got[d] - mirror(t)) < 1e-9, t
+
+    run()
+
+
 def test_containment_catches_excerpt_jaccard_misses(spark):
     """A short excerpt of a long doc has near-zero Jaccard but full
     containment; containment_pairs flags (excerpt -> source) and not

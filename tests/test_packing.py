@@ -89,3 +89,29 @@ def test_chunk_reassemble_roundtrip(spark):
                              overlap=10)
     got = {r["doc_id"]: r["text"] for r in back.collect()}
     assert got == dict(rows)
+
+
+def test_pack_sequences_matches_prefix_sum_hypothesis(spark):
+    """Property: the distributed coarse-range prefix sum equals the
+    sequential definition seq_id = floor(tokens_before / budget) on
+    random token-count tables, for budgets that straddle doc sizes."""
+    from hypothesis import given, settings, strategies as st
+
+    from data_ingest_spark.extensions.packing import pack_sequences
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(st.integers(min_value=1, max_value=30),
+                    min_size=1, max_size=40),
+           st.sampled_from([5, 16, 64]))
+    def run(tokens, budget):
+        docs = list(enumerate(tokens))
+        df = spark.createDataFrame(docs, "doc_id long, n_tokens long")
+        got = {r["doc_id"]: r["seq_id"]
+               for r in pack_sequences(df, budget).collect()}
+        acc, want = 0, {}
+        for d, n in docs:
+            want[d] = acc // budget
+            acc += n
+        assert got == want, (tokens, budget)
+
+    run()
