@@ -89,3 +89,38 @@ def scd2_history(events: DataFrame, key_col: str = "user_id",
     return (runs.select(key_col, attr_col, "valid_from",
                         F.lead("valid_from").over(w2).alias("valid_to"),
                         "n_events"))
+
+
+def agg_state(df: DataFrame, keys: list[str], value_col: str = "value",
+              ts_col: str = "ts") -> DataFrame:
+    """Mergeable per-key aggregate state: (cnt, sum_value, min_ts,
+    max_ts). The sum accumulates as DECIMAL(18,6) so it is exact and
+    associative — partial states merged in any order (or any partition
+    layout) produce bit-identical results, the property incremental
+    materialized-view maintenance depends on."""
+    dec = F.col(value_col).cast("decimal(18,6)")
+    return df.groupBy(*keys).agg(
+        F.count("*").alias("cnt"),
+        F.sum(dec).alias("sum_value"),
+        F.min(ts_col).alias("min_ts"),
+        F.max(ts_col).alias("max_ts"))
+
+
+def merge_agg_state(state: DataFrame, delta: DataFrame,
+                    keys: list[str]) -> DataFrame:
+    """Incremental rollup maintenance: merge a batch's aggregate state
+    into the standing state WITHOUT rescanning history — union the two
+    small state tables and re-reduce. count/sum/min/max are all
+    mergeable, so merged state ≡ a full recompute over history∪batch
+    (the registry oracle asserts exactly that equivalence).
+
+    At 100 TB this is the difference between an O(batch) nightly
+    refresh and an O(corpus) rescan: the shuffle carries one row per
+    (key × side). Bucket-write the state by key and even that shuffle
+    disappears."""
+    return (state.unionByName(delta)
+            .groupBy(*keys)
+            .agg(F.sum("cnt").cast("long").alias("cnt"),
+                 F.sum("sum_value").alias("sum_value"),
+                 F.min("min_ts").alias("min_ts"),
+                 F.max("max_ts").alias("max_ts")))

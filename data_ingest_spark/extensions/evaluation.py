@@ -1,0 +1,145 @@
+"""Evaluation and label-aggregation operators for training-data work.
+
+Three primitives a large-scale data/eval pipeline needs beyond the
+reference's analytics surface:
+
+- ``ranking_metrics``: per-group MRR and NDCG@k over a scored result
+  list — the retrieval-quality gate run over embedding-search output
+  before an index is promoted.
+- ``majority_vote``: aggregate multiple annotator votes per item into
+  a single label with a deterministic tiebreak and an agreement score
+  — the RLHF / labeling-QA primitive.
+- ``preference_pairs``: build (chosen, rejected) preference pairs per
+  prompt group from scored completions — the DPO/RM training-data
+  shape.
+
+All three are single-shuffle grouped aggregations (plus one window for
+ranking), no UDFs, and hash-match DuckDB oracles exactly: the NDCG
+discount weights are precomputed as scaled int64 constants
+(``round(1e9 / log2(r+1))``) so the DCG sum is exact integer
+arithmetic in both engines — no cross-engine libm log2 drift — and
+only the final normalization divides (the same int64s, hence the same
+double) on each side.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+#: Fixed-point scale for DCG discount weights.
+DCG_SCALE = 10**9
+
+
+def dcg_weights_fp(k: int) -> list[int]:
+    """Scaled-integer DCG discounts: w[r] = round(1e9 / log2(r+1))."""
+    return [round(DCG_SCALE / math.log2(r + 1)) for r in range(1, k + 1)]
+
+
+def idcg_prefix_fp(k: int) -> list[int]:
+    """Ideal-DCG prefix sums over the scaled discounts (m relevant
+    items in the top-k ideally occupy ranks 1..m)."""
+    out, acc = [], 0
+    for w in dcg_weights_fp(k):
+        acc += w
+        out.append(acc)
+    return out
+
+
+def ranking_metrics(df: DataFrame, group_col: str = "user_id",
+                    score_col: str = "value", id_col: str = "event_id",
+                    rel_col: str = "relevant", k: int = 10) -> DataFrame:
+    """Per-group retrieval metrics over a scored candidate list.
+
+    Ranks candidates within each group by (score desc, id asc — fully
+    deterministic), then emits one row per group: the rank of the
+    first relevant hit, the relevant count, reciprocal rank, and
+    binary-relevance NDCG@k. Groups with no relevant candidate get
+    rr = ndcg = 0.0 and a NULL first rank.
+
+    Plan: one window + one grouped aggregation — a single shuffle on
+    ``group_col``. At 100 TB the group key (query id) partitions
+    evenly by construction; no global sort, no driver state.
+    """
+    wts = dcg_weights_fp(k)
+    idcg = idcg_prefix_fp(k)
+    warr = F.array(*[F.lit(x).cast("long") for x in wts])
+    iarr = F.array(*[F.lit(x).cast("long") for x in idcg])
+    w = W.partitionBy(group_col).orderBy(F.col(score_col).desc(),
+                                         F.col(id_col).asc())
+    rel = F.col(rel_col)
+    per = (df.withColumn("_rk", F.row_number().over(w))
+           .groupBy(group_col)
+           .agg(F.min(F.when(rel, F.col("_rk"))).cast("int")
+                .alias("first_rel_rank"),
+                F.sum(F.when(rel & (F.col("_rk") <= k),
+                             F.element_at(warr, F.col("_rk")))
+                      .otherwise(F.lit(0).cast("long")))
+                .alias("_dcg_fp"),
+                F.sum(F.when(rel, 1).otherwise(0)).cast("long")
+                .alias("n_relevant")))
+    m = F.greatest(F.least(F.col("n_relevant"), F.lit(k)), F.lit(1))
+    return per.select(
+        group_col, "first_rel_rank", "n_relevant",
+        F.round(F.when(F.col("first_rel_rank").isNotNull(),
+                       F.lit(1.0) / F.col("first_rel_rank"))
+                .otherwise(0.0), 9).alias("rr"),
+        F.round(F.when(F.col("n_relevant") > 0,
+                       F.col("_dcg_fp") / F.element_at(iarr, m.cast("int")))
+                .otherwise(0.0), 9).alias("ndcg_k"),
+    )
+
+
+def majority_vote(df: DataFrame, item_col: str = "item",
+                  label_col: str = "label") -> DataFrame:
+    """Aggregate annotator votes: one row per item with the majority
+    label (ties broken by label ascending — deterministic), its vote
+    count, the total votes, and the agreement ratio.
+
+    Two grouped passes fused into one shuffle: count per (item, label),
+    then a per-item window picks the winner and sums the total — the
+    window reuses the groupBy's hash partitioning on ``item_col``
+    (Catalyst sees the child distribution, no second exchange).
+    """
+    counts = df.groupBy(item_col, label_col).agg(
+        F.count("*").alias("votes"))
+    w = W.partitionBy(item_col).orderBy(F.col("votes").desc(),
+                                        F.col(label_col).asc())
+    return (counts
+            .withColumn("_rk", F.row_number().over(w))
+            .withColumn("total_votes",
+                        F.sum("votes").over(W.partitionBy(item_col)))
+            .filter(F.col("_rk") == 1)
+            .select(F.col(item_col),
+                    F.col(label_col).alias("majority_label"),
+                    F.col("votes").cast("long").alias("votes"),
+                    F.col("total_votes").cast("long").alias("total_votes"),
+                    F.round(F.col("votes") / F.col("total_votes"), 9)
+                    .alias("agreement")))
+
+
+def preference_pairs(df: DataFrame, group_col: str = "user_id",
+                     score_col: str = "value",
+                     id_col: str = "event_id") -> DataFrame:
+    """Build (chosen, rejected) preference pairs from scored
+    completions: per group, chosen = highest score (ties → smallest
+    id), rejected = lowest score (ties → largest id); groups whose
+    best and worst scores are equal produce no pair.
+
+    One grouped aggregation — a single shuffle — using struct-ordered
+    min/max (score first, then negated id) instead of two window
+    passes, so the 100 TB plan is a plain partial-aggregated groupBy.
+    """
+    negid = (-F.col(id_col)).cast("long")
+    best = F.max(F.struct(F.col(score_col).alias("s"),
+                          negid.alias("negid")))
+    worst = F.min(F.struct(F.col(score_col).alias("s"),
+                           negid.alias("negid")))
+    agg = df.groupBy(group_col).agg(best.alias("_b"), worst.alias("_w"))
+    return (agg.filter(F.col("_b.s") > F.col("_w.s"))
+            .select(F.col(group_col),
+                    (-F.col("_b.negid")).cast("long").alias("chosen_id"),
+                    (-F.col("_w.negid")).cast("long").alias("rejected_id"),
+                    F.round(F.col("_b.s") - F.col("_w.s"), 9)
+                    .alias("margin")))

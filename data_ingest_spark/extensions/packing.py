@@ -81,3 +81,46 @@ def weighted_mix(df: DataFrame, weights: dict[str, float],
                          for x in (k, int(round(v * BUCKETS)))])
     b = hash_bucket(F.col(id_col), seed)
     return df.filter(b < F.coalesce(cut[F.col(strata_col)], F.lit(0)))
+
+
+def mix_quota(df: DataFrame, budget: int, source_col: str = "source",
+              token_col: str = "n_tokens",
+              id_col: str = "doc_id") -> DataFrame:
+    """Apportion a global token budget equally across sources
+    (largest-remainder rounding: base = budget div n_sources, the
+    first budget mod n_sources sources in name order get one extra
+    token) and keep each source's greedy prefix — documents ordered by
+    (tokens desc, id asc), kept while the running total stays within
+    the source's quota. Returns (source, doc_id, n_tokens, cum_tokens,
+    quota).
+
+    The Dolma/D4-style "hit the mixing recipe exactly" primitive:
+    unlike ``weighted_mix`` (Bernoulli, hits weights in expectation)
+    this is deterministic and exact to the token. Plan: the source
+    list is a tiny distinct + broadcast; the per-source cumulative sum
+    is one window partitioned by source — a single shuffle of the
+    corpus, parallel across sources. Integer arithmetic throughout."""
+    srcs = (df.select(source_col).distinct()
+            .withColumn("_idx", F.row_number().over(
+                W.orderBy(F.col(source_col).asc()))))
+    n_src = srcs.groupBy().agg(F.count("*").alias("_n"))
+    quota = (srcs.crossJoin(F.broadcast(n_src))
+             .select(source_col,
+                     (F.lit(budget).cast("long") / F.col("_n")).cast("long")
+                     .alias("_base"),
+                     (F.lit(budget).cast("long") % F.col("_n")).alias("_ext"),
+                     "_idx")
+             .select(source_col,
+                     (F.col("_base")
+                      + F.when(F.col("_idx") <= F.col("_ext"), 1)
+                      .otherwise(0)).cast("long").alias("quota")))
+    wcum = (W.partitionBy(source_col)
+            .orderBy(F.col(token_col).desc(), F.col(id_col).asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (df.join(F.broadcast(quota), source_col)
+            .withColumn("cum_tokens",
+                        F.sum(token_col).over(wcum).cast("long"))
+            .filter(F.col("cum_tokens") <= F.col("quota"))
+            .select(source_col, id_col,
+                    F.col(token_col).cast("long").alias(token_col),
+                    "cum_tokens", "quota"))

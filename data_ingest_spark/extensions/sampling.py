@@ -128,3 +128,40 @@ def leakage_safe_split(df: DataFrame, pairs: DataFrame,
            .withColumn("rep", F.coalesce("cluster", F.col(id_col)))
            .drop("cluster"))
     return hash_split(rep, "rep", weights, seed, out_col)
+
+
+def epoch_shuffle(df: DataFrame, id_col: str = "doc_id", seed: int = 17,
+                  num_shards: int = 8) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    0-based position in a pseudo-random permutation keyed by
+    ``md5(seed:id)`` and a shard assignment ``pos % num_shards``
+    (round-robin, so shard sizes differ by at most one and every
+    shard samples the whole permutation uniformly).
+
+    Per-epoch reshuffles are just a new seed — no data movement until
+    the write. The global rank uses the distributed-prefix-sum
+    pattern (windows.dense_ids_scalable): the first hash byte forms
+    256 uniform coarse buckets, rows rank within their bucket in
+    parallel, and a 256-row collected prefix sum shifts each bucket —
+    never a single-task global sort, so the plan survives 100 TB.
+    """
+    from pyspark.sql import Window as W
+    h = F.md5(F.concat_ws(":", F.lit(str(seed)),
+                          F.col(id_col).cast("string")).cast("binary"))
+    keyed = df.select(F.col(id_col), h.alias("_h")).withColumn(
+        "_b", F.conv(F.substring("_h", 1, 2), 16, 10).cast("int"))
+    sizes = (keyed.groupBy("_b").agg(F.count("*").alias("n"))
+             .orderBy("_b").collect())
+    offsets, acc = {}, 0
+    for r in sizes:
+        offsets[r["_b"]] = acc
+        acc += r["n"]
+    offmap = (F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+              if offsets else F.create_map())
+    w = W.partitionBy("_b").orderBy("_h", id_col)
+    return (keyed.withColumn("_local", F.row_number().over(w) - 1)
+            .select(F.col(id_col),
+                    (F.col("_local") + offmap[F.col("_b")]).cast("long")
+                    .alias("pos"))
+            .withColumn("shard",
+                        (F.col("pos") % num_shards).cast("int")))

@@ -5087,6 +5087,166 @@ def q_intra_repetition(spark, sf):
     return intra_doc_repetition(load(spark, sf, "documents"), k=2)
 
 
+# ------------------------------------------- evaluation / curation (round 3b)
+
+from data_ingest_spark.extensions import evaluation as ev  # noqa: E402
+
+#: Shared int64 NDCG constants — embedded as literals in BOTH the Spark
+#: plan and the DuckDB oracle, so the DCG sum is exact integer math on
+#: each side (no cross-engine libm log2 drift).
+_W10 = ev.dcg_weights_fp(10)
+_I10 = ev.idcg_prefix_fp(10)
+
+
+@_q("x77_ranking_metrics", f"""
+WITH ranked AS (
+  SELECT user_id, event_id, value, (event_type = 'purchase') AS relevant,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rk
+  FROM events),
+per AS (
+  SELECT user_id,
+         CAST(MIN(CASE WHEN relevant THEN rk END) AS INTEGER)
+           AS first_rel_rank,
+         CAST(COALESCE(SUM(CASE WHEN relevant AND rk <= 10
+                           THEN ({_W10})[rk] ELSE 0 END), 0) AS BIGINT)
+           AS dcg_fp,
+         CAST(COUNT(CASE WHEN relevant THEN 1 END) AS BIGINT) AS n_relevant
+  FROM ranked GROUP BY 1)
+SELECT user_id, first_rel_rank, n_relevant,
+       ROUND(CASE WHEN first_rel_rank IS NULL THEN 0.0
+                  ELSE 1.0 / first_rel_rank END, 9) AS rr,
+       ROUND(CASE WHEN n_relevant = 0 THEN 0.0
+                  ELSE dcg_fp / ({_I10})[LEAST(n_relevant, 10)] END, 9)
+         AS ndcg_k
+FROM per
+""")
+def q_ranking_metrics(spark, sf):
+    """Retrieval-quality gate: per-user MRR + NDCG@10 over the scored
+    event list, relevance = purchase. Scaled-int DCG weights make the
+    metric hash-exact cross-engine."""
+    evdf = events_df(spark, sf).withColumn(
+        "relevant", F.col("event_type") == F.lit("purchase"))
+    return ev.ranking_metrics(evdf, k=10)
+
+
+@_q("x78_majority_vote", """
+WITH votes AS (SELECT user_id % 50 AS item, event_type AS label FROM events),
+c AS (SELECT item, label, CAST(COUNT(*) AS BIGINT) AS votes
+      FROM votes GROUP BY 1, 2),
+r AS (SELECT item, label, votes,
+             ROW_NUMBER() OVER (PARTITION BY item
+                                ORDER BY votes DESC, label ASC) AS rk,
+             CAST(SUM(votes) OVER (PARTITION BY item) AS BIGINT)
+               AS total_votes
+      FROM c)
+SELECT item, label AS majority_label, votes, total_votes,
+       ROUND(votes / total_votes, 9) AS agreement
+FROM r WHERE rk = 1
+""")
+def q_majority_vote(spark, sf):
+    """Annotation aggregation: majority label per item (users hashed
+    into 50 items, event_type as the vote) with deterministic
+    tiebreak + agreement ratio."""
+    votes = events_df(spark, sf).select(
+        (F.col("user_id") % 50).alias("item"),
+        F.col("event_type").alias("label"))
+    return ev.majority_vote(votes)
+
+
+@_q("x79_epoch_shuffle", """
+WITH r AS (SELECT doc_id,
+                  CAST(ROW_NUMBER() OVER (
+                         ORDER BY md5('17:' || CAST(doc_id AS VARCHAR)),
+                                  doc_id) - 1 AS BIGINT) AS pos
+           FROM documents)
+SELECT doc_id, pos, CAST(pos % 8 AS INTEGER) AS shard FROM r
+""")
+def q_epoch_shuffle(spark, sf):
+    """Deterministic global training-order shuffle (seed 17, 8 shards)
+    via the bucketed two-pass rank — no single-task global sort."""
+    from data_ingest_spark.extensions.sampling import epoch_shuffle
+    return epoch_shuffle(load(spark, sf, "documents"),
+                         seed=17, num_shards=8)
+
+
+@_q("x80_mix_quota", r"""
+WITH toks AS (SELECT source, doc_id,
+                     CAST(len(regexp_extract_all(
+                       lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+                       AS BIGINT) AS n_tokens
+              FROM documents),
+s AS (SELECT source, ROW_NUMBER() OVER (ORDER BY source) AS idx,
+             COUNT(*) OVER () AS n
+      FROM (SELECT DISTINCT source FROM toks)),
+q AS (SELECT source, CAST(40000 // n
+             + CASE WHEN idx <= 40000 % n THEN 1 ELSE 0 END AS BIGINT)
+        AS quota FROM s),
+c AS (SELECT t.source, doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY t.source
+                    ORDER BY n_tokens DESC, doc_id ASC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+             quota
+      FROM toks t JOIN q ON t.source = q.source)
+SELECT source, doc_id, n_tokens, cum_tokens, quota
+FROM c WHERE cum_tokens <= quota
+""")
+def q_mix_quota(spark, sf):
+    """Exact-to-the-token corpus mixing: equal largest-remainder token
+    quotas per source, greedy per-source prefix."""
+    from data_ingest_spark.extensions.packing import mix_quota
+    toks = tx.token_count(load(spark, sf, "documents")).select(
+        "source", "doc_id", "n_tokens")
+    return mix_quota(toks, budget=40000)
+
+
+@_q("x81_preference_pairs", """
+WITH r AS (SELECT user_id, event_id, value,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY value DESC, event_id ASC) AS rk_top,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY value ASC, event_id DESC) AS rk_bot
+           FROM events WHERE event_type = 'click'),
+t AS (SELECT user_id, event_id AS chosen_id, value AS cs
+      FROM r WHERE rk_top = 1),
+b AS (SELECT user_id, event_id AS rejected_id, value AS rs
+      FROM r WHERE rk_bot = 1)
+SELECT t.user_id AS user_id, chosen_id, rejected_id,
+       ROUND(cs - rs, 9) AS margin
+FROM t JOIN b ON t.user_id = b.user_id WHERE cs > rs
+""")
+def q_preference_pairs(spark, sf):
+    """DPO/RM pair builder: per user the best- and worst-scored click
+    with deterministic tiebreaks; one grouped struct-min/max pass."""
+    clicks = events_df(spark, sf).filter(F.col("event_type") == "click")
+    return ev.preference_pairs(clicks)
+
+
+@_q("e26_incremental_rollup", """
+SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS sum_value,
+       MIN(ts) AS min_ts, MAX(ts) AS max_ts
+FROM events GROUP BY 1, 2
+""")
+def q_incremental_rollup(spark, sf):
+    """Incremental materialized-rollup maintenance: history state
+    (ts < Jan 21) merged with the new batch's partial state must
+    reproduce the full recompute — which is exactly what the oracle
+    computes. DECIMAL sums make the merge associativity exact."""
+    from data_ingest_spark.extensions.cdc import agg_state, merge_agg_state
+    evdf = events_df(spark, sf)
+    cutoff = F.lit("2024-01-21 00:00:00").cast("timestamp")
+    keys = ["user_id", "event_type"]
+    hist = agg_state(evdf.filter(F.col("ts") < cutoff), keys)
+    batch = agg_state(evdf.filter(F.col("ts") >= cutoff), keys)
+    merged = merge_agg_state(hist, batch, keys)
+    return merged.select(
+        "user_id", "event_type", "cnt",
+        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
+        "min_ts", "max_ts")
+
+
 # Driver-sample ordering. The correctness driver checks a bounded
 # prefix of ``queries()`` each round; round 2 verified the first 50
 # registered names (a/f/j/w/u/m1/m4-m7/v1/x1-x4/x15/x57/x59 — all
