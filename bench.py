@@ -73,6 +73,11 @@ HEADLINE = [
     # capstone (ppl gate -> dedup -> sequence packing)
     "x74_ppl_buckets",
     "p4_training_prep",
+    # round-3b additions: evaluation/curation operators
+    "x77_ranking_metrics",
+    "x79_epoch_shuffle",
+    "x80_mix_quota",
+    "e26_incremental_rollup",
 ]
 
 

@@ -187,3 +187,35 @@ def test_tpch_round3_shapes_broadcast_dims(spark):
         df = q(spark, name)
         assert broadcast_join_count(df) >= min_bcast, name
         assert shuffle_count(df) <= max_shuffles, name
+
+
+def test_evaluation_ops_single_shuffle(spark):
+    """x77/x79/x81 are one-shuffle plans: the ranking window and its
+    grouped aggregation share the group-key partitioning, the epoch
+    shuffle ranks within coarse hash buckets, and the preference-pair
+    struct-min/max is a plain partial-aggregated groupBy with the
+    click predicate pushed to the scan."""
+    for name in ("x77_ranking_metrics", "x79_epoch_shuffle",
+                 "x81_preference_pairs"):
+        assert shuffle_count(q(spark, name)) == 1, name
+    assert_pushed_filters(q(spark, "x81_preference_pairs"),
+                          "EqualTo(event_type,click)")
+
+
+def test_incremental_rollup_pushes_cutoff_to_scan(spark):
+    """e26 reads the events scan twice with the history/batch cutoff
+    pushed down — the incremental-maintenance contract is that the
+    batch side touches only batch rows."""
+    df = q(spark, "e26_incremental_rollup")
+    assert shuffle_count(df) == 2
+    assert_pushed_filters(df, "GreaterThanOrEqual(ts")
+    assert_pushed_filters(df, "LessThan(ts")
+
+
+def test_mix_quota_broadcasts_quota_corpus_moves_once(spark):
+    """x80's per-source quota table is broadcast; the corpus itself is
+    shuffled exactly once (the per-source cumulative-sum window). The
+    remaining exchanges carry one row per source."""
+    df = q(spark, "x80_mix_quota")
+    assert broadcast_join_count(df) >= 1
+    assert shuffle_count(df) <= 5
