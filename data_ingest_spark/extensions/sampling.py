@@ -156,8 +156,12 @@ def epoch_shuffle(df: DataFrame, id_col: str = "doc_id", seed: int = 17,
     for r in sizes:
         offsets[r["_b"]] = acc
         acc += r["n"]
-    offmap = (F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-              if offsets else F.create_map())
+    if not offsets:  # empty input: an argless create_map() is
+        # map<void,void> and fails analysis when indexed
+        return keyed.select(F.col(id_col),
+                            F.lit(0).cast("long").alias("pos"),
+                            F.lit(0).cast("int").alias("shard"))
+    offmap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     w = W.partitionBy("_b").orderBy("_h", id_col)
     return (keyed.withColumn("_local", F.row_number().over(w) - 1)
             .select(F.col(id_col),

@@ -94,8 +94,10 @@ def dense_ids_scalable(cells: DataFrame, order: list[str] | None = None,
     for r in sizes:
         offsets[r[part_key]] = acc
         acc += r["n"]
-    offmap = (F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-              if offsets else F.create_map())
+    if not offsets:  # empty input: an argless create_map() is
+        # map<void,void> and fails analysis when indexed
+        return cells.withColumn(id_col, F.lit(0).cast("int"))
+    offmap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     w = W.partitionBy(part_key).orderBy(*rest) if rest else W.partitionBy(part_key).orderBy(part_key)
     local = cells.withColumn("_local", F.row_number().over(w) - 1)
     return (local.withColumn(

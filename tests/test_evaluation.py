@@ -144,3 +144,22 @@ def test_epoch_shuffle_is_permutation_and_seed_sensitive(spark):
     other = epoch_shuffle(df, seed=18, num_shards=8).collect()
     assert {r["doc_id"]: r["pos"] for r in out} != \
         {r["doc_id"]: r["pos"] for r in other}
+
+
+def test_round3b_operators_survive_empty_input(spark):
+    """Empty-input robustness for the evaluation/curation family."""
+    eev = spark.createDataFrame(
+        [], "user_id long, event_id long, value double, relevant boolean")
+    assert ranking_metrics(eev).count() == 0
+    assert preference_pairs(eev).count() == 0
+    evotes = spark.createDataFrame([], "item string, label string")
+    assert majority_vote(evotes).count() == 0
+    edocs = spark.createDataFrame([], "source string, doc_id long, n_tokens long")
+    assert mix_quota(edocs, budget=100).count() == 0
+    eids = spark.createDataFrame([], "doc_id long")
+    assert epoch_shuffle(eids).count() == 0
+    ests = spark.createDataFrame(
+        [], "user_id long, event_type string, value double, ts timestamp")
+    keys = ["user_id", "event_type"]
+    assert merge_agg_state(agg_state(ests, keys), agg_state(ests, keys),
+                           keys).count() == 0

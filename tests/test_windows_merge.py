@@ -95,3 +95,11 @@ def test_ntile_scalable_no_single_task_exchange(spark):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_dense_ids_scalable_empty_input(spark):
+    from data_ingest_spark.operators.windows import dense_ids_scalable
+    empty = spark.createDataFrame([], "sample string, barcode string")
+    out = dense_ids_scalable(empty)
+    assert out.count() == 0
+    assert dict(out.dtypes)["cells_id"] == "int"
