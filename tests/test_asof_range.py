@@ -88,3 +88,52 @@ def test_range_join_small_bucket_width(spark):
            .select("event_id", "mark").collect())
     assert sorted((r["event_id"], r["mark"]) for r in got) == [
         (1, 100.0), (2, 200.0)]
+
+
+def test_asof_join_matches_pandas_merge_asof_hypothesis(spark):
+    """Differential property: asof_join reproduces pandas.merge_asof
+    (both directions, with and without tolerance) on random per-key
+    event streams. The right side is generated unique per (key, ts),
+    matching the documented no-tie-break contract."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from data_ingest_spark.operators.asof import asof_join
+
+    key = st.sampled_from(["k1", "k2"])
+    sec = st.integers(min_value=0, max_value=40)
+
+    def to_pdf(rows, val):
+        pdf = pd.DataFrame(rows, columns=["key", "ts", val])
+        pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s")
+        return pdf.sort_values(["ts", "key"]).reset_index(drop=True)
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(st.tuples(key, sec), min_size=1, max_size=10),
+           st.lists(st.tuples(key, sec), min_size=1, max_size=10))
+    def run(lrows, rrows):
+        rrows = list({(k, t) for k, t in rrows})  # unique per (key, ts)
+        lpdf = to_pdf([(k, t, float(i)) for i, (k, t) in enumerate(lrows)],
+                      "lv")
+        rpdf = to_pdf([(k, t, float(i)) for i, (k, t) in enumerate(rrows)],
+                      "rv")
+        ldf = spark.createDataFrame(lpdf).withColumnRenamed("ts", "ts")
+        rdf = spark.createDataFrame(rpdf)
+        for direction in ("backward", "forward"):
+            for tol in (None, 5.0):
+                exp = pd.merge_asof(
+                    lpdf, rpdf, on="ts", by="key", direction=direction,
+                    tolerance=None if tol is None
+                    else pd.Timedelta(seconds=tol))
+                got = asof_join(ldf, rdf, on=["key"], left_ts="ts",
+                                direction=direction,
+                                tolerance_s=tol).toPandas()
+                e = {(r.key, r.ts, r.lv): r.rv for r in exp.itertuples()}
+                g = {(r.key, r.ts, r.lv): r.rv for r in got.itertuples()}
+                assert set(e) == set(g), (direction, tol)
+                for kk in e:
+                    ev, gv = e[kk], g[kk]
+                    both_nan = pd.isna(ev) and pd.isna(gv)
+                    assert both_nan or ev == gv, (direction, tol, kk, ev, gv)
+
+    run()
