@@ -189,3 +189,47 @@ def test_foreachbatch_upsert_snapshot(spark, tmp_path):
 
     got = {r["k"]: r["v"] for r in spark.read.parquet(snap).collect()}
     assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_scd2_history_matches_python_mirror_hypothesis(spark):
+    """Differential property: the gaps-and-islands SCD2 collapse equals
+    a sequential Python mirror on random attribute streams (including
+    duplicate timestamps, resolved by the tie column)."""
+    from hypothesis import given, settings, strategies as st
+
+    from data_ingest_spark.extensions.cdc import scd2_history
+
+    def mirror(rows):
+        out = []
+        by_key = {}
+        for k, a, t, e in rows:
+            by_key.setdefault(k, []).append((t, e, a))
+        for k, evs in by_key.items():
+            evs.sort()
+            runs = []
+            for t, e, a in evs:
+                if runs and runs[-1][0] == a:
+                    runs[-1][2] += 1
+                else:
+                    runs.append([a, t, 1])
+            for i, (a, t, n) in enumerate(runs):
+                nxt = runs[i + 1][1] if i + 1 < len(runs) else None
+                out.append((k, a, t, nxt, n))
+        return sorted(out)
+
+    key = st.sampled_from([1, 2])
+    attr = st.sampled_from(["a", "b"])
+    ts = st.integers(min_value=0, max_value=8)
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(st.tuples(key, attr, ts), min_size=1, max_size=12))
+    def run(raw):
+        rows = [(k, a, t, i) for i, (k, a, t) in enumerate(raw)]
+        df = spark.createDataFrame(
+            rows, "user_id int, event_type string, ts int, event_id int")
+        got = sorted((r["user_id"], r["event_type"], r["valid_from"],
+                      r["valid_to"], r["n_events"])
+                     for r in scd2_history(df).collect())
+        assert got == mirror(rows), rows
+
+    run()
