@@ -386,3 +386,44 @@ def quantize_int8(emb: DataFrame, id_col: str = "vec_id",
         F.concat_ws(",", F.transform(
             q, lambda x: x.cast("long").cast("string"))).alias("q_csv"),
         err.alias("max_err"))
+
+
+def lloyd_step(emb: DataFrame, k: int = 4, id_col: str = "vec_id",
+               vec_col: str = "embedding", scale: int = 10**6) -> DataFrame:
+    """One exact Lloyd (k-means) iteration in fixed-point integer
+    arithmetic — the distributed coarse-quantizer refinement step
+    behind :func:`kmeans_ivf_index`, made hash-checkable.
+
+    Seeding is deterministic (the ``k`` smallest ids are the initial
+    centroids — real data vectors, so quantized distances are exact
+    int64: |q| ≲ 2e6 ⇒ Σ₆₄ diff² < 3e14). Each vector assigns to the
+    argmin-distance centroid (ties → smallest centroid id) and the new
+    centroid is the per-dimension integer mean, emitted as
+    ``(cid, dim, n, mean_q)``.
+
+    Plan: the k centroid rows broadcast; assignment is a map-side
+    zip_with/aggregate fold (whole-stage codegen, no UDF); the
+    re-centering is one partial-aggregated groupBy on (cid, dim) —
+    two shuffles total, independent of corpus size. Iterating the
+    step is the full Lloyd loop; each pass stays O(corpus)/shuffle."""
+    q = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col),
+                    lambda x: F.round(x.cast("double") * scale)
+                    .cast("long")).alias("qe"))
+    cent = q.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cid"), F.col("qe").alias("ce"))
+    d = (q.join(F.broadcast(cent))
+         .withColumn("d2", F.aggregate(
+             F.zip_with("qe", "ce", lambda a, b: (a - b) * (a - b)),
+             F.lit(0).cast("long"), lambda acc, x: acc + x)))
+    w = W.partitionBy(id_col).orderBy("d2", "cid")
+    assign = (d.withColumn("_rk", F.row_number().over(w))
+              .filter(F.col("_rk") == 1)
+              .select(id_col, "cid", "qe"))
+    x = assign.select("cid", F.posexplode("qe").alias("dim", "val"))
+    return (x.groupBy("cid", "dim")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("val").alias("s"))
+            .select("cid", (F.col("dim") + 1).cast("int").alias("dim"),
+                    "n", F.round(F.col("s") / F.col("n"), 6).alias("mean_q")))

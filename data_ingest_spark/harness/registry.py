@@ -5222,6 +5222,37 @@ def q_preference_pairs(spark, sf):
     return ev.preference_pairs(clicks)
 
 
+@_q("x82_lloyd_step", """
+WITH q AS (SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                    AS qe
+           FROM embeddings),
+c AS (SELECT vec_id AS cid, qe AS ce FROM q WHERE vec_id < 4),
+d AS (SELECT q.vec_id, c.cid, q.qe,
+             CAST(list_sum(list_transform(range(1, 65),
+                  i -> (q.qe[i] - c.ce[i]) * (q.qe[i] - c.ce[i])))
+                  AS BIGINT) AS d2
+      FROM q CROSS JOIN c),
+a AS (SELECT vec_id, cid, qe FROM (
+        SELECT vec_id, cid, qe,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cid) AS rk
+        FROM d) WHERE rk = 1),
+x AS (SELECT cid, CAST(t.i AS INT) AS dim, qe[t.i] AS val
+      FROM a CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) t)
+SELECT cid, dim, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(val) * 1.0 / COUNT(*), 6) AS mean_q
+FROM x GROUP BY 1, 2
+""")
+def q_lloyd_step(spark, sf):
+    """One exact fixed-point Lloyd iteration over the embeddings table
+    (4 deterministic seed centroids) — the KMeans-IVF coarse-quantizer
+    refinement under the full value oracle."""
+    from data_ingest_spark.extensions.similarity import lloyd_step
+    return lloyd_step(load(spark, sf, "embeddings"), k=4)
+
+
 @_q("e26_incremental_rollup", """
 SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
        ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)

@@ -834,3 +834,21 @@ def test_dq_check_rule_semantics(spark):
     assert out[("unique", "id")] == (2, False)     # two rows share id 2
     clean = check(df.limit(0), [{"rule": "not_null", "column": "id"}])
     assert clean.collect()[0]["pass"] is True
+
+
+def test_lloyd_step_assigns_to_nearest_and_averages(spark):
+    """k=2 planted clusters: ids 0,1 seed the centroids; every vector
+    joins its nearest seed and the new centroid is the exact
+    per-dimension mean of its members (fixed-point ints)."""
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 1.0]),
+            (2, [0.1, 0.0]), (3, [0.9, 1.0]), (4, [0.0, 0.2])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim.lloyd_step(df, k=2)
+    got = {(r["cid"], r["dim"]): (r["n"], r["mean_q"])
+           for r in out.collect()}
+    # cluster 0: ids 0,2,4 -> mean dim1 = (0+100000+0)/3
+    assert got[(0, 1)] == (3, round(100000 / 3, 6))
+    assert got[(0, 2)] == (3, round(200000 / 3, 6))
+    # cluster 1: ids 1,3 -> dim1 mean (1000000+900000)/2
+    assert got[(1, 1)] == (2, 950000.0)
+    assert got[(1, 2)] == (2, 1000000.0)
