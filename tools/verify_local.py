@@ -46,30 +46,49 @@ def main() -> int:
     from data_ingest_spark.session import get_spark
 
     spark = get_spark("verify-local", cpus=16)
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
+    # PHASE 1: every Spark query first, THEN every DuckDB oracle.
+    # Interleaving them deadlocks eventually: DuckDB's worker-thread
+    # pool persists on the connection after the first oracle, and a
+    # pyspark daemon worker forked while a pool thread holds a lock
+    # inherits that held lock — the worker wedges, the executor waits
+    # on its socket forever, and the driver waits on the executor
+    # (observed at sf0.1 after ~100 queries). With the split, all
+    # forks happen before DuckDB spins a single thread.
+    spark_res: dict[str, object] = {}
     failures, passed, weak = [], 0, 0
     for name, (fn, sql) in registry.REGISTRY.items():
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, sf).toPandas()
+            spark_res[name] = fn(spark, sf).toPandas()
         except Exception as e:  # noqa: BLE001
-            failures.append((name, f"spark error: {e}"))
-            print(f"FAIL {name}: spark error: {e}")
+            spark_res[name] = e
+        print(f"spark {name}: done", flush=True)
+    spark.stop()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+    for name, (fn, sql) in registry.REGISTRY.items():
+        if only and name not in only:
+            continue
+        sdf = spark_res[name]
+        if isinstance(sdf, Exception):
+            failures.append((name, f"spark error: {sdf}"))
+            print(f"FAIL {name}: spark error: {sdf}", flush=True)
             continue
         if sql is None:
             ok = len(sdf) >= 0
             weak += 1
-            print(f"weak {name}: rows={len(sdf)} (no oracle)")
+            print(f"weak {name}: rows={len(sdf)} (no oracle)", flush=True)
             continue
         try:
             odf = con.execute(sql).df()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"duckdb error: {e}"))
-            print(f"FAIL {name}: duckdb error: {e}")
+            print(f"FAIL {name}: duckdb error: {e}", flush=True)
             continue
         if len(sdf) != len(odf):
             failures.append((name, f"rows {len(sdf)} vs {len(odf)}"))
@@ -84,7 +103,7 @@ def main() -> int:
             zip(sorted(odf.columns, key=str.lower), sorted(sdf.columns, key=str.lower)))))
         if a.equals(b):
             passed += 1
-            print(f"PASS {name}: rows={len(a)}")
+            print(f"PASS {name}: rows={len(a)}", flush=True)
         else:
             neq = (a != b)
             bad_cols = [c for c in a.columns if neq[c].any()]
@@ -94,8 +113,8 @@ def main() -> int:
             failures.append((name, f"values differ in {bad_cols}"))
             print(f"FAIL {name}: values differ in {bad_cols}\n  spark: {sample_a}\n  duck : {sample_b}")
 
-    print(f"\n{passed} passed, {weak} weak (no oracle), {len(failures)} failed")
-    spark.stop()
+    print(f"\n{passed} passed, {weak} weak (no oracle), {len(failures)} failed",
+          flush=True)
     return 1 if failures else 0
 
 
