@@ -5253,6 +5253,61 @@ def q_lloyd_step(spark, sf):
     return lloyd_step(load(spark, sf, "embeddings"), k=4)
 
 
+#: Static BPE merge artifact for x84 (trained by bpe_train at sf0.01,
+#: n_merges=8 — a tokenizer ships as a frozen artifact, so the encode
+#: query embeds it in BOTH the Spark plan and the DuckDB oracle).
+#: All symbols alphanumeric ⇒ safe to splice into SQL literals.
+_BPE_MERGES = [("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+               ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u")]
+
+
+def _bpe_fold_sql(inner: str, left: str, right: str) -> str:
+    m = left + right
+    return (f"list_reduce(list_transform({inner}, c -> [c]), "
+            f"(acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = '{left}' "
+            f"AND x[1] = '{right}' "
+            f"THEN list_concat(acc[1:len(acc)-1], ['{m}']) "
+            f"ELSE list_concat(acc, x) END)")
+
+
+def _bpe_encode_sql(merges: list[tuple[str, str]]) -> str:
+    expr = "list_transform(range(1, length(w) + 1), i -> substr(w, i, 1))"
+    for left, right in merges:
+        expr = _bpe_fold_sql(expr, left, right)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '\s+')) AS w,
+         generate_subscripts(string_split_regex(lower(text), '\s+'), 1)
+           AS pos
+  FROM documents),
+enc AS (SELECT doc_id, pos, {expr} AS t
+        FROM toks WHERE length(w) >= 1),
+doc AS (SELECT doc_id, flatten(list(t ORDER BY pos)) AS tt
+        FROM enc GROUP BY doc_id)
+SELECT doc_id, CAST(len(tt) AS BIGINT) AS n_tokens,
+       array_to_string(tt, ' ') AS tokens_str
+FROM doc
+"""
+
+
+@_q("x83_bpe_train")
+def q_bpe_train(spark, sf):
+    """Distributed BPE training over the documents corpus (rows-only:
+    genuinely iterative argmax-per-round; parity pinned by the
+    hypothesis mirror in tests/test_bpe.py)."""
+    from data_ingest_spark.extensions.bpe import bpe_train
+    return bpe_train(load(spark, sf, "documents"), n_merges=8)
+
+
+@_q("x84_bpe_encode", _bpe_encode_sql(_BPE_MERGES))
+def q_bpe_encode(spark, sf):
+    """BPE tokenization with the frozen merge artifact: the per-merge
+    Catalyst array fold (no UDF) under the full value oracle."""
+    from data_ingest_spark.extensions.bpe import bpe_encode
+    return bpe_encode(load(spark, sf, "documents"), _BPE_MERGES)
+
+
 @_q("e26_incremental_rollup", """
 SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
        ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)

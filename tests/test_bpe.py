@@ -1,0 +1,110 @@
+"""BPE tokenizer: distributed training + Catalyst-fold encoding vs a
+sequential pure-Python mirror."""
+
+import re
+
+from data_ingest_spark.extensions.bpe import bpe_encode, bpe_train
+
+
+def _apply(s, left, right):
+    out = []
+    for x in s:
+        if out and out[-1] == left and x == right:
+            out[-1] = left + right
+        else:
+            out.append(x)
+    return out
+
+
+def _mirror_train(texts, n_merges, min_count=2):
+    from collections import Counter
+    words = Counter()
+    for t in texts:
+        for w in re.split(r"\s+", t.lower()):
+            if w:
+                words[w] += 1
+    seqs = {w: list(w) for w in words}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, f in words.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        (left, right), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < min_count:
+            break
+        merges.append((left, right))
+        for w in seqs:
+            seqs[w] = _apply(seqs[w], left, right)
+    return merges
+
+
+def _mirror_encode(text, merges):
+    toks = []
+    for w in re.split(r"\s+", text.lower()):
+        if not w:
+            continue
+        s = list(w)
+        for left, right in merges:
+            s = _apply(s, left, right)
+        toks += s
+    return toks
+
+
+def test_bpe_train_learns_classic_merges(spark):
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        "doc_id long, text string")
+    m = [(r["left"], r["right"], r["merged"], r["pair_count"])
+         for r in bpe_train(df, n_merges=3).orderBy("rank").collect()]
+    assert m == [("l", "o", "lo", 5), ("lo", "w", "low", 5),
+                 ("e", "w", "ew", 4)]
+
+
+def test_bpe_encode_applies_merges_in_order(spark):
+    df = spark.createDataFrame([(7, "low lowest unseen")],
+                               "doc_id long, text string")
+    out = bpe_encode(df, [("l", "o"), ("lo", "w")]).collect()[0]
+    assert out["tokens_str"] == "low low e s t u n s e e n"
+    assert out["n_tokens"] == 11
+
+
+def test_bpe_matches_python_mirror_hypothesis(spark):
+    """Differential property: distributed train + encode equal the
+    sequential mirror on random small-alphabet corpora (small alphabet
+    makes merges frequent and tie-breaks exercised)."""
+    from hypothesis import given, settings, strategies as st
+
+    word = st.text(alphabet="abc", min_size=1, max_size=6)
+    doc = st.lists(word, min_size=1, max_size=8).map(" ".join)
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=4))
+    def run(texts):
+        docs = list(enumerate(texts))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got_m = [(r["left"], r["right"])
+                 for r in bpe_train(df, n_merges=4).orderBy("rank").collect()]
+        assert got_m == _mirror_train(texts, 4), texts
+        got_e = {r["doc_id"]: r["tokens_str"]
+                 for r in bpe_encode(df, got_m).collect()}
+        for d, t in docs:
+            assert got_e[d] == " ".join(_mirror_encode(t, got_m)), (t, got_m)
+
+    run()
+
+
+def test_bpe_empty_and_single_char_words(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a b a")],
+                               "doc_id long, text string")
+    m = bpe_train(df, n_merges=3).collect()
+    assert m == []  # no adjacent pairs anywhere
+    enc = {r["doc_id"]: r["tokens_str"]
+           for r in bpe_encode(df, [("a", "b")]).collect()}
+    assert enc == {1: "a", 2: "a b a"}
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bpe_train(empty).count() == 0
+    assert bpe_encode(empty, [("a", "b")]).count() == 0
