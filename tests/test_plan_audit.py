@@ -219,3 +219,18 @@ def test_mix_quota_broadcasts_quota_corpus_moves_once(spark):
     df = q(spark, "x80_mix_quota")
     assert broadcast_join_count(df) >= 1
     assert shuffle_count(df) <= 5
+
+
+def test_bpe_and_lloyd_broadcast_and_bounded_shuffles(spark):
+    """x82: the seed-centroid table broadcasts with the vec_id<4
+    predicate pushed to the scan; two shuffles (assignment window +
+    re-centering groupBy). x84: the encoded vocabulary broadcasts
+    back to the token stream; two shuffles (distinct vocab + per-doc
+    reassembly) — both independent of corpus size."""
+    lloyd = q(spark, "x82_lloyd_step")
+    assert broadcast_join_count(lloyd) >= 1
+    assert shuffle_count(lloyd) == 2
+    assert_pushed_filters(lloyd, "LessThan(vec_id,4)")
+    bpe = q(spark, "x84_bpe_encode")
+    assert broadcast_join_count(bpe) >= 1
+    assert shuffle_count(bpe) == 2
