@@ -78,6 +78,8 @@ HEADLINE = [
     "x79_epoch_shuffle",
     "x80_mix_quota",
     "e26_incremental_rollup",
+    "x82_lloyd_step",
+    "x84_bpe_encode",
 ]
 
 
