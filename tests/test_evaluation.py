@@ -163,3 +163,41 @@ def test_round3b_operators_survive_empty_input(spark):
     keys = ["user_id", "event_type"]
     assert merge_agg_state(agg_state(ests, keys), agg_state(ests, keys),
                            keys).count() == 0
+
+
+def test_ranking_metrics_matches_python_mirror_hypothesis(spark):
+    """Differential property: windowed MRR/NDCG@10 equals a sequential
+    Python mirror (same fixed-point weights) on random result lists."""
+    from hypothesis import given, settings, strategies as st
+
+    def mirror(rows, k=10):
+        w, i = dcg_weights_fp(k), idcg_prefix_fp(k)
+        by_g = {}
+        for g, eid, score, rel in rows:
+            by_g.setdefault(g, []).append((-score, eid, rel))
+        out = {}
+        for g, lst in by_g.items():
+            lst.sort()
+            first = next((r + 1 for r, (_, _, rel) in enumerate(lst) if rel),
+                         None)
+            nrel = sum(1 for _, _, rel in lst if rel)
+            dcg = sum(w[r] for r, (_, _, rel) in enumerate(lst[:k]) if rel)
+            rr = round(1.0 / first, 9) if first else 0.0
+            ndcg = (round(dcg / i[min(nrel, k) - 1], 9) if nrel else 0.0)
+            out[g] = (first, nrel, rr, ndcg)
+        return out
+
+    row = st.tuples(st.sampled_from([1, 2]), st.integers(0, 50),
+                    st.sampled_from([0.5, 1.0, 2.5]), st.booleans())
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(row, min_size=1, max_size=14, unique_by=lambda r: r[1]))
+    def run(rows):
+        df = spark.createDataFrame(
+            rows, "user_id int, event_id int, value double, relevant boolean")
+        got = {r["user_id"]: (r["first_rel_rank"], r["n_relevant"],
+                              r["rr"], r["ndcg_k"])
+               for r in ranking_metrics(df).collect()}
+        assert got == mirror(rows), rows
+
+    run()
