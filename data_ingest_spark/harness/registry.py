@@ -2421,9 +2421,14 @@ WITH {_KNN_EDGES_SQL},
        GROUP BY 1, 2),
  sn AS (SELECT u, v, CAST(c * ({_LPA_SCALE} // (20 - c)) AS BIGINT) AS w
         FROM i WHERE c / (20.0 - c) >= 1.0 / 15.0),
- und AS (SELECT u AS src, v AS dst, w FROM sn
+ und AS MATERIALIZED (SELECT u AS src, v AS dst, w FROM sn
          UNION ALL SELECT v, u, w FROM sn),
- l0 AS (SELECT src AS id, src AS label FROM (SELECT DISTINCT src FROM und))"""
+ l0 AS MATERIALIZED (
+   SELECT src AS id, src AS label FROM (SELECT DISTINCT src FROM und))"""
+    # MATERIALIZED is load-bearing: und is referenced every round and
+    # l{k} twice per round — inlined, the plan doubles each level
+    # (2^iters copies of the all-pairs kNN subtree; observed OOM at
+    # sf0.1). Materialization keeps the oracle linear in iters.
     for k in range(iters):
         sql += f""",
  v{k} AS (SELECT e.src, l.label AS nl, SUM(e.w) AS w
@@ -2432,8 +2437,9 @@ WITH {_KNN_EDGES_SQL},
             SELECT src, nl, w, MAX(w) OVER (PARTITION BY src) AS mw
             FROM v{k}) t
           WHERE w >= mw GROUP BY src),
- l{k + 1} AS (SELECT l.id, COALESCE(b.new, l.label) AS label
-              FROM l{k} l LEFT JOIN b{k} b ON l.id = b.src)"""
+ l{k + 1} AS MATERIALIZED (
+   SELECT l.id, COALESCE(b.new, l.label) AS label
+   FROM l{k} l LEFT JOIN b{k} b ON l.id = b.src)"""
     return sql + f"\nSELECT id, label AS cluster FROM l{iters}"
 
 
@@ -5007,8 +5013,14 @@ WITH corpus AS ({_EXCERPT_SQL}),{_shingle_ctes('corpus')},
                           WHERE q.contained_id = p.container_id
                             AND q.container_id = p.contained_id)),
  drop_ids AS (
-   SELECT contained_id FROM pairs
-   EXCEPT SELECT contained_id FROM mutual
+   -- pair-level anti-join, NOT a projected EXCEPT: a doc non-mutually
+   -- contained in one container must drop even when it ALSO sits in a
+   -- mutual pair with a third doc (projecting before EXCEPT would
+   -- exempt it — divergence surfaced by the sf0.1 gate).
+   SELECT contained_id FROM pairs p
+   WHERE NOT EXISTS (SELECT 1 FROM mutual m
+                     WHERE m.contained_id = p.contained_id
+                       AND m.container_id = p.container_id)
    UNION SELECT contained_id FROM mutual
          WHERE contained_id > container_id)
 SELECT c.doc_id FROM corpus c

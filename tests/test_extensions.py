@@ -780,6 +780,23 @@ def test_remove_contained_keeps_mutual_smaller_id(spark):
     assert kept == {1, 10, 3}
 
 
+def test_remove_contained_mutual_member_still_drops_into_container(spark):
+    """A doc that is non-mutually contained in a long container AND
+    mutually contained with a twin must still drop — the drop decision
+    is per PAIR, not per projected id (the sf0.1 gate caught an oracle
+    writing it as a projected EXCEPT, which wrongly exempts the doc).
+    Here 20 and 21 are twins (mutual) and both are excerpts of 1:
+    every copy of the excerpt text must vanish."""
+    long_text = " ".join(f"w{i}" for i in range(40))
+    excerpt = " ".join(f"w{i}" for i in range(6))
+    rows = [(1, long_text), (20, excerpt), (21, excerpt),
+            (3, " ".join(f"z{i}" for i in range(20)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r["doc_id"] for r in
+            dd.remove_contained(df, threshold=0.8).collect()}
+    assert kept == {1, 3}
+
+
 def test_dedup_index_incremental_lifecycle(spark, tmp_path):
     """Persistent LSH index: day-0 build, day-1 batch finds its
     near-dup of the ARCHIVE from stored tables, day-2 batch finds its
