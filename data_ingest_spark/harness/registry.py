@@ -5265,6 +5265,31 @@ def q_lloyd_step(spark, sf):
     return lloyd_step(load(spark, sf, "embeddings"), k=4)
 
 
+@_q("m9_mnn_anchors", """
+WITH p AS (SELECT CAST(vec_id AS VARCHAR) AS id, label,
+                  embedding::DOUBLE[] AS e FROM embeddings),
+ a AS (SELECT id, e FROM p WHERE label = 0),
+ b AS (SELECT id, e FROM p WHERE label = 1),
+ d AS (SELECT a.id AS ida, b.id AS idb,
+              list_sum(list_transform(range(1, 65),
+                i -> (a.e[i] - b.e[i]) * (a.e[i] - b.e[i]))) AS d2
+       FROM a CROSS JOIN b),
+ r AS (SELECT ida, idb, d2,
+              ROW_NUMBER() OVER (PARTITION BY ida
+                                 ORDER BY d2, idb) AS ra,
+              ROW_NUMBER() OVER (PARTITION BY idb
+                                 ORDER BY d2, ida) AS rb
+       FROM d)
+SELECT ida, idb, ROUND(d2, 6) AS d2 FROM r WHERE ra <= 5 AND rb <= 5
+""")
+def q_mnn_anchors(spark, sf):
+    """Mutual-nearest-neighbor anchors between batches 0 and 1 of the
+    embeddings table — the hash-checkable exact core of the M9
+    integration's anchor search."""
+    from data_ingest_spark.operators.integrate import mnn_anchor_pairs
+    return mnn_anchor_pairs(_emb_pc_arr(spark, sf), "0", "1", k=5)
+
+
 #: Static BPE merge artifact for x84 (trained by bpe_train at sf0.01,
 #: n_merges=8 — a tokenizer ships as a frozen artifact, so the encode
 #: query embeds it in BOTH the Spark plan and the DuckDB oracle).

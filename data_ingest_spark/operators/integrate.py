@@ -201,3 +201,36 @@ def integrate_mnn_distributed(pc_cols: DataFrame, k_anchor: int = 5,
                        .alias(c) for i, c in enumerate(feat_cols)]))
     return (ref.select("sample", "barcode", *feat_cols)
             .unionByName(fixed))
+
+
+def mnn_anchor_pairs(pc_arr: DataFrame, sample_a: str, sample_b: str,
+                     k: int = 5, id_col: str = "barcode",
+                     vec_col: str = "pc") -> DataFrame:
+    """The exact-kNN core of MNN anchor finding, as a hash-checkable
+    DataFrame op: (ida, idb, d2) pairs where each side ranks within
+    the other's k nearest (squared Euclidean, ties broken by id — the
+    mutual-nearest-neighbor definition of dataIntegration.r's
+    FindIntegrationAnchors stage, minus the rPCA re-basis).
+
+    Plan: the reference batch broadcasts against the query batch (the
+    per-batch reduced matrix is N×d, the same object every anchor
+    implementation holds), distances are a codegen zip_with/aggregate
+    fold, and the two rank windows reuse one cross table — two
+    shuffles. At 100× batch sizes swap the broadcast cross for the
+    LSH candidate join of :func:`integrate_mnn_distributed`; this
+    exact variant is its correctness anchor."""
+    a = (pc_arr.filter(F.col("sample") == sample_a)
+         .select(F.col(id_col).alias("ida"), F.col(vec_col).alias("va")))
+    b = (pc_arr.filter(F.col("sample") == sample_b)
+         .select(F.col(id_col).alias("idb"), F.col(vec_col).alias("vb")))
+    d2 = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = a.join(F.broadcast(b)).withColumn("_d2", d2)
+    wa = W.partitionBy("ida").orderBy("_d2", "idb")
+    wb = W.partitionBy("idb").orderBy("_d2", "ida")
+    return (scored
+            .withColumn("_ra", F.row_number().over(wa))
+            .withColumn("_rb", F.row_number().over(wb))
+            .filter((F.col("_ra") <= k) & (F.col("_rb") <= k))
+            .select("ida", "idb", F.round("_d2", 6).alias("d2")))

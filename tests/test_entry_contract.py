@@ -39,7 +39,10 @@ def test_registry_contract_shapes(entry_mod):
                          "m10_spectral_embedding", "m10_spectral_dist",
                          "m11_tsne", "m6_vst",
                          "m13_louvain", "m13_louvain_dist", "p1_qc_pipeline",
-                         "x51_kmeans_ivf"}
+                         "x51_kmeans_ivf",
+                         # iterative argmax-per-round training; mirror-
+                         # fuzzed in test_bpe.py
+                         "x83_bpe_train"}
     assert all(callable(fn) for fn in q.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper()
                for s in o.values())
