@@ -625,3 +625,24 @@ def remove_contained(df: DataFrame, id_col: str = "doc_id",
                 .select("contained_id"))
             .distinct())
     return df.join(drop, df[id_col] == drop["contained_id"], "left_anti")
+
+
+def soft_dedup_weights(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Soft deduplication: instead of dropping exact duplicates, emit a
+    per-document sampling weight 1/|cluster| (so each distinct content
+    contributes one unit of expected training mass regardless of how
+    many copies crawled in). Returns ``(id, cluster_size, weight)``.
+
+    One content-hash groupBy plus a hash-keyed join back — the shuffle
+    carries (hash, size) rows. The down-weighting alternative modern
+    curation pipelines use when hard dedup would discard too much of
+    the head distribution."""
+    h = F.md5(F.col(text_col).cast("binary"))
+    keyed = df.select(F.col(id_col), h.alias("_h"))
+    sizes = keyed.groupBy("_h").agg(F.count("*").cast("long")
+                                    .alias("cluster_size"))
+    return (keyed.join(sizes, "_h")
+            .select(id_col, "cluster_size",
+                    F.round(F.lit(1.0) / F.col("cluster_size"), 9)
+                    .alias("weight")))

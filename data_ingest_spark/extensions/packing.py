@@ -124,3 +124,39 @@ def mix_quota(df: DataFrame, budget: int, source_col: str = "source",
             .select(source_col, id_col,
                     F.col(token_col).cast("long").alias(token_col),
                     "cum_tokens", "quota"))
+
+
+def length_buckets(df: DataFrame, boundaries: list[int] | None = None,
+                   token_col: str = "n_tokens") -> DataFrame:
+    """Sequence-length bucketing for dynamic batching: assign each
+    document to the smallest boundary bucket that holds it and report,
+    per bucket, the document count, token total, pad target (the
+    boundary, or the bucket max for the overflow bucket) and the
+    padding waste a fixed-length batcher would pay. Returns
+    ``(bucket, pad_target, n_docs, sum_tokens, waste_tokens,
+    waste_frac)``.
+
+    One grouped aggregation (exact integer math; the fraction divides
+    two exact int64s). The standard pre-batching audit: pick
+    boundaries so waste_frac stays low without fragmenting batches."""
+    boundaries = boundaries or [64, 128, 256, 512]
+    t = F.col(token_col)
+    bucket = sum((t > F.lit(b)).cast("int") for b in boundaries)
+    barr = F.array(*[F.lit(b).cast("long") for b in boundaries])
+    agg = (df.withColumn("_b", bucket.cast("int"))
+           .groupBy("_b")
+           .agg(F.count("*").cast("long").alias("n_docs"),
+                F.sum(t).cast("long").alias("sum_tokens"),
+                F.max(t).cast("long").alias("_mx")))
+    pad = F.when(F.col("_b") < len(boundaries),
+                 F.element_at(barr, F.col("_b") + 1)).otherwise(F.col("_mx"))
+    return (agg.select(F.col("_b").alias("bucket"),
+                       pad.cast("long").alias("pad_target"),
+                       "n_docs", "sum_tokens")
+            .withColumn("waste_tokens",
+                        (F.col("pad_target") * F.col("n_docs")
+                         - F.col("sum_tokens")).cast("long"))
+            .withColumn("waste_frac",
+                        F.round(F.col("waste_tokens")
+                                / (F.col("pad_target") * F.col("n_docs")),
+                                9)))

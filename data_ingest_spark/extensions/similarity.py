@@ -427,3 +427,41 @@ def lloyd_step(emb: DataFrame, k: int = 4, id_col: str = "vec_id",
                  F.sum("val").alias("s"))
             .select("cid", (F.col("dim") + 1).cast("int").alias("dim"),
                     "n", F.round(F.col("s") / F.col("n"), 6).alias("mean_q")))
+
+
+def hard_negatives(emb: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", label_col: str = "label",
+                   k: int = 1) -> DataFrame:
+    """Hard-negative mining for embedding/retriever training: for each
+    vector, the ``k`` most-cosine-similar vectors carrying a DIFFERENT
+    label — the negatives that actually move a contrastive loss.
+    Returns ``(vec_id, neg_id, cosine, rank)``.
+
+    Brute variant (broadcast cross + rank window, exact); at corpus
+    scale swap the candidate generation for the LSH/IVF buckets in
+    this module — the ranking and label-exclusion logic is unchanged."""
+    dot = F.aggregate(F.zip_with("_va", "_vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    a = emb.select(F.col(id_col).alias("_ia"),
+                   F.col(label_col).alias("_la"),
+                   F.transform(F.col(vec_col),
+                               lambda x: x.cast("double")).alias("_va"))
+    b = emb.select(F.col(id_col).alias("_ib"),
+                   F.col(label_col).alias("_lb"),
+                   F.transform(F.col(vec_col),
+                               lambda x: x.cast("double")).alias("_vb"))
+    # rank on the ROUNDED similarity (the m12 kNN convention): raw
+    # doubles can differ in the last ulp across engines and flip
+    # near-tie ranks; 6dp + id tiebreak is deterministic everywhere.
+    cos = F.round(dot / (norm(F.col("_va")) * norm(F.col("_vb"))), 6)
+    w = W.partitionBy("_ia").orderBy(F.desc("_cos"), F.asc("_ib"))
+    return (a.join(F.broadcast(b), F.col("_la") != F.col("_lb"))
+            .withColumn("_cos", cos)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("_ia").alias(id_col),
+                    F.col("_ib").alias("neg_id"),
+                    F.col("_cos").alias("cosine"),
+                    F.col("rank").cast("int").alias("rank")))

@@ -5265,6 +5265,74 @@ def q_lloyd_step(spark, sf):
     return lloyd_step(load(spark, sf, "embeddings"), k=4)
 
 
+@_q("x85_length_buckets", r"""
+WITH toks AS (SELECT CAST(len(regexp_extract_all(
+                lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n
+              FROM documents),
+bk AS (SELECT n, CAST(CASE WHEN n > 64 THEN 1 ELSE 0 END
+              + CASE WHEN n > 128 THEN 1 ELSE 0 END
+              + CASE WHEN n > 256 THEN 1 ELSE 0 END
+              + CASE WHEN n > 512 THEN 1 ELSE 0 END AS INTEGER) AS b
+       FROM toks),
+agg AS (SELECT b AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS sum_tokens,
+               CAST(MAX(n) AS BIGINT) AS mx
+        FROM bk GROUP BY 1),
+p AS (SELECT bucket,
+             CAST(CASE bucket WHEN 0 THEN 64 WHEN 1 THEN 128
+                  WHEN 2 THEN 256 WHEN 3 THEN 512 ELSE mx END AS BIGINT)
+               AS pad_target,
+             n_docs, sum_tokens FROM agg)
+SELECT bucket, pad_target, n_docs, sum_tokens,
+       CAST(pad_target * n_docs - sum_tokens AS BIGINT) AS waste_tokens,
+       ROUND((pad_target * n_docs - sum_tokens) * 1.0
+             / (pad_target * n_docs), 9) AS waste_frac
+FROM p
+""")
+def q_length_buckets(spark, sf):
+    """Dynamic-batching audit: boundary buckets over token counts with
+    exact padding-waste accounting."""
+    from data_ingest_spark.extensions.packing import length_buckets
+    toks = tx.token_count(load(spark, sf, "documents"))
+    return length_buckets(toks)
+
+
+@_q("x86_soft_dedup", f"""
+WITH corpus AS ({_DUP_SQL}),
+ s AS (SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       FROM corpus GROUP BY 1)
+SELECT c.doc_id, s.cluster_size,
+       ROUND(1.0 / s.cluster_size, 9) AS weight
+FROM corpus c JOIN s ON md5(c.text) = s.h
+""")
+def q_soft_dedup(spark, sf):
+    """Soft dedup on the planted-duplicate corpus: per-doc sampling
+    weight 1/|content cluster| instead of a hard drop."""
+    return dd.soft_dedup_weights(_dup_corpus(spark, sf))
+
+
+@_q("x87_hard_negatives", """
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+ s AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+              ROUND(list_dot_product(a.e, b.e)
+                    / (sqrt(list_dot_product(a.e, a.e))
+                       * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
+       FROM v a JOIN v b ON a.label <> b.label),
+ r AS (SELECT ida, idb, cos,
+              ROW_NUMBER() OVER (PARTITION BY ida
+                                 ORDER BY cos DESC, idb) AS rk
+       FROM s)
+SELECT ida AS vec_id, idb AS neg_id, cos AS cosine,
+       CAST(rk AS INTEGER) AS rank
+FROM r WHERE rk <= 2
+""")
+def q_hard_negatives(spark, sf):
+    """Contrastive hard-negative mining: per vector, the 2 most-similar
+    vectors with a different label."""
+    from data_ingest_spark.extensions.similarity import hard_negatives
+    return hard_negatives(load(spark, sf, "embeddings"), k=2)
+
+
 @_q("m9_mnn_anchors", """
 WITH p AS (SELECT CAST(vec_id AS VARCHAR) AS id, label,
                   embedding::DOUBLE[] AS e FROM embeddings),

@@ -201,3 +201,46 @@ def test_ranking_metrics_matches_python_mirror_hypothesis(spark):
         assert got == mirror(rows), rows
 
     run()
+
+
+def test_length_buckets_waste_accounting(spark):
+    from data_ingest_spark.extensions.packing import length_buckets
+    rows = [(1, 10), (2, 64), (3, 65), (4, 100), (5, 600), (6, 700)]
+    df = spark.createDataFrame(rows, "doc_id int, n_tokens int")
+    out = {r["bucket"]: r for r in length_buckets(df).collect()}
+    # bucket 0: tokens <= 64 -> docs 1,2; pad 64; waste 128-74=54
+    assert out[0]["n_docs"] == 2 and out[0]["pad_target"] == 64
+    assert out[0]["waste_tokens"] == 54
+    assert out[0]["waste_frac"] == round(54 / 128, 9)
+    # bucket 1: (64,128] -> docs 3,4; pad 128
+    assert out[1]["n_docs"] == 2 and out[1]["waste_tokens"] == 256 - 165
+    # overflow bucket 4: pad target = bucket max (700)
+    assert out[4]["pad_target"] == 700
+    assert out[4]["waste_tokens"] == 1400 - 1300
+
+
+def test_soft_dedup_weights_inverse_cluster_size(spark):
+    from data_ingest_spark.extensions.dedup import soft_dedup_weights
+    rows = [(1, "same"), (2, "same"), (3, "same"), (4, "only")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: (r["cluster_size"], r["weight"])
+           for r in soft_dedup_weights(df).collect()}
+    third = round(1 / 3, 9)
+    assert out[1] == (3, third) and out[2] == (3, third)
+    assert out[4] == (1, 1.0)
+    # expected mass per distinct content is exactly one unit
+    assert round(sum(w for _, w in out.values()), 6) == 2.0
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from data_ingest_spark.extensions.similarity import hard_negatives
+    rows = [(1, [1.0, 0.0], 0), (2, [0.99, 0.1], 0),   # same label pair
+            (3, [0.9, 0.2], 1), (4, [0.0, 1.0], 1)]
+    df = spark.createDataFrame(
+        rows, "vec_id int, embedding array<float>, label int")
+    out = {(r["vec_id"], r["rank"]): r["neg_id"]
+           for r in hard_negatives(df, k=1).collect()}
+    # vec 1's nearest is vec 2 (same label, excluded) -> vec 3
+    assert out[(1, 1)] == 3
+    assert out[(3, 1)] == 2   # cos(3,2)=0.993 beats cos(3,1)=0.976
+    assert out[(4, 1)] == 2   # only label-0 vecs allowed; 2 is nearest
