@@ -646,3 +646,25 @@ def soft_dedup_weights(df: DataFrame, id_col: str = "doc_id",
             .select(id_col, "cluster_size",
                     F.round(F.lit(1.0) / F.col("cluster_size"), 9)
                     .alias("weight")))
+
+
+def ngram_novelty(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 3) -> DataFrame:
+    """Per-document content novelty in corpus (id) order: the fraction
+    of a doc's distinct word k-shingles whose FIRST appearance (lowest
+    id over all docs containing them) is this doc. Returns
+    ``(id, n_shingles, n_novel, novelty)``.
+
+    The curation metric between exact and near dedup: a rehash of
+    earlier content scores near 0 without being any single document's
+    duplicate. Two shuffles — first-seen per shingle, then the
+    per-doc reduce — both keyed on high-cardinality columns."""
+    m = shingle_sets(df, id_col, text_col, k)
+    first = m.groupBy("shingle").agg(F.min(id_col).alias("_first"))
+    return (m.join(first, "shingle")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_shingles"),
+                 F.sum((F.col("_first") == F.col(id_col)).cast("long"))
+                 .cast("long").alias("n_novel"))
+            .withColumn("novelty",
+                        F.round(F.col("n_novel") / F.col("n_shingles"), 9)))

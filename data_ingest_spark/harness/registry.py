@@ -5333,6 +5333,23 @@ def q_hard_negatives(spark, sf):
     return hard_negatives(load(spark, sf, "embeddings"), k=2)
 
 
+@_q("x88_ngram_novelty", f"""
+WITH corpus AS ({_DUP_SQL}),{_shingle_ctes('corpus')},
+ fs AS (SELECT shingle, MIN(doc_id) AS first_id FROM shx GROUP BY 1)
+SELECT x.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(CASE WHEN f.first_id = x.doc_id THEN 1 END) AS BIGINT)
+         AS n_novel,
+       ROUND(COUNT(CASE WHEN f.first_id = x.doc_id THEN 1 END) * 1.0
+             / COUNT(*), 9) AS novelty
+FROM shx x JOIN fs f ON f.shingle = x.shingle
+GROUP BY 1
+""")
+def q_ngram_novelty(spark, sf):
+    """Content novelty in id order over the planted-duplicate corpus:
+    duplicate copies score 0.0 novelty, originals near 1.0."""
+    return dd.ngram_novelty(_dup_corpus(spark, sf))
+
+
 @_q("m9_mnn_anchors", """
 WITH p AS (SELECT CAST(vec_id AS VARCHAR) AS id, label,
                   embedding::DOUBLE[] AS e FROM embeddings),

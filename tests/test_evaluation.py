@@ -244,3 +244,20 @@ def test_hard_negatives_excludes_same_label(spark):
     assert out[(1, 1)] == 3
     assert out[(3, 1)] == 2   # cos(3,2)=0.993 beats cos(3,1)=0.976
     assert out[(4, 1)] == 2   # only label-0 vecs allowed; 2 is nearest
+
+
+def test_ngram_novelty_duplicates_score_zero(spark):
+    from data_ingest_spark.extensions.dedup import ngram_novelty
+    rows = [(1, "a b c d e"), (2, "a b c d e"),      # exact copy of 1
+            (3, "x y z w v"),                         # all fresh
+            (4, "a b c x y z q r s")]                # mixes old + new
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ngram_novelty(df).collect()}
+    assert out[1]["novelty"] == 1.0          # first occurrence wins
+    assert out[2]["novelty"] == 0.0          # the copy owns nothing
+    assert out[3]["novelty"] == 1.0
+    # doc 4: shingles 'a b c' (first in 1) and 'x y z' (first in 3)
+    # are old; the other 5 are new
+    assert out[4]["n_shingles"] == 7
+    assert out[4]["n_novel"] == 5
+    assert out[4]["novelty"] == round(5 / 7, 9)
