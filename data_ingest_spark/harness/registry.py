@@ -5468,9 +5468,12 @@ def q_incremental_rollup(spark, sf):
 # Round-4 rotation plan (for the next builder pass): assuming this
 # round's 50-sample returns green, replace this list with the still
 # unverified oracled remainder — v15–v26 (the completed TPC-H set),
-# e14–e21, x64/x65/x69 and the other x-family entries outside the
-# round-2/round-3 samples — so three rounds of bounded samples
-# jointly cover every oracled query.
+# e14–e26, x64/x65/x69/x71, the round-3b additions (x77–x88,
+# m9_mnn_anchors, m6_vst_quad already fronted) and the other x-family
+# entries outside the round-2/round-3 samples — so three rounds of
+# bounded samples jointly cover every oracled query. Every round-3b
+# query was verified green against its oracle at sf0.001, sf0.01 AND
+# sf0.1 by the local gate before landing.
 _ROUND3_PRIORITY = [
     "m2_doublets_native", "m12_knn_exact", "m12_snn_graph",
     "m13_label_propagation", "g1_pagerank", "g2_triangles",
