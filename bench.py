@@ -80,6 +80,11 @@ HEADLINE = [
     "e26_incremental_rollup",
     "x82_lloyd_step",
     "x84_bpe_encode",
+    # x87_hard_negatives is deliberately NOT here: the exact brute
+    # variant is quadratic in the vector count (fine at the driver's
+    # correctness SF, ~25 s at sf0.1) — the scale path is the LSH/IVF
+    # candidate generation, which x6/x11 already bench.
+    "x88_ngram_novelty",
 ]
 
 

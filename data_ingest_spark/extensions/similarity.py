@@ -444,18 +444,24 @@ def hard_negatives(emb: DataFrame, id_col: str = "vec_id",
                       F.lit(0.0), lambda a, x: a + x)
     norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
         F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    # norms are per-VECTOR, so compute them once per side before the
+    # cross join (3 folds per pair -> 1); dividing the dot by the same
+    # two sqrt values keeps the float path identical to the oracle's
+    # dot/(sqrt·sqrt) formula.
     a = emb.select(F.col(id_col).alias("_ia"),
                    F.col(label_col).alias("_la"),
                    F.transform(F.col(vec_col),
-                               lambda x: x.cast("double")).alias("_va"))
+                               lambda x: x.cast("double")).alias("_va")
+                   ).withColumn("_na", norm(F.col("_va")))
     b = emb.select(F.col(id_col).alias("_ib"),
                    F.col(label_col).alias("_lb"),
                    F.transform(F.col(vec_col),
-                               lambda x: x.cast("double")).alias("_vb"))
+                               lambda x: x.cast("double")).alias("_vb")
+                   ).withColumn("_nb", norm(F.col("_vb")))
     # rank on the ROUNDED similarity (the m12 kNN convention): raw
     # doubles can differ in the last ulp across engines and flip
     # near-tie ranks; 6dp + id tiebreak is deterministic everywhere.
-    cos = F.round(dot / (norm(F.col("_va")) * norm(F.col("_vb"))), 6)
+    cos = F.round(dot / (F.col("_na") * F.col("_nb")), 6)
     w = W.partitionBy("_ia").orderBy(F.desc("_cos"), F.asc("_ib"))
     return (a.join(F.broadcast(b), F.col("_la") != F.col("_lb"))
             .withColumn("_cos", cos)
