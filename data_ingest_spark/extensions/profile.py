@@ -127,3 +127,24 @@ def decayed_counts(events: DataFrame, half_life_s: float,
             .agg(F.round(F.sum("_w") / DECAY_SCALE, 6)
                  .alias("decayed_count"),
                  F.count("*").cast("long").alias("n_events")))
+
+
+def source_overlap(df: DataFrame, source_col: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """Cross-source content-overlap matrix: for every source pair
+    (a < b), how many distinct content hashes they share — the
+    curation diagnostic that finds mirrored / re-crawled feeds before
+    dedup collapses them. Returns ``(source_a, source_b, n_shared)``.
+
+    Plan: each side reduces to DISTINCT (source, hash) — one 48-byte
+    row per (source, content) — before the hash-keyed self-join, so
+    the shuffle carries the content census, never the corpus."""
+    h = (df.select(F.col(source_col).alias("_s"),
+                   F.md5(F.col(text_col).cast("binary")).alias("_h"))
+         .distinct())
+    a = h.select(F.col("_s").alias("source_a"), "_h")
+    b = h.select(F.col("_s").alias("source_b"), "_h")
+    return (a.join(b, "_h")
+            .filter(F.col("source_a") < F.col("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count("*").cast("long").alias("n_shared")))

@@ -5333,6 +5333,62 @@ def q_hard_negatives(spark, sf):
     return hard_negatives(load(spark, sf, "embeddings"), k=2)
 
 
+@_q("x89_source_overlap", """
+WITH corpus AS (SELECT source, text FROM documents UNION ALL
+                SELECT 'mirror' AS source, text
+                FROM documents WHERE doc_id % 5 = 0),
+ h AS (SELECT DISTINCT source AS s, md5(text) AS hh FROM corpus)
+SELECT a.s AS source_a, b.s AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM h a JOIN h b ON a.hh = b.hh AND a.s < b.s
+GROUP BY 1, 2
+""")
+def q_source_overlap(spark, sf):
+    """Cross-source content overlap on a corpus with a planted mirror
+    feed (every 5th doc re-ingested under source='mirror')."""
+    from data_ingest_spark.extensions.profile import source_overlap
+    docs = load(spark, sf, "documents")
+    corpus = docs.select("source", "text").unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select(F.lit("mirror").alias("source"), "text"))
+    return source_overlap(corpus)
+
+
+@_q("e27_time_to_convert", """
+WITH s AS (SELECT user_id, MIN(ts) AS t0 FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+ p AS (SELECT user_id, MIN(ts) AS t1 FROM events
+       WHERE event_type = 'purchase' GROUP BY 1),
+ d AS (SELECT s.user_id,
+              CAST(date_diff('second', t0, t1) AS BIGINT) AS sec
+       FROM s JOIN p ON s.user_id = p.user_id WHERE t1 >= t0)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(MIN(sec) AS BIGINT) AS min_s,
+       ROUND(quantile_cont(sec, 0.5), 6) AS p50_s,
+       ROUND(quantile_cont(sec, 0.9), 6) AS p90_s,
+       CAST(MAX(sec) AS BIGINT) AS max_s
+FROM d
+""")
+def q_time_to_convert(spark, sf):
+    """Conversion-lag distribution: first signup -> first purchase per
+    user, exact p50/p90 over the lags. Two pushdown-filtered scans,
+    grouped mins, one join, one exact-percentile aggregate."""
+    ev = events_df(spark, sf)
+    s = (ev.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("t0")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    d = (s.join(p, "user_id").filter(F.col("t1") >= F.col("t0"))
+         .select((F.unix_timestamp("t1") - F.unix_timestamp("t0"))
+                 .cast("long").alias("sec")))
+    return d.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.min("sec").cast("long").alias("min_s"),
+        F.round(F.expr("percentile(sec, 0.5)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(sec, 0.9)"), 6).alias("p90_s"),
+        F.max("sec").cast("long").alias("max_s"))
+
+
 @_q("x88_ngram_novelty", f"""
 WITH corpus AS ({_DUP_SQL}),{_shingle_ctes('corpus')},
  fs AS (SELECT shingle, MIN(doc_id) AS first_id FROM shx GROUP BY 1)

@@ -261,3 +261,13 @@ def test_ngram_novelty_duplicates_score_zero(spark):
     assert out[4]["n_shingles"] == 7
     assert out[4]["n_novel"] == 5
     assert out[4]["novelty"] == round(5 / 7, 9)
+
+
+def test_source_overlap_counts_shared_content(spark):
+    from data_ingest_spark.extensions.profile import source_overlap
+    rows = [("s1", "alpha"), ("s1", "beta"), ("s2", "alpha"),
+            ("s2", "gamma"), ("s3", "alpha"), ("s3", "beta")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {(r["source_a"], r["source_b"]): r["n_shared"]
+           for r in source_overlap(df).collect()}
+    assert got == {("s1", "s2"): 1, ("s1", "s3"): 2, ("s2", "s3"): 1}
