@@ -106,7 +106,7 @@ def mix_quota(df: DataFrame, budget: int, source_col: str = "source",
     n_src = srcs.groupBy().agg(F.count("*").alias("_n"))
     quota = (srcs.crossJoin(F.broadcast(n_src))
              .select(source_col,
-                     (F.lit(budget).cast("long") / F.col("_n")).cast("long")
+                     F.expr(f"CAST({int(budget)} AS BIGINT) div _n")
                      .alias("_base"),
                      (F.lit(budget).cast("long") % F.col("_n")).alias("_ext"),
                      "_idx")

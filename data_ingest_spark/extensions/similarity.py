@@ -394,8 +394,10 @@ def lloyd_step(emb: DataFrame, k: int = 4, id_col: str = "vec_id",
     arithmetic — the distributed coarse-quantizer refinement step
     behind :func:`kmeans_ivf_index`, made hash-checkable.
 
-    Seeding is deterministic (the ``k`` smallest ids are the initial
-    centroids — real data vectors, so quantized distances are exact
+    Seeding is deterministic (rows with ``id < k`` are the initial
+    centroids — ids here are dense 0-based, so that IS the k smallest;
+    pass a pre-densified id for sparse id spaces. Real data vectors,
+    so quantized distances are exact
     int64: |q| ≲ 2e6 ⇒ Σ₆₄ diff² < 3e14). Each vector assigns to the
     argmin-distance centroid (ties → smallest centroid id) and the new
     centroid is the per-dimension integer mean, emitted as

@@ -5415,13 +5415,13 @@ WITH p AS (SELECT CAST(vec_id AS VARCHAR) AS id, label,
               list_sum(list_transform(range(1, 65),
                 i -> (a.e[i] - b.e[i]) * (a.e[i] - b.e[i]))) AS d2
        FROM a CROSS JOIN b),
- r AS (SELECT ida, idb, d2,
+ r AS (SELECT ida, idb, ROUND(d2, 6) AS d2r,
               ROW_NUMBER() OVER (PARTITION BY ida
-                                 ORDER BY d2, idb) AS ra,
+                                 ORDER BY ROUND(d2, 6), idb) AS ra,
               ROW_NUMBER() OVER (PARTITION BY idb
-                                 ORDER BY d2, ida) AS rb
+                                 ORDER BY ROUND(d2, 6), ida) AS rb
        FROM d)
-SELECT ida, idb, ROUND(d2, 6) AS d2 FROM r WHERE ra <= 5 AND rb <= 5
+SELECT ida, idb, d2r AS d2 FROM r WHERE ra <= 5 AND rb <= 5
 """)
 def q_mnn_anchors(spark, sf):
     """Mutual-nearest-neighbor anchors between batches 0 and 1 of the

@@ -226,11 +226,16 @@ def mnn_anchor_pairs(pc_arr: DataFrame, sample_a: str, sample_b: str,
     d2 = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
         F.lit(0.0), lambda acc, x: acc + x)
-    scored = a.join(F.broadcast(b)).withColumn("_d2", d2)
+    # Rank on the 6dp-rounded distance (same convention as the m12
+    # kNN / hard-negative queries): last-ulp float differences between
+    # Spark and the oracle engine could otherwise flip near-tie ranks
+    # at the k boundary.
+    scored = (a.join(F.broadcast(b))
+              .withColumn("_d2", F.round(d2, 6)))
     wa = W.partitionBy("ida").orderBy("_d2", "idb")
     wb = W.partitionBy("idb").orderBy("_d2", "ida")
     return (scored
             .withColumn("_ra", F.row_number().over(wa))
             .withColumn("_rb", F.row_number().over(wb))
             .filter((F.col("_ra") <= k) & (F.col("_rb") <= k))
-            .select("ida", "idb", F.round("_d2", 6).alias("d2")))
+            .select("ida", "idb", F.col("_d2").alias("d2")))

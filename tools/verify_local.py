@@ -10,7 +10,9 @@ Usage: python tools/verify_local.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
+import tempfile
 
 import duckdb
 import numpy as np
@@ -55,13 +57,22 @@ def main() -> int:
     # on its socket forever, and the driver waits on the executor
     # (observed at sf0.1 after ~100 queries). With the split, all
     # forks happen before DuckDB spins a single thread.
+    # Spill each result to a pickle immediately (keeping ~200 full
+    # pandas frames resident would exhaust driver memory at sf0.1 for
+    # corpus-sized outputs like x84's per-doc token strings); phase 2
+    # reloads one at a time and drops it after comparison.
+    spill = tempfile.mkdtemp(prefix="verify_spill_")
     spark_res: dict[str, object] = {}
     failures, passed, weak = [], 0, 0
     for name, (fn, sql) in registry.REGISTRY.items():
         if only and name not in only:
             continue
         try:
-            spark_res[name] = fn(spark, sf).toPandas()
+            pdf = fn(spark, sf).toPandas()
+            path = os.path.join(spill, f"{name}.pkl")
+            pdf.to_pickle(path)
+            spark_res[name] = path
+            del pdf
         except Exception as e:  # noqa: BLE001
             spark_res[name] = e
         print(f"spark {name}: done", flush=True)
@@ -79,6 +90,7 @@ def main() -> int:
             failures.append((name, f"spark error: {sdf}"))
             print(f"FAIL {name}: spark error: {sdf}", flush=True)
             continue
+        sdf = pd.read_pickle(sdf)
         if sql is None:
             ok = len(sdf) >= 0
             weak += 1
@@ -115,6 +127,8 @@ def main() -> int:
 
     print(f"\n{passed} passed, {weak} weak (no oracle), {len(failures)} failed",
           flush=True)
+    import shutil
+    shutil.rmtree(spill, ignore_errors=True)
     return 1 if failures else 0
 
 
