@@ -473,3 +473,108 @@ def hard_negatives(emb: DataFrame, id_col: str = "vec_id",
                     F.col("_ib").alias("neg_id"),
                     F.col("_cos").alias("cosine"),
                     F.col("rank").cast("int").alias("rank")))
+
+
+def _fixed_vec(col, scale: int):
+    """Fixed-point int64 quantization of a float vector column."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * scale)
+                       .cast("long"))
+
+
+def _d2_fold(a, b):
+    """Exact int64 squared Euclidean distance between two quantized
+    vectors (codegen zip_with/aggregate fold, no UDF)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _cell_scores(cents_col, qe_col):
+    """Per-centroid (d2, cid) structs for one vector — struct order =
+    (distance, centroid id), the deterministic argmin tie-break."""
+    return F.transform(cents_col, lambda c: F.struct(
+        _d2_fold(qe_col, c["ce"]).alias("d2"), c["cid"].alias("cid")))
+
+
+def lloyd_centroids(emb: DataFrame, k: int = 4, n_iters: int = 2,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    scale: int = 10**6) -> DataFrame:
+    """``n_iters`` exact fixed-point Lloyd iterations; returns the
+    final centroid table ``(cid, ce: array<long>)``.
+
+    The deterministic, hash-checkable sibling of the Spark ML fit in
+    :func:`kmeans_ivf_index`: seeds are rows with dense ``id < k``,
+    every vector is quantized to int64 (×``scale``), assignment is an
+    exact integer argmin (ties → smallest cid), and the centroid
+    update is ``floor(sum / n)`` — the one shared double op, identical
+    IEEE semantics in any engine, so a SQL oracle can unroll the same
+    ``n_iters`` rounds and match bit-for-bit.
+
+    Plan: centroids collapse to ONE broadcast row of k structs, so
+    assignment is map-side (zero shuffle); the update's
+    ``posexplode → groupBy(cid, dim)`` shuffles only k·dim partial
+    aggregates per task (map-side combine). One corpus-independent
+    shuffle per iteration — the 100 TB Lloyd loop."""
+    q = emb.select(F.col(id_col),
+                   _fixed_vec(F.col(vec_col), scale).alias("qe"))
+    cent = (q.filter(F.col(id_col) < k)
+            .select(F.col(id_col).cast("long").alias("cid"),
+                    F.col("qe").alias("ce")))
+    for _ in range(n_iters):
+        cents = cent.agg(F.collect_list(F.struct("cid", "ce"))
+                         .alias("cents"))
+        assigned = (q.crossJoin(F.broadcast(cents))
+                    .select(F.array_min(
+                        _cell_scores(F.col("cents"), F.col("qe")))["cid"]
+                        .alias("cid"), "qe"))
+        cent = (assigned
+                .select("cid", F.posexplode("qe").alias("dim", "val"))
+                .groupBy("cid", "dim")
+                .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+                .select("cid", "dim",
+                        F.floor(F.col("s") / F.col("n")).cast("long")
+                        .alias("m"))
+                .groupBy("cid")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"]).alias("ce"))
+                .localCheckpoint())
+    return cent
+
+
+def cosine_topk_fixed_ivf(emb: DataFrame, queries: DataFrame, k: int = 5,
+                          n_cells: int = 4, n_iters: int = 2,
+                          nprobe: int = 2, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          scale: int = 10**6) -> DataFrame:
+    """End-to-end IVF ANN whose coarse quantizer is the deterministic
+    :func:`lloyd_centroids` fit — the whole index build AND search is
+    exactly reproducible in SQL (unroll the same ``n_iters`` Lloyd
+    rounds), so unlike the Spark-ML-trained variant this query carries
+    a full value oracle. ``queries`` is ``(query_id, query_vec)``.
+
+    Plan: centroids broadcast as one row; corpus assignment and query
+    probing are both map-side array folds (no shuffle); candidates
+    join on the cell with the probe table broadcast; the only
+    corpus-sized shuffle is the final per-query rank window. Cosine is
+    rounded to 6dp before ranking (cross-engine rank stability)."""
+    cent = lloyd_centroids(emb, n_cells, n_iters, id_col, vec_col, scale)
+    cents = cent.agg(F.collect_list(F.struct("cid", "ce")).alias("cents"))
+    corpus = (emb.select(F.col(id_col).alias("neighbor_id"), vec_col,
+                         _fixed_vec(F.col(vec_col), scale).alias("qe"))
+              .crossJoin(F.broadcast(cents))
+              .select("neighbor_id", vec_col,
+                      F.array_min(
+                          _cell_scores(F.col("cents"), F.col("qe")))["cid"]
+                      .alias("cid")))
+    probes = (queries
+              .withColumn("qe", _fixed_vec(F.col("query_vec"), scale))
+              .crossJoin(F.broadcast(cents))
+              .select("query_id", "query_vec",
+                      F.explode(F.slice(F.array_sort(
+                          _cell_scores(F.col("cents"), F.col("qe"))),
+                          1, nprobe)["cid"]).alias("cid")))
+    scored = with_cosine(
+        corpus.join(F.broadcast(probes), "cid"),
+        "query_vec", vec_col,
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    return _rank_topk(scored.drop("cid"), k)

@@ -4205,19 +4205,76 @@ def q_image_features(spark, sf):
     return mm.image_features(resized)
 
 
-@_q("x51_kmeans_ivf")
+def _lloyd_d2_sql(qe: str, ce: str) -> str:
+    return (f"CAST(list_sum(list_transform(range(1, 65), "
+            f"j -> ({qe}[j] - {ce}[j]) * ({qe}[j] - {ce}[j]))) AS BIGINT)")
+
+
+def _lloyd_iter_sql(i: int) -> str:
+    """One unrolled Lloyd round: assign to prior centroids c{i-1},
+    re-center as floor(sum/n) per dimension → c{i}."""
+    return f"""
+i{i} AS (SELECT q.vec_id, q.qe, c.cid,
+              {_lloyd_d2_sql('q.qe', 'c.ce')} AS dd
+       FROM q CROSS JOIN c{i - 1} c),
+a{i} AS (SELECT vec_id, qe, cid FROM (
+         SELECT vec_id, qe, cid,
+                ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dd, cid) AS rk
+         FROM i{i}) WHERE rk = 1),
+c{i} AS MATERIALIZED (
+  SELECT cid, list(m ORDER BY dim) AS ce FROM (
+    SELECT cid, t.i AS dim,
+           CAST(FLOOR(SUM(qe[t.i]) * 1.0 / COUNT(*)) AS BIGINT) AS m
+    FROM a{i} CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) t
+    GROUP BY cid, t.i) GROUP BY cid)"""
+
+
+@_q("x51_kmeans_ivf", f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS ev,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+  FROM embeddings),
+c0 AS (SELECT vec_id AS cid, qe AS ce FROM q WHERE vec_id < 4),
+{_lloyd_iter_sql(1)},
+{_lloyd_iter_sql(2)},
+i3 AS MATERIALIZED (
+  SELECT q.vec_id, q.ev, c.cid, {_lloyd_d2_sql('q.qe', 'c.ce')} AS dd
+  FROM q CROSS JOIN c2 c),
+r3 AS (SELECT vec_id, ev, cid,
+              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dd, cid) AS rk FROM i3),
+asg AS (SELECT vec_id AS neighbor_id, ev AS cv, cid FROM r3 WHERE rk = 1),
+pr AS (SELECT vec_id AS query_id, ev AS qv, cid FROM r3
+       WHERE rk <= 2 AND {_ANN_Q}),
+s AS (SELECT pr.query_id, a.neighbor_id,
+             ROUND(list_dot_product(pr.qv, a.cv) /
+                   (sqrt(list_dot_product(pr.qv, pr.qv)) *
+                    sqrt(list_dot_product(a.cv, a.cv))), 6) AS cosine
+      FROM pr JOIN asg a USING (cid)
+      WHERE a.neighbor_id <> pr.query_id),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+""")
 def q_kmeans_ivf(spark, sf):
-    """Real IVF ANN: Spark ML KMeans coarse quantizer + nprobe=2
-    search (rows-only: the KMeans fit is iterative, not
-    SQL-expressible; recall vs exact is property-tested in
-    test_extensions)."""
+    """End-to-end KMeans-IVF ANN under a FULL value oracle: the coarse
+    quantizer is 2 unrolled fixed-point Lloyd iterations (seeds =
+    ids < 4), nprobe=2 search over the trained cells — the oracle
+    replays the identical training rounds in SQL. The Spark-ML-fit
+    variant (`cosine_topk_kmeans_ivf`) stays the production path for
+    arbitrary iteration counts; its recall is property-tested in
+    test_extensions."""
     from data_ingest_spark.extensions.similarity import (
-        cosine_topk_kmeans_ivf)
+        cosine_topk_fixed_ivf)
     emb = load(spark, sf, "embeddings")
-    qids = [r["vec_id"] for r in
-            emb.filter(F.col("vec_id") % 50 == 0).select("vec_id")
-            .collect()]
-    return cosine_topk_kmeans_ivf(emb, qids, k=5, n_cells=8, nprobe=2)
+    queries = emb.filter(F.expr(_ANN_Q)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    return cosine_topk_fixed_ivf(emb, queries, k=5, n_cells=4,
+                                 n_iters=2, nprobe=2)
 
 
 def _morton_sql_terms(x: str, y: str, bits: int = 16) -> str:
