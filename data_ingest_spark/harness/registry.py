@@ -5526,11 +5526,56 @@ FROM doc
 """
 
 
-@_q("x83_bpe_train")
+def _bpe_round_sql(i: int) -> str:
+    """One unrolled BPE training round: pair counts over the round's
+    vocab state, argmax merge (count desc, pair asc, min_count 2),
+    apply the merge. An empty m{i} (best pair < 2) empties every later
+    state — exactly the trainer's early ``break``."""
+    return f"""
+px{i} AS (SELECT f, UNNEST(CASE WHEN len(seq) > 1
+            THEN list_transform(range(1, len(seq)),
+                 j -> {{'l': seq[j], 'r': seq[j+1]}})
+            ELSE []::STRUCT(l VARCHAR, r VARCHAR)[] END) AS u
+          FROM s{i - 1}),
+p{i} AS (SELECT u.l AS l, u.r AS r, SUM(f) AS c FROM px{i} GROUP BY 1, 2),
+m{i} AS MATERIALIZED (SELECT l, r, c FROM p{i} WHERE c >= 2
+                      ORDER BY c DESC, l, r LIMIT 1),
+s{i} AS MATERIALIZED (
+  SELECT f, list_reduce(list_transform(seq, ch -> [ch]),
+        (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.l AND x[1] = m.r
+                    THEN list_concat(acc[1:len(acc)-1], [m.l || m.r])
+                    ELSE list_concat(acc, x) END) AS seq
+  FROM s{i - 1} CROSS JOIN m{i} m)"""
+
+
+def _bpe_train_sql(n_merges: int = 8) -> str:
+    rounds = ",".join(_bpe_round_sql(i) for i in range(1, n_merges + 1))
+    finals = "\nUNION ALL ".join(
+        f"SELECT CAST({i - 1} AS INTEGER) AS rank, l AS \"left\", "
+        f"r AS \"right\", l || r AS merged, CAST(c AS BIGINT) AS pair_count "
+        f"FROM m{i}" for i in range(1, n_merges + 1))
+    return rf"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+  FROM documents),
+s0 AS MATERIALIZED (
+  SELECT COUNT(*) AS f,
+         list_transform(range(1, length(w) + 1), i -> substr(w, i, 1))
+           AS seq
+  FROM toks WHERE length(w) >= 1 GROUP BY w),
+{rounds}
+{finals}
+"""
+
+
+@_q("x83_bpe_train", _bpe_train_sql(8))
 def q_bpe_train(spark, sf):
-    """Distributed BPE training over the documents corpus (rows-only:
-    genuinely iterative argmax-per-round; parity pinned by the
-    hypothesis mirror in tests/test_bpe.py)."""
+    """Distributed BPE training over the documents corpus, now under a
+    FULL value oracle: the SQL unrolls the same 8 greedy merge rounds
+    (frequency-weighted pair counts over the vocab state, argmax with
+    count-desc/pair-asc tie-break, min_count=2 early stop) with
+    MATERIALIZED per-round states. Parity is additionally pinned by
+    the hypothesis mirror in tests/test_bpe.py."""
     from data_ingest_spark.extensions.bpe import bpe_train
     return bpe_train(load(spark, sf, "documents"), n_merges=8)
 
