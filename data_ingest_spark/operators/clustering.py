@@ -155,8 +155,13 @@ def louvain_distributed(edges: DataFrame, resolution: float = 0.5,
     deg = und.groupBy(F.col("src").alias("id")).agg(
         F.sum("snn_weight").alias("deg")).localCheckpoint()
     m2 = deg.agg(F.sum("deg").alias("_m2"))  # 1-row, broadcast below
+    # 2-coloring hash: first 8 md5 hex chars as an int (not crc32 —
+    # md5 is the one stable hash every SQL engine shares, so an oracle
+    # can replay the identical color classes).
+    color = F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8),
+                   16, 10).cast("long")
     labels = deg.select("id", F.col("id").alias("comm"),
-                        "deg", F.crc32(F.col("id").cast("string")).alias("_h"))
+                        "deg", color.alias("_h"))
 
     for i in range(max_iter):
         comm_deg = labels.groupBy("comm").agg(F.sum("deg").alias("_cdeg"))
@@ -174,6 +179,11 @@ def louvain_distributed(edges: DataFrame, resolution: float = 0.5,
                   F.when(F.col("_nc") == F.col("comm"),
                          F.col("_cdeg") - F.col("deg"))
                    .otherwise(F.col("_cdeg")))
+              # Op order ((γ·deg)·cdeg)/m2 is part of the oracle
+              # contract: with integer-valued (pre-scaled) weights
+              # every input is float64-exact, so the two roundings
+              # (product, division) are the same IEEE ops in any
+              # engine and gains compare bit-identically.
               .withColumn(
                   "_gain",
                   F.col("_w") - F.lit(resolution) * F.col("deg")

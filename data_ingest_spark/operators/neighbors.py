@@ -78,7 +78,8 @@ def _normalized(vectors: DataFrame, vec_col: str = "pc") -> DataFrame:
 def knn_exact(scores: DataFrame, k: int = 20,
               id_cols: tuple[str, ...] = ("sample", "barcode"),
               vec_col: str = "pc",
-              stage_dir: str | None = None) -> DataFrame:
+              stage_dir: str | None = None,
+              stage_key: str | None = None) -> DataFrame:
     """Exact cosine kNN against a STAGED copy of the reduced matrix.
     Returns (src, dst, cosine, rank) with src = concat of id cols;
     `vec_col` is array<double|float>. The (N × d) matrix is written
@@ -94,18 +95,36 @@ def knn_exact(scores: DataFrame, k: int = 20,
 
     Determinism contract (shared with the DuckDB oracle): cosine =
     dot/(|a|·|b|) rounded HALF_UP to 6 dp BEFORE ranking, ties broken
-    by ascending dst string."""
+    by ascending dst string.
+
+    ``stage_key``: opt-in staging reuse. A key that uniquely
+    identifies the INPUT CONTENT (e.g. source path + projection) maps
+    to a deterministic stage path; if that staging already exists the
+    write is skipped, so consumers that need the same kNN input
+    (kNN → SNN → clustering all read the same reduced matrix) stage it
+    once instead of once per query."""
     import numpy as np
     import pandas as pd
 
     ids = F.concat_ws("_", *id_cols)
     base = scores.select(ids.alias("id"),
                          F.col(vec_col).cast("array<double>").alias("_v"))
+    reuse = False
     if stage_dir is None:
+        import os
+        import re
         import tempfile
-        stage_dir = tempfile.mkdtemp(prefix="knn_stage_")
+        if stage_key is not None:
+            safe = re.sub(r"[^A-Za-z0-9_.-]", "_", stage_key)
+            stage_dir = os.path.join(tempfile.gettempdir(),
+                                     f"knn_stage_{safe}")
+            reuse = os.path.exists(
+                os.path.join(stage_dir, "matrix.parquet", "_SUCCESS"))
+        else:
+            stage_dir = tempfile.mkdtemp(prefix="knn_stage_")
     path = f"{stage_dir.rstrip('/')}/matrix.parquet"
-    base.write.mode("overwrite").parquet(path)
+    if not reuse:
+        base.write.mode("overwrite").parquet(path)
 
     def _round6_half_up(x: np.ndarray) -> np.ndarray:
         return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6

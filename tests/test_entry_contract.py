@@ -34,15 +34,13 @@ def test_registry_contract_shapes(entry_mod):
     assert set(o) <= set(q)
     rows_only = set(q) - set(o)
     # only the iterative-ML set may lack oracles
+    # (x51/x83/m13_louvain_dist graduated to full fixed-iteration
+    # oracles in round 4)
     assert rows_only <= {"m2_doublet_scores", "m8_pca", "m9_integrate_mnn",
                          "m9_integrate_mnn_dist",
                          "m10_spectral_embedding", "m10_spectral_dist",
                          "m11_tsne", "m6_vst",
-                         "m13_louvain", "m13_louvain_dist", "p1_qc_pipeline",
-                         "x51_kmeans_ivf",
-                         # iterative argmax-per-round training; mirror-
-                         # fuzzed in test_bpe.py
-                         "x83_bpe_train"}
+                         "m13_louvain", "p1_qc_pipeline"}
     assert all(callable(fn) for fn in q.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper()
                for s in o.values())
