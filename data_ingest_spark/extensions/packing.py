@@ -100,9 +100,10 @@ def mix_quota(df: DataFrame, budget: int, source_col: str = "source",
     list is a tiny distinct + broadcast; the per-source cumulative sum
     is one window partitioned by source — a single shuffle of the
     corpus, parallel across sources. Integer arithmetic throughout."""
-    srcs = (df.select(source_col).distinct()
-            .withColumn("_idx", F.row_number().over(
-                W.orderBy(F.col(source_col).asc()))))
+    from data_ingest_spark.operators.windows import dense_ids_scalable
+    srcs = (dense_ids_scalable(df.select(source_col).distinct(),
+                               order=[source_col], id_col="_idx")
+            .withColumn("_idx", F.col("_idx") + 1))
     n_src = srcs.groupBy().agg(F.count("*").alias("_n"))
     quota = (srcs.crossJoin(F.broadcast(n_src))
              .select(source_col,

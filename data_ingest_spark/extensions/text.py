@@ -463,16 +463,19 @@ def tokenize_with_vocab(df: DataFrame, vocab_size: int = 1000,
     groupBy(doc_id) rebuilds sequences. Two corpus-sized shuffles
     total; the vocabulary is the only driver-adjacent object and is
     capped by construction."""
-    from pyspark.sql import Window as W
+    from data_ingest_spark.operators.windows import dense_ids_scalable
     toks = df.select(
         F.col(id_col),
         F.posexplode(tokens_col(text_col)).alias("pos", "token"))
     counts = (toks.groupBy("token").agg(F.count("*").alias("c"))
               .orderBy(F.col("c").desc(), F.col("token").asc())
               .limit(vocab_size))
-    vocab = counts.withColumn(
-        "tid", F.row_number().over(
-            W.orderBy(F.col("c").desc(), F.col("token").asc())) - 1)
+    # two-pass rank (no global window): bucket by -count, rank tokens
+    # within each count bucket, shift by the collected prefix sums —
+    # same (count desc, token asc) order, parallel across buckets.
+    vocab = (dense_ids_scalable(
+        counts.withColumn("_negc", -F.col("c")),
+        order=["_negc", "token"], id_col="tid").drop("_negc"))
     mapped = (toks.join(F.broadcast(vocab.select("token", "tid")),
                         "token", "left")
               .select(id_col, "pos",

@@ -28,11 +28,12 @@ def assemble_vectors(values: DataFrame, hvgs: DataFrame,
     pickling) and a JVM-side `array_to_vector`. Dense is the right
     layout here: the vocabulary is capped at n_top HVGs (~2000), so a
     cell is ≤16 KB regardless of corpus size."""
-    # Ungrouped window is intentional: the vocabulary is the HVG list,
-    # bounded by nfeatures (~2000) regardless of corpus size, so the
-    # single task holds thousands of rows, never the data.
-    vocab = hvgs.select("gene").distinct().withColumn(
-        "_gidx", F.row_number().over(W.orderBy("gene")) - 1)
+    # Two-pass rank over the (bounded, ~nfeatures) HVG list — same
+    # gene-ascending dense index as a global window, no single-task
+    # WindowExec.
+    from data_ingest_spark.operators.windows import dense_ids_scalable
+    vocab = dense_ids_scalable(hvgs.select("gene").distinct(),
+                               order=["gene"], id_col="_gidx")
     dim = vocab.count()
 
     pairs = (

@@ -67,11 +67,16 @@ def top_k_genes(gene_totals: DataFrame, k: int = 30,
 def dense_ids(cells: DataFrame, order: list[str] | None = None,
               id_col: str = "cells_id") -> DataFrame:
     """W5: stable dense 0..n-1 ids over (sample, barcode) order.
-    Single-task global window — fine up to ~10^7 rows; see
-    ``dense_ids_scalable`` for the 100 TB path."""
-    order = order or ["sample", "barcode"]
-    w = W.orderBy(*order)
-    return cells.withColumn(id_col, F.row_number().over(w) - 1)
+
+    DEPRECATED alias for :func:`dense_ids_scalable` — the historical
+    implementation was a single-task global window, which funnels the
+    whole table through one task; the scalable two-pass rank has the
+    identical output contract at any size, so this now delegates."""
+    import warnings
+    warnings.warn("dense_ids is deprecated; use dense_ids_scalable "
+                  "(identical contract, no single-task global sort)",
+                  DeprecationWarning, stacklevel=2)
+    return dense_ids_scalable(cells, order, id_col)
 
 
 def dense_ids_scalable(cells: DataFrame, order: list[str] | None = None,
