@@ -1,17 +1,21 @@
 """Fuzzy (edit-distance) joins via deletion-neighborhood blocking.
 
 Entity resolution across dirty keys — the "same part number, one typo"
-join — cannot be a cross join at scale. For edit distance ≤ 1 the
-classic blocking identity holds: two strings A, B are within one
-insert/delete/substitute iff their key sets K(s) = {s} ∪ {s with one
-character deleted} intersect. So each row expands to ``len(s)+1``
-blocking keys (linear, data-local), candidates meet in an equi-join on
-the key, and the exact ``levenshtein`` check verifies survivors —
-shuffle volume is O(total characters), never O(n²).
+join — cannot be a cross join at scale. The FastSS blocking identity:
+if lev(A, B) ≤ d then the depth-d deletion neighborhoods
+K_d(s) = {s with up to d characters deleted} intersect. So each row
+expands to its deletion keys (data-local, no shuffle), candidates meet
+in an equi-join on the key, and the exact ``levenshtein`` check
+verifies survivors — shuffle volume is O(total keys), never O(n²).
 
-The expansion uses built-in higher-order functions (transform over a
-sequence) — interpreted, but O(len) per row on the scan side, not in
-any join loop.
+Key counts per string of length n: depth 1 → n+1, depth 2 →
+1 + n + n(n−1)/2. Quadratic in LENGTH, linear in rows — right for
+join keys (ids, names, codes), not for whole documents (use the
+MinHash family in extensions.dedup for those).
+
+The expansion uses built-in higher-order functions (transform /
+filter / flatten over sequences) — interpreted, but O(keys) per row on
+the scan side, not in any join loop.
 """
 
 from __future__ import annotations
@@ -19,27 +23,53 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def _deletion_keys(col: F.Column) -> F.Column:
-    """array: the string itself plus every single-char deletion."""
-    dels = F.transform(
-        F.sequence(F.lit(1), F.length(col)),
-        lambda i: F.concat(col.substr(F.lit(1), i - 1),
-                           col.substr(i + 1, F.length(col))))
-    return F.array_union(F.array(col), dels)
+def _delete_at(col: F.Column, i) -> F.Column:
+    """The string with the character at 1-based position i removed."""
+    return F.concat(col.substr(F.lit(1), i - 1),
+                    col.substr(i + 1, F.length(col)))
+
+
+def _delete_at2(col: F.Column, i, j) -> F.Column:
+    """The string with characters at 1-based positions i < j removed."""
+    return F.concat(col.substr(F.lit(1), i - 1),
+                    col.substr(i + 1, j - i - 1),
+                    col.substr(j + 1, F.length(col)))
+
+
+def _deletion_keys(col: F.Column, depth: int = 1) -> F.Column:
+    """array: the string plus every ≤``depth``-character deletion.
+    (``sequence`` bounds are clamped so empty/1-char strings never
+    produce a descending range.)"""
+    pos = F.sequence(F.lit(1), F.greatest(F.length(col), F.lit(1)))
+    d1 = F.transform(pos, lambda i: _delete_at(col, i))
+    keys = F.array_union(F.array(col), d1)
+    if depth >= 2:
+        pairs = F.filter(
+            F.flatten(F.transform(
+                pos, lambda i: F.transform(
+                    pos, lambda j: F.struct(i.alias("i"), j.alias("j"))))),
+            lambda p: p["i"] < p["j"])
+        d2 = F.transform(pairs,
+                         lambda p: _delete_at2(col, p["i"], p["j"]))
+        keys = F.array_union(keys, d2)
+    return keys
 
 
 def fuzzy_join(left: DataFrame, right: DataFrame, col: str,
                max_dist: int = 1, suffix: str = "_r") -> DataFrame:
     """Inner-join rows whose ``col`` values are within levenshtein
-    ``max_dist`` (currently 1; the blocking identity is specific to
-    distance 1). Right columns come back suffixed."""
-    if max_dist != 1:
-        raise NotImplementedError("deletion blocking covers max_dist=1")
-    lk = (left.withColumn("_k", F.explode(_deletion_keys(F.col(col)))))
+    ``max_dist`` (1 or 2 — deletion-neighborhood blocking at the
+    matching depth). Right columns come back suffixed."""
+    if max_dist not in (1, 2):
+        raise NotImplementedError(
+            "deletion blocking is implemented for max_dist 1 and 2")
+    lk = left.withColumn(
+        "_k", F.explode(_deletion_keys(F.col(col), max_dist)))
     ren = {c: c + suffix for c in right.columns}
     rk = (right.select([F.col(c).alias(ren[c]) for c in right.columns])
           .withColumn("_k",
-                      F.explode(_deletion_keys(F.col(ren[col])))))
+                      F.explode(_deletion_keys(F.col(ren[col]),
+                                               max_dist))))
     cand = (lk.join(rk, "_k")
             .drop("_k")
             .distinct())

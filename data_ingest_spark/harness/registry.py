@@ -1632,6 +1632,33 @@ def q_fuzzy_join(spark, sf):
                     "name", "name_r")
 
 
+@_q("x90_fuzzy_join2", """
+WITH l AS (SELECT c_custkey AS lk, c_name AS ln FROM customer
+           WHERE c_custkey % 499 = 0),
+ r AS (SELECT c_custkey AS rk, c_name AS rn FROM customer)
+SELECT l.lk, r.rk, CAST(levenshtein(l.ln, r.rn) AS INTEGER) AS dist
+FROM l JOIN r ON levenshtein(l.ln, r.rn) <= 2 AND l.lk <> r.rk
+""")
+def q_fuzzy_join2(spark, sf):
+    """Edit-distance-2 fuzzy join (the round-3 verdict gap): customer
+    names within levenshtein ≤ 2 of a sampled query set via depth-2
+    deletion-neighborhood blocking — FastSS keys (1 + n + n(n−1)/2 per
+    string) meet in an equi-join, exact levenshtein verifies, never a
+    cross join. Oracle is the naive levenshtein join."""
+    from data_ingest_spark.extensions.fuzzy import fuzzy_join
+    cust = load(spark, sf, "customer")
+    left = (cust.filter(F.col("c_custkey") % 499 == 0)
+            .select(F.col("c_custkey").alias("lk"),
+                    F.col("c_name").alias("name")))
+    right = cust.select(F.col("c_custkey").alias("rk"),
+                        F.col("c_name").alias("name"))
+    j = fuzzy_join(left, right, "name", max_dist=2)
+    return (j.filter(F.col("lk") != F.col("rk_r"))
+            .select("lk", F.col("rk_r").alias("rk"),
+                    F.levenshtein("name", "name_r").cast("int")
+                    .alias("dist")))
+
+
 def _bucket_sql(id_expr: str, seed: int) -> str:
     from data_ingest_spark.extensions.sampling import hash_bucket_sql
     return hash_bucket_sql(id_expr, seed)

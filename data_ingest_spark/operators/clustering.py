@@ -73,10 +73,18 @@ def label_propagation(edges: DataFrame, max_iter: int = 10,
 
 
 def louvain_driver(edges: DataFrame, resolution: float = 0.5,
-                   max_sweeps: int = 10) -> DataFrame:
+                   max_sweeps: int = 10,
+                   max_driver_rows: int | None = None) -> DataFrame:
     """(id, cluster) — single-level Louvain phase 1 (greedy modularity
     with the resolution parameter), pure-Python on the collected edge
-    list, deterministic (nodes processed in sorted order)."""
+    list, deterministic (nodes processed in sorted order).
+    Ceiling-guarded (operators.guards): an edge list above
+    ``max_driver_rows`` raises instead of collecting — use
+    :func:`louvain_distributed` or :func:`label_propagation`."""
+    from data_ingest_spark.operators.guards import assert_driver_ceiling
+    assert_driver_ceiling(
+        edges, "driver-side Louvain (louvain_driver)",
+        "louvain_distributed or label_propagation", max_driver_rows)
     rows = edges.select("src", "dst", "snn_weight").collect()
     w = defaultdict(dict)
     for r in rows:

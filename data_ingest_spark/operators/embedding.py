@@ -35,7 +35,12 @@ EMBEDDING_SCHEMA = StructType([
 ])
 
 
-def _collect_matrix(pc_cols: DataFrame):
+def _collect_matrix(pc_cols: DataFrame, ceiling: int | None = None):
+    from data_ingest_spark.operators.guards import assert_driver_ceiling
+    assert_driver_ceiling(
+        pc_cols, "driver-side embedding (_collect_matrix)",
+        "spectral_embedding_distributed on the SNN edge list",
+        ceiling)
     rows = pc_cols.orderBy("sample", "barcode").collect()
     ids = [(r["sample"], r["barcode"]) for r in rows]
     feat_cols = [c for c in pc_cols.columns if c.startswith("pc_")]
@@ -75,8 +80,9 @@ def _spectral_2d(x: np.ndarray, k: int = 15) -> np.ndarray:
     return out
 
 
-def spectral_embedding(pc_cols: DataFrame, k: int = 15) -> DataFrame:
-    ids, x = _collect_matrix(pc_cols)
+def spectral_embedding(pc_cols: DataFrame, k: int = 15,
+                       max_driver_rows: int | None = None) -> DataFrame:
+    ids, x = _collect_matrix(pc_cols, max_driver_rows)
     emb = _spectral_2d(x, k)
     spark = pc_cols.sparkSession
     rows = [(s, b, float(e[0]), float(e[1]), "spectral")
@@ -85,13 +91,18 @@ def spectral_embedding(pc_cols: DataFrame, k: int = 15) -> DataFrame:
 
 
 def embed_umap(pc_cols: DataFrame, n_neighbors: int = 30,
-               min_dist: float = 0.3, seed: int = 42) -> DataFrame:
-    """UMAP when umap-learn is installed; spectral fallback otherwise."""
+               min_dist: float = 0.3, seed: int = 42,
+               max_driver_rows: int | None = None) -> DataFrame:
+    """UMAP when umap-learn is installed; spectral fallback otherwise.
+    Ceiling-guarded (see operators.guards): above ``max_driver_rows``
+    this raises instead of collecting — route to
+    spectral_embedding_distributed."""
     try:
         import umap  # noqa: F401
     except ImportError:
-        return spectral_embedding(pc_cols, k=n_neighbors)
-    ids, x = _collect_matrix(pc_cols)
+        return spectral_embedding(pc_cols, k=n_neighbors,
+                                  max_driver_rows=max_driver_rows)
+    ids, x = _collect_matrix(pc_cols, max_driver_rows)
     emb = umap.UMAP(n_neighbors=min(n_neighbors, len(ids) - 1),
                     min_dist=min_dist, random_state=seed).fit_transform(x)
     spark = pc_cols.sparkSession
@@ -100,15 +111,17 @@ def embed_umap(pc_cols: DataFrame, n_neighbors: int = 30,
     return spark.createDataFrame(rows, EMBEDDING_SCHEMA)
 
 
-def embed_tsne(pc_cols: DataFrame, seed: int = 42) -> DataFrame:
+def embed_tsne(pc_cols: DataFrame, seed: int = 42,
+               max_driver_rows: int | None = None) -> DataFrame:
     """t-SNE with the reference's auto-params (perplexity=min(30,n/100),
     learning.rate=max(200,n/12), configureEmbedding.r:85-100) when
     sklearn is installed; spectral fallback otherwise."""
     try:
         from sklearn.manifold import TSNE  # noqa: F401
     except ImportError:
-        return spectral_embedding(pc_cols, k=15)
-    ids, x = _collect_matrix(pc_cols)
+        return spectral_embedding(pc_cols, k=15,
+                                  max_driver_rows=max_driver_rows)
+    ids, x = _collect_matrix(pc_cols, max_driver_rows)
     n = len(ids)
     emb = TSNE(perplexity=min(30.0, max(2.0, n / 100.0)),
                learning_rate=max(200.0, n / 12.0),

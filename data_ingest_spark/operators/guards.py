@@ -1,0 +1,40 @@
+"""Driver-materialization guards for the sanctioned small-data
+fallbacks.
+
+A handful of science operators keep a driver-side variant (collect the
+reduced matrix / edge list, run numpy) because at reference scale that
+is exactly the object Seurat holds in memory (the reference pipeline is
+single-node R: /root/reference/src/QC_helpers/dataIntegration.r,
+configureEmbedding.r). Those variants must never silently run on a
+cluster-sized input: every one of them calls
+:func:`assert_driver_ceiling` BEFORE collecting, so a too-large input
+fails fast with a pointer at the distributed sibling instead of OOMing
+the driver — the same posture as ``knn_auto``'s staging ceiling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+#: Default ceiling for driver-side materialization: 1M rows of a
+#: ~50-dim reduced matrix is ~400 MB on the driver — the documented
+#: upper bound for the sanctioned fallbacks. Override per-call.
+DRIVER_ROWS_CEILING = 1_000_000
+
+
+def assert_driver_ceiling(df: DataFrame, what: str, alternative: str,
+                          ceiling: int | None = None) -> int:
+    """Count ``df`` and raise if it exceeds the driver-side ceiling.
+
+    Returns the row count (callers often want it anyway). The count is
+    one cheap aggregate on an input that is about to be collected
+    regardless — the guard never adds meaningful cost to the fallback
+    it protects."""
+    lim = DRIVER_ROWS_CEILING if ceiling is None else ceiling
+    n = df.count()
+    if n > lim:
+        raise ValueError(
+            f"{what}: input has {n:,} rows, above the driver-side "
+            f"ceiling of {lim:,}. This is the sanctioned small-data "
+            f"fallback; for inputs this size use {alternative}.")
+    return n

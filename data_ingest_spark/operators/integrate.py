@@ -28,7 +28,11 @@ import numpy as np
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 
-def _matrices_by_sample(pc_cols: DataFrame):
+def _matrices_by_sample(pc_cols: DataFrame, ceiling: int | None = None):
+    from data_ingest_spark.operators.guards import assert_driver_ceiling
+    assert_driver_ceiling(
+        pc_cols, "driver-side MNN integration (_matrices_by_sample)",
+        "integrate_mnn_distributed", ceiling)
     feat_cols = [c for c in pc_cols.columns if c.startswith("pc_")]
     rows = pc_cols.orderBy("sample", "barcode").collect()
     out: dict[str, tuple[list[str], np.ndarray]] = {}
@@ -52,11 +56,12 @@ def _mnn_pairs(a: np.ndarray, b: np.ndarray, k: int) -> list[tuple[int, int]]:
 
 
 def integrate_mnn(pc_cols: DataFrame, k_anchor: int = 5,
-                  k_weight: int = 10) -> DataFrame:
+                  k_weight: int = 10,
+                  max_driver_rows: int | None = None) -> DataFrame:
     """Corrected reduced space: first sample (sorted) is the reference;
     every other sample is shifted by locally-weighted MNN correction
     vectors. Returns the same (sample, barcode, pc_*) schema."""
-    mats, feat_cols = _matrices_by_sample(pc_cols)
+    mats, feat_cols = _matrices_by_sample(pc_cols, max_driver_rows)
     samples = sorted(mats)
     ref_s = samples[0]
     ref_bcs, ref_m = mats[ref_s]

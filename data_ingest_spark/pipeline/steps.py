@@ -207,7 +207,18 @@ def configure_embedding(exp: Experiment, config: dict) -> StepResult:
     clusters = cl.label_propagation(snn)
     plots: dict[str, DataFrame] = {"snn": snn}
     if cfg["computeEmbedding"]:
-        plots["embedding"] = em.embed_umap(exp.reductions)
+        # same gate as knn_auto: the driver-side UMAP/spectral
+        # fallback only below the documented collect ceiling; above it
+        # the distributed Laplacian eigenmap runs on the SNN edges the
+        # step already built (no per-cell collect possible).
+        from data_ingest_spark.operators.guards import DRIVER_ROWS_CEILING
+        ceiling = cfg.get("driverEmbedCeiling", DRIVER_ROWS_CEILING)
+        if exp.reductions.count() <= ceiling:
+            plots["embedding"] = em.embed_umap(
+                exp.reductions, max_driver_rows=ceiling)
+        else:
+            plots["embedding"] = em.spectral_embedding_distributed(
+                cl._undirect(snn))
     cells = (exp.cells.withColumn(
         "_id", F.concat_ws("_", "sample", "barcode"))
         .join(clusters.withColumnRenamed("id", "_id"), "_id", "left")

@@ -202,6 +202,36 @@ def test_fuzzy_join_distance_one_semantics(spark):
     assert got == want
 
 
+def test_fuzzy_join_distance_two_semantics(spark):
+    """Depth-2 deletion blocking finds exactly the lev≤2 pairs — the
+    brute-force DP is the oracle (insert+substitute, double deletes,
+    short/empty strings included)."""
+    import itertools
+    from data_ingest_spark.extensions.fuzzy import fuzzy_join
+
+    lvals = [(1, "spark"), (2, "spa"), (3, "zzz"), (4, "a"), (5, "")]
+    rvals = [(10, "spark"), (11, "spark!?"), (12, "spork"), (13, "sar"),
+             (14, "prk"), (15, "park"), (16, "scala"), (17, "sp"),
+             (18, "b"), (19, "zz"), (20, "spanker")]
+    left = spark.createDataFrame(lvals, "id long, name string")
+    right = spark.createDataFrame(rvals, "rid long, name string")
+
+    def lev(a, b):
+        d = {(i, 0): i for i in range(len(a) + 1)}
+        d.update({(0, j): j for j in range(len(b) + 1)})
+        for i, j in itertools.product(range(1, len(a) + 1),
+                                      range(1, len(b) + 1)):
+            d[i, j] = min(d[i - 1, j] + 1, d[i, j - 1] + 1,
+                          d[i - 1, j - 1] + (a[i - 1] != b[j - 1]))
+        return d[len(a), len(b)]
+
+    got = {(r["id"], r["rid_r"]) for r in
+           fuzzy_join(left, right, "name", max_dist=2).collect()}
+    want = {(l, r) for l, ln in lvals for r, rn in rvals
+            if lev(ln, rn) <= 2}
+    assert got == want
+
+
 def test_audio_features_known_values(spark):
     from data_ingest_spark.extensions import multimodal as mm
     # bytes [100, 156, 100]: centered [-28, 28, -28] -> 2 crossings,

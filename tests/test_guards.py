@@ -1,0 +1,72 @@
+"""Driver-materialization ceiling guards (operators.guards).
+
+The sanctioned small-data fallbacks (driver embeddings, driver MNN,
+driver Louvain) must refuse inputs above the collect ceiling BEFORE
+collecting, and the pipeline must route to the distributed siblings —
+no per-cell collect can trigger on a DataFrame above the ceiling.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingest_spark.operators import (clustering as cl, embedding as em,
+                                         integrate as ig)
+
+
+@pytest.fixture(scope="module")
+def pc10(spark):
+    return spark.createDataFrame(
+        [("s", f"b{i:02d}", float(i), float(i % 3)) for i in range(10)],
+        "sample string, barcode string, pc_0 double, pc_1 double")
+
+
+def test_embedding_fallbacks_raise_above_ceiling(pc10):
+    for fn in (em.spectral_embedding, em.embed_umap, em.embed_tsne):
+        with pytest.raises(ValueError, match="ceiling"):
+            fn(pc10, max_driver_rows=5)
+    # below the ceiling they still work
+    assert em.spectral_embedding(pc10, max_driver_rows=100).count() == 10
+
+
+def test_integrate_mnn_raises_above_ceiling(pc10):
+    with pytest.raises(ValueError, match="integrate_mnn_distributed"):
+        ig.integrate_mnn(pc10, max_driver_rows=5)
+
+
+def test_louvain_driver_raises_above_ceiling(spark):
+    edges = spark.createDataFrame(
+        [(f"a{i}", f"b{i}", 1.0) for i in range(10)],
+        "src string, dst string, snn_weight double")
+    with pytest.raises(ValueError, match="louvain_distributed"):
+        cl.louvain_driver(edges, max_driver_rows=5)
+    assert cl.louvain_driver(edges, max_driver_rows=100).count() == 20
+
+
+def test_pipeline_embedding_routes_distributed_above_ceiling(spark):
+    """configure_embedding with a tiny driverEmbedCeiling must emit
+    the DISTRIBUTED spectral embedding (id/x/y/method schema, method
+    spectral_dist) — proof the per-cell collect path cannot fire."""
+    from data_ingest_spark.pipeline import Experiment, assemble_cells
+    from data_ingest_spark.pipeline.steps import STEPS
+
+    rows = []
+    for s in ("sa", "sb"):
+        for i in range(25):
+            for g in range(6):
+                rows.append((s, f"{s}_c{i:02d}", f"G{g}",
+                             5 + (i % 3) * (g % 2) + g))
+    expr = spark.createDataFrame(
+        rows, "sample string, barcode string, gene string, count int")
+    genes = spark.createDataFrame([(f"G{g}", f"S{g}") for g in range(6)],
+                                  "gene string, name string")
+    cells = assemble_cells(expr, genes=genes)
+    red = (expr.groupBy("sample", "barcode")
+           .agg(F.sum("count").cast("double").alias("pc_0"),
+                F.countDistinct("gene").cast("double").alias("pc_1")))
+    exp = Experiment(expression=expr, cells=cells, genes=genes,
+                     reductions=red)
+    out = STEPS["configureEmbedding"](exp, {"driverEmbedCeiling": 3,
+                                            "k": 5})
+    emb = out.plot_data["embedding"]
+    assert set(emb.columns) == {"id", "x", "y", "method"}
+    assert emb.select("method").distinct().collect()[0][0] == "spectral_dist"
