@@ -1,12 +1,13 @@
 """Multimodal column handling: opaque `binary` payloads + typed metadata.
 
 The Spark-side plumbing is real and tested — schema contracts,
-Arrow-batched `mapInPandas`, partition-preserving shape. The actual
-media decoding (image/audio/video) is STUBBED: the decode libraries are
-not in this container, so `decode_image` raises NotImplementedError and
-`decode_image_fake` provides a deterministic stand-in with the same
-schema, letting the full pipeline (decode → feature → filter) run and
-be tested end to end.
+Arrow-batched `mapInPandas`, partition-preserving shape. Decoding:
+`decode_image` is REAL for the codec-free formats (binary PPM/PGM and
+uncompressed 8/24-bit BMP — pure numpy/stdlib parsers in
+`decode_payload`); compressed formats (jpeg/png/gif) still require a
+codec library absent from this container and raise from the executors.
+`decode_image_fake` remains the deterministic stand-in for exercising
+downstream stages against arbitrary payloads.
 
 100 TB posture: payload bytes never leave the executors and never pass
 through the driver; metadata extraction is one Arrow-batched map stage
@@ -32,6 +33,9 @@ _MAGIC = [
     (b"RIFF", "wav"),
     (b"GIF8", "gif"),
     (b"%PDF", "pdf"),
+    (b"P6", "ppm"),
+    (b"P5", "pgm"),
+    (b"BM", "bmp"),
 ]
 
 BINARY_META_SCHEMA = StructType([
@@ -73,15 +77,110 @@ def extract_binary_meta(df: DataFrame, id_col: str = "doc_id",
     return df.mapInPandas(fn, BINARY_META_SCHEMA)
 
 
+def _decode_pnm(raw: bytes) -> tuple[int, int, int, bytes]:
+    """Binary PPM (P6, RGB) / PGM (P5, gray) decode: parse the header
+    (three whitespace-separated ints; '#' comments run to end of line;
+    a single whitespace byte separates maxval from the raster), return
+    (width, height, channels, row-major pixel bytes). Pure stdlib —
+    the netpbm format needs no codec."""
+    channels = 3 if raw[:2] == b"P6" else 1
+    toks: list[int] = []
+    i, n = 2, len(raw)
+    while len(toks) < 3 and i < n:
+        c = raw[i]
+        if c in b" \t\r\n":
+            i += 1
+        elif c == ord("#"):
+            while i < n and raw[i] != ord("\n"):
+                i += 1
+        else:
+            j = i
+            while j < n and raw[j] not in b" \t\r\n#":
+                j += 1
+            toks.append(int(raw[i:j]))
+            i = j
+    if len(toks) < 3:
+        raise ValueError("truncated PNM header")
+    w, h, maxval = toks
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM not supported")
+    i += 1  # exactly one whitespace byte separates maxval from raster
+    need = w * h * channels
+    body = raw[i:i + need]
+    if len(body) < need:
+        raise ValueError(f"PNM raster truncated: {len(body)} < {need}")
+    return w, h, channels, bytes(body)
+
+
+def _decode_bmp(raw: bytes) -> tuple[int, int, int, bytes]:
+    """Uncompressed 8/24-bit BMP decode (BITMAPINFOHEADER): rows are
+    4-byte aligned and stored bottom-up unless height < 0; 24-bit
+    pixels are BGR on disk and come back RGB."""
+    import struct
+
+    import numpy as np
+    if raw[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", raw, 10)[0]
+    w, h = struct.unpack_from("<ii", raw, 18)
+    bpp = struct.unpack_from("<H", raw, 28)[0]
+    comp = struct.unpack_from("<I", raw, 30)[0]
+    if comp != 0 or bpp not in (8, 24):
+        raise NotImplementedError(f"BMP bpp={bpp} comp={comp} unsupported")
+    bottom_up, h = h > 0, abs(h)
+    bchan = bpp // 8
+    stride = (w * bchan + 3) & ~3
+    rows = []
+    for r in range(h):
+        src = off + (h - 1 - r if bottom_up else r) * stride
+        row = raw[src:src + w * bchan]
+        if len(row) < w * bchan:
+            raise ValueError("BMP raster truncated")
+        rows.append(row)
+    data = b"".join(rows)
+    if bchan == 3:
+        arr = np.frombuffer(data, np.uint8).reshape(h, w, 3)[:, :, ::-1]
+        return w, h, 3, arr.tobytes()
+    return w, h, 1, data
+
+
+def decode_payload(raw: bytes) -> tuple[int, int, int, bytes]:
+    """Dispatch a binary image payload to a REAL pure-python/numpy
+    decoder (PPM/PGM/BMP — codec-free formats). Compressed formats
+    (jpeg/png/gif) still need a codec library and raise."""
+    fmt = sniff_format(raw)
+    if fmt in ("ppm", "pgm"):
+        return _decode_pnm(raw)
+    if fmt == "bmp":
+        return _decode_bmp(raw)
+    raise NotImplementedError(
+        f"format {fmt!r} needs an image codec (PIL/opencv) not present "
+        "in this environment; PPM/PGM/BMP decode natively")
+
+
 def decode_image(df: DataFrame, id_col: str = "doc_id",
                  bin_col: str = "payload") -> DataFrame:
-    """Real image decode — STUB. The container ships no image codec
-    (no PIL/opencv); at deployment this body becomes a Pillow
-    `Image.open` over the same mapInPandas contract. The schema,
-    batching, and partitioning are exactly `decode_image_fake`'s."""
-    raise NotImplementedError(
-        "image codecs not available in this environment; "
-        "use decode_image_fake for the deterministic test stand-in")
+    """Real image decode over the standard mapInPandas contract.
+    PPM/PGM/BMP payloads decode natively (pure numpy/stdlib — see
+    :func:`decode_payload`); compressed formats raise until a codec
+    library is present (at which point only `decode_payload` grows a
+    branch — the Spark-side schema, batching, and partitioning are
+    final). Same contract as `decode_image_fake`."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, chs, pxs = [], [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[bin_col]):
+                w, h, ch, px = decode_payload(bytes(payload))
+                ids.append(int(did)); ws.append(w); hs.append(h)
+                chs.append(ch); pxs.append(px)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "n_channels": pd.Series(chs, dtype="int32"),
+                "pixels": pd.Series(pxs, dtype=object),
+            })
+    return df.mapInPandas(fn, DECODED_IMAGE_SCHEMA)
 
 
 def decode_image_fake(df: DataFrame, id_col: str = "doc_id",

@@ -4300,6 +4300,51 @@ def q_image_features(spark, sf):
     return mm.image_features(resized)
 
 
+@_q("x91_image_decode_real", """
+WITH p AS (SELECT doc_id,
+                  CAST(1 + doc_id % 13 AS INTEGER) AS width,
+                  CAST(1 + doc_id % 7 AS INTEGER) AS height,
+                  substr(repeat(md5(text), 9), 1,
+                         CAST((1 + doc_id % 13) * (1 + doc_id % 7) * 3
+                              AS INTEGER)) AS body
+           FROM documents),
+ px AS (SELECT doc_id, width, height,
+               unnest(list_transform(range(1, len(body) + 1),
+                      i -> ord(substr(body, i, 1)))) AS v
+        FROM p)
+SELECT doc_id, width, height,
+       ROUND(SUM(v) * 1.0 / COUNT(*), 6) AS mean_px,
+       CAST(MIN(v) AS INTEGER) AS min_px,
+       CAST(MAX(v) AS INTEGER) AS max_px,
+       CAST(SUM(CASE WHEN v // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS hist_0,
+       CAST(SUM(CASE WHEN v // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hist_1,
+       CAST(SUM(CASE WHEN v // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS hist_2,
+       CAST(SUM(CASE WHEN v // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS hist_3
+FROM px GROUP BY 1, 2, 3
+""")
+def q_image_decode_real(spark, sf):
+    """REAL image decode under a full value oracle (round-3 verdict
+    #8): deterministic binary P6 PPM payloads are synthesized from
+    each document (header with a comment line, md5-derived raster),
+    decoded by the pure-numpy netpbm parser (`decode_payload` — no
+    PIL), and summarized by image_features. The oracle recomputes the
+    raster directly, so header parsing, dimension extraction, and the
+    raster offset are all value-checked."""
+    docs = load(spark, sf, "documents")
+    w = (F.lit(1) + F.col("doc_id") % 13).cast("int")
+    h = (F.lit(1) + F.col("doc_id") % 7).cast("int")
+    body = F.repeat(F.md5(F.col("text").cast("binary")), 9).substr(
+        F.lit(1), (w * h * 3).cast("int"))
+    payload = F.concat(
+        F.lit("P6\n# synthetic\n"), w.cast("string"), F.lit(" "),
+        h.cast("string"), F.lit("\n255\n"), body).cast("binary")
+    dec = mm.decode_image(
+        docs.select("doc_id", payload.alias("payload")))
+    feats = mm.image_features(dec)
+    return (dec.select("doc_id", "width", "height")
+            .join(feats, "doc_id"))
+
+
 def _lloyd_d2_sql(qe: str, ce: str) -> str:
     return (f"CAST(list_sum(list_transform(range(1, 65), "
             f"j -> ({qe}[j] - {ce}[j]) * ({qe}[j] - {ce}[j]))) AS BIGINT)")

@@ -133,8 +133,50 @@ def test_multimodal_meta_and_fake_decode(spark):
     assert dec.schema == mm.DECODED_IMAGE_SCHEMA
     assert all(16 <= r["width"] < 80 and 1 <= r["n_channels"] <= 4 for r in rows)
 
-    with pytest.raises(NotImplementedError):
-        mm.decode_image(df)
+    # compressed formats still need a codec: the error now surfaces
+    # from the executors at action time (decode itself is lazy)
+    with pytest.raises(Exception, match="codec"):
+        mm.decode_image(df).collect()
+
+
+def test_decode_image_real_formats(spark):
+    """decode_payload is a REAL decoder for the codec-free formats:
+    PPM (P6) with comments, PGM (P5), and bottom-up padded 24-bit BMP
+    round-trip to known pixels."""
+    import struct
+
+    # P6 2x2 RGB with a header comment; raster = 12 known bytes
+    ppm_px = bytes(range(12))
+    ppm = b"P6\n# synthetic\n2 2\n255\n" + ppm_px
+    # P5 3x1 gray
+    pgm = b"P5 3 1 255 " + bytes([9, 8, 7])
+    # BMP 2x2 24-bit, bottom-up, stride 8 (2*3 rounded up to 4 bytes):
+    # disk rows bottom-first and BGR; logical top row = (r,g,b) pairs
+    top = [(1, 2, 3), (4, 5, 6)]
+    bot = [(7, 8, 9), (10, 11, 12)]
+    def row(px):
+        return b"".join(bytes([b, g, r]) for r, g, b in px) + b"\x00\x00"
+    raster = row(bot) + row(top)
+    bmp = (b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0,
+                         len(raster), 0, 0, 0, 0)
+           + raster)
+
+    w, h, ch, px = mm.decode_payload(ppm)
+    assert (w, h, ch, px) == (2, 2, 3, ppm_px)
+    w, h, ch, px = mm.decode_payload(pgm)
+    assert (w, h, ch, px) == (3, 1, 1, bytes([9, 8, 7]))
+    w, h, ch, px = mm.decode_payload(bmp)
+    assert (w, h, ch) == (2, 2, 3)
+    assert px == bytes([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12])
+
+    # and through the Spark stage contract
+    df = spark.createDataFrame([(1, ppm), (2, pgm), (3, bmp)],
+                               "doc_id long, payload binary")
+    rows = {r["doc_id"]: r for r in mm.decode_image(df).collect()}
+    assert rows[1]["n_channels"] == 3 and rows[1]["width"] == 2
+    assert rows[2]["n_channels"] == 1 and rows[2]["width"] == 3
+    assert bytes(rows[3]["pixels"])[:3] == bytes([1, 2, 3])
 
 
 def test_dup_clusters_multi_hop_chain(spark):
