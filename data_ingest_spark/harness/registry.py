@@ -5754,46 +5754,54 @@ def q_incremental_rollup(spark, sf):
 
 
 # Driver-sample ordering. The correctness driver checks a bounded
-# prefix of ``queries()`` each round; round 2 verified the first 50
-# registered names (a/f/j/w/u/m1/m4-m7/v1/x1-x4/x15/x57/x59 — all
-# green in CORRECTNESS_r02.json). Round 3 fronts the queries that have
-# NOT yet received a driver verdict — the distributed ML natives
-# (m2/m12/m13), graph, pipeline composite, TPC-H shapes, the
-# event-analytics family, and the LLM-pipeline extensions — so the
-# next sample extends verified coverage instead of re-checking green
-# rows. Every name below carries a full DuckDB value oracle.
-#
-# Round-4 rotation plan (for the next builder pass): assuming this
-# round's 50-sample returns green, replace this list with the still
-# unverified oracled remainder — v15–v26 (the completed TPC-H set),
-# e14–e26, x64/x65/x69/x71, the round-3b additions (x77–x88,
-# m9_mnn_anchors, m6_vst_quad already fronted) and the other x-family
-# entries outside the round-2/round-3 samples — so three rounds of
-# bounded samples jointly cover every oracled query. Every round-3b
-# query was verified green against its oracle at sf0.001, sf0.01 AND
-# sf0.1 by the local gate before landing.
-_ROUND3_PRIORITY = [
-    "m2_doublets_native", "m12_knn_exact", "m12_snn_graph",
-    "m13_label_propagation", "g1_pagerank", "g2_triangles",
-    "p2_qc_filters", "p4_training_prep", "x74_ppl_buckets",
-    "v2_tpch_q1", "v3_tpch_q3", "v4_tpch_q5", "v5_tpch_q6",
-    "v6_tpch_q18", "v10_tpch_q4", "v11_tpch_q13", "v12_tpch_q14",
-    "v13_tpch_q16", "v14_tpch_q22",
-    "v7_scalar_functions", "v8_array_functions", "v9_window_functions",
-    "e1_tumbling_window", "e2_sliding_window", "e3_session_window",
-    "e4_asof_join", "e5_range_count", "e6_rollup", "e7_pivot",
-    "e8_percentiles", "e9_multires_rollup", "e10_running_stats",
-    "e11_funnel", "e12_cohort_retention", "e13_scd2",
-    "x5_ann_topk", "x6_ann_ivf", "x11_ann_lsh", "x7_text_quality",
-    "x8_lang_id", "x9_token_count", "x16_tfidf", "x18_hash_split",
-    "x26_sequence_packing", "x34_decontam", "x38_tokenize_ids",
-    "x33_cap_repetitions", "x21_kmv_distinct", "x43_count_min",
-    "x44_bloom_prune", "x56_intra_repetition", "m6_vst_quad",
+# prefix of ``queries()`` each round; rounds 2+3 verified 100 distinct
+# queries (CORRECTNESS_r02/r03, 0 failures). Round 4 fronts the FULL
+# 96-query oracled remainder that has never received a driver verdict,
+# in priority order: (1) the oracles that are new this round
+# (fixed-iteration conversions x51/x83/m13_louvain_dist, the new
+# x90/x91), (2) the round-3b evaluation/curation family, (3) the
+# round-3 dedup additions, (4) the remaining TPC-H shapes, (5) the
+# e-family stragglers, then everything else unverified — so a ~50-query
+# sample drains the highest-value half and the round-5 rotation
+# finishes the tail. Every name below carries a full DuckDB value
+# oracle and passed the builder's local gate at sf0.001/0.01/0.1.
+_ROUND4_PRIORITY = [
+    "x51_kmeans_ivf", "x83_bpe_train", "m13_louvain_dist",
+    "x90_fuzzy_join2", "x91_image_decode_real", "m9_mnn_anchors",
+    "m6_vst_quad", "x82_lloyd_step", "x84_bpe_encode",
+    "x77_ranking_metrics", "x78_majority_vote", "x79_epoch_shuffle",
+    "x80_mix_quota", "x81_preference_pairs", "x85_length_buckets",
+    "x86_soft_dedup", "x87_hard_negatives", "x88_ngram_novelty",
+    "x89_source_overlap", "e27_time_to_convert", "x64_substring_dedup",
+    "x65_line_boilerplate", "x69_containment", "x71_drop_contained",
+    "x56_intra_repetition", "x72_leakage_safe_split", "v15_tpch_q7",
+    "v16_tpch_q8", "v17_tpch_q9", "v18_tpch_q10", "v19_tpch_q12",
+    "v20_tpch_q15", "v21_tpch_q17", "v22_tpch_q19", "v23_tpch_q21",
+    "v24_tpch_q2", "v25_tpch_q11", "v26_tpch_q20", "e14_cube",
+    "e15_unpivot", "e16_json_props", "e17_datetime_functions",
+    "e18_try_functions", "e19_session_stats", "e20_grouping_sets",
+    "e21_range_frame", "e22_approx_percentile_accuracy", "e23_gap_fill",
+    "e24_mad_outliers", "e25_salted_agg", "e26_incremental_rollup",
+    "x62_truncation_eval", "x17_embedding_dups", "x22_quality_deciles",
+    "x61_langid_eval", "x10_fingerprint", "x12_multimodal_meta",
+    "x13_frame_sample", "x14_resize_image", "x20_incremental_dedup",
+    "x23_snapshot_diff", "x24_fuzzy_join", "x19_stratified_sample",
+    "x29_stratified_quota", "x30_profile", "x31_vocab_topk",
+    "x60_topk_per_group", "x32_negative_samples", "x27_weighted_mix",
+    "x28_chunking", "x63_chunk_roundtrip", "x25_audio_features",
+    "x58_dedup_keep_best", "x35_pii_redact", "x36_bpe_pairs",
+    "x37_token_drift", "p3_curate", "x39_unigram_logprob",
+    "x40_boilerplate", "x41_merge_upsert", "x42_ann_recall",
+    "x45_semantic_dedup", "x46_importance_sample", "x47_bigram_lm",
+    "x48_diversity_sample", "x49_decayed_counts", "x50_image_features",
+    "x52_zorder", "x53_pq_encode", "x54_pq_search", "x55_quantize_int8",
+    "u3_intersect_except", "x67_hierarchy_paths", "x70_hll_accuracy",
+    "x73_dq_checks", "x76_token_entropy",
 ]
 
 
 def _ordered() -> dict[str, tuple[Builder, str | None]]:
-    front = {n: REGISTRY[n] for n in _ROUND3_PRIORITY if n in REGISTRY}
+    front = {n: REGISTRY[n] for n in _ROUND4_PRIORITY if n in REGISTRY}
     rest_oracled = {n: v for n, v in REGISTRY.items()
                     if n not in front and v[1] is not None}
     rest_weak = {n: v for n, v in REGISTRY.items()
