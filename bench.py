@@ -85,6 +85,19 @@ HEADLINE = [
     # correctness SF, ~25 s at sf0.1) — the scale path is the LSH/IVF
     # candidate generation, which x6/x11 already bench.
     "x88_ngram_novelty",
+    # round-3b stragglers + round-4 additions: the remaining
+    # evaluation-family ops, the fixed-iteration oracle conversions
+    # (end-to-end IVF fit+search, unrolled BPE training, Jacobi
+    # Louvain), distance-2 fuzzy join, real PPM decode
+    "x85_length_buckets",
+    "x86_soft_dedup",
+    "x89_source_overlap",
+    "e27_time_to_convert",
+    "x51_kmeans_ivf",
+    "x83_bpe_train",
+    "m13_louvain_dist",
+    "x90_fuzzy_join2",
+    "x91_image_decode_real",
 ]
 
 
