@@ -59,19 +59,28 @@ def fuzzy_join(left: DataFrame, right: DataFrame, col: str,
                max_dist: int = 1, suffix: str = "_r") -> DataFrame:
     """Inner-join rows whose ``col`` values are within levenshtein
     ``max_dist`` (1 or 2 — deletion-neighborhood blocking at the
-    matching depth). Right columns come back suffixed."""
+    matching depth). Right columns come back suffixed.
+
+    Plan: candidate generation runs over the DISTINCT key values only
+    and joins on a 64-bit hash of each deletion variant — the wide
+    shuffle carries (hash, value) pairs, never payload columns, and
+    the pair-dedup groups two strings instead of whole rows. Verified
+    value pairs (tiny) then join the payloads back."""
     if max_dist not in (1, 2):
         raise NotImplementedError(
             "deletion blocking is implemented for max_dist 1 and 2")
-    lk = left.withColumn(
-        "_k", F.explode(_deletion_keys(F.col(col), max_dist)))
     ren = {c: c + suffix for c in right.columns}
-    rk = (right.select([F.col(c).alias(ren[c]) for c in right.columns])
-          .withColumn("_k",
-                      F.explode(_deletion_keys(F.col(ren[col]),
-                                               max_dist))))
-    cand = (lk.join(rk, "_k")
-            .drop("_k")
-            .distinct())
-    return cand.filter(
-        F.levenshtein(F.col(col), F.col(ren[col])) <= max_dist)
+    rcol = ren[col]
+    lvals = (left.select(col).distinct()
+             .select(col, F.explode(_deletion_keys(F.col(col), max_dist))
+                     .alias("_kv"))
+             .select(col, F.xxhash64("_kv").alias("_k")))
+    rvals = (right.select(F.col(col).alias(rcol)).distinct()
+             .select(rcol, F.explode(_deletion_keys(F.col(rcol), max_dist))
+                     .alias("_kv"))
+             .select(rcol, F.xxhash64("_kv").alias("_k")))
+    matched = (lvals.join(rvals, "_k")
+               .select(col, rcol).distinct()
+               .filter(F.levenshtein(F.col(col), F.col(rcol)) <= max_dist))
+    rren = right.select([F.col(c).alias(ren[c]) for c in right.columns])
+    return left.join(matched, col).join(rren, rcol)

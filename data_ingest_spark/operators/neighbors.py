@@ -227,6 +227,11 @@ def snn_graph(knn: DataFrame, k: int = 20,
     of neighbor sets, computed by joining the edge list with itself on
     the shared neighbor — shuffle keyed by neighbor id, no all-pairs.
     Edges below `prune` are dropped (Seurat prune.SNN)."""
+    # The self-join references the kNN plan twice; without a
+    # materialization barrier Spark recomputes the (mapInPandas /
+    # LSH-join) edge list once PER SIDE. Lazy local checkpoint makes
+    # both sides share one computed copy.
+    knn = knn.select("src", "dst").localCheckpoint(eager=False)
     a = knn.select(F.col("src").alias("u"), F.col("dst").alias("n"))
     b = knn.select(F.col("src").alias("v"), F.col("dst").alias("n"))
     inter = (
