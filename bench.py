@@ -98,6 +98,7 @@ HEADLINE = [
     "m13_louvain_dist",
     "x90_fuzzy_join2",
     "x91_image_decode_real",
+    "x92_bm25",
 ]
 
 

@@ -12,7 +12,7 @@ proportional to token count) — no global state, no driver collects.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 # Small deterministic stopword lists used by quality scoring and the
 # language-ID heuristic. Kept tiny on purpose: the operator contract is
@@ -225,6 +225,49 @@ def tf_idf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             .crossJoin(F.broadcast(n_docs))
             .select(id_col, "token", "tf", "df_count",
                     (F.col("tf") * idf).alias("tfidf")))
+
+
+def bm25(df: DataFrame, query_terms: list[str], k1: float = 1.2,
+         b: float = 0.75, top_k: int = 10, id_col: str = "doc_id",
+         text_col: str = "text") -> DataFrame:
+    """(token, doc_id, tf, score, rank) — Okapi BM25 retrieval scores
+    for a broadcast query-term set, top-``top_k`` documents per term.
+    idf = ln(1 + (N − df + 0.5)/(df + 0.5)) (the Lucene formulation,
+    always positive); score = idf · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)).
+
+    Plan shape: one explode, one groupBy(doc) for document lengths
+    (map-side combined), one groupBy(doc, token) for tf RESTRICTED to
+    the broadcast query terms (so the tf shuffle carries only matching
+    postings, not the corpus vocabulary), a tiny per-term df aggregate,
+    and one rank window partitioned by term. N and avgdl ride along as
+    a broadcast 1-row aggregate — corpus scanned once, no driver-side
+    counts. Scores round to 6dp BEFORE ranking (tie-break doc id), the
+    repo's cross-engine rank convention."""
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens_col(text_col)).alias("token"))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").cast("double").alias("_n"),
+                   F.avg("dl").alias("_avgdl"))
+    qt = F.array(*[F.lit(t) for t in query_terms])
+    tf = (toks.filter(F.array_contains(qt, F.col("token")))
+          .groupBy(id_col, "token").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df_count"))
+    idf = F.log(F.lit(1.0)
+                + (F.col("_n") - F.col("df_count") + F.lit(0.5))
+                / (F.col("df_count") + F.lit(0.5)))
+    denom = (F.col("tf")
+             + F.lit(k1) * (F.lit(1.0 - b)
+                            + F.lit(b) * F.col("dl") / F.col("_avgdl")))
+    score = F.round(idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom, 6)
+    scored = (tf.join(dl, id_col)
+              .join(F.broadcast(dfreq), "token")
+              .crossJoin(F.broadcast(stats))
+              .select("token", id_col, "tf", score.alias("score")))
+    w = W.partitionBy("token").orderBy(F.desc("score"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select("token", id_col, "tf", "score",
+                    F.col("rank").cast("int").alias("rank")))
 
 
 # PII patterns deliberately restricted to syntax with identical

@@ -1352,6 +1352,45 @@ def q_tfidf(spark, sf):
     return out.withColumn("tfidf", F.round("tfidf", 6))
 
 
+@_q("x92_bm25", r"""
+WITH toks AS (SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\s+'))
+                       AS token
+              FROM documents),
+ dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks
+        GROUP BY 1),
+ st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
+ tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+        WHERE token IN ('join', 'hash', 'customer', 'filter', 'merge')
+        GROUP BY 1, 2),
+ dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df_count FROM tf
+         GROUP BY 1),
+ s AS (SELECT t.token, t.doc_id, t.tf,
+              ROUND(ln(CAST(1.0 AS DOUBLE)
+                       + (st.n - d.df_count + CAST(0.5 AS DOUBLE))
+                         / (d.df_count + CAST(0.5 AS DOUBLE)))
+                    * (t.tf * CAST(2.2 AS DOUBLE))
+                    / (t.tf + CAST(1.2 AS DOUBLE)
+                       * (CAST(0.25 AS DOUBLE)
+                          + (CAST(0.75 AS DOUBLE) * l.dl) / st.avgdl)),
+                    6) AS score
+       FROM tf t JOIN dl l USING (doc_id) JOIN dfq d USING (token)
+            CROSS JOIN st),
+ r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY token
+                  ORDER BY score DESC, doc_id) AS rank FROM s)
+SELECT token, doc_id, tf, score, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 10
+""")
+def q_bm25(spark, sf):
+    """Okapi BM25 retrieval (k1=1.2, b=0.75, Lucene idf): top-10
+    documents per query term over the documents corpus — the classic
+    lexical-retrieval scorer next to x16's TF-IDF. Constants are cast
+    to DOUBLE on the oracle side so both engines run the identical
+    IEEE op sequence."""
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    return tx.bm25(docs, ["join", "hash", "customer", "filter", "merge"])
+
+
 @_q("x13_frame_sample", """
 WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
                   octet_length(encode(text)) AS nb FROM documents)
