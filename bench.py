@@ -99,6 +99,7 @@ HEADLINE = [
     "x90_fuzzy_join2",
     "x91_image_decode_real",
     "x92_bm25",
+    "m9_integrate_exact",
 ]
 
 

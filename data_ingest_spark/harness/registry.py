@@ -2809,6 +2809,86 @@ def q_integrate_dist(spark, sf):
     return out.select("sample", "barcode", *rounded)
 
 
+_M9_DIMS_T = "(SELECT UNNEST(range(1, 65)) AS i) t"
+
+
+@_q("m9_integrate_exact", f"""
+WITH p AS (SELECT CAST(label AS VARCHAR) AS sample,
+                  CAST(vec_id AS VARCHAR) AS cb,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
+                  list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                    AS cq
+           FROM embeddings),
+ rs AS (SELECT MIN(sample) AS r FROM p),
+ ref AS (SELECT p.* FROM p, rs WHERE p.sample = rs.r),
+ qry AS MATERIALIZED (SELECT p.* FROM p, rs WHERE p.sample <> rs.r),
+ cr AS (SELECT q.sample, q.cb AS qb, q.cv AS qv, r.cb AS rb, r.cv AS rv,
+               CAST(list_sum(list_transform(range(1, 65),
+                    i -> (q.cq[i] - r.cq[i]) * (q.cq[i] - r.cq[i])))
+                    AS BIGINT) AS d2
+        FROM qry q CROSS JOIN ref r),
+ rk AS (SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY sample, qb
+                                  ORDER BY d2, rb) AS ra,
+               ROW_NUMBER() OVER (PARTITION BY sample, rb
+                                  ORDER BY d2, qb) AS rb_
+        FROM cr),
+ anc AS MATERIALIZED (
+   SELECT sample, qb || '|' || rb AS aid,
+          list_transform(qv,
+            x -> CAST(round(x * 1000000) AS BIGINT)) AS aq,
+          list_transform(range(1, 65), i -> rv[i] - qv[i]) AS corr
+   FROM rk WHERE ra <= 5 AND rb_ <= 5),
+ nr AS (SELECT q.sample, q.cb, a.aid, a.corr,
+               CAST(list_sum(list_transform(range(1, 65),
+                    i -> (q.cq[i] - a.aq[i]) * (q.cq[i] - a.aq[i])))
+                    AS BIGINT) AS da
+        FROM qry q JOIN anc a USING (sample)),
+ nk AS (SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY sample, cb
+                                  ORDER BY da, aid) AS rk2,
+               CAST(1.0 AS DOUBLE)
+                 / (CAST(1.0 AS DOUBLE)
+                    + CAST(da AS DOUBLE) / CAST(1e12 AS DOUBLE)) AS w
+        FROM nr),
+ kept AS MATERIALIZED (SELECT * FROM nk WHERE rk2 <= 10),
+ sw AS (SELECT sample, cb,
+               list_reduce(list(w ORDER BY da, aid),
+                           (a, b) -> a + b) AS sumw
+        FROM kept GROUP BY 1, 2),
+ cm AS (SELECT sample, cb, t.i AS d1,
+               list_reduce(list(corr[t.i] * w ORDER BY da, aid),
+                           (a, b) -> a + b) AS sc
+        FROM kept CROSS JOIN {_M9_DIMS_T}
+        GROUP BY 1, 2, 3),
+ corr2 AS (SELECT c.sample, c.cb, c.d1, c.sc / s.sumw AS m
+           FROM cm c JOIN sw s USING (sample, cb)),
+ qd AS (SELECT sample, cb, t.i AS d1, cv[t.i] AS v
+        FROM qry CROSS JOIN {_M9_DIMS_T}),
+ outq AS (SELECT q.sample, q.cb AS barcode,
+                 CAST(q.d1 - 1 AS INTEGER) AS dim,
+                 ROUND(CASE WHEN c.m IS NOT NULL THEN q.v + c.m
+                       ELSE q.v END, 6) + CAST(0.0 AS DOUBLE) AS value
+          FROM qd q LEFT JOIN corr2 c
+            ON c.sample = q.sample AND c.cb = q.cb AND c.d1 = q.d1),
+ outr AS (SELECT sample, cb AS barcode, CAST(t.i - 1 AS INTEGER) AS dim,
+                 ROUND(cv[t.i], 6) + CAST(0.0 AS DOUBLE) AS value
+          FROM ref CROSS JOIN {_M9_DIMS_T})
+SELECT * FROM outr UNION ALL SELECT * FROM outq
+""")
+def q_integrate_exact(spark, sf):
+    """M9 under a FULL value oracle: the complete MNN integration
+    semantics (mutual-k anchors → inverse-squared-distance-weighted
+    corrections → per-cell shift) with integer-exact distances and
+    array_sort-pinned float folds, per-dimension output rows. The
+    oracle replays anchor search, weighting, and correction; the LSH
+    variant (m9_integrate_mnn_dist) remains the past-broadcast-range
+    path."""
+    from data_ingest_spark.operators import integrate as ig
+    return ig.integrate_mnn_exact(_emb_pc_arr(spark, sf))
+
+
 @_q("m10_spectral_embedding")
 def q_spectral(spark, sf):
     from data_ingest_spark.operators import embedding as em
@@ -5806,6 +5886,7 @@ def q_incremental_rollup(spark, sf):
 # oracle and passed the builder's local gate at sf0.001/0.01/0.1.
 _ROUND4_PRIORITY = [
     "x51_kmeans_ivf", "x83_bpe_train", "m13_louvain_dist",
+    "m9_integrate_exact", "x92_bm25",
     "x90_fuzzy_join2", "x91_image_decode_real", "m9_mnn_anchors",
     "m6_vst_quad", "x82_lloyd_step", "x84_bpe_encode",
     "x77_ranking_metrics", "x78_majority_vote", "x79_epoch_shuffle",

@@ -244,3 +244,107 @@ def mnn_anchor_pairs(pc_arr: DataFrame, sample_a: str, sample_b: str,
             .withColumn("_rb", F.row_number().over(wb))
             .filter((F.col("_ra") <= k) & (F.col("_rb") <= k))
             .select("ida", "idb", F.col("_d2").alias("d2")))
+
+
+def integrate_mnn_exact(pc_arr: DataFrame, k_anchor: int = 5,
+                        k_weight: int = 10, scale: int = 10**6,
+                        id_col: str = "barcode",
+                        vec_col: str = "pc") -> DataFrame:
+    """Oracle-exact MNN integration: the complete v1/v2 semantics
+    (reference = lexicographically first sample, mutual-k-nearest
+    anchors, inverse-squared-distance-weighted mean of the k_weight
+    nearest anchors' correction vectors) in a form a SQL oracle can
+    replay bit-for-bit. Returns ``(sample, barcode, dim, value)`` —
+    per-dimension rows, values rounded to 6dp at the very end.
+
+    Determinism recipe (the same toolbox as lloyd_centroids /
+    m13_louvain_dist): every DISTANCE is an exact int64 fixed-point
+    fold, so all ranks/tie-breaks are integer-deterministic; every
+    float SUM folds over an array_sort-ed anchor list, so the IEEE
+    addition sequence is pinned; weights come from one shared double
+    expression ``1/(1 + d2/scale²)``.
+
+    Plan: the reference batch and the anchor table broadcast (both are
+    the small side by construction); ranks window on (sample, cell);
+    the correction is ONE groupBy(cell) holding k_weight structs.
+    For corpora past broadcast range use
+    :func:`integrate_mnn_distributed` (LSH candidates, rows-only)."""
+    sc2 = float(scale) * float(scale)
+    q = pc_arr.select(
+        "sample", F.col(id_col).alias("cb"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        F.transform(F.col(vec_col),
+                    lambda x: F.round(x.cast("double") * scale)
+                    .cast("long")).alias("cq"))
+    ref_s = q.agg(F.min("sample")).collect()[0][0]
+    dims = len(q.select("cv").first()["cv"]) if ref_s is not None else 0
+    if ref_s is None:
+        return pc_arr.sparkSession.createDataFrame(
+            [], "sample string, barcode string, dim int, value double")
+    ref = q.filter(F.col("sample") == ref_s)
+    qry = q.filter(F.col("sample") != ref_s).localCheckpoint(eager=False)
+
+    d2 = F.aggregate(
+        F.zip_with("cq", "rq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    cross = (qry.select("sample", F.col("cb").alias("qb"),
+                        F.col("cv").alias("qv"), F.col("cq"))
+             .join(F.broadcast(ref.select(F.col("cb").alias("rb"),
+                                          F.col("cv").alias("rv"),
+                                          F.col("cq").alias("rq"))))
+             .withColumn("_d2", d2).drop("cq", "rq"))
+    wa = W.partitionBy("sample", "qb").orderBy("_d2", "rb")
+    wb = W.partitionBy("sample", "rb").orderBy("_d2", "qb")
+    anchors = (cross
+               .withColumn("_ra", F.row_number().over(wa))
+               .withColumn("_rb", F.row_number().over(wb))
+               .filter((F.col("_ra") <= k_anchor)
+                       & (F.col("_rb") <= k_anchor))
+               .select("sample",
+                       F.concat_ws("|", "qb", "rb").alias("aid"),
+                       F.col("qv").alias("av"),
+                       F.zip_with("rv", "qv", lambda r, v: r - v)
+                       .alias("corr"))
+               .withColumn("aq", F.transform(
+                   "av", lambda x: F.round(x * scale).cast("long")))
+               .localCheckpoint(eager=False))
+
+    da = F.aggregate(
+        F.zip_with("cq", "aq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    w_n = W.partitionBy("sample", "cb").orderBy("_da", "aid")
+    near = (qry.join(F.broadcast(anchors.select("sample", "aid", "aq",
+                                                "corr")), "sample")
+            .withColumn("_da", da)
+            .withColumn("_rk", F.row_number().over(w_n))
+            .filter(F.col("_rk") <= k_weight)
+            .withColumn("_w", F.lit(1.0) /
+                        (F.lit(1.0)
+                         + F.col("_da").cast("double") / F.lit(sc2))))
+
+    zeros = F.array(*[F.lit(0.0) for _ in range(dims)])
+    lst = F.array_sort(F.collect_list(F.struct(
+        F.col("_da").alias("d"), F.col("aid").alias("a"),
+        F.col("_w").alias("w"), F.col("corr").alias("c"))))
+    sumw = F.aggregate(lst, F.lit(0.0), lambda acc, x: acc + x["w"])
+    sumc = F.aggregate(
+        lst, zeros,
+        lambda acc, x: F.zip_with(acc, x["c"],
+                                  lambda a, c: a + c * x["w"]))
+    corr_mean = (near.groupBy("sample", "cb")
+                 .agg(F.transform(sumc, lambda s: s / sumw).alias("m")))
+
+    fixed = (qry.join(corr_mean, ["sample", "cb"], "left")
+             .select("sample", F.col("cb").alias("barcode"),
+                     F.posexplode(F.when(
+                         F.col("m").isNotNull(),
+                         F.zip_with("cv", "m", lambda v, m: v + m))
+                         .otherwise(F.col("cv"))).alias("dim", "value")))
+    passthrough = ref.select(
+        "sample", F.col("cb").alias("barcode"),
+        F.posexplode("cv").alias("dim", "value"))
+    # + 0.0 collapses IEEE −0.0 (a rounded tiny negative) to +0.0 —
+    # both engines apply the same normalization before hashing.
+    return (passthrough.unionByName(fixed)
+            .select("sample", "barcode", F.col("dim").cast("int").alias("dim"),
+                    (F.round("value", 6) + F.lit(0.0)).alias("value")))
