@@ -55,6 +55,39 @@ def _deletion_keys(col: F.Column, depth: int = 1) -> F.Column:
     return keys
 
 
+def _deletion_rows(vals: DataFrame, col: str, depth: int) -> DataFrame:
+    """``(value, _kv)`` deletion-variant rows via an Arrow map stage —
+    the identical key set as ``explode(_deletion_keys(...))`` (which
+    Spark evaluates as an INTERPRETED higher-order expression: 5.1 s
+    for 1.6M depth-2 keys at sf0.1 vs ~1 s here). Python string
+    slicing per distinct value, set-deduped like array_union."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([StructField(col, StringType()),
+                         StructField("_kv", StringType())])
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            out_v, out_k = [], []
+            for s0 in pdf[col]:
+                n = len(s0)
+                ks = {s0}
+                for i in range(n):
+                    ks.add(s0[:i] + s0[i + 1:])
+                if depth >= 2:
+                    for i in range(n):
+                        pre = s0[:i]
+                        mid = s0[i + 1:]
+                        for j in range(len(mid)):
+                            ks.add(pre + mid[:j] + mid[j + 1:])
+                out_v.extend([s0] * len(ks))
+                out_k.extend(ks)
+            yield pd.DataFrame({col: out_v, "_kv": out_k})
+
+    return vals.mapInPandas(gen, schema)
+
+
 def fuzzy_join(left: DataFrame, right: DataFrame, col: str,
                max_dist: int = 1, suffix: str = "_r") -> DataFrame:
     """Inner-join rows whose ``col`` values are within levenshtein
@@ -71,13 +104,10 @@ def fuzzy_join(left: DataFrame, right: DataFrame, col: str,
             "deletion blocking is implemented for max_dist 1 and 2")
     ren = {c: c + suffix for c in right.columns}
     rcol = ren[col]
-    lvals = (left.select(col).distinct()
-             .select(col, F.explode(_deletion_keys(F.col(col), max_dist))
-                     .alias("_kv"))
+    lvals = (_deletion_rows(left.select(col).distinct(), col, max_dist)
              .select(col, F.xxhash64("_kv").alias("_k")))
-    rvals = (right.select(F.col(col).alias(rcol)).distinct()
-             .select(rcol, F.explode(_deletion_keys(F.col(rcol), max_dist))
-                     .alias("_kv"))
+    rvals = (_deletion_rows(right.select(F.col(col).alias(rcol))
+                            .distinct(), rcol, max_dist)
              .select(rcol, F.xxhash64("_kv").alias("_k")))
     matched = (lvals.join(rvals, "_k")
                .select(col, rcol).distinct()
