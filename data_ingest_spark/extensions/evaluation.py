@@ -143,3 +143,54 @@ def preference_pairs(df: DataFrame, group_col: str = "user_id",
                     (-F.col("_w.negid")).cast("long").alias("rejected_id"),
                     F.round(F.col("_b.s") - F.col("_w.s"), 9)
                     .alias("margin")))
+
+
+def rrf_fuse(lex: DataFrame, sem: DataFrame, id_col: str = "doc_id",
+             lex_score: str = "lex_score", sem_score: str = "sem_score",
+             k0: int = 60, n_candidates: int = 100) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical and a semantic ranking —
+    the standard hybrid-retrieval merge (BM25 + embedding search)
+    used to build RAG / retrieval training corpora. Each side
+    contributes its top-``n_candidates`` documents ranked by
+    (score desc, id asc); a document's fused score is
+    ``sum over lists containing it of 1/(k0 + rank)`` (Cormack et
+    al.'s RRF with the conventional k0 = 60), and the output carries
+    both source ranks (NULL when only one list has the doc), the
+    fused score (6dp) and the fused rank.
+
+    Plan shape: each side's candidate cut is a distributed
+    TakeOrderedAndProject (map-side top-k, no global sort, no
+    window over the corpus); ranks over the *bounded* candidate
+    lists use the two-pass grouped-offset rank (no unpartitioned
+    window), the two lists meet in one full outer join over ≤
+    2·n_candidates rows, and every float is a fixed two-term IEEE
+    sum — deterministic across engines.
+    """
+    from data_ingest_spark.operators.windows import dense_ids_scalable
+
+    def _ranked(side: DataFrame, score: str, out: str) -> DataFrame:
+        cand = (side.select(id_col, score)
+                .orderBy(F.col(score).desc(), F.col(id_col).asc())
+                .limit(n_candidates)
+                .withColumn("_neg", -F.col(score)))
+        ranked = dense_ids_scalable(cand, order=["_neg", id_col],
+                                    id_col="_r")
+        return ranked.select(
+            F.col(id_col),
+            (F.col("_r") + 1).cast("long").alias(out))
+
+    la = _ranked(lex, lex_score, "lex_rank")
+    sb = _ranked(sem, sem_score, "sem_rank")
+    fused = (la.join(sb, [id_col], "full_outer")
+             .select(id_col, "lex_rank", "sem_rank"))
+    term_a = F.lit(1.0) / (F.lit(k0) + F.col("lex_rank"))
+    term_b = F.lit(1.0) / (F.lit(k0) + F.col("sem_rank"))
+    scored = fused.withColumn(
+        "rrf", F.round(F.coalesce(term_a, F.lit(0.0))
+                       + F.coalesce(term_b, F.lit(0.0)), 6))
+    final = dense_ids_scalable(
+        scored.withColumn("_negf", -F.col("rrf")),
+        order=["_negf", id_col], id_col="_fr")
+    return (final.select(
+        id_col, "lex_rank", "sem_rank", "rrf",
+        (F.col("_fr") + 1).cast("long").alias("fused_rank")))

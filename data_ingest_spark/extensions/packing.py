@@ -161,3 +161,38 @@ def length_buckets(df: DataFrame, boundaries: list[int] | None = None,
                         F.round(F.col("waste_tokens")
                                 / (F.col("pad_target") * F.col("n_docs")),
                                 9)))
+
+
+def temperature_mix(df: DataFrame, alpha: float = 0.3,
+                    budget: int = 10000, source_col: str = "source",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual/multi-source
+    alpha-sampling recipe: p_s ∝ n_s^alpha, alpha < 1 up-weights
+    small sources): compute each source's sampling rate and its
+    floor document quota out of ``budget``. Returns
+    ``(source, n_docs, sample_rate, quota)``.
+
+    Determinism: n_s^alpha is computed as exp(alpha·ln(n)) — the
+    identical two-call libm sequence on both engines — then quantized
+    to fixed-point int64 (floor(w·1e6 + 0.5)), so the normalizing sum
+    is exact integer arithmetic and the quota is an exact integer
+    ``(budget · w_fp) div total_fp``; only ``sample_rate`` divides
+    (the same two int64s on each side → the same double).
+
+    Plan shape: one grouped count over the corpus (map-side
+    combined), then all arithmetic on the tiny per-source aggregate
+    with the 1-row total broadcast back — a 100 TB corpus pays one
+    shuffle of partial counts."""
+    per = df.groupBy(source_col).agg(F.count("*").alias("n_docs"))
+    w_fp = F.floor(
+        F.exp(F.lit(alpha) * F.log(F.col("n_docs").cast("double")))
+        * 1000000.0 + F.lit(0.5)).cast("long")
+    weighted = per.withColumn("_wfp", w_fp)
+    tot = weighted.agg(F.sum("_wfp").alias("_tot"))
+    return (weighted.crossJoin(F.broadcast(tot))
+            .select(source_col,
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.round(F.col("_wfp") / F.col("_tot"), 6)
+                    .alias("sample_rate"),
+                    F.expr(f"(CAST({int(budget)} AS BIGINT) * _wfp) "
+                           "div _tot").alias("quota")))

@@ -15,7 +15,7 @@ swap ``exact_distinct=False`` to use HLL sketches
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 from data_ingest_spark.extensions.text import tokens_col
 from data_ingest_spark.functions.stats import epoch_seconds
@@ -148,3 +148,60 @@ def source_overlap(df: DataFrame, source_col: str = "source",
             .filter(F.col("source_a") < F.col("source_b"))
             .groupBy("source_a", "source_b")
             .agg(F.count("*").cast("long").alias("n_shared")))
+
+
+def ks_drift(df: DataFrame, group_col: str = "source",
+             value_col: str = "n_chars") -> DataFrame:
+    """Per-group Kolmogorov–Smirnov drift statistic: for every group
+    g, D_g = max over observed values v of
+    |CDF_g(v) − CDF_global(v)| — the standard "did this source's
+    length/quality distribution shift?" monitor run between crawl
+    snapshots and across mixture sources. Returns
+    ``(source, n_docs, ks_stat)`` with ks_stat rounded to 6dp.
+
+    Determinism: all CDF numerators/denominators are exact integer
+    counts; each CDF value is a single long/long → double division
+    and the max of |a − b| is order-insensitive — hash-exact vs the
+    SQL oracle.
+
+    Plan shape: ONE corpus-sized shuffle (the (group, v) count,
+    persisted — every later step derives from that bounded
+    aggregate: |groups| × |distinct v| of a bounded metric column).
+    The global CDF rides along as an '__all__' partition of the same
+    cumulative-sum window, so the window is always partitioned, and
+    the grid joins broadcast."""
+    ALL = "__all__"
+    cv = (df.groupBy(group_col, value_col)
+          .agg(F.count("*").alias("_c"))).persist()
+    gv = (cv.groupBy(value_col).agg(F.sum("_c").alias("_c"))
+          .withColumn(group_col, F.lit(ALL)))
+    counts = (cv.select(group_col, value_col,
+                        F.col("_c").cast("long").alias("_c"))
+              .unionByName(gv.select(group_col, value_col,
+                                     F.col("_c").cast("long").alias("_c"))))
+    groups = counts.select(group_col).distinct()
+    vals = cv.select(value_col).distinct()
+    grid = (groups.crossJoin(vals)
+            .join(counts, [group_col, value_col], "left")
+            .fillna({"_c": 0}))
+    wcum = (W.partitionBy(group_col).orderBy(value_col)
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cum = (grid.withColumn("_cum", F.sum("_c").over(wcum).cast("long"))
+           .persist())
+    tots = cum.groupBy(group_col).agg(F.max("_cum").alias("_n"))
+    cdf = (cum.join(F.broadcast(tots), group_col)
+           .select(group_col, value_col,
+                   (F.col("_cum") / F.col("_n")).alias("_f")))
+    glob = (cdf.filter(F.col(group_col) == ALL)
+            .select(F.col(value_col), F.col("_f").alias("_fg")))
+    return (cdf.filter(F.col(group_col) != ALL)
+            .join(glob, value_col)
+            .groupBy(group_col)
+            .agg(F.round(F.max(F.abs(F.col("_f") - F.col("_fg"))), 6)
+                 .alias("ks_stat"))
+            .join(F.broadcast(tots.filter(F.col(group_col) != ALL)
+                              .select(group_col,
+                                      F.col("_n").alias("n_docs"))),
+                  group_col)
+            .select(group_col, F.col("n_docs").cast("long").alias("n_docs"),
+                    "ks_stat"))

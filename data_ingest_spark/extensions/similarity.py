@@ -578,3 +578,49 @@ def cosine_topk_fixed_ivf(emb: DataFrame, queries: DataFrame, k: int = 5,
         "query_vec", vec_col,
     ).filter(F.col("neighbor_id") != F.col("query_id"))
     return _rank_topk(scored.drop("cid"), k)
+
+
+#: LCG used to derive the deterministic +/-1 projection matrix. Bit 16
+#: is the sign source: the low bit of an LCG with odd multiplier and
+#: increment strictly alternates, so it must not be used.
+_RP_A, _RP_C, _RP_M = 1103515245, 12345, 2**31
+
+
+def rp_sign(idx: int) -> int:
+    """+1/-1 from bit 16 of one LCG step — pure integer arithmetic,
+    reproducible verbatim in SQL for the oracle."""
+    return 1 if ((_RP_A * idx + _RP_C) % _RP_M) // 65536 % 2 == 1 else -1
+
+
+def random_projection_fixed(emb: DataFrame, in_dim: int = 64,
+                            out_dim: int = 8, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            scale: int = 10**6) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with a sign matrix
+    (Achlioptas ±1 variant) — the cheap dimensionality-reduction
+    front end for sketch-based similarity at 100 TB. The projection
+    matrix is derived from an LCG (``rp_sign``), never materialized
+    driver-side, and identical in the SQL oracle; inputs quantize to
+    fixed-point int64 (floor(x·scale + 0.5)) so every output
+    component is an exact integer sum — hash-stable across engines
+    and across partitionings (integer addition commutes).
+
+    Returns ``(vec_id, dim, component)`` long-form rows.
+
+    Plan shape: map-only — the ±1 constants fold into the codegen'd
+    aggregate expression per output dim; no shuffle, no UDF, output
+    is ``out_dim`` rows per vector via one posexplode."""
+    q = F.transform(F.col(vec_col).cast("array<double>"),
+                    lambda x: F.floor(x * scale + F.lit(0.5)))
+    comps = []
+    for j in range(out_dim):
+        signs = F.array(*[F.lit(rp_sign(i * out_dim + j))
+                          for i in range(in_dim)])
+        comps.append(F.aggregate(
+            F.zip_with(F.col("_q"), signs, lambda x, s: x * s),
+            F.lit(0).cast("long"), lambda acc, v: acc + v))
+    return (emb.select(F.col(id_col), q.alias("_q"))
+            .select(id_col, F.posexplode(F.array(*comps))
+                    .alias("dim", "component"))
+            .select(id_col, F.col("dim").cast("int").alias("dim"),
+                    F.col("component").cast("long").alias("component")))

@@ -671,3 +671,67 @@ def token_entropy(df: DataFrame, id_col: str = "doc_id",
                     F.round(F.log("n_tokens")
                             - F.col("_s") / F.col("n_tokens") / LOGP_SCALE,
                             6).alias("entropy")))
+
+
+def canonical_url(url_col: str = "url") -> Column:
+    """Web-crawl URL canonicalization — the first dedup key of every
+    crawl pipeline (CCNet/C4 dedup by normalized URL before any
+    content hashing). Normalization steps, each expressible
+    identically in Spark SQL and DuckDB (regexp + list ops only):
+
+    1. drop the ``#fragment``;
+    2. lower-case the scheme and host, strip a leading ``www.``;
+    3. strip trailing ``/`` runs from the path;
+    4. drop ``utm_*`` tracking params, sort the survivors, and
+       re-join (a query-less URL keeps no ``?``).
+
+    Pure map-side Column expression (codegen, no UDF): canonicalizing
+    100 TB of URLs is scan-bound."""
+    u = F.regexp_replace(F.col(url_col), "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(rest, "^([^/?]*)", 1)), "^www\\.", "")
+    pathq = F.regexp_replace(rest, "^[^/?]*", "")
+    path = F.regexp_replace(F.regexp_extract(pathq, "^([^?]*)", 1),
+                            "/+$", "")
+    query = F.regexp_extract(pathq, "\\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (~p.startswith("utm_")) & (p != F.lit("")))
+    qs = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")))
+
+
+def doc_keywords(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", top_k: int = 3) -> DataFrame:
+    """Per-document keyword extraction: the ``top_k`` tokens by
+    TF-IDF within each document (idf = ln(N/df), score = tf·idf,
+    ties broken alphabetically). The per-doc sibling of the
+    corpus-level ``tf_idf`` — this is the "tag every document with
+    its salient terms" step behind topic bucketing and index-time
+    keyword boosting. Returns (doc_id, token, tf, score, rank).
+
+    Plan shape: one explode → groupBy(doc, token) for tf (map-side
+    combined) → groupBy(token) for df → broadcast df back → the rank
+    window partitions by doc_id (parallel across documents, never
+    global). Score rounds to 6dp before ranking, the repo's
+    cross-engine rank convention."""
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens_col(text_col)).alias("token"))
+    n_docs = df.select(id_col).agg(
+        F.count("*").cast("double").alias("_n"))
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("_df"))
+    score = F.round(
+        F.col("tf") * F.log(F.col("_n") / F.col("_df")), 6)
+    scored = (tf.join(F.broadcast(dfreq), "token")
+              .crossJoin(F.broadcast(n_docs))
+              .select(id_col, "token", "tf", score.alias("score")))
+    w = W.partitionBy(id_col).orderBy(F.desc("score"), F.asc("token"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select(id_col, "token", F.col("tf").cast("long").alias("tf"),
+                    "score", F.col("rank").cast("int").alias("rank")))

@@ -5872,6 +5872,223 @@ def q_incremental_rollup(spark, sf):
         "min_ts", "max_ts")
 
 
+@_q("x93_rrf_fusion", r"""
+WITH lexs AS (SELECT doc_id,
+        CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+             t -> t IN ('data', 'query', 'sort', 'merge'))) AS BIGINT) AS s
+      FROM documents),
+ lcand AS (SELECT doc_id, s FROM lexs ORDER BY s DESC, doc_id LIMIT 100),
+ lrank AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id)
+                AS BIGINT) AS lex_rank FROM lcand),
+ a AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+ sems AS (SELECT vec_id AS doc_id,
+          ROUND(list_dot_product(qv, cv)
+                / (sqrt(list_dot_product(qv, qv))
+                   * sqrt(list_dot_product(cv, cv))), 6) AS c
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings)
+               CROSS JOIN a),
+ scand AS (SELECT doc_id, c FROM sems ORDER BY c DESC, doc_id LIMIT 100),
+ srank AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, doc_id)
+                AS BIGINT) AS sem_rank FROM scand),
+ fused AS (SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+                  l.lex_rank, s.sem_rank,
+                  ROUND(COALESCE(1.0 / (60 + l.lex_rank), 0.0)
+                        + COALESCE(1.0 / (60 + s.sem_rank), 0.0), 6) AS rrf
+           FROM lrank l FULL OUTER JOIN srank s ON l.doc_id = s.doc_id)
+SELECT doc_id, lex_rank, sem_rank, rrf,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+         AS fused_rank
+FROM fused
+""")
+def q_rrf_fusion(spark, sf):
+    """Hybrid retrieval: reciprocal-rank fusion (k0=60) of a lexical
+    ranking (query-term occurrence count) and a semantic ranking
+    (cosine to the vec_id=7 anchor embedding), top-100 candidates per
+    side. The lexical score is an exact integer; the cosine follows
+    the x5 convention (float64 + 6dp round before ranking)."""
+    docs = load(spark, sf, "documents")
+    emb = load(spark, sf, "embeddings")
+    qt = F.array(*[F.lit(t) for t in ["data", "query", "sort", "merge"]])
+    lex = docs.select(
+        "doc_id",
+        F.size(F.filter(tx.tokens_col("text"),
+                        lambda t: F.array_contains(qt, t)))
+        .cast("long").alias("lex_score"))
+    anchor = emb.filter(F.col("vec_id") == 7).select(
+        F.col("embedding").alias("_qv"))
+    sem = sim.with_cosine(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+        .crossJoin(F.broadcast(anchor)),
+        "_qv", "embedding", out_col="sem_score").select(
+        "doc_id", "sem_score")
+    return ev.rrf_fuse(lex, sem, n_candidates=100)
+
+
+@_q("x94_url_canonical", r"""
+WITH u AS (SELECT doc_id,
+        'HTTPS://WWW.' || upper(source) || '.Example.com/docs/'
+        || CAST(doc_id % 40 AS VARCHAR)
+        || CASE doc_id % 3
+             WHEN 0 THEN '/?utm_source=feed&ref='
+                         || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=x'
+             WHEN 1 THEN '?ref=' || CAST(doc_id % 7 AS VARCHAR)
+                         || '&utm_medium=rss#frag'
+             ELSE '/'
+           END AS url
+      FROM documents),
+ c AS (SELECT doc_id,
+        lower(regexp_extract(u0, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+          AS scheme,
+        regexp_replace(u0, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS rest
+       FROM (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u0 FROM u)),
+ h AS (SELECT doc_id, scheme,
+        regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)),
+                       '^www\.', '') AS host,
+        regexp_replace(rest, '^[^/?]*', '') AS pathq
+       FROM c),
+ p AS (SELECT doc_id, scheme, host,
+        regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '')
+          AS path,
+        regexp_extract(pathq, '\?(.*)$', 1) AS query
+       FROM h),
+ canon AS (SELECT doc_id,
+        scheme || '://' || host || path
+        || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical_url
+       FROM (SELECT doc_id, scheme, host, path,
+                    array_to_string(list_sort(list_filter(
+                        string_split(query, '&'),
+                        x -> NOT starts_with(x, 'utm_') AND x <> '')), '&')
+                      AS qs
+             FROM p))
+SELECT canonical_url, MIN(doc_id) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_urls
+FROM canon GROUP BY 1
+""")
+def q_url_canonical(spark, sf):
+    """Crawl URL canonicalization + dedup: deterministic messy URLs
+    synthesized per document (mixed-case scheme/host, www, tracking
+    params, fragments, trailing slashes), canonicalized with
+    tx.canonical_url, then keep-min-id per canonical form."""
+    docs = load(spark, sf, "documents")
+    mod3 = F.col("doc_id") % 3
+    url = F.concat(
+        F.lit("HTTPS://WWW."), F.upper("source"),
+        F.lit(".Example.com/docs/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(mod3 == 0, F.concat(
+            F.lit("/?utm_source=feed&ref="),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("&utm_campaign=x")))
+        .when(mod3 == 1, F.concat(
+            F.lit("?ref="), (F.col("doc_id") % 7).cast("string"),
+            F.lit("&utm_medium=rss#frag")))
+        .otherwise(F.lit("/")))
+    return (docs.select("doc_id", url.alias("url"))
+            .select("doc_id", tx.canonical_url("url").alias("canonical_url"))
+            .groupBy("canonical_url")
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count("*").cast("long").alias("n_urls")))
+
+
+@_q("x95_random_projection", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+ jj AS (SELECT unnest(generate_series(0, 7)) AS j),
+ q AS (SELECT vec_id, i, CAST(floor(v[i] * 1000000.0 + 0.5) AS BIGINT)
+              AS qx
+       FROM e CROSS JOIN idx),
+ s AS (SELECT vec_id, j,
+              SUM(qx * (CASE WHEN (((1103515245 * ((i - 1) * 8 + j)
+                                     + 12345) % 2147483648)
+                                   // 65536) % 2 = 1
+                             THEN 1 ELSE -1 END)) AS comp
+       FROM q CROSS JOIN jj GROUP BY 1, 2)
+SELECT vec_id, CAST(j AS INTEGER) AS dim, CAST(comp AS BIGINT) AS component
+FROM s
+""")
+def q_random_projection(spark, sf):
+    """Johnson-Lindenstrauss sign projection 64 -> 8 dims in exact
+    fixed-point int64 (sim.random_projection_fixed); the +/-1 matrix
+    derives from the same LCG expression in both engines."""
+    emb = load(spark, sf, "embeddings")
+    return sim.random_projection_fixed(emb, in_dim=64, out_dim=8)
+
+
+@_q("x96_ks_drift", """
+WITH vals AS (SELECT DISTINCT n_chars AS v FROM documents),
+ srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+          GROUP BY 1),
+ tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+ cs AS (SELECT source, n_chars AS v, COUNT(*) AS c FROM documents
+        GROUP BY 1, 2),
+ cg AS (SELECT n_chars AS v, COUNT(*) AS c FROM documents GROUP BY 1),
+ cums AS (SELECT s.source, v.v,
+                 SUM(COALESCE(cs.c, 0)) OVER (PARTITION BY s.source
+                     ORDER BY v.v) AS cum
+          FROM srcs s CROSS JOIN vals v
+          LEFT JOIN cs ON cs.source = s.source AND cs.v = v.v),
+ cumg AS (SELECT v.v, SUM(COALESCE(cg.c, 0)) OVER (ORDER BY v.v) AS cum
+          FROM vals v LEFT JOIN cg ON cg.v = v.v)
+SELECT s.source, s.n AS n_docs,
+       ROUND(MAX(ABS(cums.cum / s.n - cumg.cum / t.n)), 6) AS ks_stat
+FROM cums JOIN srcs s ON cums.source = s.source
+     JOIN cumg ON cums.v = cumg.v CROSS JOIN tot t
+GROUP BY 1, 2
+""")
+def q_ks_drift(spark, sf):
+    """Per-source KS drift of the n_chars distribution vs the global
+    corpus (extensions.profile.ks_drift) — the distribution-shift
+    monitor between mixture sources."""
+    from data_ingest_spark.extensions.profile import ks_drift
+    return ks_drift(load(spark, sf, "documents"),
+                    group_col="source", value_col="n_chars")
+
+
+@_q("x97_doc_keywords", r"""
+WITH toks AS (SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\s+'))
+                       AS token
+              FROM documents),
+ nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+ tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+        GROUP BY 1, 2),
+ dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+ s AS (SELECT t.doc_id, t.token, t.tf,
+              ROUND(t.tf * ln(nd.n / d.df), 6) AS score
+       FROM tf t JOIN dfq d USING (token) CROSS JOIN nd),
+ r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, token) AS rank FROM s)
+SELECT doc_id, token, tf, score, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 3
+""")
+def q_doc_keywords(spark, sf):
+    """Per-document top-3 TF-IDF keywords (tx.doc_keywords) — the
+    per-doc sibling of x16's corpus-level TF-IDF."""
+    return tx.doc_keywords(load(spark, sf, "documents"), top_k=3)
+
+
+@_q("x98_temperature_mix", """
+WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+             FROM documents GROUP BY 1),
+ w AS (SELECT source, n_docs,
+              CAST(floor(exp(0.3 * ln(CAST(n_docs AS DOUBLE)))
+                         * 1000000.0 + 0.5) AS BIGINT) AS wfp
+       FROM per),
+ t AS (SELECT SUM(wfp) AS tot FROM w)
+SELECT source, n_docs,
+       ROUND(wfp / t.tot, 6) AS sample_rate,
+       CAST((10000 * wfp) // t.tot AS BIGINT) AS quota
+FROM w CROSS JOIN t
+""")
+def q_temperature_mix(spark, sf):
+    """Temperature-scaled source mixing rates (p_s proportional to
+    n_s^0.3, fixed-point normalization, exact integer quotas out of a
+    10000-doc budget) — extensions.packing.temperature_mix."""
+    from data_ingest_spark.extensions.packing import temperature_mix
+    return temperature_mix(load(spark, sf, "documents"),
+                           alpha=0.3, budget=10000)
+
+
 # Driver-sample ordering. The correctness driver checks a bounded
 # prefix of ``queries()`` each round; rounds 2+3 verified 100 distinct
 # queries (CORRECTNESS_r02/r03, 0 failures). Round 4 fronts the FULL
@@ -5885,6 +6102,8 @@ def q_incremental_rollup(spark, sf):
 # finishes the tail. Every name below carries a full DuckDB value
 # oracle and passed the builder's local gate at sf0.001/0.01/0.1.
 _ROUND4_PRIORITY = [
+    "x93_rrf_fusion", "x94_url_canonical", "x95_random_projection",
+    "x96_ks_drift", "x97_doc_keywords", "x98_temperature_mix",
     "x51_kmeans_ivf", "x83_bpe_train", "m13_louvain_dist",
     "m9_integrate_exact", "x92_bm25",
     "x90_fuzzy_join2", "x91_image_decode_real", "m9_mnn_anchors",

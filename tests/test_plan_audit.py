@@ -246,3 +246,33 @@ def test_round3b_batch2_bounded_shuffles(spark):
         assert shuffle_count(q(spark, name)) <= max_sh, name
     for name in ("x87_hard_negatives", "m9_mnn_anchors"):
         assert broadcast_join_count(q(spark, name)) >= 1, name
+
+
+def test_round4_batch_bounded_shuffles(spark):
+    """Round-4 operator batch plan pins. x93: each candidate cut is a
+    distributed top-k (TakeOrderedAndProject), the fusion join is over
+    bounded candidate lists — one corpus-sized shuffle max. x94 is one
+    grouped aggregation over map-side canonicalization. x95 is
+    map-only (the ±1 matrix folds into codegen — zero exchanges).
+    x97 broadcasts the df table back onto tf. x98 does one grouped
+    count then tiny-aggregate arithmetic."""
+    for name, max_sh in (("x93_rrf_fusion", 2), ("x94_url_canonical", 1),
+                         ("x95_random_projection", 0),
+                         ("x97_doc_keywords", 5),
+                         ("x98_temperature_mix", 3)):
+        assert shuffle_count(q(spark, name)) <= max_sh, name
+    for name in ("x93_rrf_fusion", "x97_doc_keywords",
+                 "x98_temperature_mix"):
+        assert broadcast_join_count(q(spark, name)) >= 1, name
+
+
+def test_ks_drift_scans_corpus_once(spark):
+    """x96: the (group, value) count is the only corpus-sized work and
+    it is persisted — the static plan reads the documents parquet
+    exactly once; everything downstream operates on bounded aggregates
+    with broadcast joins. (Exchange counts are inflated by the printed
+    cache subtrees — the scan count is the meaningful pin, the m2
+    convention.)"""
+    df = q(spark, "x96_ks_drift")
+    assert len(scan_columns(df)) == 1
+    assert broadcast_join_count(df) >= 2

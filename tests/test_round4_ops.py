@@ -1,0 +1,121 @@
+"""Semantics tests for the round-4 operator batch: RRF fusion, URL
+canonicalization, JL sign projection, KS drift, per-doc keywords, and
+temperature mixing. Each operator also carries a full DuckDB value
+oracle in the registry (x93–x98); these tests pin the *semantics* on
+hand-constructed micro-inputs where the expected answer is obvious."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_ingest_spark.extensions.evaluation import rrf_fuse
+from data_ingest_spark.extensions.packing import temperature_mix
+from data_ingest_spark.extensions.profile import ks_drift
+from data_ingest_spark.extensions.similarity import (random_projection_fixed,
+                                                     rp_sign)
+from data_ingest_spark.extensions.text import canonical_url, doc_keywords
+
+
+def test_rrf_fuse_ranks_and_scores(spark):
+    lex = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], ["doc_id", "lex_score"])
+    sem = spark.createDataFrame(
+        [(2, 0.9), (4, 0.8)], ["doc_id", "sem_score"])
+    out = {r["doc_id"]: r for r in rrf_fuse(lex, sem).collect()}
+    assert out[1]["lex_rank"] == 1 and out[1]["sem_rank"] is None
+    assert out[2]["lex_rank"] == 2 and out[2]["sem_rank"] == 1
+    assert out[4]["lex_rank"] is None and out[4]["sem_rank"] == 2
+    # doc 2 appears in both lists -> highest fused score
+    assert out[2]["fused_rank"] == 1
+    assert out[2]["rrf"] == pytest.approx(
+        round(1 / 62 + 1 / 61, 6), abs=1e-9)
+    # singles score 1/61 (rank-1 lex) > 1/62 (rank-2 sem)
+    assert out[1]["fused_rank"] == 2 and out[4]["fused_rank"] == 3
+
+
+def test_rrf_fuse_candidate_cut(spark):
+    lex = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(10)], ["doc_id", "lex_score"])
+    sem = spark.createDataFrame(
+        [(99, 1.0)], ["doc_id", "sem_score"])
+    out = rrf_fuse(lex, sem, n_candidates=3).collect()
+    # only the lexical top-3 plus the semantic single survive
+    assert sorted(r["doc_id"] for r in out) == [0, 1, 2, 99]
+
+
+def test_canonical_url_normalization(spark):
+    cases = [
+        # fragment dropped, scheme+host lowered, www stripped,
+        # trailing slash stripped, utm params dropped, rest sorted
+        ("HTTP://WWW.Ex.COM/A/b/?utm_x=1&b=2&a=1#frag",
+         "http://ex.com/A/b?a=1&b=2"),
+        ("https://ex.com/", "https://ex.com"),
+        ("https://ex.com/p?utm_source=x", "https://ex.com/p"),
+        ("ftp://Host.Net/Q//", "ftp://host.net/Q"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r[0] for r in df.select(canonical_url("url")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_rp_sign_is_balanced_and_lcg_derived(spark):
+    signs = [rp_sign(i) for i in range(512)]
+    assert set(signs) == {-1, 1}
+    # bit 16 of an LCG must not alternate like bit 0 does
+    assert any(signs[i] == signs[i + 1] for i in range(511))
+
+
+def test_random_projection_exact_sum(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, -2.0, 0.5])], ["vec_id", "embedding"])
+    rows = random_projection_fixed(
+        emb, in_dim=3, out_dim=2).collect()
+    q = [1000000, -2000000, 500000]
+    for r in rows:
+        want = sum(q[i] * rp_sign(i * 2 + r["dim"]) for i in range(3))
+        assert r["component"] == want
+
+
+def test_ks_drift_identical_distribution_is_zero(spark):
+    rows = [("a", v) for v in (1, 2, 3)] + [("b", v) for v in (1, 2, 3)]
+    df = spark.createDataFrame(rows, ["source", "n_chars"])
+    out = {r["source"]: r for r in ks_drift(df).collect()}
+    assert out["a"]["ks_stat"] == 0.0 and out["b"]["ks_stat"] == 0.0
+    assert out["a"]["n_docs"] == 3
+
+
+def test_ks_drift_disjoint_supports(spark):
+    # a = {1,2}, b = {3,4}: at v=2 CDF_a=1, CDF_global=0.5 -> D=0.5
+    rows = [("a", 1), ("a", 2), ("b", 3), ("b", 4)]
+    df = spark.createDataFrame(rows, ["source", "n_chars"])
+    out = {r["source"]: r["ks_stat"] for r in ks_drift(df).collect()}
+    assert out["a"] == 0.5 and out["b"] == 0.5
+
+
+def test_doc_keywords_prefers_rare_tokens(spark):
+    df = spark.createDataFrame(
+        [(0, "common rare rare"), (1, "common other"),
+         (2, "common common zed")], ["doc_id", "text"])
+    out = [r for r in doc_keywords(df, top_k=1).collect()]
+    by_doc = {r["doc_id"]: r for r in out}
+    # 'common' has df=3 -> idf=0; each doc's keyword is its rare token
+    assert by_doc[0]["token"] == "rare" and by_doc[0]["tf"] == 2
+    assert by_doc[1]["token"] == "other"
+    assert by_doc[2]["token"] == "zed"
+    assert by_doc[0]["score"] == pytest.approx(
+        round(2 * math.log(3.0 / 1.0), 6), abs=1e-9)
+
+
+def test_temperature_mix_upweights_small_sources(spark):
+    rows = [("big", i) for i in range(90)] + [("small", i) for i in range(10)]
+    df = spark.createDataFrame(rows, ["source", "doc_id"])
+    out = {r["source"]: r for r in
+           temperature_mix(df, alpha=0.3, budget=1000).collect()}
+    w_big, w_small = 90 ** 0.3, 10 ** 0.3
+    exp_big = w_big / (w_big + w_small)
+    assert out["big"]["sample_rate"] == pytest.approx(exp_big, abs=1e-4)
+    # alpha < 1 gives 'small' far more than its 10% population share
+    assert out["small"]["sample_rate"] > 0.3
+    assert out["big"]["quota"] + out["small"]["quota"] <= 1000
+    assert out["big"]["n_docs"] == 90
