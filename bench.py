@@ -100,6 +100,13 @@ HEADLINE = [
     "x91_image_decode_real",
     "x92_bm25",
     "m9_integrate_exact",
+    # round-4b curation batch
+    "x93_rrf_fusion",
+    "x94_url_canonical",
+    "x95_random_projection",
+    "x96_ks_drift",
+    "x97_doc_keywords",
+    "x98_temperature_mix",
 ]
 
 
