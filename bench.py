@@ -107,6 +107,7 @@ HEADLINE = [
     "x96_ks_drift",
     "x97_doc_keywords",
     "x98_temperature_mix",
+    "x99_power_pc1",
 ]
 
 

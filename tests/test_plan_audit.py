@@ -276,3 +276,18 @@ def test_ks_drift_scans_corpus_once(spark):
     df = q(spark, "x96_ks_drift")
     assert len(scan_columns(df)) == 1
     assert broadcast_join_count(df) >= 2
+
+
+def test_power_pc1_covariance_single_corpus_shuffle(spark):
+    """x99: the covariance is the only corpus-sized aggregation (the
+    per-row outer product explodes scan-side, partials combine
+    map-side) and the iterates are broadcast — no corpus self-join
+    anywhere. Audited on the lazy variant (the registry query
+    checkpoints each 64-row iterate, which hides the lineage)."""
+    from data_ingest_spark.extensions.similarity import power_iteration_pc1
+    emb = registry.load(spark, SF, "embeddings")
+    df = power_iteration_pc1(emb, dim=64, n_iters=1,
+                             checkpoint_iterates=False)
+    assert len(scan_columns(df)) <= 2  # stats pass + covariance pass
+    assert broadcast_join_count(df) >= 3
+    assert_no_cartesian(df)

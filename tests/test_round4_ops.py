@@ -119,3 +119,50 @@ def test_temperature_mix_upweights_small_sources(spark):
     assert out["small"]["sample_rate"] > 0.3
     assert out["big"]["quota"] + out["small"]["quota"] <= 1000
     assert out["big"]["n_docs"] == 90
+
+
+def _pc1_mirror(mat, n_iters=3, q_scale=1000, c_shift=10**6, v_scale=1000):
+    """Sequential integer mirror of power_iteration_pc1."""
+    import math
+    n, d = len(mat), len(mat[0])
+    q = [[math.floor(x * q_scale + 0.5) for x in row] for row in mat]
+    cs = [sum(q[r][i] for r in range(n)) for i in range(d)]
+    c = [[q[r][i] * n - cs[i] for i in range(d)] for r in range(n)]
+    cov = [[sum(c[r][j] * c[r][k] for r in range(n)) for k in range(d)]
+           for j in range(d)]
+    def tz(a, b):  # exact truncate-toward-zero division (b > 0)
+        return -((-a) // b) if a < 0 else a // b
+    cov = [[tz(cov[j][k], c_shift) for k in range(d)] for j in range(d)]
+    v = [v_scale] * d
+    for _ in range(n_iters):
+        u = [sum(cov[j][k] * v[k] for k in range(d)) for j in range(d)]
+        m = max(abs(x) for x in u)
+        v = [tz(x * v_scale, m) for x in u]
+    lead = next(x for x in v if x != 0)
+    s = -1 if lead < 0 else 1
+    return [s * x for x in v]
+
+
+def test_power_pc1_matches_integer_mirror(spark):
+    import numpy as np
+    rng = np.random.default_rng(5)
+    # planted dominant direction so power iteration is well-posed
+    w = rng.normal(size=6)
+    mat = (np.outer(rng.normal(size=40), w)
+           + 0.1 * rng.normal(size=(40, 6)))
+    mat = np.clip(mat / np.abs(mat).max() * 0.6, -0.6, 0.6)
+    from data_ingest_spark.extensions.similarity import power_iteration_pc1
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        ["vec_id", "embedding"])
+    got = {r["dim"]: r["component"]
+           for r in power_iteration_pc1(emb, dim=6).collect()}
+    want = _pc1_mirror(mat.tolist())
+    assert [got[i] for i in range(6)] == want
+    # and the fixed-point iterate is genuinely the top eigenvector
+    cov = np.cov(mat.T)
+    eigval, eigvec = np.linalg.eigh(cov)
+    top = eigvec[:, -1]
+    v = np.array([got[i] for i in range(6)], dtype=float)
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.99
