@@ -108,6 +108,8 @@ HEADLINE = [
     "x97_doc_keywords",
     "x98_temperature_mix",
     "x99_power_pc1",
+    "x100_ivf_incremental",
+    "x101_skew_profile",
 ]
 
 

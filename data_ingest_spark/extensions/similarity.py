@@ -708,3 +708,51 @@ def power_iteration_pc1(emb: DataFrame, dim: int = 64, n_iters: int = 3,
             .select(F.col("k").alias("dim"),
                     (F.col("_v") * F.col("_sgn")).cast("long")
                     .alias("component")))
+
+
+def ivf_seed_centroids(emb: DataFrame, k: int = 4, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       scale: int = 10**6) -> DataFrame:
+    """The deterministic seed centroids shared by the Lloyd family:
+    quantized vectors of the k smallest dense ids (``id < k``)."""
+    return (emb.filter(F.col(id_col) < k)
+            .select(F.col(id_col).alias("cid"),
+                    _fixed_vec(F.col(vec_col), scale).alias("ce")))
+
+
+def ivf_assign_state(emb: DataFrame, cents: DataFrame,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     scale: int = 10**6) -> DataFrame:
+    """Mergeable IVF cell state for a (sub)corpus: assign every vector
+    to its argmin-d2 centroid (exact fixed-point int64, ties → lowest
+    cid — the lloyd_step assignment) and emit per-(cell, dim) partial
+    sums ``(cid, dim, n, sum_q)``. Because n and sum_q are exact
+    integers the state is associative: state(A) ⊕ state(B) =
+    state(A ∪ B) bit-for-bit — the property that makes nightly index
+    maintenance a batch-sized job instead of a corpus-sized one.
+
+    Plan: centroids broadcast, assignment folds map-side, one grouped
+    aggregation keyed by (cid, dim) — shuffle size = k·dims partials,
+    independent of corpus size."""
+    q = emb.select(F.col(id_col),
+                   _fixed_vec(F.col(vec_col), scale).alias("qe"))
+    d = (q.join(F.broadcast(cents))
+         .withColumn("d2", _d2_fold("qe", "ce")))
+    w = W.partitionBy(id_col).orderBy("d2", "cid")
+    assign = (d.withColumn("_rk", F.row_number().over(w))
+              .filter(F.col("_rk") == 1)
+              .select("cid", "qe"))
+    return (assign.select("cid", F.posexplode("qe").alias("dim", "val"))
+            .groupBy("cid", "dim")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("val").cast("long").alias("sum_q"))
+            .select("cid", (F.col("dim") + 1).cast("int").alias("dim"),
+                    "n", "sum_q"))
+
+
+def merge_ivf_state(a: DataFrame, b: DataFrame) -> DataFrame:
+    """⊕ for ivf_assign_state outputs: integer partial sums add."""
+    return (a.unionByName(b)
+            .groupBy("cid", "dim")
+            .agg(F.sum("n").cast("long").alias("n"),
+                 F.sum("sum_q").cast("long").alias("sum_q")))

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 
 def spread(df: DataFrame, factor: int = 1) -> DataFrame:
@@ -169,3 +169,32 @@ def salted_agg(df: DataFrame, keys: list[str], aggs: dict[str, str],
     return (partial.groupBy(*keys)
             .agg(*[_COMBINE[fn](f"_{fn}_{c}").alias(f"{fn}_{c}")
                    for c, fn in aggs.items()]))
+
+
+def skew_profile(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
+    """Shuffle-key skew diagnostic: the ``top_k`` heaviest keys with
+    their corpus share, skew factor (count ÷ mean key count) and a
+    salt hint (how many salt buckets bring the key down to ~mean) —
+    the planning step before reaching for ``salted_join``/
+    ``salted_agg`` or trusting AQE's skew-join split. Returns
+    ``(key, cnt, share, skew_factor, salt_hint)``.
+
+    Determinism: counts and the salt hint are exact integers
+    (``(cnt·n_keys) div total + 1``); share and skew_factor are each
+    one long-division — hash-exact vs the SQL oracle. Plan: one
+    grouped count (map-side combined), a distributed top-k cut, and
+    the 1-row totals broadcast back."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("cnt"))
+    tot = counts.agg(F.sum("cnt").alias("_total"),
+                     F.count("*").alias("_nk"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(top_k)
+    return (top.crossJoin(F.broadcast(tot))
+            .select(F.col("key"),
+                    F.col("cnt").cast("long").alias("cnt"),
+                    F.round(F.col("cnt") / F.col("_total"), 6)
+                    .alias("share"),
+                    F.round(F.col("cnt") * F.col("_nk") / F.col("_total"),
+                            6).alias("skew_factor"),
+                    (F.expr("(cnt * _nk) div _total") + 1).cast("long")
+                    .alias("salt_hint")))

@@ -291,3 +291,15 @@ def test_power_pc1_covariance_single_corpus_shuffle(spark):
     assert len(scan_columns(df)) <= 2  # stats pass + covariance pass
     assert broadcast_join_count(df) >= 3
     assert_no_cartesian(df)
+
+
+def test_ivf_incremental_and_skew_profile_plans(spark):
+    """x100: seed centroids broadcast into both sub-corpus assignment
+    passes; the merge is one grouped sum over k*dims partials. x101:
+    one grouped count, a distributed top-k cut, totals broadcast."""
+    df = q(spark, "x100_ivf_incremental")
+    assert broadcast_join_count(df) >= 2
+    assert_no_cartesian(df)
+    sp = q(spark, "x101_skew_profile")
+    assert shuffle_count(sp) <= 3
+    assert broadcast_join_count(sp) >= 1

@@ -166,3 +166,37 @@ def test_power_pc1_matches_integer_mirror(spark):
     v = np.array([got[i] for i in range(6)], dtype=float)
     cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
     assert cos > 0.99
+
+
+def test_ivf_state_merge_equals_recompute(spark):
+    import numpy as np
+    rng = np.random.default_rng(11)
+    mat = rng.normal(size=(30, 4)) * 0.3
+    from data_ingest_spark.extensions.similarity import (
+        ivf_assign_state, ivf_seed_centroids, merge_ivf_state)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        ["vec_id", "embedding"])
+    cents = ivf_seed_centroids(emb, k=3)
+    full = {(r["cid"], r["dim"]): (r["n"], r["sum_q"])
+            for r in ivf_assign_state(emb, cents).collect()}
+    hist = ivf_assign_state(emb.filter("vec_id < 15"), cents)
+    batch = ivf_assign_state(emb.filter("vec_id >= 15"), cents)
+    merged = {(r["cid"], r["dim"]): (r["n"], r["sum_q"])
+              for r in merge_ivf_state(hist, batch).collect()}
+    assert merged == full
+
+
+def test_skew_profile_flags_monster_key(spark):
+    rows = [("hot", i) for i in range(90)] + [
+        (f"k{i}", 0) for i in range(10)]
+    df = spark.createDataFrame(rows, ["key_col", "v"])
+    from data_ingest_spark.functions.partitioning import skew_profile
+    out = skew_profile(df, "key_col", top_k=2).collect()
+    top = {r["key"]: r for r in out}
+    assert list(top)[0] == "hot" and top["hot"]["cnt"] == 90
+    assert top["hot"]["share"] == 0.9
+    # 11 keys, mean ~9.09 -> skew factor 9.9, salt hint 9+1
+    assert top["hot"]["skew_factor"] == pytest.approx(9.9, abs=1e-6)
+    assert top["hot"]["salt_hint"] == 10
+    assert all(r["cnt"] == 1 for k, r in top.items() if k != "hot")
