@@ -6199,15 +6199,21 @@ def q_skew_profile(spark, sf):
 # Driver-sample ordering. The correctness driver checks a bounded
 # prefix of ``queries()`` each round; rounds 2+3 verified 100 distinct
 # queries (CORRECTNESS_r02/r03, 0 failures). Round 4 fronts the FULL
-# 96-query oracled remainder that has never received a driver verdict,
-# in priority order: (1) the oracles that are new this round
-# (fixed-iteration conversions x51/x83/m13_louvain_dist, the new
-# x90/x91), (2) the round-3b evaluation/curation family, (3) the
-# round-3 dedup additions, (4) the remaining TPC-H shapes, (5) the
-# e-family stragglers, then everything else unverified — so a ~50-query
-# sample drains the highest-value half and the round-5 rotation
-# finishes the tail. Every name below carries a full DuckDB value
-# oracle and passed the builder's local gate at sf0.001/0.01/0.1.
+# oracled remainder that has never received a driver verdict — now
+# 105 queries after the round-4b additions — in priority order:
+# (1) the round-4b batch (x93–x101: RRF fusion, URL canonicalization,
+# JL projection, KS drift, doc keywords, temperature mix, power-PC1,
+# incremental IVF, skew profile), (2) the fixed-iteration oracle
+# conversions (x51/x83/m13_louvain_dist) + x90/x91/x92 +
+# m9_integrate_exact, (3) the round-3b evaluation/curation family,
+# (4) the round-3 dedup additions, (5) the remaining TPC-H shapes,
+# (6) the e-family stragglers, then everything else unverified — so a
+# ~50-query sample drains the highest-value half and the round-5
+# rotation finishes the tail. Every name below carries a full DuckDB
+# value oracle and passed the builder's local gate at
+# sf0.001/0.01/0.1 (full-registry runs recorded in COVERAGE.md:
+# 203/10/0 at sf0.01, 204/10/0 at sf0.1, plus per-query green runs
+# for the post-gate additions).
 _ROUND4_PRIORITY = [
     "x100_ivf_incremental", "x101_skew_profile", "x99_power_pc1", "x93_rrf_fusion", "x94_url_canonical", "x95_random_projection",
     "x96_ks_drift", "x97_doc_keywords", "x98_temperature_mix",

@@ -159,3 +159,16 @@ def write_jsonl_corpus(df: DataFrame, path: str,
     one file per upstream task."""
     out = df.repartition(partitions) if partitions else df
     out.write.mode("overwrite").json(path)
+
+
+def write_orc(df: DataFrame, path: str, compression: str = "zstd") -> None:
+    """Columnar ORC sink (Spark's built-in writer) — the interchange
+    format for Hive/Trino-adjacent warehouses, next to the parquet
+    checkpoints. Compression defaults to zstd like the parquet path."""
+    df.write.mode("overwrite").option("compression", compression).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan; predicate pushdown and column pruning work the same
+    as parquet (pinned by the roundtrip test)."""
+    return spark.read.orc(path)

@@ -348,3 +348,21 @@ def test_boto_upload_sink_with_fake_clients():
     assert [i["experimentId"] for i in dyn.tables["experiments-test"].items] \
         == ["e1", "e2", "e3", "e4"]
     assert s3.objects[("cell-sets-test", "e1")] == b'{"cellSets": []}'
+
+
+def test_orc_roundtrip_pushdown(spark, tmp_path):
+    """ORC write -> read roundtrip preserves values; the read supports
+    predicate pushdown + column pruning like the parquet path."""
+    from data_ingest_spark.plans import scan_columns
+    from data_ingest_spark.sources.tables import read_orc, write_orc
+    df = spark.createDataFrame(
+        [(i, f"d{i}", float(i) * 1.5) for i in range(100)],
+        ["id", "name", "score"])
+    path = str(tmp_path / "orc_tbl")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert sorted(r["id"] for r in back.collect()) == list(range(100))
+    pruned = back.filter("score > 100.0").select("id", "score")
+    assert scan_columns(pruned) == [["id", "score"]]
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "score" in plan
