@@ -44,3 +44,22 @@ def test_registry_contract_shapes(entry_mod):
     assert all(callable(fn) for fn in q.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper()
                for s in o.values())
+
+
+def test_rotation_priority_names_resolve(spark):
+    """Every name in the driver-sample priority list must exist in the
+    registry (a typo would silently drop it from the rotation), and
+    the newest oracled additions must lead the prefix the bounded
+    driver sample reads."""
+    from data_ingest_spark.harness import registry
+    missing = [n for n in registry._ROUND4_PRIORITY
+               if n not in registry.REGISTRY]
+    assert missing == []
+    front = list(registry.queries())[:9]
+    assert front == [
+        "x100_ivf_incremental", "x101_skew_profile", "x99_power_pc1",
+        "x93_rrf_fusion", "x94_url_canonical", "x95_random_projection",
+        "x96_ks_drift", "x97_doc_keywords", "x98_temperature_mix"]
+    # every fronted name is oracle-paired
+    oracles = registry.oracle_sql()
+    assert all(n in oracles for n in registry._ROUND4_PRIORITY)
