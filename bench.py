@@ -110,6 +110,8 @@ HEADLINE = [
     "x99_power_pc1",
     "x100_ivf_incremental",
     "x101_skew_profile",
+    "x102_winsorize",
+    "x103_pmi_collocations",
 ]
 
 

@@ -205,3 +205,34 @@ def ks_drift(df: DataFrame, group_col: str = "source",
                   group_col)
             .select(group_col, F.col("n_docs").cast("long").alias("n_docs"),
                     "ks_stat"))
+
+
+def winsorize_stats(df: DataFrame, group_col: str = "event_type",
+                    value_col: str = "value", lo: float = 0.05,
+                    hi: float = 0.95, scale: int = 10**6) -> DataFrame:
+    """Per-group winsorization audit: exact interpolated quantile clip
+    bounds (the e8 percentile ≡ quantile_cont convention, rounded to
+    6dp BEFORE use so both engines clip against identical bounds),
+    the count of rows clipped on each side, and the fixed-point sum
+    of the clipped values — the robust-cleaning step (cap outliers at
+    p05/p95) expressed so every output is order-independent:
+    counts are integers and the clipped sum quantizes per-row to
+    int64 before aggregation. Returns ``(group, q_lo, q_hi, n_total,
+    n_below, n_above, sum_clipped_fp)``.
+
+    Plan: one grouped percentile pass, bounds broadcast back, one
+    grouped aggregation — two corpus reads, no window."""
+    q = df.groupBy(group_col).agg(
+        F.round(F.expr(f"percentile({value_col}, {lo})"), 6).alias("q_lo"),
+        F.round(F.expr(f"percentile({value_col}, {hi})"), 6).alias("q_hi"))
+    j = df.join(F.broadcast(q), group_col)
+    clipped = F.least(F.greatest(F.col(value_col), F.col("q_lo")),
+                      F.col("q_hi"))
+    return (j.groupBy(group_col, "q_lo", "q_hi")
+            .agg(F.count("*").cast("long").alias("n_total"),
+                 F.sum((F.col(value_col) < F.col("q_lo")).cast("long"))
+                 .cast("long").alias("n_below"),
+                 F.sum((F.col(value_col) > F.col("q_hi")).cast("long"))
+                 .cast("long").alias("n_above"),
+                 F.sum(F.floor(clipped * scale + F.lit(0.5)).cast("long"))
+                 .cast("long").alias("sum_clipped_fp")))

@@ -735,3 +735,49 @@ def doc_keywords(df: DataFrame, id_col: str = "doc_id",
             .filter(F.col("rank") <= top_k)
             .select(id_col, "token", F.col("tf").cast("long").alias("tf"),
                     "score", F.col("rank").cast("int").alias("rank")))
+
+
+def pmi_collocations(df: DataFrame, top_k: int = 50, min_count: int = 5,
+                     text_col: str = "text") -> DataFrame:
+    """Collocation mining: the ``top_k`` adjacent bigrams by count
+    (ties broken on the pair) with their pointwise mutual information
+    PMI = ln(P(ab) / (P(a)·P(b))) — the phrase-discovery statistic
+    behind multi-word tokenizer entries and stop-phrase lists. The
+    ratio is assembled from exact integer counts as one
+    numerator/denominator pair (c_ab·N² and n_pairs·c_a·c_b), so the
+    single ln + divide is the only float step. Returns
+    ``(w1, w2, pair_count, pmi)``.
+
+    Plan: bigrams explode scan-side (adjacent pairs from one pass —
+    the bigram_lm shape), one groupBy(w1, w2) map-side combined; the
+    unigram marginals and the two scalar totals derive from small
+    aggregates that broadcast back."""
+    toks = tokens_col(text_col)
+    pairs = F.expr(
+        "transform(sequence(1, size(_tk) - 1), "
+        "i -> struct(element_at(_tk, i) AS w1, "
+        "element_at(_tk, i + 1) AS w2))")
+    tok_rows = df.select(toks.alias("_tk"))
+    uni = (tok_rows.select(F.explode("_tk").alias("w"))
+           .groupBy("w").agg(F.count("*").alias("cw")))
+    totals = uni.agg(F.sum("cw").cast("long").alias("_n_tok"))
+    bg = (tok_rows.filter(F.size("_tk") >= 2)
+          .select(F.explode(pairs).alias("_bg"))
+          .select("_bg.w1", "_bg.w2"))
+    counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("pair_count"))
+    n_pairs = counts.agg(F.sum("pair_count").cast("long").alias("_n_bg"))
+    top = (counts.filter(F.col("pair_count") >= min_count)
+           .orderBy(F.desc("pair_count"), "w1", "w2").limit(top_k))
+    scored = (top
+              .join(uni.select(F.col("w").alias("w1"),
+                               F.col("cw").alias("_ca")), "w1")
+              .join(uni.select(F.col("w").alias("w2"),
+                               F.col("cw").alias("_cb")), "w2")
+              .crossJoin(F.broadcast(totals))
+              .crossJoin(F.broadcast(n_pairs)))
+    num = F.col("pair_count") * F.col("_n_tok") * F.col("_n_tok")
+    den = F.col("_n_bg") * F.col("_ca") * F.col("_cb")
+    return scored.select(
+        "w1", "w2", F.col("pair_count").cast("long").alias("pair_count"),
+        F.round(F.log(num.cast("double") / den.cast("double")), 6)
+        .alias("pmi"))

@@ -6196,6 +6196,60 @@ def q_skew_profile(spark, sf):
     return skew_profile(load(spark, sf, "lineitem"), "l_partkey")
 
 
+@_q("x102_winsorize", """
+WITH q AS (SELECT event_type,
+                  ROUND(quantile_cont(value, 0.05), 6) AS q_lo,
+                  ROUND(quantile_cont(value, 0.95), 6) AS q_hi
+           FROM events GROUP BY 1)
+SELECT e.event_type, q.q_lo, q.q_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN e.value < q.q_lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_below,
+       CAST(SUM(CASE WHEN e.value > q.q_hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above,
+       CAST(SUM(CAST(floor(least(greatest(e.value, q.q_lo), q.q_hi)
+                           * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_clipped_fp
+FROM events e JOIN q USING (event_type)
+GROUP BY 1, 2, 3
+""")
+def q_winsorize(spark, sf):
+    """Per-event-type winsorization audit (p05/p95 exact interpolated
+    clip bounds rounded before use; integer clip counts; fixed-point
+    clipped sum) — extensions.profile.winsorize_stats."""
+    from data_ingest_spark.extensions.profile import winsorize_stats
+    return winsorize_stats(events_df(spark, sf))
+
+
+@_q("x103_pmi_collocations", r"""
+WITH tk AS (SELECT string_split_regex(lower(text), '\s+') AS t
+            FROM documents),
+ uni AS (SELECT u.w, CAST(COUNT(*) AS BIGINT) AS cw
+         FROM (SELECT unnest(t) AS w FROM tk) u GROUP BY 1),
+ ntok AS (SELECT CAST(SUM(cw) AS BIGINT) AS n FROM uni),
+ bg AS (SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM tk, (SELECT unnest(generate_series(1, 4096)) AS i) g
+        WHERE len(t) >= 2 AND i <= len(t) - 1),
+ counts AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_count
+            FROM bg GROUP BY 1, 2),
+ nbg AS (SELECT CAST(SUM(pair_count) AS BIGINT) AS n FROM counts),
+ top AS (SELECT w1, w2, pair_count FROM counts WHERE pair_count >= 5
+         ORDER BY pair_count DESC, w1, w2 LIMIT 50)
+SELECT top.w1, top.w2, top.pair_count,
+       ROUND(ln(CAST(top.pair_count * ntok.n * ntok.n AS DOUBLE)
+                / CAST(nbg.n * a.cw * b.cw AS DOUBLE)), 6) AS pmi
+FROM top JOIN uni a ON a.w = top.w1
+         JOIN uni b ON b.w = top.w2
+         CROSS JOIN ntok CROSS JOIN nbg
+""")
+def q_pmi_collocations(spark, sf):
+    """Top-50 adjacent-bigram collocations by count with exact-ratio
+    PMI (tx.pmi_collocations) — phrase discovery for tokenizer
+    multi-word entries."""
+    return tx.pmi_collocations(load(spark, sf, "documents"),
+                               top_k=50, min_count=5)
+
+
 # Driver-sample ordering. The correctness driver checks a bounded
 # prefix of ``queries()`` each round; rounds 2+3 verified 100 distinct
 # queries (CORRECTNESS_r02/r03, 0 failures). Round 4 fronts the FULL
@@ -6215,6 +6269,7 @@ def q_skew_profile(spark, sf):
 # 203/10/0 at sf0.01, 204/10/0 at sf0.1, plus per-query green runs
 # for the post-gate additions).
 _ROUND4_PRIORITY = [
+    "x102_winsorize", "x103_pmi_collocations",
     "x100_ivf_incremental", "x101_skew_profile", "x99_power_pc1", "x93_rrf_fusion", "x94_url_canonical", "x95_random_projection",
     "x96_ks_drift", "x97_doc_keywords", "x98_temperature_mix",
     "x51_kmeans_ivf", "x83_bpe_train", "m13_louvain_dist",

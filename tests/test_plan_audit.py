@@ -303,3 +303,15 @@ def test_ivf_incremental_and_skew_profile_plans(spark):
     sp = q(spark, "x101_skew_profile")
     assert shuffle_count(sp) <= 3
     assert broadcast_join_count(sp) >= 1
+
+
+def test_winsorize_and_pmi_plans(spark):
+    """x102: quantile bounds broadcast back, two grouped passes.
+    x103: bigram counts from one scan-side explode; unigram marginals
+    join onto the bounded top-k, scalars broadcast."""
+    w = q(spark, "x102_winsorize")
+    assert broadcast_join_count(w) >= 1
+    assert shuffle_count(w) <= 4
+    p = q(spark, "x103_pmi_collocations")
+    assert broadcast_join_count(p) >= 2
+    assert_no_cartesian(p)

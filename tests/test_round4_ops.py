@@ -200,3 +200,34 @@ def test_skew_profile_flags_monster_key(spark):
     assert top["hot"]["skew_factor"] == pytest.approx(9.9, abs=1e-6)
     assert top["hot"]["salt_hint"] == 10
     assert all(r["cnt"] == 1 for k, r in top.items() if k != "hot")
+
+
+def test_winsorize_stats_clips_both_tails(spark):
+    rows = [("a", float(v)) for v in range(1, 101)]  # 1..100
+    df = spark.createDataFrame(rows, ["event_type", "value"])
+    from data_ingest_spark.extensions.profile import winsorize_stats
+    out = winsorize_stats(df).collect()[0]
+    # percentile(0.05) over 1..100 interpolates to 5.95; p95 -> 95.05
+    assert out["q_lo"] == pytest.approx(5.95, abs=1e-9)
+    assert out["q_hi"] == pytest.approx(95.05, abs=1e-9)
+    assert out["n_total"] == 100
+    assert out["n_below"] == 5 and out["n_above"] == 5
+    want = (5 * 5950000 + 5 * 95050000
+            + sum(v * 1000000 for v in range(6, 96)))
+    assert out["sum_clipped_fp"] == want
+
+
+def test_pmi_prefers_exclusive_pairs(spark):
+    docs = [(0, "alpha beta alpha beta alpha beta alpha beta alpha beta"),
+            (1, "the x the y the z the w the v")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    from data_ingest_spark.extensions.text import pmi_collocations
+    out = {(r["w1"], r["w2"]): r
+           for r in pmi_collocations(df, top_k=10, min_count=2).collect()}
+    # 'alpha beta' always co-occur -> strongly positive PMI;
+    # 'the *' pairs spread over many partners -> lower PMI
+    ab = out[("alpha", "beta")]
+    assert ab["pair_count"] == 5
+    assert ab["pmi"] > 1.0
+    the_pairs = [r for (w1, _), r in out.items() if w1 == "the"]
+    assert all(ab["pmi"] > r["pmi"] for r in the_pairs)
