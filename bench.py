@@ -112,6 +112,7 @@ HEADLINE = [
     "x101_skew_profile",
     "x102_winsorize",
     "x103_pmi_collocations",
+    "x104_temporal_split",
 ]
 
 

@@ -169,3 +169,21 @@ def epoch_shuffle(df: DataFrame, id_col: str = "doc_id", seed: int = 17,
                     .alias("pos"))
             .withColumn("shard",
                         (F.col("pos") % num_shards).cast("int")))
+
+
+def temporal_split(df: DataFrame, cutoff: str, embargo_s: int = 0,
+                   ts_col: str = "ts") -> DataFrame:
+    """Time-based train/test split with an embargo gap: rows at or
+    after ``cutoff`` are test, rows within ``embargo_s`` seconds
+    before it are dropped into an 'embargo' bucket (never trained on
+    — the leakage guard for autocorrelated streams, the time-series
+    sibling of ``leakage_safe_split``), everything earlier is train.
+    Adds a ``split`` column; pure map-side predicate, so the split is
+    scan-speed at any corpus size and deterministic row-for-row."""
+    cut = F.lit(cutoff).cast("timestamp")
+    start = cut - F.make_interval(secs=F.lit(embargo_s))
+    return df.withColumn(
+        "split",
+        F.when(F.col(ts_col) >= cut, "test")
+        .when(F.col(ts_col) >= start, "embargo")
+        .otherwise("train"))

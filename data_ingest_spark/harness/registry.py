@@ -6250,6 +6250,35 @@ def q_pmi_collocations(spark, sf):
                                top_k=50, min_count=5)
 
 
+@_q("x104_temporal_split", """
+WITH s AS (SELECT event_type, user_id,
+                  CASE WHEN ts >= TIMESTAMP '2024-01-24 00:00:00'
+                         THEN 'test'
+                       WHEN ts >= TIMESTAMP '2024-01-24 00:00:00'
+                                  - INTERVAL 86400 SECOND
+                         THEN 'embargo'
+                       ELSE 'train' END AS split,
+                  ts
+           FROM events)
+SELECT split, event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       MIN(ts) AS min_ts, MAX(ts) AS max_ts
+FROM s GROUP BY 1, 2
+""")
+def q_temporal_split(spark, sf):
+    """Train/embargo/test temporal split (cutoff Jan 24, 1-day embargo
+    gap — the autocorrelation leakage guard) summarized per split and
+    event type; extensions.sampling.temporal_split assigns the split
+    column at scan speed."""
+    from data_ingest_spark.extensions.sampling import temporal_split
+    ev = temporal_split(events_df(spark, sf), "2024-01-24 00:00:00",
+                        embargo_s=86400)
+    return ev.groupBy("split", "event_type").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts"))
+
+
 # Driver-sample ordering. The correctness driver checks a bounded
 # prefix of ``queries()`` each round; rounds 2+3 verified 100 distinct
 # queries (CORRECTNESS_r02/r03, 0 failures). Round 4 fronts the FULL
@@ -6269,7 +6298,7 @@ def q_pmi_collocations(spark, sf):
 # 203/10/0 at sf0.01, 204/10/0 at sf0.1, plus per-query green runs
 # for the post-gate additions).
 _ROUND4_PRIORITY = [
-    "x102_winsorize", "x103_pmi_collocations",
+    "x104_temporal_split", "x102_winsorize", "x103_pmi_collocations",
     "x100_ivf_incremental", "x101_skew_profile", "x99_power_pc1", "x93_rrf_fusion", "x94_url_canonical", "x95_random_projection",
     "x96_ks_drift", "x97_doc_keywords", "x98_temperature_mix",
     "x51_kmeans_ivf", "x83_bpe_train", "m13_louvain_dist",

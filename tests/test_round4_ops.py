@@ -231,3 +231,62 @@ def test_pmi_prefers_exclusive_pairs(spark):
     assert ab["pmi"] > 1.0
     the_pairs = [r for (w1, _), r in out.items() if w1 == "the"]
     assert all(ab["pmi"] > r["pmi"] for r in the_pairs)
+
+
+def _canon_mirror(u):
+    """Pure-Python mirror of tx.canonical_url's normalization spec."""
+    import re
+    u = re.sub(r"#.*$", "", u)
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", u)
+    scheme = m.group(1).lower() if m else ""
+    rest = re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "", u)
+    host = re.sub(r"^www\.", "", re.match(r"^([^/?]*)", rest).group(1).lower())
+    pathq = re.sub(r"^[^/?]*", "", rest, count=1)
+    path = re.sub(r"/+$", "", re.match(r"^([^?]*)", pathq).group(1))
+    qm = re.search(r"\?(.*)$", pathq)
+    query = qm.group(1) if qm else ""
+    params = sorted(p for p in query.split("&")
+                    if p != "" and not p.startswith("utm_"))
+    qs = "&".join(params)
+    return scheme + "://" + host + path + (("?" + qs) if qs else "")
+
+
+def test_canonical_url_matches_python_mirror_hypothesis(spark):
+    from hypothesis import given, settings, strategies as st
+
+    seg = st.text(alphabet="aBc09._-~", min_size=0, max_size=6)
+    param = st.text(alphabet="aZ0=_%", min_size=0, max_size=8)
+    url = st.builds(
+        lambda sch, www, host, segs, ps, slash, frag:
+            sch + "://" + www + host + "".join("/" + s for s in segs)
+            + ("/" if slash else "")
+            + (("?" + "&".join(ps)) if ps else "")
+            + (("#" + frag) if frag else ""),
+        st.sampled_from(["http", "HTTPS", "ftp", "s3"]),
+        st.sampled_from(["", "www.", "WWW."]),
+        st.text(alphabet="aBc09.-", min_size=1, max_size=10),
+        st.lists(seg, max_size=3),
+        st.lists(st.one_of(param, st.just("utm_x=1")), max_size=4),
+        st.booleans(),
+        st.text(alphabet="aB1/?&", min_size=0, max_size=5))
+
+    @given(st.lists(url, min_size=1, max_size=40))
+    @settings(max_examples=6, deadline=None)
+    def check(urls):
+        df = spark.createDataFrame([(u,) for u in urls], ["url"])
+        got = [r[0] for r in df.select(canonical_url("url")).collect()]
+        assert got == [_canon_mirror(u) for u in urls]
+
+    check()
+
+
+def test_temporal_split_embargo_semantics(spark):
+    from data_ingest_spark.extensions.sampling import temporal_split
+    rows = [(1, "2024-01-20 00:00:00"), (2, "2024-01-23 12:00:00"),
+            (3, "2024-01-24 00:00:00"), (4, "2024-01-25 00:00:00")]
+    df = spark.createDataFrame(rows, ["id", "ts_s"]).select(
+        "id", F.col("ts_s").cast("timestamp").alias("ts"))
+    out = {r["id"]: r["split"]
+           for r in temporal_split(df, "2024-01-24 00:00:00",
+                                   embargo_s=86400).collect()}
+    assert out == {1: "train", 2: "embargo", 3: "test", 4: "test"}
