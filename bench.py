@@ -113,6 +113,7 @@ HEADLINE = [
     "x102_winsorize",
     "x103_pmi_collocations",
     "x104_temporal_split",
+    "x105_profile_drift",
 ]
 
 

@@ -236,3 +236,41 @@ def winsorize_stats(df: DataFrame, group_col: str = "event_type",
                  .cast("long").alias("n_above"),
                  F.sum(F.floor(clipped * scale + F.lit(0.5)).cast("long"))
                  .cast("long").alias("sum_clipped_fp")))
+
+
+def profile_drift(a: DataFrame, b: DataFrame,
+                  cols: list[str] | None = None,
+                  exact_distinct: bool = True) -> DataFrame:
+    """Snapshot-to-snapshot profile drift: run ``profile_table`` on
+    two versions of a table and report, per column, the row/null/
+    distinct deltas and whether the min/max moved — the ingestion
+    gate that catches schema rot (null spikes, id-space collapse,
+    silent range shifts) between crawl or CDC snapshots. Returns
+    ``(column, n_rows_delta, n_nulls_delta, n_distinct_delta,
+    min_changed, max_changed)``; every field is an exact integer or
+    a string-equality flag, so the drift report hash-matches a SQL
+    oracle.
+
+    Plan: two single-pass profiles (one aggregation each) joined on
+    the tiny per-column result."""
+    pa = profile_table(a, cols, exact_distinct)
+    pb = profile_table(b, cols, exact_distinct)
+    sel = lambda p, sfx: p.select(
+        "column", F.col("n_rows").alias("nr" + sfx),
+        F.col("n_nulls").alias("nn" + sfx),
+        F.col("n_distinct").alias("nd" + sfx),
+        F.col("min_value").alias("mn" + sfx),
+        F.col("max_value").alias("mx" + sfx))
+    return (sel(pa, "_a").join(sel(pb, "_b"), "column")
+            .select(
+                "column",
+                (F.col("nr_b") - F.col("nr_a")).cast("long")
+                .alias("n_rows_delta"),
+                (F.col("nn_b") - F.col("nn_a")).cast("long")
+                .alias("n_nulls_delta"),
+                (F.col("nd_b") - F.col("nd_a")).cast("long")
+                .alias("n_distinct_delta"),
+                (~F.col("mn_a").eqNullSafe(F.col("mn_b")))
+                .alias("min_changed"),
+                (~F.col("mx_a").eqNullSafe(F.col("mx_b")))
+                .alias("max_changed")))

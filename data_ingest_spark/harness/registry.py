@@ -6279,6 +6279,68 @@ def q_temporal_split(spark, sf):
         F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts"))
 
 
+@_q("x105_profile_drift", """
+WITH b AS (SELECT doc_id,
+                  CASE WHEN doc_id % 11 = 0 THEN NULL ELSE lang END AS lang,
+                  source, n_chars + 5 AS n_chars
+           FROM documents WHERE doc_id % 7 <> 0),
+ pa AS (
+   SELECT 'doc_id' AS col, CAST(COUNT(*) AS BIGINT) nr,
+          CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) nn,
+          CAST(COUNT(DISTINCT doc_id) AS BIGINT) nd,
+          CAST(MIN(doc_id) AS VARCHAR) mn, CAST(MAX(doc_id) AS VARCHAR) mx
+   FROM documents
+   UNION ALL
+   SELECT 'lang', COUNT(*),
+          CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(COUNT(DISTINCT lang) AS BIGINT), MIN(lang), MAX(lang)
+   FROM documents
+   UNION ALL
+   SELECT 'n_chars', COUNT(*),
+          CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+          CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+   FROM documents),
+ pb AS (
+   SELECT 'doc_id' AS col, CAST(COUNT(*) AS BIGINT) nr,
+          CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) nn,
+          CAST(COUNT(DISTINCT doc_id) AS BIGINT) nd,
+          CAST(MIN(doc_id) AS VARCHAR) mn, CAST(MAX(doc_id) AS VARCHAR) mx
+   FROM b
+   UNION ALL
+   SELECT 'lang', COUNT(*),
+          CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(COUNT(DISTINCT lang) AS BIGINT), MIN(lang), MAX(lang)
+   FROM b
+   UNION ALL
+   SELECT 'n_chars', COUNT(*),
+          CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+          CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+   FROM b)
+SELECT pa.col AS column, CAST(pb.nr - pa.nr AS BIGINT) AS n_rows_delta,
+       CAST(pb.nn - pa.nn AS BIGINT) AS n_nulls_delta,
+       CAST(pb.nd - pa.nd AS BIGINT) AS n_distinct_delta,
+       pa.mn IS DISTINCT FROM pb.mn AS min_changed,
+       pa.mx IS DISTINCT FROM pb.mx AS max_changed
+FROM pa JOIN pb ON pa.col = pb.col
+""")
+def q_profile_drift(spark, sf):
+    """Snapshot profile drift (extensions.profile.profile_drift): the
+    incoming snapshot drops every 7th doc, nulls lang on doc_id%11=0
+    and shifts n_chars by +5 — the drift report must flag the row
+    drop, the null spike, and the range shift per column."""
+    from data_ingest_spark.extensions.profile import profile_drift
+    a = load(spark, sf, "documents")
+    b = (a.filter(F.col("doc_id") % 7 != 0)
+         .select("doc_id",
+                 F.when(F.col("doc_id") % 11 == 0, None)
+                 .otherwise(F.col("lang")).alias("lang"),
+                 "source",
+                 (F.col("n_chars") + 5).alias("n_chars")))
+    return profile_drift(a, b, cols=["doc_id", "lang", "n_chars"])
+
+
 # Driver-sample ordering. The correctness driver checks a bounded
 # prefix of ``queries()`` each round; rounds 2+3 verified 100 distinct
 # queries (CORRECTNESS_r02/r03, 0 failures). Round 4 fronts the FULL
@@ -6298,7 +6360,7 @@ def q_temporal_split(spark, sf):
 # 203/10/0 at sf0.01, 204/10/0 at sf0.1, plus per-query green runs
 # for the post-gate additions).
 _ROUND4_PRIORITY = [
-    "x104_temporal_split", "x102_winsorize", "x103_pmi_collocations",
+    "x105_profile_drift", "x104_temporal_split", "x102_winsorize", "x103_pmi_collocations",
     "x100_ivf_incremental", "x101_skew_profile", "x99_power_pc1", "x93_rrf_fusion", "x94_url_canonical", "x95_random_projection",
     "x96_ks_drift", "x97_doc_keywords", "x98_temperature_mix",
     "x51_kmeans_ivf", "x83_bpe_train", "m13_louvain_dist",

@@ -290,3 +290,19 @@ def test_temporal_split_embargo_semantics(spark):
            for r in temporal_split(df, "2024-01-24 00:00:00",
                                    embargo_s=86400).collect()}
     assert out == {1: "train", 2: "embargo", 3: "test", 4: "test"}
+
+
+def test_profile_drift_flags_changes(spark):
+    from data_ingest_spark.extensions.profile import profile_drift
+    a = spark.createDataFrame(
+        [(i, f"u{i}", i * 10) for i in range(10)], ["id", "u", "v"])
+    b = spark.createDataFrame(
+        [(i, f"u{i}" if i % 3 else None, i * 10) for i in range(8)],
+        ["id", "u", "v"])
+    out = {r["column"]: r for r in profile_drift(a, b).collect()}
+    assert out["id"]["n_rows_delta"] == -2
+    assert out["u"]["n_nulls_delta"] == 3      # u0, u3, u6 nulled
+    assert out["u"]["n_distinct_delta"] == -5  # 10 -> 5 non-null distinct
+    assert out["id"]["max_changed"] is True    # 9 -> 7
+    assert out["id"]["min_changed"] is False
+    assert out["v"]["n_nulls_delta"] == 0
