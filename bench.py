@@ -114,6 +114,9 @@ HEADLINE = [
     "x103_pmi_collocations",
     "x104_temporal_split",
     "x105_profile_drift",
+    "x106_weighted_sample",
+    "x107_wilson_winrate",
+    "x108_hist_merge",
 ]
 
 

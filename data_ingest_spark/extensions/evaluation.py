@@ -119,6 +119,63 @@ def majority_vote(df: DataFrame, item_col: str = "item",
                     .alias("agreement")))
 
 
+def wilson_winrate(df: DataFrame, group_col: str = "user_id",
+                   outcome_col: str = "event_type",
+                   win_value: str = "purchase", loss_value: str = "click",
+                   z: float = 1.96, top_k: int = 50) -> DataFrame:
+    """Rank items (models, prompts, documents) from binary preference
+    outcomes by the Wilson score lower confidence bound on win rate —
+    the standard guard against promoting an item that won 2/2 over one
+    that won 90/100. Emits wins, losses, n, the raw rate, and the LCB;
+    keeps the ``top_k`` best by (LCB desc, id asc).
+
+    One grouped aggregation (conditional counts) then scalar math:
+      lcb = (p + z²/2n − z·√((p(1−p) + z²/4n)/n)) / (1 + z²/n)
+    All terms are +,·,/ on exact integers plus one √ — rounded to 6dp
+    before the rank so a last-ulp √ difference can't flip the cut
+    (the repo's m12/m9 rounding convention)."""
+    wins = F.sum(F.when(F.col(outcome_col) == win_value, 1)
+                 .otherwise(0)).cast("long")
+    losses = F.sum(F.when(F.col(outcome_col) == loss_value, 1)
+                   .otherwise(0)).cast("long")
+    agg = (df.filter(F.col(outcome_col).isin(win_value, loss_value))
+           .groupBy(group_col)
+           .agg(wins.alias("wins"), losses.alias("losses")))
+    n = (F.col("wins") + F.col("losses")).cast("double")
+    p = F.col("wins").cast("double") / n
+    z2 = z * z
+    lcb = ((p + z2 / (2.0 * n)
+            - z * F.sqrt((p * (1.0 - p) + z2 / (4.0 * n)) / n))
+           / (1.0 + z2 / n))
+    scored = (agg.filter(n > 0)
+              .withColumn("n", n.cast("long"))
+              .withColumn("win_rate", F.round(p, 6))
+              .withColumn("wilson_lcb", F.round(lcb, 6)))
+    # two-pass global rank (the dense_ids_scalable pattern): partition
+    # the sort by a coarse bucket monotone in the key — floor(lcb·32),
+    # ≤ 33 buckets — rank within buckets in parallel, then shift by
+    # the collected per-bucket prefix sums. No unpartitioned window.
+    scored = scored.withColumn(
+        "_cb", F.floor(F.col("wilson_lcb") * 32).cast("long"))
+    sizes = (scored.groupBy("_cb").agg(F.count("*").alias("n"))
+             .orderBy(F.col("_cb").desc()).collect())
+    offsets, acc = {}, 0
+    for r in sizes:
+        offsets[r["_cb"]] = acc
+        acc += r["n"]
+    if not offsets:
+        return (scored.withColumn("rank", F.lit(1)).filter(F.lit(False))
+                .drop("_cb"))
+    offmap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = W.partitionBy("_cb").orderBy(F.col("wilson_lcb").desc(),
+                                     F.col(group_col).asc())
+    return (scored
+            .withColumn("rank",
+                        (F.row_number().over(w) + offmap[F.col("_cb")])
+                        .cast("int"))
+            .filter(F.col("rank") <= top_k).drop("_cb"))
+
+
 def preference_pairs(df: DataFrame, group_col: str = "user_id",
                      score_col: str = "value",
                      id_col: str = "event_id") -> DataFrame:

@@ -104,6 +104,36 @@ def importance_sample(df: DataFrame, weight_col: str, id_col: str = "doc_id",
     return df.filter(hash_bucket(F.col(id_col), seed) < cut)
 
 
+def weighted_sample(df: DataFrame, weight_col: str, k: int,
+                    id_col: str = "doc_id", by: str = "source",
+                    seed: int = 29) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: per ``by`` group, draw
+    ``k`` rows with inclusion probability increasing in ``weight_col``
+    — sequential Poisson sampling (Ohlsson 1998, the πps estimator
+    family): priority = u / w with u ~ Uniform(0, 1], keep the k
+    smallest priorities. The training-data use is quality-weighted
+    subsampling of an oversized source without the with-replacement
+    duplicates ``importance_sample`` style thinning can admit.
+
+    Deterministic AND cross-engine exact: u = (bucket(id)+1)/BUCKETS is
+    a ratio of integers and w is integral, so priority is two IEEE754
+    correctly-rounded divisions — bit-identical in Spark and DuckDB
+    (no libm transcendentals in the ordering). Ties (same bucket and
+    weight) break on id. One shuffle (the per-group rank window)."""
+    from pyspark.sql import Window as W
+
+    u = ((hash_bucket(F.col(id_col), seed) + 1).cast("double")
+         / F.lit(float(BUCKETS)))
+    pri = u / F.col(weight_col).cast("double")
+    ranked = df.withColumn("_pri", pri).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy(by).orderBy(F.col("_pri").asc(),
+                                      F.col(id_col).asc())))
+    return (ranked.filter(F.col("rank") <= k)
+            .withColumn("priority", F.round("_pri", 9)).drop("_pri"))
+
+
 def leakage_safe_split(df: DataFrame, pairs: DataFrame,
                        weights: dict[str, float], id_col: str = "doc_id",
                        seed: int = 42,

@@ -169,3 +169,30 @@ def bloom_prune(probe: DataFrame, bloom: DataFrame, col: str,
         cond = c if cond is None else cond & c
     drop = [c for r in range(hashes) for c in (f"_p{r}", f"_hit{r}")]
     return marked.filter(cond).drop(*drop)
+
+
+def equi_width_hist(df: DataFrame, col: str, lo: float, hi: float,
+                    nbins: int = 20) -> DataFrame:
+    """Mergeable equi-width histogram: one row per non-empty bin with
+    integer counts. bin = clamp(floor((v − lo)/width), 0, nbins−1), so
+    out-of-range values land in the edge bins (no silent drops — the
+    data-quality contract). width = (hi−lo)/nbins and the floor run on
+    IEEE-exact doubles, so the assignment is bit-identical across
+    engines. One partial-aggregated shuffle of ≤ nbins rows."""
+    width = (hi - lo) / nbins
+    b = F.floor((F.col(col) - F.lit(lo)) / F.lit(width))
+    b = F.least(F.lit(nbins - 1), F.greatest(F.lit(0), b)).cast("long")
+    return (df.filter(F.col(col).isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count("*").cast("long").alias("n")))
+
+
+def merge_hists(*hists: DataFrame) -> DataFrame:
+    """Merge histogram states by summing bin counts — the property
+    that lets each ingest batch (or each of 1000 executors' table
+    scans) build its own state and a tiny ≤ nbins-row reduce combine
+    them, instead of re-scanning 100 TB per refresh."""
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    return out.groupBy("bin").agg(F.sum("n").cast("long").alias("n"))

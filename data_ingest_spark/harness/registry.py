@@ -6341,6 +6341,131 @@ def q_profile_drift(spark, sf):
     return profile_drift(a, b, cols=["doc_id", "lang", "n_chars"])
 
 
+@_q("x106_weighted_sample", """
+WITH h AS (
+  SELECT source, doc_id, n_chars,
+         (CAST(CAST(concat('0x', substr(md5('29:' ||
+              CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 10000 + 1
+           AS DOUBLE) / 10000.0) / CAST(n_chars AS DOUBLE) AS pri
+  FROM documents),
+ r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY pri ASC, doc_id ASC) AS INT)
+           AS rank
+       FROM h)
+SELECT source, doc_id, n_chars, rank, ROUND(pri, 9) AS priority
+FROM r WHERE rank <= 25
+""")
+def q_weighted_sample(spark, sf):
+    """Sequential Poisson sampling (Ohlsson πps family): per source,
+    the 25 docs with the smallest u/w priority — weighted sampling
+    WITHOUT replacement, inclusion odds rising with n_chars. The
+    priority is a ratio of exact integers ((bucket+1)/10000 over the
+    weight), i.e. two IEEE correctly-rounded divisions, so the order
+    is bit-identical across engines — no transcendentals in the key."""
+    from data_ingest_spark.extensions.sampling import weighted_sample
+    docs = load(spark, sf, "documents")
+    return (weighted_sample(docs, "n_chars", 25, id_col="doc_id",
+                            by="source", seed=29)
+            .select("source", "doc_id", "n_chars", "rank", "priority"))
+
+
+@_q("x107_wilson_winrate", """
+WITH a AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS wins,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS losses
+  FROM events WHERE event_type IN ('purchase', 'click')
+  GROUP BY user_id),
+ s AS (
+  SELECT user_id, wins, losses, CAST(wins + losses AS BIGINT) AS n,
+         ROUND(CAST(wins AS DOUBLE) / CAST(wins + losses AS DOUBLE), 6)
+           AS win_rate,
+         ROUND((CAST(wins AS DOUBLE) / CAST(wins + losses AS DOUBLE)
+                + (1.96 * 1.96) / (2.0 * CAST(wins + losses AS DOUBLE))
+                - 1.96 * sqrt((CAST(wins AS DOUBLE)
+                                 / CAST(wins + losses AS DOUBLE)
+                               * (1.0 - CAST(wins AS DOUBLE)
+                                   / CAST(wins + losses AS DOUBLE))
+                               + (1.96 * 1.96)
+                                 / (4.0 * CAST(wins + losses AS DOUBLE)))
+                              / CAST(wins + losses AS DOUBLE)))
+               / (1.0 + (1.96 * 1.96) / CAST(wins + losses AS DOUBLE)), 6)
+           AS wilson_lcb
+  FROM a WHERE wins + losses > 0),
+ r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+           ORDER BY wilson_lcb DESC, user_id ASC) AS INT) AS rank
+       FROM s)
+SELECT user_id, wins, losses, n, win_rate, wilson_lcb, rank
+FROM r WHERE rank <= 50
+""")
+def q_wilson_winrate(spark, sf):
+    """Wilson lower-confidence-bound win-rate ranking over binary
+    preference outcomes (purchase = win, click = loss per user) — the
+    small-sample guard that stops a 2/2 item outranking a 90/100 one.
+    Top 50 by (LCB desc, id); the global rank is the bucketed two-pass
+    (no unpartitioned window), the LCB is rounded to 6dp before the
+    cut per the repo's m12/m9 convention."""
+    from data_ingest_spark.extensions.evaluation import wilson_winrate
+    return (wilson_winrate(events_df(spark, sf), group_col="user_id",
+                           outcome_col="event_type",
+                           win_value="purchase", loss_value="click",
+                           z=1.96, top_k=50)
+            .select("user_id", "wins", "losses", "n", "win_rate",
+                    "wilson_lcb", "rank"))
+
+
+@_q("x108_hist_merge", """
+WITH binned AS (
+  SELECT CAST(LEAST(13, GREATEST(0, FLOOR((value - 0.0) / 25.0)))
+              AS BIGINT) AS bin,
+         event_id
+  FROM events WHERE value IS NOT NULL),
+ h AS (SELECT bin,
+              SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+              SUM(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END) AS nb,
+              COUNT(*) AS nd
+       FROM binned GROUP BY bin)
+SELECT bin, ROUND(0.0 + bin * 25.0, 6) AS lo_edge,
+       ROUND(0.0 + (bin + 1) * 25.0, 6) AS hi_edge,
+       CAST(na + nb AS BIGINT) AS n_merged,
+       CAST(nd AS BIGINT) AS n_direct,
+       (na + nb) = nd AS consistent
+FROM h
+""")
+def q_hist_merge(spark, sf):
+    """Mergeable equi-width histogram with a merge ≡ recompute audit
+    (the e26/x100 pattern): build independent histogram states on the
+    even- and odd-event_id halves of the corpus, merge by summing bin
+    counts, and join against the direct single-pass build. At 100 TB
+    each ingest batch ships its ≤ nbins-row state and the refresh is a
+    tiny reduce instead of a full rescan."""
+    from data_ingest_spark.extensions.sketches import (equi_width_hist,
+                                                       merge_hists)
+    ev = events_df(spark, sf)
+    a = equi_width_hist(ev.filter(F.col("event_id") % 2 == 0),
+                        "value", 0.0, 350.0, 14)
+    b = equi_width_hist(ev.filter(F.col("event_id") % 2 != 0),
+                        "value", 0.0, 350.0, 14)
+    merged = merge_hists(a, b).withColumnRenamed("n", "n_merged")
+    direct = equi_width_hist(ev, "value", 0.0, 350.0, 14) \
+        .withColumnRenamed("n", "n_direct")
+    return (merged.join(direct, "bin", "full")
+            .select("bin",
+                    F.round(F.lit(0.0) + F.col("bin") * 25.0, 6)
+                    .alias("lo_edge"),
+                    F.round(F.lit(0.0) + (F.col("bin") + 1) * 25.0, 6)
+                    .alias("hi_edge"),
+                    F.coalesce("n_merged", F.lit(0)).cast("long")
+                    .alias("n_merged"),
+                    F.coalesce("n_direct", F.lit(0)).cast("long")
+                    .alias("n_direct"),
+                    (F.coalesce("n_merged", F.lit(0))
+                     == F.coalesce("n_direct", F.lit(0)))
+                    .alias("consistent")))
+
+
 # Driver-sample ordering. The correctness driver checks a bounded
 # prefix of ``queries()`` each round; rounds 2+3 verified 100 distinct
 # queries (CORRECTNESS_r02/r03, 0 failures). Round 4 fronts the FULL
@@ -6360,6 +6485,7 @@ def q_profile_drift(spark, sf):
 # 203/10/0 at sf0.01, 204/10/0 at sf0.1, plus per-query green runs
 # for the post-gate additions).
 _ROUND4_PRIORITY = [
+    "x106_weighted_sample", "x107_wilson_winrate", "x108_hist_merge",
     "x105_profile_drift", "x104_temporal_split", "x102_winsorize", "x103_pmi_collocations",
     "x100_ivf_incremental", "x101_skew_profile", "x99_power_pc1", "x93_rrf_fusion", "x94_url_canonical", "x95_random_projection",
     "x96_ks_drift", "x97_doc_keywords", "x98_temperature_mix",

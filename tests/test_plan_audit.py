@@ -315,3 +315,30 @@ def test_winsorize_and_pmi_plans(spark):
     p = q(spark, "x103_pmi_collocations")
     assert broadcast_join_count(p) >= 2
     assert_no_cartesian(p)
+
+
+def test_weighted_sample_single_shuffle_pruned(spark):
+    """x106: the πps sample is one rank shuffle over a 3-column scan —
+    no extra exchange for the priority computation (map-side) and no
+    unpartitioned window."""
+    df = q(spark, "x106_weighted_sample")
+    assert shuffle_count(df) == 1
+    assert all(len(cols) <= 3 for cols in scan_columns(df))
+    assert "PartitionBy: []" not in physical_plan(df)
+
+
+def test_wilson_rank_is_partitioned(spark):
+    """x107: agg + bucketed two-pass rank = ≤2 shuffles, and the rank
+    window is partitioned (the zero-unpartitioned-windows contract)."""
+    df = q(spark, "x107_wilson_winrate")
+    assert shuffle_count(df) <= 2
+    plan = physical_plan(df)
+    assert "Window" not in plan or "PartitionBy: []" not in plan
+
+
+def test_hist_merge_bounded_shuffles(spark):
+    """x108: three ≤nbins-row grouped histograms; the merge/compare
+    join never shuffles the corpus again."""
+    df = q(spark, "x108_hist_merge")
+    assert shuffle_count(df) <= 4
+    assert_no_cartesian(df)

@@ -306,3 +306,62 @@ def test_profile_drift_flags_changes(spark):
     assert out["id"]["max_changed"] is True    # 9 -> 7
     assert out["id"]["min_changed"] is False
     assert out["v"]["n_nulls_delta"] == 0
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    from data_ingest_spark.extensions.sampling import weighted_sample
+    # weights 10000:1 — the heavy half should dominate a k=20 sample
+    rows = [(i, "s", 10000 if i < 50 else 1) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "w"])
+    out = weighted_sample(df, "w", 20, id_col="doc_id", by="source",
+                          seed=29).collect()
+    assert len(out) == 20
+    assert all(1 <= r["rank"] <= 20 for r in out)
+    heavy = sum(1 for r in out if r["w"] == 10000)
+    assert heavy >= 18  # priority u/w: heavy rows ~10000x likelier
+    # without replacement: ids unique
+    assert len({r["doc_id"] for r in out}) == 20
+
+
+def test_weighted_sample_is_partition_stable(spark):
+    from data_ingest_spark.extensions.sampling import weighted_sample
+    rows = [(i, "a" if i % 2 else "b", i + 1) for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "w"])
+    one = {(r["source"], r["doc_id"])
+           for r in weighted_sample(df, "w", 5).collect()}
+    other = {(r["source"], r["doc_id"])
+             for r in weighted_sample(df.repartition(7), "w", 5).collect()}
+    assert one == other and len(one) == 10
+
+
+def test_wilson_lcb_guards_small_samples(spark):
+    from data_ingest_spark.extensions.evaluation import wilson_winrate
+    # item 1: 2/2 wins; item 2: 90/100 — raw rate ranks 1 first,
+    # the Wilson LCB must rank 2 first
+    rows = ([(1, "purchase")] * 2
+            + [(2, "purchase")] * 90 + [(2, "click")] * 10
+            + [(3, "view")])
+    df = spark.createDataFrame(rows, ["user_id", "event_type"])
+    out = {r["user_id"]: r for r in wilson_winrate(df).collect()}
+    assert 3 not in out  # no win/loss outcomes -> excluded
+    assert out[1]["win_rate"] == 1.0 and out[2]["win_rate"] == 0.9
+    assert out[2]["wilson_lcb"] > out[1]["wilson_lcb"]
+    assert out[2]["rank"] == 1 and out[1]["rank"] == 2
+    # LCB is a lower bound and lies in [0, 1)
+    for r in out.values():
+        assert 0.0 <= r["wilson_lcb"] < r["win_rate"] <= 1.0
+
+
+def test_hist_merge_equals_recompute_and_clamps(spark):
+    from data_ingest_spark.extensions.sketches import (equi_width_hist,
+                                                       merge_hists)
+    # values -5 and 105 must clamp into the edge bins, not vanish
+    vals = [(-5.0,), (0.5,), (3.0,), (55.0,), (105.0,), (None,)]
+    df = spark.createDataFrame(vals, ["v"])
+    direct = {r["bin"]: r["n"]
+              for r in equi_width_hist(df, "v", 0.0, 100.0, 10).collect()}
+    assert direct == {0: 3, 5: 1, 9: 1}  # -5 -> bin 0, 105 -> bin 9
+    a = equi_width_hist(df.limit(3), "v", 0.0, 100.0, 10)
+    b = equi_width_hist(df.subtract(df.limit(3)), "v", 0.0, 100.0, 10)
+    merged = {r["bin"]: r["n"] for r in merge_hists(a, b).collect()}
+    assert merged == direct
