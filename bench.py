@@ -117,6 +117,7 @@ HEADLINE = [
     "x106_weighted_sample",
     "x107_wilson_winrate",
     "x108_hist_merge",
+    "x109_kcenter_coreset",
 ]
 
 

@@ -756,3 +756,51 @@ def merge_ivf_state(a: DataFrame, b: DataFrame) -> DataFrame:
             .groupBy("cid", "dim")
             .agg(F.sum("n").cast("long").alias("n"),
                  F.sum("sum_q").cast("long").alias("sum_q")))
+
+
+def kcenter_greedy(emb: DataFrame, k: int = 8, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   scale: int = 10**6) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point traversal,
+    Gonzalez 1985 — the classic 2-approximation): seed with the
+    smallest id, then k−1 times add the point farthest from the
+    selected set. The canonical diversity-coreset pick for curating a
+    training subset that COVERS embedding space (max-min objective)
+    instead of sampling its density peaks; the selection radius it
+    emits per round is the standard coverage certificate.
+
+    Exact and cross-engine: vectors quantize to int64 fixed point
+    (scale 1e6, the x82 Lloyd convention) so every squared distance is
+    an exact integer; argmax ties break on ascending id. Returns
+    ``(sel_order, vec_id, radius2)`` — radius2 = the max-min squared
+    quantized distance at selection time (0 for the seed), a
+    monotonically non-increasing sequence.
+
+    Plan: k−1 corpus passes, each a map-side distance fold against ≤ k
+    broadcast literal centers followed by a TakeOrdered(1) — no joins,
+    no window, no per-point driver data; only the k selected rows
+    (64 ints each) ever reach the driver, which is the output itself.
+    The recompute-per-round form (≤ k folds/point instead of a
+    checkpointed running minimum) trades ≤ k× map work for having NO
+    iterate state — at corpus scale each pass is scan-speed."""
+    q = (emb.select(F.col(id_col),
+                    _fixed_vec(F.col(vec_col).cast("array<double>"),
+                               scale).alias("_qe"))
+         .persist())
+    seed = q.orderBy(F.col(id_col).asc()).limit(1).collect()[0]
+    centers = [(0, seed[id_col], 0, list(seed["_qe"]))]
+    for r in range(1, k):
+        carr = F.array(*[F.array(*[F.lit(int(v)) for v in c[3]])
+                         for c in centers])
+        dmin = F.array_min(
+            F.transform(carr, lambda c: _d2_fold(F.col("_qe"), c)))
+        top = (q.select(F.col(id_col), dmin.alias("_dmin"), "_qe")
+               .orderBy(F.col("_dmin").desc(), F.col(id_col).asc())
+               .limit(1).collect()[0])
+        centers.append((r, top[id_col], int(top["_dmin"]),
+                        list(top["_qe"])))
+    q.unpersist()
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(o, int(i), int(d)) for o, i, d, _ in centers],
+        "sel_order int, vec_id long, radius2 long")

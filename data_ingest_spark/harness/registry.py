@@ -6466,6 +6466,49 @@ def q_hist_merge(spark, sf):
                     .alias("consistent")))
 
 
+def _kcenter_sql(k: int = 8) -> str:
+    """Unrolled k-center greedy oracle (the x51/x83/m13 fixed-
+    iteration trick): per round, MIN squared quantized distance to the
+    selected set, then argmax with the (dmin DESC, vec_id ASC)
+    tie-break. MATERIALIZED hints keep DuckDB from re-inlining the
+    round CTEs exponentially (the m13 sf0.1 lesson)."""
+    d2 = ("CAST(list_sum(list_transform(range(1, 65), "
+          "i -> (q.qe[i] - s.qe[i]) * (q.qe[i] - s.qe[i]))) AS BIGINT)")
+    parts = [
+        "WITH q AS MATERIALIZED (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe"
+        " FROM embeddings)",
+        " sel0 AS MATERIALIZED (SELECT 0 AS sel_order, vec_id,"
+        " CAST(0 AS BIGINT) AS radius2, qe FROM q"
+        " ORDER BY vec_id ASC LIMIT 1)",
+    ]
+    for r in range(1, k):
+        parts.append(
+            f" s{r} AS MATERIALIZED (SELECT q.vec_id, MIN({d2}) AS dmin"
+            f" FROM q CROSS JOIN sel{r - 1} s GROUP BY q.vec_id)")
+        parts.append(
+            f" c{r} AS MATERIALIZED (SELECT {r} AS sel_order, s.vec_id,"
+            f" CAST(s.dmin AS BIGINT) AS radius2, q.qe"
+            f" FROM s{r} s JOIN q ON q.vec_id = s.vec_id"
+            f" ORDER BY s.dmin DESC, s.vec_id ASC LIMIT 1)")
+        parts.append(
+            f" sel{r} AS MATERIALIZED (SELECT * FROM sel{r - 1}"
+            f" UNION ALL SELECT * FROM c{r})")
+    return (",".join(parts)
+            + f" SELECT sel_order, vec_id, radius2 FROM sel{k - 1}")
+
+
+@_q("x109_kcenter_coreset", _kcenter_sql(8))
+def q_kcenter_coreset(spark, sf):
+    """Greedy k-center diversity coreset (Gonzalez farthest-point
+    traversal, k=8) over the embeddings table in exact fixed-point
+    arithmetic — selection order, chosen ids, and the per-round
+    max-min radius certificate all hash-match the 8-round unrolled
+    SQL oracle."""
+    from data_ingest_spark.extensions.similarity import kcenter_greedy
+    return kcenter_greedy(load(spark, sf, "embeddings"), k=8)
+
+
 # Driver-sample ordering. The correctness driver checks a bounded
 # prefix of ``queries()`` each round; rounds 2+3 verified 100 distinct
 # queries (CORRECTNESS_r02/r03, 0 failures). Round 4 fronts the FULL
@@ -6485,6 +6528,7 @@ def q_hist_merge(spark, sf):
 # 203/10/0 at sf0.01, 204/10/0 at sf0.1, plus per-query green runs
 # for the post-gate additions).
 _ROUND4_PRIORITY = [
+    "x109_kcenter_coreset",
     "x106_weighted_sample", "x107_wilson_winrate", "x108_hist_merge",
     "x105_profile_drift", "x104_temporal_split", "x102_winsorize", "x103_pmi_collocations",
     "x100_ivf_incremental", "x101_skew_profile", "x99_power_pc1", "x93_rrf_fusion", "x94_url_canonical", "x95_random_projection",

@@ -365,3 +365,22 @@ def test_hist_merge_equals_recompute_and_clamps(spark):
     b = equi_width_hist(df.subtract(df.limit(3)), "v", 0.0, 100.0, 10)
     merged = {r["bin"]: r["n"] for r in merge_hists(a, b).collect()}
     assert merged == direct
+
+
+def test_kcenter_greedy_covers_clusters(spark):
+    from data_ingest_spark.extensions.similarity import kcenter_greedy
+    # two tight clusters far apart in 64-d: the 2nd pick must come
+    # from the opposite cluster, and radii never increase
+    def vec(base, eps):
+        return [base + eps] + [0.0] * 63
+    rows = ([(i, vec(0.0, i * 1e-4)) for i in range(5)]
+            + [(10 + i, vec(0.5, i * 1e-4)) for i in range(5)])
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = sorted(kcenter_greedy(df, k=4).collect(),
+                 key=lambda r: r["sel_order"])
+    assert out[0]["vec_id"] == 0 and out[0]["radius2"] == 0
+    assert out[1]["vec_id"] >= 10          # farthest = other cluster
+    radii = [r["radius2"] for r in out[1:]]
+    assert radii == sorted(radii, reverse=True)  # non-increasing
+    # after both clusters are covered, radius drops to intra-cluster
+    assert out[2]["radius2"] < out[1]["radius2"] / 100
