@@ -118,6 +118,7 @@ HEADLINE = [
     "x107_wilson_winrate",
     "x108_hist_merge",
     "x109_kcenter_coreset",
+    "x110_quantile_norm",
 ]
 
 

@@ -274,3 +274,58 @@ def profile_drift(a: DataFrame, b: DataFrame,
                 .alias("min_changed"),
                 (~F.col("mx_a").eqNullSafe(F.col("mx_b")))
                 .alias("max_changed")))
+
+
+def quantile_normalize(df: DataFrame, value_col: str = "n_chars",
+                       group_col: str = "source",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Cross-group quantile normalization: replace each row's value
+    with the GLOBAL value at its within-group mid-rank quantile, so
+    every group's normalized distribution matches the corpus — the
+    rank-based batch-effect fix for per-source score drift (a "0.8
+    quality" from a lenient source and a strict one stop meaning
+    different things before thresholding or mixing).
+
+    Exact end to end: the within-group quantile q = (2r−1)/(2n_g) maps
+    to global position p = ceil(q·N) computed entirely in integer
+    arithmetic — ((2r−1)·N + 2n_g − 1) div (2n_g) — and the lookup is
+    an equi-join on position; ranks tie-break on id in both engines.
+
+    Plan: per-group rank (partitioned window), the bucketed two-pass
+    GLOBAL rank (coarse value buckets, offsets = one collected row per
+    bucket — never an unpartitioned window), one position equi-join.
+    Three corpus shuffles total, no driver-side per-row data."""
+    from pyspark.sql import Window as W
+
+    d = df.select(id_col, group_col, value_col)
+    wg = W.partitionBy(group_col).orderBy(F.col(value_col),
+                                          F.col(id_col))
+    s = (d.withColumn("src_rank", F.row_number().over(wg).cast("long"))
+         .withColumn("_ns", F.count("*").over(W.partitionBy(group_col))
+                     .cast("long")))
+    # two-pass global rank over (value, id): coarse = value div 64
+    g = d.withColumn("_cb", (F.col(value_col).cast("long") / 64)
+                     .cast("long"))
+    sizes = (g.groupBy("_cb").agg(F.count("*").alias("n"))
+             .orderBy("_cb").collect())
+    offsets, acc = {}, 0
+    for r in sizes:
+        offsets[r["_cb"]] = acc
+        acc += r["n"]
+    n_total = acc
+    if n_total == 0:
+        return (s.select(id_col, group_col, value_col, "src_rank")
+                .withColumn("norm_value", F.lit(None).cast("long")))
+    offmap = F.create_map(*[F.lit(x) for kv in offsets.items()
+                            for x in kv])
+    wcb = W.partitionBy("_cb").orderBy(F.col(value_col), F.col(id_col))
+    gpos = (g.withColumn("gpos", (F.row_number().over(wcb)
+                                  + offmap[F.col("_cb")]).cast("long"))
+            .select(F.col("gpos"),
+                    F.col(value_col).cast("long").alias("_gval")))
+    p = s.withColumn(
+        "_gp", F.expr(f"((2*src_rank - 1) * {n_total} + 2*_ns - 1)"
+                      f" div (2*_ns)"))
+    return (p.join(gpos, p["_gp"] == gpos["gpos"])
+            .select(id_col, group_col, value_col, "src_rank",
+                    F.col("_gval").alias("norm_value")))

@@ -6466,6 +6466,37 @@ def q_hist_merge(spark, sf):
                     .alias("consistent")))
 
 
+@_q("x110_quantile_norm", """
+WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+ s AS (SELECT doc_id, source, n_chars,
+              CAST(ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY n_chars, doc_id) AS BIGINT) AS src_rank,
+              CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+       FROM d),
+ g AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id)
+              AS BIGINT) AS gpos,
+              CAST(n_chars AS BIGINT) AS gval
+       FROM d),
+ p AS (SELECT doc_id, source, n_chars, src_rank,
+              ((2 * src_rank - 1) * (SELECT COUNT(*) FROM d)
+               + 2 * ns - 1) // (2 * ns) AS gp
+       FROM s)
+SELECT p.doc_id, p.source, p.n_chars, p.src_rank,
+       g.gval AS norm_value
+FROM p JOIN g ON g.gpos = p.gp
+""")
+def q_quantile_norm(spark, sf):
+    """Cross-source quantile normalization of document lengths: each
+    doc's n_chars is replaced by the corpus-wide value at its
+    within-source mid-rank quantile, aligning every source's length
+    distribution before mixing — integer-exact rank arithmetic, the
+    bucketed two-pass global rank, one position equi-join."""
+    from data_ingest_spark.extensions.profile import quantile_normalize
+    return quantile_normalize(load(spark, sf, "documents"),
+                              value_col="n_chars", group_col="source",
+                              id_col="doc_id")
+
+
 def _kcenter_sql(k: int = 8) -> str:
     """Unrolled k-center greedy oracle (the x51/x83/m13 fixed-
     iteration trick): per round, MIN squared quantized distance to the
@@ -6528,7 +6559,7 @@ def q_kcenter_coreset(spark, sf):
 # 203/10/0 at sf0.01, 204/10/0 at sf0.1, plus per-query green runs
 # for the post-gate additions).
 _ROUND4_PRIORITY = [
-    "x109_kcenter_coreset",
+    "x110_quantile_norm", "x109_kcenter_coreset",
     "x106_weighted_sample", "x107_wilson_winrate", "x108_hist_merge",
     "x105_profile_drift", "x104_temporal_split", "x102_winsorize", "x103_pmi_collocations",
     "x100_ivf_incremental", "x101_skew_profile", "x99_power_pc1", "x93_rrf_fusion", "x94_url_canonical", "x95_random_projection",

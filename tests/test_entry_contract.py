@@ -55,9 +55,9 @@ def test_rotation_priority_names_resolve(spark):
     missing = [n for n in registry._ROUND4_PRIORITY
                if n not in registry.REGISTRY]
     assert missing == []
-    front = list(registry.queries())[:17]
+    front = list(registry.queries())[:18]
     assert front == [
-        "x109_kcenter_coreset",
+        "x110_quantile_norm", "x109_kcenter_coreset",
         "x106_weighted_sample", "x107_wilson_winrate", "x108_hist_merge",
         "x105_profile_drift", "x104_temporal_split", "x102_winsorize", "x103_pmi_collocations",
         "x100_ivf_incremental", "x101_skew_profile", "x99_power_pc1",

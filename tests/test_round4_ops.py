@@ -384,3 +384,25 @@ def test_kcenter_greedy_covers_clusters(spark):
     assert radii == sorted(radii, reverse=True)  # non-increasing
     # after both clusters are covered, radius drops to intra-cluster
     assert out[2]["radius2"] < out[1]["radius2"] / 100
+
+
+def test_quantile_normalize_aligns_distributions(spark):
+    from data_ingest_spark.extensions.profile import quantile_normalize
+    # source a: values 1..4; source b: 101..104 — after normalization
+    # both must map onto the SAME global quantile values, making the
+    # two sources' normalized distributions identical
+    rows = ([(i, "a", i) for i in range(1, 5)]
+            + [(10 + i, "b", 100 + i) for i in range(1, 5)])
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    out = quantile_normalize(df).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(
+            (r["src_rank"], r["norm_value"]))
+    assert sorted(by_src["a"]) == sorted(by_src["b"])
+    # rank order preserved within each source
+    a = sorted(by_src["a"])
+    assert [v for _, v in a] == sorted(v for _, v in a)
+    # normalized values come from the global value set
+    vals = {r["norm_value"] for r in out}
+    assert vals <= {1, 2, 3, 4, 101, 102, 103, 104}
