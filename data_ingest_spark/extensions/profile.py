@@ -165,44 +165,52 @@ def ks_drift(df: DataFrame, group_col: str = "source",
     SQL oracle.
 
     Plan shape: ONE corpus-sized shuffle (the (group, v) count,
-    persisted — every later step derives from that bounded
-    aggregate: |groups| × |distinct v| of a bounded metric column).
-    The global CDF rides along as an '__all__' partition of the same
-    cumulative-sum window, so the window is always partitioned, and
-    the grid joins broadcast."""
-    ALL = "__all__"
+    materialized once via a lazy localCheckpoint — unlike persist(),
+    its blocks are GC-reclaimed when the query's frames go out of
+    scope, so a long multi-query session does not accumulate storage;
+    every later step derives from that bounded aggregate: |groups| ×
+    |distinct v| of a bounded metric column). The global CDF rides
+    along as an extra partition of the same cumulative-sum window, so
+    the window is always partitioned, and the grid joins broadcast.
+    Real groups are keyed with a 'g:' prefix and the global partition
+    as the bare literal 'all' — disjoint namespaces BY CONSTRUCTION,
+    so a source literally named '__all__' (or 'all') is just another
+    group, never silently merged into the global CDF."""
+    ALL = "all"
     cv = (df.groupBy(group_col, value_col)
-          .agg(F.count("*").alias("_c"))).persist()
+          .agg(F.count("*").alias("_c"))).localCheckpoint(eager=False)
+    key = F.concat(F.lit("g:"), F.col(group_col).cast("string"))
     gv = (cv.groupBy(value_col).agg(F.sum("_c").alias("_c"))
-          .withColumn(group_col, F.lit(ALL)))
-    counts = (cv.select(group_col, value_col,
+          .select(F.lit(ALL).alias("_k"), F.col(value_col),
+                  F.col("_c").cast("long").alias("_c")))
+    counts = (cv.select(key.alias("_k"), F.col(value_col),
                         F.col("_c").cast("long").alias("_c"))
-              .unionByName(gv.select(group_col, value_col,
-                                     F.col("_c").cast("long").alias("_c"))))
-    groups = counts.select(group_col).distinct()
+              .unionByName(gv))
+    groups = counts.select("_k").distinct()
     vals = cv.select(value_col).distinct()
     grid = (groups.crossJoin(vals)
-            .join(counts, [group_col, value_col], "left")
+            .join(counts, ["_k", value_col], "left")
             .fillna({"_c": 0}))
-    wcum = (W.partitionBy(group_col).orderBy(value_col)
+    wcum = (W.partitionBy("_k").orderBy(value_col)
             .rowsBetween(W.unboundedPreceding, W.currentRow))
     cum = (grid.withColumn("_cum", F.sum("_c").over(wcum).cast("long"))
-           .persist())
-    tots = cum.groupBy(group_col).agg(F.max("_cum").alias("_n"))
-    cdf = (cum.join(F.broadcast(tots), group_col)
-           .select(group_col, value_col,
+           .localCheckpoint(eager=False))
+    tots = cum.groupBy("_k").agg(F.max("_cum").alias("_n"))
+    cdf = (cum.join(F.broadcast(tots), "_k")
+           .select("_k", value_col,
                    (F.col("_cum") / F.col("_n")).alias("_f")))
-    glob = (cdf.filter(F.col(group_col) == ALL)
+    glob = (cdf.filter(F.col("_k") == ALL)
             .select(F.col(value_col), F.col("_f").alias("_fg")))
-    return (cdf.filter(F.col(group_col) != ALL)
+    names = cv.select(key.alias("_k"), F.col(group_col)).distinct()
+    return (cdf.filter(F.col("_k") != ALL)
             .join(glob, value_col)
-            .groupBy(group_col)
+            .groupBy("_k")
             .agg(F.round(F.max(F.abs(F.col("_f") - F.col("_fg"))), 6)
                  .alias("ks_stat"))
-            .join(F.broadcast(tots.filter(F.col(group_col) != ALL)
-                              .select(group_col,
-                                      F.col("_n").alias("n_docs"))),
-                  group_col)
+            .join(F.broadcast(tots.filter(F.col("_k") != ALL)
+                              .select("_k", F.col("_n").alias("n_docs"))),
+                  "_k")
+            .join(F.broadcast(names), "_k")
             .select(group_col, F.col("n_docs").cast("long").alias("n_docs"),
                     "ks_stat"))
 

@@ -677,19 +677,23 @@ def power_iteration_pc1(emb: DataFrame, dim: int = 64, n_iters: int = 3,
            .select("j", "k",
                    F.expr(f"_cjk div {int(c_shift)}").alias("_cjk"))
            # each unrolled iteration references the covariance again —
-           # persist the 64x64 aggregate so the corpus pass runs once
-           .persist())
+           # a lazy localCheckpoint runs the corpus pass once AND lets
+           # the blocks be GC-reclaimed after the query (persist() pins
+           # them in the CacheManager for the session's lifetime)
+           .localCheckpoint(eager=False))
     spark = emb.sparkSession
     v = spark.range(dim).select(
         F.col("id").cast("int").alias("k"),
         F.lit(v_scale).cast("long").alias("_v"))
     for _ in range(n_iters):
-        # u feeds both the renormalizer and the next iterate; persist
-        # the 64-row table so the lineage DAG does not re-execute the
-        # shared subtree once per reference (2^k tiny jobs otherwise)
+        # u feeds both the renormalizer and the next iterate; a lazy
+        # localCheckpoint makes the 64-row table compute once so the
+        # lineage DAG does not re-execute the shared subtree once per
+        # reference (2^k tiny jobs otherwise), without pinning blocks
+        # in the CacheManager across the session
         u = (cov.join(F.broadcast(v), "k")
              .groupBy("j").agg(F.sum(F.col("_cjk") * F.col("_v"))
-                               .alias("_u"))).persist()
+                               .alias("_u"))).localCheckpoint(eager=False)
         umax = u.agg(F.max(F.abs("_u")).alias("_m"))
         # localCheckpoint (the LPA-loop convention) truncates the
         # iterate's lineage: without it the unrolled plan re-nests the
@@ -783,11 +787,17 @@ def kcenter_greedy(emb: DataFrame, k: int = 8, id_col: str = "vec_id",
     The recompute-per-round form (≤ k folds/point instead of a
     checkpointed running minimum) trades ≤ k× map work for having NO
     iterate state — at corpus scale each pass is scan-speed."""
+    spark = emb.sparkSession
+    schema = "sel_order int, vec_id long, radius2 long"
     q = (emb.select(F.col(id_col),
                     _fixed_vec(F.col(vec_col).cast("array<double>"),
                                scale).alias("_qe"))
          .persist())
-    seed = q.orderBy(F.col(id_col).asc()).limit(1).collect()[0]
+    seeds = q.orderBy(F.col(id_col).asc()).limit(1).collect()
+    if not seeds:
+        q.unpersist()
+        return spark.createDataFrame([], schema)
+    seed = seeds[0]
     centers = [(0, seed[id_col], 0, list(seed["_qe"]))]
     for r in range(1, k):
         carr = F.array(*[F.array(*[F.lit(int(v)) for v in c[3]])
@@ -797,10 +807,13 @@ def kcenter_greedy(emb: DataFrame, k: int = 8, id_col: str = "vec_id",
         top = (q.select(F.col(id_col), dmin.alias("_dmin"), "_qe")
                .orderBy(F.col("_dmin").desc(), F.col(id_col).asc())
                .limit(1).collect()[0])
+        if int(top["_dmin"]) == 0:
+            # max-min distance 0 ⇔ every point coincides with a
+            # selected center (k ≥ #distinct points): selecting more
+            # would only re-emit already-covered ids with radius2=0.
+            break
         centers.append((r, top[id_col], int(top["_dmin"]),
                         list(top["_qe"])))
     q.unpersist()
-    spark = emb.sparkSession
     return spark.createDataFrame(
-        [(o, int(i), int(d)) for o, i, d, _ in centers],
-        "sel_order int, vec_id long, radius2 long")
+        [(o, int(i), int(d)) for o, i, d, _ in centers], schema)

@@ -775,9 +775,16 @@ def pmi_collocations(df: DataFrame, top_k: int = 50, min_count: int = 5,
                                F.col("cw").alias("_cb")), "w2")
               .crossJoin(F.broadcast(totals))
               .crossJoin(F.broadcast(n_pairs)))
-    num = F.col("pair_count") * F.col("_n_tok") * F.col("_n_tok")
-    den = F.col("_n_bg") * F.col("_ca") * F.col("_cb")
+    # Multiply as DOUBLES (left-assoc, the same IEEE op sequence the
+    # oracle uses): an int64 product pair·n_tok² overflows BIGINT past
+    # ~3e9 corpus tokens — exactly where the scale story needs it —
+    # while the double product rounds identically in every engine.
+    num = (F.col("pair_count").cast("double")
+           * F.col("_n_tok").cast("double")
+           * F.col("_n_tok").cast("double"))
+    den = (F.col("_n_bg").cast("double")
+           * F.col("_ca").cast("double")
+           * F.col("_cb").cast("double"))
     return scored.select(
         "w1", "w2", F.col("pair_count").cast("long").alias("pair_count"),
-        F.round(F.log(num.cast("double") / den.cast("double")), 6)
-        .alias("pmi"))
+        F.round(F.log(num / den), 6).alias("pmi"))

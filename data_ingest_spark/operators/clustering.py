@@ -165,28 +165,39 @@ def louvain_distributed(edges: DataFrame, resolution: float = 0.5,
     m2 = deg.agg(F.sum("deg").alias("_m2"))  # 1-row, broadcast below
     # 2-coloring hash: first 8 md5 hex chars as an int (not crc32 —
     # md5 is the one stable hash every SQL engine shares, so an oracle
-    # can replay the identical color classes).
-    color = F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8),
-                   16, 10).cast("long")
-    labels = deg.select("id", F.col("id").alias("comm"),
-                        "deg", color.alias("_h"))
+    # can replay the identical color classes). The color is a PURE
+    # FUNCTION of the id, so eligibility is a filter on the edge list's
+    # src column — no label-frame column, no join, and the whole
+    # neighbor-join pipeline below runs on half the edges per round.
+    src_color = (F.conv(F.substring(F.md5(F.col("src").cast("string")),
+                                    1, 8), 16, 10).cast("long") % 2)
+    labels = deg.select("id", F.col("id").alias("comm"), "deg")
+    w_cdeg = W.partitionBy("comm")
 
     for i in range(max_iter):
-        comm_deg = labels.groupBy("comm").agg(F.sum("deg").alias("_cdeg"))
-        # neighbor-community weights per node
-        nb = (und.join(labels.select(F.col("id").alias("dst"),
-                                     F.col("comm").alias("_nc")), "dst")
-                 .groupBy(F.col("src").alias("id"), F.col("_nc"))
-                 .agg(F.sum("snn_weight").alias("_w")))
+        # Community degree rides the labels frame as a window sum (one
+        # exchange by comm) instead of a groupBy + re-join (two); the
+        # NEIGHBOR community's degree then arrives for free through the
+        # dst-side join below — every member of community C carries
+        # cdeg(C). Sums are exact float64-held integers (pre-scaled
+        # weights), so window-sum order cannot change the value.
+        labels_c = labels.withColumn("_cdeg", F.sum("deg").over(w_cdeg))
+        # neighbor-community weights per ELIGIBLE node
+        nb = (und.filter(src_color == (i % 2))
+              .join(labels_c.select(F.col("id").alias("dst"),
+                                    F.col("comm").alias("_nc"),
+                                    F.col("_cdeg").alias("_ncdeg")), "dst")
+              .groupBy(F.col("src").alias("id"), F.col("_nc"))
+              .agg(F.sum("snn_weight").alias("_w"),
+                   F.first("_ncdeg").alias("_ncdeg")))
         cand = (
-            nb.join(labels.select("id", "comm", "deg", "_h"), "id")
-              .join(comm_deg.withColumnRenamed("comm", "_nc"), "_nc")
+            nb.join(labels_c.select("id", "comm", "deg"), "id")
               .crossJoin(F.broadcast(m2))
               .withColumn(
                   "_cdeg_adj",
                   F.when(F.col("_nc") == F.col("comm"),
-                         F.col("_cdeg") - F.col("deg"))
-                   .otherwise(F.col("_cdeg")))
+                         F.col("_ncdeg") - F.col("deg"))
+                   .otherwise(F.col("_ncdeg")))
               # Op order ((γ·deg)·cdeg)/m2 is part of the oracle
               # contract: with integer-valued (pre-scaled) weights
               # every input is float64-exact, so the two roundings
@@ -197,19 +208,19 @@ def louvain_distributed(edges: DataFrame, resolution: float = 0.5,
                   F.col("_w") - F.lit(resolution) * F.col("deg")
                   * F.col("_cdeg_adj") / F.col("_m2"))
         )
-        # best positive move per eligible node (color class i % 2),
-        # tie-break to the smallest community id
-        eligible = cand.filter((F.col("_h") % 2) == (i % 2))
+        # best positive move per eligible node, tie-break to the
+        # smallest community id; the window reuses the id partitioning
+        # of the join just above — no extra exchange.
         w_best = W.partitionBy("id").orderBy(F.desc("_gain"), F.asc("_nc"))
         best = (
-            eligible.filter(F.col("_gain") > 1e-12)
+            cand.filter(F.col("_gain") > 1e-12)
             .withColumn("_rk", F.row_number().over(w_best))
             .filter(F.col("_rk") == 1)
             .select("id", F.col("_nc").alias("_new"))
         )
         labels = (labels.join(best, "id", "left")
                   .select("id", F.coalesce("_new", "comm").alias("comm"),
-                          "deg", "_h"))
+                          "deg"))
         if (i + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint()
 

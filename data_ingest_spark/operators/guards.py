@@ -22,6 +22,29 @@ from pyspark.sql import DataFrame
 DRIVER_ROWS_CEILING = 1_000_000
 
 
+#: Default ceiling for broadcast-cartesian pair enumeration (exact MNN
+#: anchor search): 100M pairs ≈ a few GB of shuffled (ids, int64) rows
+#: — comfortably within one stage locally, catastrophically wrong at
+#: 10⁶ × 10⁶. Override per-call.
+PAIR_CEILING = 100_000_000
+
+
+def assert_pair_ceiling(n_a: int, n_b: int, what: str, alternative: str,
+                        ceiling: int | None = None) -> int:
+    """Raise if an all-pairs step would enumerate more than ``ceiling``
+    pairs. Takes the two side counts (callers usually have them from
+    cheap aggregates); returns the pair count."""
+    lim = PAIR_CEILING if ceiling is None else ceiling
+    n = n_a * n_b
+    if n > lim:
+        raise ValueError(
+            f"{what}: {n_a:,} x {n_b:,} = {n:,} candidate pairs, above "
+            f"the broadcast-cartesian ceiling of {lim:,}. This is the "
+            f"exact correctness anchor; for inputs this size use "
+            f"{alternative}.")
+    return n
+
+
 def assert_driver_ceiling(df: DataFrame, what: str, alternative: str,
                           ceiling: int | None = None) -> int:
     """Count ``df`` and raise if it exceeds the driver-side ceiling.

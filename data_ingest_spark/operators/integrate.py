@@ -211,7 +211,8 @@ def integrate_mnn_distributed(pc_cols: DataFrame, k_anchor: int = 5,
 
 def mnn_anchor_pairs(pc_arr: DataFrame, sample_a: str, sample_b: str,
                      k: int = 5, id_col: str = "barcode",
-                     vec_col: str = "pc") -> DataFrame:
+                     vec_col: str = "pc",
+                     max_pairs: int | None = None) -> DataFrame:
     """The exact-kNN core of MNN anchor finding, as a hash-checkable
     DataFrame op: (ida, idb, d2) pairs where each side ranks within
     the other's k nearest (squared Euclidean, ties broken by id — the
@@ -224,11 +225,18 @@ def mnn_anchor_pairs(pc_arr: DataFrame, sample_a: str, sample_b: str,
     fold, and the two rank windows reuse one cross table — two
     shuffles. At 100× batch sizes swap the broadcast cross for the
     LSH candidate join of :func:`integrate_mnn_distributed`; this
-    exact variant is its correctness anchor."""
+    exact variant is its correctness anchor. The cartesian is
+    ceiling-guarded (guards.assert_pair_ceiling, default 100M pairs):
+    above-ceiling batches fail fast with a pointer at the LSH sibling
+    instead of silently enumerating 10⁶ × 10⁶."""
+    from data_ingest_spark.operators.guards import assert_pair_ceiling
     a = (pc_arr.filter(F.col("sample") == sample_a)
          .select(F.col(id_col).alias("ida"), F.col(vec_col).alias("va")))
     b = (pc_arr.filter(F.col("sample") == sample_b)
          .select(F.col(id_col).alias("idb"), F.col(vec_col).alias("vb")))
+    assert_pair_ceiling(a.count(), b.count(),
+                        "exact MNN anchor search (mnn_anchor_pairs)",
+                        "integrate_mnn_distributed", max_pairs)
     d2 = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
         F.lit(0.0), lambda acc, x: acc + x)
@@ -269,7 +277,8 @@ def _d2q_udf():
 def integrate_mnn_exact(pc_arr: DataFrame, k_anchor: int = 5,
                         k_weight: int = 10, scale: int = 10**6,
                         id_col: str = "barcode",
-                        vec_col: str = "pc") -> DataFrame:
+                        vec_col: str = "pc",
+                        max_pairs: int | None = None) -> DataFrame:
     """Oracle-exact MNN integration: the complete v1/v2 semantics
     (reference = lexicographically first sample, mutual-k-nearest
     anchors, inverse-squared-distance-weighted mean of the k_weight
@@ -304,6 +313,17 @@ def integrate_mnn_exact(pc_arr: DataFrame, k_anchor: int = 5,
             [], "sample string, barcode string, dim int, value double")
     ref = q.filter(F.col("sample") == ref_s)
     qry = q.filter(F.col("sample") != ref_s).localCheckpoint(eager=False)
+
+    # The query × reference cross below is the correctness anchor and
+    # deliberately exact; the guard makes "exact on a cluster-sized
+    # batch" an error instead of a 10⁶ × 10⁶ cartesian. Both counts
+    # are cheap: ref/qry are slim projections of one scan, and qry is
+    # about to be materialized by its checkpoint anyway.
+    from data_ingest_spark.operators.guards import assert_pair_ceiling
+    assert_pair_ceiling(qry.count(), ref.count(),
+                        "exact MNN integration (integrate_mnn_exact)",
+                        "integrate_mnn_distributed or integrate_auto",
+                        max_pairs)
 
     # Both rank windows shuffle ONLY (ids, int distance) — the 64-dim
     # arrays would multiply the window shuffle ~40x; vectors re-attach
@@ -427,3 +447,36 @@ def integrate_mnn_exact(pc_arr: DataFrame, k_anchor: int = 5,
     return (passthrough.unionByName(fixed)
             .select("sample", "barcode", F.col("dim").cast("int").alias("dim"),
                     (F.round("value", 6) + F.lit(0.0)).alias("value")))
+
+
+def integrate_auto(pc_arr: DataFrame, k_anchor: int = 5,
+                   k_weight: int = 10,
+                   max_pairs: int | None = None,
+                   id_col: str = "barcode",
+                   vec_col: str = "pc", **lsh_kwargs) -> DataFrame:
+    """Strategy gate mirroring ``knn_auto``: exact MNN integration
+    while query × reference stays under the broadcast-cartesian
+    ceiling, LSH-bucketed :func:`integrate_mnn_distributed` beyond it.
+    The two cheap counts reuse the slim projection the exact path
+    would build anyway. Output schema follows the chosen path:
+    per-dimension rows (exact) vs per-cell wide columns (distributed)
+    — both carry (sample, barcode) keys."""
+    from data_ingest_spark.operators.guards import PAIR_CEILING
+    lim = PAIR_CEILING if max_pairs is None else max_pairs
+    ref_s = pc_arr.agg(F.min("sample")).collect()[0][0]
+    if ref_s is None:
+        return pc_arr.sparkSession.createDataFrame(
+            [], "sample string, barcode string, dim int, value double")
+    n_ref = pc_arr.filter(F.col("sample") == ref_s).count()
+    n_qry = pc_arr.filter(F.col("sample") != ref_s).count()
+    if n_qry * n_ref <= lim:
+        return integrate_mnn_exact(pc_arr, k_anchor=k_anchor,
+                                   k_weight=k_weight, id_col=id_col,
+                                   vec_col=vec_col, max_pairs=max_pairs)
+    dims = pc_arr.select(F.max(F.size(vec_col))).collect()[0][0] or 0
+    pc_cols = pc_arr.select(
+        "sample", F.col(id_col).alias("barcode"),
+        *[F.col(vec_col).getItem(i).cast("double").alias(f"pc_{i}")
+          for i in range(dims)])
+    return integrate_mnn_distributed(pc_cols, k_anchor=k_anchor,
+                                     k_weight=k_weight, **lsh_kwargs)

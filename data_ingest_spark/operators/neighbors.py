@@ -177,6 +177,39 @@ def knn_exact(scores: DataFrame, k: int = 20,
         fn, "src string, dst string, cosine double, rank int")
 
 
+def knn_exact_cached(scores: DataFrame, k: int = 20,
+                     id_cols: tuple[str, ...] = ("sample", "barcode"),
+                     vec_col: str = "pc",
+                     stage_key: str | None = None) -> DataFrame:
+    """kNN edge list as a MATERIALIZED content-keyed artifact.
+
+    The reference computes the neighbor graph once (FindNeighbors,
+    /root/reference/src/QC_helpers/configureEmbedding.r:111-113) and
+    stores it on the object (`@graphs`); SNN pruning, clustering and
+    the spectral embedding all read that one graph. This helper is the
+    Spark equivalent: the first caller computes :func:`knn_exact` and
+    writes the (src, dst, cosine, rank) edges next to the staged
+    matrix under a key derived from the INPUT CONTENT and ``k``; every
+    later consumer is a parquet scan. At 100 TB recomputing a kNN
+    graph per consumer is the single biggest avoidable cost in the
+    clustering family — checkpointing it is the plan you'd want.
+
+    Without a ``stage_key`` this degrades to a plain :func:`knn_exact`
+    (no reuse is possible if the input content can't be named)."""
+    if stage_key is None:
+        return knn_exact(scores, k=k, id_cols=id_cols, vec_col=vec_col)
+    import os
+    import re
+    import tempfile
+    safe = re.sub(r"[^A-Za-z0-9_.-]", "_", stage_key)
+    stage_dir = os.path.join(tempfile.gettempdir(), f"knn_stage_{safe}")
+    epath = os.path.join(stage_dir, f"edges_k{k}.parquet")
+    if not os.path.exists(os.path.join(epath, "_SUCCESS")):
+        knn_exact(scores, k=k, id_cols=id_cols, vec_col=vec_col,
+                  stage_key=stage_key).write.mode("overwrite").parquet(epath)
+    return scores.sparkSession.read.parquet(epath)
+
+
 def knn_lsh(scores: DataFrame, k: int = 20, bucket_length: float = 0.5,
             num_tables: int = 3,
             id_cols: tuple[str, ...] = ("sample", "barcode"),

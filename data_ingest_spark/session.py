@@ -36,7 +36,13 @@ def get_spark(app_name: str = "data-ingest-spark", cpus: int | None = None) -> S
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Local mode is ONE JVM holding all 32 executor threads'
+        # working sets plus every broadcast and checkpoint block: an
+        # 8g heap measured ~1.3x slower across a 60-query suite purely
+        # from old-gen GC churn (r4 bench regression). 24g matches the
+        # machine (128 GiB); on a real cluster executors get their own
+        # heaps and this knob is the driver only.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

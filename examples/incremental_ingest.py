@@ -1,0 +1,187 @@
+"""End-to-end INCREMENTAL ingest loop: the 100 TB maintenance story.
+
+A corpus that grows by batches must never pay an O(corpus) rescan per
+batch. This example wires the engine's three mergeable-state families
+into one documented loop with an exactly-once ledger:
+
+  1. fuzzy-dedup index   (extensions.dedup_index) — new docs are
+     MinHash-banded and joined against the STORED band table (archive
+     co-located by bucket, never re-shingled); the batch then appends.
+  2. IVF ANN index state (extensions.similarity.ivf_assign_state /
+     merge_ivf_state) — per-(cell, dim) integer partial sums; merging
+     a batch's state is bit-identical to recomputing over the union.
+  3. quality rollups     (extensions.cdc.agg_state/merge_agg_state +
+     extensions.sketches.equi_width_hist/merge_hists) — DECIMAL /
+     integer states, associative by construction.
+
+Exactly-once: every batch carries a caller-assigned ``batch_id``; a
+one-column parquet ledger records applied ids, and ``ingest_batch``
+refuses to re-apply one it has seen — so a crashed-and-replayed
+orchestrator run is a NO-OP, the same posture as the streaming ingest
+path (streaming/ingest.py's idempotent sink). The replay-idempotence
+property is pinned by tests/test_incremental_example.py.
+
+    python examples/incremental_ingest.py [workdir]
+
+Reference lifecycle being mirrored: the reference pipeline is
+batch-rebuild-everything (docker-entrypoint.sh runs all 6 stages per
+experiment); this is the architecture you need instead when the
+"experiment" is a 100 TB corpus receiving daily batches.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+# --------------------------------------------------------------- ledger
+
+def _ledger_path(root: str) -> str:
+    return os.path.join(root, "ledger")
+
+
+def applied_batches(spark: SparkSession, root: str) -> set[str]:
+    p = _ledger_path(root)
+    if not os.path.exists(p):
+        return set()
+    return {r["batch_id"] for r in spark.read.parquet(p).collect()}
+
+
+def _record_batch(spark: SparkSession, root: str, batch_id: str) -> None:
+    (spark.createDataFrame([(batch_id,)], "batch_id string")
+     .coalesce(1).write.mode("append").parquet(_ledger_path(root)))
+
+
+# ------------------------------------------------------------ the loop
+
+def init_state(spark: SparkSession, root: str, docs: DataFrame,
+               emb: DataFrame, events: DataFrame, n_cells: int = 4) -> None:
+    """Bootstrap all index/state tables from the seed corpus."""
+    from data_ingest_spark.extensions.cdc import agg_state
+    from data_ingest_spark.extensions.dedup_index import build_dedup_index
+    from data_ingest_spark.extensions.similarity import (ivf_assign_state,
+                                                         ivf_seed_centroids)
+    from data_ingest_spark.extensions.sketches import equi_width_hist
+
+    build_dedup_index(docs, os.path.join(root, "dedup"))
+    # Centroids are FROZEN at bootstrap (the IVF contract: cell
+    # geometry stays fixed; nightly merges only move the per-cell
+    # sums). Re-seeding would invalidate every stored assignment.
+    cents = ivf_seed_centroids(emb, k=n_cells)
+    cents.write.mode("overwrite").parquet(os.path.join(root, "ivf_centroids"))
+    cents2 = spark.read.parquet(os.path.join(root, "ivf_centroids"))
+    (ivf_assign_state(emb, cents2)
+     .write.mode("overwrite").parquet(os.path.join(root, "ivf_state")))
+    (agg_state(events, ["event_type"])
+     .write.mode("overwrite").parquet(os.path.join(root, "rollup")))
+    (equi_width_hist(docs.select(F.length("text")
+                                 .cast("double").alias("v")),
+                     "v", 0.0, 4000.0, 20)
+     .write.mode("overwrite").parquet(os.path.join(root, "hist")))
+    _record_batch(spark, root, "seed")
+
+
+def ingest_batch(spark: SparkSession, root: str, batch_id: str,
+                 docs: DataFrame, emb: DataFrame,
+                 events: DataFrame) -> DataFrame | None:
+    """Apply one batch to every state table; returns the batch's
+    near-dup pairs against the archive, or None if ``batch_id`` was
+    already applied (replay ⇒ no-op). Each step is O(batch), never
+    O(corpus): the archive participates only through co-located
+    stored tables and small mergeable states."""
+    from data_ingest_spark.extensions.cdc import agg_state, merge_agg_state
+    from data_ingest_spark.extensions.dedup_index import update_dedup_index
+    from data_ingest_spark.extensions.similarity import (ivf_assign_state,
+                                                         merge_ivf_state)
+    from data_ingest_spark.extensions.sketches import (equi_width_hist,
+                                                       merge_hists)
+
+    if batch_id in applied_batches(spark, root):
+        return None
+
+    # 1. fuzzy dedup: batch vs archive, then append to the index
+    pairs = update_dedup_index(spark, os.path.join(root, "dedup"), docs)
+
+    # 2. IVF state merge (⊕ of integer partials ≡ recompute)
+    cents = spark.read.parquet(os.path.join(root, "ivf_centroids"))
+    old_ivf = spark.read.parquet(os.path.join(root, "ivf_state"))
+    new_ivf = merge_ivf_state(old_ivf, ivf_assign_state(emb, cents))
+    _swap(spark, new_ivf, os.path.join(root, "ivf_state"))
+
+    # 3. rollup + histogram merges
+    old_roll = spark.read.parquet(os.path.join(root, "rollup"))
+    _swap(spark, merge_agg_state(old_roll, agg_state(events, ["event_type"]),
+                                 ["event_type"]),
+          os.path.join(root, "rollup"))
+    old_hist = spark.read.parquet(os.path.join(root, "hist"))
+    batch_hist = equi_width_hist(
+        docs.select(F.length("text").cast("double").alias("v")),
+        "v", 0.0, 4000.0, 20)
+    _swap(spark, merge_hists(old_hist, batch_hist),
+          os.path.join(root, "hist"))
+
+    _record_batch(spark, root, batch_id)
+    return pairs
+
+
+def _swap(spark: SparkSession, df: DataFrame, path: str) -> None:
+    """Write-new-then-replace for a state table: materialize to a
+    sibling dir first so the new state's lineage (which READS the old
+    state) never races its own overwrite."""
+    tmp = path + "_next"
+    df.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+
+
+# ------------------------------------------------------------- demo run
+
+def main() -> int:
+    import tempfile
+
+    from data_ingest_spark.session import get_spark
+
+    root = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(
+        prefix="incremental_")
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    spark = get_spark("incremental-ingest", cpus=8)
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = (spark.read.parquet(f"{sf}/embeddings.parquet")
+           .select("vec_id", F.transform("embedding",
+                                         lambda x: x.cast("double"))
+                   .alias("embedding")))
+    ev = (spark.read.parquet(f"{sf}/events.parquet")
+          .select("event_type", F.col("value").cast("double").alias("value"),
+                  (F.col("ts") / F.lit(1_000_000_000)).cast("timestamp")
+                  .alias("ts")))
+
+    seed_docs = docs.filter(F.col("doc_id") % 3 == 0)
+    b1_docs = docs.filter(F.col("doc_id") % 3 == 1)
+    seed_emb, b1_emb = (emb.filter(F.col("vec_id") % 3 == 0),
+                        emb.filter(F.col("vec_id") % 3 == 1))
+    seed_ev, b1_ev = (ev.filter(F.dayofmonth("ts") % 2 == 0),
+                      ev.filter(F.dayofmonth("ts") % 2 == 1))
+
+    print(f"state root: {root}")
+    init_state(spark, root, seed_docs, seed_emb, seed_ev)
+    print("seeded:", sorted(applied_batches(spark, root)))
+
+    pairs = ingest_batch(spark, root, "day-1", b1_docs, b1_emb, b1_ev)
+    print("day-1 near-dup pairs vs archive:", pairs.count())
+    replay = ingest_batch(spark, root, "day-1", b1_docs, b1_emb, b1_ev)
+    print("day-1 replay =>", "no-op" if replay is None else "BUG")
+
+    roll = spark.read.parquet(os.path.join(root, "rollup"))
+    print("rollup keys:", roll.count(),
+          "events:", roll.agg(F.sum("cnt")).collect()[0][0])
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -33,6 +33,38 @@ def test_integrate_mnn_raises_above_ceiling(pc10):
         ig.integrate_mnn(pc10, max_driver_rows=5)
 
 
+@pytest.fixture(scope="module")
+def pc_arr2(spark):
+    """Two samples x 6 cells of 4-dim arrays for the exact-MNN guard."""
+    rows = [(s, f"{s}_c{i}", [float(i + j) for j in range(4)])
+            for s in ("sa", "sb") for i in range(6)]
+    return spark.createDataFrame(
+        rows, "sample string, barcode string, pc array<double>")
+
+
+def test_exact_mnn_refuses_above_pair_ceiling(pc_arr2):
+    """The broadcast-cartesian correctness anchor must fail fast when
+    N_qry x N_ref exceeds the pair ceiling (6 x 6 = 36 > 10)."""
+    with pytest.raises(ValueError, match="integrate_mnn_distributed"):
+        ig.integrate_mnn_exact(pc_arr2, max_pairs=10)
+    with pytest.raises(ValueError, match="integrate_mnn_distributed"):
+        ig.mnn_anchor_pairs(pc_arr2, "sa", "sb", max_pairs=10)
+    # under the ceiling both run: 12 cells x 4 dims = 48 output rows
+    assert ig.integrate_mnn_exact(pc_arr2, max_pairs=100).count() == 48
+
+
+def test_integrate_auto_routes_by_pair_count(pc_arr2):
+    """integrate_auto dispatches exact under the ceiling (per-dim rows)
+    and the LSH-distributed sibling above it (wide pc_i columns)."""
+    exact = ig.integrate_auto(pc_arr2, max_pairs=100)
+    assert set(exact.columns) == {"sample", "barcode", "dim", "value"}
+    assert exact.count() == 48
+    dist = ig.integrate_auto(pc_arr2, max_pairs=10, k_anchor=2, k_weight=3)
+    assert set(dist.columns) == {"sample", "barcode",
+                                 "pc_0", "pc_1", "pc_2", "pc_3"}
+    assert dist.count() == 12
+
+
 def test_louvain_driver_raises_above_ceiling(spark):
     edges = spark.createDataFrame(
         [(f"a{i}", f"b{i}", 1.0) for i in range(10)],

@@ -93,6 +93,35 @@ def test_ks_drift_disjoint_supports(spark):
     assert out["a"] == 0.5 and out["b"] == 0.5
 
 
+def test_ks_drift_group_named_all_is_a_real_group(spark):
+    """A source literally named '__all__' (or 'all') must be treated
+    as an ordinary group, not merged into the global CDF (r4 ADVICE:
+    sentinel collision). With groups {'__all__': {1,2}, 'all': {3,4}}
+    both drift by 0.5 against the 4-doc global distribution."""
+    rows = [("__all__", 1), ("__all__", 2), ("all", 3), ("all", 4)]
+    df = spark.createDataFrame(rows, ["source", "n_chars"])
+    out = {r["source"]: r for r in ks_drift(df).collect()}
+    assert set(out) == {"__all__", "all"}
+    assert out["__all__"]["ks_stat"] == 0.5 and out["all"]["ks_stat"] == 0.5
+    assert out["__all__"]["n_docs"] == 2 and out["all"]["n_docs"] == 2
+
+
+def test_kcenter_greedy_empty_and_k_exceeds_n(spark):
+    """r4 ADVICE edge cases: empty corpus -> empty result (no
+    IndexError); k > #distinct points -> stop at coverage instead of
+    re-emitting covered ids with radius2=0."""
+    from data_ingest_spark.extensions.similarity import kcenter_greedy
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert kcenter_greedy(empty, k=3).count() == 0
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        ["vec_id", "embedding"])
+    out = sorted(kcenter_greedy(df, k=8).collect(),
+                 key=lambda r: r["sel_order"])
+    assert [r["vec_id"] for r in out] == [0, 1, 2]
+    assert len({r["vec_id"] for r in out}) == 3
+
+
 def test_doc_keywords_prefers_rare_tokens(spark):
     df = spark.createDataFrame(
         [(0, "common rare rare"), (1, "common other"),
