@@ -2696,11 +2696,10 @@ def q_louvain_dist(spark, sf):
     return cl.louvain_distributed(snn, resolution=0.5, max_iter=8)
 
 
-@_q("m2_doublet_scores")
-def q_doublet_scores(spark, sf):
-    from data_ingest_spark.operators import doublets as db
-    out = db.doublet_scores(expr_df(spark, sf), seed=42)
-    return out.withColumn("doublet_scores", F.round("doublet_scores", 6))
+# (m2_doublet_scores — the applyInPandas small-sample fallback twin —
+# was retired from the registry in round 5: m2_doublets_native is the
+# oracled default and the fallback stays covered by
+# tests/test_ml_pipeline.py's property tests.)
 
 
 @_q("m2_doublets_native", f"""
@@ -2977,27 +2976,165 @@ def q_qc_filters(spark, sf):
         F.round("fraction_mt", 9).alias("fraction_mt"))
 
 
-@_q("p1_qc_pipeline")
+def _p1_oracle_sql(nfeat: int = 64, lpa_iters: int = 5) -> str:
+    """Full-value oracle for the end-to-end QC chain: size/mito
+    filters → (doublet gate, output-invariant at threshold 1.0) →
+    LogNormalize → vst-quad HVG top-N → ScaleData → scaled-HVG
+    reduced space → exact cosine kNN(10) → SNN Jaccard prune →
+    fixed-point LPA. Composed verbatim from the per-step oracles
+    (p2 cells, m5, m6_vst_quad, m7, m12, m13's LPA rounds)."""
+    sql = f"""
+WITH expr AS (SELECT l_returnflag AS sample, l_orderkey AS barcode,
+                     l_partkey AS gene, l_quantity AS cnt
+              FROM lineitem WHERE l_orderkey % 20 = 0),
+ cells0 AS (SELECT sample, barcode, SUM(cnt) AS ncount,
+                   CAST(COUNT(CASE WHEN cnt > 0 THEN 1 END) AS BIGINT)
+                     AS nfeature,
+                   SUM(CASE WHEN gene % 50 = 0 THEN cnt ELSE 0 END)
+                     / SUM(cnt) AS fmt
+            FROM expr GROUP BY 1, 2),
+ kept AS MATERIALIZED (SELECT sample, barcode, ncount, nfeature
+          FROM cells0 WHERE ncount >= 30 AND fmt <= 0.2),
+ fx AS MATERIALIZED (SELECT e.sample, e.barcode, e.gene, e.cnt
+       FROM expr e JOIN kept k
+         ON e.sample = k.sample AND e.barcode = k.barcode),
+ nc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM kept),
+ g AS (SELECT gene, SUM(cnt) AS s, SUM(cnt * cnt) AS ss FROM fx GROUP BY 1),
+ mom AS (SELECT gene, s / n AS mean, (ss - s * s / n) / (n - 1.0) AS variance,
+                n FROM g, nc),
+ pos AS (SELECT gene, mean, variance, n,
+                log10(mean) AS x, log10(variance) AS y
+         FROM mom WHERE variance > 0.0),
+ xm AS (SELECT AVG(x) AS xm FROM pos),
+ pu AS (SELECT pos.*, x - xm AS u FROM pos, xm),
+ sums AS (SELECT CAST(COUNT(*) AS DOUBLE) AS s0, SUM(u) AS s1,
+                 SUM(u * u) AS s2, SUM(u * u * u) AS s3,
+                 SUM(u * u * u * u) AS s4, SUM(y) AS sy,
+                 SUM(u * y) AS suy, SUM(u * u * y) AS su2y
+          FROM pu),
+ coef AS (SELECT
+   (s0*(s2*s4-s3*s3) - s1*(s1*s4-s2*s3) + s2*(s1*s3-s2*s2)) AS det,
+   (sy*(s2*s4-s3*s3) - s1*(suy*s4-su2y*s3) + s2*(suy*s3-su2y*s2)) AS n0,
+   (s0*(suy*s4-su2y*s3) - sy*(s1*s4-s2*s3) + s2*(s1*su2y-s2*suy)) AS n1,
+   (s0*(s2*su2y-s3*suy) - s1*(s1*su2y-s3*sy) + sy*(s1*s3-s2*s2)) AS n2
+   FROM sums),
+ fit AS (SELECT pu.gene, pu.mean, pu.n,
+                sqrt(power(10.0, (c.n0 / c.det) + (c.n1 / c.det) * pu.u
+                                 + (c.n2 / c.det) * pu.u * pu.u)) AS sd_exp
+         FROM pu, coef c),
+ pg AS (SELECT e.gene,
+               SUM(LEAST(sqrt(f.n), (e.cnt - f.mean) / f.sd_exp)
+                   * LEAST(sqrt(f.n), (e.cnt - f.mean) / f.sd_exp)) AS s_nz,
+               CAST(COUNT(*) AS DOUBLE) AS nnz,
+               ANY_VALUE(f.mean) AS mean, ANY_VALUE(f.sd_exp) AS sd_exp,
+               ANY_VALUE(f.n) AS n
+        FROM fx e JOIN fit f ON e.gene = f.gene GROUP BY 1),
+ sv AS (SELECT gene,
+               ROUND((s_nz + (n - nnz) * (mean / sd_exp) * (mean / sd_exp))
+                     / (n - 1.0), 6) AS r
+        FROM pg),
+ hvg AS MATERIALIZED (SELECT gene FROM sv ORDER BY r DESC, gene
+                      LIMIT {nfeat}),
+ gi AS MATERIALIZED (SELECT gene,
+        CAST(ROW_NUMBER() OVER (ORDER BY gene) AS INTEGER) - 1 AS gidx
+       FROM hvg),
+ tot AS (SELECT sample, barcode, SUM(cnt) AS t FROM fx GROUP BY 1, 2),
+ hn AS (SELECT e.sample, e.barcode, e.gene,
+               ln(1.0 + e.cnt / t.t * 10000.0) AS v
+        FROM fx e JOIN tot t
+          ON e.sample = t.sample AND e.barcode = t.barcode
+        JOIN hvg h ON e.gene = h.gene),
+ st AS (SELECT gene, SUM(v) AS sv2, SUM(v * v) AS ssv FROM hn GROUP BY 1),
+ mo AS (SELECT gene, sv2 / n AS mu,
+               sqrt((ssv - sv2 * sv2 / n) / (n - 1.0)) AS sd
+        FROM st, nc),
+ sc AS (SELECT hn.sample, hn.barcode, hn.gene,
+               CASE WHEN mo.sd <= 0.0 THEN 0.0
+                    ELSE LEAST(10.0, (hn.v - mo.mu) / mo.sd) END AS scaled
+        FROM hn JOIN mo ON hn.gene = mo.gene),
+ ssum AS (SELECT sample, barcode, gene, SUM(scaled) AS sv3
+          FROM sc GROUP BY 1, 2, 3),
+ vcell AS (SELECT DISTINCT sample, barcode FROM sc),
+ vec AS MATERIALIZED (
+   SELECT c.sample || '_' || CAST(c.barcode AS VARCHAR) AS id,
+          list(COALESCE(s.sv3, 0.0) ORDER BY g.gidx) AS v
+   FROM vcell c CROSS JOIN gi g
+   LEFT JOIN ssum s ON s.sample = c.sample AND s.barcode = c.barcode
+                   AND s.gene = g.gene
+   GROUP BY 1),
+ s2c AS (SELECT a.id AS src, b.id AS dst,
+               ROUND(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+         FROM vec a CROSS JOIN vec b WHERE a.id <> b.id),
+ rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                  ORDER BY cosine DESC, dst) AS rnk FROM s2c),
+ e AS MATERIALIZED (SELECT src, dst FROM rk WHERE rnk <= 10),
+ i2 AS (SELECT a.src AS u, b.src AS w2, COUNT(*) AS c
+        FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+        GROUP BY 1, 2),
+ sn AS (SELECT u, w2, CAST(c * ({_LPA_SCALE} // (20 - c)) AS DOUBLE) AS w
+        FROM i2 WHERE c / (20.0 - c) >= 1.0 / 15.0),
+ und AS MATERIALIZED (SELECT u AS src, w2 AS dst, w FROM sn
+         UNION ALL SELECT w2, u, w FROM sn),
+ l0 AS MATERIALIZED (
+   SELECT src AS id, src AS label FROM (SELECT DISTINCT src FROM und))"""
+    for k in range(lpa_iters):
+        sql += f""",
+ v{k} AS (SELECT e.src, l.label AS nl, SUM(e.w) AS w
+          FROM und e JOIN l{k} l ON e.dst = l.id GROUP BY 1, 2),
+ b{k} AS (SELECT src, MIN(nl) AS new FROM (
+            SELECT src, nl, w, MAX(w) OVER (PARTITION BY src) AS mw
+            FROM v{k}) t
+          WHERE w >= mw GROUP BY src),
+ l{k + 1} AS MATERIALIZED (
+   SELECT l.id, COALESCE(b.new, l.label) AS label
+   FROM l{k} l LEFT JOIN b{k} b ON l.id = b.src)"""
+    return sql + f"""
+SELECT k.sample, k.barcode, l.label AS cluster,
+       CAST(k.ncount AS DOUBLE) AS ncount, k.nfeature
+FROM kept k LEFT JOIN l{lpa_iters} l
+  ON (k.sample || '_' || CAST(k.barcode AS VARCHAR)) = l.id"""
+
+
+@_q("p1_qc_pipeline", _p1_oracle_sql())
 def q_qc_pipeline(spark, sf):
-    """End-to-end stage 1→4 chain (filters → doublets → normalize →
-    HVG → scale → PCA → kNN/SNN → clustering) on a 1-in-20 barcode
-    subsample; returns the final cells table."""
+    """End-to-end stage 1→4 chain under a FULL value oracle: size +
+    mito filters → doublet gate (grid scorer runs; threshold 1.0 so
+    the gate is output-invariant and the oracle need not replay the
+    simulation) → LogNormalize → vst-quad HVG → ScaleData →
+    reduction='none' (cluster on the scaled HVG space — PCA is
+    deterministic only up to eigen-sign, so the SQL-replayable
+    composite pins the no-eigen path; m8/x99 pin the eigen stage on
+    their own) → exact kNN → SNN → fixed-point LPA — all through
+    run_qc's Experiment/subset_cells orchestration on a 1-in-20
+    barcode subsample. The Huber-IRLS band step is excluded (its
+    iterative reweighting is not SQL-replayable; m4/f11 pin that
+    operator separately)."""
     from data_ingest_spark.pipeline import Experiment, assemble_cells, run_qc
     expr = expr_df(spark, sf).filter(F.col("barcode") % 20 == 0)
     genes = expr.select("gene").distinct().withColumn(
-        "name", F.concat(F.lit("G"), F.col("gene")))
+        "name",
+        F.when(F.col("gene") % 50 == 0,
+               F.concat(F.lit("MT-"), F.col("gene")))
+        .otherwise(F.concat(F.lit("G"), F.col("gene"))))
     cells = assemble_cells(expr, genes=genes)
     exp = Experiment(expression=expr, cells=cells, genes=genes)
     final, _ = run_qc(exp, {
-        "cellSizeDistribution": {"minCellSize": 1.0},
+        "cellSizeDistribution": {"minCellSize": 30.0},
+        "mitochondrialContent": {"maxFraction": 0.2},
         "doubletScores": {"probabilityThreshold": 1.0},
-        "dataIntegration": {"nfeatures": 200, "numPCs": 10,
-                            "integrate": False},
-        "configureEmbedding": {"k": 10, "computeEmbedding": False},
-    })
-    return final.cells.select("sample", "barcode", "cluster",
-                              F.col("nCount_RNA").cast("double").alias("ncount"),
-                              F.col("nFeature_RNA").cast("long").alias("nfeature"))
+        "dataIntegration": {"nfeatures": 64,
+                            "selection_method": "vst_quad",
+                            "reduction": "none", "integrate": False},
+        "configureEmbedding": {"k": 10, "computeEmbedding": False,
+                               "lpaIter": 5},
+    }, order=["cellSizeDistribution", "mitochondrialContent", "classifier",
+              "doubletScores", "dataIntegration", "configureEmbedding"])
+    return final.cells.select(
+        "sample", "barcode", "cluster",
+        F.col("nCount_RNA").cast("double").alias("ncount"),
+        F.col("nFeature_RNA").cast("long").alias("nfeature"))
 
 
 @_q("x34_decontam", f"""

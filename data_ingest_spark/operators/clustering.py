@@ -29,6 +29,25 @@ from collections import defaultdict
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 
+#: Fixed-point scale for LPA/Louvain vote weights: LCM(10..19), so
+#: every SNN Jaccard c/(2k−c) with k=10 scales to an EXACT int64 —
+#: integer vote sums are order-insensitive where float sums are not
+#: (the determinism contract shared with the registry's unrolled SQL
+#: oracles). For other k the scaled weight is rounded to the nearest
+#: integer: still engine-identical (one shared double round), sums
+#: still exact.
+LPA_SCALE = 232792560
+
+
+def scale_weights_fixed(edges: DataFrame, scale: int = LPA_SCALE,
+                        weight_col: str = "snn_weight") -> DataFrame:
+    """Replace a float edge weight with its fixed-point integer (held
+    in double — exact below 2^53) so iterative vote aggregations are
+    summation-order-independent."""
+    return edges.withColumn(
+        weight_col, F.round(F.col(weight_col) * scale).cast("double"))
+
+
 def _undirect(edges: DataFrame) -> DataFrame:
     return edges.select("src", "dst", "snn_weight").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"),

@@ -248,6 +248,22 @@ def find_variable_features_vst(expr: DataFrame, n_top: int = 2000,
     return sv.orderBy(F.desc("std_variance"), "gene").limit(n_top)
 
 
+def find_variable_features_quad(expr: DataFrame, n_top: int = 2000,
+                                value_col: str = "count",
+                                n_cells: int | None = None) -> DataFrame:
+    """M6 end-to-end with the ORACLE-EXACT smoother: top ``n_top``
+    genes by :func:`vst_quadfit_variance`, ranked on the
+    6dp-ROUNDED standardized variance with the gene id as tie-break.
+    The rounding is the selection's determinism contract: engines
+    differ at ~1e-12 in the float aggregation order, so ranking raw
+    values could flip the boundary gene; ranking rounded values
+    cannot (the same convention as every rank-on-float query in the
+    registry)."""
+    sv = vst_quadfit_variance(expr, value_col, n_cells)
+    return (sv.withColumn("_r", F.round("std_variance", 6))
+            .orderBy(F.desc("_r"), "gene").limit(n_top).drop("_r"))
+
+
 def scale_data(normalized: DataFrame, value_col: str = "normalized",
                clip_max: float = 10.0,
                n_cells: int | None = None,

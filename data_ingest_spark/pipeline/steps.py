@@ -161,10 +161,15 @@ def data_integration(exp: Experiment, config: dict) -> StepResult:
            "selection_method": "vst", **config}
     normalized = nz.log_normalize(exp.expression)
     # Seurat FindVariableFeatures(vst) selects on RAW counts
-    # (dataIntegration.r:93,102); "dispersion" falls back to the
-    # raw-variance ranking of normalized values (oracle-checkable).
+    # (dataIntegration.r:93,102); "vst_quad" swaps the loess smoother
+    # for the closed-form quadratic fit (oracle-exact end to end —
+    # the m6_vst_quad contract); "dispersion" falls back to the
+    # raw-variance ranking of normalized values.
     if cfg["selection_method"] == "vst":
         hvgs = nz.find_variable_features_vst(
+            exp.expression, cfg["nfeatures"]).cache()
+    elif cfg["selection_method"] == "vst_quad":
+        hvgs = nz.find_variable_features_quad(
             exp.expression, cfg["nfeatures"]).cache()
     else:
         hvgs = nz.highly_variable_genes(normalized, cfg["nfeatures"],
@@ -176,6 +181,20 @@ def data_integration(exp: Experiment, config: dict) -> StepResult:
     # transform): materialize once instead of recomputing the
     # normalize→HVG→scale chain per action.
     vectors = rd.assemble_vectors(scaled, hvgs).localCheckpoint()
+    if cfg.get("reduction") == "none":
+        # Skip the eigen re-basis and use the scaled HVG matrix
+        # itself as the reduced space (each HVG = one dimension,
+        # gene-ascending index — exactly assemble_vectors' layout).
+        # This is the path a fully SQL-replayable pipeline takes:
+        # every downstream distance is a deterministic function of
+        # oracle-exact scaled values, where PCA is deterministic only
+        # up to eigen-sign (m8's rows-only caveat).
+        dim = vectors.select("features").head()["features"].size
+        red = rd.pc_columns(vectors.withColumnRenamed("features", "pc"),
+                            dim)
+        misc = {**exp.misc, "numPCs": dim}
+        return StepResult(exp.with_(normalized=normalized,
+                                    reductions=red, misc=misc), cfg, {})
     pcs, explained = rd.run_pca(vectors, cfg["numPCs"])
     k = len(explained)
     red = rd.pc_columns(pcs, k)
@@ -204,7 +223,13 @@ def configure_embedding(exp: Experiment, config: dict) -> StepResult:
     knn = nb.knn_auto(_with_vec(exp.reductions), k=cfg["k"],
                       max_exact_rows=cfg.get("exactKnnCeiling", 2_000_000))
     snn = nb.snn_graph(knn, k=cfg["k"])
-    clusters = cl.label_propagation(snn)
+    # Fixed-point vote weights (clustering.LPA_SCALE): integer sums
+    # make the cluster assignment independent of float summation
+    # order — the same determinism convention as the registry's
+    # unrolled LPA oracle, now applied in the pipeline itself.
+    clusters = cl.label_propagation(
+        cl.scale_weights_fixed(snn),
+        max_iter=cfg.get("lpaIter", 10))
     plots: dict[str, DataFrame] = {"snn": snn}
     if cfg["computeEmbedding"]:
         # same gate as knn_auto: the driver-side UMAP/spectral
