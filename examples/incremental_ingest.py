@@ -155,10 +155,11 @@ def main() -> int:
            .select("vec_id", F.transform("embedding",
                                          lambda x: x.cast("double"))
                    .alias("embedding")))
-    ev = (spark.read.parquet(f"{sf}/events.parquet")
-          .select("event_type", F.col("value").cast("double").alias("value"),
-                  (F.col("ts") / F.lit(1_000_000_000)).cast("timestamp")
-                  .alias("ts")))
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    if dict(ev.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) as long
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = ev.select("event_type",
+                   F.col("value").cast("double").alias("value"), "ts")
 
     seed_docs = docs.filter(F.col("doc_id") % 3 == 0)
     b1_docs = docs.filter(F.col("doc_id") % 3 == 1)

@@ -268,13 +268,14 @@ def test_round4_batch_bounded_shuffles(spark):
 
 def test_ks_drift_scans_corpus_once(spark):
     """x96: the (group, value) count is the only corpus-sized work and
-    it is persisted — the static plan reads the documents parquet
-    exactly once; everything downstream operates on bounded aggregates
-    with broadcast joins. (Exchange counts are inflated by the printed
-    cache subtrees — the scan count is the meaningful pin, the m2
-    convention.)"""
+    it is materialized ONCE behind a lazy localCheckpoint (round 5:
+    checkpoint instead of persist, so the blocks are GC-reclaimable
+    across a long session) — the outer static plan therefore contains
+    ZERO parquet scans (the corpus scan lives inside the checkpointed
+    subtree, which by construction executes exactly once); everything
+    downstream operates on bounded aggregates with broadcast joins."""
     df = q(spark, "x96_ks_drift")
-    assert len(scan_columns(df)) == 1
+    assert len(scan_columns(df)) == 0
     assert broadcast_join_count(df) >= 2
 
 
