@@ -668,3 +668,49 @@ def ngram_novelty(df: DataFrame, id_col: str = "doc_id",
                  .cast("long").alias("n_novel"))
             .withColumn("novelty",
                         F.round(F.col("n_novel") / F.col("n_shingles"), 9)))
+
+
+def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    sep_regex: str = r"\. ",
+                    join_sep: str = ". ") -> DataFrame:
+    """Corpus-global EXACT paragraph dedup with first-occurrence
+    survivorship (the CCNet paragraph pass): every paragraph that
+    appears anywhere else in the corpus keeps only its FIRST
+    occurrence — ordered by (doc id, position) — and is dropped from
+    every later document. Complements :func:`line_boilerplate_removal`
+    (which drops by document-frequency threshold with NO survivor) —
+    here shared content survives exactly once, the contract for "keep
+    the canonical copy, strip the mirrors".
+
+    Returns ``(id, clean_text, n_dropped)``: kept paragraphs rejoined
+    with ``join_sep`` in original order; a fully-deduplicated document
+    yields ''.
+
+    Scale shape: paragraphs explode scan-side; ONE shuffle keyed by
+    the paragraph hash ranks occurrences (skew bounded by the dup
+    count of the hottest paragraph — AQE splits it); reassembly is one
+    groupBy(doc). Never joins the corpus to itself."""
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep_regex))
+        .alias("_pos", "_para"))
+    w = W.partitionBy("_ph").orderBy(id_col, "_pos")
+    kept = (paras
+            .withColumn("_ph", F.md5(F.col("_para").cast("binary")))
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1))
+    total = df.select(
+        id_col, F.size(F.split(F.col(text_col), sep_regex)).alias("_tot"))
+    agg = (kept.groupBy(id_col)
+           .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("_pos", "_para"))),
+                        lambda s: s["_para"]), join_sep).alias("clean_text"),
+                F.count("*").alias("_kept")))
+    return (total.join(agg, id_col, "left")
+            .select(id_col,
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    (F.col("_tot") - F.coalesce("_kept", F.lit(0)))
+                    .cast("long").alias("n_dropped")))

@@ -788,3 +788,40 @@ def pmi_collocations(df: DataFrame, top_k: int = 50, min_count: int = 5,
     return scored.select(
         "w1", "w2", F.col("pair_count").cast("long").alias("pair_count"),
         F.round(F.log(num / den), 6).alias("pmi"))
+
+
+def skipgram_pairs(df: DataFrame, window: int = 3, top_k: int = 50,
+                   min_count: int = 5, text_col: str = "text") -> DataFrame:
+    """Window-``window`` skip-gram co-occurrence counts — the training
+    statistic behind word2vec/GloVe-style embedding corpora (x103's
+    PMI is the adjacent-only special case). For each token position i
+    and each offset d ∈ 1..window, the ordered pair (t[i], t[i+d])
+    counts once with an EXACT INTEGER proximity weight
+    ``window + 1 − d`` (linear decay — integer so the weight sums are
+    summation-order-independent and engine-exact, the x103/x77
+    fixed-point discipline). Returns the ``top_k`` pairs with
+    ``pair_count ≥ min_count``: (w1, w2, pair_count, w_sum), ranked by
+    (pair_count desc, w1, w2).
+
+    Plan: pairs explode scan-side from one pass over the token arrays
+    (a fixed ``window``-way unroll per position — no token self-join,
+    no per-document state), then ONE map-side-combined groupBy(w1, w2)
+    whose post-shuffle volume is the distinct-pair census; the top-k
+    is a TakeOrdered over that bounded aggregate. At corpus scale this
+    is a single linear shuffle."""
+    toks = tokens_col(text_col)
+    pairs = F.expr(
+        f"flatten(transform(sequence(1, size(_tk) - 1), i -> "
+        f"transform(sequence(1, least({int(window)}, size(_tk) - i)), "
+        f"d -> struct(element_at(_tk, i) AS w1, "
+        f"element_at(_tk, i + d) AS w2, "
+        f"{int(window)} + 1 - d AS wt))))")
+    bg = (df.select(toks.alias("_tk"))
+          .filter(F.size("_tk") >= 2)
+          .select(F.explode(pairs).alias("_p"))
+          .select("_p.w1", "_p.w2", "_p.wt"))
+    counts = (bg.groupBy("w1", "w2")
+              .agg(F.count("*").cast("long").alias("pair_count"),
+                   F.sum("wt").cast("long").alias("w_sum")))
+    return (counts.filter(F.col("pair_count") >= min_count)
+            .orderBy(F.desc("pair_count"), "w1", "w2").limit(top_k))

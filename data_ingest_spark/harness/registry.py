@@ -6648,6 +6648,111 @@ def q_quantile_norm(spark, sf):
                               id_col="doc_id")
 
 
+@_q("x111_skipgram_pairs", r"""
+WITH tk AS (SELECT string_split_regex(lower(text), '\s+') AS t
+            FROM documents),
+ pr AS (
+   SELECT unnest([{'w1': t[i], 'w2': t[i+1], 'wt': 3}
+                  FOR i IN generate_series(1, len(t) - 1)],
+                 recursive := true)
+   FROM tk WHERE len(t) >= 2
+   UNION ALL
+   SELECT unnest([{'w1': t[i], 'w2': t[i+2], 'wt': 2}
+                  FOR i IN generate_series(1, len(t) - 2)],
+                 recursive := true)
+   FROM tk WHERE len(t) >= 3
+   UNION ALL
+   SELECT unnest([{'w1': t[i], 'w2': t[i+3], 'wt': 1}
+                  FOR i IN generate_series(1, len(t) - 3)],
+                 recursive := true)
+   FROM tk WHERE len(t) >= 4),
+ c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_count,
+              CAST(SUM(wt) AS BIGINT) AS w_sum
+       FROM pr GROUP BY 1, 2)
+SELECT w1, w2, pair_count, w_sum FROM c
+WHERE pair_count >= 5 ORDER BY pair_count DESC, w1, w2 LIMIT 50
+""")
+def q_skipgram_pairs(spark, sf):
+    """Window-3 skip-gram co-occurrence counts with exact integer
+    proximity weights (tx.skipgram_pairs) — the word2vec/GloVe
+    training statistic; x103's PMI is the adjacent-only special
+    case. The oracle unrolls the three fixed offsets with unbounded
+    position comprehensions (the x47 form — no length cap)."""
+    return tx.skipgram_pairs(load(spark, sf, "documents"),
+                             window=3, top_k=50, min_count=5)
+
+
+_X112_COLS = [("o_orderkey", None), ("o_custkey", None),
+              ("o_orderstatus", "^[FO]$"), ("o_totalprice", None),
+              ("o_orderdate", None),
+              ("o_orderpriority", "^[1-5]-[A-Z ]+$")]
+
+
+def _x112_sql() -> str:
+    parts = []
+    for c, rx in _X112_COLS:
+        m = (f"ROUND(SUM(CASE WHEN regexp_matches(CAST({c} AS VARCHAR), "
+             f"'{rx}') THEN 1 ELSE 0 END) / COUNT(*), 9)"
+             if rx else "CAST(NULL AS DOUBLE)")
+        parts.append(f"""
+SELECT '{c}' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       ROUND(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) / COUNT(*), 9)
+         AS null_frac,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       MIN(CAST({c} AS VARCHAR)) AS min_value,
+       MAX(CAST({c} AS VARCHAR)) AS max_value,
+       {m} AS regex_match_frac
+FROM orders""")
+    return "\nUNION ALL".join(parts)
+
+
+@_q("x112_column_expectations", _x112_sql())
+def q_column_expectations(spark, sf):
+    """Per-column ingest-gate expectations over orders
+    (profile.column_expectations): null fractions, exact distincts,
+    VARCHAR min/max, and regex match rates for the enum-shaped
+    columns — the batch-acceptance report computed in ONE scan."""
+    from data_ingest_spark.extensions.profile import column_expectations
+    return column_expectations(
+        load(spark, sf, "orders"), [c for c, _ in _X112_COLS],
+        regex_rules={c: rx for c, rx in _X112_COLS if rx})
+
+
+@_q("x113_paragraph_dedup", rf"""
+WITH corpus AS ({_NEARDUP_SQL}),
+ base AS (SELECT doc_id, string_split_regex(text, '\. ') AS ps
+          FROM corpus),
+ prow AS (SELECT doc_id,
+                 unnest([{{'pos': i - 1, 'para': ps[i]}}
+                         FOR i IN generate_series(1, len(ps))],
+                        recursive := true)
+          FROM base),
+ rk AS (SELECT doc_id, pos, para,
+               ROW_NUMBER() OVER (PARTITION BY md5(para)
+                                  ORDER BY doc_id, pos) AS rk
+        FROM prow),
+ kept AS (SELECT doc_id, pos, para FROM rk WHERE rk = 1),
+ tot AS (SELECT doc_id, len(ps) AS tot FROM base),
+ agg AS (SELECT doc_id,
+                string_agg(para, '. ' ORDER BY pos) AS clean_text,
+                COUNT(*) AS nk
+         FROM kept GROUP BY 1)
+SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       CAST(t.tot - COALESCE(a.nk, 0) AS BIGINT) AS n_dropped
+FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+""")
+def q_paragraph_dedup(spark, sf):
+    """Corpus-global exact paragraph dedup with first-occurrence
+    survivorship (dd.paragraph_dedup — the CCNet paragraph pass) on
+    the planted near-dup corpus: every paragraph the head-truncated
+    mirrors share with their originals survives only in the original
+    (smallest doc id), so the mirrors shrink and the originals pass
+    through intact."""
+    return dd.paragraph_dedup(_neardup_corpus(spark, sf))
+
+
 def _kcenter_sql(k: int = 8) -> str:
     """Unrolled k-center greedy oracle (the x51/x83/m13 fixed-
     iteration trick): per round, MIN squared quantized distance to the
