@@ -86,7 +86,16 @@ def bpe_train(df: DataFrame, n_merges: int = 8, text_col: str = "text",
     TakeOrderedAndProject argmax collected as a single row — the
     standard iterative-training loop with the per-round working set
     bounded by |vocab|, never the corpus. Rounds stop early when the
-    best pair drops under ``min_count``."""
+    best pair drops under ``min_count``.
+
+    Scheduling note for large vocabularies: the per-round
+    ``limit(1).collect()`` launches ~2 jobs per merge, so a 32k-merge
+    training run is ~64k tiny jobs — fine for the word-frequency table
+    this operates on (rounds are sub-second), but if driver scheduling
+    ever dominates, batch the loop: take the top-B NON-OVERLAPPING
+    pairs per round (no shared left/right symbol) and apply them in
+    one pass — the standard producer-side batching that preserves BPE
+    semantics exactly for disjoint merges."""
     spark = df.sparkSession
     seqs = (_word_freqs(df, text_col)
             .select("f", _char_seq("w").alias("seq"))

@@ -663,19 +663,40 @@ def power_iteration_pc1(emb: DataFrame, dim: int = 64, n_iters: int = 3,
         F.count("*").cast("long").alias("_n"),
         *[F.sum(F.get("_q", i)).alias(f"_s{i}") for i in range(dim)])
     colsum = F.array(*[F.col(f"_s{i}") for i in range(dim)])
-    centered = (rows.crossJoin(F.broadcast(stats))
-                .select(F.zip_with(
-                    F.col("_q"), colsum,
-                    lambda x, s: x * F.col("_n") - s).alias("_c")))
-    outer = F.flatten(F.transform(
-        F.col("_c"),
-        lambda x: F.transform(F.col("_c"), lambda y: x * y)))
-    cov = (centered.select(F.posexplode(outer).alias("_idx", "_p"))
-           .groupBy((F.col("_idx") / dim).cast("int").alias("j"),
-                    (F.col("_idx") % dim).cast("int").alias("k"))
-           .agg(F.sum("_p").alias("_cjk"))
+
+    # RAW second-moment matrix Σ q qᵀ as Arrow partial sums (int64
+    # BLAS per partition, dim² rows per partition leave the stage).
+    # The centered covariance then follows from the exact integer
+    # identity Σ(q·n − s)(q·n − s)ᵀ = n²·Σqqᵀ − n·s sᵀ — the SAME
+    # integers the previous per-element explode produced, without
+    # pushing corpus_rows × dim² elements through an INTERPRETED
+    # higher-order-function expression (Spark does not codegen array
+    # lambdas; measured ~3x on the 2000×64 sf0.1 corpus).
+    def _craw_fn(batches):
+        import numpy as np
+        import pandas as pd
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if len(pdf):
+                m = np.stack(pdf["_q"].values).astype(np.int64, copy=False)
+                acc += m.T @ m
+                seen = True
+        if seen:
+            idx = np.arange(dim, dtype=np.int64)
+            yield pd.DataFrame({
+                "j": np.repeat(idx, dim).astype(np.int32),
+                "k": np.tile(idx, dim).astype(np.int32),
+                "_p": acc.reshape(-1)})
+
+    craw = (rows.select("_q").mapInPandas(_craw_fn, "j int, k int, _p long")
+            .groupBy("j", "k").agg(F.sum("_p").alias("_craw")))
+    cov = (craw.crossJoin(F.broadcast(stats))
+           .withColumn("_sj", F.element_at(colsum, F.col("j") + 1))
+           .withColumn("_sk", F.element_at(colsum, F.col("k") + 1))
            .select("j", "k",
-                   F.expr(f"_cjk div {int(c_shift)}").alias("_cjk"))
+                   F.expr(f"(_n * _n * _craw - _n * _sj * _sk) "
+                          f"div {int(c_shift)}").alias("_cjk"))
            # each unrolled iteration references the covariance again —
            # a lazy localCheckpoint runs the corpus pass once AND lets
            # the blocks be GC-reclaimed after the query (persist() pins
