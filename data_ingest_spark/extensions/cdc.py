@@ -85,7 +85,13 @@ def scd2_history(events: DataFrame, key_col: str = "user_id",
             .agg(F.first(attr_col).alias(attr_col),
                  F.min(ts_col).alias("valid_from"),
                  F.count("*").cast("long").alias("n_events")))
-    w2 = W.partitionBy(key_col).orderBy("valid_from")
+    # Chain intervals by the ISLAND index, not valid_from alone: two
+    # islands can share a start timestamp (same-instant attribute
+    # flips, resolved by tie_col upstream), and ordering only on
+    # valid_from would make the valid_to chain nondeterministic there
+    # (hypothesis-found: [(a,t0),(b,t0),(a,t0)]). _island is the
+    # per-key event sequence by construction.
+    w2 = W.partitionBy(key_col).orderBy("valid_from", "_island")
     return (runs.select(key_col, attr_col, "valid_from",
                         F.lead("valid_from").over(w2).alias("valid_to"),
                         "n_events"))

@@ -199,6 +199,11 @@ def test_scd2_history_matches_python_mirror_hypothesis(spark):
 
     from data_ingest_spark.extensions.cdc import scd2_history
 
+    def _none_safe(t):
+        # valid_to is None for the current interval; sort NULLs last
+        # (Python can't compare None with int)
+        return (t[0], t[1], t[2], t[3] is None, t[3] or 0, t[4])
+
     def mirror(rows):
         out = []
         by_key = {}
@@ -215,7 +220,7 @@ def test_scd2_history_matches_python_mirror_hypothesis(spark):
             for i, (a, t, n) in enumerate(runs):
                 nxt = runs[i + 1][1] if i + 1 < len(runs) else None
                 out.append((k, a, t, nxt, n))
-        return sorted(out)
+        return sorted(out, key=_none_safe)
 
     key = st.sampled_from([1, 2])
     attr = st.sampled_from(["a", "b"])
@@ -227,9 +232,9 @@ def test_scd2_history_matches_python_mirror_hypothesis(spark):
         rows = [(k, a, t, i) for i, (k, a, t) in enumerate(raw)]
         df = spark.createDataFrame(
             rows, "user_id int, event_type string, ts int, event_id int")
-        got = sorted((r["user_id"], r["event_type"], r["valid_from"],
-                      r["valid_to"], r["n_events"])
-                     for r in scd2_history(df).collect())
+        got = sorted(((r["user_id"], r["event_type"], r["valid_from"],
+                       r["valid_to"], r["n_events"])
+                      for r in scd2_history(df).collect()), key=_none_safe)
         assert got == mirror(rows), rows
 
     run()
