@@ -251,3 +251,106 @@ def rrf_fuse(lex: DataFrame, sem: DataFrame, id_col: str = "doc_id",
     return (final.select(
         id_col, "lex_rank", "sem_rank", "rrf",
         (F.col("_fr") + 1).cast("long").alias("fused_rank")))
+
+
+#: LCM(1..10): every reciprocal rank 1/r with r ≤ 10 scales to an
+#: exact integer — the fixed-point discipline that makes jackknife
+#: sums summation-order-independent.
+RR_SCALE = 2520
+
+
+def mrr_jackknife(df: DataFrame, group_col: str = "user_id",
+                  score_col: str = "value", id_col: str = "event_id",
+                  rel_col: str = "relevant", k: int = 10,
+                  rr_scale: int = RR_SCALE) -> DataFrame:
+    """MRR@k with a leave-one-query-out jackknife standard error and
+    95% CI — the error bar an eval report needs before claiming one
+    retrieval run beats another. Returns ONE row:
+    ``(n_queries, mrr, se_jack, ci_lo, ci_hi)``.
+
+    Exactness: reciprocal ranks are fixed-pointed (``rr_scale`` must
+    be divisible by 1..k), so the MRR numerator S and the jackknife
+    spread Q = Σ(S − n·rr_i)² are exact int64 — the identity
+    θ_{-i} − θ̄ = (S − n·rr_i)/(n(n−1)·scale) turns the whole CI into
+    two integer aggregates and a handful of pinned double ops; the
+    only libm call is one sqrt. (Int64 bound: Q ≤ n³·scale² — fine to
+    ~10⁷ queries; past that, cast the two sums to DECIMAL(38,0).)
+
+    Plan: one window + three bounded aggregations (per-group rank,
+    then (n, S), then Q against the broadcast totals) — a single
+    corpus shuffle on the query key."""
+    assert all(rr_scale % r == 0 for r in range(1, k + 1)), \
+        "rr_scale must be divisible by every rank 1..k"
+    w = W.partitionBy(group_col).orderBy(F.col(score_col).desc(),
+                                         F.col(id_col).asc())
+    per = (df.withColumn("_rk", F.row_number().over(w))
+           .groupBy(group_col)
+           .agg(F.min(F.when(F.col(rel_col), F.col("_rk")))
+                .alias("_frr")))
+    rr = per.select(
+        F.when(F.col("_frr").isNotNull() & (F.col("_frr") <= k),
+               F.expr(f"{int(rr_scale)} div _frr"))
+        .otherwise(0).cast("long").alias("_rr"))
+    t = rr.agg(F.count("*").cast("long").alias("_n"),
+               F.sum("_rr").cast("long").alias("_s"))
+    d = F.col("_s") - F.col("_n") * F.col("_rr")
+    q = (rr.crossJoin(F.broadcast(t))
+         .agg(F.sum(d * d).cast("long").alias("_qq"),
+              F.first("_n").alias("_n"), F.first("_s").alias("_s")))
+    mrr_d = F.col("_s").cast("double") / (F.col("_n") * rr_scale)
+    se_d = F.when(
+        F.col("_n") > 1,
+        F.sqrt(F.col("_qq").cast("double") * (F.col("_n") - 1)
+               / F.col("_n"))
+        / (F.col("_n").cast("double") * (F.col("_n") - 1) * rr_scale)
+    ).otherwise(F.lit(0.0))
+    u = q.select(F.col("_n").alias("n_queries"),
+                 mrr_d.alias("_mrr"), se_d.alias("_se"))
+    return u.select(
+        "n_queries", F.round("_mrr", 9).alias("mrr"),
+        F.round("_se", 9).alias("se_jack"),
+        F.round(F.col("_mrr") - 1.96 * F.col("_se"), 9).alias("ci_lo"),
+        F.round(F.col("_mrr") + 1.96 * F.col("_se"), 9).alias("ci_hi"))
+
+
+def classification_report(df: DataFrame, gold_col: str = "gold",
+                          pred_col: str = "pred") -> DataFrame:
+    """Per-class precision / recall / F1 / support from a
+    (gold, pred) pair table — the standard classifier eval report.
+    Returns one row per label seen in EITHER column:
+    ``(label, n_gold, n_pred, tp, precision, recall, f1)``.
+
+    Exactness: every metric is a single long/long division of exact
+    counts — F1 uses the identity 2pr/(p+r) = 2·tp/(n_gold + n_pred),
+    so no intermediate float ever feeds another division. Zero
+    denominators report 0.0 (absent class conventions).
+
+    Plan: ONE groupBy(gold, pred) census shuffle (bounded by
+    |classes|²); marginals and the label spine derive from that tiny
+    aggregate."""
+    cm = (df.groupBy(F.col(gold_col).alias("_g"),
+                     F.col(pred_col).alias("_p"))
+          .agg(F.count("*").cast("long").alias("_c"))
+          .localCheckpoint(eager=False))
+    gold = cm.groupBy(F.col("_g").alias("label")).agg(
+        F.sum("_c").cast("long").alias("n_gold"))
+    pred = cm.groupBy(F.col("_p").alias("label")).agg(
+        F.sum("_c").cast("long").alias("n_pred"))
+    tp = (cm.filter(F.col("_g") == F.col("_p"))
+          .select(F.col("_g").alias("label"),
+                  F.col("_c").alias("tp")))
+    rep = (gold.join(pred, "label", "full")
+           .join(tp, "label", "left")
+           .fillna({"n_gold": 0, "n_pred": 0, "tp": 0}))
+    prec = F.when(F.col("n_pred") > 0,
+                  F.col("tp") / F.col("n_pred")).otherwise(0.0)
+    rec = F.when(F.col("n_gold") > 0,
+                 F.col("tp") / F.col("n_gold")).otherwise(0.0)
+    f1 = F.when(F.col("n_gold") + F.col("n_pred") > 0,
+                2 * F.col("tp") / (F.col("n_gold") + F.col("n_pred"))
+                ).otherwise(0.0)
+    return rep.select("label", "n_gold", "n_pred",
+                      F.col("tp").cast("long").alias("tp"),
+                      F.round(prec, 9).alias("precision"),
+                      F.round(rec, 9).alias("recall"),
+                      F.round(f1, 9).alias("f1"))

@@ -6753,6 +6753,85 @@ def q_paragraph_dedup(spark, sf):
     return dd.paragraph_dedup(_neardup_corpus(spark, sf))
 
 
+@_q("x114_mrr_jackknife", """
+WITH ranked AS (
+  SELECT user_id, event_id, value, (event_type = 'purchase') AS relevant,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rk
+  FROM events),
+ per AS (SELECT user_id, MIN(CASE WHEN relevant THEN rk END) AS frr
+         FROM ranked GROUP BY 1),
+ rr AS (SELECT CASE WHEN frr IS NOT NULL AND frr <= 10
+                    THEN 2520 // frr ELSE 0 END AS rr_fp FROM per),
+ t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(rr_fp) AS BIGINT) AS s FROM rr),
+ q AS (SELECT CAST(SUM((t.s - t.n * rr.rr_fp)
+                       * (t.s - t.n * rr.rr_fp)) AS BIGINT) AS qq,
+              ANY_VALUE(t.n) AS n, ANY_VALUE(t.s) AS s
+       FROM rr, t),
+ u AS (SELECT n AS n_queries,
+              CAST(s AS DOUBLE) / (n * 2520) AS mrr_d,
+              CASE WHEN n > 1 THEN
+                sqrt(CAST(qq AS DOUBLE) * (n - 1) / n)
+                / (CAST(n AS DOUBLE) * (n - 1) * 2520)
+              ELSE 0.0 END AS se_d
+       FROM q)
+SELECT n_queries, ROUND(mrr_d, 9) AS mrr, ROUND(se_d, 9) AS se_jack,
+       ROUND(mrr_d - 1.96 * se_d, 9) AS ci_lo,
+       ROUND(mrr_d + 1.96 * se_d, 9) AS ci_hi
+FROM u
+""")
+def q_mrr_jackknife(spark, sf):
+    """MRR@10 with a leave-one-query-out jackknife standard error and
+    95% CI (ev.mrr_jackknife) — fixed-point reciprocal ranks make the
+    MRR numerator and the jackknife spread exact int64, so the CI is
+    hash-exact cross-engine up to one shared sqrt."""
+    evdf = events_df(spark, sf).withColumn(
+        "relevant", F.col("event_type") == F.lit("purchase"))
+    return ev.mrr_jackknife(evdf, k=10)
+
+
+@_q("x115_class_report", """
+WITH pairs AS (
+  SELECT event_type AS gold,
+         CASE WHEN event_id % 7 < 5 THEN event_type ELSE 'view' END AS pred
+  FROM events),
+ cm AS (SELECT gold, pred, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pairs GROUP BY 1, 2),
+ g AS (SELECT gold AS label, CAST(SUM(c) AS BIGINT) AS n_gold
+       FROM cm GROUP BY 1),
+ p AS (SELECT pred AS label, CAST(SUM(c) AS BIGINT) AS n_pred
+       FROM cm GROUP BY 1),
+ tp AS (SELECT gold AS label, c AS tp FROM cm WHERE gold = pred),
+ rep AS (SELECT COALESCE(g.label, p.label) AS label,
+                COALESCE(g.n_gold, 0) AS n_gold,
+                COALESCE(p.n_pred, 0) AS n_pred
+         FROM g FULL JOIN p ON g.label = p.label)
+SELECT rep.label, rep.n_gold, rep.n_pred,
+       CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp,
+       ROUND(CASE WHEN rep.n_pred > 0
+                  THEN COALESCE(tp.tp, 0) / rep.n_pred ELSE 0.0 END, 9)
+         AS precision,
+       ROUND(CASE WHEN rep.n_gold > 0
+                  THEN COALESCE(tp.tp, 0) / rep.n_gold ELSE 0.0 END, 9)
+         AS recall,
+       ROUND(CASE WHEN rep.n_gold + rep.n_pred > 0
+                  THEN 2 * COALESCE(tp.tp, 0) / (rep.n_gold + rep.n_pred)
+                  ELSE 0.0 END, 9) AS f1
+FROM rep LEFT JOIN tp ON rep.label = tp.label
+""")
+def q_class_report(spark, sf):
+    """Per-class precision/recall/F1/support (ev.classification_report)
+    from a synthetic deterministic classifier over events (predicts
+    the true type 5/7 of the time, 'view' otherwise): exact-count
+    ratios, F1 via 2·tp/(n_gold+n_pred) — no float feeds a float."""
+    pairs = events_df(spark, sf).select(
+        F.col("event_type").alias("gold"),
+        F.when(F.col("event_id") % 7 < 5, F.col("event_type"))
+        .otherwise(F.lit("view")).alias("pred"))
+    return ev.classification_report(pairs)
+
+
 def _kcenter_sql(k: int = 8) -> str:
     """Unrolled k-center greedy oracle (the x51/x83/m13 fixed-
     iteration trick): per round, MIN squared quantized distance to the

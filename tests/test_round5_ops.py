@@ -68,3 +68,43 @@ def test_paragraph_dedup_fully_duplicated_doc_empties(spark):
     out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
     assert out[1]["clean_text"] == "only para"
     assert out[2]["clean_text"] == "" and out[2]["n_dropped"] == 1
+
+
+def test_mrr_jackknife_known_values(spark):
+    from data_ingest_spark.extensions.evaluation import mrr_jackknife
+    # two queries: rr = 1 (rank 1) and 1/2 (rank 2) -> MRR = 0.75
+    rows = [(1, 10.0, 1, True), (1, 9.0, 2, False),
+            (2, 10.0, 3, False), (2, 9.0, 4, True)]
+    df = spark.createDataFrame(
+        rows, "user_id int, value double, event_id int, relevant boolean")
+    r = mrr_jackknife(df, k=10).collect()[0]
+    assert r["n_queries"] == 2 and r["mrr"] == 0.75
+    # jackknife over {1, 0.5}: theta_{-i} = {0.5, 1}, se = 0.25
+    assert r["se_jack"] == 0.25
+    assert r["ci_lo"] == round(0.75 - 1.96 * 0.25, 9)
+    assert r["ci_hi"] == round(0.75 + 1.96 * 0.25, 9)
+
+
+def test_mrr_jackknife_single_query_has_zero_se(spark):
+    from data_ingest_spark.extensions.evaluation import mrr_jackknife
+    df = spark.createDataFrame(
+        [(1, 5.0, 1, True)],
+        "user_id int, value double, event_id int, relevant boolean")
+    r = mrr_jackknife(df).collect()[0]
+    assert (r["mrr"], r["se_jack"]) == (1.0, 0.0)
+
+
+def test_classification_report_counts_and_f1(spark):
+    from data_ingest_spark.extensions.evaluation import (
+        classification_report)
+    pairs = [("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"), ("c", "b")]
+    df = spark.createDataFrame(pairs, "gold string, pred string")
+    out = {r["label"]: r for r in classification_report(df).collect()}
+    a, b, c = out["a"], out["b"], out["c"]
+    assert (a["n_gold"], a["n_pred"], a["tp"]) == (2, 1, 1)
+    assert (a["precision"], a["recall"]) == (1.0, 0.5)
+    assert a["f1"] == round(2 * 1 / 3, 9)
+    assert (b["n_gold"], b["n_pred"], b["tp"]) == (2, 4, 2)
+    assert b["precision"] == 0.5 and b["recall"] == 1.0
+    # class only in gold: zero precision/recall, no crash
+    assert (c["n_pred"], c["tp"], c["precision"], c["f1"]) == (0, 0, 0.0, 0.0)
