@@ -80,3 +80,41 @@ def update_dedup_index(spark: SparkSession, path: str, new_docs: DataFrame,
     new_mem.unpersist()
     new_bands.unpersist()
     return result
+
+
+def compact_dedup_index(spark: SparkSession, path: str,
+                        n_files: int = 8) -> dict:
+    """Rewrite the index's two tables into ``n_files`` files each,
+    preserving the join-key layout (bands by bucket, membership by
+    id). Daily appends leave one small file set per batch; after N
+    batches the candidate join opens N× the files it needs — the
+    classic small-files tax. Compaction is the nightly maintenance
+    job: read, repartition on the SAME keys, write to a sibling dir,
+    then atomically swap via rename (never overwrite-in-place — a
+    reader mid-swap sees either the old or the new generation, and a
+    crashed compaction leaves the live index untouched).
+
+    Returns {'bands': n_rows, 'membership': n_rows} for the audit
+    log."""
+    import os
+    import shutil
+
+    counts = {}
+    for name, key in (("bands", "bucket"), ("membership", None)):
+        live = f"{path}/{name}"
+        nxt = f"{path}/{name}__compact"
+        old = f"{path}/{name}__old"
+        df = spark.read.parquet(live)
+        # membership partitions by its id column (whatever the index
+        # was built with); bands always by the LSH bucket.
+        key_col = key if key is not None else \
+            [c for c in df.columns if c != "shingle"][0]
+        (df.repartition(n_files, key_col)
+         .write.mode("overwrite").parquet(nxt))
+        counts[name] = spark.read.parquet(nxt).count()
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(live, old)
+        os.rename(nxt, live)
+        shutil.rmtree(old)
+    return counts

@@ -898,6 +898,20 @@ def test_dedup_index_incremental_lifecycle(spark, tmp_path):
     assert (200, 100) in got2          # found via the APPENDED state
     assert all(n == 200 for n, _ in got2)
 
+    # nightly compaction: row counts preserved, file count bounded,
+    # and the compacted index still answers the next batch correctly
+    from data_ingest_spark.extensions.dedup_index import (
+        compact_dedup_index)
+    import glob
+    before_bands = spark.read.parquet(f"{path}/bands").count()
+    counts = compact_dedup_index(spark, path, n_files=2)
+    assert counts["bands"] == before_bands
+    assert len(glob.glob(f"{path}/bands/part-*.parquet")) <= 2
+    d3 = update_dedup_index(spark, path, spark.createDataFrame(
+        [(300, day1_text)], "doc_id long, text string"), threshold=0.5)
+    got3 = {(r["id_new"], r["id_old"]) for r in d3.collect()}
+    assert {(300, 1), (300, 100), (300, 200)} <= got3
+
 
 def test_dq_check_rule_semantics(spark):
     """Each rule kind counts exactly its violations; row-local rules
