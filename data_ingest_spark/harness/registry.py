@@ -6876,62 +6876,53 @@ def q_kcenter_coreset(spark, sf):
 
 
 # Driver-sample ordering. The correctness driver checks a bounded
-# prefix of ``queries()`` each round; rounds 2+3 verified 100 distinct
-# queries (CORRECTNESS_r02/r03, 0 failures). Round 4 fronts the FULL
-# oracled remainder that has never received a driver verdict — now
-# 105 queries after the round-4b additions — in priority order:
-# (1) the round-4b batch (x93–x101: RRF fusion, URL canonicalization,
-# JL projection, KS drift, doc keywords, temperature mix, power-PC1,
-# incremental IVF, skew profile), (2) the fixed-iteration oracle
-# conversions (x51/x83/m13_louvain_dist) + x90/x91/x92 +
-# m9_integrate_exact, (3) the round-3b evaluation/curation family,
-# (4) the round-3 dedup additions, (5) the remaining TPC-H shapes,
-# (6) the e-family stragglers, then everything else unverified — so a
-# ~50-query sample drains the highest-value half and the round-5
-# rotation finishes the tail. Every name below carries a full DuckDB
-# value oracle and passed the builder's local gate at
-# sf0.001/0.01/0.1 (full-registry runs recorded in COVERAGE.md:
-# 203/10/0 at sf0.01, 204/10/0 at sf0.1, plus per-query green runs
-# for the post-gate additions).
-_ROUND4_PRIORITY = [
-    "x110_quantile_norm", "x109_kcenter_coreset",
-    "x106_weighted_sample", "x107_wilson_winrate", "x108_hist_merge",
-    "x105_profile_drift", "x104_temporal_split", "x102_winsorize", "x103_pmi_collocations",
-    "x100_ivf_incremental", "x101_skew_profile", "x99_power_pc1", "x93_rrf_fusion", "x94_url_canonical", "x95_random_projection",
-    "x96_ks_drift", "x97_doc_keywords", "x98_temperature_mix",
-    "x51_kmeans_ivf", "x83_bpe_train", "m13_louvain_dist",
-    "m9_integrate_exact", "x92_bm25",
-    "x90_fuzzy_join2", "x91_image_decode_real", "m9_mnn_anchors",
-    "m6_vst_quad", "x82_lloyd_step", "x84_bpe_encode",
-    "x77_ranking_metrics", "x78_majority_vote", "x79_epoch_shuffle",
-    "x80_mix_quota", "x81_preference_pairs", "x85_length_buckets",
-    "x86_soft_dedup", "x87_hard_negatives", "x88_ngram_novelty",
-    "x89_source_overlap", "e27_time_to_convert", "x64_substring_dedup",
-    "x65_line_boilerplate", "x69_containment", "x71_drop_contained",
-    "x56_intra_repetition", "x72_leakage_safe_split", "v15_tpch_q7",
-    "v16_tpch_q8", "v17_tpch_q9", "v18_tpch_q10", "v19_tpch_q12",
-    "v20_tpch_q15", "v21_tpch_q17", "v22_tpch_q19", "v23_tpch_q21",
-    "v24_tpch_q2", "v25_tpch_q11", "v26_tpch_q20", "e14_cube",
-    "e15_unpivot", "e16_json_props", "e17_datetime_functions",
-    "e18_try_functions", "e19_session_stats", "e20_grouping_sets",
-    "e21_range_frame", "e22_approx_percentile_accuracy", "e23_gap_fill",
+# prefix of ``queries()`` each round; rounds 2-4 verified 150 distinct
+# queries (CORRECTNESS_r02/r03/r04, 0 failures in any round). Round 5
+# fronts the FULL oracled remainder that has never received a driver
+# verdict — 72 queries, computed as registry minus the union of
+# CORRECTNESS_r02-r04 keys — in priority order: (1) the round-5
+# additions (x111-x115) plus the newly value-oracle-graduated
+# p1_qc_pipeline end-to-end composite, (2) the remaining TPC-H shapes
+# (v19-v26), (3) the e-family analytics stragglers (e14-e26), (4) the
+# x10-x76 mid-band (multimodal, sampling, dedup variants, PQ/quant,
+# data-quality). A ~50-query driver sample drains the first four
+# groups; the round-6 rotation finishes the x-band tail. Every name
+# below carries a full DuckDB value oracle and passed the builder's
+# full local gates (COVERAGE.md: 221/8/0 over all 229 at sf0.01,
+# 216/8/0 at sf0.1).
+_ROUND5_PRIORITY = [
+    # (1) round-5 additions + the graduated end-to-end composite
+    "x111_skipgram_pairs", "x112_column_expectations",
+    "x113_paragraph_dedup", "x114_mrr_jackknife", "x115_class_report",
+    "p1_qc_pipeline",
+    # (2) TPC-H shapes not yet driver-sampled
+    "v19_tpch_q12", "v20_tpch_q15", "v21_tpch_q17", "v22_tpch_q19",
+    "v23_tpch_q21", "v24_tpch_q2", "v25_tpch_q11", "v26_tpch_q20",
+    # (3) e-family analytics stragglers
+    "e14_cube", "e15_unpivot", "e16_json_props",
+    "e17_datetime_functions", "e18_try_functions", "e19_session_stats",
+    "e20_grouping_sets", "e21_range_frame",
+    "e22_approx_percentile_accuracy", "e23_gap_fill",
     "e24_mad_outliers", "e25_salted_agg", "e26_incremental_rollup",
-    "x62_truncation_eval", "x17_embedding_dups", "x22_quality_deciles",
-    "x61_langid_eval", "x10_fingerprint", "x12_multimodal_meta",
-    "x13_frame_sample", "x14_resize_image", "x20_incremental_dedup",
-    "x23_snapshot_diff", "x24_fuzzy_join", "x19_stratified_sample",
-    "x29_stratified_quota", "x30_profile", "x31_vocab_topk",
-    "x60_topk_per_group", "x32_negative_samples", "x27_weighted_mix",
-    "x28_chunking", "x63_chunk_roundtrip", "x25_audio_features",
-    "x58_dedup_keep_best", "x35_pii_redact", "x36_bpe_pairs",
-    "x37_token_drift", "p3_curate", "x39_unigram_logprob",
+    # (4) the x10-x76 mid-band + remaining composites
+    "x10_fingerprint", "x12_multimodal_meta", "x13_frame_sample",
+    "x14_resize_image", "x17_embedding_dups", "x19_stratified_sample",
+    "x20_incremental_dedup", "x22_quality_deciles", "x23_snapshot_diff",
+    "x24_fuzzy_join", "x25_audio_features", "x27_weighted_mix",
+    "x28_chunking", "x29_stratified_quota", "x30_profile",
+    "x31_vocab_topk", "x32_negative_samples", "x35_pii_redact",
+    "x36_bpe_pairs", "x37_token_drift", "x39_unigram_logprob",
     "x40_boilerplate", "x41_merge_upsert", "x42_ann_recall",
     "x45_semantic_dedup", "x46_importance_sample", "x47_bigram_lm",
     "x48_diversity_sample", "x49_decayed_counts", "x50_image_features",
     "x52_zorder", "x53_pq_encode", "x54_pq_search", "x55_quantize_int8",
-    "u3_intersect_except", "x67_hierarchy_paths", "x70_hll_accuracy",
-    "x73_dq_checks", "x76_token_entropy",
+    "x58_dedup_keep_best", "x60_topk_per_group", "x61_langid_eval",
+    "x62_truncation_eval", "x63_chunk_roundtrip", "x67_hierarchy_paths",
+    "x70_hll_accuracy", "x73_dq_checks", "x76_token_entropy",
+    "u3_intersect_except", "p3_curate",
 ]
+# Backwards-compat alias (round-4 name); same contract test applies.
+_ROUND4_PRIORITY = _ROUND5_PRIORITY
 
 
 def _ordered() -> dict[str, tuple[Builder, str | None]]:
