@@ -130,3 +130,35 @@ def merge_agg_state(state: DataFrame, delta: DataFrame,
                  F.sum("sum_value").alias("sum_value"),
                  F.min("min_ts").alias("min_ts"),
                  F.max("max_ts").alias("max_ts")))
+
+
+def merge_intervals(df: DataFrame, key_col: str = "doc_id",
+                    start_col: str = "start",
+                    end_col: str = "end") -> DataFrame:
+    """Merge overlapping/touching [start, end] intervals per key into
+    maximal disjoint spans — the span-union primitive behind PII-span
+    consolidation, match-region blacklists, and validity-window
+    compaction. Intervals touch when next.start <= running max(end);
+    output is ``(key, span_start, span_end, n_merged)`` per island.
+
+    Plan: the e13/SCD2 island idiom — per-key window ordered by
+    (start, end), running MAX(end) over preceding rows marks island
+    breaks, a running SUM of breaks numbers the islands, then ONE
+    groupBy(key, island) collapses them. Both windows partition by
+    key (parallel across keys, no global sort); two shuffles total
+    (key window + the groupBy reuses the same key prefix)."""
+    from pyspark.sql import Window as W
+    w = (W.partitionBy(key_col).orderBy(start_col, end_col)
+         .rowsBetween(W.unboundedPreceding, -1))
+    prev_max = F.max(end_col).over(w)
+    brk = F.when(prev_max.isNull()
+                 | (F.col(start_col) > prev_max), 1).otherwise(0)
+    wrun = (W.partitionBy(key_col).orderBy(start_col, end_col)
+            .rowsBetween(W.unboundedPreceding, 0))
+    island = F.sum(brk).over(wrun)
+    return (df.withColumn("_isl", island)
+            .groupBy(key_col, "_isl")
+            .agg(F.min(start_col).alias("span_start"),
+                 F.max(end_col).alias("span_end"),
+                 F.count("*").cast("long").alias("n_merged"))
+            .drop("_isl"))

@@ -354,3 +354,136 @@ def classification_report(df: DataFrame, gold_col: str = "gold",
                       F.round(prec, 9).alias("precision"),
                       F.round(rec, 9).alias("recall"),
                       F.round(f1, 9).alias("f1"))
+
+
+def auc_rank(df: DataFrame, label_col: str = "label",
+             score_col: str = "score",
+             coarse=None) -> DataFrame:
+    """Exact ROC-AUC via the Mann-Whitney rank-sum identity, with
+    midrank tie handling — the standard classifier-quality gate run
+    over scored eval sets before a model/ranker is promoted.
+
+    AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos·n_neg) where R_pos is
+    the sum of (mid)ranks of the positive class. Everything up to the
+    single final division is integer: doubling the midranks makes them
+    whole (2·midrank = 2·below + cnt + 1), and the sums accumulate as
+    DECIMAL(38,0) so corpus-scale row counts (R_pos grows as n²) don't
+    overflow int64. Returns one row
+    ``(n_pos, n_neg, n_ties_groups, auc, gini)`` with auc/gini rounded
+    to 9 dp — hash-exact against a DuckDB oracle built from the same
+    integers.
+
+    Plan: ONE groupBy(score) census shuffle, then the
+    ``ntile_scalable`` coarse-bucket trick for the global cumulative —
+    rank within each coarse score bucket (parallel windows), shift by
+    driver-collected per-bucket totals (one tiny row per bucket) — and
+    a single global aggregate. No unpartitioned window, no collect of
+    anything unbounded. ``coarse`` must be a Column MONOTONE in the
+    score with modest cardinality (default ``floor(score * 32)``)."""
+    lab = F.col(label_col).cast("long")
+    census = (df.groupBy(F.col(score_col).alias("_s"))
+              .agg(F.count("*").cast("long").alias("_cnt"),
+                   F.sum(lab).cast("long").alias("_pos")))
+    cb = coarse if coarse is not None else F.floor(F.col("_s") * 32)
+    census = census.withColumn("_cb", cb.cast("long"))
+    sizes = (census.groupBy("_cb").agg(F.sum("_cnt").alias("n"))
+             .orderBy("_cb").collect())
+    offsets, acc = {}, 0
+    for r in sizes:
+        offsets[r["_cb"]] = acc
+        acc += r["n"]
+    if not offsets:
+        return df.sparkSession.createDataFrame(
+            [(0, 0, 0, 0.0, 0.0)],
+            "n_pos long, n_neg long, n_tie_groups long, "
+            "auc double, gini double")
+    offmap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = (W.partitionBy("_cb").orderBy("_s")
+         .rowsBetween(W.unboundedPreceding, -1))
+    below = (F.coalesce(F.sum("_cnt").over(w), F.lit(0))
+             + offmap[F.col("_cb")])
+    # 2·R_pos contribution of a tie group: pos · (2·below + cnt + 1)
+    contrib = (F.col("_pos").cast("decimal(38,0)")
+               * (2 * below + F.col("_cnt") + 1).cast("decimal(38,0)"))
+    agg = (census.withColumn("_r2", contrib)
+           .agg(F.sum("_pos").cast("decimal(38,0)").alias("np"),
+                F.sum(F.col("_cnt") - F.col("_pos"))
+                .cast("decimal(38,0)").alias("nn"),
+                F.sum("_r2").alias("r2"),
+                F.sum(F.when(F.col("_cnt") > 1, 1).otherwise(0))
+                .cast("long").alias("n_tie_groups")))
+    auc = ((F.col("r2") - F.col("np") * (F.col("np") + 1))
+           .cast("double")
+           / (2 * F.col("np") * F.col("nn")).cast("double"))
+    auc = F.when((F.col("np") > 0) & (F.col("nn") > 0), auc).otherwise(0.0)
+    return agg.select(F.col("np").cast("long").alias("n_pos"),
+                      F.col("nn").cast("long").alias("n_neg"),
+                      "n_tie_groups",
+                      F.round(auc, 9).alias("auc"),
+                      F.round(2 * auc - 1, 9).alias("gini"))
+
+
+def calibration_bins(df: DataFrame, label_col: str = "label",
+                     p_col: str = "p", bins: int = 10) -> DataFrame:
+    """Reliability-diagram bins: bucket predictions into ``bins`` equal
+    probability bins and report, per bin, the exact mean predicted
+    probability vs the exact empirical positive rate — the calibration
+    check (ECE is one weighted sum over these rows).
+
+    Exactness: predictions quantize to fixed-point (p·1e6 as int64)
+    BEFORE summing, so mean_p is a single decimal/long division and
+    frac_pos is a count ratio — both hash-exact cross-engine. One
+    groupBy(bin) shuffle, output bounded by ``bins``."""
+    p_fp = F.round(F.col(p_col) * 1000000).cast("long")
+    b = F.least(F.floor(F.col(p_col) * bins), F.lit(bins - 1)).cast("int")
+    agg = (df.groupBy(b.alias("bin"))
+           .agg(F.count("*").cast("long").alias("n"),
+                F.sum(F.col(label_col).cast("long"))
+                .cast("long").alias("n_pos"),
+                F.sum(p_fp).cast("decimal(38,0)").alias("sp")))
+    mean_p = (F.col("sp").cast("double")
+              / (F.col("n").cast("double") * 1000000.0))
+    frac = F.col("n_pos") / F.col("n")
+    return (agg.select("bin", "n", "n_pos",
+                       F.round(mean_p, 9).alias("mean_p"),
+                       F.round(frac, 9).alias("frac_pos"),
+                       F.round(F.abs(mean_p - frac), 9).alias("gap"))
+            .orderBy("bin"))
+
+
+def cohens_kappa(df: DataFrame, a_col: str = "rater_a",
+                 b_col: str = "rater_b") -> DataFrame:
+    """Cohen's kappa for two-annotator agreement over a shared label
+    set — the labeling-QA statistic behind inter-rater reliability
+    gates. kappa = (p_o - p_e)/(1 - p_e) computed as the single exact
+    division (n·agree - Σ r_i·c_i) / (n² - Σ r_i·c_i): the marginal
+    products accumulate as DECIMAL(38,0) (n² overflows int64 exactly
+    at corpus scale), so no float feeds a float. Returns one row
+    ``(n, n_agree, n_labels, kappa)``.
+
+    Plan: ONE groupBy(a, b) census shuffle bounded by |labels|²; the
+    marginals and their product join derive from that tiny frame."""
+    cm = (df.groupBy(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+          .agg(F.count("*").cast("long").alias("_c"))
+          .localCheckpoint(eager=False))
+    ra = cm.groupBy(F.col("_a").alias("_l")).agg(
+        F.sum("_c").cast("decimal(38,0)").alias("_ra"))
+    rb = cm.groupBy(F.col("_b").alias("_l")).agg(
+        F.sum("_c").cast("decimal(38,0)").alias("_rb"))
+    pe = (ra.join(rb, "_l", "full")
+          .agg(F.sum(F.coalesce(F.col("_ra"), F.lit(0).cast("decimal(38,0)"))
+                     * F.coalesce(F.col("_rb"),
+                                  F.lit(0).cast("decimal(38,0)")))
+               .alias("_sumrc"),
+               F.count("*").cast("long").alias("n_labels")))
+    tot = cm.agg(F.sum("_c").cast("decimal(38,0)").alias("_n"),
+                 F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_c"))
+                       .otherwise(0)).cast("decimal(38,0)").alias("_agree"))
+    j = tot.crossJoin(pe)
+    num = (F.col("_n") * F.col("_agree") - F.col("_sumrc")).cast("double")
+    den = (F.col("_n") * F.col("_n") - F.col("_sumrc")).cast("double")
+    kappa = F.when(den != 0, num / den).otherwise(0.0)
+    return j.select(F.col("_n").cast("long").alias("n"),
+                    F.col("_agree").cast("long").alias("n_agree"),
+                    "n_labels",
+                    F.round(kappa, 9).alias("kappa"))

@@ -825,3 +825,125 @@ def skipgram_pairs(df: DataFrame, window: int = 3, top_k: int = 50,
                    F.sum("wt").cast("long").alias("w_sum")))
     return (counts.filter(F.col("pair_count") >= min_count)
             .orderBy(F.desc("pair_count"), "w1", "w2").limit(top_k))
+
+
+def cdc_chunk_stats(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", window: int = 4,
+                    mask: int = 63, min_chunk: int = 32) -> DataFrame:
+    """Content-defined chunking statistics: split each document at
+    positions where a polynomial rolling hash of the last ``window``
+    characters lands on 0 mod (``mask``+1) — the Rabin/FastCDC
+    boundary rule that makes chunk edges INSENSITIVE to byte shifts,
+    so an insertion early in a document re-chunks only one chunk
+    instead of shifting every fixed-size block (the property delta
+    dedup at 100 TB depends on). Boundaries closer than ``min_chunk``
+    to the previous cut are suppressed (FastCDC's min-size rule).
+    Returns ``(doc_id, n_chunks, len_chars, avg_chunk_len,
+    max_chunk_len, boundary_hash)`` where avg is the exact
+    len/n_chunks ratio and boundary_hash is a positional checksum of
+    the cut list (so two engines must agree on every cut, not just
+    the count).
+
+    Exactness: hash(i) = ((c1·31 + c2)·31 + c3)·31 + c4 over UTF-32
+    codepoints — small exact integers in both engines. Map-only: the
+    per-position arrays live inside one projection, no shuffle, no
+    UDF."""
+    n = F.length(F.col(text_col))
+    # codepoint at 1-based position p
+    def cp(p):
+        return F.ascii(F.substring(F.col(text_col), p, 1))
+    pos = F.sequence(F.lit(window), n)
+    h = lambda i: (((cp(i - 3) * 31 + cp(i - 2)) * 31
+                    + cp(i - 1)) * 31 + cp(i)) % (mask + 1)
+    raw = F.filter(pos, lambda i: h(i) == 0)
+    # min-chunk suppression is a sequential fold over candidate cuts
+    cuts = F.aggregate(
+        raw,
+        F.array().cast("array<int>"),
+        lambda acc, i: F.when(
+            i - F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0))
+            >= min_chunk,
+            F.concat(acc, F.array(i.cast("int")))).otherwise(acc))
+    cuts = F.when(n >= window, cuts).otherwise(F.array().cast("array<int>"))
+    # chunk lengths: diffs over [0, cuts..., len]
+    full = F.concat(F.array(F.lit(0)), cuts,
+                    F.when((F.coalesce(F.try_element_at(cuts, F.lit(-1)),
+                                       F.lit(0)) < n) | (n == 0),
+                           F.array(n.cast("int")))
+                    .otherwise(F.array().cast("array<int>")))
+    lens = F.transform(
+        F.sequence(F.lit(2), F.size(full)),
+        lambda i: F.element_at(full, i) - F.element_at(full, i - 1))
+    bhash = F.aggregate(
+        cuts, F.lit(0).cast("long"),
+        lambda acc, c: (acc * 1000003 + c) % 2147483647)
+    out = df.select(
+        id_col, F.size(lens).cast("long").alias("n_chunks"),
+        n.cast("long").alias("len_chars"),
+        lens.alias("_lens"), bhash.alias("boundary_hash"))
+    avg = F.when(F.col("n_chunks") > 0,
+                 F.col("len_chars") / F.col("n_chunks")).otherwise(0.0)
+    return out.select(
+        id_col, "n_chunks", "len_chars",
+        F.round(avg, 9).alias("avg_chunk_len"),
+        F.coalesce(F.array_max("_lens"), F.lit(0)).cast("long")
+        .alias("max_chunk_len"),
+        "boundary_hash")
+
+
+def decontam_spans(corpus: DataFrame, benchmark: DataFrame, k: int = 13,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Span-level decontamination (the GPT-3/PaLM appendix method):
+    for each corpus document, locate every TOKEN POSITION where a
+    ``k``-gram also appears in the benchmark set — not just whether
+    the document is contaminated (x34) but WHERE, so the pipeline can
+    excise the spans and keep the rest of the document. Returns
+    ``(doc_id, n_positions, n_hits, first_hit_pos, longest_run)`` for
+    contaminated documents: longest_run is the longest streak of
+    consecutive matching positions (adjacent hits merge into one span
+    of length run+k-1 tokens).
+
+    Plan: benchmark k-grams collapse to DISTINCT then BROADCAST (test
+    sets are tiny; the corpus side explodes scan-side) — one left
+    broadcast join against the exploded (doc, pos, gram) frame, then
+    ONE groupBy(doc). The longest-run statistic folds over the sorted
+    hit-position list (bounded by hits per doc), never a window."""
+    from data_ingest_spark.extensions.text import tokens_col
+    def grams(c):
+        toks = tokens_col(c)
+        idx = F.sequence(F.lit(0), F.size(toks) - k)
+        win = F.transform(idx, lambda i: F.concat_ws(
+            " ", *[F.get(toks, i + j) for j in range(k)]))
+        return F.when(F.size(toks) >= k, win).otherwise(
+            F.array().cast("array<string>"))
+    bench = (benchmark.select(F.explode(grams(text_col)).alias("_g"))
+             .distinct().withColumn("_hit", F.lit(1)))
+    pos = (corpus.select(
+        id_col, F.posexplode(grams(text_col)).alias("_p", "_g")))
+    marked = pos.join(F.broadcast(bench), "_g", "left")
+    hits = F.sort_array(F.collect_list(
+        F.when(F.col("_hit").isNotNull(), F.col("_p"))))
+    agg = marked.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_positions"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long")
+        .alias("n_hits"),
+        hits.alias("_hp"))
+    run = F.aggregate(
+        F.col("_hp"),
+        F.struct(F.lit(0).cast("int").alias("best"),
+                 F.lit(0).cast("int").alias("cur"),
+                 F.lit(-2).cast("int").alias("prev")),
+        lambda acc, p: F.struct(
+            F.greatest(acc["best"],
+                       F.when(p == acc["prev"] + 1, acc["cur"] + 1)
+                       .otherwise(F.lit(1))).alias("best"),
+            F.when(p == acc["prev"] + 1, acc["cur"] + 1)
+            .otherwise(F.lit(1)).alias("cur"),
+            p.alias("prev")),
+        lambda acc: acc["best"])
+    return (agg.filter(F.col("n_hits") > 0)
+            .select(id_col, "n_positions", "n_hits",
+                    F.element_at("_hp", 1).cast("long")
+                    .alias("first_hit_pos"),
+                    run.cast("long").alias("longest_run")))

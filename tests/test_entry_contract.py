@@ -55,8 +55,10 @@ def test_rotation_priority_names_resolve(spark):
     missing = [n for n in registry._ROUND4_PRIORITY
                if n not in registry.REGISTRY]
     assert missing == []
-    front = list(registry.queries())[:14]
+    front = list(registry.queries())[:20]
     assert front == [
+        "x116_auc_rank", "x117_calibration", "x118_cohens_kappa",
+        "x119_interval_merge", "x120_cdc_chunks", "x121_decontam_spans",
         "x111_skipgram_pairs", "x112_column_expectations",
         "x113_paragraph_dedup", "x114_mrr_jackknife", "x115_class_report",
         "p1_qc_pipeline",

@@ -108,3 +108,143 @@ def test_classification_report_counts_and_f1(spark):
     assert b["precision"] == 0.5 and b["recall"] == 1.0
     # class only in gold: zero precision/recall, no crash
     assert (c["n_pred"], c["tp"], c["precision"], c["f1"]) == (0, 0, 0.0, 0.0)
+
+
+# ---- round-5b: eval metrics, interval merge, CDC chunking, spans ----
+
+from data_ingest_spark.extensions.cdc import merge_intervals
+from data_ingest_spark.extensions.evaluation import (auc_rank,
+                                                     calibration_bins,
+                                                     cohens_kappa)
+from data_ingest_spark.extensions.text import cdc_chunk_stats, decontam_spans
+
+
+def test_auc_rank_known_value(spark):
+    df = spark.createDataFrame(
+        [(1, 0.9), (0, 0.8), (1, 0.7), (0, 0.3)], ["label", "score"])
+    r = auc_rank(df).collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["n_tie_groups"]) == (2, 2, 0)
+    assert r["auc"] == 0.75 and r["gini"] == 0.5
+
+
+def test_auc_rank_midrank_ties(spark):
+    # one positive and one negative at the same score: AUC = 0.5
+    df = spark.createDataFrame([(1, 0.5), (0, 0.5)], ["label", "score"])
+    r = auc_rank(df).collect()[0]
+    assert r["n_tie_groups"] == 1 and r["auc"] == 0.5
+
+
+def test_auc_rank_empty_and_one_class(spark):
+    empty = spark.createDataFrame([], "label int, score double")
+    r = auc_rank(empty).collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc"]) == (0, 0, 0.0)
+    ones = spark.createDataFrame([(1, 0.2), (1, 0.4)], ["label", "score"])
+    assert auc_rank(ones).collect()[0]["auc"] == 0.0
+
+
+def test_calibration_bins_exact_ratios(spark):
+    df = spark.createDataFrame(
+        [(1, 0.95), (0, 0.92), (1, 0.15), (0, 0.12)], ["label", "p"])
+    rows = {r["bin"]: r for r in calibration_bins(df).collect()}
+    assert set(rows) == {1, 9}
+    assert rows[9]["n"] == 2 and rows[9]["frac_pos"] == 0.5
+    assert rows[9]["mean_p"] == 0.935
+    assert rows[1]["mean_p"] == 0.135 and rows[1]["n_pos"] == 1
+
+
+def test_cohens_kappa_perfect_and_chance(spark):
+    same = spark.createDataFrame(
+        [("A", "A"), ("B", "B")], ["rater_a", "rater_b"])
+    assert cohens_kappa(same).collect()[0]["kappa"] == 1.0
+    chance = spark.createDataFrame(
+        [("A", "A"), ("A", "B"), ("B", "B"), ("B", "A")],
+        ["rater_a", "rater_b"])
+    r = cohens_kappa(chance).collect()[0]
+    assert (r["n"], r["n_agree"], r["n_labels"]) == (4, 2, 2)
+    assert r["kappa"] == 0.0
+
+
+def test_merge_intervals_touching_and_disjoint(spark):
+    df = spark.createDataFrame(
+        [("k", 1, 5), ("k", 4, 8), ("k", 5, 6), ("k", 10, 12),
+         ("j", 0, 1)],
+        ["doc_id", "start", "end"])
+    out = sorted((r["doc_id"], r["span_start"], r["span_end"],
+                  r["n_merged"])
+                 for r in merge_intervals(df).collect())
+    # [1,5]+[4,8]+[5,6] chain (touch counts as overlap); [10,12] apart
+    assert out == [("j", 0, 1, 1), ("k", 1, 8, 3), ("k", 10, 12, 1)]
+
+
+def _cdc_mirror(text, window=4, mask=63, min_chunk=1):
+    n = len(text)
+    cuts, prev = [], 0
+    for i in range(window, n + 1):
+        h = 0
+        for c in text[i - window:i]:
+            h = h * 31 + ord(c)
+        if h % (mask + 1) == 0 and i - prev >= min_chunk:
+            cuts.append(i)
+            prev = i
+    full = [0] + cuts + ([n] if (not cuts or cuts[-1] < n or n == 0)
+                         else [])
+    lens = [full[i] - full[i - 1] for i in range(1, len(full))]
+    bh = 0
+    for c in cuts:
+        bh = (bh * 1000003 + c) % 2147483647
+    return len(lens), max(lens) if lens else 0, bh
+
+
+def test_cdc_chunk_stats_matches_python_mirror(spark):
+    texts = ["the quick brown fox jumps over the lazy dog " * 8,
+             "abcd" * 40, "xy", ""]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    for min_chunk in (1, 32):
+        rows = {r["doc_id"]: r for r in cdc_chunk_stats(
+            df, window=4, mask=63, min_chunk=min_chunk).collect()}
+        for i, t in enumerate(texts):
+            nc, mx, bh = _cdc_mirror(t, min_chunk=min_chunk)
+            r = rows[i]
+            assert (r["n_chunks"], r["max_chunk_len"],
+                    r["boundary_hash"]) == (nc, mx, bh), (i, min_chunk)
+            assert r["len_chars"] == len(t)
+
+
+def test_cdc_chunk_boundaries_shift_insensitive(spark):
+    # inserting a prefix re-chunks only the first chunk: every cut in
+    # the original that is >= window chars past the edit reappears
+    # shifted by the insertion length
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    ins = "INSERTED! " + base
+    df = spark.createDataFrame([(0, base), (1, ins)], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in cdc_chunk_stats(
+        df, window=4, mask=63, min_chunk=1).collect()}
+    # mirror gives the actual cut lists to compare
+    def cuts_of(t):
+        out, prev = [], 0
+        for i in range(4, len(t) + 1):
+            h = 0
+            for c in t[i - 4:i]:
+                h = h * 31 + ord(c)
+            if h % 64 == 0:
+                out.append(i)
+        return out
+    c0, c1 = cuts_of(base), cuts_of(ins)
+    shifted = [c + len("INSERTED! ") for c in c0]
+    # all original cuts survive the shift (the defining CDC property)
+    assert set(shifted) <= set(c1)
+    assert rows[0]["n_chunks"] >= 2  # the rule actually fires
+
+
+def test_decontam_spans_positions_and_runs(spark):
+    bench = spark.createDataFrame([(0, "a b c d e")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(1, "x x a b c d e y y"), (2, "no overlap here at all")],
+        ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in
+            decontam_spans(corpus, bench, k=3).collect()}
+    assert set(rows) == {1}
+    r = rows[1]
+    assert (r["n_positions"], r["n_hits"]) == (7, 3)
+    assert (r["first_hit_pos"], r["longest_run"]) == (2, 3)
