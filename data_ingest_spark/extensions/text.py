@@ -947,3 +947,85 @@ def decontam_spans(corpus: DataFrame, benchmark: DataFrame, k: int = 13,
                     F.element_at("_hp", 1).cast("long")
                     .alias("first_hit_pos"),
                     run.cast("long").alias("longest_run")))
+
+
+def good_turing_spectrum(df: DataFrame, text_col: str = "text",
+                         max_r: int = 10, k: int = 3) -> DataFrame:
+    """Good–Turing frequency-of-frequencies spectrum over the corpus's
+    word ``k``-shingle types: for each type count r ≤ ``max_r``, the
+    number of types seen exactly r times (n_r), the Turing-smoothed
+    adjusted count r* = (r+1)·n_{r+1}/n_r, and the total probability
+    mass the r-class carries (r·n_r/N). r=1's mass is the Good–Turing
+    estimate of UNSEEN type mass — the standard answer to "how much of
+    this corpus's distribution has my tokenizer/LM not seen yet",
+    which sizes vocab growth before a training run. Shingle types
+    (not unigrams) are the unit because the low-r tail is where the
+    estimator lives — unigram vocabularies saturate.
+
+    Two corpus-wide aggregations (shingle counts, then
+    count-of-counts); the spectrum itself is ≤ max_r rows, so the
+    final stage is bounded state regardless of corpus size. All
+    counts are exact int64; the two ratios round 6dp.
+
+    Returns ``(r, n_r, r_star, mass)``.
+    """
+    uni = (df.select(F.explode(shingles_col(text_col, k)).alias("w"))
+           .groupBy("w").agg(F.count("*").alias("cw")))
+    spec = (uni.groupBy(F.col("cw").alias("r"))
+            .agg(F.count("*").alias("n_r"))
+            .filter(F.col("r") <= max_r + 1))
+    tot = uni.agg(F.sum("cw").cast("double").alias("_n"))
+    nxt = spec.select((F.col("r") - 1).alias("r"),
+                      F.col("n_r").alias("_n_next"))
+    return (spec.filter(F.col("r") <= max_r)
+            .join(nxt, "r", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(F.col("r").cast("long").alias("r"),
+                    F.col("n_r").cast("long").alias("n_r"),
+                    F.round((F.col("r") + 1).cast("double")
+                            * F.col("_n_next").cast("double")
+                            / F.col("n_r").cast("double"), 6)
+                    .alias("r_star"),
+                    F.round(F.col("r").cast("double")
+                            * F.col("n_r").cast("double") / F.col("_n"), 6)
+                    .alias("mass")))
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text",
+             group_col: str = "source", top_k: int = 100) -> DataFrame:
+    """Per-group Zipf law fit: rank the group's top-``top_k`` tokens
+    by frequency (count desc, token asc — the explicit tie-break) and
+    OLS-fit ln(count) ~ ln(rank). The slope is the Zipf exponent (−1
+    for natural text; far from it for boilerplate or synthetic spam),
+    a one-number distribution fingerprint used to compare sources and
+    catch template-heavy ones before they skew a training mix.
+
+    One token-count aggregation, a per-group top-k window (partitioned
+    by group), then the closed-form OLS from the five classical sums —
+    the same construction as operators/regression.ols_band, grouped.
+    Returns ``(group, n_ranked, zipf_slope, zipf_intercept)``, floats
+    rounded 6dp.
+    """
+    from pyspark.sql import Window as W
+    uni = (df.select(F.col(group_col).alias("g"),
+                     F.explode(tokens_col(text_col)).alias("w"))
+           .groupBy("g", "w").agg(F.count("*").alias("cw")))
+    win = W.partitionBy("g").orderBy(F.desc("cw"), F.asc("w"))
+    ranked = (uni.withColumn("_rk", F.row_number().over(win))
+              .filter(F.col("_rk") <= top_k))
+    pts = ranked.select(
+        "g", F.log(F.col("_rk").cast("double")).alias("x"),
+        F.log(F.col("cw").cast("double")).alias("y"))
+    fit = pts.groupBy("g").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    slope = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    return fit.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n_ranked"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
+        .alias("zipf_intercept"))

@@ -7116,6 +7116,87 @@ def q_decontam_spans(spark, sf):
     return tx.decontam_spans(corpus, bench, k=3)
 
 
+@_q("x122_theil_sen", """
+WITH e AS (SELECT user_id AS k, event_id AS i, epoch(ts) AS t,
+                  value AS v FROM events),
+ s AS (SELECT a.k, ((b.v - a.v) * 3600.0) / (b.t - a.t) AS sl
+       FROM e a JOIN e b ON a.k = b.k AND a.i < b.i AND a.t <> b.t),
+ r AS (SELECT k, sl,
+              ROW_NUMBER() OVER (PARTITION BY k ORDER BY sl) AS rn,
+              COUNT(*) OVER (PARTITION BY k) AS n FROM s)
+SELECT k AS user_id, CAST(MAX(n) AS BIGINT) AS n_pairs,
+       ROUND(AVG(sl), 6) AS theil_slope
+FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+GROUP BY 1
+""")
+def q_theil_sen(spark, sf):
+    """Per-user Theil–Sen robust trend (rg.theil_sen) of event value
+    over time, in value-units/hour — the median-of-pairwise-slopes
+    estimator; the positional median pick makes the whole iterative-
+    free construction value-checkable."""
+    return rg.theil_sen(load(spark, sf, "events"))
+
+
+@_q("x123_good_turing", r"""
+WITH tk AS (SELECT string_split_regex(lower(text), '\s+') AS t
+            FROM documents),
+ sh AS (SELECT CASE WHEN len(t) >= 3 THEN
+                 [t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+                  FOR i IN generate_series(1, len(t) - 2)]
+               ELSE [array_to_string(t, ' ')] END AS gs
+        FROM tk),
+ uni AS (SELECT u.w, CAST(COUNT(*) AS BIGINT) AS cw
+         FROM (SELECT unnest(gs) AS w FROM sh) u GROUP BY 1),
+ spec AS (SELECT cw AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+          FROM uni GROUP BY 1),
+ tot AS (SELECT CAST(SUM(cw) AS DOUBLE) AS n FROM uni)
+SELECT s.r, s.n_r,
+       ROUND(CAST(s.r + 1 AS DOUBLE) * CAST(nx.n_r AS DOUBLE)
+             / CAST(s.n_r AS DOUBLE), 6) AS r_star,
+       ROUND(CAST(s.r AS DOUBLE) * CAST(s.n_r AS DOUBLE) / tot.n, 6)
+         AS mass
+FROM spec s LEFT JOIN spec nx ON nx.r = s.r + 1 CROSS JOIN tot
+WHERE s.r <= 10
+""")
+def q_good_turing(spark, sf):
+    """Good–Turing frequency spectrum (tx.good_turing_spectrum) over
+    word-trigram types: count-of-counts n_r, Turing-adjusted r*, and
+    per-class mass; the r=1 mass is the unseen-mass estimate used to
+    size a tokenizer vocab before training."""
+    return tx.good_turing_spectrum(load(spark, sf, "documents"))
+
+
+@_q("x124_zipf_fit", r"""
+WITH tk AS (SELECT source AS g,
+                   string_split_regex(lower(text), '\s+') AS t
+            FROM documents),
+ uni AS (SELECT g, u.w, CAST(COUNT(*) AS BIGINT) AS cw
+         FROM (SELECT g, unnest(t) AS w FROM tk) u GROUP BY 1, 2),
+ rk AS (SELECT g, cw,
+               ROW_NUMBER() OVER (PARTITION BY g
+                                  ORDER BY cw DESC, w ASC) AS r
+        FROM uni),
+ pts AS (SELECT g, ln(CAST(r AS DOUBLE)) AS x,
+                ln(CAST(cw AS DOUBLE)) AS y
+         FROM rk WHERE r <= 100),
+ fit AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx,
+                SUM(y) AS sy, SUM(x * x) AS sxx, SUM(x * y) AS sxy
+         FROM pts GROUP BY 1)
+SELECT g AS source, CAST(n AS BIGINT) AS n_ranked,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+         AS zipf_slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+             / n, 6) AS zipf_intercept
+FROM fit
+""")
+def q_zipf_fit(spark, sf):
+    """Per-source Zipf exponent (tx.zipf_fit): OLS of ln(count) ~
+    ln(rank) over each source's top-100 tokens — a one-number
+    distribution fingerprint that flags template/boilerplate-heavy
+    sources before they skew a training mix."""
+    return tx.zipf_fit(load(spark, sf, "documents"))
+
+
 # Driver-sample ordering. The correctness driver checks a bounded
 # prefix of ``queries()`` each round; rounds 2-4 verified 150 distinct
 # queries (CORRECTNESS_r02/r03/r04, 0 failures in any round). Round 5
@@ -7135,6 +7216,7 @@ _ROUND5_PRIORITY = [
     # (1) round-5 additions + the graduated end-to-end composite
     "x116_auc_rank", "x117_calibration", "x118_cohens_kappa",
     "x119_interval_merge", "x120_cdc_chunks", "x121_decontam_spans",
+    "x122_theil_sen", "x123_good_turing", "x124_zipf_fit",
     "x111_skipgram_pairs", "x112_column_expectations",
     "x113_paragraph_dedup", "x114_mrr_jackknife", "x115_class_report",
     "p1_qc_pipeline",

@@ -132,3 +132,53 @@ def huber_band_outliers(cells: DataFrame, z: float = 3.29) -> DataFrame:
                     F.abs(F.col("y") - F.col("pred")) > F.lit(z) * F.col("scale"))
         .select("sample", "barcode", "x", "y", "pred", "is_outlier")
     )
+
+
+def theil_sen(events: DataFrame, key_col: str = "user_id",
+              ts_col: str = "ts", val_col: str = "value",
+              seq_col: str = "event_id") -> DataFrame:
+    """Per-key Theil–Sen robust trend: the median of all pairwise
+    slopes (value per HOUR) over a key's event history — the classic
+    29.3%-breakdown-point alternative to OLS when a user's metric
+    series carries outliers (Sen 1968; the reference's rlm fit solves
+    the same robustness problem for the gene/UMI fit, see
+    src/QC_helpers/numGenesVsNumUmis.r:51-66 — this is the
+    nonparametric sibling for event streams).
+
+    Pairwise slopes are O(k²) per key — correct for the bounded
+    per-entity histories this targets (sessions, accounts: k ≤ ~10³);
+    the self-join keys the shuffle on ``key_col`` so every key's pairs
+    build inside one partition, and keys scale out embarrassingly.
+    Timestamps go through the repo's epoch_seconds (NTZ-safe, matches
+    DuckDB's naive-as-UTC epoch()); one double division per pair, and the median is a positional pick (avg of the
+    two middles) via one row_number window on the same key partition —
+    no driver state anywhere.
+
+    Returns ``(key, n_pairs, theil_slope)`` with slope in value-units
+    per hour, rounded 6dp.
+    """
+    from data_ingest_spark.functions.stats import epoch_seconds
+    e = events.select(
+        F.col(key_col).alias("_k"), F.col(seq_col).alias("_i"),
+        epoch_seconds(F.col(ts_col)).alias("_t"),
+        F.col(val_col).cast("double").alias("_v"))
+    a = e.select(F.col("_k"), F.col("_i").alias("_ia"),
+                 F.col("_t").alias("_ta"), F.col("_v").alias("_va"))
+    b = e.select(F.col("_k"), F.col("_i").alias("_ib"),
+                 F.col("_t").alias("_tb"), F.col("_v").alias("_vb"))
+    sl = (a.join(b, "_k")
+          .filter((F.col("_ia") < F.col("_ib"))
+                  & (F.col("_ta") != F.col("_tb")))
+          .select("_k",
+                  (((F.col("_vb") - F.col("_va")) * F.lit(3600.0))
+                   / (F.col("_tb") - F.col("_ta")))
+                  .alias("_sl")))
+    from pyspark.sql import Window as W
+    win = W.partitionBy("_k").orderBy("_sl")
+    r = (sl.withColumn("_rn", F.row_number().over(win))
+         .withColumn("_n", F.count("*").over(W.partitionBy("_k"))))
+    mid = r.filter((F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
+                   | (F.col("_rn") == F.floor(F.col("_n") / 2) + 1))
+    return (mid.groupBy(F.col("_k").alias(key_col))
+            .agg(F.max("_n").cast("long").alias("n_pairs"),
+                 F.round(F.avg("_sl"), 6).alias("theil_slope")))

@@ -248,3 +248,74 @@ def test_decontam_spans_positions_and_runs(spark):
     r = rows[1]
     assert (r["n_positions"], r["n_hits"]) == (7, 3)
     assert (r["first_hit_pos"], r["longest_run"]) == (2, 3)
+
+
+def test_theil_sen_known_slopes(spark):
+    from datetime import datetime
+    from data_ingest_spark.operators.regression import theil_sen
+    # user 1: values 0, 2, 4 at hours 0, 1, 2 -> every pairwise slope
+    # is exactly 2/hour; user 2: 0, 10, 2 at hours 0, 1, 2 -> slopes
+    # {10, 1, -8}, median 1 (robust to the outlier where OLS is not).
+    rows = []
+    for u, vals in ((1, [0.0, 2.0, 4.0]), (2, [0.0, 10.0, 2.0])):
+        for i, v in enumerate(vals):
+            rows.append((u * 10 + i, datetime(2024, 1, 1, i), u, v))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "value"])
+    out = {r["user_id"]: (r["n_pairs"], r["theil_slope"])
+           for r in theil_sen(df).collect()}
+    assert out[1] == (3, 2.0)
+    assert out[2] == (3, 1.0)
+
+
+def test_theil_sen_even_pairs_avgs_middles(spark):
+    from datetime import datetime
+    from data_ingest_spark.operators.regression import theil_sen
+    # 4 points at hours 0..3 with values 0,1,4,3: 6 slopes sorted are
+    # [-1, 0.5, 1, 1, 2, 3] -> median = (1+1)/2 = 1.0; same-timestamp
+    # pairs are excluded, not divided by zero.
+    rows = [(i, datetime(2024, 1, 1, i), 7, v)
+            for i, v in enumerate([0.0, 1.0, 4.0, 3.0])]
+    rows.append((99, datetime(2024, 1, 1, 0), 7, 100.0))  # dup ts of e0
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "value"])
+    row = theil_sen(df).collect()[0]
+    # the dup-ts point adds 3 more finite pairs (vs e1..e3), total 9
+    assert row["n_pairs"] == 9
+
+
+def test_good_turing_spectrum_exact(spark):
+    from data_ingest_spark.extensions.text import good_turing_spectrum
+    # Shingle multiset engineered via single-token docs (each doc < 3
+    # tokens -> its whole text is one shingle type): 'a' x3, 'b' x1,
+    # 'c' x1, 'd' x2 => n_1=2, n_2=1, n_3=1, N=7.
+    docs = [(i, t) for i, t in
+            enumerate(["a", "a", "a", "b", "c", "d", "d"])]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["r"]: r for r in good_turing_spectrum(df).collect()}
+    assert out[1]["n_r"] == 2 and out[2]["n_r"] == 1 and out[3]["n_r"] == 1
+    # r*=  (r+1) * n_{r+1} / n_r : r=1 -> 2*1/2 = 1.0 ; r=2 -> 3*1/1 = 3
+    assert out[1]["r_star"] == 1.0 and out[2]["r_star"] == 3.0
+    assert out[3]["r_star"] is None  # n_4 = 0
+    assert abs(out[1]["mass"] - round(2 / 7, 6)) < 1e-9
+
+
+def test_zipf_fit_exact_power_law(spark):
+    from data_ingest_spark.extensions.text import zipf_fit
+    # Counts 8/4/2 at ranks 1/2/3 are not collinear in log-log, so
+    # pin only sign and n here; the exact-slope check below uses two
+    # points, where OLS passes through both.
+    text = " ".join(["w1"] * 8 + ["w2"] * 4 + ["w3"] * 2)
+    df = spark.createDataFrame([(0, text, "s")],
+                               ["doc_id", "text", "source"])
+    row = zipf_fit(df, top_k=3).collect()[0]
+    assert row["n_ranked"] == 3 and row["zipf_slope"] < 0
+    # two-point exact check: only two tokens -> slope exactly
+    # (ln4 - ln8)/(ln2 - ln1) = -1 in the perfect Zipf case
+    df2 = spark.createDataFrame(
+        [(0, " ".join(["w1"] * 8 + ["w2"] * 4), "s")],
+        ["doc_id", "text", "source"])
+    import math
+    row2 = zipf_fit(df2, top_k=2).collect()[0]
+    assert abs(row2["zipf_slope"]
+               - round((math.log(4) - math.log(8)) / math.log(2), 6)) < 1e-6
