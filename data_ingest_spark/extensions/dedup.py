@@ -714,3 +714,58 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
                     F.coalesce("clean_text", F.lit("")).alias("clean_text"),
                     (F.col("_tot") - F.coalesce("_kept", F.lit(0)))
                     .cast("long").alias("n_dropped")))
+
+
+def resolve_entities(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = 3,
+                     threshold: float = 0.6,
+                     max_block: int = 50) -> DataFrame:
+    """End-to-end entity resolution: blocking → exact pairwise
+    similarity → connected components → canonical entity labels. The
+    pipeline every multi-source ingest needs to answer "which of these
+    records are the same thing" before dedup/merge decisions.
+
+    Stages (all existing primitives, composed):
+    1. Block on the lower-cased first two tokens; blocks larger than
+       ``max_block`` are skipped entirely (the standard superblock
+       guard — a hot key like an empty title would otherwise go
+       quadratic; skipped mass is recoverable via a second pass with a
+       finer key).
+    2. Candidate pairs = within-block id-ordered self-join; scored
+       with exact word-``k``-shingle Jaccard via the membership-row
+       join (:func:`jaccard_of_pairs` — work ∝ candidate shingle
+       lists, never corpus²).
+    3. Matches (jaccard ≥ ``threshold``) feed :func:`dup_clusters`
+       (min-label propagation to convergence), so transitive matches
+       (A≈B≈C with A,C never compared) still land in one entity.
+    4. Every input row gets ``entity_id`` = its component's min id
+       (itself if unmatched) and the entity's member count.
+
+    Returns ``(id, entity_id, n_members)``.
+    """
+    from data_ingest_spark.extensions.text import tokens_col
+
+    toks = tokens_col(text_col)
+    keyed = df.select(id_col, text_col).withColumn(
+        "_blk", F.concat_ws(" ", F.get(toks, 0), F.get(toks, 1)))
+    ok = (keyed.groupBy("_blk").agg(F.count("*").alias("_bn"))
+          .filter(F.col("_bn") <= max_block).select("_blk"))
+    kb = keyed.join(ok, "_blk")
+    cand = (kb.select("_blk", F.col(id_col).alias("id_a"))
+            .join(kb.select("_blk", F.col(id_col).alias("id_b")), "_blk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b"))
+    membership = shingle_sets(kb, id_col, text_col, k)
+    edges = (jaccard_of_pairs(cand, membership, id_col)
+             .filter(F.col("jaccard") >= threshold)
+             .select("id_a", "id_b"))
+    clusters = dup_clusters(edges).withColumnRenamed("doc_id", "_cid")
+    ent = (df.select(id_col)
+           .join(clusters, F.col(id_col) == F.col("_cid"), "left")
+           .select(F.col(id_col),
+                   F.coalesce("cluster", F.col(id_col))
+                   .alias("entity_id")))
+    sizes = (ent.groupBy("entity_id")
+             .agg(F.count("*").cast("long").alias("n_members")))
+    return ent.join(sizes, "entity_id").select(
+        id_col, "entity_id", "n_members")

@@ -7197,6 +7197,73 @@ def q_zipf_fit(spark, sf):
     return tx.zipf_fit(load(spark, sf, "documents"))
 
 
+@_q("x125_entity_resolution", r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text
+            FROM documents WHERE doc_id % 10 = 0
+  UNION ALL SELECT doc_id + 2000000, text || ' ' || lang
+            FROM documents WHERE doc_id % 7 = 0),
+ tk AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+        FROM corpus),
+ keyed AS (SELECT doc_id, concat_ws(' ', t[1], t[2]) AS blk, t FROM tk),
+ bok AS (SELECT blk FROM keyed GROUP BY 1 HAVING COUNT(*) <= 50),
+ kb AS (SELECT keyed.doc_id, keyed.blk, keyed.t
+        FROM keyed JOIN bok USING (blk)),
+ sh AS (SELECT DISTINCT doc_id, u.s AS shingle
+        FROM kb, UNNEST(CASE WHEN len(t) >= 3 THEN
+                          [t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+                           FOR i IN generate_series(1, len(t) - 2)]
+                        ELSE [array_to_string(t, ' ')] END) AS u(s)),
+ sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+ cand AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+          FROM kb a JOIN kb b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+ inter AS (SELECT c.ia, c.ib, COUNT(*) AS i
+           FROM cand c JOIN sh x ON x.doc_id = c.ia
+                       JOIN sh y ON y.doc_id = c.ib
+                                AND y.shingle = x.shingle
+           GROUP BY 1, 2),
+ edges AS (SELECT i.ia, i.ib
+           FROM inter i JOIN sizes na ON na.doc_id = i.ia
+                        JOIN sizes nb ON nb.doc_id = i.ib
+           WHERE i.i / (na.n + nb.n - i.i) >= 0.6),
+ und AS (SELECT ia AS src, ib AS dst FROM edges
+         UNION SELECT ib, ia FROM edges),
+ nodes AS (SELECT DISTINCT src AS id FROM und),
+ walk AS (
+   WITH RECURSIVE reach(src, dst) AS (
+     SELECT id, id FROM nodes
+     UNION
+     SELECT r.src, e.dst FROM reach r JOIN und e ON r.dst = e.src)
+   SELECT src, MIN(dst) AS lbl FROM reach GROUP BY 1),
+ ent AS (SELECT c.doc_id, COALESCE(w.lbl, c.doc_id) AS entity_id
+         FROM corpus c LEFT JOIN walk w ON w.src = c.doc_id),
+ sz AS (SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM ent GROUP BY 1)
+SELECT ent.doc_id, ent.entity_id, sz.n_members
+FROM ent JOIN sz USING (entity_id)
+""")
+def q_entity_resolution(spark, sf):
+    """End-to-end entity resolution (dd.resolve_entities) over a
+    three-source corpus — originals, exact republications (+1e6,
+    doc_id%10=0), and fuzzy variants with one appended token (+2e6,
+    doc_id%7=0): first-2-token blocking with a superblock cap, exact
+    trigram-shingle Jaccard >= 0.6, then connected components so
+    transitive matches share one entity; the oracle recomputes the
+    closure with a recursive CTE."""
+    docs = load(spark, sf, "documents")
+    corpus = (docs.select("doc_id", "text")
+              .unionByName(docs.filter(F.col("doc_id") % 10 == 0)
+                           .select((F.col("doc_id") + 1000000)
+                                   .alias("doc_id"), "text"))
+              .unionByName(docs.filter(F.col("doc_id") % 7 == 0)
+                           .select((F.col("doc_id") + 2000000)
+                                   .alias("doc_id"),
+                                   F.concat_ws(" ", "text", "lang")
+                                   .alias("text"))))
+    return dd.resolve_entities(corpus)
+
+
 # Driver-sample ordering. The correctness driver checks a bounded
 # prefix of ``queries()`` each round; rounds 2-4 verified 150 distinct
 # queries (CORRECTNESS_r02/r03/r04, 0 failures in any round). Round 5
@@ -7217,6 +7284,7 @@ _ROUND5_PRIORITY = [
     "x116_auc_rank", "x117_calibration", "x118_cohens_kappa",
     "x119_interval_merge", "x120_cdc_chunks", "x121_decontam_spans",
     "x122_theil_sen", "x123_good_turing", "x124_zipf_fit",
+    "x125_entity_resolution",
     "x111_skipgram_pairs", "x112_column_expectations",
     "x113_paragraph_dedup", "x114_mrr_jackknife", "x115_class_report",
     "p1_qc_pipeline",

@@ -319,3 +319,33 @@ def test_zipf_fit_exact_power_law(spark):
     row2 = zipf_fit(df2, top_k=2).collect()[0]
     assert abs(row2["zipf_slope"]
                - round((math.log(4) - math.log(8)) / math.log(2), 6)) < 1e-6
+
+
+def test_resolve_entities_transitive_closure(spark):
+    from data_ingest_spark.extensions.dedup import resolve_entities
+    # k=1 makes the shingle set = the distinct token set, so overlap
+    # is directly engineered: A~B and B~C are 8/12 = 0.667 >= 0.6 but
+    # A~C is only 6/14 = 0.43 — the A-C link exists ONLY through the
+    # component closure.
+    a = "x y a1 a2 a3 a4 a5 a6 a7 a8"
+    b = "x y a1 a2 a3 a4 a5 a6 b1 b2"
+    c = "x y a1 a2 a3 a4 b1 b2 c1 c2"
+    lone = "z w q1 q2 q3"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (9, lone)], ["doc_id", "text"])
+    out = {r["doc_id"]: (r["entity_id"], r["n_members"])
+           for r in resolve_entities(df, k=1).collect()}
+    assert out[1] == (1, 3) and out[2] == (1, 3) and out[3] == (1, 3)
+    assert out[9] == (9, 1)
+
+
+def test_resolve_entities_superblock_cap(spark):
+    from data_ingest_spark.extensions.dedup import resolve_entities
+    # Three identical docs would all match, but the block (their
+    # shared first-2-token key) exceeds max_block=2 and is skipped
+    # entirely -> three singleton entities.
+    df = spark.createDataFrame(
+        [(i, "same text here ok") for i in range(3)], ["doc_id", "text"])
+    out = resolve_entities(df, k=1, max_block=2).collect()
+    assert all(r["entity_id"] == r["doc_id"] and r["n_members"] == 1
+               for r in out)
