@@ -358,3 +358,94 @@ def image_features(resized: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return resized.mapInPandas(fn, IMAGE_FEATURES_SCHEMA)
+
+
+PHASH_COS_SCALE = 1_000_000
+
+
+def phash_cos_table(n: int = 8) -> list[tuple[int, int, int]]:
+    """The DCT-II basis quantized to int64 fixed point (scale 1e6):
+    rows ``(u, i, c)`` with c = round(cos(pi*(2i+1)*u/(2n)) * 1e6).
+    Shared verbatim by the Spark kernel and the DuckDB oracle (the
+    registry injects the same rows as a VALUES list), so the whole
+    transform is exact integer arithmetic — no libm in either engine.
+    Magnitude bound: pixel(<=255) * c(<=1e6)^2 * n^2(=64) < 1.7e16,
+    comfortably inside int64."""
+    import math
+    return [(u, i, round(math.cos(math.pi * (2 * i + 1) * u / (2 * n))
+                         * PHASH_COS_SCALE))
+            for u in range(n) for i in range(n)]
+
+
+PHASH_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("phash", LongType()),
+    StructField("n_above", LongType()),
+])
+
+
+def phash(decoded: DataFrame, grid: int = 8, low: int = 4) -> DataFrame:
+    """Perceptual hash over a decoded-image frame — the standard
+    pHash construction (gray → fixed ``grid``×``grid`` downsample →
+    2-D DCT → keep the ``low``×``low`` low-frequency block minus DC →
+    threshold at the block median → bit per coefficient), the
+    image-side analogue of SimHash: near-identical images land on
+    equal or near-equal hashes, so exact groupBy (or banded Hamming join)
+    finds visual near-dups without pairwise pixel comparison.
+
+    Everything is exact integers: gray = (r+g+b) div 3, the
+    downsample is nearest-neighbor index math (floor(i*h/grid)), the
+    DCT uses the quantized :func:`phash_cos_table`, and the median is
+    a positional pick (sorted index (low²−1)//2, 0-based, of the
+    low²−1 coefficients) — bit-for-bit reproducible across engines and
+    partitionings. Map-only fourth mapInPandas stage on the decode
+    partitioning: no shuffle anywhere.
+
+    Returns ``(doc_id, phash, n_above)`` — phash packs bit u·low+v
+    (DC bit 0 always unset), n_above = coefficients above the median.
+    """
+    import numpy as np
+
+    ct = phash_cos_table(grid)
+    C = np.zeros((grid, grid), dtype=np.int64)
+    for u, i, c in ct:
+        C[u, i] = c
+
+    def one(w: int, h: int, ch: int, px: bytes) -> tuple[int, int]:
+        arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+        if ch >= 3:
+            arr = arr[:w * h * 3].reshape(h, w, 3)
+            gray = (arr[:, :, 0] + arr[:, :, 1] + arr[:, :, 2]) // 3
+        else:
+            gray = arr[:w * h].reshape(h, w)
+        ri = (np.arange(grid) * h) // grid
+        ci = (np.arange(grid) * w) // grid
+        s = gray[np.ix_(ri, ci)]
+        f = C @ s @ C.T
+        coef = [(int(f[u, v]), u, v)
+                for u in range(low) for v in range(low)
+                if not (u == 0 and v == 0)]
+        med = sorted(c0 for c0, _, _ in coef)[(low * low - 1) // 2]
+        bits = 0
+        n_above = 0
+        for c0, u, v in coef:
+            if c0 > med:
+                bits |= 1 << (u * low + v)
+                n_above += 1
+        return bits, n_above
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_h, out_n = [], []
+            for w, h, ch, px in zip(pdf["width"], pdf["height"],
+                                    pdf["n_channels"], pdf["pixels"]):
+                b, n = one(int(w), int(h), int(ch), bytes(px))
+                out_h.append(b)
+                out_n.append(n)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "phash": pd.Series(out_h, dtype="int64"),
+                "n_above": pd.Series(out_n, dtype="int64"),
+            })
+
+    return decoded.mapInPandas(fn, PHASH_SCHEMA)

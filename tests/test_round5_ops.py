@@ -349,3 +349,49 @@ def test_resolve_entities_superblock_cap(spark):
     out = resolve_entities(df, k=1, max_block=2).collect()
     assert all(r["entity_id"] == r["doc_id"] and r["n_members"] == 1
                for r in out)
+
+
+def _ppm(w, h, body: bytes) -> bytes:
+    return f"P6\n{w} {h}\n255\n".encode() + body
+
+
+def test_phash_flat_image_is_zero(spark):
+    from data_ingest_spark.extensions.multimodal import decode_image, phash
+    # A constant image has zero energy in every non-DC coefficient:
+    # median 0, no coefficient strictly above it -> phash 0.
+    df = spark.createDataFrame(
+        [(1, bytearray(_ppm(8, 8, bytes([100]) * (8 * 8 * 3))))],
+        ["doc_id", "payload"])
+    row = phash(decode_image(df)).collect()[0]
+    assert row["phash"] == 0 and row["n_above"] == 0
+
+
+def test_phash_identical_images_equal_translated_differ(spark):
+    import hashlib
+    from data_ingest_spark.extensions.multimodal import decode_image, phash
+    body = (hashlib.md5(b"seed").hexdigest() * 9)[:10 * 6 * 3].encode()
+    df = spark.createDataFrame(
+        [(1, bytearray(_ppm(10, 6, body))),
+         (2, bytearray(_ppm(10, 6, body))),
+         (3, bytearray(_ppm(10, 6, body[::-1])))],
+        ["doc_id", "payload"])
+    out = {r["doc_id"]: r["phash"] for r in phash(decode_image(df)).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_phash_grayscale_path_matches_rgb_of_equal_channels(spark):
+    from data_ingest_spark.extensions.multimodal import decode_image, phash
+    # A PGM (1 channel) and a P6 whose R=G=B carry the same gray
+    # raster -> identical hashes through the two channel branches.
+    import hashlib
+    gray = (hashlib.md5(b"gray").digest() * 4)[:64]
+    rgb = bytes(v for v in gray for _ in range(3))
+    pgm = b"P5\n8 8\n255\n" + gray
+    df = spark.createDataFrame(
+        [(1, bytearray(pgm)), (2, bytearray(_ppm(8, 8, rgb)))],
+        ["doc_id", "payload"])
+    out = {r["doc_id"]: (r["phash"], r["n_above"])
+           for r in phash(decode_image(df)).collect()}
+    assert out[1] == out[2]
+    assert out[1][0] > 0
