@@ -22,7 +22,7 @@ import math
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (BinaryType, DoubleType, IntegerType, LongType,
                                StringType, StructField, StructType)
 
@@ -449,3 +449,45 @@ def phash(decoded: DataFrame, grid: int = 8, low: int = 4) -> DataFrame:
             })
 
     return decoded.mapInPandas(fn, PHASH_SCHEMA)
+
+
+def phash_neardup_pairs(hashes: DataFrame, id_col: str = "doc_id",
+                        hash_col: str = "phash", bits: int = 16,
+                        max_dist: int = 2) -> DataFrame:
+    """Visual near-duplicate pairs by banded Hamming join over
+    perceptual hashes — the image analogue of MinHash-LSH banding,
+    but EXACT: splitting a ``bits``-wide hash into ``max_dist+1``
+    equal bands means any pair within Hamming distance ``max_dist``
+    must agree on at least one whole band (pigeonhole), so the
+    band-equality join has perfect recall, and the final bit_count
+    filter removes false candidates. Never all-pairs: work is one
+    explode (×bands), one equi-join keyed on (band, value), one
+    distinct — at corpus scale wider hashes (64/256-bit SimHash-style)
+    keep band buckets small; the construction is unchanged.
+
+    Returns ``(id_a, id_b, hamming)`` with id_a < id_b.
+    """
+    b = max_dist + 1
+    width = (bits + b - 1) // b
+    mask = (1 << width) - 1
+    h = F.col(hash_col).cast("long")
+    bands = F.array(*[
+        F.struct(F.lit(k).alias("band"),
+                 F.shiftright(h, k * width).bitwiseAND(F.lit(mask))
+                 .alias("val"))
+        for k in range(b)])
+    m = (hashes.select(F.col(id_col), h.alias("_h"),
+                       F.explode(bands).alias("_b"))
+         .select(id_col, "_h", F.col("_b.band").alias("_band"),
+                 F.col("_b.val").alias("_val")))
+    a = m.select(F.col(id_col).alias("id_a"), F.col("_h").alias("_ha"),
+                 "_band", "_val")
+    c = m.select(F.col(id_col).alias("id_b"), F.col("_h").alias("_hb"),
+                 "_band", "_val")
+    cand = (a.join(c, ["_band", "_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+                    .cast("long").alias("hamming"))
+            .distinct())
+    return cand.filter(F.col("hamming") <= max_dist)

@@ -1029,3 +1029,51 @@ def zipf_fit(df: DataFrame, text_col: str = "text",
         F.round(slope, 6).alias("zipf_slope"),
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
         .alias("zipf_intercept"))
+
+
+def kneser_ney_bigrams(df: DataFrame, discount: float = 0.75,
+                       top_k: int = 100,
+                       text_col: str = "text") -> DataFrame:
+    """Interpolated Kneser–Ney bigram probabilities — the standard
+    smoothed n-gram LM (Kneser & Ney 1995; Chen & Goodman 1999's
+    benchmark winner): P(w2|w1) = max(c−d,0)/c(w1·) + λ(w1)·Pcont(w2),
+    with the continuation probability Pcont(w2) = |{w1 : c(w1,w2)>0}|
+    / |bigram types| — "how many contexts has w2 completed", not "how
+    often", which is what makes KN beat add-k on unseen continuations.
+    The smoothed LM scores candidate text for perplexity filtering
+    (x74) with far better tail behavior than the raw MLE of x47.
+
+    Everything derives from one bigram-count aggregation: context
+    totals and right-branching counts group by w1, continuation
+    counts by w2, the type total is one scalar — all exact int64; the
+    final probability is a fixed-order double expression mirrored by
+    the oracle. Returns the ``top_k`` bigrams by count (ties: w1, w2)
+    as ``(w1, w2, pair_count, p_kn)``.
+    """
+    toks = tokens_col(text_col)
+    idx = F.sequence(F.lit(1), F.size(toks) - 1)
+    bg = (df.filter(F.size(toks) >= 2)
+          .select(F.explode(F.transform(
+              idx, lambda i: F.struct(
+                  F.get(toks, i - 1).alias("w1"),
+                  F.get(toks, i).alias("w2")))).alias("p"))
+          .select("p.w1", "p.w2"))
+    counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    ctx = counts.groupBy("w1").agg(
+        F.sum("c").alias("_cw1"), F.count("*").alias("_nr"))
+    cont = counts.groupBy("w2").agg(F.count("*").alias("_nl"))
+    tot = counts.agg(F.count("*").cast("double").alias("_t"))
+    d = F.lit(discount)
+    scored = (counts.join(ctx, "w1").join(cont, "w2")
+              .crossJoin(F.broadcast(tot)))
+    p_kn = ((F.col("c").cast("double") - d)
+            / F.col("_cw1").cast("double")
+            + (d * F.col("_nr").cast("double")
+               / F.col("_cw1").cast("double"))
+            * (F.col("_nl").cast("double") / F.col("_t")))
+    win = W.orderBy(F.desc("pair_count"), F.asc("w1"), F.asc("w2"))
+    return (scored.select("w1", "w2",
+                          F.col("c").cast("long").alias("pair_count"),
+                          F.round(p_kn, 6).alias("p_kn"))
+            .withColumn("_rk", F.row_number().over(win))
+            .filter(F.col("_rk") <= top_k).drop("_rk"))

@@ -7264,21 +7264,22 @@ def q_entity_resolution(spark, sf):
     return dd.resolve_entities(corpus)
 
 
-def _phash_sql() -> str:
-    """x126 oracle: the full pHash pipeline in SQL, sharing the exact
+def _phash_core_sql() -> str:
+    """Shared x126/x127 oracle core: the full pHash pipeline in SQL
+    ending in a ``ph(doc_id, phash, n_above)`` CTE, sharing the exact
     fixed-point DCT basis with the Spark kernel (multimodal.
     phash_cos_table is injected as a VALUES list, so both engines run
     identical integer arithmetic end to end)."""
     from data_ingest_spark.extensions.multimodal import phash_cos_table
     cos = ", ".join(f"({u}, {i}, {c})" for u, i, c in phash_cos_table(8))
     return f"""
-WITH p AS (SELECT doc_id,
-                  CAST(1 + doc_id % 13 AS INTEGER) AS w,
-                  CAST(1 + doc_id % 7 AS INTEGER) AS h,
-                  substr(repeat(md5(text), 9), 1,
-                         CAST((1 + doc_id % 13) * (1 + doc_id % 7) * 3
-                              AS INTEGER)) AS body
-           FROM documents),
+ p AS (SELECT doc_id,
+              CAST(1 + doc_id % 13 AS INTEGER) AS w,
+              CAST(1 + doc_id % 7 AS INTEGER) AS h,
+              substr(repeat(md5(text), 9), 1,
+                     CAST((1 + doc_id % 13) * (1 + doc_id % 7) * 3
+                          AS INTEGER)) AS body
+       FROM documents),
  ct AS (SELECT * FROM (VALUES {cos}) AS t(u, i, c)),
  gi AS (SELECT CAST(range AS INTEGER) AS g FROM range(0, 8)),
  g8 AS (SELECT p.doc_id, gi.g AS i, gj.g AS j,
@@ -7301,19 +7302,19 @@ WITH p AS (SELECT doc_id,
            (SELECT doc_id, f, ROW_NUMBER() OVER (PARTITION BY doc_id
                                                  ORDER BY f, u, v) AS rn
             FROM low)
-         WHERE rn = 8)
-SELECT l.doc_id,
-       CAST(SUM(CASE WHEN l.f > med.m
-                     THEN 1 << (l.u * 4 + l.v) ELSE 0 END) AS BIGINT)
-         AS phash,
-       CAST(SUM(CASE WHEN l.f > med.m THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_above
-FROM low l JOIN med ON med.doc_id = l.doc_id
-GROUP BY 1
-"""
+         WHERE rn = 8),
+ ph AS (SELECT l.doc_id,
+               CAST(SUM(CASE WHEN l.f > med.m
+                             THEN 1 << (l.u * 4 + l.v) ELSE 0 END)
+                    AS BIGINT) AS phash,
+               CAST(SUM(CASE WHEN l.f > med.m THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_above
+        FROM low l JOIN med ON med.doc_id = l.doc_id
+        GROUP BY 1)"""
 
 
-@_q("x126_phash", _phash_sql())
+@_q("x126_phash", "WITH" + _phash_core_sql()
+    + "\nSELECT doc_id, phash, n_above FROM ph")
 def q_phash(spark, sf):
     """Perceptual image hash (mm.phash) over REAL decoded pixels —
     the x91 synthetic P6 PPM payloads run through the pure-numpy
@@ -7332,6 +7333,62 @@ def q_phash(spark, sf):
         h.cast("string"), F.lit("\n255\n"), body).cast("binary")
     dec = mm.decode_image(docs.select("doc_id", payload.alias("payload")))
     return mm.phash(dec)
+
+
+@_q("x127_phash_neardup", "WITH" + _phash_core_sql() + """
+,pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT)
+                    AS hamming
+           FROM ph a JOIN ph b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 2
+""")
+def q_phash_neardup(spark, sf):
+    """Visual near-dup pairs (mm.phash_neardup_pairs): banded Hamming
+    join over the x126 hashes — max_dist+1 bands give PERFECT recall
+    by pigeonhole, so the banded plan provably equals the oracle's
+    brute-force all-pairs scan while doing a bucket join's work."""
+    docs = load(spark, sf, "documents")
+    w = (F.lit(1) + F.col("doc_id") % 13).cast("int")
+    h = (F.lit(1) + F.col("doc_id") % 7).cast("int")
+    body = F.repeat(F.md5(F.col("text").cast("binary")), 9).substr(
+        F.lit(1), (w * h * 3).cast("int"))
+    payload = F.concat(
+        F.lit("P6\n# synthetic\n"), w.cast("string"), F.lit(" "),
+        h.cast("string"), F.lit("\n255\n"), body).cast("binary")
+    dec = mm.decode_image(docs.select("doc_id", payload.alias("payload")))
+    return mm.phash_neardup_pairs(mm.phash(dec), bits=16, max_dist=2)
+
+
+@_q("x128_kneser_ney", r"""
+WITH tk AS (SELECT string_split_regex(lower(text), '\s+') AS t
+            FROM documents),
+ bg AS (SELECT unnest([{'w1': t[i], 'w2': t[i + 1]}
+                       FOR i IN generate_series(1, len(t) - 1)],
+                      recursive := true)
+        FROM tk WHERE len(t) >= 2),
+ counts AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+            FROM bg GROUP BY 1, 2),
+ ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cw1,
+                CAST(COUNT(*) AS BIGINT) AS nr
+         FROM counts GROUP BY 1),
+ cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS nl
+          FROM counts GROUP BY 1),
+ tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM counts)
+SELECT counts.w1, counts.w2, counts.c AS pair_count,
+       ROUND((CAST(counts.c AS DOUBLE) - 0.75) / CAST(ctx.cw1 AS DOUBLE)
+             + (0.75 * CAST(ctx.nr AS DOUBLE) / CAST(ctx.cw1 AS DOUBLE))
+               * (CAST(cont.nl AS DOUBLE) / tot.t), 6) AS p_kn
+FROM counts JOIN ctx ON ctx.w1 = counts.w1
+            JOIN cont ON cont.w2 = counts.w2
+            CROSS JOIN tot
+ORDER BY counts.c DESC, counts.w1, counts.w2 LIMIT 100
+""")
+def q_kneser_ney(spark, sf):
+    """Interpolated Kneser-Ney bigram LM (tx.kneser_ney_bigrams):
+    absolute discount 0.75 with continuation-count backoff — the
+    Chen-Goodman benchmark smoother, derived entirely from one
+    bigram-count aggregation; top-100 bigrams value-checked."""
+    return tx.kneser_ney_bigrams(load(spark, sf, "documents"))
 
 
 # Driver-sample ordering. The correctness driver checks a bounded
@@ -7354,7 +7411,8 @@ _ROUND5_PRIORITY = [
     "x116_auc_rank", "x117_calibration", "x118_cohens_kappa",
     "x119_interval_merge", "x120_cdc_chunks", "x121_decontam_spans",
     "x122_theil_sen", "x123_good_turing", "x124_zipf_fit",
-    "x125_entity_resolution", "x126_phash",
+    "x125_entity_resolution", "x126_phash", "x127_phash_neardup",
+    "x128_kneser_ney",
     "x111_skipgram_pairs", "x112_column_expectations",
     "x113_paragraph_dedup", "x114_mrr_jackknife", "x115_class_report",
     "p1_qc_pipeline",

@@ -395,3 +395,34 @@ def test_phash_grayscale_path_matches_rgb_of_equal_channels(spark):
            for r in phash(decode_image(df)).collect()}
     assert out[1] == out[2]
     assert out[1][0] > 0
+
+
+def test_phash_neardup_banding_has_perfect_recall(spark):
+    from data_ingest_spark.extensions.multimodal import phash_neardup_pairs
+    # 16-bit hashes, max_dist=2 -> 3 bands (6/6/4 bits by shift). The
+    # (1,2) pair differs in bits 0 and 6 — one flip in band 0 and one
+    # in band 1, so ONLY band 2 matches: the pigeonhole case. (1,3)
+    # differs in 5 bits -> rejected; (1,4) identical -> hamming 0.
+    h1 = 0b0000_0000_0000_0000
+    h2 = h1 ^ (1 << 0) ^ (1 << 6)
+    h3 = h1 ^ 0b11111
+    df = spark.createDataFrame(
+        [(1, h1), (2, h2), (3, h3), (4, h1)], ["doc_id", "phash"])
+    out = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in phash_neardup_pairs(df, bits=16, max_dist=2).collect()}
+    assert out == {(1, 2): 2, (2, 4): 2, (1, 4): 0}
+
+
+def test_kneser_ney_known_values(spark):
+    from data_ingest_spark.extensions.text import kneser_ney_bigrams
+    # "a b a b a c": c(a,b)=2 c(b,a)=2 c(a,c)=1; ctx a:(3,2) b:(2,1);
+    # continuation counts all 1; T=3 bigram types.
+    df = spark.createDataFrame([(0, "a b a b a c")], ["doc_id", "text"])
+    out = {(r["w1"], r["w2"]): (r["pair_count"], r["p_kn"])
+           for r in kneser_ney_bigrams(df).collect()}
+    assert out[("a", "b")] == (2, 0.583333)
+    assert out[("b", "a")] == (2, 0.75)
+    assert out[("a", "c")] == (1, 0.25)
+    # KN sanity: P(.|a) sums to 1 (discount mass fully redistributed
+    # over the continuation distribution restricted to seen types
+    # here covers b and c only through their shared Pcont).
