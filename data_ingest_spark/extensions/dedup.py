@@ -769,3 +769,52 @@ def resolve_entities(df: DataFrame, id_col: str = "doc_id",
              .agg(F.count("*").cast("long").alias("n_members")))
     return ent.join(sizes, "entity_id").select(
         id_col, "entity_id", "n_members")
+
+
+def ppjoin(df: DataFrame, id_col: str = "doc_id",
+           text_col: str = "text", k: int = 3,
+           threshold_num: int = 3, threshold_den: int = 5) -> DataFrame:
+    """Exact set-similarity self-join via prefix filtering (the
+    PPJoin/AllPairs family, Bayardo 2007 / Xiao 2008): every document
+    is reduced to its distinct word-``k``-shingle set, shingles get a
+    GLOBAL rarity order (df asc, shingle asc), and only each set's
+    first n − ceil(t·n) + 1 shingles in that order (its "prefix") are
+    indexed. Two sets with Jaccard ≥ t MUST share a prefix token
+    (pigeonhole on the shared total order), so joining on prefix
+    shingles has perfect recall while indexing only the rarest sliver
+    of each document — the candidate count follows the df of RARE
+    shingles, which is what makes this the exact-join workhorse where
+    LSH's probabilistic recall isn't acceptable.
+
+    The threshold is the rational ``threshold_num/threshold_den`` so
+    the prefix length n − ⌈t·n⌉ + 1 is exact integer arithmetic
+    (⌈t·n⌉ = (num·n + den − 1) div den). Candidates are verified with
+    the exact membership-row Jaccard (:func:`jaccard_of_pairs`).
+    Returns ``(id_a, id_b, jaccard)`` (rounded 6dp) for all pairs
+    with Jaccard ≥ t.
+    """
+    from data_ingest_spark.operators.windows import dense_ids_scalable
+
+    mem = shingle_sets(df, id_col, text_col, k)
+    dfreq = mem.groupBy("shingle").agg(F.count("*").alias("_df"))
+    ranks = dense_ids_scalable(dfreq, order=["_df", "shingle"],
+                               id_col="_r").select("shingle", "_r")
+    sizes = mem.groupBy(id_col).agg(F.count("*").alias("_n"))
+    pref_len = (F.col("_n")
+                - F.floor((F.lit(threshold_num) * F.col("_n")
+                           + F.lit(threshold_den) - 1)
+                          / F.lit(threshold_den)) + 1)
+    wdoc = W.partitionBy(id_col).orderBy("_r")
+    pref = (mem.join(ranks, "shingle").join(sizes, id_col)
+            .withColumn("_pos", F.row_number().over(wdoc))
+            .filter(F.col("_pos") <= pref_len)
+            .select(id_col, "_r"))
+    cand = (pref.select(F.col(id_col).alias("id_a"), "_r")
+            .join(pref.select(F.col(id_col).alias("id_b"), "_r"), "_r")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    t = threshold_num / threshold_den
+    return (jaccard_of_pairs(cand, mem, id_col)
+            .filter(F.col("jaccard") >= t)
+            .select("id_a", "id_b",
+                    F.round("jaccard", 6).alias("jaccard")))

@@ -196,3 +196,51 @@ def merge_hists(*hists: DataFrame) -> DataFrame:
     for h in hists[1:]:
         out = out.unionByName(h)
     return out.groupBy("bin").agg(F.sum("n").cast("long").alias("n"))
+
+
+def kmv_timeline(events: DataFrame, ts_col: str = "ts",
+                 val_col: str = "user_id", k: int = 64) -> DataFrame:
+    """Cumulative distinct-count timeline built by MERGING per-day KMV
+    sketches — the incremental-ingest pattern: each day's batch keeps
+    only its k smallest value hashes (bounded state, written once),
+    and any date's cumulative estimate is recovered by merging the
+    daily sketches, never rescanning history. Correctness rides on the
+    KMV merge identity — min-k(∪ days) = min-k(∪ per-day min-k) — so
+    the merged estimate is value-identical to a from-scratch sketch of
+    the full prefix, which is exactly what the oracle computes.
+
+    Day-pair triangle join (day_sketch ≤ target_day) keeps every
+    window partitioned; state is |days|·k hashes — for multi-year
+    timelines merge hierarchically (week/month partials) with the same
+    identity. Groups with fewer than k cumulative distincts report the
+    exact count (the sketch is lossless below capacity).
+
+    Returns ``(day, n_exact, kmv_estimate)``.
+    """
+    day = F.to_date(F.col(ts_col)).alias("_day")
+    dh = events.select(day, _h60(F.col(val_col)).alias("_h")).distinct()
+    wday = W.partitionBy("_day").orderBy("_h")
+    daily = (dh.withColumn("_rk", F.row_number().over(wday))
+             .filter(F.col("_rk") <= k).select("_day", "_h"))
+    days = dh.select(F.col("_day").alias("_d2")).distinct()
+    merged = (daily.join(days, daily["_day"] <= days["_d2"])
+              .select("_d2", "_h").distinct())
+    wm = W.partitionBy("_d2").orderBy("_h")
+    r = merged.withColumn("_rk", F.row_number().over(wm)).filter(
+        F.col("_rk") <= k)
+    est = F.when(
+        F.count("*") < F.lit(k), F.count("*").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1))
+        / (F.max(F.when(F.col("_rk") == k, F.col("_h"))) / F.lit(TWO_60)))
+    sk = r.groupBy("_d2").agg(F.round(est, 6).alias("kmv_estimate"))
+    # Exact cumulative distinct for reference: first-seen day per
+    # value, then a triangle sum over the (bounded) day list.
+    first = (dh.groupBy("_h").agg(F.min("_day").alias("_fd"))
+             .groupBy("_fd").agg(F.count("*").alias("_nf")))
+    exact = (first.join(days, first["_fd"] <= days["_d2"])
+             .groupBy("_d2").agg(F.sum("_nf").cast("long")
+                                 .alias("n_exact")))
+    return (sk.join(exact, "_d2")
+            .select(F.col("_d2").cast("string").alias("day"),
+                    "n_exact", "kmv_estimate"))

@@ -426,3 +426,69 @@ def test_kneser_ney_known_values(spark):
     # KN sanity: P(.|a) sums to 1 (discount mass fully redistributed
     # over the continuation distribution restricted to seen types
     # here covers b and c only through their shared Pcont).
+
+
+def test_ppjoin_finds_exact_and_near_pairs_only(spark):
+    from data_ingest_spark.extensions.dedup import ppjoin
+    # k=1 -> sets are distinct tokens. doc1/doc2 share 8 of 10 distinct
+    # tokens (J = 8/12 = 0.667 >= 0.6); doc3 shares only 2 (J < 0.6).
+    d1 = "t1 t2 t3 t4 t5 t6 t7 t8 u1 u2"
+    d2 = "t1 t2 t3 t4 t5 t6 t7 t8 v1 v2"
+    d3 = "t1 t2 w1 w2 w3 w4 w5 w6 w7 w8"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], ["doc_id", "text"])
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ppjoin(df, k=1).collect()}
+    assert set(out) == {(1, 2)}
+    assert abs(out[(1, 2)] - round(8 / 12, 6)) < 1e-9
+
+
+def test_ppjoin_identical_docs_jaccard_one(spark):
+    from data_ingest_spark.extensions.dedup import ppjoin
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "alpha beta gamma delta epsilon")], ["doc_id", "text"])
+    out = ppjoin(df).collect()
+    assert len(out) == 1 and out[0]["jaccard"] == 1.0
+
+
+def test_kmv_timeline_lossless_below_capacity_and_monotone(spark):
+    from datetime import datetime
+    from data_ingest_spark.extensions.sketches import kmv_timeline
+    # 3 users on day 1, 2 more on day 2, day 3 repeats day-1 users
+    # only: exact cumulative = 3, 5, 5; k=64 >> 5 so the sketch is
+    # lossless and the estimate equals the exact count.
+    rows = []
+    eid = 0
+    for d, users in ((1, [1, 2, 3]), (2, [4, 5]), (3, [1, 2])):
+        for u in users:
+            rows.append((eid, datetime(2024, 3, d, 12), u, "x", 1.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"])
+    out = {r["day"]: (r["n_exact"], r["kmv_estimate"])
+           for r in kmv_timeline(df).collect()}
+    assert out["2024-03-01"] == (3, 3.0)
+    assert out["2024-03-02"] == (5, 5.0)
+    assert out["2024-03-03"] == (5, 5.0)
+
+
+def test_kmv_timeline_merge_equals_direct_sketch(spark):
+    from datetime import datetime
+    from data_ingest_spark.extensions.sketches import kmv_timeline
+    # 40 users over 2 days with k=8: the day-2 estimate must equal a
+    # from-scratch k=8 sketch of all 40 users (the merge identity),
+    # which this recomputes independently with the same hash.
+    rows = [(i, datetime(2024, 4, 1 + (i % 2), 6), i, "x", 1.0)
+            for i in range(40)]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"])
+    out = {r["day"]: r["kmv_estimate"]
+           for r in kmv_timeline(df, k=8).collect()}
+    from data_ingest_spark.extensions.sketches import _h60, TWO_60
+    from pyspark.sql import functions as F
+    hs = sorted(r["_h"] for r in spark.createDataFrame(
+        [(i,) for i in range(40)], ["user_id"])
+        .select(_h60(F.col("user_id")).alias("_h")).collect())
+    expected = round(7.0 / (hs[7] / TWO_60), 6)
+    assert out["2024-04-02"] == expected
