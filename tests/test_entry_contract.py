@@ -55,15 +55,16 @@ def test_rotation_priority_names_resolve(spark):
     missing = [n for n in registry._ROUND4_PRIORITY
                if n not in registry.REGISTRY]
     assert missing == []
-    front = list(registry.queries())[:20]
+    front = list(registry.queries())[:21]
     assert front == [
         "x116_auc_rank", "x117_calibration", "x118_cohens_kappa",
         "x119_interval_merge", "x120_cdc_chunks", "x121_decontam_spans",
+        "x122_theil_sen", "x123_good_turing", "x124_zipf_fit",
+        "x125_entity_resolution", "x126_phash", "x127_phash_neardup",
+        "x128_kneser_ney", "x129_kmv_timeline", "x130_ppjoin",
         "x111_skipgram_pairs", "x112_column_expectations",
         "x113_paragraph_dedup", "x114_mrr_jackknife", "x115_class_report",
-        "p1_qc_pipeline",
-        "v19_tpch_q12", "v20_tpch_q15", "v21_tpch_q17", "v22_tpch_q19",
-        "v23_tpch_q21", "v24_tpch_q2", "v25_tpch_q11", "v26_tpch_q20"]
+        "p1_qc_pipeline"]
     # every fronted name is oracle-paired
     oracles = registry.oracle_sql()
     assert all(n in oracles for n in registry._ROUND5_PRIORITY)
