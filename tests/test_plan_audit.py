@@ -343,3 +343,22 @@ def test_hist_merge_bounded_shuffles(spark):
     df = q(spark, "x108_hist_merge")
     assert shuffle_count(df) <= 4
     assert_no_cartesian(df)
+
+
+def test_round5_batch_bounded_shuffles(spark):
+    """Round-5 operator batch plan pins. x126 (pHash) is a pure
+    map-only decode->hash chain — ZERO exchanges; x127's banded
+    Hamming join pays exactly one; x122's pairwise slopes key one
+    shuffle on the entity; the text-statistics family (x123/x124/
+    x128) shuffles token aggregates only; x125/x129/x130 are the
+    composite pipelines (entity resolution, sketch-merge timeline,
+    prefix-filtered join) whose exchange budgets are pinned so a
+    refactor can't silently regress them into wider plans."""
+    for name, max_sh in (("x126_phash", 0), ("x127_phash_neardup", 1),
+                         ("x122_theil_sen", 1), ("x124_zipf_fit", 2),
+                         ("x123_good_turing", 6),
+                         ("x125_entity_resolution", 7),
+                         ("x128_kneser_ney", 7),
+                         ("x129_kmv_timeline", 9),
+                         ("x130_ppjoin", 18)):
+        assert shuffle_count(q(spark, name)) <= max_sh, name
