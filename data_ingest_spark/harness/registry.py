@@ -7440,6 +7440,49 @@ def q_ppjoin(spark, sf):
     return dd.ppjoin(_neardup_corpus(spark, sf))
 
 
+def _bfs_oracle_sql(rounds: int = 8) -> str:
+    """g3 oracle: multi-source BFS unrolled as ``rounds`` Bellman-Ford
+    relaxations over the undirected k=10 kNN graph (exact integer
+    distances make every round value-checkable, the g1 convention)."""
+    ctes = [f"WITH {_KNN_EDGES_SQL},",
+            " d AS (SELECT src, dst FROM r WHERE rank <= 10),",
+            " und AS MATERIALIZED (SELECT src, dst FROM d"
+            " UNION SELECT dst, src FROM d),",
+            " nodes AS (SELECT DISTINCT src AS id FROM und),",
+            " d0 AS (SELECT id, CASE WHEN CAST(id AS BIGINT) % 100 = 0"
+            " THEN 0 END AS d FROM nodes),"]
+    # MATERIALIZED is load-bearing: every round reads the previous one
+    # twice (carry + relax), and an inlined CTE chain would expand the
+    # kNN base plan 2^rounds times.
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f" d{r} AS MATERIALIZED (SELECT p.id, MIN(p.d) AS d FROM"
+            f" (SELECT id, d FROM d{r-1}"
+            f"  UNION ALL"
+            f"  SELECT e.dst AS id, x.d + 1 AS d"
+            f"  FROM d{r-1} x JOIN und e ON e.src = x.id"
+            f"  WHERE x.d IS NOT NULL) p GROUP BY 1),")
+    body = "\n".join(ctes).rstrip(",")
+    return (f"{body}\n"
+            f"SELECT id AS vec_id, CAST(d AS BIGINT) AS hops"
+            f" FROM d{rounds}")
+
+
+@_q("g3_bfs_hops", _bfs_oracle_sql(8))
+def q_bfs_hops(spark, sf):
+    """Multi-source BFS hop distances (graph.bfs_hops) from the
+    vec_id%100=0 anchor set over the k=10 kNN graph — 8 relaxation
+    rounds, each one join + one groupBy-min; the oracle unrolls the
+    same rounds so every hop count is value-checked."""
+    from data_ingest_spark.operators.graph import bfs_hops
+    knn = _emb_knn(spark, sf, k=10, cached=True)
+    seeds = (load(spark, sf, "embeddings")
+             .filter(F.col("vec_id") % 100 == 0)
+             .select(F.col("vec_id").cast("string").alias("id")))
+    return (bfs_hops(knn.select("src", "dst"), seeds)
+            .select(F.col("id").alias("vec_id"), "hops"))
+
+
 # Driver-sample ordering. The correctness driver checks a bounded
 # prefix of ``queries()`` each round; rounds 2-4 verified 150 distinct
 # queries (CORRECTNESS_r02/r03/r04, 0 failures in any round). Round 5
@@ -7462,6 +7505,7 @@ _ROUND5_PRIORITY = [
     "x122_theil_sen", "x123_good_turing", "x124_zipf_fit",
     "x125_entity_resolution", "x126_phash", "x127_phash_neardup",
     "x128_kneser_ney", "x129_kmv_timeline", "x130_ppjoin",
+    "g3_bfs_hops",
     "x111_skipgram_pairs", "x112_column_expectations",
     "x113_paragraph_dedup", "x114_mrr_jackknife", "x115_class_report",
     "p1_qc_pipeline",

@@ -60,3 +60,40 @@ def pagerank(edges: DataFrame, max_iter: int = 5,
     return ranks.select(
         "id", F.col("r").alias("rank_int"),
         F.round(F.col("r") / F.lit(float(SCALE)), 9).alias("rank"))
+
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame,
+             max_hops: int = 8) -> DataFrame:
+    """Multi-source BFS over an undirected edge list: the hop distance
+    from every node to its NEAREST seed — the graph primitive behind
+    label spreading from curated anchors, contamination blast-radius
+    checks, and "how far is this record from a trusted source" scores.
+
+    ``max_hops`` frontier-expansion rounds of min-distance relaxation:
+    each round is one join keyed on the source node plus one groupBy
+    min — linear shuffles in |edges|, no driver state, lineage cut
+    every 3 rounds (the pagerank cadence). Distances are exact small
+    integers, so every intermediate round is oracle-checkable; nodes
+    farther than ``max_hops`` (or disconnected) report NULL.
+
+    Returns ``(id, hops)`` over all nodes of the edge list.
+    """
+    und = (edges.select("src", "dst")
+           .unionByName(edges.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+           .distinct().localCheckpoint())
+    nodes = und.select(F.col("src").alias("id")).distinct()
+    dist = (nodes.join(seeds.select(F.col("id"), F.lit(0).alias("_d")),
+                       "id", "left")
+            .select("id", F.col("_d").cast("int").alias("d")))
+    for i in range(max_hops):
+        nbr = (und.join(dist.select(F.col("id").alias("src"),
+                                    F.col("d").alias("_sd")), "src")
+               .filter(F.col("_sd").isNotNull())
+               .select(F.col("dst").alias("id"),
+                       (F.col("_sd") + 1).alias("d")))
+        dist = (dist.unionByName(nbr)
+                .groupBy("id").agg(F.min("d").alias("d")))
+        if (i + 1) % 3 == 0:
+            dist = dist.localCheckpoint()
+    return dist.select("id", F.col("d").cast("long").alias("hops"))

@@ -492,3 +492,29 @@ def test_kmv_timeline_merge_equals_direct_sketch(spark):
         .select(_h60(F.col("user_id")).alias("_h")).collect())
     expected = round(7.0 / (hs[7] / TWO_60), 6)
     assert out["2024-04-02"] == expected
+
+
+def test_bfs_hops_path_graph_and_unreachable(spark):
+    from data_ingest_spark.operators.graph import bfs_hops
+    # Path 1-2-3-4-5 with seed 1 -> hops 0..4; isolated pair 8-9 has
+    # no seed -> NULL hops; max_hops=3 truncates node 5 to NULL.
+    edges = spark.createDataFrame(
+        [("1", "2"), ("2", "3"), ("3", "4"), ("4", "5"), ("8", "9")],
+        ["src", "dst"])
+    seeds = spark.createDataFrame([("1",)], ["id"])
+    out = {r["id"]: r["hops"] for r in bfs_hops(edges, seeds).collect()}
+    assert out == {"1": 0, "2": 1, "3": 2, "4": 3, "5": 4,
+                   "8": None, "9": None}
+    out3 = {r["id"]: r["hops"]
+            for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert out3["4"] == 3 and out3["5"] is None
+
+
+def test_bfs_hops_nearest_of_multiple_seeds(spark):
+    from data_ingest_spark.operators.graph import bfs_hops
+    # Path 1-2-3-4-5 seeded at both ends: middle node is 2 from both.
+    edges = spark.createDataFrame(
+        [("1", "2"), ("2", "3"), ("3", "4"), ("4", "5")], ["src", "dst"])
+    seeds = spark.createDataFrame([("1",), ("5",)], ["id"])
+    out = {r["id"]: r["hops"] for r in bfs_hops(edges, seeds).collect()}
+    assert out == {"1": 0, "2": 1, "3": 2, "4": 1, "5": 0}
