@@ -838,3 +838,39 @@ def kcenter_greedy(emb: DataFrame, k: int = 8, id_col: str = "vec_id",
     q.unpersist()
     return spark.createDataFrame(
         [(o, int(i), int(d)) for o, i, d, _ in centers], schema)
+
+
+def standardize_dims(emb: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     scale: int = 10**6) -> DataFrame:
+    """Per-dimension z-score standardization of an embedding column —
+    the feature-scaling pass before distance-based anything (ANN,
+    k-means, coresets): one dominant dimension otherwise owns every
+    Euclidean comparison. Returns the long form ``(id, dim, z)``.
+
+    Exactness contract: values quantize to int64 fixed point (the x82
+    Lloyd convention), per-dimension count/sum/sum-of-squares are
+    exact integer aggregates (associative — partitioning-independent),
+    and the z-score is one pinned-order double expression on those
+    integers, so the result is reproducible across engines. Zero-
+    variance dimensions (detected exactly: n·Σq² = (Σq)²) emit z = 0
+    instead of dividing by zero. One explode + one bounded groupBy
+    (rows = dims), stats broadcast back onto the long frame.
+    """
+    px = emb.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col).cast("array<double>"))
+        .alias("dim", "_v")).select(
+        id_col, "dim",
+        F.round(F.col("_v") * scale).cast("long").alias("_q"))
+    st = px.groupBy("dim").agg(
+        F.count("*").alias("_n"), F.sum("_q").alias("_s"),
+        F.sum(F.col("_q") * F.col("_q")).alias("_ss"))
+    mean = F.col("_s").cast("double") / F.col("_n")
+    var = (F.col("_ss").cast("double") / F.col("_n") - mean * mean)
+    z = F.when(F.col("_ss") * F.col("_n") == F.col("_s") * F.col("_s"),
+               F.lit(0.0)).otherwise(
+        F.round((F.col("_q").cast("double") - mean) / F.sqrt(var), 6))
+    return (px.join(F.broadcast(st), "dim")
+            .select(id_col, F.col("dim").cast("long").alias("dim"),
+                    z.alias("z")))

@@ -7483,6 +7483,34 @@ def q_bfs_hops(spark, sf):
             .select(F.col("id").alias("vec_id"), "hops"))
 
 
+@_q("x131_standardize_dims", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ px AS (SELECT vec_id,
+               unnest(list_transform(range(1, len(v) + 1),
+                      i -> {'dim': i - 1,
+                            'q': CAST(round(v[CAST(i AS INT)] * 1000000)
+                                      AS BIGINT)}),
+                      recursive := true)
+        FROM e),
+ st AS (SELECT dim, COUNT(*) AS n, SUM(q) AS s, SUM(q * q) AS ss
+        FROM px GROUP BY 1)
+SELECT px.vec_id, CAST(px.dim AS BIGINT) AS dim,
+       CASE WHEN st.ss * st.n = st.s * st.s THEN 0.0
+            ELSE ROUND((CAST(px.q AS DOUBLE) - CAST(st.s AS DOUBLE) / st.n)
+                 / sqrt(CAST(st.ss AS DOUBLE) / st.n
+                        - (CAST(st.s AS DOUBLE) / st.n)
+                          * (CAST(st.s AS DOUBLE) / st.n)), 6)
+       END AS z
+FROM px JOIN st USING (dim)
+""")
+def q_standardize_dims(spark, sf):
+    """Per-dimension z-score standardization of the embeddings table
+    (sim.standardize_dims): exact int64 moment aggregates + one
+    pinned-order double expression, so the full 64-dim standardized
+    matrix is value-checked row for row."""
+    return sim.standardize_dims(load(spark, sf, "embeddings"))
+
+
 # Driver-sample ordering. The correctness driver checks a bounded
 # prefix of ``queries()`` each round; rounds 2-4 verified 150 distinct
 # queries (CORRECTNESS_r02/r03/r04, 0 failures in any round). Round 5
@@ -7505,7 +7533,7 @@ _ROUND5_PRIORITY = [
     "x122_theil_sen", "x123_good_turing", "x124_zipf_fit",
     "x125_entity_resolution", "x126_phash", "x127_phash_neardup",
     "x128_kneser_ney", "x129_kmv_timeline", "x130_ppjoin",
-    "g3_bfs_hops",
+    "g3_bfs_hops", "x131_standardize_dims",
     "x111_skipgram_pairs", "x112_column_expectations",
     "x113_paragraph_dedup", "x114_mrr_jackknife", "x115_class_report",
     "p1_qc_pipeline",

@@ -518,3 +518,20 @@ def test_bfs_hops_nearest_of_multiple_seeds(spark):
     seeds = spark.createDataFrame([("1",), ("5",)], ["id"])
     out = {r["id"]: r["hops"] for r in bfs_hops(edges, seeds).collect()}
     assert out == {"1": 0, "2": 1, "3": 2, "4": 1, "5": 0}
+
+
+def test_standardize_dims_known_values_and_zero_variance(spark):
+    from data_ingest_spark.extensions.similarity import standardize_dims
+    # dim 0: values 1,2,3 -> mean 2, pop-std sqrt(2/3); dim 1 is
+    # constant -> z = 0 everywhere.
+    df = spark.createDataFrame(
+        [(1, [1.0, 5.0]), (2, [2.0, 5.0]), (3, [3.0, 5.0])],
+        ["vec_id", "embedding"])
+    out = {(r["vec_id"], r["dim"]): r["z"]
+           for r in standardize_dims(df).collect()}
+    import math
+    sd = math.sqrt(2 / 3)
+    assert out[(1, 0)] == round(-1 / sd, 6)
+    assert out[(2, 0)] == 0.0
+    assert out[(3, 0)] == round(1 / sd, 6)
+    assert all(out[(i, 1)] == 0.0 for i in (1, 2, 3))
