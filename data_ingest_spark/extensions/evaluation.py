@@ -487,3 +487,38 @@ def cohens_kappa(df: DataFrame, a_col: str = "rater_a",
                     F.col("_agree").cast("long").alias("n_agree"),
                     "n_labels",
                     F.round(kappa, 9).alias("kappa"))
+
+
+def last_touch_attribution(events: DataFrame, user_col: str = "user_id",
+                           ts_col: str = "ts",
+                           type_col: str = "event_type",
+                           convert_type: str = "purchase",
+                           seq_col: str = "event_id") -> DataFrame:
+    """Last-touch conversion attribution: every conversion event is
+    credited to the type of the user's most recent PRECEDING
+    non-conversion event (order: timestamp, then the sequence column
+    as the deterministic tie-break); conversions with no prior touch
+    credit 'direct'. The point-in-time-correct formulation — the
+    running last-touch is a window over each user's own history, so
+    no future event can leak into the credit.
+
+    One window per user partition + one bounded groupBy (touch types).
+    Returns ``(touch_type, n_conversions, share)``.
+    """
+    w = (W.partitionBy(user_col)
+         .orderBy(F.col(ts_col).asc(), F.col(seq_col).asc())
+         .rowsBetween(W.unboundedPreceding, -1))
+    touch = F.last(
+        F.when(F.col(type_col) != convert_type, F.col(type_col)),
+        ignorenulls=True).over(w)
+    conv = (events.withColumn("_touch", touch)
+            .filter(F.col(type_col) == convert_type)
+            .select(F.coalesce("_touch", F.lit("direct"))
+                    .alias("touch_type")))
+    tot = conv.agg(F.count("*").cast("double").alias("_n"))
+    return (conv.groupBy("touch_type")
+            .agg(F.count("*").cast("long").alias("n_conversions"))
+            .crossJoin(F.broadcast(tot))
+            .select("touch_type", "n_conversions",
+                    F.round(F.col("n_conversions") / F.col("_n"), 6)
+                    .alias("share")))

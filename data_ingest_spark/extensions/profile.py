@@ -401,3 +401,67 @@ def column_expectations(df: DataFrame, cols: list[str],
             .alias("regex_match_frac"),
         ) for c in cols])
     return one.select(F.explode(rows).alias("_r")).select("_r.*")
+
+
+def mannwhitney_u(df: DataFrame, group_col: str = "event_type",
+                  val_col: str = "value") -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) of each group's values
+    against the rest of the corpus, with midrank tie handling and the
+    tie-corrected normal approximation — the nonparametric "is this
+    segment's metric distribution shifted" test that backs drift
+    triage when KS (x96) flags a source. Every building block is an
+    exact integer (value counts, cumulative less-than counts, tie
+    spectrum Σ(t³−t)); midranks are exact half-integers, so the rank
+    sums are order-independent doubles and the one z formula is
+    pinned — fully value-checkable.
+
+    Global ranks use the bucketed two-pass pattern (floor(value)
+    coarse buckets → in-bucket cumulative window → collected bucket
+    prefix offsets, bounded by the value RANGE, not the row count) —
+    the same construction as epoch_shuffle/dense_ids_scalable, never
+    a single-task global sort.
+
+    Returns ``(group, n_g, u_stat, z)`` per group.
+    """
+    e = df.select(F.col(group_col).alias("_g"),
+                  F.col(val_col).cast("double").alias("_v"))
+    vc = e.groupBy("_v", "_g").agg(F.count("*").alias("_c"))
+    tv = (vc.groupBy("_v").agg(F.sum("_c").alias("_t"))
+          .withColumn("_b", F.floor("_v").cast("long")))
+    sizes = (tv.groupBy("_b").agg(F.sum("_t").alias("_bt"))
+             .orderBy("_b").collect())
+    offsets, acc = {}, 0
+    for r in sizes:
+        offsets[r["_b"]] = acc
+        acc += r["_bt"]
+    if not offsets:
+        return df.sparkSession.createDataFrame(
+            [], f"{group_col} string, n_g long, u_stat double, z double")
+    offmap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    wb = (W.partitionBy("_b").orderBy("_v")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    rk = (tv.withColumn("_cum", F.sum("_t").over(wb))
+          .withColumn("_less",
+                      offmap[F.col("_b")] + F.col("_cum") - F.col("_t"))
+          .select("_v", "_t", "_less"))
+    rg = (vc.join(rk, "_v")
+          .groupBy("_g")
+          .agg(F.sum("_c").cast("long").alias("_ng"),
+               F.sum(F.col("_c")
+                     * (F.col("_less").cast("double")
+                        + (F.col("_t").cast("double") + 1.0) / 2.0))
+               .alias("_rg")))
+    tot = (tv.agg(F.sum("_t").cast("double").alias("_nn"),
+                  F.sum(F.col("_t") * F.col("_t") * F.col("_t")
+                        - F.col("_t")).cast("double").alias("_tie")))
+    ng = F.col("_ng").cast("double")
+    u = F.col("_rg") - ng * (ng + 1.0) / 2.0
+    var = (ng * (F.col("_nn") - ng) / 12.0
+           * ((F.col("_nn") + 1.0)
+              - F.col("_tie") / (F.col("_nn") * (F.col("_nn") - 1.0))))
+    z = (u - ng * (F.col("_nn") - ng) / 2.0) / F.sqrt(var)
+    return (rg.crossJoin(F.broadcast(tot))
+            .select(F.col("_g").alias(group_col),
+                    F.col("_ng").alias("n_g"),
+                    F.round(u, 6).alias("u_stat"),
+                    F.round(z, 6).alias("z")))

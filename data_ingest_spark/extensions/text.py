@@ -1077,3 +1077,79 @@ def kneser_ney_bigrams(df: DataFrame, discount: float = 0.75,
                           F.round(p_kn, 6).alias("p_kn"))
             .withColumn("_rk", F.row_number().over(win))
             .filter(F.col("_rk") <= top_k).drop("_rk"))
+
+
+def log_odds_terms(df: DataFrame, group_col: str = "source",
+                   text_col: str = "text", top_k: int = 10) -> DataFrame:
+    """Per-group discriminative terms by smoothed log-odds-ratio
+    z-score (the "Fightin' Words" construction, Monroe et al. 2008,
+    with a Haldane 0.5 prior): for each (group, token), the log odds
+    of the token inside the group vs the rest of the corpus, divided
+    by its approximate standard error 1/(c_in+0.5) + 1/(c_out+0.5).
+    Unlike raw TF-IDF this is variance-aware — a token seen 3:0 does
+    not outrank one seen 300:10 — which is what makes it the standard
+    "what is characteristic of THIS source" report before deciding
+    mixing weights or exclusion rules.
+
+    One (group, token) count, group totals broadcast, one token-keyed
+    join against the global counts; the z expression is a pinned-order
+    double formula over exact integers. Returns the ``top_k`` rows per
+    group by z desc (ties: token asc) as
+    ``(group, token, c_in, c_out, z)``.
+    """
+    uni = (df.select(F.col(group_col).alias("g"),
+                     F.explode(tokens_col(text_col)).alias("w"))
+           .groupBy("g", "w").agg(F.count("*").alias("_c")))
+    ng = uni.groupBy("g").agg(F.sum("_c").alias("_ng"))
+    cw = uni.groupBy("w").agg(F.sum("_c").alias("_cw"))
+    n = uni.agg(F.sum("_c").cast("double").alias("_n"))
+    j = (uni.join(F.broadcast(ng), "g").join(cw, "w")
+         .crossJoin(F.broadcast(n)))
+    c_in = F.col("_c").cast("double")
+    c_out = (F.col("_cw") - F.col("_c")).cast("double")
+    n_in = F.col("_ng").cast("double")
+    n_out = F.col("_n") - F.col("_ng").cast("double")
+    delta = (F.log((c_in + 0.5) / (n_in - c_in + 0.5))
+             - F.log((c_out + 0.5) / (n_out - c_out + 0.5)))
+    z = delta / F.sqrt(1.0 / (c_in + 0.5) + 1.0 / (c_out + 0.5))
+    win = W.partitionBy("g").orderBy(F.desc("_z"), F.asc("w"))
+    scored = j.select("g", "w",
+                      F.col("_c").cast("long").alias("c_in"),
+                      (F.col("_cw") - F.col("_c")).cast("long")
+                      .alias("c_out"),
+                      F.round(z, 6).alias("_z"))
+    return (scored.withColumn("_rk", F.row_number().over(win))
+            .filter(F.col("_rk") <= top_k)
+            .select(F.col("g").alias(group_col),
+                    F.col("w").alias("token"), "c_in", "c_out",
+                    F.col("_z").alias("z")))
+
+
+def charset_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encoding-health screen per document: non-ASCII character
+    ratio, control-character count (below 0x20, excluding tab/LF/CR),
+    and U+FFFD replacement-character count — the three standard
+    mojibake/transcoding-damage signals a crawl pipeline gates on
+    before any language-level processing. Pure Column expressions
+    (map-only, zero shuffle).
+
+    Returns ``(doc_id, n_chars, n_non_ascii, non_ascii_ratio,
+    n_control, n_replacement, charset_ok)`` — ok means no control or
+    replacement characters and non-ASCII below 30%.
+    """
+    nc = F.length(F.col(text_col))
+    non_ascii = F.length(
+        F.regexp_replace(F.col(text_col), r"[\x00-\x7F]", ""))
+    ctrl = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col),
+                         "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))
+    repl = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), "�", ""))
+    ratio = F.round(non_ascii / nc, 6)
+    return df.select(
+        "doc_id", nc.cast("long").alias("n_chars"),
+        non_ascii.cast("long").alias("n_non_ascii"),
+        ratio.alias("non_ascii_ratio"),
+        ctrl.cast("long").alias("n_control"),
+        repl.cast("long").alias("n_replacement"),
+        ((ctrl == 0) & (repl == 0) & (ratio < 0.3)).alias("charset_ok"))

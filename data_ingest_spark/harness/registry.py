@@ -7511,6 +7511,130 @@ def q_standardize_dims(spark, sf):
     return sim.standardize_dims(load(spark, sf, "embeddings"))
 
 
+@_q("x132_log_odds", rf"""
+WITH tk AS (SELECT source AS g,
+                   string_split_regex(lower(text), '\s+') AS t
+            FROM documents),
+ uni AS (SELECT g, u.w, CAST(COUNT(*) AS BIGINT) AS c
+         FROM (SELECT g, unnest(t) AS w FROM tk) u GROUP BY 1, 2),
+ ng AS (SELECT g, CAST(SUM(c) AS BIGINT) AS ng FROM uni GROUP BY 1),
+ cw AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM uni GROUP BY 1),
+ n AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni),
+ sc AS (SELECT uni.g, uni.w, uni.c, cw.cw - uni.c AS c_out,
+               (ln((CAST(uni.c AS DOUBLE) + 0.5)
+                   / (CAST(ng.ng AS DOUBLE) - CAST(uni.c AS DOUBLE) + 0.5))
+                - ln((CAST(cw.cw - uni.c AS DOUBLE) + 0.5)
+                     / (n.n - CAST(ng.ng AS DOUBLE)
+                        - CAST(cw.cw - uni.c AS DOUBLE) + 0.5)))
+               / sqrt(1.0 / (CAST(uni.c AS DOUBLE) + 0.5)
+                      + 1.0 / (CAST(cw.cw - uni.c AS DOUBLE) + 0.5)) AS z
+         FROM uni JOIN ng USING (g) JOIN cw USING (w) CROSS JOIN n),
+ r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY g
+                                    ORDER BY ROUND(z, 6) DESC, w) AS rk
+       FROM sc)
+SELECT g AS source, w AS token, c AS c_in, c_out,
+       ROUND(z, 6) AS z
+FROM r WHERE rk <= 10
+""")
+def q_log_odds(spark, sf):
+    """Per-source discriminative terms by smoothed log-odds z-score
+    (tx.log_odds_terms, the Monroe 'Fightin Words' construction with
+    a Haldane prior) — variance-aware source fingerprints for mixing
+    and exclusion decisions; top-10 per source value-checked."""
+    return tx.log_odds_terms(load(spark, sf, "documents"))
+
+
+@_q("x133_mannwhitney", """
+WITH e AS (SELECT event_type AS g, value AS v FROM events),
+ vc AS (SELECT v, g, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+ tv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM vc GROUP BY 1),
+ rk AS (SELECT v, t, SUM(t) OVER (ORDER BY v) - t AS less FROM tv),
+ rg AS (SELECT vc.g, CAST(SUM(vc.c) AS BIGINT) AS ng,
+               SUM(vc.c * (CAST(rk.less AS DOUBLE)
+                           + (CAST(rk.t AS DOUBLE) + 1.0) / 2.0)) AS rsum
+        FROM vc JOIN rk USING (v) GROUP BY 1),
+ tot AS (SELECT CAST(SUM(t) AS DOUBLE) AS nn,
+                CAST(SUM(t * t * t - t) AS DOUBLE) AS tie FROM tv)
+SELECT g AS event_type, ng AS n_g,
+       ROUND(rsum - CAST(ng AS DOUBLE) * (CAST(ng AS DOUBLE) + 1.0) / 2.0,
+             6) AS u_stat,
+       ROUND((rsum - CAST(ng AS DOUBLE) * (CAST(ng AS DOUBLE) + 1.0) / 2.0
+              - CAST(ng AS DOUBLE) * (nn - CAST(ng AS DOUBLE)) / 2.0)
+             / sqrt(CAST(ng AS DOUBLE) * (nn - CAST(ng AS DOUBLE)) / 12.0
+                    * ((nn + 1.0) - tie / (nn * (nn - 1.0)))), 6) AS z
+FROM rg CROSS JOIN tot
+""")
+def q_mannwhitney(spark, sf):
+    """Mann-Whitney U of each event type's value distribution vs the
+    rest (pf.mannwhitney_u): exact midranks via the bucketed two-pass
+    global rank, tie-corrected normal z — the drift-triage sibling of
+    x96 under a full value oracle."""
+    from data_ingest_spark.extensions.profile import mannwhitney_u
+    return mannwhitney_u(load(spark, sf, "events"))
+
+
+@_q("x134_charset_quality", r"""
+WITH c AS (SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0
+                       THEN text || ' café � naïve'
+                       ELSE text END AS text
+           FROM documents),
+ m AS (SELECT doc_id, length(text) AS nc,
+              length(regexp_replace(text, '[\x00-\x7F]', '', 'g'))
+                AS na,
+              length(text) - length(regexp_replace(text,
+                '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS ctl,
+              length(text) - length(regexp_replace(text, '�', '',
+                                                   'g')) AS rep
+       FROM c)
+SELECT doc_id, CAST(nc AS BIGINT) AS n_chars,
+       CAST(na AS BIGINT) AS n_non_ascii,
+       ROUND(na * 1.0 / nc, 6) AS non_ascii_ratio,
+       CAST(ctl AS BIGINT) AS n_control,
+       CAST(rep AS BIGINT) AS n_replacement,
+       (ctl = 0 AND rep = 0 AND ROUND(na * 1.0 / nc, 6) < 0.3)
+         AS charset_ok
+FROM m
+""")
+def q_charset_quality(spark, sf):
+    """Encoding-health screen (tx.charset_quality) over a corpus with
+    deterministic mojibake injected into every fifth document (accents
+    + a U+FFFD replacement char), so the non-ASCII ratio, control and
+    replacement counts, and the ok verdict are all value-checked on
+    both clean and damaged rows."""
+    docs = load(spark, sf, "documents")
+    mutated = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"),
+                        F.lit(" café � naïve")))
+        .otherwise(F.col("text")).alias("text"))
+    return tx.charset_quality(mutated)
+
+
+@_q("e28_attribution", """
+WITH o AS (SELECT user_id, ts, event_id, event_type,
+                  LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                                  THEN event_type END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS touch
+           FROM events),
+ c AS (SELECT COALESCE(touch, 'direct') AS touch_type FROM o
+       WHERE event_type = 'purchase'),
+ tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM c)
+SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       ROUND(COUNT(*) / tot.n, 6) AS share
+FROM c CROSS JOIN tot GROUP BY 1, tot.n
+""")
+def q_attribution(spark, sf):
+    """Last-touch conversion attribution (ev.last_touch_attribution):
+    each purchase credits the user's most recent preceding
+    non-purchase event type (ts then event_id tie-break), 'direct'
+    when none — the point-in-time-correct windowed formulation."""
+    return ev.last_touch_attribution(load(spark, sf, "events"))
+
+
 # Driver-sample ordering. The correctness driver checks a bounded
 # prefix of ``queries()`` each round; rounds 2-4 verified 150 distinct
 # queries (CORRECTNESS_r02/r03/r04, 0 failures in any round). Round 5
@@ -7533,7 +7657,8 @@ _ROUND5_PRIORITY = [
     "x122_theil_sen", "x123_good_turing", "x124_zipf_fit",
     "x125_entity_resolution", "x126_phash", "x127_phash_neardup",
     "x128_kneser_ney", "x129_kmv_timeline", "x130_ppjoin",
-    "g3_bfs_hops", "x131_standardize_dims",
+    "g3_bfs_hops", "x131_standardize_dims", "x132_log_odds",
+    "x133_mannwhitney", "x134_charset_quality", "e28_attribution",
     "x111_skipgram_pairs", "x112_column_expectations",
     "x113_paragraph_dedup", "x114_mrr_jackknife", "x115_class_report",
     "p1_qc_pipeline",

@@ -535,3 +535,73 @@ def test_standardize_dims_known_values_and_zero_variance(spark):
     assert out[(2, 0)] == 0.0
     assert out[(3, 0)] == round(1 / sd, 6)
     assert all(out[(i, 1)] == 0.0 for i in (1, 2, 3))
+
+
+def test_log_odds_discriminative_term_ranks_first(spark):
+    from data_ingest_spark.extensions.text import log_odds_terms
+    # 'spam' dominates source A and never appears in B -> it must be
+    # A's top term; the shared filler word scores near zero.
+    df = spark.createDataFrame(
+        [(1, "spam spam spam filler", "A"),
+         (2, "spam spam filler filler", "A"),
+         (3, "filler filler filler ham", "B"),
+         (4, "ham ham filler filler", "B")],
+        ["doc_id", "text", "source"])
+    out = {}
+    for r in log_odds_terms(df, top_k=2).collect():
+        out.setdefault(r["source"], []).append((r["token"], r["z"]))
+    assert out["A"][0][0] == "spam" and out["A"][0][1] > 0
+    assert out["B"][0][0] == "ham" and out["B"][0][1] > 0
+
+
+def test_mannwhitney_shifted_group_positive_z(spark):
+    from data_ingest_spark.extensions.profile import mannwhitney_u
+    # Group 'hi' holds the 5 largest of 10 distinct values: U is the
+    # maximum 25, z positive; 'lo' is the mirror image with U = 0.
+    rows = ([("lo", float(i)) for i in range(5)]
+            + [("hi", float(i + 100)) for i in range(5)])
+    df = spark.createDataFrame(rows, ["event_type", "value"])
+    out = {r["event_type"]: (r["u_stat"], r["z"])
+           for r in mannwhitney_u(df).collect()}
+    assert out["hi"][0] == 25.0 and out["hi"][1] > 0
+    assert out["lo"][0] == 0.0 and out["lo"][1] < 0
+    assert out["hi"][1] == -out["lo"][1]
+
+
+def test_charset_quality_flags_mojibake(spark):
+    from data_ingest_spark.extensions.text import charset_quality
+    df = spark.createDataFrame(
+        [(1, "clean ascii text"),
+         (2, "broken � bytes"),
+         (3, "ctrl\x01chars"),
+         (4, "café naïve résumé")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in charset_quality(df).collect()}
+    assert out[1]["charset_ok"] and out[1]["n_non_ascii"] == 0
+    assert not out[2]["charset_ok"] and out[2]["n_replacement"] == 1
+    assert not out[3]["charset_ok"] and out[3]["n_control"] == 1
+    assert out[4]["n_non_ascii"] == 4  # é ï é é
+
+
+def test_last_touch_attribution_credit_and_direct(spark):
+    from datetime import datetime
+    from data_ingest_spark.extensions.evaluation import (
+        last_touch_attribution)
+    rows = [
+        (1, datetime(2024, 1, 1, 9), 1, "click", 0.0, ""),
+        (2, datetime(2024, 1, 1, 10), 1, "purchase", 1.0, ""),
+        (3, datetime(2024, 1, 1, 9), 2, "view", 0.0, ""),
+        (4, datetime(2024, 1, 1, 10), 2, "purchase", 1.0, ""),
+        (5, datetime(2024, 1, 1, 11), 2, "purchase", 1.0, ""),
+        (6, datetime(2024, 1, 1, 8), 3, "purchase", 1.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value",
+               "props"])
+    out = {r["touch_type"]: (r["n_conversions"], r["share"])
+           for r in last_touch_attribution(df).collect()}
+    # user 2's second purchase still credits 'view' (last NON-convert
+    # touch), user 3 had no touch -> direct.
+    assert out["click"] == (1, 0.25)
+    assert out["view"] == (2, 0.5)
+    assert out["direct"] == (1, 0.25)
