@@ -362,3 +362,19 @@ def test_round5_batch_bounded_shuffles(spark):
                          ("x129_kmv_timeline", 9),
                          ("x130_ppjoin", 18)):
         assert shuffle_count(q(spark, name)) <= max_sh, name
+
+
+def test_round5_batch2_bounded_shuffles(spark):
+    """Second round-5 batch: x134 (charset screen) is pure map-only —
+    zero exchanges; x131 pays one explode-side aggregation with the
+    64-row stats broadcast back; e28's attribution window keys on the
+    user; g3's BFS rounds stay within the checkpointed-lineage budget;
+    the rank statistics (x132/x133) shuffle token/value aggregates
+    only."""
+    for name, max_sh in (("x134_charset_quality", 0),
+                         ("x131_standardize_dims", 1),
+                         ("e28_attribution", 3),
+                         ("g3_bfs_hops", 4),
+                         ("x132_log_odds", 8),
+                         ("x133_mannwhitney", 8)):
+        assert shuffle_count(q(spark, name)) <= max_sh, name
