@@ -217,3 +217,24 @@ def temporal_split(df: DataFrame, cutoff: str, embargo_s: int = 0,
         F.when(F.col(ts_col) >= cut, "test")
         .when(F.col(ts_col) >= start, "embargo")
         .otherwise("train"))
+
+
+def stratified_kfold(df: DataFrame, k: int = 5, strata_col: str = "lang",
+                     id_col: str = "doc_id", seed: int = 17) -> DataFrame:
+    """Deterministic stratified k-fold assignment: within each
+    stratum, rows order by ``md5(seed:id)`` (a reproducible
+    pseudo-random permutation) and deal round-robin into ``k`` folds,
+    so every fold holds each stratum's share to within one row — the
+    cross-validation splitter that keeps minority languages/sources
+    represented in every fold. One partitioned rank window per
+    stratum; re-seeding re-deals without moving data.
+
+    Returns ``(id, stratum, fold)`` with fold in 0..k-1.
+    """
+    from pyspark.sql import Window as W
+    h = F.md5(F.concat_ws(":", F.lit(str(seed)),
+                          F.col(id_col).cast("string")).cast("binary"))
+    w = W.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return df.select(
+        F.col(id_col), F.col(strata_col).alias("stratum"),
+        ((F.row_number().over(w) - 1) % k).cast("long").alias("fold"))

@@ -1153,3 +1153,51 @@ def charset_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         ctrl.cast("long").alias("n_control"),
         repl.cast("long").alias("n_replacement"),
         ((ctrl == 0) & (repl == 0) & (ratio < 0.3)).alias("charset_ok"))
+
+
+def vocab_coverage(df: DataFrame, text_col: str = "text",
+                   pcts: tuple = (50, 75, 90, 95, 99)) -> DataFrame:
+    """Vocabulary coverage curve: the number of vocabulary entries
+    (most-frequent-first) needed to cover each target percentage of
+    corpus tokens — THE sizing curve for a tokenizer vocab or an
+    embedding table (the gap between p90 and p99 is where vocab cost
+    explodes). Returns ``(pct, vocab_needed, tokens_covered)``.
+
+    Scalable global rank without a single-task sort: the order is
+    (count desc, token asc), so the COUNT VALUE is its own coarse
+    bucket — per-count totals collect to a bounded prefix-sum table
+    (distinct count values, not vocabulary size), tokens rank within
+    their count bucket in parallel, and within a bucket every entry
+    adds the same mass, so the cumulative mass is offset + local_rank
+    × count. Exact integers end to end.
+    """
+    uni = (df.select(F.explode(tokens_col(text_col)).alias("w"))
+           .groupBy("w").agg(F.count("*").alias("_c")))
+    per_n = (uni.groupBy("_c").agg(F.count("*").alias("_types"))
+             .orderBy(F.desc("_c")).collect())
+    if not per_n:
+        return df.sparkSession.createDataFrame(
+            [], "pct long, vocab_needed long, tokens_covered long")
+    rank_off, mass_off, r_acc, m_acc = {}, {}, 0, 0
+    total = 0
+    for row in per_n:
+        rank_off[row["_c"]] = r_acc
+        mass_off[row["_c"]] = m_acc
+        r_acc += row["_types"]
+        m_acc += row["_types"] * row["_c"]
+    total = m_acc
+    rmap = F.create_map(*[F.lit(x) for kv in rank_off.items() for x in kv])
+    mmap = F.create_map(*[F.lit(x) for kv in mass_off.items() for x in kv])
+    wb = W.partitionBy("_c").orderBy("w")
+    ranked = (uni.withColumn("_lr", F.row_number().over(wb))
+              .select((rmap[F.col("_c")] + F.col("_lr")).alias("_rank"),
+                      (mmap[F.col("_c")] + F.col("_lr") * F.col("_c"))
+                      .alias("_mass")))
+    targets = df.sparkSession.createDataFrame(
+        [(int(p), (total * int(p) + 99) // 100) for p in pcts],
+        "pct long, _need long")
+    return (ranked.join(F.broadcast(targets),
+                        F.col("_mass") >= F.col("_need"))
+            .groupBy("pct")
+            .agg(F.min("_rank").cast("long").alias("vocab_needed"),
+                 F.min("_mass").cast("long").alias("tokens_covered")))

@@ -7635,6 +7635,65 @@ def q_attribution(spark, sf):
     return ev.last_touch_attribution(load(spark, sf, "events"))
 
 
+@_q("x135_mutual_knn", f"""
+WITH {_KNN_EDGES_SQL},
+ t1 AS (SELECT src, dst, cosine FROM r WHERE rank = 1)
+SELECT a.src AS id_a, a.dst AS id_b, a.cosine
+FROM t1 a JOIN t1 b ON a.src = b.dst AND a.dst = b.src
+WHERE a.src < a.dst
+""")
+def q_mutual_knn(spark, sf):
+    """Reciprocal top-1 neighbor pairs (nb.mutual_knn_pairs) over the
+    exact kNN edge list — the high-precision alignment shortlist used
+    inside MNN/bitext/record-linkage pipelines."""
+    from data_ingest_spark.operators.neighbors import mutual_knn_pairs
+    return mutual_knn_pairs(_emb_knn(spark, sf, k=10, cached=True))
+
+
+@_q("x136_stratified_kfold", """
+WITH h AS (SELECT doc_id, lang,
+                  md5('17:' || CAST(doc_id AS VARCHAR)) AS hh
+           FROM documents),
+ r AS (SELECT doc_id, lang,
+              ROW_NUMBER() OVER (PARTITION BY lang
+                                 ORDER BY hh, doc_id) AS rn
+       FROM h)
+SELECT doc_id, lang AS stratum,
+       CAST((rn - 1) % 5 AS BIGINT) AS fold
+FROM r
+""")
+def q_stratified_kfold(spark, sf):
+    """Deterministic stratified 5-fold assignment (sp.stratified_kfold,
+    seed 17): md5-permuted round-robin within each language stratum,
+    so every fold carries each stratum's share to within one row."""
+    from data_ingest_spark.extensions.sampling import stratified_kfold
+    return stratified_kfold(load(spark, sf, "documents"), k=5)
+
+
+@_q("x137_vocab_coverage", r"""
+WITH t AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+           FROM documents),
+ c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1),
+ rk AS (SELECT ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rank,
+               SUM(n) OVER (ORDER BY n DESC, w) AS mass
+        FROM c),
+ tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+ tgt AS (SELECT p.pct, (tot.total * p.pct + 99) // 100 AS need
+         FROM (VALUES (50), (75), (90), (95), (99)) AS p(pct)
+         CROSS JOIN tot)
+SELECT CAST(tgt.pct AS BIGINT) AS pct,
+       CAST(MIN(rk.rank) AS BIGINT) AS vocab_needed,
+       CAST(MIN(rk.mass) AS BIGINT) AS tokens_covered
+FROM rk JOIN tgt ON rk.mass >= tgt.need
+GROUP BY 1
+""")
+def q_vocab_coverage(spark, sf):
+    """Vocabulary coverage curve (tx.vocab_coverage): entries needed
+    to cover 50/75/90/95/99% of corpus tokens — the tokenizer/embed-
+    table sizing curve, ranked scalably by count-bucket prefix sums."""
+    return tx.vocab_coverage(load(spark, sf, "documents"))
+
+
 # Driver-sample ordering. The correctness driver checks a bounded
 # prefix of ``queries()`` each round; rounds 2-4 verified 150 distinct
 # queries (CORRECTNESS_r02/r03/r04, 0 failures in any round). Round 5
@@ -7659,6 +7718,7 @@ _ROUND5_PRIORITY = [
     "x128_kneser_ney", "x129_kmv_timeline", "x130_ppjoin",
     "g3_bfs_hops", "x131_standardize_dims", "x132_log_odds",
     "x133_mannwhitney", "x134_charset_quality", "e28_attribution",
+    "x135_mutual_knn", "x136_stratified_kfold", "x137_vocab_coverage",
     "x111_skipgram_pairs", "x112_column_expectations",
     "x113_paragraph_dedup", "x114_mrr_jackknife", "x115_class_report",
     "p1_qc_pipeline",

@@ -277,3 +277,22 @@ def snn_graph(knn: DataFrame, k: int = 20,
     return (jac.filter(F.col("snn_weight") >= prune)
             .select(F.col("u").alias("src"), F.col("v").alias("dst"),
                     "snn_weight"))
+
+
+def mutual_knn_pairs(knn: DataFrame) -> DataFrame:
+    """Reciprocal nearest-neighbor pairs from a ranked kNN edge list:
+    (a, b) qualifies iff b is a's top-1 neighbor AND a is b's — the
+    high-precision alignment primitive (the pair selection inside MNN
+    integration, bitext mining, and record linkage shortlists). One
+    self-join on the rank-1 slice; output is ordered id_a < id_b so
+    each pair appears once.
+
+    Returns ``(id_a, id_b, cosine)``.
+    """
+    top1 = knn.filter(F.col("rank") == 1).select("src", "dst", "cosine")
+    flipped = top1.select(F.col("dst").alias("src"),
+                          F.col("src").alias("dst"))
+    return (top1.join(flipped, ["src", "dst"])
+            .filter(F.col("src") < F.col("dst"))
+            .select(F.col("src").alias("id_a"),
+                    F.col("dst").alias("id_b"), "cosine"))

@@ -605,3 +605,44 @@ def test_last_touch_attribution_credit_and_direct(spark):
     assert out["click"] == (1, 0.25)
     assert out["view"] == (2, 0.5)
     assert out["direct"] == (1, 0.25)
+
+
+def test_mutual_knn_pairs_reciprocal_only(spark):
+    from data_ingest_spark.operators.neighbors import mutual_knn_pairs
+    # a<->b reciprocal top-1; c's top-1 is a but a's is b -> excluded.
+    knn = spark.createDataFrame(
+        [("a", "b", 0.9, 1), ("b", "a", 0.9, 1), ("c", "a", 0.8, 1),
+         ("a", "c", 0.8, 2)], ["src", "dst", "cosine", "rank"])
+    out = mutual_knn_pairs(knn).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [("a", "b")]
+
+
+def test_stratified_kfold_balance_and_determinism(spark):
+    from data_ingest_spark.extensions.sampling import stratified_kfold
+    rows = [(i, "en" if i % 3 else "de") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = stratified_kfold(df, k=5).collect()
+    by = {}
+    for r in out:
+        by.setdefault((r["stratum"], r["fold"]), 0)
+        by[(r["stratum"], r["fold"])] += 1
+    # en has 20 rows -> 4 per fold; de has 10 -> 2 per fold.
+    assert all(by[("en", f)] == 4 for f in range(5))
+    assert all(by[("de", f)] == 2 for f in range(5))
+    again = stratified_kfold(df, k=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_vocab_coverage_exact_small_corpus(spark):
+    from data_ingest_spark.extensions.text import vocab_coverage
+    # counts: a=6, b=3, c=1 (N=10). Cum shares: 60%, 90%, 100%.
+    df = spark.createDataFrame(
+        [(0, " ".join(["a"] * 6 + ["b"] * 3 + ["c"]))],
+        ["doc_id", "text"])
+    out = {r["pct"]: (r["vocab_needed"], r["tokens_covered"])
+           for r in vocab_coverage(df).collect()}
+    assert out[50] == (1, 6)
+    assert out[75] == (2, 9)
+    assert out[90] == (2, 9)
+    assert out[95] == (3, 10)
+    assert out[99] == (3, 10)
