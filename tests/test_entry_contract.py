@@ -55,13 +55,16 @@ def test_rotation_priority_names_resolve(spark):
     missing = [n for n in registry._ROUND4_PRIORITY
                if n not in registry.REGISTRY]
     assert missing == []
-    front = list(registry.queries())[:21]
+    front = list(registry.queries())[:30]
     assert front == [
         "x116_auc_rank", "x117_calibration", "x118_cohens_kappa",
         "x119_interval_merge", "x120_cdc_chunks", "x121_decontam_spans",
         "x122_theil_sen", "x123_good_turing", "x124_zipf_fit",
         "x125_entity_resolution", "x126_phash", "x127_phash_neardup",
         "x128_kneser_ney", "x129_kmv_timeline", "x130_ppjoin",
+        "g3_bfs_hops", "x131_standardize_dims", "x132_log_odds",
+        "x133_mannwhitney", "x134_charset_quality", "e28_attribution",
+        "x135_mutual_knn", "x136_stratified_kfold", "x137_vocab_coverage",
         "x111_skipgram_pairs", "x112_column_expectations",
         "x113_paragraph_dedup", "x114_mrr_jackknife", "x115_class_report",
         "p1_qc_pipeline"]

@@ -376,5 +376,8 @@ def test_round5_batch2_bounded_shuffles(spark):
                          ("e28_attribution", 3),
                          ("g3_bfs_hops", 4),
                          ("x132_log_odds", 8),
-                         ("x133_mannwhitney", 8)):
+                         ("x133_mannwhitney", 8),
+                         ("x135_mutual_knn", 1),
+                         ("x136_stratified_kfold", 1),
+                         ("x137_vocab_coverage", 3)):
         assert shuffle_count(q(spark, name)) <= max_sh, name
