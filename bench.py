@@ -104,6 +104,13 @@ HEADLINE = [
     "m9_integrate_exact",
     "x96_ks_drift",
     "x99_power_pc1",
+    # round-5 heavy representatives: the two composite pipelines
+    # (blocking -> exact Jaccard -> connected components; prefix-
+    # filtered exact similarity join). The rest of the round-5 batch
+    # is sub-second at sf0.1 and stays out of the headline for the
+    # same reason as the round-4b ops (scheduler noise, not plans).
+    "x125_entity_resolution",
+    "x130_ppjoin",
 ]
 
 

@@ -279,7 +279,8 @@ def jaccard_pairs_blocked(df: DataFrame, block_cols: list[str],
 
 def dup_clusters(pairs: DataFrame, id_cols: tuple[str, str] = ("id_a", "id_b"),
                  max_iter: int = 20,
-                 checkpoint_every: int = 5) -> DataFrame:
+                 checkpoint_every: int = 5,
+                 check_every: int | None = None) -> DataFrame:
     """(doc_id, cluster) — connected components over a duplicate-pair
     edge list; cluster = the component's minimum doc id, so labels are
     canonical and engine-exact (integer min, no floats).
@@ -289,7 +290,13 @@ def dup_clusters(pairs: DataFrame, id_cols: tuple[str, str] = ("id_a", "id_b"),
     groupBy per round, converging in O(component diameter) rounds
     (near-dup clusters are shallow: most are cliques from a shared
     bucket). Lineage is truncated periodically like
-    clustering.label_propagation. The canonical corpus then follows
+    clustering.label_propagation. ``check_every`` sets the
+    convergence-test cadence (default: the checkpoint cadence) —
+    shallow duplicate graphs converge in 2-3 rounds, so callers that
+    know their components are flat (entity resolution, exact-dup
+    stars) pass 1 and stop paying for rounds 3-5; each test is one
+    count over the label frame, so leave the default for graphs whose
+    per-round state is expensive. The canonical corpus then follows
     with one semi-join on (doc_id = cluster)."""
     a, b = id_cols
     edges = (pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
@@ -306,7 +313,7 @@ def dup_clusters(pairs: DataFrame, id_cols: tuple[str, str] = ("id_a", "id_b"),
                                   "id", "left")
                       .select("id", F.least("lbl", F.coalesce("_nm", "lbl"))
                               .alias("lbl")))
-        if (i + 1) % checkpoint_every == 0:
+        if (i + 1) % (check_every or checkpoint_every) == 0:
             new_labels = new_labels.localCheckpoint()
             changed = (new_labels.alias("n")
                        .join(labels.alias("o"), "id")
@@ -759,7 +766,8 @@ def resolve_entities(df: DataFrame, id_col: str = "doc_id",
     edges = (jaccard_of_pairs(cand, membership, id_col)
              .filter(F.col("jaccard") >= threshold)
              .select("id_a", "id_b"))
-    clusters = dup_clusters(edges).withColumnRenamed("doc_id", "_cid")
+    clusters = (dup_clusters(edges, check_every=1)
+                .withColumnRenamed("doc_id", "_cid"))
     ent = (df.select(id_col)
            .join(clusters, F.col(id_col) == F.col("_cid"), "left")
            .select(F.col(id_col),
@@ -788,29 +796,31 @@ def ppjoin(df: DataFrame, id_col: str = "doc_id",
 
     The threshold is the rational ``threshold_num/threshold_den`` so
     the prefix length n − ⌈t·n⌉ + 1 is exact integer arithmetic
-    (⌈t·n⌉ = (num·n + den − 1) div den). Candidates are verified with
-    the exact membership-row Jaccard (:func:`jaccard_of_pairs`).
+    (⌈t·n⌉ = (num·n + den − 1) div den). The global order is the
+    TUPLE (df, shingle) used directly — prefix filtering only needs a
+    consistent total order, so no dense id is materialized (a dense
+    rank would funnel the whole df=1 band, the vast majority of any
+    real corpus's shingles, through one partition). Candidates join
+    on the prefix shingle itself and are verified with the exact
+    membership-row Jaccard (:func:`jaccard_of_pairs`).
     Returns ``(id_a, id_b, jaccard)`` (rounded 6dp) for all pairs
     with Jaccard ≥ t.
     """
-    from data_ingest_spark.operators.windows import dense_ids_scalable
-
     mem = shingle_sets(df, id_col, text_col, k)
     dfreq = mem.groupBy("shingle").agg(F.count("*").alias("_df"))
-    ranks = dense_ids_scalable(dfreq, order=["_df", "shingle"],
-                               id_col="_r").select("shingle", "_r")
     sizes = mem.groupBy(id_col).agg(F.count("*").alias("_n"))
     pref_len = (F.col("_n")
                 - F.floor((F.lit(threshold_num) * F.col("_n")
                            + F.lit(threshold_den) - 1)
                           / F.lit(threshold_den)) + 1)
-    wdoc = W.partitionBy(id_col).orderBy("_r")
-    pref = (mem.join(ranks, "shingle").join(sizes, id_col)
+    wdoc = W.partitionBy(id_col).orderBy("_df", "shingle")
+    pref = (mem.join(dfreq, "shingle").join(sizes, id_col)
             .withColumn("_pos", F.row_number().over(wdoc))
             .filter(F.col("_pos") <= pref_len)
-            .select(id_col, "_r"))
-    cand = (pref.select(F.col(id_col).alias("id_a"), "_r")
-            .join(pref.select(F.col(id_col).alias("id_b"), "_r"), "_r")
+            .select(id_col, "shingle"))
+    cand = (pref.select(F.col(id_col).alias("id_a"), "shingle")
+            .join(pref.select(F.col(id_col).alias("id_b"), "shingle"),
+                  "shingle")
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
     t = threshold_num / threshold_den
