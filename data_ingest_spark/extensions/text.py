@@ -1071,12 +1071,13 @@ def kneser_ney_bigrams(df: DataFrame, discount: float = 0.75,
             + (d * F.col("_nr").cast("double")
                / F.col("_cw1").cast("double"))
             * (F.col("_nl").cast("double") / F.col("_t")))
-    win = W.orderBy(F.desc("pair_count"), F.asc("w1"), F.asc("w2"))
+    # orderBy + limit plans a distributed TakeOrderedAndProject (the
+    # x103/x31 pattern) — never a single-partition rank window.
     return (scored.select("w1", "w2",
                           F.col("c").cast("long").alias("pair_count"),
                           F.round(p_kn, 6).alias("p_kn"))
-            .withColumn("_rk", F.row_number().over(win))
-            .filter(F.col("_rk") <= top_k).drop("_rk"))
+            .orderBy(F.desc("pair_count"), F.asc("w1"), F.asc("w2"))
+            .limit(top_k))
 
 
 def log_odds_terms(df: DataFrame, group_col: str = "source",
