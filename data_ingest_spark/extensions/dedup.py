@@ -757,12 +757,13 @@ def resolve_entities(df: DataFrame, id_col: str = "doc_id",
         "_blk", F.concat_ws(" ", F.get(toks, 0), F.get(toks, 1)))
     ok = (keyed.groupBy("_blk").agg(F.count("*").alias("_bn"))
           .filter(F.col("_bn") <= max_block).select("_blk"))
-    kb = keyed.join(ok, "_blk")
+    kb = keyed.join(ok, "_blk").localCheckpoint(eager=False)
     cand = (kb.select("_blk", F.col(id_col).alias("id_a"))
             .join(kb.select("_blk", F.col(id_col).alias("id_b")), "_blk")
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b"))
-    membership = shingle_sets(kb, id_col, text_col, k)
+    membership = shingle_sets(kb, id_col, text_col, k).localCheckpoint(
+        eager=False)
     edges = (jaccard_of_pairs(cand, membership, id_col)
              .filter(F.col("jaccard") >= threshold)
              .select("id_a", "id_b"))
@@ -806,7 +807,12 @@ def ppjoin(df: DataFrame, id_col: str = "doc_id",
     Returns ``(id_a, id_b, jaccard)`` (rounded 6dp) for all pairs
     with Jaccard ≥ t.
     """
-    mem = shingle_sets(df, id_col, text_col, k)
+    # One materialization feeds df-counts, sizes, the prefix window,
+    # and both verify sides — without it the shingle kernel and the
+    # corpus scan replay once per consumer (the static plan shows 20
+    # scans; checkpointed it is one).
+    mem = shingle_sets(df, id_col, text_col, k).localCheckpoint(
+        eager=False)
     dfreq = mem.groupBy("shingle").agg(F.count("*").alias("_df"))
     sizes = mem.groupBy(id_col).agg(F.count("*").alias("_n"))
     pref_len = (F.col("_n")

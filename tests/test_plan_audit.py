@@ -360,7 +360,7 @@ def test_round5_batch_bounded_shuffles(spark):
                          ("x125_entity_resolution", 7),
                          ("x128_kneser_ney", 7),
                          ("x129_kmv_timeline", 9),
-                         ("x130_ppjoin", 18)):
+                         ("x130_ppjoin", 8)):
         assert shuffle_count(q(spark, name)) <= max_sh, name
 
 
