@@ -7698,17 +7698,17 @@ def q_vocab_coverage(spark, sf):
 # prefix of ``queries()`` each round; rounds 2-4 verified 150 distinct
 # queries (CORRECTNESS_r02/r03/r04, 0 failures in any round). Round 5
 # fronts the FULL oracled remainder that has never received a driver
-# verdict — 72 queries, computed as registry minus the union of
-# CORRECTNESS_r02-r04 keys — in priority order: (1) the round-5
-# additions (x111-x115) plus the newly value-oracle-graduated
-# p1_qc_pipeline end-to-end composite, (2) the remaining TPC-H shapes
-# (v19-v26), (3) the e-family analytics stragglers (e14-e26), (4) the
-# x10-x76 mid-band (multimodal, sampling, dedup variants, PQ/quant,
-# data-quality). A ~50-query driver sample drains the first four
-# groups; the round-6 rotation finishes the x-band tail. Every name
-# below carries a full DuckDB value oracle and passed the builder's
-# full local gates (COVERAGE.md: 221/8/0 over all 229 at sf0.01,
-# 216/8/0 at sf0.1).
+# verdict — the 72 never-sampled queries of the round-4 verdict plus
+# the 24 round-5 additions (x116-x137, g3, e28) — in priority order:
+# (1) the round-5 operator batches, newest first, (2) the x111-x115
+# batch plus the value-oracle-graduated p1_qc_pipeline composite,
+# (3) the remaining TPC-H shapes (v19-v26), (4) the e-family
+# analytics stragglers (e14-e26), (5) the x10-x76 mid-band
+# (multimodal, sampling, dedup variants, PQ/quant, data-quality). A
+# ~50-query driver sample covers (1)-(4); the round-6 rotation
+# finishes the x-band tail. Every name below carries a full DuckDB
+# value oracle and passed the builder's full local gates
+# (COVERAGE.md: 245/8/0 over all 253 at BOTH sf0.01 and sf0.1).
 _ROUND5_PRIORITY = [
     # (1) round-5 additions + the graduated end-to-end composite
     "x116_auc_rank", "x117_calibration", "x118_cohens_kappa",
