@@ -844,51 +844,72 @@ def cdc_chunk_stats(df: DataFrame, id_col: str = "doc_id",
     the cut list (so two engines must agree on every cut, not just
     the count).
 
-    Exactness: hash(i) = ((c1·31 + c2)·31 + c3)·31 + c4 over UTF-32
-    codepoints — small exact integers in both engines. Map-only: the
-    per-position arrays live inside one projection, no shuffle, no
-    UDF."""
-    n = F.length(F.col(text_col))
-    # codepoint at 1-based position p
-    def cp(p):
-        return F.ascii(F.substring(F.col(text_col), p, 1))
-    pos = F.sequence(F.lit(window), n)
-    h = lambda i: (((cp(i - 3) * 31 + cp(i - 2)) * 31
-                    + cp(i - 1)) * 31 + cp(i)) % (mask + 1)
-    raw = F.filter(pos, lambda i: h(i) == 0)
-    # min-chunk suppression is a sequential fold over candidate cuts
-    cuts = F.aggregate(
-        raw,
-        F.array().cast("array<int>"),
-        lambda acc, i: F.when(
-            i - F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0))
-            >= min_chunk,
-            F.concat(acc, F.array(i.cast("int")))).otherwise(acc))
-    cuts = F.when(n >= window, cuts).otherwise(F.array().cast("array<int>"))
-    # chunk lengths: diffs over [0, cuts..., len]
-    full = F.concat(F.array(F.lit(0)), cuts,
-                    F.when((F.coalesce(F.try_element_at(cuts, F.lit(-1)),
-                                       F.lit(0)) < n) | (n == 0),
-                           F.array(n.cast("int")))
-                    .otherwise(F.array().cast("array<int>")))
-    lens = F.transform(
-        F.sequence(F.lit(2), F.size(full)),
-        lambda i: F.element_at(full, i) - F.element_at(full, i - 1))
-    bhash = F.aggregate(
-        cuts, F.lit(0).cast("long"),
-        lambda acc, c: (acc * 1000003 + c) % 2147483647)
-    out = df.select(
-        id_col, F.size(lens).cast("long").alias("n_chunks"),
-        n.cast("long").alias("len_chars"),
-        lens.alias("_lens"), bhash.alias("boundary_hash"))
-    avg = F.when(F.col("n_chunks") > 0,
-                 F.col("len_chars") / F.col("n_chunks")).otherwise(0.0)
-    return out.select(
-        id_col, "n_chunks", "len_chars",
-        F.round(avg, 9).alias("avg_chunk_len"),
-        F.coalesce(F.array_max("_lens"), F.lit(0)).cast("long")
-        .alias("max_chunk_len"),
-        "boundary_hash")
+    Exactness: hash(i) = ((c1·31 + c2)·31 + c3)·31 + c4 over
+    codepoints — small exact integers in both engines. Runs as an
+    Arrow mapInPandas kernel (the shingle_rows precedent): the
+    rolling scan is one linear pass per document, where the
+    equivalent Column expression (a per-position substring inside a
+    filter lambda) re-traverses the string per position — O(n²) per
+    document and interpreted, measured 40x slower at sf0.1. Map-only
+    either way: no shuffle."""
+    import pandas as pd_
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    from data_ingest_spark.functions.partitioning import spread
+
+    mod = mask + 1
+    out_schema = StructType([
+        df.schema[id_col],
+        StructField("n_chunks", LongType()),
+        StructField("len_chars", LongType()),
+        StructField("avg_chunk_len", DoubleType()),
+        StructField("max_chunk_len", LongType()),
+        StructField("boundary_hash", LongType()),
+    ])
+
+    def one(t: str):
+        n = len(t)
+        cuts = []
+        if n >= window:
+            cps = [ord(ch) for ch in t]
+            last = 0
+            for i in range(window, n + 1):
+                h = (((cps[i - 4] * 31 + cps[i - 3]) * 31
+                      + cps[i - 2]) * 31 + cps[i - 1]) % mod
+                if h == 0 and i - last >= min_chunk:
+                    cuts.append(i)
+                    last = i
+        full = [0] + cuts
+        if (cuts[-1] if cuts else 0) < n or n == 0:
+            full.append(n)
+        lens = [full[j] - full[j - 1] for j in range(1, len(full))]
+        bh = 0
+        for c in cuts:
+            bh = (bh * 1000003 + c) % 2147483647
+        avg = round(n / len(lens), 9) if lens else 0.0
+        return (len(lens), n, avg, max(lens) if lens else 0, bh)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("nc", "lc", "av", "mx", "bh")}
+            for t in pdf[text_col]:
+                nc, lc, av, mx, bh = one(t)
+                rows["nc"].append(nc)
+                rows["lc"].append(lc)
+                rows["av"].append(av)
+                rows["mx"].append(mx)
+                rows["bh"].append(bh)
+            yield pd_.DataFrame({
+                id_col: pdf[id_col],
+                "n_chunks": pd_.Series(rows["nc"], dtype="int64"),
+                "len_chars": pd_.Series(rows["lc"], dtype="int64"),
+                "avg_chunk_len": pd_.Series(rows["av"], dtype="float64"),
+                "max_chunk_len": pd_.Series(rows["mx"], dtype="int64"),
+                "boundary_hash": pd_.Series(rows["bh"], dtype="int64"),
+            })
+
+    return spread(df.select(id_col, text_col)).mapInPandas(gen, out_schema)
 
 
 def decontam_spans(corpus: DataFrame, benchmark: DataFrame, k: int = 13,
