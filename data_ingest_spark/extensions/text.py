@@ -1223,3 +1223,34 @@ def vocab_coverage(df: DataFrame, text_col: str = "text",
             .groupBy("pct")
             .agg(F.min("_rank").cast("long").alias("vocab_needed"),
                  F.min("_mass").cast("long").alias("tokens_covered")))
+
+
+def feature_hash(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", n_dims: int = 1024) -> DataFrame:
+    """Hashing-trick featurizer (Weinberger 2009): every token maps
+    to ``dim = md5(token) mod n_dims`` with a ±1 sign drawn from an
+    independent hash bit, and a document's feature value is the
+    signed token-count sum — the fixed-width, vocabulary-free
+    vectorizer that feeds linear/logistic baselines and dedup
+    sketches at corpus scale (no vocab build, no OOV, merge = add).
+    The sign bit keeps collisions unbiased (E[collision noise] = 0).
+
+    md5 is the hash in BOTH engines, so the exact (id, dim, weight)
+    long form is value-checkable. One token-count aggregation keyed
+    by (id, dim) — a single corpus shuffle; output rows are bounded
+    by min(tokens, n_dims) per document. Zero-sum features drop (a
+    +1/-1 collision cancels — mirrored in the oracle).
+
+    Returns ``(id, dim, weight)``.
+    """
+    w = F.explode(tokens_col(text_col)).alias("w")
+    h = F.md5(F.col("w").cast("binary"))
+    dim = (F.conv(F.substring(h, 1, 7), 16, 10).cast("long")
+           % n_dims).alias("dim")
+    sign = (F.conv(F.substring(h, 8, 1), 16, 10).cast("long") % 2 * 2
+            - 1).alias("_sgn")
+    return (df.select(F.col(id_col), w)
+            .select(id_col, dim, sign)
+            .groupBy(id_col, "dim")
+            .agg(F.sum("_sgn").cast("long").alias("weight"))
+            .filter(F.col("weight") != 0))

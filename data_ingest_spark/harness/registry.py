@@ -7694,6 +7694,60 @@ def q_vocab_coverage(spark, sf):
     return tx.vocab_coverage(load(spark, sf, "documents"))
 
 
+@_q("x138_psi_drift", """
+WITH e AS (SELECT event_type AS g,
+                  CAST(FLOOR(value / 50.0) AS BIGINT) AS b,
+                  (event_id % 2 = 0) AS ref FROM events),
+ counts AS (SELECT g, b,
+                   CAST(SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT)
+                     AS cr,
+                   CAST(SUM(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT)
+                     AS cc
+            FROM e GROUP BY 1, 2),
+ tots AS (SELECT g, CAST(SUM(cr) AS DOUBLE) AS nr,
+                 CAST(SUM(cc) AS DOUBLE) AS nc,
+                 CAST(COUNT(*) AS DOUBLE) AS nb
+          FROM counts GROUP BY 1),
+ terms AS (SELECT counts.g,
+                  ((CAST(cr AS DOUBLE) + 0.5) / (nr + 0.5 * nb)
+                   - (CAST(cc AS DOUBLE) + 0.5) / (nc + 0.5 * nb))
+                  * ln(((CAST(cr AS DOUBLE) + 0.5) / (nr + 0.5 * nb))
+                       / ((CAST(cc AS DOUBLE) + 0.5)
+                          / (nc + 0.5 * nb))) AS t
+           FROM counts JOIN tots USING (g))
+SELECT g AS event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       ROUND(SUM(t), 6) AS psi
+FROM terms GROUP BY 1
+""")
+def q_psi_drift(spark, sf):
+    """Population Stability Index per event type between the even/odd
+    event-id slices (pf.psi_drift) — a deterministic A/A split, so
+    PSI near 0 is itself the calibration check; Laplace-smoothed
+    bucket shares make every term finite and value-checkable."""
+    from data_ingest_spark.extensions.profile import psi_drift
+    return psi_drift(load(spark, sf, "events"))
+
+
+@_q("x139_feature_hash", r"""
+WITH tk AS (SELECT doc_id, unnest(string_split_regex(lower(text),
+                                                     '\s+')) AS w
+            FROM documents),
+ m AS (SELECT doc_id,
+              CAST(concat('0x', substr(md5(w), 1, 7)) AS BIGINT)
+                % 1024 AS dim,
+              CAST(concat('0x', substr(md5(w), 8, 1)) AS BIGINT)
+                % 2 * 2 - 1 AS sgn
+       FROM tk)
+SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS weight
+FROM m GROUP BY 1, 2 HAVING SUM(sgn) <> 0
+""")
+def q_feature_hash(spark, sf):
+    """Hashing-trick featurization (tx.feature_hash): md5 token ->
+    1024-dim signed counts, vocabulary-free and mergeable; the exact
+    long-form feature matrix is value-checked."""
+    return tx.feature_hash(load(spark, sf, "documents"))
+
+
 # Driver-sample ordering. The correctness driver checks a bounded
 # prefix of ``queries()`` each round; rounds 2-4 verified 150 distinct
 # queries (CORRECTNESS_r02/r03/r04, 0 failures in any round). Round 5
@@ -7719,6 +7773,7 @@ _ROUND5_PRIORITY = [
     "g3_bfs_hops", "x131_standardize_dims", "x132_log_odds",
     "x133_mannwhitney", "x134_charset_quality", "e28_attribution",
     "x135_mutual_knn", "x136_stratified_kfold", "x137_vocab_coverage",
+    "x138_psi_drift", "x139_feature_hash",
     "x111_skipgram_pairs", "x112_column_expectations",
     "x113_paragraph_dedup", "x114_mrr_jackknife", "x115_class_report",
     "p1_qc_pipeline",

@@ -646,3 +646,32 @@ def test_vocab_coverage_exact_small_corpus(spark):
     assert out[90] == (2, 9)
     assert out[95] == (3, 10)
     assert out[99] == (3, 10)
+
+
+def test_psi_drift_aa_split_near_zero_and_shift_detected(spark):
+    from pyspark.sql import functions as F
+    from data_ingest_spark.extensions.profile import psi_drift
+    # A/A: identical distributions -> PSI ~ 0. A/B: ref in [0,50),
+    # current in [100,150) -> all mass moves buckets, PSI large.
+    rows = [(i, "t", float(i % 50)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    aa = psi_drift(df).collect()[0]
+    assert abs(aa["psi"]) < 0.01
+    shifted = df.withColumn(
+        "value", F.when(F.col("event_id") % 2 == 0, F.col("value"))
+        .otherwise(F.col("value") + 100.0))
+    ab = psi_drift(shifted).collect()[0]
+    assert ab["psi"] > 1.0
+
+
+def test_feature_hash_deterministic_and_mergeable(spark):
+    from data_ingest_spark.extensions.text import feature_hash
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b a")], ["doc_id", "text"])
+    out = {}
+    for r in feature_hash(df).collect():
+        out.setdefault(r["doc_id"], {})[r["dim"]] = r["weight"]
+    # identical docs -> identical feature vectors; 'a' weight is
+    # twice 'b'-independent sign*2
+    assert out[1] == out[2]
+    assert sorted(abs(w) for w in out[1].values()) == [1, 2]
