@@ -522,3 +522,50 @@ def last_touch_attribution(events: DataFrame, user_col: str = "user_id",
             .select("touch_type", "n_conversions",
                     F.round(F.col("n_conversions") / F.col("_n"), 6)
                     .alias("share")))
+
+
+def window_funnel(events: DataFrame, steps: list[str],
+                  window_sec: int = 604800, user_col: str = "user_id",
+                  ts_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """Time-bound ordered funnel depth (the windowFunnel analytic):
+    per user, walk the greedy earliest chain — t1 = first step-1
+    event, then each t_{i+1} = first step-(i+1) event strictly after
+    t_i — and count how many steps complete within ``window_sec`` of
+    t1. Greedy-earliest makes the chain (and therefore the result)
+    deterministic and engine-checkable, where "any chain" semantics
+    are search-order dependent. Returns the depth histogram
+    ``(funnel_depth, n_users)`` over users that started step 1.
+
+    One pushdown-filtered grouped-min per step, each joined back on
+    the user key — len(steps) bounded joins, no window functions, no
+    per-user state. The step filters reach the scan as pushed
+    predicates.
+    """
+    from data_ingest_spark.functions.stats import epoch_seconds
+    out = (events.filter(F.col(type_col) == steps[0])
+           .groupBy(user_col)
+           .agg(F.min(epoch_seconds(F.col(ts_col))).alias("_t1"))
+           .select(user_col, "_t1", F.col("_t1").alias("_tprev"),
+                   F.lit(1).alias("_depth")))
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (events.filter(F.col(type_col) == step)
+               .select(F.col(user_col),
+                       epoch_seconds(F.col(ts_col)).alias("_ts")))
+        hit = (out.filter(F.col("_depth") == i - 1)
+               .join(nxt, user_col)
+               .filter(F.col("_ts") > F.col("_tprev"))
+               .groupBy(user_col).agg(F.min("_ts").alias("_tn")))
+        adv = (F.col("_tn").isNotNull()
+               & (F.col("_tn") - F.col("_t1")
+                  <= F.lit(float(window_sec)))
+               & (F.col("_depth") == i - 1))
+        out = (out.join(hit, user_col, "left")
+               .select(user_col, "_t1",
+                       F.when(adv, F.col("_tn")).otherwise(F.col("_tprev"))
+                       .alias("_tprev"),
+                       F.when(adv, F.lit(i)).otherwise(F.col("_depth"))
+                       .alias("_depth")))
+    return (out.groupBy(F.col("_depth").cast("long")
+                        .alias("funnel_depth"))
+            .agg(F.count("*").cast("long").alias("n_users")))

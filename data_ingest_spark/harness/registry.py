@@ -7635,6 +7635,53 @@ def q_attribution(spark, sf):
     return ev.last_touch_attribution(load(spark, sf, "events"))
 
 
+@_q("e29_window_funnel", """
+WITH u1 AS (SELECT user_id, MIN(epoch(ts)) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+ r2 AS (SELECT e.user_id, MIN(epoch(e.ts)) AS t FROM events e
+        JOIN u1 USING (user_id)
+        WHERE e.event_type = 'click' AND epoch(e.ts) > u1.t1
+        GROUP BY 1),
+ a2 AS (SELECT u1.user_id, u1.t1,
+               CASE WHEN r2.t IS NOT NULL AND r2.t - u1.t1 <= 604800.0
+                    THEN r2.t END AS t2
+        FROM u1 LEFT JOIN r2 USING (user_id)),
+ r3 AS (SELECT e.user_id, MIN(epoch(e.ts)) AS t FROM events e
+        JOIN a2 USING (user_id)
+        WHERE a2.t2 IS NOT NULL AND e.event_type = 'signup'
+          AND epoch(e.ts) > a2.t2
+        GROUP BY 1),
+ a3 AS (SELECT a2.user_id, a2.t1, a2.t2,
+               CASE WHEN r3.t IS NOT NULL AND r3.t - a2.t1 <= 604800.0
+                    THEN r3.t END AS t3
+        FROM a2 LEFT JOIN r3 USING (user_id)),
+ r4 AS (SELECT e.user_id, MIN(epoch(e.ts)) AS t FROM events e
+        JOIN a3 USING (user_id)
+        WHERE a3.t3 IS NOT NULL AND e.event_type = 'purchase'
+          AND epoch(e.ts) > a3.t3
+        GROUP BY 1),
+ a4 AS (SELECT a3.user_id, a3.t1, a3.t2, a3.t3,
+               CASE WHEN r4.t IS NOT NULL AND r4.t - a3.t1 <= 604800.0
+                    THEN r4.t END AS t4
+        FROM a3 LEFT JOIN r4 USING (user_id))
+SELECT CAST(1 + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN t4 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS funnel_depth,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a4 GROUP BY 1
+""")
+def q_window_funnel(spark, sf):
+    """Time-bound ordered funnel (ev.window_funnel, windowFunnel
+    semantics with the deterministic greedy-earliest chain):
+    view -> click -> signup -> purchase within 7 days of the first
+    view; the oracle walks the same chain step by step, so every
+    user's depth is value-checked via the histogram."""
+    return ev.window_funnel(
+        load(spark, sf, "events"),
+        steps=["view", "click", "signup", "purchase"])
+
+
 @_q("x135_mutual_knn", f"""
 WITH {_KNN_EDGES_SQL},
  t1 AS (SELECT src, dst, cosine FROM r WHERE rank = 1)
@@ -7773,7 +7820,7 @@ _ROUND5_PRIORITY = [
     "g3_bfs_hops", "x131_standardize_dims", "x132_log_odds",
     "x133_mannwhitney", "x134_charset_quality", "e28_attribution",
     "x135_mutual_knn", "x136_stratified_kfold", "x137_vocab_coverage",
-    "x138_psi_drift", "x139_feature_hash",
+    "x138_psi_drift", "x139_feature_hash", "e29_window_funnel",
     "x111_skipgram_pairs", "x112_column_expectations",
     "x113_paragraph_dedup", "x114_mrr_jackknife", "x115_class_report",
     "p1_qc_pipeline",

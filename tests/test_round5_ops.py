@@ -675,3 +675,35 @@ def test_feature_hash_deterministic_and_mergeable(spark):
     # twice 'b'-independent sign*2
     assert out[1] == out[2]
     assert sorted(abs(w) for w in out[1].values()) == [1, 2]
+
+
+def test_window_funnel_depths_and_window_cutoff(spark):
+    from datetime import datetime, timedelta
+    from data_ingest_spark.extensions.evaluation import window_funnel
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    def add(u, typ, hours):
+        nonlocal eid
+        rows.append((eid, t0 + timedelta(hours=hours), u, typ, 0.0, ""))
+        eid += 1
+    # u1 completes all 4 within the window.
+    for h, t in ((0, "view"), (1, "click"), (2, "signup"), (3, "purchase")):
+        add(1, t, h)
+    # u2: clicks BEFORE viewing -> order violation, depth 1.
+    add(2, "click", 0); add(2, "view", 1)
+    # u3: full chain but purchase lands outside the 3h window.
+    for h, t in ((0, "view"), (0.2, "click"), (0.4, "signup"),
+                 (5, "purchase")):
+        add(3, t, h)
+    # u4: skips 'click' -> depth 1 even though signup/purchase exist.
+    for h, t in ((0, "view"), (1, "signup"), (2, "purchase")):
+        add(4, t, h)
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value",
+               "props"])
+    out = {r["funnel_depth"]: r["n_users"]
+           for r in window_funnel(
+               df, ["view", "click", "signup", "purchase"],
+               window_sec=10800).collect()}
+    assert out == {4: 1, 1: 2, 3: 1}
