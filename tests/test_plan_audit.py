@@ -379,5 +379,9 @@ def test_round5_batch2_bounded_shuffles(spark):
                          ("x133_mannwhitney", 8),
                          ("x135_mutual_knn", 1),
                          ("x136_stratified_kfold", 1),
-                         ("x137_vocab_coverage", 3)):
+                         ("x137_vocab_coverage", 3),
+                         ("x138_psi_drift", 4),
+                         ("x139_feature_hash", 1),
+                         ("x120_cdc_chunks", 1),
+                         ("e29_window_funnel", 9)):
         assert shuffle_count(q(spark, name)) <= max_sh, name
