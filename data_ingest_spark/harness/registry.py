@@ -7682,6 +7682,40 @@ def q_window_funnel(spark, sf):
         steps=["view", "click", "signup", "purchase"])
 
 
+@_q("x140_simhash_neardup", f"""
+WITH corpus AS ({_NEARDUP_SQL}),
+ toks AS (SELECT doc_id, unnest(string_split_regex(lower(text),
+                                                   '\\s+')) AS tok
+          FROM corpus),
+ h AS (SELECT doc_id, md5(tok) AS hh FROM toks),
+ bits AS (SELECT doc_id, {_SIMHASH_BITS} FROM h GROUP BY doc_id),
+ sh AS (SELECT doc_id, {_SIMHASH_CONCAT} AS simhash FROM bits),
+ v AS (SELECT doc_id,
+              CAST(list_sum(list_transform(range(1, 17),
+                   i -> CASE WHEN substr(simhash, CAST(i AS INT), 1)
+                               = '1'
+                             THEN 1 << (16 - CAST(i AS INT))
+                             ELSE 0 END)) AS BIGINT) AS hv
+       FROM sh),
+ p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(bit_count(xor(a.hv, b.hv)) AS BIGINT) AS hamming
+       FROM v a JOIN v b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM p WHERE hamming <= 2
+""")
+def q_simhash_neardup(spark, sf):
+    """Text near-dup pairs by banded Hamming join over SimHash
+    (tx.simhash -> mm.phash_neardup_pairs): max_dist+1 bands give
+    pigeonhole-perfect recall, proven against the oracle's brute
+    all-pairs scan — the text sibling of x127 and the scalable
+    shortlist ahead of exact Jaccard verification (x130)."""
+    sh = tx.simhash(_neardup_corpus(spark, sf))
+    hv = sh.select("doc_id",
+                   F.conv(F.col("simhash"), 2, 10).cast("long")
+                   .alias("hv"))
+    return mm.phash_neardup_pairs(hv, hash_col="hv", bits=16,
+                                  max_dist=2)
+
+
 @_q("x135_mutual_knn", f"""
 WITH {_KNN_EDGES_SQL},
  t1 AS (SELECT src, dst, cosine FROM r WHERE rank = 1)
@@ -7821,6 +7855,7 @@ _ROUND5_PRIORITY = [
     "x133_mannwhitney", "x134_charset_quality", "e28_attribution",
     "x135_mutual_knn", "x136_stratified_kfold", "x137_vocab_coverage",
     "x138_psi_drift", "x139_feature_hash", "e29_window_funnel",
+    "x140_simhash_neardup",
     "x111_skipgram_pairs", "x112_column_expectations",
     "x113_paragraph_dedup", "x114_mrr_jackknife", "x115_class_report",
     "p1_qc_pipeline",

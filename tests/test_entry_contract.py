@@ -55,7 +55,7 @@ def test_rotation_priority_names_resolve(spark):
     missing = [n for n in registry._ROUND4_PRIORITY
                if n not in registry.REGISTRY]
     assert missing == []
-    front = list(registry.queries())[:32]
+    front = list(registry.queries())[:33]
     assert front == [
         "x116_auc_rank", "x117_calibration", "x118_cohens_kappa",
         "x119_interval_merge", "x120_cdc_chunks", "x121_decontam_spans",
@@ -66,6 +66,7 @@ def test_rotation_priority_names_resolve(spark):
         "x133_mannwhitney", "x134_charset_quality", "e28_attribution",
         "x135_mutual_knn", "x136_stratified_kfold", "x137_vocab_coverage",
         "x138_psi_drift", "x139_feature_hash", "e29_window_funnel",
+        "x140_simhash_neardup",
         "x111_skipgram_pairs", "x112_column_expectations",
         "x113_paragraph_dedup", "x114_mrr_jackknife", "x115_class_report"]
     # every fronted name is oracle-paired
