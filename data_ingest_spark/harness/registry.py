@@ -7832,43 +7832,23 @@ def q_feature_hash(spark, sf):
 # Driver-sample ordering. The correctness driver checks a bounded
 # prefix of ``queries()`` each round; rounds 2-4 verified 150 distinct
 # queries (CORRECTNESS_r02/r03/r04, 0 failures in any round). Round 5
-# fronts the FULL oracled remainder that has never received a driver
-# verdict — the 72 never-sampled queries of the round-4 verdict plus
-# the 24 round-5 additions (x116-x137, g3, e28) — in priority order:
-# (1) the round-5 operator batches, newest first, (2) the x111-x115
-# batch plus the value-oracle-graduated p1_qc_pipeline composite,
-# (3) the remaining TPC-H shapes (v19-v26), (4) the e-family
-# analytics stragglers (e14-e26), (5) the x10-x76 mid-band
-# (multimodal, sampling, dedup variants, PQ/quant, data-quality). A
-# ~50-query driver sample covers (1)-(4); the round-6 rotation
-# finishes the x-band tail. Every name below carries a full DuckDB
-# value oracle and passed the builder's full local gates
-# (COVERAGE.md: 245/8/0 over all 253 at BOTH sf0.01 and sf0.1).
-_ROUND5_PRIORITY = [
-    # (1) round-5 additions + the graduated end-to-end composite
-    "x116_auc_rank", "x117_calibration", "x118_cohens_kappa",
-    "x119_interval_merge", "x120_cdc_chunks", "x121_decontam_spans",
-    "x122_theil_sen", "x123_good_turing", "x124_zipf_fit",
-    "x125_entity_resolution", "x126_phash", "x127_phash_neardup",
-    "x128_kneser_ney", "x129_kmv_timeline", "x130_ppjoin",
-    "g3_bfs_hops", "x131_standardize_dims", "x132_log_odds",
-    "x133_mannwhitney", "x134_charset_quality", "e28_attribution",
-    "x135_mutual_knn", "x136_stratified_kfold", "x137_vocab_coverage",
-    "x138_psi_drift", "x139_feature_hash", "e29_window_funnel",
-    "x140_simhash_neardup",
-    "x111_skipgram_pairs", "x112_column_expectations",
-    "x113_paragraph_dedup", "x114_mrr_jackknife", "x115_class_report",
-    "p1_qc_pipeline",
-    # (2) TPC-H shapes not yet driver-sampled
-    "v19_tpch_q12", "v20_tpch_q15", "v21_tpch_q17", "v22_tpch_q19",
-    "v23_tpch_q21", "v24_tpch_q2", "v25_tpch_q11", "v26_tpch_q20",
-    # (3) e-family analytics stragglers
-    "e14_cube", "e15_unpivot", "e16_json_props",
-    "e17_datetime_functions", "e18_try_functions", "e19_session_stats",
-    "e20_grouping_sets", "e21_range_frame",
+# fronts EXACTLY the oracled remainder that has never received a
+# driver verdict: registry minus the union of CORRECTNESS_r02-r05
+# keys = 50 queries, which fills the driver's 50-slot sample with no
+# waste and no new-query displacement (round-5 verdict ask #1: "front
+# NOTHING else"). After a green CORRECTNESS_r06, every full-oracle
+# query in the registry has a driver verdict (249/249); only the 8
+# declared rows-only m-queries remain outside. Ordering within the
+# 50: e-family stragglers, the x10-x76 mid-band numerically, then the
+# set-op / curation composites. Every name carries a full DuckDB
+# value oracle and passed the builder's full local gates at BOTH
+# sf0.01 and sf0.1 (COVERAGE.md).
+_ROUND6_PRIORITY = [
+    # e-family analytics never sampled
     "e22_approx_percentile_accuracy", "e23_gap_fill",
     "e24_mad_outliers", "e25_salted_agg", "e26_incremental_rollup",
-    # (4) the x10-x76 mid-band + remaining composites
+    # the x10-x76 mid-band (multimodal, sampling, dedup variants,
+    # PQ/quant, data-quality), numeric order
     "x10_fingerprint", "x12_multimodal_meta", "x13_frame_sample",
     "x14_resize_image", "x17_embedding_dups", "x19_stratified_sample",
     "x20_incremental_dedup", "x22_quality_deciles", "x23_snapshot_diff",
@@ -7883,10 +7863,12 @@ _ROUND5_PRIORITY = [
     "x58_dedup_keep_best", "x60_topk_per_group", "x61_langid_eval",
     "x62_truncation_eval", "x63_chunk_roundtrip", "x67_hierarchy_paths",
     "x70_hll_accuracy", "x73_dq_checks", "x76_token_entropy",
+    # set-op and curation composites
     "u3_intersect_except", "p3_curate",
 ]
-# Backwards-compat alias (round-4 name); same contract test applies.
-_ROUND4_PRIORITY = _ROUND5_PRIORITY
+# Backwards-compat aliases (round-4/5 names); same contract test applies.
+_ROUND5_PRIORITY = _ROUND6_PRIORITY
+_ROUND4_PRIORITY = _ROUND6_PRIORITY
 
 
 def _ordered() -> dict[str, tuple[Builder, str | None]]:

@@ -55,34 +55,30 @@ def test_rotation_priority_names_resolve(spark):
     missing = [n for n in registry._ROUND4_PRIORITY
                if n not in registry.REGISTRY]
     assert missing == []
-    front = list(registry.queries())[:33]
-    assert front == [
-        "x116_auc_rank", "x117_calibration", "x118_cohens_kappa",
-        "x119_interval_merge", "x120_cdc_chunks", "x121_decontam_spans",
-        "x122_theil_sen", "x123_good_turing", "x124_zipf_fit",
-        "x125_entity_resolution", "x126_phash", "x127_phash_neardup",
-        "x128_kneser_ney", "x129_kmv_timeline", "x130_ppjoin",
-        "g3_bfs_hops", "x131_standardize_dims", "x132_log_odds",
-        "x133_mannwhitney", "x134_charset_quality", "e28_attribution",
-        "x135_mutual_knn", "x136_stratified_kfold", "x137_vocab_coverage",
-        "x138_psi_drift", "x139_feature_hash", "e29_window_funnel",
-        "x140_simhash_neardup",
-        "x111_skipgram_pairs", "x112_column_expectations",
-        "x113_paragraph_dedup", "x114_mrr_jackknife", "x115_class_report"]
+    front = list(registry.queries())[:50]
+    assert front == list(registry._ROUND6_PRIORITY)
+    assert len(registry._ROUND6_PRIORITY) == 50
     # every fronted name is oracle-paired
     oracles = registry.oracle_sql()
-    assert all(n in oracles for n in registry._ROUND5_PRIORITY)
+    assert all(n in oracles for n in registry._ROUND6_PRIORITY)
     # the rotation fronts ONLY queries never seen in a driver sample:
-    # no name from the recorded CORRECTNESS_r02-r04 verdicts may appear
-    # (re-verifying a green query wastes a bounded sample slot).
+    # no name from the recorded CORRECTNESS_r02-r05 verdicts may appear
+    # (re-verifying a green query wastes a bounded sample slot) — and,
+    # round-6 discipline, the fronted set must be EXACTLY the oracled
+    # remainder with no driver verdict, so a green r06 closes the
+    # backlog at 249/249.
     import json as _json
     import os as _os
     repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     seen = set()
-    for rnd in (2, 3, 4):
+    for rnd in (2, 3, 4, 5):
         p = _os.path.join(repo, f"CORRECTNESS_r0{rnd}.json")
         if _os.path.exists(p):
             with open(p) as fh:
                 seen |= set(_json.load(fh))
-    dup = [n for n in registry._ROUND5_PRIORITY if n in seen]
+    dup = [n for n in registry._ROUND6_PRIORITY if n in seen]
     assert dup == [], f"already driver-verified, wasting sample slots: {dup}"
+    if seen:
+        never = {n for n, (fn, sql) in registry.REGISTRY.items()
+                 if sql is not None and n not in seen}
+        assert never == set(registry._ROUND6_PRIORITY)
