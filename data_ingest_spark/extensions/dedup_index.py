@@ -25,18 +25,45 @@ from data_ingest_spark.extensions.dedup import (jaccard_of_pairs_two_sided,
 from data_ingest_spark.functions.partitioning import spread
 
 
+def _live_root(path: str) -> str:
+    """Resolve the index's live generation directory.
+
+    The tables live either directly under ``path`` (initial layout) or
+    under ``path/gen-<n>`` once a compaction has run; the ``CURRENT``
+    pointer file names the live generation. Committing a compaction is
+    ONE atomic ``os.replace`` of that pointer, so a concurrent reader
+    always resolves a complete generation and a crashed compaction
+    leaves the pointer — and therefore the live index — untouched."""
+    import os
+    cur = os.path.join(path, "CURRENT")
+    if os.path.exists(cur):
+        with open(cur) as fh:
+            return os.path.join(path, fh.read().strip())
+    return path
+
+
 def build_dedup_index(df: DataFrame, path: str, id_col: str = "doc_id",
                       text_col: str = "text", k: int = 3,
                       num_hashes: int = 12, bands: int = 4,
-                      n_files: int = 8) -> None:
-    """Create the index from an initial corpus (overwrites)."""
+                      n_files: int = 8, tag: str | None = None) -> None:
+    """Create the index from an initial corpus (overwrites).
+
+    With ``tag`` the tables land in ``bands/batch=<tag>/`` Hive
+    partition subdirs instead of the table root — the layout that
+    makes every later tagged append an idempotent overwrite of its
+    own deterministic subdir (exactly-once replay; see
+    ``update_dedup_index``). Tag usage must be consistent for the
+    life of an index: partition discovery rejects a mix of root
+    files and ``batch=`` subdirs."""
+    root = _live_root(path)
+    sub = f"/batch={tag}" if tag is not None else ""
     membership = shingle_sets(spread(df), id_col, text_col, k).persist()
     bb = minhash_bands(membership, id_col, text_col, k, num_hashes,
                        bands, membership=True)
     (bb.repartition(n_files, "bucket")
-     .write.mode("overwrite").parquet(f"{path}/bands"))
+     .write.mode("overwrite").parquet(f"{root}/bands{sub}"))
     (membership.repartition(n_files, id_col)
-     .write.mode("overwrite").parquet(f"{path}/membership"))
+     .write.mode("overwrite").parquet(f"{root}/membership{sub}"))
     membership.unpersist()
 
 
@@ -44,14 +71,27 @@ def update_dedup_index(spark: SparkSession, path: str, new_docs: DataFrame,
                        id_col: str = "doc_id", text_col: str = "text",
                        k: int = 3, num_hashes: int = 12, bands: int = 4,
                        threshold: float = 0.6,
-                       n_files: int = 8) -> DataFrame:
+                       n_files: int = 8, tag: str | None = None) -> DataFrame:
     """Append ``new_docs`` to the index and return the
     (id_new, id_old, jaccard) pairs of the batch against everything
     indexed BEFORE this call (>= threshold). The returned frame is
     materialized before the append so its lineage cannot observe the
-    index's own update."""
-    stored_bands = spark.read.parquet(f"{path}/bands")
-    stored_mem = spark.read.parquet(f"{path}/membership")
+    index's own update.
+
+    With ``tag`` (an index built tagged) the append is an OVERWRITE
+    of the batch's own ``batch=<tag>`` subdir and the archive side
+    excludes that subdir — so a crashed-then-replayed batch rewrites
+    exactly its own rows and returns the same pairs, never
+    duplicating the append or pairing the batch against its own
+    half-committed rows. This is the idempotence an exactly-once
+    orchestrator ledger commits against (examples/incremental_ingest)."""
+    root = _live_root(path)
+    stored_bands = spark.read.parquet(f"{root}/bands")
+    stored_mem = spark.read.parquet(f"{root}/membership")
+    if tag is not None:
+        stored_bands = stored_bands.filter(
+            F.col("batch") != tag).drop("batch")
+        stored_mem = stored_mem.filter(F.col("batch") != tag).drop("batch")
 
     new_mem = shingle_sets(spread(new_docs), id_col, text_col, k).persist()
     new_bands = minhash_bands(new_mem, id_col, text_col, k, num_hashes,
@@ -73,10 +113,12 @@ def update_dedup_index(spark: SparkSession, path: str, new_docs: DataFrame,
     pairs.write.mode("overwrite").parquet(f"{path}/_last_pairs")
     result = spark.read.parquet(f"{path}/_last_pairs")
 
+    sub = f"/batch={tag}" if tag is not None else ""
+    mode = "overwrite" if tag is not None else "append"
     (new_bands.repartition(n_files, "bucket")
-     .write.mode("append").parquet(f"{path}/bands"))
+     .write.mode(mode).parquet(f"{root}/bands{sub}"))
     (new_mem.repartition(n_files, id_col)
-     .write.mode("append").parquet(f"{path}/membership"))
+     .write.mode(mode).parquet(f"{root}/membership{sub}"))
     new_mem.unpersist()
     new_bands.unpersist()
     return result
@@ -89,32 +131,67 @@ def compact_dedup_index(spark: SparkSession, path: str,
     id). Daily appends leave one small file set per batch; after N
     batches the candidate join opens N× the files it needs — the
     classic small-files tax. Compaction is the nightly maintenance
-    job: read, repartition on the SAME keys, write to a sibling dir,
-    then atomically swap via rename (never overwrite-in-place — a
-    reader mid-swap sees either the old or the new generation, and a
-    crashed compaction leaves the live index untouched).
+    job: read the live generation, repartition BOTH tables on the SAME
+    keys into a fresh ``gen-<n>`` directory, then commit by atomically
+    replacing the ``CURRENT`` pointer file (one ``os.replace``). The
+    live tables are never touched in place: a reader that resolves
+    ``CURRENT`` before the commit reads the complete old generation, a
+    reader after it reads the complete new one, and a crash at ANY
+    point before the pointer flip leaves the live index untouched
+    (the half-written ``gen-<n>`` is unreferenced garbage the next
+    compaction reclaims). The superseded generation is retained until
+    the NEXT compaction commits, so an in-flight reader holding the
+    old root keeps its files.
 
     Returns {'bands': n_rows, 'membership': n_rows} for the audit
     log."""
     import os
     import shutil
 
+    root = _live_root(path)
+    gens = sorted(int(d.split("-", 1)[1]) for d in os.listdir(path)
+                  if d.startswith("gen-") and d.split("-", 1)[1].isdigit())
+    new_gen = (gens[-1] + 1) if gens else 1
+    nxt_root = os.path.join(path, f"gen-{new_gen}")
+
     counts = {}
     for name, key in (("bands", "bucket"), ("membership", None)):
-        live = f"{path}/{name}"
-        nxt = f"{path}/{name}__compact"
-        old = f"{path}/{name}__old"
-        df = spark.read.parquet(live)
+        df = spark.read.parquet(f"{root}/{name}")
+        # A tagged (batch=<id>) index compacts all batches into one
+        # synthetic batch subdir so the layout stays uniform for
+        # future tagged appends.
+        tagged = "batch" in df.columns
+        dest = (f"{nxt_root}/{name}/batch=__compact{new_gen}"
+                if tagged else f"{nxt_root}/{name}")
+        if tagged:
+            df = df.drop("batch")
         # membership partitions by its id column (whatever the index
         # was built with); bands always by the LSH bucket.
         key_col = key if key is not None else \
             [c for c in df.columns if c != "shingle"][0]
         (df.repartition(n_files, key_col)
-         .write.mode("overwrite").parquet(nxt))
-        counts[name] = spark.read.parquet(nxt).count()
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        os.rename(live, old)
-        os.rename(nxt, live)
-        shutil.rmtree(old)
+         .write.mode("overwrite").parquet(dest))
+        counts[name] = spark.read.parquet(dest).count()
+
+    # Single atomic commit: CURRENT now names the new generation.
+    tmp = os.path.join(path, "CURRENT.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(f"gen-{new_gen}")
+    os.replace(tmp, os.path.join(path, "CURRENT"))
+
+    # Reclaim everything older than the generation we just superseded:
+    # keep gen-<new>, keep the immediately-previous root for in-flight
+    # readers, delete earlier gens (and the legacy root tables once a
+    # newer generation supersedes them).
+    keep = {os.path.basename(root), f"gen-{new_gen}"}
+    for d in os.listdir(path):
+        if d.startswith("gen-") and d not in keep:
+            shutil.rmtree(os.path.join(path, d))
+    if root == path and gens:
+        pass  # legacy root was live; its tables stay as the retained gen
+    elif root != path:
+        for name in ("bands", "membership"):
+            legacy = os.path.join(path, name)
+            if os.path.exists(legacy):
+                shutil.rmtree(legacy)
     return counts

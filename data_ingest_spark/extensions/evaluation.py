@@ -379,7 +379,12 @@ def auc_rank(df: DataFrame, label_col: str = "label",
     driver-collected per-bucket totals (one tiny row per bucket) — and
     a single global aggregate. No unpartitioned window, no collect of
     anything unbounded. ``coarse`` must be a Column MONOTONE in the
-    score with modest cardinality (default ``floor(score * 32)``)."""
+    score with modest cardinality (default ``floor(score * 32)``).
+
+    NULL scores are EXCLUDED (an unscored row has no rank; keeping it
+    would also surface as a null coarse-bucket map key, which Spark
+    rejects at runtime) — mirror the filter in any oracle."""
+    df = df.filter(F.col(score_col).isNotNull())
     lab = F.col(label_col).cast("long")
     census = (df.groupBy(F.col(score_col).alias("_s"))
               .agg(F.count("*").cast("long").alias("_cnt"),

@@ -849,8 +849,10 @@ def standardize_dims(emb: DataFrame, id_col: str = "vec_id",
     Euclidean comparison. Returns the long form ``(id, dim, z)``.
 
     Exactness contract: values quantize to int64 fixed point (the x82
-    Lloyd convention), per-dimension count/sum/sum-of-squares are
-    exact integer aggregates (associative — partitioning-independent),
+    Lloyd convention), per-dimension count/sum/sum-of-squares
+    accumulate as DECIMAL(38,0) (Σq² and the n·Σq² zero-variance
+    product overflow int64 at corpus scale; decimal matches DuckDB's
+    widening and stays exact — associative, partitioning-independent),
     and the z-score is one pinned-order double expression on those
     integers, so the result is reproducible across engines. Zero-
     variance dimensions (detected exactly: n·Σq² = (Σq)²) emit z = 0
@@ -863,11 +865,14 @@ def standardize_dims(emb: DataFrame, id_col: str = "vec_id",
         .alias("dim", "_v")).select(
         id_col, "dim",
         F.round(F.col("_v") * scale).cast("long").alias("_q"))
+    dq = F.col("_q").cast("decimal(38,0)")
     st = px.groupBy("dim").agg(
-        F.count("*").alias("_n"), F.sum("_q").alias("_s"),
-        F.sum(F.col("_q") * F.col("_q")).alias("_ss"))
-    mean = F.col("_s").cast("double") / F.col("_n")
-    var = (F.col("_ss").cast("double") / F.col("_n") - mean * mean)
+        F.count("*").cast("decimal(38,0)").alias("_n"),
+        F.sum(dq).cast("decimal(38,0)").alias("_s"),
+        F.sum(dq * dq).cast("decimal(38,0)").alias("_ss"))
+    mean = F.col("_s").cast("double") / F.col("_n").cast("double")
+    var = (F.col("_ss").cast("double") / F.col("_n").cast("double")
+           - mean * mean)
     z = F.when(F.col("_ss") * F.col("_n") == F.col("_s") * F.col("_s"),
                F.lit(0.0)).otherwise(
         F.round((F.col("_q").cast("double") - mean) / F.sqrt(var), 6))

@@ -844,8 +844,9 @@ def cdc_chunk_stats(df: DataFrame, id_col: str = "doc_id",
     the cut list (so two engines must agree on every cut, not just
     the count).
 
-    Exactness: hash(i) = ((c1·31 + c2)·31 + c3)·31 + c4 over
-    codepoints — small exact integers in both engines. Runs as an
+    Exactness: hash(i) folds base-31 over the last ``window``
+    codepoints (for window=4: ((c1·31 + c2)·31 + c3)·31 + c4) —
+    small exact integers in both engines. Runs as an
     Arrow mapInPandas kernel (the shingle_rows precedent): the
     rolling scan is one linear pass per document, where the
     equivalent Column expression (a per-position substring inside a
@@ -868,6 +869,9 @@ def cdc_chunk_stats(df: DataFrame, id_col: str = "doc_id",
         StructField("boundary_hash", LongType()),
     ])
 
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+
     def one(t: str):
         n = len(t)
         cuts = []
@@ -875,8 +879,10 @@ def cdc_chunk_stats(df: DataFrame, id_col: str = "doc_id",
             cps = [ord(ch) for ch in t]
             last = 0
             for i in range(window, n + 1):
-                h = (((cps[i - 4] * 31 + cps[i - 3]) * 31
-                      + cps[i - 2]) * 31 + cps[i - 1]) % mod
+                h = 0
+                for j in range(i - window, i):
+                    h = h * 31 + cps[j]
+                h %= mod
                 if h == 0 and i - last >= min_chunk:
                     cuts.append(i)
                     last = i

@@ -6879,7 +6879,7 @@ def q_kcenter_coreset(spark, sf):
 WITH c AS (SELECT value AS s, CAST(COUNT(*) AS BIGINT) AS cnt,
                   CAST(SUM(CASE WHEN event_type = 'purchase'
                                 THEN 1 ELSE 0 END) AS BIGINT) AS pos
-           FROM events GROUP BY 1),
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
  w AS (SELECT s, cnt, pos,
               COALESCE(SUM(cnt) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
                        PRECEDING AND 1 PRECEDING), 0) AS below

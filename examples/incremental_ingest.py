@@ -14,12 +14,20 @@ into one documented loop with an exactly-once ledger:
      extensions.sketches.equi_width_hist/merge_hists) — DECIMAL /
      integer states, associative by construction.
 
-Exactly-once: every batch carries a caller-assigned ``batch_id``; a
-one-column parquet ledger records applied ids, and ``ingest_batch``
-refuses to re-apply one it has seen — so a crashed-and-replayed
-orchestrator run is a NO-OP, the same posture as the streaming ingest
-path (streaming/ingest.py's idempotent sink). The replay-idempotence
-property is pinned by tests/test_incremental_example.py.
+Exactly-once: every batch carries a caller-assigned ``batch_id``; an
+ordered parquet ledger records applied ids, and the ledger append is
+the SINGLE COMMIT POINT. Every state mutation before it is staged to
+a deterministic batch-keyed location — dedup appends overwrite their
+own ``batch=<id>`` subdir, the merged IVF/rollup/hist states are
+written to fresh ``asof=<id>`` versions computed from the
+last-COMMITTED version — so a crash at ANY point before the ledger
+append leaves the committed state untouched, and the orchestrator's
+replay recomputes from the same inputs and overwrites the same
+staged paths: applied-exactly-once for every crash window, not just
+the happy path (same posture as streaming/ingest.py's idempotent
+sink). Replay of a committed batch short-circuits to a NO-OP via the
+ledger. The property is pinned by tests/test_incremental_example.py,
+including the mid-crash replay.
 
     python examples/incremental_ingest.py [workdir]
 
@@ -45,16 +53,37 @@ def _ledger_path(root: str) -> str:
     return os.path.join(root, "ledger")
 
 
-def applied_batches(spark: SparkSession, root: str) -> set[str]:
+def _ledger_list(spark: SparkSession, root: str) -> list[str]:
+    """Applied batch ids in commit order (the ledger carries a seq)."""
     p = _ledger_path(root)
     if not os.path.exists(p):
-        return set()
-    return {r["batch_id"] for r in spark.read.parquet(p).collect()}
+        return []
+    rows = spark.read.parquet(p).orderBy("seq").collect()
+    return [r["batch_id"] for r in rows]
 
 
-def _record_batch(spark: SparkSession, root: str, batch_id: str) -> None:
-    (spark.createDataFrame([(batch_id,)], "batch_id string")
+def applied_batches(spark: SparkSession, root: str) -> set[str]:
+    return set(_ledger_list(spark, root))
+
+
+def _record_batch(spark: SparkSession, root: str, batch_id: str,
+                  seq: int) -> None:
+    """THE commit point: until this append lands, nothing the batch
+    staged is reachable from the committed state."""
+    (spark.createDataFrame([(seq, batch_id)], "seq long, batch_id string")
      .coalesce(1).write.mode("append").parquet(_ledger_path(root)))
+
+
+# ------------------------------------------------------ versioned state
+
+def _state_dir(root: str, name: str, tag: str) -> str:
+    return os.path.join(root, name, f"asof={tag}")
+
+
+def read_state(spark: SparkSession, root: str, name: str) -> DataFrame:
+    """Read a state table at its last COMMITTED version."""
+    tag = _ledger_list(spark, root)[-1]
+    return spark.read.parquet(_state_dir(root, name, tag))
 
 
 # ------------------------------------------------------------ the loop
@@ -68,7 +97,7 @@ def init_state(spark: SparkSession, root: str, docs: DataFrame,
                                                          ivf_seed_centroids)
     from data_ingest_spark.extensions.sketches import equi_width_hist
 
-    build_dedup_index(docs, os.path.join(root, "dedup"))
+    build_dedup_index(docs, os.path.join(root, "dedup"), tag="seed")
     # Centroids are FROZEN at bootstrap (the IVF contract: cell
     # geometry stays fixed; nightly merges only move the per-cell
     # sums). Re-seeding would invalidate every stored assignment.
@@ -76,14 +105,14 @@ def init_state(spark: SparkSession, root: str, docs: DataFrame,
     cents.write.mode("overwrite").parquet(os.path.join(root, "ivf_centroids"))
     cents2 = spark.read.parquet(os.path.join(root, "ivf_centroids"))
     (ivf_assign_state(emb, cents2)
-     .write.mode("overwrite").parquet(os.path.join(root, "ivf_state")))
+     .write.mode("overwrite").parquet(_state_dir(root, "ivf_state", "seed")))
     (agg_state(events, ["event_type"])
-     .write.mode("overwrite").parquet(os.path.join(root, "rollup")))
+     .write.mode("overwrite").parquet(_state_dir(root, "rollup", "seed")))
     (equi_width_hist(docs.select(F.length("text")
                                  .cast("double").alias("v")),
                      "v", 0.0, 4000.0, 20)
-     .write.mode("overwrite").parquet(os.path.join(root, "hist")))
-    _record_batch(spark, root, "seed")
+     .write.mode("overwrite").parquet(_state_dir(root, "hist", "seed")))
+    _record_batch(spark, root, "seed", seq=0)
 
 
 def ingest_batch(spark: SparkSession, root: str, batch_id: str,
@@ -93,7 +122,14 @@ def ingest_batch(spark: SparkSession, root: str, batch_id: str,
     near-dup pairs against the archive, or None if ``batch_id`` was
     already applied (replay ⇒ no-op). Each step is O(batch), never
     O(corpus): the archive participates only through co-located
-    stored tables and small mergeable states."""
+    stored tables and small mergeable states.
+
+    Crash-safe exactly-once: every write below targets a
+    deterministic batch-keyed path (``batch=<id>`` dedup subdir,
+    ``asof=<id>`` state versions) and READS only last-COMMITTED
+    state, so a replay after a crash at any point recomputes the
+    identical outputs and overwrites its own partial leftovers; the
+    ledger append at the end is the sole commit."""
     from data_ingest_spark.extensions.cdc import agg_state, merge_agg_state
     from data_ingest_spark.extensions.dedup_index import update_dedup_index
     from data_ingest_spark.extensions.similarity import (ivf_assign_state,
@@ -101,41 +137,52 @@ def ingest_batch(spark: SparkSession, root: str, batch_id: str,
     from data_ingest_spark.extensions.sketches import (equi_width_hist,
                                                        merge_hists)
 
-    if batch_id in applied_batches(spark, root):
+    led = _ledger_list(spark, root)
+    if batch_id in led:
         return None
+    prev = led[-1]
 
-    # 1. fuzzy dedup: batch vs archive, then append to the index
-    pairs = update_dedup_index(spark, os.path.join(root, "dedup"), docs)
+    # 1. fuzzy dedup: batch vs committed archive (own batch=<id>
+    #    subdir excluded on replay), staged as an overwrite of that
+    #    same subdir
+    pairs = update_dedup_index(spark, os.path.join(root, "dedup"), docs,
+                               tag=batch_id)
 
-    # 2. IVF state merge (⊕ of integer partials ≡ recompute)
+    # 2. IVF state merge (⊕ of integer partials ≡ recompute), staged
+    #    as a fresh asof=<batch_id> version
     cents = spark.read.parquet(os.path.join(root, "ivf_centroids"))
-    old_ivf = spark.read.parquet(os.path.join(root, "ivf_state"))
-    new_ivf = merge_ivf_state(old_ivf, ivf_assign_state(emb, cents))
-    _swap(spark, new_ivf, os.path.join(root, "ivf_state"))
+    old_ivf = spark.read.parquet(_state_dir(root, "ivf_state", prev))
+    (merge_ivf_state(old_ivf, ivf_assign_state(emb, cents))
+     .write.mode("overwrite")
+     .parquet(_state_dir(root, "ivf_state", batch_id)))
 
-    # 3. rollup + histogram merges
-    old_roll = spark.read.parquet(os.path.join(root, "rollup"))
-    _swap(spark, merge_agg_state(old_roll, agg_state(events, ["event_type"]),
-                                 ["event_type"]),
-          os.path.join(root, "rollup"))
-    old_hist = spark.read.parquet(os.path.join(root, "hist"))
+    # 3. rollup + histogram merges, same staging
+    old_roll = spark.read.parquet(_state_dir(root, "rollup", prev))
+    (merge_agg_state(old_roll, agg_state(events, ["event_type"]),
+                     ["event_type"])
+     .write.mode("overwrite")
+     .parquet(_state_dir(root, "rollup", batch_id)))
+    old_hist = spark.read.parquet(_state_dir(root, "hist", prev))
     batch_hist = equi_width_hist(
         docs.select(F.length("text").cast("double").alias("v")),
         "v", 0.0, 4000.0, 20)
-    _swap(spark, merge_hists(old_hist, batch_hist),
-          os.path.join(root, "hist"))
+    (merge_hists(old_hist, batch_hist)
+     .write.mode("overwrite").parquet(_state_dir(root, "hist", batch_id)))
 
-    _record_batch(spark, root, batch_id)
+    # 4. COMMIT, then reclaim versions older than the one we merged
+    #    from (prev stays for readers that resolved it pre-commit)
+    _record_batch(spark, root, batch_id, seq=len(led))
+    _gc_states(root, keep={prev, batch_id})
     return pairs
 
 
-def _swap(spark: SparkSession, df: DataFrame, path: str) -> None:
-    """Write-new-then-replace for a state table: materialize to a
-    sibling dir first so the new state's lineage (which READS the old
-    state) never races its own overwrite."""
-    tmp = path + "_next"
-    df.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+def _gc_states(root: str, keep: set[str]) -> None:
+    import shutil
+    for name in ("ivf_state", "rollup", "hist"):
+        base = os.path.join(root, name)
+        for d in os.listdir(base):
+            if d.startswith("asof=") and d.split("=", 1)[1] not in keep:
+                shutil.rmtree(os.path.join(base, d))
 
 
 # ------------------------------------------------------------- demo run
@@ -177,7 +224,7 @@ def main() -> int:
     replay = ingest_batch(spark, root, "day-1", b1_docs, b1_emb, b1_ev)
     print("day-1 replay =>", "no-op" if replay is None else "BUG")
 
-    roll = spark.read.parquet(os.path.join(root, "rollup"))
+    roll = read_state(spark, root, "rollup")
     print("rollup keys:", roll.count(),
           "events:", roll.agg(F.sum("cnt")).collect()[0][0])
     spark.stop()

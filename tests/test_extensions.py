@@ -899,18 +899,41 @@ def test_dedup_index_incremental_lifecycle(spark, tmp_path):
     assert all(n == 200 for n, _ in got2)
 
     # nightly compaction: row counts preserved, file count bounded,
-    # and the compacted index still answers the next batch correctly
+    # and the compacted index still answers the next batch correctly.
+    # The commit is a CURRENT-pointer flip into a gen-<n> dir; the
+    # superseded generation is retained for in-flight readers and
+    # reclaimed by the NEXT compaction.
     from data_ingest_spark.extensions.dedup_index import (
-        compact_dedup_index)
+        _live_root, compact_dedup_index)
     import glob
+    import os
     before_bands = spark.read.parquet(f"{path}/bands").count()
     counts = compact_dedup_index(spark, path, n_files=2)
+    live = _live_root(path)
+    assert live == os.path.join(path, "gen-1")
     assert counts["bands"] == before_bands
-    assert len(glob.glob(f"{path}/bands/part-*.parquet")) <= 2
+    assert spark.read.parquet(f"{live}/bands").count() == before_bands
+    assert len(glob.glob(f"{live}/bands/part-*.parquet")) <= 2
+    # previous generation (the legacy root tables) retained post-commit
+    assert os.path.exists(f"{path}/bands")
     d3 = update_dedup_index(spark, path, spark.createDataFrame(
         [(300, day1_text)], "doc_id long, text string"), threshold=0.5)
     got3 = {(r["id_new"], r["id_old"]) for r in d3.collect()}
     assert {(300, 1), (300, 100), (300, 200)} <= got3
+    # second compaction advances the pointer and reclaims the legacy gen
+    counts2 = compact_dedup_index(spark, path, n_files=2)
+    assert _live_root(path) == os.path.join(path, "gen-2")
+    assert counts2["bands"] == spark.read.parquet(
+        f"{_live_root(path)}/bands").count()
+    assert not os.path.exists(f"{path}/bands")
+    # a half-written gen dir (crashed compaction) is invisible to
+    # readers: the pointer still names gen-2
+    os.makedirs(f"{path}/gen-7", exist_ok=True)
+    open(f"{path}/gen-7/garbage", "w").close()
+    assert _live_root(path) == os.path.join(path, "gen-2")
+    d4 = update_dedup_index(spark, path, spark.createDataFrame(
+        [(400, day2_text)], "doc_id long, text string"), threshold=0.5)
+    assert (400, 200) in {(r["id_new"], r["id_old"]) for r in d4.collect()}
 
 
 def test_dq_check_rule_semantics(spark):

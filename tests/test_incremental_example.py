@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "examples"))
 
 from incremental_ingest import (applied_batches, ingest_batch,  # noqa: E402
-                                init_state)
+                                init_state, read_state)
 
 
 def _docs(spark, ids):
@@ -44,10 +44,12 @@ def _events(spark, ids):
 
 
 def _state(spark, root, name, keys):
+    if name.startswith("dedup/"):
+        df = spark.read.parquet(os.path.join(root, name))
+    else:
+        df = read_state(spark, root, name)
     return sorted(
-        tuple(str(v) for v in r)
-        for r in spark.read.parquet(os.path.join(root, name))
-        .select(*keys).collect())
+        tuple(str(v) for v in r) for r in df.select(*keys).collect())
 
 
 @pytest.fixture(scope="module")
@@ -112,3 +114,56 @@ def test_replay_is_noop(spark, loop_root):
                        ("hist", ["bin", "n"]),
                        ("dedup/bands", ["doc_id", "band", "bucket"])]:
         assert _state(spark, loop_root, name, keys) == before[name]
+
+
+def test_mid_crash_replay_is_exactly_once(spark, loop_root):
+    """A batch that crashed AFTER its dedup append and one state write
+    but BEFORE the ledger commit is replayed to the same final state
+    as a clean single application: staged writes are deterministic
+    overwrites keyed by batch_id, the archive side excludes the
+    batch's own partial subdir, and committed state only moves on the
+    ledger append."""
+    from incremental_ingest import _state_dir
+    from data_ingest_spark.extensions.cdc import agg_state, merge_agg_state
+    from data_ingest_spark.extensions.dedup_index import update_dedup_index
+
+    docs = _docs(spark, range(16, 20))
+    emb = _emb(spark, range(16, 20))
+    ev = _events(spark, range(16, 20))
+
+    # simulate the crash window: dedup appended + one state staged,
+    # no ledger row
+    crashed_pairs = update_dedup_index(
+        spark, os.path.join(loop_root, "dedup"), docs, tag="day-2")
+    crashed_pairs.count()
+    old_roll = read_state(spark, loop_root, "rollup")
+    (merge_agg_state(old_roll, agg_state(ev, ["event_type"]),
+                     ["event_type"])
+     .write.mode("overwrite")
+     .parquet(_state_dir(loop_root, "rollup", "day-2")))
+    assert "day-2" not in applied_batches(spark, loop_root)
+    committed_before = _state(spark, loop_root, "rollup",
+                              ["event_type", "cnt", "sum_value"])
+
+    # orchestrator replays the whole batch
+    out = ingest_batch(spark, loop_root, "day-2", docs, emb, ev)
+    assert out is not None
+    assert "day-2" in applied_batches(spark, loop_root)
+
+    # dedup rows for the batch appear EXACTLY once
+    bands = spark.read.parquet(os.path.join(loop_root, "dedup", "bands"))
+    batch_rows = bands.filter(F.col("doc_id") >= 16)
+    n_per_doc = (batch_rows.groupBy("doc_id", "band").count()
+                 .filter("count > 1").count())
+    assert n_per_doc == 0
+    # rollup advanced by exactly one application of the batch: merged
+    # state == full recompute over seed ∪ day-1 ∪ day-2 events
+    assert committed_before != _state(
+        spark, loop_root, "rollup", ["event_type", "cnt", "sum_value"])
+    expected = sorted(
+        (r["event_type"], str(r["cnt"]), str(r["sum_value"]))
+        for r in agg_state(_events(spark, range(0, 20)),
+                           ["event_type"]).collect())
+    got = [(a, b, c) for a, b, c, *_ in _state(
+        spark, loop_root, "rollup", ["event_type", "cnt", "sum_value"])]
+    assert got == expected

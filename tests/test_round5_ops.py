@@ -211,6 +211,28 @@ def test_cdc_chunk_stats_matches_python_mirror(spark):
             assert r["len_chars"] == len(t)
 
 
+def test_cdc_chunk_stats_honors_window_param(spark):
+    """Regression: the rolling hash must fold over exactly ``window``
+    codepoints. The old kernel hardcoded the last 4 — window=6
+    silently hashed a 4-gram and window=3 read cps[-1] via Python
+    negative indexing (wrong cuts, no error)."""
+    texts = ["the quick brown fox jumps over the lazy dog " * 6,
+             "abc", ""]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    for window in (2, 3, 6, 8):
+        rows = {r["doc_id"]: r for r in cdc_chunk_stats(
+            df, window=window, mask=63, min_chunk=1).collect()}
+        for i, t in enumerate(texts):
+            nc, mx, bh = _cdc_mirror(t, window=window, min_chunk=1)
+            r = rows[i]
+            assert (r["n_chunks"], r["max_chunk_len"],
+                    r["boundary_hash"]) == (nc, mx, bh), (i, window)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cdc_chunk_stats(df, window=0)
+
+
 def test_cdc_chunk_boundaries_shift_insensitive(spark):
     # inserting a prefix re-chunks only the first chunk: every cut in
     # the original that is >= window chars past the edit reappears
