@@ -383,5 +383,7 @@ def test_round5_batch2_bounded_shuffles(spark):
                          ("x138_psi_drift", 4),
                          ("x139_feature_hash", 1),
                          ("x120_cdc_chunks", 1),
-                         ("e29_window_funnel", 9)):
+                         # r6: funnel rewritten as one sorted-collect
+                         # fold — 1 scan, 2 exchanges, step-count-free
+                         ("e29_window_funnel", 2)):
         assert shuffle_count(q(spark, name)) <= max_sh, name
