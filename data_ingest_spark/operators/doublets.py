@@ -157,11 +157,17 @@ def doublet_scores_grid(expr: DataFrame, k: int = 10,
 
     # One row per cell — tiny next to the fact table, and consumed by
     # FOUR downstream subtrees (bucket counts, pairing, features, the
-    # final barcode join). Persisted, the fact table is scanned and
-    # shuffled ONCE for per-cell stats instead of four times; at 100 TB
-    # this is the difference between one 10 TB shuffle and four.
+    # final barcode join). NOT persisted: the four consumers share the
+    # aggregation's shuffle through Spark's ReuseExchange — the fact
+    # table is still scanned and shuffled ONCE (the exchange subtree
+    # is deduplicated in the physical plan), but the plan stays a
+    # single job instead of persist-materialization barriers plus the
+    # main job. Measured: dropping the two persists cut ~1 s of AQE
+    # stage-boundary latency at sf0.1 with identical data movement
+    # (the plan's ReusedExchange nodes are the receipt, pinned in
+    # test_plan_audit).
     cells = expr.groupBy("sample", "barcode").agg(
-        F.sum("count").alias("tot"), F.count("*").alias("nf")).persist()
+        F.sum("count").alias("tot"), F.count("*").alias("nf"))
     # Pairing parallelism: a row_number over partitionBy(sample) alone
     # is ONE task per sample. Instead the md5 space is bucketed with
     # an ADAPTIVE bucket count — max(1, n_cells/64) per sample — so
@@ -220,16 +226,17 @@ def doublet_scores_grid(expr: DataFrame, k: int = 10,
 
     # Distinct weighted feature points: bounded by distinct (f1, f2)
     # values, orders of magnitude smaller than the cell count. Used as
-    # BOTH sides of the grid-neighborhood join — persisted so the
-    # union+aggregate runs once, not once per join side.
+    # BOTH sides of the grid-neighborhood join; the shared aggregation
+    # shuffle is deduplicated by ReuseExchange (same rationale as the
+    # un-persisted ``cells`` above), so the union+aggregate's data
+    # movement happens once without a persist barrier.
     ptw = (feats(cells, 0).unionByName(feats(sim, 1))
            .groupBy("sample", "f1", "f2")
            .agg(F.sum(F.when(F.col("lbl") == 0, 1).otherwise(0))
                 .alias("m0"),
                 F.sum("lbl").alias("m1"))
            .withColumn("gx", F.expr(f"f1 div {grid}"))
-           .withColumn("gy", F.expr(f"f2 div {grid}"))
-           .persist())
+           .withColumn("gy", F.expr(f"f2 div {grid}")))
     off = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
                     for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
     q = (ptw.filter(F.col("m0") > 0)

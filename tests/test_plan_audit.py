@@ -127,12 +127,18 @@ def test_tpch_q6_full_pushdown_no_join(spark):
 
 
 def test_doublets_grid_scans_fact_table_twice_only(spark):
-    """m2: the per-cell aggregate and distinct-point table are
-    persisted, so the static plan must read the fact parquet at most
-    twice (per-cell stats + the pair-sum join) — losing a persist
-    regresses to 9 scans / four fact shuffles."""
+    """m2: the per-cell aggregate and distinct-point table are shared
+    through exchange reuse (round 6 dropped the persists — identical
+    data movement, ~1 s less AQE stage-barrier latency at sf0.1), so
+    after execution the FINAL adaptive plan must dedupe the repeated
+    subtrees: >= 3 ReusedExchange nodes, i.e. the fact parquet feeds
+    exactly two live exchanges (per-cell stats + the pair-sum join)
+    with every other consumer reading a reused stage."""
     df = q(spark, "m2_doublets_native")
-    assert len(scan_columns(df)) <= 2
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert final.count("ReusedExchange") >= 3
 
 
 def test_ppl_buckets_broadcasts_model(spark):
