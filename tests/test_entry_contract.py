@@ -35,12 +35,13 @@ def test_registry_contract_shapes(entry_mod):
     rows_only = set(q) - set(o)
     # only the iterative-ML set may lack oracles
     # (x51/x83/m13_louvain_dist graduated to full fixed-iteration
-    # oracles in round 4; p1_qc_pipeline graduated in round 5 and
-    # m2_doublet_scores was retired)
+    # oracles in round 4; p1_qc_pipeline graduated in round 5;
+    # m2_doublet_scores retired in r5, m6_vst retired in r6 — each in
+    # favor of a value-oracled twin)
     assert rows_only <= {"m8_pca", "m9_integrate_mnn",
                          "m9_integrate_mnn_dist",
                          "m10_spectral_embedding", "m10_spectral_dist",
-                         "m11_tsne", "m6_vst", "m13_louvain"}
+                         "m11_tsne", "m13_louvain"}
     assert all(callable(fn) for fn in q.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper()
                for s in o.values())
