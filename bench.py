@@ -114,15 +114,16 @@ HEADLINE = [
 ]
 
 
-#: Queries per SparkContext. The r4/r5 driver records show later
-#: queries in a long single-session run paying accumulated overhead
-#: the same queries don't show in isolation (old-gen garbage, block-
-#: manager/listener state, shuffle-file buildup) — clearCache + GC per
-#: query recovered most but not all of it. Restarting the context
-#: every GROUP_SIZE queries resets ALL session state; the restart and
-#: each group's untimed warmup query are outside the timed reps, so
-#: the recorded numbers measure plans from a near-cold session.
-GROUP_SIZE = 16
+# NOTE (round 6): a per-group SparkContext-restart variant was
+# measured and REJECTED — restarting every 16 queries reset session
+# state but made the suite 1.5x SLOWER overall (182 s vs 121 s at
+# sf0.1): every fresh context re-pays JIT/codegen warmup on its first
+# queries (x99 2.2 -> 22 s, m1 5.3 -> 22 s), which dwarfs the ~1.25x
+# session-accumulation tax it was meant to remove. The accumulation
+# is instead attacked in place: per-query SQL-cache clear PLUS
+# eviction of leaked persisted/localCheckpointed RDD blocks
+# (clearCache alone leaves those for the whole session) and an
+# untimed full GC.
 
 
 def _evict_all(spark) -> None:
@@ -149,7 +150,14 @@ def main() -> int:
     from data_ingest_spark.harness import registry
     from data_ingest_spark.session import get_spark
 
-    names_all = [n for n in HEADLINE if n in registry.queries()]
+    spark = get_spark("bench")
+    qs = registry.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # Untimed warmup: JVM classloading + parquet footers, so the first
+    # timed rep measures the plan.
+    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    _evict_all(spark)
 
     # Two reps per query, report the min: single runs on a shared VM
     # carry ±3 s of GC/page-cache noise on sub-second queries (x7
@@ -159,25 +167,15 @@ def main() -> int:
     # persist() calls are re-materialized — the rep measures the full
     # plan, not a warm cache.
     timings: dict[str, float] = {}
-    for lo in range(0, len(names_all), GROUP_SIZE):
-        group = names_all[lo:lo + GROUP_SIZE]
-        spark = get_spark("bench")
-        qs = registry.queries()
-        # Untimed warmup: JVM classloading + parquet footers for this
-        # fresh context, so the first timed rep measures the plan.
-        qs[group[0]](spark, sf_dir).write.format("noop") \
-            .mode("overwrite").save()
-        _evict_all(spark)
-        for name in group:
-            best = float("inf")
-            for _rep in range(2):
-                t0 = time.perf_counter()
-                qs[name](spark, sf_dir).write.format("noop") \
-                    .mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-                _evict_all(spark)
-            timings[name] = round(best, 2)
-        spark.stop()
+    for name in names:
+        best = float("inf")
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            _evict_all(spark)
+        timings[name] = round(best, 2)
+    spark.stop()
 
     total = round(sum(timings.values()), 2)
     # Compact separators keep the single line well inside the driver's

@@ -64,2019 +64,6 @@ def _q(name: str, sql: str | None = None):
 _EXPR_SQL = ("SELECT l_returnflag AS sample, l_orderkey AS barcode, "
              "l_partkey AS gene, l_quantity AS cnt FROM lineitem")
 
-# ---------------------------------------------------------------- A: aggregations
-
-
-@_q("a1_a2_cell_counts", """
-SELECT l_returnflag AS sample, l_orderkey AS barcode,
-       CAST(SUM(l_quantity) AS DOUBLE) AS ncount,
-       CAST(COUNT(CASE WHEN l_quantity > 0 THEN 1 END) AS BIGINT) AS nfeature
-FROM lineitem GROUP BY 1, 2
-""")
-def q_cell_counts(spark, sf):
-    return mx.cell_counts(expr_df(spark, sf)).select(
-        "sample", "barcode",
-        F.col("nCount_RNA").cast("double").alias("ncount"),
-        F.col("nFeature_RNA").cast("long").alias("nfeature"),
-    )
-
-
-@_q("a3_gene_stats", """
-SELECT l_partkey AS gene,
-       CAST(SUM(l_quantity) AS DOUBLE) AS total_umi,
-       CAST(COUNT(CASE WHEN l_quantity > 0 THEN 1 END) AS BIGINT) AS n_cells
-FROM lineitem GROUP BY 1
-""")
-def q_gene_stats(spark, sf):
-    return mx.gene_stats(expr_df(spark, sf)).select(
-        "gene", F.col("total_umi").cast("double").alias("total_umi"),
-        F.col("n_cells").cast("long").alias("n_cells"))
-
-
-@_q("v1_sql_surface", """
-SELECT l_returnflag AS sample,
-       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_cells,
-       CAST(SUM(l_quantity) AS DOUBLE) AS total_umi,
-       ROUND(SUM(l_quantity) / COUNT(DISTINCT l_orderkey), 6)
-         AS mean_cell_size
-FROM lineitem GROUP BY 1
-""")
-def q_sql_surface(spark, sf):
-    """The spark.sql front door: the same engine tables are reachable
-    as temp views and queried with SQL text — the exact plan the
-    DataFrame API builds (Catalyst does not care which surface fed it).
-    One query keeps the surface itself under the correctness gate."""
-    expr_df(spark, sf).createOrReplaceTempView("expression")
-    return spark.sql("""
-        SELECT sample,
-               CAST(COUNT(DISTINCT barcode) AS BIGINT) AS n_cells,
-               CAST(SUM(count) AS DOUBLE) AS total_umi,
-               ROUND(SUM(count) / COUNT(DISTINCT barcode), 6)
-                 AS mean_cell_size
-        FROM expression GROUP BY sample""")
-
-
-@_q("a4_percent_mt", """
-SELECT l_returnflag AS sample, l_orderkey AS barcode,
-       ROUND(100.0 * SUM(CASE WHEN l_partkey % 13 = 0 THEN l_quantity ELSE 0.0 END)
-             / SUM(l_quantity), 6) AS pmt
-FROM lineitem GROUP BY 1, 2
-""")
-def q_percent_mt(spark, sf):
-    expr = expr_df(spark, sf)
-    mt = expr.select("gene").distinct().filter(F.col("gene") % 13 == 0)
-    return mx.percent_mt(expr, mt).select(
-        "sample", "barcode", F.round("percent_mt", 6).alias("pmt"))
-
-
-@_q("a5_ambient_census", """
-WITH t AS (SELECT l_returnflag AS s, l_orderkey AS b, SUM(l_quantity) AS total
-           FROM lineitem GROUP BY 1, 2)
-SELECT s AS sample,
-       CAST(COUNT(CASE WHEN total < 100 THEN 1 END) AS BIGINT) AS n_ambient,
-       CAST(MIN(total) AS DOUBLE) AS min_total,
-       CAST(MAX(total) AS DOUBLE) AS max_total
-FROM t GROUP BY 1
-""")
-def q_ambient_census(spark, sf):
-    return mx.ambient_census(expr_df(spark, sf), lower=100.0).select(
-        "sample", F.col("n_ambient").cast("long").alias("n_ambient"),
-        F.col("min_total").cast("double").alias("min_total"),
-        F.col("max_total").cast("double").alias("max_total"))
-
-
-@_q("a6_median_gene_sum", """
-WITH g AS (SELECT l_partkey, SUM(l_quantity) AS total FROM lineitem GROUP BY 1)
-SELECT ROUND(MEDIAN(total), 6) AS median_gene_umi FROM g
-""")
-def q_median_gene_sum(spark, sf):
-    return mx.median_gene_sum(expr_df(spark, sf)).select(
-        F.round("median_gene_umi", 6).alias("median_gene_umi"))
-
-
-@_q("a7_singlet_max", """
-SELECT o_orderpriority AS sample, ROUND(MAX(o_totalprice), 2) AS max_singlet_score
-FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
-""")
-def q_singlet_max(spark, sf):
-    cells = load(spark, sf, "orders").select(
-        F.col("o_orderpriority").alias("sample"),
-        F.col("o_totalprice").alias("doublet_scores"),
-        F.when(F.col("o_orderstatus") == "F", "singlet")
-        .otherwise("doublet").alias("doublet_class"),
-    )
-    return mx.singlet_max(cells).select(
-        "sample", F.round("max_singlet_score", 2).alias("max_singlet_score"))
-
-
-@_q("a8_distinct_values",
-    "SELECT DISTINCT l_returnflag AS sample, l_linestatus AS status FROM lineitem")
-def q_distinct_values(spark, sf):
-    li = load(spark, sf, "lineitem").select(
-        F.col("l_returnflag").alias("sample"),
-        F.col("l_linestatus").alias("status"))
-    return mx.distinct_values(li, ["sample", "status"])
-
-
-@_q("a10_histogram", """
-SELECT CAST(FLOOR(o_totalprice / 10000.0) AS BIGINT) AS bin,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(FLOOR(o_totalprice / 10000.0) AS BIGINT) * 10000.0 AS bin_start
-FROM orders GROUP BY 1
-""")
-def q_histogram(spark, sf):
-    return mx.histogram(load(spark, sf, "orders"), "o_totalprice", 10000.0) \
-        .select("bin", F.col("n").cast("long").alias("n"), "bin_start")
-
-
-@_q("a12_checksum", """
-SELECT source, md5(string_agg(text, chr(1) ORDER BY text)) AS checksum,
-       CAST(COUNT(*) AS BIGINT) AS n_docs
-FROM documents GROUP BY source
-""")
-def q_checksum(spark, sf):
-    return load(spark, sf, "documents").groupBy("source").agg(
-        F.md5(F.concat_ws("\x01", F.sort_array(F.collect_list("text")))
-              .cast("binary")).alias("checksum"),
-        F.count("*").alias("n_docs"),
-    )
-
-
-# ---------------------------------------------------------------- F: filters
-
-
-@_q("f1_min_cell_size", """
-SELECT l_returnflag AS sample, l_orderkey AS barcode,
-       CAST(SUM(l_quantity) AS DOUBLE) AS ncount
-FROM lineitem GROUP BY 1, 2 HAVING SUM(l_quantity) >= 150
-""")
-def q_f1(spark, sf):
-    cells = mx.cell_counts(expr_df(spark, sf)).withColumnRenamed(
-        "nCount_RNA", "ncount")
-    return fl.filter_min_cell_size(
-        cells.withColumnRenamed("ncount", "nCount_RNA"), 150.0).select(
-        "sample", "barcode", F.col("nCount_RNA").cast("double").alias("ncount"))
-
-
-@_q("f2_mt_content", """
-SELECT sample, barcode, fmt FROM (
-  SELECT l_returnflag AS sample, l_orderkey AS barcode,
-         ROUND(SUM(CASE WHEN l_partkey % 13 = 0 THEN l_quantity ELSE 0.0 END)
-               / SUM(l_quantity), 6) AS fmt
-  FROM lineitem GROUP BY 1, 2
-) WHERE fmt <= 0.3
-""")
-def q_f2(spark, sf):
-    expr = expr_df(spark, sf)
-    mt = expr.select("gene").distinct().filter(F.col("gene") % 13 == 0)
-    cells = mx.percent_mt(expr, mt).withColumn(
-        "fraction_mt", F.round("fraction_mt", 6))
-    return fl.filter_mt_content(cells, 0.3).select(
-        "sample", "barcode", F.col("fraction_mt").alias("fmt"))
-
-
-@_q("f3_classifier_fdr", """
-SELECT o_orderkey AS barcode, fdr FROM (
-  SELECT o_orderkey,
-         CASE WHEN o_orderstatus <> 'P'
-              THEN (o_orderkey % 1000) / 999.0 END AS fdr
-  FROM orders
-) WHERE fdr <= 0.05
-""")
-def q_f3(spark, sf):
-    cells = load(spark, sf, "orders").select(
-        F.col("o_orderkey").alias("barcode"),
-        F.when(F.col("o_orderstatus") != "P",
-               (F.col("o_orderkey") % 1000) / 999.0).alias("fdr"),
-    )
-    return fl.filter_classifier_fdr(cells, 0.05, "fdr")
-
-
-@_q("f4_doublet_score", """
-SELECT s_suppkey AS barcode, s_acctbal AS doublet_scores
-FROM supplier WHERE s_acctbal <= 5000.0
-""")
-def q_f4(spark, sf):
-    cells = load(spark, sf, "supplier").select(
-        F.col("s_suppkey").alias("barcode"),
-        F.col("s_acctbal").alias("doublet_scores"))
-    return fl.filter_doublet_score(cells, 5000.0)
-
-
-@_q("f5_min_features", f"""
-WITH q AS (SELECT l_returnflag AS s, l_orderkey AS b FROM lineitem
-           GROUP BY 1, 2
-           HAVING COUNT(CASE WHEN l_quantity > 0 THEN 1 END) >= 3)
-SELECT e.sample, e.barcode, e.gene, e.cnt
-FROM ({_EXPR_SQL}) e JOIN q ON e.sample = q.s AND e.barcode = q.b
-""")
-def q_f5(spark, sf):
-    return fl.filter_min_features(expr_df(spark, sf), 3) \
-        .withColumnRenamed("count", "cnt")
-
-
-@_q("f6_prune", f"""
-WITH gg AS (SELECT l_partkey AS g FROM lineitem GROUP BY 1
-            HAVING COUNT(CASE WHEN l_quantity > 0 THEN 1 END) >= 5),
-     pruned AS (SELECT e.* FROM ({_EXPR_SQL}) e JOIN gg ON e.gene = gg.g),
-     q AS (SELECT sample AS s, barcode AS b FROM pruned GROUP BY 1, 2
-           HAVING COUNT(CASE WHEN cnt > 0 THEN 1 END) >= 3)
-SELECT p.sample, p.barcode, p.gene, p.cnt
-FROM pruned p JOIN q ON p.sample = q.s AND p.barcode = q.b
-""")
-def q_f6(spark, sf):
-    return fl.prune_genes_and_cells(expr_df(spark, sf), 5, 3) \
-        .withColumnRenamed("count", "cnt")
-
-
-@_q("f7_subset_samples", """
-SELECT l_returnflag AS sample, CAST(COUNT(*) AS BIGINT) AS n
-FROM lineitem WHERE l_returnflag IN ('A', 'N') GROUP BY 1
-""")
-def q_f7(spark, sf):
-    return fl.subset_samples(expr_df(spark, sf), ["A", "N"]) \
-        .groupBy("sample").agg(F.count("*").alias("n"))
-
-
-@_q("f8_projection", "SELECT p_partkey, p_name FROM part")
-def q_f8(spark, sf):
-    return fl.project(load(spark, sf, "part"), ["p_partkey", "p_name"])
-
-
-@_q("f9_mt_regex", """
-SELECT p_partkey AS gene, p_name AS name FROM part
-WHERE regexp_matches(p_name, '(?i)^(red|blue)')
-""")
-def q_f9(spark, sf):
-    genes = load(spark, sf, "part").select(
-        F.col("p_partkey").alias("gene"), F.col("p_name").alias("name"))
-    return fl.mt_gene_predicate(genes, "^(red|blue)")
-
-
-@_q("f11_remove_outliers", """
-WITH c AS (SELECT l_returnflag AS sample, l_orderkey AS barcode,
-                  SUM(l_quantity) AS ncount
-           FROM lineitem GROUP BY 1, 2)
-SELECT sample, barcode, CAST(ncount AS DOUBLE) AS ncount
-FROM c WHERE ncount <= 400
-""")
-def q_f11(spark, sf):
-    cells = mx.cell_counts(expr_df(spark, sf))
-    outliers = cells.filter(F.col("nCount_RNA") > 400)
-    return fl.remove_outliers(cells, outliers).select(
-        "sample", "barcode", F.col("nCount_RNA").cast("double").alias("ncount"))
-
-
-# ---------------------------------------------------------------- J: joins
-
-
-@_q("j1_emptydrops", """
-WITH c AS (SELECT l_returnflag AS sample, l_orderkey AS barcode,
-                  SUM(l_quantity) AS ncount
-           FROM lineitem GROUP BY 1, 2),
-     e AS (SELECT sample, barcode,
-                  ROUND((barcode % 997) / 996.0, 6) AS fdr
-           FROM c WHERE ncount > 200)
-SELECT c.sample, c.barcode, CAST(c.ncount AS DOUBLE) AS ncount,
-       e.fdr AS ed_fdr
-FROM c LEFT JOIN e ON c.sample = e.sample AND c.barcode = e.barcode
-""")
-def q_j1(spark, sf):
-    cells = mx.cell_counts(expr_df(spark, sf))
-    edt = cells.filter(F.col("nCount_RNA") > 200).select(
-        "sample", "barcode",
-        F.round((F.col("barcode") % 997) / 996.0, 6).alias("fdr"))
-    return jn.join_emptydrops(cells, edt).select(
-        "sample", "barcode", F.col("nCount_RNA").cast("double").alias("ncount"),
-        F.col("emptyDrops_fdr").alias("ed_fdr"))
-
-
-@_q("j2_doublet_scores", """
-WITH c AS (SELECT l_returnflag AS sample, l_orderkey AS barcode,
-                  SUM(l_quantity) AS ncount
-           FROM lineitem GROUP BY 1, 2)
-SELECT c.sample, c.barcode, CAST(c.ncount AS DOUBLE) AS ncount,
-       ROUND(o.o_totalprice, 2) AS ds, o.o_orderstatus AS dclass
-FROM c LEFT JOIN orders o ON c.barcode = o.o_orderkey
-""")
-def q_j2(spark, sf):
-    cells = mx.cell_counts(expr_df(spark, sf))
-    scores = load(spark, sf, "orders").select(
-        F.col("o_orderkey").alias("barcode"),
-        F.round("o_totalprice", 2).alias("ds"),
-        F.col("o_orderstatus").alias("dclass"))
-    return jn.join_doublet_scores(cells, scores, keys=["barcode"]).select(
-        "sample", "barcode", F.col("nCount_RNA").cast("double").alias("ncount"),
-        "ds", "dclass")
-
-
-@_q("j3_align_annotations", """
-SELECT p_partkey AS gene, p_name, p_brand FROM part
-JOIN (SELECT DISTINCT l_partkey FROM lineitem) d ON p_partkey = l_partkey
-""")
-def q_j3(spark, sf):
-    genes = load(spark, sf, "part").select(
-        F.col("p_partkey").alias("gene"), "p_name", "p_brand")
-    return jn.align_annotations(genes, expr_df(spark, sf))
-
-
-@_q("j4_sample_metadata", """
-SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal, n.n_name
-FROM customer LEFT JOIN nation n ON c_nationkey = n_nationkey
-""")
-def q_j4(spark, sf):
-    cells = load(spark, sf, "customer").select(
-        "c_custkey", F.round("c_acctbal", 2).alias("acctbal"),
-        F.col("c_nationkey").alias("nk"))
-    meta = load(spark, sf, "nation").select(
-        F.col("n_nationkey").alias("nk"), "n_name")
-    return jn.join_sample_metadata(cells, meta, key="nk") \
-        .select("c_custkey", "acctbal", "n_name")
-
-
-@_q("j5_semi_features", """
-SELECT s_suppkey AS gene, s_name FROM supplier
-WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)
-""")
-def q_j5(spark, sf):
-    genes = load(spark, sf, "supplier").select(
-        F.col("s_suppkey").alias("gene"), "s_name")
-    ex = load(spark, sf, "lineitem").select(F.col("l_suppkey").alias("gene"))
-    return jn.semi_join_features(genes, ex)
-
-
-@_q("j6_flag", """
-SELECT n_nationkey, n_name, r.r_name
-FROM nation LEFT JOIN region r ON n_regionkey = r_regionkey
-""")
-def q_j6(spark, sf):
-    samples = load(spark, sf, "nation").select(
-        "n_nationkey", "n_name", F.col("n_regionkey").alias("rk"))
-    flags = load(spark, sf, "region").select(
-        F.col("r_regionkey").alias("rk"), "r_name")
-    return jn.join_flag(samples, flags, key="rk") \
-        .select("n_nationkey", "n_name", "r_name")
-
-
-@_q("j7_cell_sets", """
-SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n_cells,
-       md5(string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey)) AS ids_md5
-FROM customer GROUP BY 1
-""")
-def q_j7(spark, sf):
-    cells = load(spark, sf, "customer").select(
-        F.col("c_mktsegment").alias("seg"),
-        F.col("c_custkey").alias("cells_id"))
-    sets = jn.group_membership(cells, "seg")
-    return sets.select(
-        "seg", F.col("n_cells").cast("long").alias("n_cells"),
-        F.md5(F.concat_ws(",", F.transform(
-            F.col("cell_ids"), lambda x: x.cast("string"))).cast("binary")
-        ).alias("ids_md5"))
-
-
-# ---------------------------------------------------------------- W: windows
-
-
-@_q("w1_barcode_rank", """
-WITH c AS (SELECT l_returnflag AS sample, l_orderkey AS barcode,
-                  SUM(l_quantity) AS ncount
-           FROM lineitem GROUP BY 1, 2)
-SELECT sample, barcode, CAST(ncount AS DOUBLE) AS ncount,
-       CAST(ROW_NUMBER() OVER (PARTITION BY sample
-                               ORDER BY ncount DESC, barcode) AS BIGINT) AS rank
-FROM c
-""")
-def q_w1(spark, sf):
-    cells = mx.cell_counts(expr_df(spark, sf))
-    return wd.barcode_rank(cells).select(
-        "sample", "barcode", F.col("nCount_RNA").cast("double").alias("ncount"),
-        F.col("rank").cast("long").alias("rank"))
-
-
-@_q("w2_barcode_inflection", """
-WITH c AS (SELECT l_returnflag AS sample, l_orderkey AS barcode,
-                  SUM(l_quantity) AS ncount
-           FROM lineitem GROUP BY 1, 2),
-     f AS (SELECT * FROM c WHERE ncount > 100),
-     r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY sample
-                                        ORDER BY ncount DESC, barcode) AS rk
-           FROM f),
-     d AS (SELECT sample, ncount,
-                  ROUND((log10(ncount) - log10(LAG(ncount) OVER w))
-                        / (log10(rk) - log10(LAG(rk) OVER w)), 9) AS deriv
-           FROM r WINDOW w AS (PARTITION BY sample ORDER BY rk)),
-     dd AS (SELECT *, MIN(deriv) OVER (PARTITION BY sample) AS mind
-            FROM d WHERE deriv IS NOT NULL)
-SELECT sample, CAST(MIN(ncount) AS DOUBLE) AS inflection_ncount
-FROM dd WHERE deriv = mind GROUP BY sample
-""")
-def q_w2(spark, sf):
-    cells = mx.cell_counts(expr_df(spark, sf))
-    return wd.barcode_inflection(cells, 100.0).select(
-        "sample", F.col("inflection_ncount").cast("double")
-        .alias("inflection_ncount"))
-
-
-@_q("w3_sort_regression", """
-WITH c AS (SELECT l_returnflag AS sample, l_orderkey AS barcode,
-                  SUM(l_quantity) AS ncount
-           FROM lineitem GROUP BY 1, 2)
-SELECT sample, barcode, ROUND(log10(ncount), 6) AS log_molecules
-FROM c ORDER BY log10(ncount), barcode LIMIT 100
-""")
-def q_w3(spark, sf):
-    cells = mx.cell_counts(expr_df(spark, sf))
-    return wd.sort_for_regression(cells).limit(100).select(
-        "sample", "barcode", F.round("log_molecules", 6).alias("log_molecules"))
-
-
-@_q("w4_top_k_genes", """
-SELECT l_partkey AS gene, CAST(SUM(l_quantity) AS DOUBLE) AS total_umi
-FROM lineitem GROUP BY 1 ORDER BY SUM(l_quantity) DESC, l_partkey LIMIT 30
-""")
-def q_w4(spark, sf):
-    gs = mx.gene_stats(expr_df(spark, sf))
-    return wd.top_k_genes(gs, 30).select(
-        "gene", F.col("total_umi").cast("double").alias("total_umi"))
-
-
-@_q("w5_dense_ids", """
-WITH c AS (SELECT l_returnflag AS sample, l_orderkey AS barcode
-           FROM lineitem GROUP BY 1, 2)
-SELECT sample, barcode,
-       CAST(ROW_NUMBER() OVER (ORDER BY sample, barcode) - 1 AS INTEGER) AS cells_id
-FROM c
-""")
-def q_w5(spark, sf):
-    cells = mx.cell_counts(expr_df(spark, sf)).select("sample", "barcode")
-    return wd.dense_ids_scalable(cells).select("sample", "barcode", "cells_id")
-
-
-@_q("w6_dedup_gene_names", """
-SELECT p_partkey AS gene,
-       CASE WHEN COUNT(*) OVER (PARTITION BY p_name) > 1
-            THEN p_name || ' - ' || CAST(p_partkey AS VARCHAR)
-            ELSE p_name END AS name
-FROM part
-""")
-def q_w6(spark, sf):
-    genes = load(spark, sf, "part").select(
-        F.col("p_partkey").alias("gene"), F.col("p_name").alias("name"))
-    return wd.dedup_gene_names(genes)
-
-
-# ---------------------------------------------------------------- U: set ops
-
-
-@_q("u1_merge_samples", """
-SELECT l_returnflag AS sample,
-       l_returnflag || '_' || CAST(l_orderkey AS VARCHAR) AS barcode,
-       l_partkey AS gene, l_quantity AS cnt
-FROM lineitem
-""")
-def q_u1(spark, sf):
-    expr = expr_df(spark, sf).withColumn("barcode", F.col("barcode").cast("string"))
-    per_sample = [expr.filter(F.col("sample") == s) for s in ("A", "N", "R")]
-    return mg.merge_samples(per_sample).withColumnRenamed("count", "cnt")
-
-
-@_q("u2_union_dedup", """
-SELECT DISTINCT p_partkey AS gene, p_brand, p_size FROM part
-WHERE p_size <= 25 OR p_size >= 20
-""")
-def q_u2(spark, sf):
-    part = load(spark, sf, "part").select(
-        F.col("p_partkey").alias("gene"), "p_brand", "p_size")
-    a = part.filter(F.col("p_size") <= 25)
-    b = part.filter(F.col("p_size") >= 20)
-    return mg.union_dedup([a, b])
-
-
-# ---------------------------------------------------------------- M: science
-from data_ingest_spark.functions.stats import normal_cdf_sql  # noqa: E402
-
-
-@_q("m1_bh_fdr", """
-WITH d AS (SELECT o_orderpriority AS sample, o_orderkey AS barcode,
-                  (o_orderkey % 997) / 996.0 AS p
-           FROM orders),
-     r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY sample ORDER BY p) AS rk,
-                  COUNT(*) OVER (PARTITION BY sample) AS n
-           FROM d)
-SELECT sample, barcode, ROUND(p, 6) AS p,
-       ROUND(LEAST(1.0, MIN(p * n / rk) OVER (
-             PARTITION BY sample ORDER BY rk
-             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), 6) AS fdr
-FROM r
-""")
-def q_bh_fdr(spark, sf):
-    d = load(spark, sf, "orders").select(
-        F.col("o_orderpriority").alias("sample"),
-        F.col("o_orderkey").alias("barcode"),
-        ((F.col("o_orderkey") % 997) / 996.0).alias("p"))
-    return ed.bh_fdr(d, "p", "fdr").select(
-        "sample", "barcode", F.round("p", 6).alias("p"),
-        F.round("fdr", 6).alias("fdr"))
-
-
-_ED_LOWER, _ED_ALPHA, _ED_NITER = 100.0, 0.5, 10000
-
-_ED_SQL = f"""
-WITH expr AS ({_EXPR_SQL}),
- totals AS (SELECT sample, barcode, SUM(cnt) AS t FROM expr GROUP BY 1, 2),
- amb AS (SELECT e.sample, e.gene, SUM(e.cnt) AS amb
-         FROM expr e JOIN totals t
-           ON e.sample = t.sample AND e.barcode = t.barcode
-         WHERE t.t <= {_ED_LOWER} GROUP BY 1, 2),
- allg AS (SELECT DISTINCT sample, gene FROM expr),
- sm AS (SELECT a.sample, a.gene,
-               COALESCE(amb.amb, 0.0) + {_ED_ALPHA} AS w
-        FROM allg a LEFT JOIN amb ON a.sample = amb.sample AND a.gene = amb.gene),
- mom AS (SELECT sample, ln(SUM(w)) AS lnW,
-                SUM(w * ln(w)) / SUM(w) - ln(SUM(w)) AS m1,
-                (SUM(w * ln(w) * ln(w)) - 2 * ln(SUM(w)) * SUM(w * ln(w))
-                 + ln(SUM(w)) * ln(SUM(w)) * SUM(w)) / SUM(w) AS m2
-         FROM sm GROUP BY 1),
- ll AS (SELECT e.sample, e.barcode, SUM(e.cnt) AS total,
-               SUM(e.cnt * ln(s.w)) AS slnw
-        FROM expr e JOIN sm s ON e.sample = s.sample AND e.gene = s.gene
-        GROUP BY 1, 2),
- zt AS (SELECT ll.sample, ll.barcode, ll.total,
-               ll.slnw - ll.total * m.lnW AS logprob,
-               ((ll.slnw - ll.total * m.lnW) - ll.total * m.m1)
-                 / sqrt(ll.total * (m.m2 - m.m1 * m.m1)) AS z
-        FROM ll JOIN mom m ON ll.sample = m.sample),
- pv AS (SELECT sample, barcode, total, logprob,
-               CASE WHEN total > {_ED_LOWER}
-                    THEN {normal_cdf_sql('z')} END AS pvalue
-        FROM zt),
- rk AS (SELECT *,
-               ROW_NUMBER() OVER (PARTITION BY sample
-                                  ORDER BY pvalue ASC NULLS LAST) AS rnk,
-               COUNT(pvalue) OVER (PARTITION BY sample) AS n
-        FROM pv)
-SELECT sample, barcode, CAST(total AS DOUBLE) AS total,
-       ROUND(logprob, 6) AS logprob, ROUND(pvalue, 6) AS pvalue,
-       CASE WHEN pvalue IS NOT NULL
-            THEN pvalue < 1.0 / ({_ED_NITER} + 1) END AS limited,
-       CASE WHEN pvalue IS NOT NULL THEN
-         ROUND(LEAST(1.0, MIN(pvalue * n / rnk) OVER (
-               PARTITION BY sample ORDER BY rnk
-               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), 6)
-       END AS fdr
-FROM rk
-"""
-
-
-@_q("m1_empty_drops", _ED_SQL)
-def q_empty_drops(spark, sf):
-    r = ed.empty_drops(expr_df(spark, sf), lower=_ED_LOWER, n_iter=_ED_NITER)
-    return r.select(
-        "sample", "barcode", F.col("Total").cast("double").alias("total"),
-        F.round("LogProb", 6).alias("logprob"),
-        F.round("PValue", 6).alias("pvalue"),
-        F.col("Limited").alias("limited"),
-        F.round("FDR", 6).alias("fdr"))
-
-
-@_q("m4_ols_band", """
-WITH c AS (SELECT l_returnflag AS sample, l_orderkey AS barcode,
-                  SUM(l_quantity) AS ncount,
-                  COUNT(CASE WHEN l_quantity > 0 THEN 1 END) AS nfeature
-           FROM lineitem GROUP BY 1, 2),
- pts AS (SELECT sample, barcode, log10(ncount) AS x, log10(nfeature) AS y FROM c),
- s AS (SELECT sample, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
-              SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
-       FROM pts GROUP BY 1),
- f1 AS (SELECT sample, n, sx, sy, sxy, syy,
-               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
-        FROM s),
- fit AS (SELECT sample, slope,
-                (sy - slope * sx) / n AS intercept,
-                sqrt((syy - slope * sxy - ((sy - slope * sx) / n) * sy)
-                     / (n - 2.0)) AS rmse
-         FROM f1)
-SELECT p.sample, p.barcode,
-       ROUND(f.intercept + f.slope * p.x, 6) AS pred,
-       (abs(p.y - (f.intercept + f.slope * p.x)) > 3.0 * f.rmse) AS is_outlier
-FROM pts p JOIN fit f ON p.sample = f.sample
-""")
-def q_ols_band(spark, sf):
-    cells = mx.cell_counts(expr_df(spark, sf))
-    return rg.ols_band(cells, z=3.0).select(
-        "sample", "barcode", F.round("pred", 6).alias("pred"), "is_outlier")
-
-
-@_q("m5_log_normalize", f"""
-WITH expr AS ({_EXPR_SQL}),
- totals AS (SELECT sample, barcode, SUM(cnt) AS t FROM expr GROUP BY 1, 2)
-SELECT e.sample, e.barcode, e.gene,
-       ROUND(ln(1.0 + e.cnt / t.t * 10000.0), 6) AS normalized
-FROM expr e JOIN totals t ON e.sample = t.sample AND e.barcode = t.barcode
-""")
-def q_log_normalize(spark, sf):
-    return nz.log_normalize(expr_df(spark, sf)).select(
-        "sample", "barcode", "gene", F.round("normalized", 6).alias("normalized"))
-
-
-_MOMENTS_SQL = f"""
-WITH expr AS ({_EXPR_SQL}),
- nc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n
-        FROM (SELECT DISTINCT sample, barcode FROM expr)),
- g AS (SELECT gene, SUM(cnt) AS s, SUM(cnt * cnt) AS ss FROM expr GROUP BY 1)
-SELECT gene, ROUND(s / n, 6) AS mean,
-       ROUND((ss - s * s / n) / (n - 1.0), 6) AS variance
-FROM g, nc
-"""
-
-
-@_q("m6_gene_moments", _MOMENTS_SQL)
-def q_gene_moments(spark, sf):
-    return nz.gene_moments(expr_df(spark, sf)).select(
-        "gene", F.round("mean", 6).alias("mean"),
-        F.round("variance", 6).alias("variance"))
-
-
-@_q("m6_hvg", f"""
-WITH expr AS ({_EXPR_SQL}),
- nc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n
-        FROM (SELECT DISTINCT sample, barcode FROM expr)),
- g AS (SELECT gene, SUM(cnt) AS s, SUM(cnt * cnt) AS ss FROM expr GROUP BY 1),
- v AS (SELECT gene, (ss - s * s / n) / (n - 1.0) AS variance FROM g, nc)
-SELECT gene, ROUND(variance, 6) AS variance
-FROM v ORDER BY variance DESC, gene LIMIT 500
-""")
-def q_hvg(spark, sf):
-    return nz.highly_variable_genes(expr_df(spark, sf), 500).select(
-        "gene", F.round("variance", 6).alias("variance"))
-
-
-# (m6_vst — the loess-smoothed Seurat vst — was retired from the
-# registry in round 6 per the round-5 verdict ask: the driver-side
-# loess fit is irreducibly non-SQL-expressible, so it could never
-# graduate past rows-only, while m6_vst_quad below pins the identical
-# standardization pipeline end-to-end with a full value oracle. The
-# loess operator itself (operators/normalize.py
-# find_variable_features_vst) remains in the package, exercised by
-# tests/test_normalize_joins.py against an independent numpy
-# recomputation.)
-
-
-@_q("m6_vst_quad", f"""
-WITH expr AS ({_EXPR_SQL}),
- nc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n
-        FROM (SELECT DISTINCT sample, barcode FROM expr)),
- g AS (SELECT gene, SUM(cnt) AS s, SUM(cnt * cnt) AS ss FROM expr GROUP BY 1),
- mom AS (SELECT gene, s / n AS mean, (ss - s * s / n) / (n - 1.0) AS variance, n
-         FROM g, nc),
- pos AS (SELECT gene, mean, variance, n,
-                log10(mean) AS x, log10(variance) AS y
-         FROM mom WHERE variance > 0.0),
- xm AS (SELECT AVG(x) AS xm FROM pos),
- pu AS (SELECT pos.*, x - xm AS u FROM pos, xm),
- sums AS (SELECT CAST(COUNT(*) AS DOUBLE) AS s0, SUM(u) AS s1,
-                 SUM(u * u) AS s2, SUM(u * u * u) AS s3,
-                 SUM(u * u * u * u) AS s4, SUM(y) AS sy,
-                 SUM(u * y) AS suy, SUM(u * u * y) AS su2y
-          FROM pu),
- coef AS (SELECT
-   (s0*(s2*s4-s3*s3) - s1*(s1*s4-s2*s3) + s2*(s1*s3-s2*s2)) AS det,
-   (sy*(s2*s4-s3*s3) - s1*(suy*s4-su2y*s3) + s2*(suy*s3-su2y*s2)) AS n0,
-   (s0*(suy*s4-su2y*s3) - sy*(s1*s4-s2*s3) + s2*(s1*su2y-s2*suy)) AS n1,
-   (s0*(s2*su2y-s3*suy) - s1*(s1*su2y-s3*sy) + sy*(s1*s3-s2*s2)) AS n2
-   FROM sums),
- fit AS (SELECT pu.gene, pu.mean, pu.variance, pu.n,
-                sqrt(power(10.0, (c.n0 / c.det) + (c.n1 / c.det) * pu.u
-                                 + (c.n2 / c.det) * pu.u * pu.u)) AS sd_exp
-         FROM pu, coef c),
- pg AS (SELECT e.gene,
-               SUM(LEAST(sqrt(f.n), (e.cnt - f.mean) / f.sd_exp)
-                   * LEAST(sqrt(f.n), (e.cnt - f.mean) / f.sd_exp)) AS s_nz,
-               CAST(COUNT(*) AS DOUBLE) AS nnz,
-               ANY_VALUE(f.mean) AS mean, ANY_VALUE(f.variance) AS variance,
-               ANY_VALUE(f.sd_exp) AS sd_exp, ANY_VALUE(f.n) AS n
-        FROM expr e JOIN fit f ON e.gene = f.gene GROUP BY 1)
-SELECT gene, ROUND(mean, 6) AS mean, ROUND(variance, 6) AS variance,
-       ROUND(sd_exp, 6) AS sd_exp,
-       ROUND((s_nz + (n - nnz) * (mean / sd_exp) * (mean / sd_exp))
-             / (n - 1.0), 6) AS std_variance
-FROM pg
-""")
-def q_vst_quad(spark, sf):
-    """M6 with the oracle-exact quadratic smoother — the hash-checkable
-    twin of m6_vst (which keeps Seurat's loess and is rows-only)."""
-    return nz.vst_quadfit_variance(expr_df(spark, sf)).select(
-        "gene", F.round("mean", 6).alias("mean"),
-        F.round("variance", 6).alias("variance"),
-        F.round("sd_exp", 6).alias("sd_exp"),
-        F.round("std_variance", 6).alias("std_variance"))
-
-
-@_q("m7_scale_data", f"""
-WITH expr AS ({_EXPR_SQL}),
- totals AS (SELECT sample, barcode, SUM(cnt) AS t FROM expr GROUP BY 1, 2),
- norm AS (SELECT e.sample, e.barcode, e.gene,
-                 ln(1.0 + e.cnt / t.t * 10000.0) AS v
-          FROM expr e JOIN totals t
-            ON e.sample = t.sample AND e.barcode = t.barcode),
- nc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n
-        FROM (SELECT DISTINCT sample, barcode FROM norm)),
- st AS (SELECT gene, SUM(v) AS s, SUM(v * v) AS ss FROM norm GROUP BY 1),
- mo AS (SELECT gene, s / n AS mu,
-               sqrt((ss - s * s / n) / (n - 1.0)) AS sd
-        FROM st, nc)
-SELECT norm.sample, norm.barcode, norm.gene,
-       ROUND(CASE WHEN mo.sd <= 0.0 THEN 0.0
-                  ELSE LEAST(10.0, (norm.v - mo.mu) / mo.sd) END, 6) AS scaled
-FROM norm JOIN mo ON norm.gene = mo.gene
-""")
-def q_scale_data(spark, sf):
-    e = expr_df(spark, sf)
-    scaled = nz.scale_data(nz.log_normalize(e), n_cells_src=e)
-    return scaled.select("sample", "barcode", "gene",
-                         F.round("scaled", 6).alias("scaled"))
-
-
-# ------------------------------------------------- X: LLM-pipeline extensions
-from data_ingest_spark.extensions import (dedup as dd, multimodal as mm,  # noqa: E402
-                                          similarity as sim, text as tx)
-
-# Deterministic duplicate-bearing corpora built from `documents` (the
-# synthetic corpus has no duplicates, so each dedup query plants its
-# own: full copies for exact dedup, head-truncated copies for near-dup).
-_DUP_SQL = ("SELECT doc_id, text FROM documents UNION ALL "
-            "SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0")
-_NEARDUP_SQL = (
-    "SELECT doc_id, text FROM documents UNION ALL "
-    "SELECT doc_id + 1000000, "
-    "array_to_string(string_split_regex(text, '\\s+')[3:], ' ') "
-    "FROM documents WHERE doc_id % 10 = 0")
-
-
-def _dup_corpus(spark, sf):
-    docs = load(spark, sf, "documents").select("doc_id", "text")
-    return docs.unionByName(docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"))
-
-
-def _neardup_corpus(spark, sf):
-    docs = load(spark, sf, "documents").select("doc_id", "text")
-    mutated = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.array_join(F.slice(F.split(F.col("text"), r"\s+"), 3, 1 << 20), " ")
-        .alias("text"))
-    return docs.unionByName(mutated)
-
-
-def _shingle_ctes(src: str) -> str:
-    """DuckDB CTEs mirroring text.shingles_col(k=3) + dedup.shingle_sets."""
-    return f"""
- toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM {src}),
- shl AS (SELECT doc_id,
-           CASE WHEN len(tk) >= 3
-                THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
-                      FOR i IN generate_series(1, len(tk) - 2)]
-                ELSE [array_to_string(tk, ' ')] END AS shingles
-         FROM toks),
- shx AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM shl)"""
-
-
-@_q("x1_exact_dedup", f"""
-WITH corpus AS ({_DUP_SQL})
-SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
-       CAST(COUNT(*) AS BIGINT) AS n_copies
-FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
-""")
-def q_exact_dedup(spark, sf):
-    return dd.exact_dedup(_dup_corpus(spark, sf))
-
-
-def _minhash_params_values() -> str:
-    from data_ingest_spark.extensions.dedup import hash_params
-    return ", ".join(f"({j}, {a}, {b})"
-                     for j, (a, b) in enumerate(hash_params(12)))
-
-
-# The MinHash-LSH pipeline as reusable CTE chains (expect `corpus`
-# and the _shingle_ctes in scope). _MINHASH_BAND_CTES ends at band
-# buckets + sizes; the candidate/verify stage differs per use (x2/x57
-# pair within the corpus, x59 joins across the incoming/existing
-# boundary).
-_MINHASH_BAND_CTES = f"""
- sig AS (SELECT s.doc_id, j.j,
-                MIN((j.a * CAST(concat('0x', substr(md5(s.shingle), 1, 7))
-                            AS BIGINT) + j.b) % 2147483647) AS mh
-         FROM shx s CROSS JOIN (VALUES {_minhash_params_values()})
-              j(j, a, b)
-         GROUP BY 1, 2),
- band AS (SELECT doc_id, j // 3 AS band,
-                 md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j))
-                   AS bucket
-          FROM sig GROUP BY doc_id, j // 3),
- sizes AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY 1)"""
-
-_MINHASH_FOUND_CTES = _MINHASH_BAND_CTES + """,
- cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket
-          WHERE a.doc_id < b.doc_id),
- inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
-           FROM cand c JOIN shx x ON x.doc_id = c.id_a
-                       JOIN shx y ON y.doc_id = c.id_b AND y.shingle = x.shingle
-           GROUP BY 1, 2),
- found AS (SELECT i.id_a, i.id_b,
-                  ROUND(i.i / (sa.n + sb.n - i.i), 6) AS jaccard
-           FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
-                        JOIN sizes sb ON sb.doc_id = i.id_b
-           WHERE i.i / (sa.n + sb.n - i.i) >= 0.5)"""
-
-
-@_q("x2_minhash_lsh_pairs", f"""
-WITH corpus AS ({_NEARDUP_SQL}),{_shingle_ctes('corpus')},{_MINHASH_FOUND_CTES}
-SELECT id_a, id_b, jaccard FROM found
-""")
-def q_minhash_lsh(spark, sf):
-    pairs = dd.near_dup_pairs(_neardup_corpus(spark, sf), threshold=0.5)
-    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-
-
-@_q("x57_minhash_recall", f"""
-WITH corpus AS ({_NEARDUP_SQL}),{_shingle_ctes('corpus')},{_MINHASH_FOUND_CTES},
- planted AS (SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
-             FROM documents WHERE doc_id % 10 = 0),
- tint AS (SELECT p.id_a, p.id_b, COUNT(*) AS i
-          FROM planted p JOIN shx x ON x.doc_id = p.id_a
-                         JOIN shx y ON y.doc_id = p.id_b
-                                   AND y.shingle = x.shingle
-          GROUP BY 1, 2),
- truth AS (SELECT t.id_a, t.id_b
-           FROM tint t JOIN sizes sa ON sa.doc_id = t.id_a
-                       JOIN sizes sb ON sb.doc_id = t.id_b
-           WHERE t.i / (sa.n + sb.n - t.i) >= 0.5)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
-       CAST(SUM(CASE WHEN f.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-       AS n_found,
-       ROUND(SUM(CASE WHEN f.id_a IS NOT NULL THEN 1 ELSE 0 END) * 1.0
-             / COUNT(*), 6) AS recall
-FROM truth t LEFT JOIN found f
-  ON f.id_a = t.id_a AND f.id_b = t.id_b
-""")
-def q_minhash_recall(spark, sf):
-    """Recall of the MinHash-LSH near-dup pipeline against ground
-    truth: the planted (doc, truncated-copy) pairs whose TRUE Jaccard
-    clears the threshold. The x42 eval-rigor pattern applied to dedup
-    — an approximate path ships with its measured recall, under a
-    full value oracle (both sides of the comparison are
-    deterministic)."""
-    corpus = _neardup_corpus(spark, sf)
-    docs = load(spark, sf, "documents")
-    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
-        F.col("doc_id").alias("id_a"),
-        (F.col("doc_id") + 1000000).alias("id_b"))
-    membership = dd.shingle_sets(corpus)
-    truth = (dd.jaccard_of_pairs(planted, membership)
-             .filter(F.col("jaccard") >= 0.5).select("id_a", "id_b"))
-    found = (dd.near_dup_pairs(corpus, threshold=0.5)
-             .select("id_a", "id_b"))
-    caught = truth.join(found, ["id_a", "id_b"], "left_semi")
-    return (truth.agg(F.count("*").alias("n_truth"))
-            .crossJoin(caught.agg(F.count("*").alias("n_found")))
-            .select("n_truth", "n_found",
-                    F.round(F.col("n_found") / F.col("n_truth"), 6)
-                    .alias("recall")))
-
-
-@_q("x59_incremental_neardup", f"""
-WITH corpus AS ({_NEARDUP_SQL}),{_shingle_ctes('corpus')},{_MINHASH_BAND_CTES},
- cand AS (SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
-          FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket
-          WHERE a.doc_id >= 1000000 AND b.doc_id < 1000000),
- inter AS (SELECT c.id_new, c.id_old, COUNT(*) AS i
-           FROM cand c JOIN shx x ON x.doc_id = c.id_new
-                       JOIN shx y ON y.doc_id = c.id_old
-                                 AND y.shingle = x.shingle
-           GROUP BY 1, 2)
-SELECT i.id_new, i.id_old,
-       ROUND(i.i / (sa.n + sb.n - i.i), 6) AS jaccard
-FROM inter i JOIN sizes sa ON sa.doc_id = i.id_new
-             JOIN sizes sb ON sb.doc_id = i.id_old
-WHERE i.i / (sa.n + sb.n - i.i) >= 0.5
-""")
-def q_incremental_neardup(spark, sf):
-    """Daily-ingest fuzzy dedup: LSH candidates ACROSS the
-    incoming/existing boundary only (never within a side, never
-    all-pairs), verified by exact Jaccard. Incoming = the planted
-    truncated copies; existing = the base documents."""
-    docs = load(spark, sf, "documents").select("doc_id", "text")
-    incoming = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.array_join(F.slice(F.split(F.col("text"), r"\s+"), 3, 1 << 20),
-                     " ").alias("text"))
-    pairs = dd.near_dups_against(incoming, docs, threshold=0.5)
-    return pairs.select("id_new", "id_old",
-                        F.round("jaccard", 6).alias("jaccard"))
-
-
-@_q("x15_dup_clusters", """
-WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL
-                SELECT doc_id + 1000000, text
-                FROM documents WHERE doc_id % 10 = 0),
- groups AS (SELECT md5(text) AS h, MIN(doc_id) AS keep, COUNT(*) AS n
-            FROM corpus GROUP BY 1 HAVING COUNT(*) > 1),
- pairs AS (SELECT g.keep AS id_a, c.doc_id AS id_b
-           FROM groups g JOIN corpus c ON md5(c.text) = g.h
-           WHERE c.doc_id > g.keep),
- edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-           UNION SELECT id_b, id_a FROM pairs),
- nodes AS (SELECT DISTINCT src AS id FROM edges),
- walk AS (
-   WITH RECURSIVE reach(src, dst) AS (
-     SELECT id, id FROM nodes
-     UNION
-     SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-   SELECT src, dst FROM reach)
-SELECT src AS doc_id, MIN(dst) AS cluster FROM walk GROUP BY 1
-""")
-def q_dup_clusters(spark, sf):
-    """Connected components over exact-duplicate pairs (deterministic
-    star edges: every copy links to the group minimum; component label
-    = min id, matched by DuckDB's recursive transitive closure)."""
-    corpus = _dup_corpus(spark, sf)
-    groups = dd.exact_dedup(corpus)
-    h = F.md5(F.col("text").cast("binary"))
-    pairs = (corpus.select("doc_id", h.alias("content_hash"))
-             .join(groups, "content_hash")
-             .filter(F.col("doc_id") > F.col("keep_id"))
-             .select(F.col("keep_id").alias("id_a"),
-                     F.col("doc_id").alias("id_b")))
-    return dd.dup_clusters(pairs)
-
-
-_SIMHASH_BITS = ", ".join(
-    f"CASE WHEN SUM(strpos('0123456789abcdef', substr(hh, {p}, 1)) - 8.5) > 0 "
-    f"THEN '1' ELSE '0' END AS b{p}" for p in range(1, 17))
-_SIMHASH_CONCAT = " || ".join(f"b{p}" for p in range(1, 17))
-
-
-@_q("x3_simhash", f"""
-WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
-              FROM documents),
- h AS (SELECT doc_id, md5(tok) AS hh FROM toks),
- bits AS (SELECT doc_id, {_SIMHASH_BITS} FROM h GROUP BY doc_id)
-SELECT doc_id, {_SIMHASH_CONCAT} AS simhash FROM bits
-""")
-def q_simhash(spark, sf):
-    return tx.simhash(load(spark, sf, "documents"))
-
-
-@_q("x4_jaccard_blocked", """
-WITH d AS (SELECT doc_id, text, source || chr(1) || CAST(CAST(FLOOR(n_chars / 100) AS BIGINT) AS VARCHAR) AS blk
-           FROM documents),
- shx AS (SELECT DISTINCT doc_id,
-                unnest(string_split_regex(lower(text), '\\s+')) AS shingle
-         FROM d),
- cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM d a JOIN d b ON a.blk = b.blk WHERE a.doc_id < b.doc_id),
- sizes AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY 1),
- inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
-           FROM cand c JOIN shx x ON x.doc_id = c.id_a
-                       JOIN shx y ON y.doc_id = c.id_b AND y.shingle = x.shingle
-           GROUP BY 1, 2)
-SELECT i.id_a, i.id_b, ROUND(i.i / (sa.n + sb.n - i.i), 6) AS jaccard
-FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
-             JOIN sizes sb ON sb.doc_id = i.id_b
-WHERE i.i / (sa.n + sb.n - i.i) >= 0.6
-""")
-def q_jaccard_blocked(spark, sf):
-    docs = load(spark, sf, "documents").withColumn(
-        "_band", F.floor(F.col("n_chars") / 100).cast("long").cast("string"))
-    pairs = dd.jaccard_pairs_blocked(docs, ["source", "_band"], k=1,
-                                     threshold=0.6)
-    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-
-
-_ANN_Q = "vec_id % 50 = 0"
-_COS = ("ROUND(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) "
-        "* sqrt(list_dot_product(cv, cv))), 6)")
-
-
-@_q("x5_ann_topk", f"""
-WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-           FROM embeddings WHERE {_ANN_Q}),
- c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
- s AS (SELECT q.query_id, c.neighbor_id, {_COS} AS cosine
-       FROM q CROSS JOIN c WHERE c.neighbor_id <> q.query_id),
- r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
-       FROM s)
-SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
-""")
-def q_ann_topk(spark, sf):
-    emb = load(spark, sf, "embeddings")
-    queries = emb.filter(F.expr(_ANN_Q)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_vec"))
-    return sim.cosine_topk(emb, queries, k=5)
-
-
-@_q("x62_truncation_eval", f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
- q AS (SELECT vec_id AS query_id, v AS qv, v[1:16] AS qv16
-       FROM e WHERE {_ANN_Q}),
- s64 AS (SELECT q.query_id, e.vec_id AS nid,
-                {_COS.replace('cv', 'e.v').replace('qv', 'q.qv')} AS c
-         FROM q JOIN e ON e.vec_id <> q.query_id),
- r64 AS (SELECT query_id, nid, ROW_NUMBER() OVER (PARTITION BY query_id
-                ORDER BY c DESC, nid) AS rk FROM s64),
- f64 AS (SELECT query_id, nid AS full_top1 FROM r64 WHERE rk = 1),
- s16 AS (SELECT q.query_id, e.vec_id AS nid,
-                ROUND(list_dot_product(q.qv16, e.v[1:16])
-                      / (sqrt(list_dot_product(q.qv16, q.qv16))
-                         * sqrt(list_dot_product(e.v[1:16], e.v[1:16]))), 6)
-                AS c
-         FROM q JOIN e ON e.vec_id <> q.query_id),
- r16 AS (SELECT query_id, nid, ROW_NUMBER() OVER (PARTITION BY query_id
-                ORDER BY c DESC, nid) AS rk FROM s16),
- f16 AS (SELECT query_id, nid AS trunc_top1 FROM r16 WHERE rk = 1)
-SELECT f64.query_id, f64.full_top1, f16.trunc_top1,
-       CAST(CASE WHEN f64.full_top1 = f16.trunc_top1
-                 THEN 1 ELSE 0 END AS BIGINT) AS agree
-FROM f64 JOIN f16 ON f16.query_id = f64.query_id
-""")
-def q_truncation_eval(spark, sf):
-    """Matryoshka-style truncation evaluation: does the top-1 cosine
-    neighbor at 16 of 64 dimensions agree with the full-dimension
-    answer, per query? The measured-quality pattern applied to the
-    memory/recall tradeoff every embedding store faces — truncated
-    prefixes are the standard cheap first-stage retriever."""
-    emb = load(spark, sf, "embeddings")
-    qfull = emb.filter(F.expr(_ANN_Q)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_vec"))
-    full = (sim.cosine_topk(emb, qfull, k=1)
-            .select("query_id", F.col("neighbor_id").alias("full_top1")))
-    e16 = emb.withColumn("embedding", F.slice("embedding", 1, 16))
-    q16 = e16.filter(F.expr(_ANN_Q)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_vec"))
-    trunc = (sim.cosine_topk(e16, q16, k=1)
-             .select("query_id", F.col("neighbor_id").alias("trunc_top1")))
-    return (full.join(trunc, "query_id")
-            .select("query_id", "full_top1", "trunc_top1",
-                    (F.col("full_top1") == F.col("trunc_top1"))
-                    .cast("long").alias("agree")))
-
-
-@_q("x6_ann_ivf", f"""
-WITH q AS (SELECT vec_id AS query_id, label, embedding::DOUBLE[] AS qv
-           FROM embeddings WHERE {_ANN_Q}),
- c AS (SELECT vec_id AS neighbor_id, label, embedding::DOUBLE[] AS cv
-       FROM embeddings),
- s AS (SELECT q.query_id, c.neighbor_id, {_COS} AS cosine
-       FROM q JOIN c ON q.label = c.label WHERE c.neighbor_id <> q.query_id),
- r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
-       FROM s)
-SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
-""")
-def q_ann_ivf(spark, sf):
-    emb = load(spark, sf, "embeddings")
-    queries = emb.filter(F.expr(_ANN_Q)).select(
-        F.col("vec_id").alias("query_id"), "label",
-        F.col("embedding").alias("query_vec"))
-    return sim.cosine_topk_ivf(emb, queries, k=5)
-
-
-def _planes_sql() -> str:
-    planes = sim.hyperplanes(4, 64)
-    bits = []
-    for row in planes:
-        arr = "[" + ", ".join(str(x) for x in row) + "]"
-        bits.append(f"CASE WHEN list_dot_product(v, {arr}) > 0 "
-                    f"THEN '1' ELSE '0' END")
-    return " || ".join(bits)
-
-
-@_q("x11_ann_lsh", f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
- b AS (SELECT vec_id, v, {_planes_sql()} AS bkt FROM e),
- q AS (SELECT vec_id AS query_id, v AS qv, bkt FROM b WHERE {_ANN_Q}),
- s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
-              ROUND(list_dot_product(qv, c.v) / (sqrt(list_dot_product(qv, qv))
-                    * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
-       FROM q JOIN b c ON q.bkt = c.bkt WHERE c.vec_id <> q.query_id),
- r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
-       FROM s)
-SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
-""")
-def q_ann_lsh(spark, sf):
-    emb = load(spark, sf, "embeddings")
-    queries = emb.filter(F.expr(_ANN_Q)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_vec"))
-    return sim.cosine_topk_lsh(emb, queries, k=5, n_planes=4, dim=64)
-
-
-@_q("x17_embedding_dups", f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
- b AS (SELECT vec_id, v, {_planes_sql()} AS bkt FROM e),
- s AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-              ROUND(list_dot_product(a.v, c.v)
-                    / (sqrt(list_dot_product(a.v, a.v))
-                       * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
-       FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id)
-SELECT id_a, id_b, cosine FROM s WHERE cosine >= 0.35
-""")
-def q_embedding_dups(spark, sf):
-    """Embedding-cosine near-dup pairs within deterministic LSH
-    buckets (the last dedup tier of the brief); both engines threshold
-    the 6dp-rounded cosine."""
-    emb = load(spark, sf, "embeddings")
-    return sim.embedding_near_dups(emb, threshold=0.35)
-
-
-_STOP_SQL = "['the', 'a', 'is', 'of', 'and', 'to', 'in', 'it']"
-
-
-@_q("x7_text_quality", f"""
-WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk,
-                  length(text) AS nc,
-                  length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS np,
-                  text
-           FROM documents),
- m AS (SELECT doc_id, len(tk) AS n_tokens, nc AS n_chars_m,
-              np / nc AS pr,
-              len(list_filter(tk, x -> list_contains({_STOP_SQL}, x))) / len(tk) AS sr
-       FROM t)
-SELECT doc_id, n_tokens, n_chars_m, ROUND(pr, 6) AS punct_ratio,
-       ROUND(sr, 6) AS stopword_ratio,
-       ROUND(0.3 * least(1.0, n_tokens / 100.0) + 0.4 * (1.0 - pr) + 0.3 * sr,
-             6) AS quality_score
-FROM m
-""")
-def q_text_quality(spark, sf):
-    return tx.text_quality(load(spark, sf, "documents"))
-
-
-@_q("x22_quality_deciles", f"""
-WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk,
-                  length(text) AS nc,
-                  length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS np
-           FROM documents),
- m AS (SELECT doc_id, len(tk) AS n_tokens, np / nc AS pr,
-              len(list_filter(tk, x -> list_contains({_STOP_SQL}, x)))
-                / len(tk) AS sr
-       FROM t),
- q AS (SELECT doc_id,
-              ROUND(0.3 * least(1.0, n_tokens / 100.0) + 0.4 * (1.0 - pr)
-                    + 0.3 * sr, 6) AS qs
-       FROM m),
- d AS (SELECT doc_id, qs,
-              CAST(NTILE(10) OVER (ORDER BY qs, doc_id) AS BIGINT) AS decile
-       FROM q)
-SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
-       MIN(qs) AS min_score, MAX(qs) AS max_score
-FROM d GROUP BY 1
-""")
-def q_quality_deciles(spark, sf):
-    """Curriculum binning: documents ranked by quality score into 10
-    equal-count deciles via the scalable NTILE (coarse-bucket rank +
-    offset — no single-task global window), summarized per decile.
-    Hash-matches DuckDB's NTILE."""
-    from data_ingest_spark.operators.windows import ntile_scalable
-    q = tx.text_quality(load(spark, sf, "documents")).select(
-        "doc_id", F.col("quality_score").alias("qs"))
-    d = ntile_scalable(q, 10, "qs", ["doc_id"], out_col="decile")
-    return d.groupBy("decile").agg(
-        F.count("*").alias("n"),
-        F.min("qs").alias("min_score"), F.max("qs").alias("max_score"))
-
-
-def _lang_sql() -> str:
-    scores = {lang: (f"len(list_filter(tk, x -> list_contains(["
-                     + ", ".join(f"'{m}'" for m in markers)
-                     + "], x)))")
-              for lang, markers in sorted(tx.LANG_MARKERS.items())}
-    best = "greatest(" + ", ".join(scores.values()) + ")"
-    case = " ".join(f"WHEN {expr} = best THEN '{lang}'"
-                    for lang, expr in scores.items())
-    return f"""
-WITH t AS (SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS tk
-           FROM documents),
- s AS (SELECT doc_id, lang, tk, {best} AS best FROM t)
-SELECT doc_id, lang,
-       CASE WHEN best > 0 THEN CASE {case} END ELSE 'und' END AS pred_lang
-FROM s"""
-
-
-@_q("x8_lang_id", _lang_sql())
-def q_lang_id(spark, sf):
-    return tx.lang_id(load(spark, sf, "documents")).select(
-        "doc_id", "lang", "pred_lang")
-
-
-@_q("x61_langid_eval", f"""
-WITH pred AS ({_lang_sql()})
-SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END) * 1.0
-             / COUNT(*), 6) AS cell_accuracy
-FROM pred GROUP BY 1, 2
-""")
-def q_langid_eval(spark, sf):
-    """Language-ID confusion matrix against the labeled `lang` column
-    — the measured-quality pattern (x42 ANN recall, x57 LSH recall)
-    applied to the classifier: every approximate/heuristic path in
-    the engine ships with its accuracy measured under a full oracle.
-    cell_accuracy is 1.0 on diagonal cells and 0.0 off-diagonal by
-    construction, making diagonal mass directly summable."""
-    pred = tx.lang_id(load(spark, sf, "documents"))
-    return (pred.groupBy("lang", "pred_lang")
-            .agg(F.count("*").alias("n"),
-                 F.round(F.sum(F.when(F.col("lang") == F.col("pred_lang"),
-                                      1).otherwise(0)) / F.count("*"), 6)
-                 .alias("cell_accuracy")))
-
-
-@_q("x9_token_count", """
-SELECT doc_id,
-       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
-            AS INT) AS n_tokens
-FROM documents
-""")
-def q_token_count(spark, sf):
-    return tx.token_count(load(spark, sf, "documents")).select(
-        "doc_id", "n_tokens")
-
-
-@_q("x10_fingerprint", f"""
-WITH src AS (SELECT doc_id, text FROM documents),{_shingle_ctes('src')},
- d AS (SELECT doc_id, list_sort(list_distinct(list_transform(shingles,
-                s -> md5(s)))) AS hs
-       FROM shl)
-SELECT doc_id, md5(array_to_string(hs[1:5], ',')) AS fingerprint FROM d
-""")
-def q_fingerprint(spark, sf):
-    return tx.fingerprint(load(spark, sf, "documents")).select(
-        "doc_id", "fingerprint")
-
-
-@_q("x12_multimodal_meta", """
-SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       sha256(text) AS sha256, 'bin' AS format
-FROM documents
-""")
-def q_multimodal_meta(spark, sf):
-    docs = load(spark, sf, "documents").withColumn(
-        "payload", F.col("text").cast("binary"))
-    return mm.extract_binary_meta(docs)
-
-
-@_q("x16_tfidf", """
-WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+'))
-                       AS token FROM documents),
- tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
-        FROM toks GROUP BY 1, 2),
- dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df_count
-           FROM tf GROUP BY 1 HAVING COUNT(*) >= 5),
- n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents)
-SELECT t.doc_id, t.token, t.tf, d.df_count,
-       ROUND(t.tf * (ln((1.0 + n.nd) / (1.0 + d.df_count)) + 1.0), 6)
-         AS tfidf
-FROM tf t JOIN dfreq d USING (token) CROSS JOIN n
-""")
-def q_tfidf(spark, sf):
-    docs = load(spark, sf, "documents").select("doc_id", "text")
-    out = tx.tf_idf(docs, min_df=5)
-    return out.withColumn("tfidf", F.round("tfidf", 6))
-
-
-@_q("x92_bm25", r"""
-WITH toks AS (SELECT doc_id,
-                     unnest(string_split_regex(lower(text), '\s+'))
-                       AS token
-              FROM documents),
- dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks
-        GROUP BY 1),
- st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
- tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
-        WHERE token IN ('join', 'hash', 'customer', 'filter', 'merge')
-        GROUP BY 1, 2),
- dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df_count FROM tf
-         GROUP BY 1),
- s AS (SELECT t.token, t.doc_id, t.tf,
-              ROUND(ln(CAST(1.0 AS DOUBLE)
-                       + (st.n - d.df_count + CAST(0.5 AS DOUBLE))
-                         / (d.df_count + CAST(0.5 AS DOUBLE)))
-                    * (t.tf * CAST(2.2 AS DOUBLE))
-                    / (t.tf + CAST(1.2 AS DOUBLE)
-                       * (CAST(0.25 AS DOUBLE)
-                          + (CAST(0.75 AS DOUBLE) * l.dl) / st.avgdl)),
-                    6) AS score
-       FROM tf t JOIN dl l USING (doc_id) JOIN dfq d USING (token)
-            CROSS JOIN st),
- r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY token
-                  ORDER BY score DESC, doc_id) AS rank FROM s)
-SELECT token, doc_id, tf, score, CAST(rank AS INTEGER) AS rank
-FROM r WHERE rank <= 10
-""")
-def q_bm25(spark, sf):
-    """Okapi BM25 retrieval (k1=1.2, b=0.75, Lucene idf): top-10
-    documents per query term over the documents corpus — the classic
-    lexical-retrieval scorer next to x16's TF-IDF. Constants are cast
-    to DOUBLE on the oracle side so both engines run the identical
-    IEEE op sequence."""
-    docs = load(spark, sf, "documents").select("doc_id", "text")
-    return tx.bm25(docs, ["join", "hash", "customer", "filter", "merge"])
-
-
-@_q("x13_frame_sample", """
-WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
-                  octet_length(encode(text)) AS nb FROM documents)
-SELECT doc_id, CAST(g.i AS INTEGER) AS frame_idx,
-       substring(hx, g.i*64+1, 64) AS frame_hex
-FROM d, (SELECT unnest(generate_series(0, 24, 8)) AS i) g
-WHERE g.i < greatest(nb // 32, 1)
-""")
-def q_frame_sample(spark, sf):
-    """Video-style frame sampling (fake decode): every 8th 32-byte
-    'frame' of the payload, ≤4 per doc. Oracle compares in the hex
-    domain (hex of sliced bytes ≡ sliced hex)."""
-    docs = load(spark, sf, "documents").withColumn(
-        "payload", F.col("text").cast("binary"))
-    out = mm.frame_sample(docs, every_n=8, max_frames=4, frame_bytes=32)
-    return out.select("doc_id", "frame_idx",
-                      F.hex("frame").alias("frame_hex"))
-
-
-@_q("x14_resize_image", """
-WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
-                  octet_length(encode(text)) AS nb FROM documents)
-SELECT doc_id, 64 AS width, 64 AS height,
-       substring(repeat(substring(hx, 1, 128),
-                 CAST(4096 // greatest(least(nb, 64), 1) AS INTEGER) + 1),
-                 1, 8192) AS pixels_hex
-FROM d
-""")
-def q_resize_image(spark, sf):
-    """decode(fake) → resize(64×64) two-stage mapInPandas chain; the
-    oracle reproduces the deterministic tile-or-truncate in hex. Only
-    (width, height, pixels) are oracle-compared — n_channels comes from
-    sha256 digest BYTES, which DuckDB can't index into."""
-    docs = load(spark, sf, "documents").withColumn(
-        "payload", F.col("text").cast("binary"))
-    decoded = mm.decode_image_fake(docs)
-    out = mm.resize_image(decoded, width=64, height=64)
-    return out.select("doc_id",
-                      F.col("width").cast("int").alias("width"),
-                      F.col("height").cast("int").alias("height"),
-                      F.hex("pixels").alias("pixels_hex"))
-
-
-@_q("x20_incremental_dedup", """
-WITH existing AS (SELECT DISTINCT md5(text) AS h FROM documents),
- inc AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents
-         WHERE doc_id % 3 = 0
-         UNION ALL
-         SELECT doc_id + 2000000, text || ' [v2]' FROM documents
-         WHERE doc_id % 5 = 0
-         UNION ALL
-         SELECT doc_id + 3000000, text || ' [v2]' FROM documents
-         WHERE doc_id % 5 = 0),
- firsts AS (SELECT doc_id, md5(text) AS content_hash,
-                   ROW_NUMBER() OVER (PARTITION BY md5(text)
-                                      ORDER BY doc_id) AS rk
-            FROM inc)
-SELECT f.doc_id, f.content_hash FROM firsts f
-WHERE f.rk = 1
-  AND NOT EXISTS (SELECT 1 FROM existing e WHERE e.h = f.content_hash)
-""")
-def q_incremental_dedup(spark, sf):
-    """Daily-ingest dedup: a synthetic incoming batch (copies of the
-    corpus + genuinely-new texts + batch-internal dups) anti-joined
-    against the existing corpus's distinct content hashes. Only the
-    new texts' first occurrences survive."""
-    from data_ingest_spark.extensions.dedup import dedup_against
-    docs = load(spark, sf, "documents").select("doc_id", "text")
-    inc = (
-        docs.filter(F.col("doc_id") % 3 == 0)
-        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
-        .unionAll(
-            docs.filter(F.col("doc_id") % 5 == 0)
-            .select((F.col("doc_id") + 2000000).alias("doc_id"),
-                    F.concat(F.col("text"), F.lit(" [v2]")).alias("text")))
-        .unionAll(
-            docs.filter(F.col("doc_id") % 5 == 0)
-            .select((F.col("doc_id") + 3000000).alias("doc_id"),
-                    F.concat(F.col("text"), F.lit(" [v2]")).alias("text"))))
-    out = dedup_against(inc, docs, id_col="doc_id", text_col="text")
-    return out.select("doc_id",
-                      F.md5(F.col("text").cast("binary"))
-                      .alias("content_hash"))
-
-
-@_q("x21_kmv_distinct", """
-WITH v AS (SELECT DISTINCT lang,
-                  CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
-           FROM documents),
- r AS (SELECT lang, h,
-              ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rk,
-              COUNT(*) OVER (PARTITION BY lang) AS nd
-       FROM v)
-SELECT lang, CAST(MAX(nd) AS BIGINT) AS n_distinct_exact,
-       ROUND(CASE WHEN MAX(nd) < 64 THEN CAST(MAX(nd) AS DOUBLE)
-             ELSE 63.0 / (MAX(CASE WHEN rk = 64 THEN h END)
-                          / 1152921504606846976.0)
-             END, 6) AS kmv_estimate
-FROM r WHERE rk <= 64 GROUP BY lang
-""")
-def q_kmv_distinct(spark, sf):
-    """KMV distinct sketch per language (k=64): deterministic integer
-    hashing makes the *estimate itself* oracle-checkable — the sketch
-    the reference pipeline would use for corpus cardinality dashboards."""
-    from data_ingest_spark.extensions.sketches import kmv_distinct
-    docs = load(spark, sf, "documents")
-    return kmv_distinct(docs, "text", k=64, group_cols=["lang"])
-
-
-@_q("x23_snapshot_diff", """
-WITH old AS (SELECT doc_id, md5(text) AS h FROM documents
-             WHERE doc_id % 7 <> 0),
- new AS (SELECT doc_id,
-                md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [edited]'
-                         ELSE text END) AS h
-         FROM documents
-         UNION ALL
-         SELECT doc_id + 1000000, md5(text) FROM documents
-         WHERE doc_id % 3 = 0)
-SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
-       CASE WHEN o.h IS NULL THEN 'added'
-            WHEN n.h IS NULL THEN 'removed'
-            WHEN o.h <> n.h THEN 'changed' END AS change
-FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
-WHERE o.h IS NULL OR n.h IS NULL OR o.h <> n.h
-""")
-def q_snapshot_diff(spark, sf):
-    """Corpus CDC: the old snapshot drops every 7th doc; the new one
-    edits every 5th, restores the dropped, and appends copies of every
-    3rd under new ids. The diff classifies added/removed/changed."""
-    from data_ingest_spark.extensions.cdc import snapshot_diff
-    docs = load(spark, sf, "documents").select("doc_id", "text")
-    old = docs.filter(F.col("doc_id") % 7 != 0)
-    new = (docs.withColumn(
-        "text", F.when(F.col("doc_id") % 5 == 0,
-                       F.concat(F.col("text"), F.lit(" [edited]")))
-        .otherwise(F.col("text")))
-        .unionAll(docs.filter(F.col("doc_id") % 3 == 0)
-                  .select((F.col("doc_id") + 1000000).alias("doc_id"),
-                          "text")))
-    return snapshot_diff(old, new)
-
-
-@_q("v2_tpch_q1", """
-SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-           AS sum_charge,
-       ROUND(AVG(l_quantity), 6) AS avg_qty,
-       ROUND(AVG(l_extendedprice), 6) AS avg_price,
-       ROUND(AVG(l_discount), 6) AS avg_disc,
-       CAST(COUNT(*) AS BIGINT) AS count_order
-FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-06-30'
-GROUP BY 1, 2
-""")
-def q_tpch_q1(spark, sf):
-    """TPC-H Q1 shape (pricing summary): the canonical wide
-    single-shuffle aggregation with map-side partials; every arithmetic
-    stays in whole-stage codegen."""
-    li = load(spark, sf, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("1999-06-30").cast("timestamp"))
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-        F.count("*").alias("count_order"))
-
-
-@_q("v3_tpch_q3", """
-WITH r AS (SELECT l.l_orderkey, o.o_orderdate,
-                  ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
-                      AS revenue
-           FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
-                JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-           WHERE c.c_mktsegment = 'BUILDING'
-             AND o.o_orderdate < TIMESTAMP '1998-03-15'
-             AND l.l_shipdate > TIMESTAMP '1998-03-15'
-           GROUP BY 1, 2)
-SELECT l_orderkey, o_orderdate, revenue FROM r
-ORDER BY revenue DESC, l_orderkey LIMIT 10
-""")
-def q_tpch_q3(spark, sf):
-    """TPC-H Q3 shape (shipping priority): selective dimension filter →
-    two joins → aggregate → top-k. Revenue is rounded BEFORE ranking in
-    both engines so the top-10 cut is deterministic; the limit runs as
-    TakeOrderedAndProject."""
-    cust = load(spark, sf, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    orders = load(spark, sf, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
-    li = load(spark, sf, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
-    j = (orders.join(F.broadcast(cust),
-                     orders["o_custkey"] == cust["c_custkey"])
-         .join(li, li["l_orderkey"] == orders["o_orderkey"]))
-    r = j.groupBy("l_orderkey", "o_orderdate").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                2).alias("revenue"))
-    return r.orderBy(F.desc("revenue"), "l_orderkey").limit(10)
-
-
-@_q("v4_tpch_q5", """
-SELECT n.n_name,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-JOIN supplier s ON l.l_suppkey = s.s_suppkey
-                AND c.c_nationkey = s.s_nationkey
-JOIN nation n ON s.s_nationkey = n.n_nationkey
-JOIN region r ON n.n_regionkey = r.r_regionkey
-WHERE r.r_name = 'ASIA'
-  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
-  AND o.o_orderdate < TIMESTAMP '1997-01-01'
-GROUP BY 1
-""")
-def q_tpch_q5(spark, sf):
-    """TPC-H Q5 shape (local supplier volume): six-way star join. The
-    three dimensions (supplier, nation, region) broadcast; only the
-    fact-fact joins shuffle."""
-    cust = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
-    orders = load(spark, sf, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
-    li = load(spark, sf, "lineitem")
-    sup = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
-    nat = load(spark, sf, "nation")
-    reg = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
-    j = (orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
-         .join(li, li["l_orderkey"] == orders["o_orderkey"])
-         .join(F.broadcast(sup),
-               (li["l_suppkey"] == sup["s_suppkey"])
-               & (cust["c_nationkey"] == sup["s_nationkey"]))
-         .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
-         .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"]))
-    return j.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                2).alias("revenue"))
-
-
-@_q("x24_fuzzy_join", """
-WITH clean AS (SELECT p_partkey AS clean_id, p_name AS name FROM part),
- dirty AS (SELECT p_partkey AS dirty_id,
-                  substr(p_name, 1, (p_partkey % length(p_name)))
-                    || substr(p_name, (p_partkey % length(p_name)) + 2)
-                    AS name
-           FROM part WHERE p_partkey % 10 = 0)
-SELECT d.dirty_id, c.clean_id, d.name AS name, c.name AS name_r
-FROM dirty d JOIN clean c
-  ON abs(length(d.name) - length(c.name)) <= 1
- AND levenshtein(d.name, c.name) <= 1
-""")
-def q_fuzzy_join(spark, sf):
-    """Entity resolution: part names with one deterministically-deleted
-    character joined back to the catalog within edit distance 1 —
-    deletion-neighborhood blocking (linear key expansion + equi-join),
-    never a cross join. Oracle is the naive levenshtein join."""
-    from data_ingest_spark.extensions.fuzzy import fuzzy_join
-    part = load(spark, sf, "part")
-    clean = part.select(F.col("p_partkey").alias("clean_id"),
-                        F.col("p_name").alias("name"))
-    dirty = (part.filter(F.col("p_partkey") % 10 == 0)
-             .select(F.col("p_partkey").alias("dirty_id"),
-                     F.expr("concat(substring(p_name, 1, "
-                            "p_partkey % length(p_name)), "
-                            "substring(p_name, "
-                            "(p_partkey % length(p_name)) + 2))")
-                     .alias("name")))
-    j = fuzzy_join(dirty, clean, "name")
-    return j.select("dirty_id", F.col("clean_id_r").alias("clean_id"),
-                    "name", "name_r")
-
-
-@_q("x90_fuzzy_join2", """
-WITH l AS (SELECT c_custkey AS lk, c_name AS ln FROM customer
-           WHERE c_custkey % 499 = 0),
- r AS (SELECT c_custkey AS rk, c_name AS rn FROM customer)
-SELECT l.lk, r.rk, CAST(levenshtein(l.ln, r.rn) AS INTEGER) AS dist
-FROM l JOIN r ON levenshtein(l.ln, r.rn) <= 2 AND l.lk <> r.rk
-""")
-def q_fuzzy_join2(spark, sf):
-    """Edit-distance-2 fuzzy join (the round-3 verdict gap): customer
-    names within levenshtein ≤ 2 of a sampled query set via depth-2
-    deletion-neighborhood blocking — FastSS keys (1 + n + n(n−1)/2 per
-    string) meet in an equi-join, exact levenshtein verifies, never a
-    cross join. Oracle is the naive levenshtein join."""
-    from data_ingest_spark.extensions.fuzzy import fuzzy_join
-    cust = load(spark, sf, "customer")
-    left = (cust.filter(F.col("c_custkey") % 499 == 0)
-            .select(F.col("c_custkey").alias("lk"),
-                    F.col("c_name").alias("name")))
-    right = cust.select(F.col("c_custkey").alias("rk"),
-                        F.col("c_name").alias("name"))
-    j = fuzzy_join(left, right, "name", max_dist=2)
-    return (j.filter(F.col("lk") != F.col("rk_r"))
-            .select("lk", F.col("rk_r").alias("rk"),
-                    F.levenshtein("name", "name_r").cast("int")
-                    .alias("dist")))
-
-
-def _bucket_sql(id_expr: str, seed: int) -> str:
-    from data_ingest_spark.extensions.sampling import hash_bucket_sql
-    return hash_bucket_sql(id_expr, seed)
-
-
-@_q("x18_hash_split", f"""
-WITH b AS (SELECT lang, {{expr}} AS bkt FROM documents)
-SELECT lang,
-       CASE WHEN bkt < 8000 THEN 'train'
-            WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split,
-       CAST(COUNT(*) AS BIGINT) AS n
-FROM b GROUP BY 1, 2
-""".format(expr=_bucket_sql("doc_id", 42)))
-def q_hash_split(spark, sf):
-    """Deterministic 80/10/10 split of documents, counted per language
-    — content-addressed assignment, stable under reruns/repartition."""
-    from data_ingest_spark.extensions.sampling import hash_split
-    docs = load(spark, sf, "documents")
-    out = hash_split(docs, "doc_id",
-                     {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42)
-    return out.groupBy("lang", "split").agg(F.count("*").alias("n"))
-
-
-@_q("x19_stratified_sample", f"""
-SELECT doc_id, source FROM documents
-WHERE {_bucket_sql("doc_id", 7)} < 2000
-""")
-def q_stratified_sample(spark, sf):
-    """Deterministic 20% sample by id hash — exact row set reproduced
-    by the oracle, which df.sample cannot promise."""
-    from data_ingest_spark.extensions.sampling import stratified_sample
-    docs = load(spark, sf, "documents").select("doc_id", "source")
-    return stratified_sample(docs, "doc_id", 0.2, seed=7)
-
-
-@_q("x29_stratified_quota", f"""
-WITH h AS (SELECT doc_id, source,
-                  {_bucket_sql("doc_id", 42)} AS b
-           FROM documents),
- r AS (SELECT doc_id, source,
-              ROW_NUMBER() OVER (PARTITION BY source
-                                 ORDER BY b, doc_id) AS rk
-       FROM h)
-SELECT doc_id, source FROM r WHERE rk <= 5
-""")
-def q_stratified_quota(spark, sf):
-    """Exactly-5-per-source eval draw, content-addressed and layout-
-    independent; the oracle replays the same hash order."""
-    from data_ingest_spark.extensions.sampling import stratified_quota
-    docs = load(spark, sf, "documents").select("doc_id", "source")
-    return stratified_quota(docs, "source", k=5, seed=42)
-
-
-def _profile_col_sql(c: str) -> str:
-    return (f"SELECT '{c}' AS \"column\", CAST(COUNT(*) AS BIGINT) AS n_rows, "
-            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
-            f" AS n_nulls, "
-            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct, "
-            f"CAST(MIN({c}) AS VARCHAR) AS min_value, "
-            f"CAST(MAX({c}) AS VARCHAR) AS max_value FROM documents")
-
-
-@_q("x30_profile",
-    " UNION ALL ".join(_profile_col_sql(c)
-                       for c in ["doc_id", "text", "lang", "source",
-                                 "n_chars"]))
-def q_profile(spark, sf):
-    """Ingestion data-quality profile of documents: one scan, one row
-    per column (nulls / exact distincts / min / max)."""
-    from data_ingest_spark.extensions.profile import profile_table
-    return profile_table(load(spark, sf, "documents"))
-
-
-@_q("x31_vocab_topk", """
-WITH t AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
-           FROM documents),
- c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n
-       FROM t WHERE token <> '' GROUP BY 1)
-SELECT token, n FROM c ORDER BY n DESC, token LIMIT 100
-""")
-def q_vocab_topk(spark, sf):
-    """Vocabulary heavy hitters: the canonical wordcount — explode +
-    map-side-combined count + TakeOrderedAndProject top-100 with a
-    token tie-break."""
-    from data_ingest_spark.extensions.text import tokens_col
-    docs = load(spark, sf, "documents")
-    return (docs.select(F.explode(tokens_col("text")).alias("token"))
-            .filter(F.col("token") != "")
-            .groupBy("token").agg(F.count("*").alias("n"))
-            .orderBy(F.desc("n"), "token").limit(100))
-
-
-@_q("x60_topk_per_group", """
-WITH t AS (SELECT source, unnest(string_split_regex(lower(text), '\\s+'))
-                  AS token
-           FROM documents),
- c AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n
-       FROM t WHERE token <> '' GROUP BY 1, 2),
- r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
-                      ORDER BY n DESC, token) AS BIGINT) AS rk
-       FROM c)
-SELECT source, token, n, rk FROM r WHERE rk <= 10
-""")
-def q_topk_per_group(spark, sf):
-    """Per-GROUP heavy hitters (top tokens per source): the global
-    top-k trick doesn't apply, so rank inside a source-partitioned
-    window — distributed, no collect, state bounded by k per group."""
-    from pyspark.sql import Window as W
-
-    from data_ingest_spark.extensions.text import tokens_col
-    docs = load(spark, sf, "documents")
-    counts = (docs.select("source",
-                          F.explode(tokens_col("text")).alias("token"))
-              .filter(F.col("token") != "")
-              .groupBy("source", "token").agg(F.count("*").alias("n")))
-    w = W.partitionBy("source").orderBy(F.desc("n"), "token")
-    return (counts.withColumn("rk", F.row_number().over(w).cast("long"))
-            .filter(F.col("rk") <= 10))
-
-
-@_q("e19_session_stats", """
-WITH ev AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events),
- d AS (SELECT user_id, ts,
-              CASE WHEN epoch(ts) - epoch(LAG(ts) OVER
-                     (PARTITION BY user_id ORDER BY ts)) > 1800
-                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                        IS NULL
-                   THEN 1 ELSE 0 END AS brk
-       FROM ev),
- s AS (SELECT user_id, ts,
-              SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
-                             ROWS UNBOUNDED PRECEDING) AS sess
-       FROM d),
- g AS (SELECT user_id, sess, CAST(COUNT(*) AS BIGINT) AS n_events,
-              epoch(MAX(ts)) - epoch(MIN(ts)) AS dur
-       FROM s GROUP BY 1, 2)
-SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
-       CAST(SUM(n_events) AS BIGINT) AS n_events,
-       ROUND(AVG(dur), 6) AS avg_session_s,
-       ROUND(MAX(dur), 6) AS max_session_s
-FROM g GROUP BY 1
-""")
-def q_session_stats(spark, sf):
-    """Batch sessionization via gaps-and-islands (30-min inactivity
-    boundary): lag to mark breaks, running sum to number sessions,
-    two aggregations for per-user session stats — the batch twin of
-    the streaming session_window (e3), one sorted shuffle on user."""
-    from pyspark.sql import Window as W
-
-    from data_ingest_spark.functions.stats import epoch_seconds
-    ev = events_df(spark, sf).select("user_id", "ts")
-    w = W.partitionBy("user_id").orderBy("ts")
-    sec = epoch_seconds("ts")
-    brk = F.when(F.lag("ts").over(w).isNull()
-                 | ((sec - epoch_seconds(F.lag("ts").over(w))) > 1800),
-                 1).otherwise(0)
-    sess = (ev.withColumn("_brk", brk)
-            .withColumn("sess", F.sum("_brk").over(
-                w.rowsBetween(W.unboundedPreceding, W.currentRow))))
-    g = (sess.groupBy("user_id", "sess")
-         .agg(F.count("*").alias("n_events"),
-              (F.max(sec) - F.min(sec)).alias("dur")))
-    return (g.groupBy("user_id")
-            .agg(F.count("*").alias("n_sessions"),
-                 F.sum("n_events").alias("n_events"),
-                 F.round(F.avg("dur"), 6).alias("avg_session_s"),
-                 F.round(F.max("dur"), 6).alias("max_session_s")))
-
-
-@_q("x32_negative_samples", f"""
-WITH n AS (SELECT COUNT(*) AS total FROM embeddings),
- j AS (SELECT vec_id, i AS neg_rank
-       FROM embeddings CROSS JOIN UNNEST(range(0, 4)) AS t(i)),
- h AS (SELECT vec_id, neg_rank,
-              CAST(concat('0x', substr(md5('13:' || CAST(vec_id AS VARCHAR)
-                    || ':' || CAST(neg_rank AS VARCHAR)), 1, 15)) AS BIGINT)
-                  % (SELECT total FROM n) AS raw
-       FROM j)
-SELECT vec_id AS anchor_id, CAST(neg_rank AS BIGINT) AS neg_rank,
-       CAST(CASE WHEN raw = vec_id
-                 THEN (raw + 1) % (SELECT total FROM n)
-                 ELSE raw END AS BIGINT) AS neg_id
-FROM h
-""")
-def q_negative_samples(spark, sf):
-    """Contrastive negative mining: 4 deterministic pseudo-random
-    negatives per anchor from the contiguous id space (seeded md5 mod
-    N, self remapped to the next id) — pure codegen, reproducible
-    across engines and reruns."""
-    emb = load(spark, sf, "embeddings")
-    n = emb.count()
-    h = F.conv(F.substring(F.md5(F.concat_ws(
-        ":", F.lit("13"), F.col("vec_id").cast("string"),
-        F.col("neg_rank").cast("string")).cast("binary")), 1, 15),
-        16, 10).cast("long") % n
-    return (emb.select("vec_id")
-            .withColumn("neg_rank",
-                        F.explode(F.sequence(F.lit(0), F.lit(3))))
-            .select(F.col("vec_id").alias("anchor_id"),
-                    F.col("neg_rank").cast("long").alias("neg_rank"),
-                    F.when(h == F.col("vec_id"), (h + 1) % n)
-                    .otherwise(h).cast("long").alias("neg_id")))
-
-
-@_q("x33_cap_repetitions", f"""
-WITH corpus AS (SELECT doc_id, text FROM documents
-                UNION ALL SELECT doc_id + 1000000, text FROM documents
-                WHERE doc_id % 5 = 0
-                UNION ALL SELECT doc_id + 2000000, text FROM documents
-                WHERE doc_id % 10 = 0),
- r AS (SELECT doc_id, md5(text) AS h,
-              ROW_NUMBER() OVER (PARTITION BY md5(text)
-                                 ORDER BY {_bucket_sql("doc_id", 5)},
-                                          doc_id) AS rk
-       FROM corpus)
-SELECT h AS content_hash, CAST(COUNT(*) AS BIGINT) AS n_total,
-       CAST(SUM(CASE WHEN rk <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-FROM r GROUP BY 1 HAVING COUNT(*) > 1
-""")
-def q_cap_repetitions(spark, sf):
-    """Repetition capping at k=2 over a corpus with planted 2x/3x
-    duplicates; reports kept-vs-total per duplicated content."""
-    from data_ingest_spark.extensions.dedup import cap_repetitions
-    docs = load(spark, sf, "documents").select("doc_id", "text")
-    corpus = (docs
-              .unionAll(docs.filter(F.col("doc_id") % 5 == 0)
-                        .select((F.col("doc_id") + 1000000).alias("doc_id"),
-                                "text"))
-              .unionAll(docs.filter(F.col("doc_id") % 10 == 0)
-                        .select((F.col("doc_id") + 2000000).alias("doc_id"),
-                                "text")))
-    kept = cap_repetitions(corpus, k=2, seed=5)
-    h = F.md5(F.col("text").cast("binary"))
-    totals = (corpus.select(h.alias("content_hash"))
-              .groupBy("content_hash")
-              .agg(F.count("*").alias("n_total"))
-              .filter(F.col("n_total") > 1))
-    kc = (kept.select(h.alias("content_hash"))
-          .groupBy("content_hash").agg(F.count("*").alias("n_kept")))
-    return totals.join(kc, "content_hash").select(
-        "content_hash", "n_total", "n_kept")
-
-
-@_q("x26_sequence_packing", """
-WITH t AS (SELECT doc_id,
-                  len(string_split_regex(lower(text), '\\s+')) AS n_tokens
-           FROM documents),
- r AS (SELECT doc_id, n_tokens,
-              SUM(n_tokens) OVER (ORDER BY doc_id
-                                  ROWS UNBOUNDED PRECEDING) - n_tokens
-                  AS start_tok
-       FROM t),
- s AS (SELECT doc_id, n_tokens,
-              CAST(FLOOR(start_tok / 2048.0) AS BIGINT) AS seq_id
-       FROM r)
-SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-FROM s GROUP BY 1
-""")
-def q_sequence_packing(spark, sf):
-    """Contiguous sequence packing at 2048 tokens/sequence: each doc's
-    seq_id = floor(tokens-before-it / budget) via the distributed
-    prefix-sum (coarse ranges + offsets — no single-task window),
-    summarized per sequence. The oracle is the naive global window."""
-    from data_ingest_spark.extensions.packing import pack_sequences
-    from data_ingest_spark.extensions.text import tokens_col
-    docs = load(spark, sf, "documents").select(
-        "doc_id", F.size(tokens_col("text")).alias("n_tokens"))
-    packed = pack_sequences(docs, budget=2048, order_col="doc_id",
-                            token_col="n_tokens")
-    return packed.groupBy("seq_id").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tokens").cast("long").alias("total_tokens"),
-        F.min("doc_id").alias("first_doc"),
-        F.max("doc_id").alias("last_doc"))
-
-
-@_q("x27_weighted_mix", f"""
-WITH w AS (SELECT doc_id, source FROM documents
-           WHERE CASE WHEN source IN ('src0','src1','src2','src3','src4')
-                      THEN {{b}} < 10000
-                      WHEN source IN ('src5','src6','src7') THEN {{b}} < 5000
-                      WHEN source IN ('src8','src9') THEN {{b}} < 2500
-                      ELSE FALSE END)
-SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY 1
-""".format(b=_bucket_sql("doc_id", 11)))
-def q_weighted_mix(spark, sf):
-    """Data-mixing recipe: keep 100% of five sources, 50% of three,
-    25% of two, drop the rest — content-addressed Bernoulli draws,
-    zero shuffles before the count."""
-    from data_ingest_spark.extensions.packing import weighted_mix
-    docs = load(spark, sf, "documents")
-    weights = {f"src{i}": 1.0 for i in range(5)}
-    weights.update({f"src{i}": 0.5 for i in range(5, 8)})
-    weights.update({f"src{i}": 0.25 for i in range(8, 10)})
-    mixed = weighted_mix(docs, weights, seed=11)
-    return mixed.groupBy("source").agg(F.count("*").alias("n"))
-
-
-@_q("x28_chunking", """
-WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
- n AS (SELECT doc_id, text,
-              GREATEST(1, CAST(CEIL((len - 64) / 448.0) AS INT)) AS nc
-       FROM d),
- c AS (SELECT doc_id, i AS chunk_idx, CAST(i * 448 AS BIGINT) AS chunk_start,
-              substr(text, i * 448 + 1, 512) AS chunk_text
-       FROM n CROSS JOIN UNNEST(range(0, nc)) AS t(i))
-SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_start,
-       chunk_text, CAST(length(chunk_text) AS BIGINT) AS n_chunk_chars
-FROM c
-""")
-def q_chunking(spark, sf):
-    """RAG/pretraining chunking: 512-char chunks, 64-char overlap —
-    sequence+explode+substring, all codegen, no shuffle, no UDF."""
-    return tx.chunk_documents(load(spark, sf, "documents"),
-                              size=512, overlap=64)
-
-
-@_q("x63_chunk_roundtrip", """
-WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
- n AS (SELECT doc_id, text,
-              GREATEST(1, CAST(CEIL((len - 64) / 448.0) AS INT)) AS nc
-       FROM d),
- c AS (SELECT doc_id, i AS chunk_idx,
-              substr(text, i * 448 + 1, 512) AS chunk_text
-       FROM n CROSS JOIN UNNEST(range(0, nc)) AS t(i)),
- r AS (SELECT doc_id,
-              string_agg(CASE WHEN chunk_idx = 0 THEN chunk_text
-                              ELSE substr(chunk_text, 65) END, ''
-                         ORDER BY chunk_idx) AS text
-       FROM c GROUP BY 1)
-SELECT r.doc_id,
-       CAST(CASE WHEN r.text = d.text THEN 1 ELSE 0 END AS BIGINT)
-       AS roundtrip_ok,
-       CAST(length(r.text) AS BIGINT) AS n_chars_rebuilt
-FROM r JOIN d ON d.doc_id = r.doc_id
-""")
-def q_chunk_roundtrip(spark, sf):
-    """Chunk → reassemble roundtrip audit: every document rebuilds
-    byte-identically from its 512/64 chunks (roundtrip_ok = 1 for all
-    rows) — the storage-safety guarantee for chunk-only pipelines."""
-    docs = load(spark, sf, "documents")
-    back = tx.reassemble_chunks(
-        tx.chunk_documents(docs, size=512, overlap=64), overlap=64)
-    return (back.withColumnRenamed("text", "_rt")
-            .join(docs.select("doc_id", "text"), "doc_id")
-            .select("doc_id",
-                    (F.col("_rt") == F.col("text")).cast("long")
-                    .alias("roundtrip_ok"),
-                    F.length("_rt").cast("long").alias("n_chars_rebuilt")))
-
-
-@_q("x25_audio_features", """
-WITH b AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hx FROM documents),
- s AS (SELECT doc_id, i,
-              CAST(concat('0x', substr(hx, 2 * i - 1, 2)) AS INT) AS byte
-       FROM b CROSS JOIN UNNEST(range(1, length(hx) // 2 + 1)) AS t(i)),
- l AS (SELECT doc_id, byte,
-              LEAD(byte) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
-       FROM s)
-SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
-       ROUND(AVG(byte), 6) AS mean_level,
-       ROUND(sqrt(AVG((byte - 128.0) * (byte - 128.0))), 6) AS rms,
-       ROUND(SUM(CASE WHEN (byte - 128.0) * (nxt - 128.0) < 0
-                      THEN 1 ELSE 0 END) / (COUNT(*) - 1.0), 6) AS zcr
-FROM l GROUP BY doc_id
-""")
-def q_audio_features(spark, sf):
-    """Audio stage plumbing with a full value oracle: payload bytes as
-    8-bit PCM → mean level / RMS / zero-crossing rate via the numpy
-    mapInPandas kernel. Byte sums are integer-valued doubles, so both
-    engines agree exactly despite different summation orders."""
-    docs = load(spark, sf, "documents").withColumn(
-        "payload", F.col("text").cast("binary"))
-    return mm.audio_features(docs)
-
-
-# ------------------------------------------------- E: event-stream windows
-
 
 def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ts normalized to a microsecond TIMESTAMP (the file
@@ -2090,5752 +77,15 @@ def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev
 
 
-@_q("e1_tumbling_window", """
-SELECT date_trunc('hour', ts) AS window_start, event_type,
-       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS total_value
-FROM (SELECT event_type, value, ts::TIMESTAMP AS ts FROM events) GROUP BY 1, 2
-""")
-def q_tumbling(spark, sf):
-    ev = events_df(spark, sf)
-    return ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
-    ).select(F.col("w.start").alias("window_start"), "event_type", "n",
-             "total_value")
-
-
-@_q("e2_sliding_window", """
-WITH b AS (SELECT event_type, value,
-                  make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)
-                                 * 1000000) AS b30
-           FROM (SELECT event_type, value, ts::TIMESTAMP AS ts FROM events)),
- w AS (SELECT event_type, value,
-              unnest([b30, b30 - INTERVAL 30 MINUTE]) AS window_start
-       FROM b)
-SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(value), 2) AS total_value
-FROM w GROUP BY 1, 2
-""")
-def q_sliding(spark, sf):
-    ev = events_df(spark, sf)
-    return ev.groupBy(
-        F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
-    ).agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
-    ).select(F.col("w.start").alias("window_start"), "event_type", "n",
-             "total_value")
-
-
-@_q("e3_session_window", """
-WITH o AS (SELECT user_id, ts, value,
-                  CASE WHEN LAG(ts) OVER w IS NULL
-                       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
-                       THEN 1 ELSE 0 END AS brk
-           FROM (SELECT user_id, value, ts::TIMESTAMP AS ts FROM events)
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
- s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
-                                ROWS UNBOUNDED PRECEDING) AS sid
-       FROM o)
-SELECT user_id, MIN(ts) AS session_start, CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(value), 2) AS total_value
-FROM s GROUP BY user_id, sid
-""")
-def q_session(spark, sf):
-    ev = events_df(spark, sf)
-    return ev.groupBy(
-        F.session_window("ts", "30 minutes").alias("w"), "user_id"
-    ).agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
-    ).select("user_id", F.col("w.start").alias("session_start"), "n",
-             "total_value")
-
-
-@_q("e4_asof_join", """
-WITH l AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, value
-           FROM events WHERE event_type = 'purchase'),
- r AS (SELECT user_id, ts::TIMESTAMP AS ts, MAX(value) AS signup_value
-       FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
- j AS (SELECT l.event_id, l.user_id, l.ts, l.value,
-              r.ts AS signup_ts, r.signup_value,
-              ROW_NUMBER() OVER (PARTITION BY l.event_id
-                                 ORDER BY r.ts DESC) AS rn
-       FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts)
-SELECT event_id, user_id, ts, value, signup_ts, signup_value,
-       CAST(date_diff('second', signup_ts, ts) AS BIGINT) AS lag_s
-FROM j WHERE rn = 1
-""")
-def q_asof_join(spark, sf):
-    """As-of join: each purchase ⟵ the user's latest signup at-or-before
-    it. Spark side is the single-shuffle union+window operator
-    (operators/asof.py); the oracle is the naive rank-over-range-join
-    formulation — different plan, same semantics."""
-    from data_ingest_spark.operators.asof import asof_join
-    ev = events_df(spark, sf)
-    left = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "value")
-    right = (ev.filter(F.col("event_type") == "signup")
-             .groupBy("user_id", "ts")
-             .agg(F.max("value").alias("signup_value")))
-    res = asof_join(left, right, on=["user_id"], left_ts="ts",
-                    right_ts="ts", suffix="_signup")
-    return res.select(
-        "event_id", "user_id", "ts", "value",
-        F.col("ts_signup").alias("signup_ts"), "signup_value",
-        (F.unix_timestamp("ts") - F.unix_timestamp("ts_signup"))
-        .cast("long").alias("lag_s"))
-
-
-@_q("e5_range_count", """
-WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, value
-           FROM events),
- l AS (SELECT event_id, user_id, ts FROM e
-       WHERE event_id % 7 = 0),
- m AS (SELECT l.event_id, CAST(COUNT(*) AS BIGINT) AS n_prior,
-              ROUND(SUM(r.value), 2) AS prior_value
-       FROM l JOIN e r
-         ON l.user_id = r.user_id
-        AND r.ts >= l.ts - INTERVAL 10 MINUTE AND r.ts <= l.ts
-        AND r.event_id <> l.event_id
-       GROUP BY 1)
-SELECT l.event_id, l.user_id, l.ts,
-       COALESCE(m.n_prior, 0) AS n_prior,
-       COALESCE(m.prior_value, 0.0) AS prior_value
-FROM l LEFT JOIN m ON l.event_id = m.event_id
-""")
-def q_range_count(spark, sf):
-    """Bucketed range join: for each probe event (every 7th), count and
-    sum same-user events in the trailing 10 minutes. Spark side expands
-    probes to candidate 10-minute buckets and equi-joins (no
-    BroadcastNestedLoop); oracle is the naive interval join."""
-    from data_ingest_spark.operators.asof import range_join_buckets
-    ev = events_df(spark, sf).select("event_id", "user_id", "ts", "value")
-    probes = ev.filter(F.col("event_id") % 7 == 0).select(
-        "event_id", "user_id", "ts")
-    j = range_join_buckets(probes, ev, left_ts="ts", right_ts="ts",
-                           lower_s=-600.0, upper_s=0.0, on=["user_id"])
-    m = (j.filter(F.col("event_id_r") != F.col("event_id"))
-         .groupBy("event_id")
-         .agg(F.count("*").alias("n_prior"),
-              F.round(F.sum("value"), 2).alias("prior_value")))
-    return (probes.join(m, "event_id", "left")
-            .select("event_id", "user_id", "ts",
-                    F.coalesce("n_prior", F.lit(0)).alias("n_prior"),
-                    F.coalesce("prior_value", F.lit(0.0))
-                    .alias("prior_value")))
-
-
-@_q("e6_rollup", """
-WITH b AS (SELECT CAST(ts::TIMESTAMP::DATE AS VARCHAR) AS day,
-                  event_type, value FROM events)
-SELECT COALESCE(day, 'ALL') AS day,
-       COALESCE(event_type, 'ALL') AS event_type,
-       CAST(COUNT(value) AS BIGINT) AS n, ROUND(SUM(value), 2) AS total_value
-FROM b GROUP BY ROLLUP(day, event_type)
-""")
-def q_rollup(spark, sf):
-    """Hierarchical rollup (day, event_type) → day → grand total in one
-    pass — Spark's ROLLUP grouping sets, map-side combinable."""
-    ev = events_df(spark, sf).withColumn(
-        "day", F.col("ts").cast("date").cast("string"))
-    return (ev.rollup("day", "event_type")
-            .agg(F.count("value").alias("n"),
-                 F.round(F.sum("value"), 2).alias("total_value"))
-            .select(F.coalesce("day", F.lit("ALL")).alias("day"),
-                    F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
-                    "n", "total_value"))
-
-
-@_q("e7_pivot", """
-SELECT user_id,
-       CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
-       CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error,
-       CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
-       CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
-       CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view,
-       ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2)
-           AS purchase_value
-FROM events GROUP BY user_id
-""")
-def q_pivot(spark, sf):
-    """Wide pivot of event counts per user. Explicit value list keeps it
-    a single-pass pivot (no extra distinct scan to discover columns)."""
-    ev = events_df(spark, sf)
-    kinds = ["click", "error", "purchase", "signup", "view"]
-    piv = (ev.groupBy("user_id").pivot("event_type", kinds).count())
-    pv = (ev.filter(F.col("event_type") == "purchase")
-          .groupBy("user_id")
-          .agg(F.round(F.sum("value"), 2).alias("purchase_value")))
-    out = piv.join(pv, "user_id", "left")
-    return out.select(
-        "user_id",
-        *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(f"n_{k}")
-          for k in kinds],
-        F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"))
-
-
-@_q("e8_percentiles", """
-SELECT event_type,
-       ROUND(quantile_cont(value, 0.5), 6) AS p50,
-       ROUND(quantile_cont(value, 0.9), 6) AS p90,
-       ROUND(quantile_cont(value, 0.99), 6) AS p99,
-       ROUND(AVG(value), 6) AS mean_value
-FROM events GROUP BY event_type
-""")
-def q_percentiles(spark, sf):
-    """Exact linear-interpolation percentiles per group — Spark's
-    `percentile` and DuckDB's `quantile_cont` agree bit-for-bit at 6dp.
-    (At 100 TB you'd switch to approx_percentile; the exact form is the
-    correctness anchor the sketch is judged against.)"""
-    ev = events_df(spark, sf)
-    return ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
-        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
-        F.round(F.avg("value"), 6).alias("mean_value"))
-
-
-@_q("e9_multires_rollup", """
-SELECT CAST(ts::TIMESTAMP::DATE AS VARCHAR) AS day, event_type,
-       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS total_value
-FROM events GROUP BY 1, 2
-""")
-def q_multires_rollup(spark, sf):
-    """Hypertable-style rollup reuse: the daily aggregate is derived
-    from the HOURLY rollup (sum of partial sums + sum of counts), not
-    from raw events — the incremental-aggregation contract that lets a
-    100 TB store keep only coarse tiers hot. The oracle computes daily
-    from raw, proving the reaggregation is lossless. Rounding happens
-    only at the final tier (partials stay exact doubles)."""
-    ev = events_df(spark, sf)
-    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"),
-                         "event_type")
-              .agg(F.count("*").alias("n"), F.sum("value").alias("sv")))
-    return (hourly.groupBy(
-        F.col("hour").cast("date").cast("string").alias("day"),
-        "event_type")
-        .agg(F.sum("n").alias("n"),
-             F.round(F.sum("sv"), 2).alias("total_value")))
-
-
-@_q("e10_running_stats", """
-SELECT event_id, user_id, ts,
-       CAST(ROW_NUMBER() OVER w AS BIGINT) AS n_so_far,
-       ROUND(SUM(value) OVER w, 2) AS value_so_far,
-       ROUND(value - LAG(value) OVER w, 2) AS delta_prev,
-       CAST(date_diff('second', LAG(ts::TIMESTAMP) OVER w, ts::TIMESTAMP)
-            AS BIGINT) AS gap_s
-FROM (SELECT event_id, user_id, value, ts::TIMESTAMP AS ts FROM events)
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-""")
-def q_running_stats(spark, sf):
-    """Per-user running aggregates + lag deltas in one window pass
-    (partitioned by user — parallel, no global window)."""
-    ev = events_df(spark, sf)
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    return ev.select(
-        "event_id", "user_id", "ts",
-        F.row_number().over(w).cast("long").alias("n_so_far"),
-        F.round(F.sum("value").over(wf), 2).alias("value_so_far"),
-        F.round(F.col("value") - F.lag("value").over(w), 2)
-        .alias("delta_prev"),
-        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
-        .cast("long").alias("gap_s"))
-
-
-@_q("e11_funnel", """
-WITH s AS (SELECT user_id, MIN(ts::TIMESTAMP) AS t_signup FROM events
-           WHERE event_type = 'signup' GROUP BY 1),
- c AS (SELECT e.user_id, MIN(e.ts::TIMESTAMP) AS t_click
-       FROM events e JOIN s ON e.user_id = s.user_id
-       WHERE e.event_type = 'click' AND e.ts::TIMESTAMP > s.t_signup
-       GROUP BY 1),
- p AS (SELECT e.user_id, MIN(e.ts::TIMESTAMP) AS t_purchase
-       FROM events e JOIN c ON e.user_id = c.user_id
-       WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP > c.t_click
-       GROUP BY 1)
-SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_signup,
-       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_after,
-       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_after
-""")
-def q_funnel(spark, sf):
-    """Ordered funnel: signup → later click → later purchase. Each
-    stage is a min-timestamp aggregate joined to the previous stage —
-    three shuffles keyed by user, no window over the full stream."""
-    ev = events_df(spark, sf).select("user_id", "event_type", "ts")
-    s = (ev.filter(F.col("event_type") == "signup")
-         .groupBy("user_id").agg(F.min("ts").alias("t_signup")))
-    c = (ev.filter(F.col("event_type") == "click")
-         .join(s, "user_id")
-         .filter(F.col("ts") > F.col("t_signup"))
-         .groupBy("user_id").agg(F.min("ts").alias("t_click")))
-    p = (ev.filter(F.col("event_type") == "purchase")
-         .join(c, "user_id")
-         .filter(F.col("ts") > F.col("t_click"))
-         .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
-    return (s.agg(F.count("*").alias("n_signup"))
-            .crossJoin(c.agg(F.count("*").alias("n_click_after")))
-            .crossJoin(p.agg(F.count("*").alias("n_purchase_after"))))
-
-
-@_q("e12_cohort_retention", """
-WITH s AS (SELECT user_id,
-                  date_trunc('week', MIN(ts::TIMESTAMP)) AS cohort_week
-           FROM events WHERE event_type = 'signup' GROUP BY 1),
- a AS (SELECT e.user_id, s.cohort_week,
-              CAST(date_diff('week', s.cohort_week,
-                             date_trunc('week', e.ts::TIMESTAMP))
-                   AS BIGINT) AS week_offset
-       FROM events e JOIN s ON e.user_id = s.user_id
-       WHERE e.ts::TIMESTAMP >= s.cohort_week)
-SELECT cohort_week, week_offset,
-       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
-FROM a GROUP BY 1, 2
-""")
-def q_cohort_retention(spark, sf):
-    """Cohort retention triangle: users bucketed by first-signup week,
-    counted distinct per week offset of any later activity."""
-    ev = events_df(spark, sf)
-    s = (ev.filter(F.col("event_type") == "signup")
-         .groupBy("user_id")
-         .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week")))
-    a = (ev.join(s, "user_id")
-         .filter(F.col("ts") >= F.col("cohort_week"))
-         .select("user_id", "cohort_week",
-                 ((F.unix_timestamp(F.date_trunc("week", F.col("ts")))
-                   - F.unix_timestamp("cohort_week"))
-                  / (7 * 86400)).cast("long").alias("week_offset")))
-    return (a.groupBy("cohort_week", "week_offset")
-            .agg(F.count_distinct("user_id").alias("active_users")))
-
-
-# ------------------------------------------------- M: ML stage (M2, M8–M13, pipeline)
-#
-# The deterministic graph ops (kNN, SNN) run on the embeddings table and
-# carry full DuckDB oracles. The inherently iterative/eigen ops (PCA,
-# LPA/Louvain, spectral embedding, MNN integration, doublet simulation)
-# are seeded+deterministic but not ANSI-SQL-expressible → rows-only.
-
-
-def _emb_pc_arr(spark, sf):
-    """embeddings as a reduced-space table: sample=label,
-    barcode=vec_id, pc=float64 array."""
-    return load(spark, sf, "embeddings").select(
-        F.col("label").cast("string").alias("sample"),
-        F.col("vec_id").cast("string").alias("barcode"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("pc"))
-
-
-def _emb_knn(spark, sf, k: int = 10, cached: bool = False):
-    """Shared exact-kNN edge list over the embeddings table. The
-    staged reduced matrix is keyed by (sf dir, file mtime, size), so
-    the whole kNN → SNN → clustering/embedding family stages it ONCE
-    per dataset instead of once per query, while a regenerated input
-    file invalidates the key.
-
-    ``cached=True`` additionally materializes the EDGE LIST itself
-    under the same content key (neighbors.knn_exact_cached — the
-    Seurat ``@graphs`` pattern): consumers of the graph (SNN,
-    clustering, PageRank, spectral) read the one staged copy instead
-    of re-scoring the matrix per query. The producer query
-    (m12_knn_exact) deliberately does NOT use it, so its benchmark
-    number measures the scoring throughput, not a parquet scan."""
-    import os
-    from data_ingest_spark.operators import neighbors as nb
-    try:
-        st = os.stat(os.path.join(sf, "embeddings.parquet"))
-        key = f"embpc_{sf}_{st.st_mtime_ns}_{st.st_size}"
-    except OSError:
-        key = None
-    if cached:
-        return nb.knn_exact_cached(_emb_pc_arr(spark, sf), k=k,
-                                   id_cols=("barcode",), stage_key=key)
-    return nb.knn_exact(_emb_pc_arr(spark, sf), k=k, id_cols=("barcode",),
-                        stage_key=key)
-
-
-def _emb_pc_cols(spark, sf, dim: int = 64):
-    emb = _emb_pc_arr(spark, sf)
-    cols = [F.col("pc").getItem(i).alias(f"pc_{i}") for i in range(dim)]
-    return emb.select("sample", "barcode", *cols)
-
-
-_KNN_EDGES_SQL = """
-v AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding::DOUBLE[] AS e
-      FROM embeddings),
- s AS (SELECT a.id AS src, b.id AS dst,
-              ROUND(list_dot_product(a.e, b.e)
-                    / (sqrt(list_dot_product(a.e, a.e))
-                       * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
-       FROM v a CROSS JOIN v b WHERE a.id <> b.id),
- r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY src
-                      ORDER BY cosine DESC, dst) AS BIGINT) AS rank
-       FROM s)"""
-
-
-@_q("m12_knn_exact", f"""
-WITH {_KNN_EDGES_SQL}
-SELECT src, dst, cosine, rank FROM r WHERE rank <= 10
-""")
-def q_knn_exact(spark, sf):
-    from data_ingest_spark.operators import neighbors as nb
-    return _emb_knn(spark, sf, k=10)
-
-
-@_q("m12_snn_graph", f"""
-WITH {_KNN_EDGES_SQL},
- e AS (SELECT src, dst FROM r WHERE rank <= 10),
- i AS (SELECT a.src AS u, b.src AS v, CAST(COUNT(*) AS BIGINT) AS c
-       FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
-       GROUP BY 1, 2)
-SELECT u AS src, v AS dst, ROUND(c / (20.0 - c), 9) AS snn_weight
-FROM i WHERE c / (20.0 - c) >= 1.0 / 15.0
-""")
-def q_snn_graph(spark, sf):
-    from data_ingest_spark.operators import neighbors as nb
-    knn = _emb_knn(spark, sf, k=10, cached=True)
-    snn = nb.snn_graph(knn, k=10)
-    return snn.withColumn("snn_weight", F.round("snn_weight", 9))
-
-
-# LPA vote sums must compare identically in Spark and DuckDB, so the
-# SNN weight c/(20−c) is scaled by LCM(10..19) = 232792560 to an EXACT
-# int64 — float summation order can flip a >= at the last ulp, integer
-# sums cannot. (c ∈ 1..10 ⇒ 20−c ∈ 10..19 divides the LCM; sums stay
-# far below 2^53 so double-held integers remain exact.)
-_LPA_SCALE = 232792560
-
-
-def _lpa_oracle_sql(iters: int = 5) -> str:
-    sql = f"""
-WITH {_KNN_EDGES_SQL},
- e AS (SELECT src, dst FROM r WHERE rank <= 10),
- i AS (SELECT a.src AS u, b.src AS v, COUNT(*) AS c
-       FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
-       GROUP BY 1, 2),
- sn AS (SELECT u, v, CAST(c * ({_LPA_SCALE} // (20 - c)) AS BIGINT) AS w
-        FROM i WHERE c / (20.0 - c) >= 1.0 / 15.0),
- und AS MATERIALIZED (SELECT u AS src, v AS dst, w FROM sn
-         UNION ALL SELECT v, u, w FROM sn),
- l0 AS MATERIALIZED (
-   SELECT src AS id, src AS label FROM (SELECT DISTINCT src FROM und))"""
-    # MATERIALIZED is load-bearing: und is referenced every round and
-    # l{k} twice per round — inlined, the plan doubles each level
-    # (2^iters copies of the all-pairs kNN subtree; observed OOM at
-    # sf0.1). Materialization keeps the oracle linear in iters.
-    for k in range(iters):
-        sql += f""",
- v{k} AS (SELECT e.src, l.label AS nl, SUM(e.w) AS w
-          FROM und e JOIN l{k} l ON e.dst = l.id GROUP BY 1, 2),
- b{k} AS (SELECT src, MIN(nl) AS new FROM (
-            SELECT src, nl, w, MAX(w) OVER (PARTITION BY src) AS mw
-            FROM v{k}) t
-          WHERE w >= mw GROUP BY src),
- l{k + 1} AS MATERIALIZED (
-   SELECT l.id, COALESCE(b.new, l.label) AS label
-   FROM l{k} l LEFT JOIN b{k} b ON l.id = b.src)"""
-    return sql + f"\nSELECT id, label AS cluster FROM l{iters}"
-
-
-@_q("m13_label_propagation", _lpa_oracle_sql(5))
-def q_label_propagation(spark, sf):
-    """Weighted LPA, 5 rounds, integer-scaled votes (see _LPA_SCALE).
-    Fully oracle-checked: the DuckDB side unrolls the same 5 rounds."""
-    from data_ingest_spark.operators import clustering as cl, neighbors as nb
-    knn = _emb_knn(spark, sf, k=10, cached=True)
-    snn = nb.snn_graph(knn, k=10).withColumn(
-        "snn_weight",
-        F.round(F.col("snn_weight") * _LPA_SCALE).cast("double"))
-    return cl.label_propagation(snn, max_iter=5)
-
-
-def _pagerank_oracle_sql(iters: int = 5) -> str:
-    t = "1000000000000"
-    sql = f"""
-WITH {_KNN_EDGES_SQL},
- e AS (SELECT DISTINCT src, dst FROM r WHERE rank <= 10),
- deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
- ew AS (SELECT e.src, e.dst, d.outdeg FROM e JOIN deg d ON e.src = d.src),
- nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
- nn AS (SELECT COUNT(*) AS n FROM nodes),
- p0 AS (SELECT id, CAST({t} // n AS BIGINT) AS r FROM nodes CROSS JOIN nn)"""
-    for k in range(iters):
-        sql += f""",
- c{k} AS (SELECT ew.dst, SUM(p.r // ew.outdeg) AS s
-          FROM ew JOIN p{k} p ON ew.src = p.id GROUP BY 1),
- p{k + 1} AS (SELECT nodes.id,
-                     CAST(({t} * 15) // (100 * nn.n)
-                          + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
-              FROM nodes CROSS JOIN nn
-              LEFT JOIN c{k} c ON nodes.id = c.dst)"""
-    return sql + f"""
-SELECT id, r AS rank_int, ROUND(r / 1000000000000.0, 9) AS rank
-FROM p{iters}"""
-
-
-@_q("g1_pagerank", _pagerank_oracle_sql(5))
-def q_pagerank(spark, sf):
-    """Integer fixed-point PageRank, 5 rounds, over the directed k=10
-    kNN graph of the embeddings table. Exact-int arithmetic makes the
-    iterative ranks themselves hash-checkable (see operators/graph.py);
-    the oracle unrolls the same rounds in DuckDB."""
-    from data_ingest_spark.operators import neighbors as nb
-    from data_ingest_spark.operators.graph import pagerank
-    knn = _emb_knn(spark, sf, k=10, cached=True)
-    return pagerank(knn.select("src", "dst"), max_iter=5)
-
-
-@_q("g2_triangles", f"""
-WITH {_KNN_EDGES_SQL},
- d AS (SELECT src, dst FROM r WHERE rank <= 10),
- u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
-       FROM d),
- tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
-         FROM u e1 JOIN u e2 ON e1.b = e2.a
-         JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri
-""")
-def q_triangles(spark, sf):
-    """Triangle count on the undirected kNN graph: canonical-order
-    edges (a<b) joined twice — the standard distributed formulation;
-    each join keys on a vertex so the shuffle is by node, and the
-    ordering ensures each triangle counts exactly once."""
-    from data_ingest_spark.operators import neighbors as nb
-    knn = _emb_knn(spark, sf, k=10, cached=True)
-    u = (knn.select(F.least("src", "dst").alias("a"),
-                    F.greatest("src", "dst").alias("b"))
-         .distinct())
-    e1 = u.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = u.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = u.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"])
-    return tri.agg(F.count("*").alias("n_triangles"))
-
-
-@_q("m13_louvain")
-def q_louvain(spark, sf):
-    from data_ingest_spark.operators import clustering as cl, neighbors as nb
-    knn = _emb_knn(spark, sf, k=10, cached=True)
-    snn = nb.snn_graph(knn, k=10)
-    return cl.louvain_driver(snn)
-
-
-@_q("m10_spectral_dist")
-def q_spectral_dist(spark, sf):
-    """Distributed Laplacian-eigenmap embedding over the SNN graph
-    (rows-only: power iteration on a degenerate-free direction is
-    deterministic but not SQL-expressible). The scale path when the
-    reduced matrix exceeds the driver ceiling of m10/m11."""
-    from data_ingest_spark.operators import clustering as cl, neighbors as nb
-    from data_ingest_spark.operators.embedding import (
-        spectral_embedding_distributed)
-    knn = _emb_knn(spark, sf, k=10, cached=True)
-    snn = nb.snn_graph(knn, k=10)
-    return spectral_embedding_distributed(cl._undirect(snn), n_iter=20)
-
-
-def _louvain_oracle_sql(iters: int = 8) -> str:
-    """Unrolled Jacobi-parallel Louvain phase 1 (resolution 0.5) over
-    the integer-scaled SNN graph. Weights/degrees are exact
-    float64-held integers, so the gain ``w − ((0.5·deg)·cdeg)/m2``
-    (the Spark op order) is bit-identical across engines; colors come
-    from the shared md5 parity."""
-    sql = f"""
-WITH {_KNN_EDGES_SQL},
- e AS (SELECT src, dst FROM r WHERE rank <= 10),
- i AS (SELECT a.src AS u, b.src AS v, COUNT(*) AS c
-       FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
-       GROUP BY 1, 2),
- sn AS (SELECT u, v, CAST(c * ({_LPA_SCALE} // (20 - c)) AS DOUBLE) AS w
-        FROM i WHERE c / (20.0 - c) >= 1.0 / 15.0),
- und AS MATERIALIZED (SELECT u AS src, v AS dst, w FROM sn
-         UNION ALL SELECT v, u, w FROM sn),
- dg AS MATERIALIZED (SELECT src AS id, SUM(w) AS deg FROM und GROUP BY 1),
- mm AS (SELECT SUM(deg) AS m2 FROM dg),
- lab0 AS MATERIALIZED (
-   SELECT id, id AS comm, deg,
-          CAST(concat('0x', substr(md5(id), 1, 8)) AS BIGINT) % 2 AS h
-   FROM dg)"""
-    for k in range(iters):
-        sql += f""",
- cd{k} AS (SELECT comm, SUM(deg) AS cdeg FROM lab{k} GROUP BY 1),
- nw{k} AS (SELECT e.src AS id, l.comm AS nc, SUM(e.w) AS w
-           FROM und e JOIN lab{k} l ON e.dst = l.id GROUP BY 1, 2),
- g{k} AS (SELECT n.id, n.nc,
-                n.w - ((0.5 * l.deg) * (CASE WHEN n.nc = l.comm
-                       THEN c.cdeg - l.deg ELSE c.cdeg END)) / m.m2
-                  AS gain
-          FROM nw{k} n JOIN lab{k} l ON n.id = l.id
-               JOIN cd{k} c ON c.comm = n.nc
-               CROSS JOIN mm m
-          WHERE l.h = {k % 2}),
- b{k} AS (SELECT id, nc FROM (
-            SELECT id, nc, ROW_NUMBER() OVER
-              (PARTITION BY id ORDER BY gain DESC, nc) AS rk
-            FROM g{k} WHERE gain > 1e-12) WHERE rk = 1),
- lab{k + 1} AS MATERIALIZED (
-   SELECT l.id, COALESCE(b.nc, l.comm) AS comm, l.deg, l.h
-   FROM lab{k} l LEFT JOIN b{k} b ON l.id = b.id)"""
-    return sql + f"""
-, rep AS (SELECT comm, MIN(id) AS cluster FROM lab{iters} GROUP BY 1)
-SELECT l.id, r.cluster FROM lab{iters} l JOIN rep r ON l.comm = r.comm"""
-
-
-@_q("m13_louvain_dist", _louvain_oracle_sql(8))
-def q_louvain_dist(spark, sf):
-    """Distributed Louvain phase 1 (Jacobi-parallel moves) under a
-    FULL value oracle: the SQL unrolls the same 8 alternating-color
-    rounds on the integer-scaled SNN graph (see _LPA_SCALE — exact
-    float64 integers make the modularity gains bit-identical). The
-    scale path for FindClusters(algorithm=1)."""
-    from data_ingest_spark.operators import clustering as cl, neighbors as nb
-    knn = _emb_knn(spark, sf, k=10, cached=True)
-    snn = nb.snn_graph(knn, k=10).withColumn(
-        "snn_weight",
-        F.round(F.col("snn_weight") * _LPA_SCALE).cast("double"))
-    return cl.louvain_distributed(snn, resolution=0.5, max_iter=8)
-
-
-# (m2_doublet_scores — the applyInPandas small-sample fallback twin —
-# was retired from the registry in round 5: m2_doublets_native is the
-# oracled default and the fallback stays covered by
-# tests/test_ml_pipeline.py's property tests.)
-
-
-@_q("m2_doublets_native", f"""
-WITH expr AS ({_EXPR_SQL}),
- c AS (SELECT sample, barcode, SUM(cnt) AS tot, COUNT(*) AS nf
-       FROM expr GROUP BY 1, 2),
- nb AS (SELECT sample, GREATEST(1, COUNT(*) // 64) AS nbk
-        FROM c GROUP BY 1),
- ob AS (SELECT c.sample, c.barcode,
-               CAST(concat('0x', substr(md5(CAST(c.barcode AS VARCHAR)),
-                                        1, 8)) AS BIGINT) % nb.nbk AS bkt
-        FROM c JOIN nb ON nb.sample = c.sample),
- o AS (SELECT sample, barcode, bkt,
-              ROW_NUMBER() OVER (PARTITION BY sample, bkt
-                ORDER BY md5(CAST(barcode AS VARCHAR)),
-                         CAST(barcode AS VARCHAR)) - 1 AS rn
-       FROM ob),
- asg AS (SELECT sample, barcode,
-                CAST(bkt AS VARCHAR) || '_' || CAST(rn // 2 AS VARCHAR)
-                AS pid FROM o),
- fullp AS (SELECT sample, pid FROM asg GROUP BY 1, 2 HAVING COUNT(*) = 2),
- simg AS (SELECT a.sample, a.pid, e.gene, SUM(e.cnt) AS c2
-          FROM expr e JOIN asg a ON e.sample = a.sample
-                                AND e.barcode = a.barcode
-               JOIN fullp f ON f.sample = a.sample AND f.pid = a.pid
-          GROUP BY 1, 2, 3),
- sim AS (SELECT sample, pid, SUM(c2) AS tot, COUNT(*) AS nf
-         FROM simg GROUP BY 1, 2),
- pts AS (SELECT sample, 0 AS lbl,
-                CAST(FLOOR(ln(1.0 + tot) * 1000000 + 0.5) AS BIGINT) AS f1,
-                CAST(FLOOR(ln(1.0 + nf) * 1000000 + 0.5) AS BIGINT) AS f2
-         FROM c
-         UNION ALL
-         SELECT sample, 1,
-                CAST(FLOOR(ln(1.0 + tot) * 1000000 + 0.5) AS BIGINT),
-                CAST(FLOOR(ln(1.0 + nf) * 1000000 + 0.5) AS BIGINT)
-         FROM sim),
- ptw AS (SELECT sample, f1, f2,
-                SUM(CASE WHEN lbl = 0 THEN 1 ELSE 0 END) AS m0,
-                SUM(lbl) AS m1,
-                f1 // 500000 AS gx, f2 // 500000 AS gy
-         FROM pts GROUP BY 1, 2, 3),
- q AS (SELECT p.sample, p.f1 AS qf1, p.f2 AS qf2,
-              p.gx + o.dx AS gx, p.gy + o.dy AS gy
-       FROM ptw p CROSS JOIN (VALUES (-1, -1), (-1, 0), (-1, 1), (0, -1),
-            (0, 0), (0, 1), (1, -1), (1, 0), (1, 1)) o(dx, dy)
-       WHERE p.m0 > 0),
- cnd AS (SELECT q.sample, q.qf1, q.qf2, n.f1, n.f2,
-                n.m0 - CASE WHEN n.f1 = q.qf1 AND n.f2 = q.qf2
-                            THEN 1 ELSE 0 END AS m0a,
-                n.m1,
-                (q.qf1 - n.f1) * (q.qf1 - n.f1)
-                + (q.qf2 - n.f2) * (q.qf2 - n.f2) AS d2
-         FROM q JOIN ptw n ON n.sample = q.sample AND n.gx = q.gx
-                          AND n.gy = q.gy),
- cl AS (SELECT sample, qf1, qf2, f1, f2, d2, m0a, m1, m0a + m1 AS m
-        FROM cnd WHERE m0a + m1 > 0),
- tk AS (SELECT *, LEAST(m, GREATEST(0, 10 - (SUM(m) OVER
-                  (PARTITION BY sample, qf1, qf2
-                   ORDER BY d2, f1, f2
-                   ROWS UNBOUNDED PRECEDING) - m))) AS take
-        FROM cl),
- sc AS (SELECT sample, qf1, qf2,
-               SUM(GREATEST(0, take - m0a)) * 1.0 / SUM(take) AS score
-        FROM tk GROUP BY 1, 2, 3)
-SELECT c.sample, c.barcode,
-       COALESCE(ROUND(sc.score, 6), 0.0) AS doublet_scores,
-       CASE WHEN COALESCE(sc.score, 0.0) > 0.25 THEN 'doublet'
-            ELSE 'singlet' END AS doublet_class
-FROM c LEFT JOIN sc ON sc.sample = c.sample
-  AND sc.qf1 = CAST(FLOOR(ln(1.0 + c.tot) * 1000000 + 0.5) AS BIGINT)
-  AND sc.qf2 = CAST(FLOOR(ln(1.0 + c.nf) * 1000000 + 0.5) AS BIGINT)
-""")
-def q_doublets_native(spark, sf):
-    """M2 v2 — distributed, derandomized doublet scoring with a FULL
-    value oracle (hash-paired simulated doublets + grid-bucketed kNN
-    vote; every stage shuffle-bounded DataFrame ops)."""
-    from data_ingest_spark.operators import doublets as db
-    return db.doublet_scores_grid(expr_df(spark, sf))
-
-
-@_q("m8_pca")
-def q_pca(spark, sf):
-    from data_ingest_spark.operators import reduction as rd
-    expr = expr_df(spark, sf)
-    normalized = nz.log_normalize(expr)
-    hvgs = nz.highly_variable_genes(normalized, 200, value_col="normalized")
-    scaled = nz.scale_data(
-        normalized.join(F.broadcast(hvgs.select("gene")), "gene"),
-        n_cells_src=expr)
-    # PCA consumes the vectors three times (dim probe, fit, transform):
-    # materialize once instead of recomputing normalize→HVG→scale.
-    vectors = rd.assemble_vectors(scaled, hvgs).localCheckpoint()
-    scores, _ = rd.run_pca(vectors, k=10)
-    k = scores.select("pc").head()["pc"].size
-    return rd.pc_columns(scores, k).select("sample", "barcode")
-
-
-@_q("m9_integrate_mnn")
-def q_integrate(spark, sf):
-    from data_ingest_spark.operators import integrate as ig
-    out = ig.integrate_mnn(_emb_pc_cols(spark, sf))
-    rounded = [F.round(c, 6).alias(c) for c in out.columns
-               if c.startswith("pc_")]
-    return out.select("sample", "barcode", *rounded)
-
-
-@_q("m9_integrate_mnn_dist")
-def q_integrate_dist(spark, sf):
-    """M9 v2 — distributed MNN (two LSH-bucketed Euclidean similarity
-    joins + mutual filter + grouped correction; no matrix collect).
-    Rows-only like m9: anchor sets under LSH are not SQL-expressible."""
-    from data_ingest_spark.operators import integrate as ig
-    out = ig.integrate_mnn_distributed(_emb_pc_cols(spark, sf))
-    rounded = [F.round(c, 6).alias(c) for c in out.columns
-               if c.startswith("pc_")]
-    return out.select("sample", "barcode", *rounded)
-
-
-_M9_DIMS_T = "(SELECT UNNEST(range(1, 65)) AS i) t"
-
-
-@_q("m9_integrate_exact", f"""
-WITH p AS (SELECT CAST(label AS VARCHAR) AS sample,
-                  CAST(vec_id AS VARCHAR) AS cb,
-                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
-                  list_transform(embedding,
-                    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
-                    AS cq
-           FROM embeddings),
- rs AS (SELECT MIN(sample) AS r FROM p),
- ref AS (SELECT p.* FROM p, rs WHERE p.sample = rs.r),
- qry AS MATERIALIZED (SELECT p.* FROM p, rs WHERE p.sample <> rs.r),
- cr AS (SELECT q.sample, q.cb AS qb, q.cv AS qv, r.cb AS rb, r.cv AS rv,
-               CAST(list_sum(list_transform(range(1, 65),
-                    i -> (q.cq[i] - r.cq[i]) * (q.cq[i] - r.cq[i])))
-                    AS BIGINT) AS d2
-        FROM qry q CROSS JOIN ref r),
- rk AS (SELECT *,
-               ROW_NUMBER() OVER (PARTITION BY sample, qb
-                                  ORDER BY d2, rb) AS ra,
-               ROW_NUMBER() OVER (PARTITION BY sample, rb
-                                  ORDER BY d2, qb) AS rb_
-        FROM cr),
- anc AS MATERIALIZED (
-   SELECT sample, qb || '|' || rb AS aid,
-          list_transform(qv,
-            x -> CAST(round(x * 1000000) AS BIGINT)) AS aq,
-          list_transform(range(1, 65), i -> rv[i] - qv[i]) AS corr
-   FROM rk WHERE ra <= 5 AND rb_ <= 5),
- nr AS (SELECT q.sample, q.cb, a.aid, a.corr,
-               CAST(list_sum(list_transform(range(1, 65),
-                    i -> (q.cq[i] - a.aq[i]) * (q.cq[i] - a.aq[i])))
-                    AS BIGINT) AS da
-        FROM qry q JOIN anc a USING (sample)),
- nk AS (SELECT *,
-               ROW_NUMBER() OVER (PARTITION BY sample, cb
-                                  ORDER BY da, aid) AS rk2,
-               CAST(1.0 AS DOUBLE)
-                 / (CAST(1.0 AS DOUBLE)
-                    + CAST(da AS DOUBLE) / CAST(1e12 AS DOUBLE)) AS w
-        FROM nr),
- kept AS MATERIALIZED (SELECT * FROM nk WHERE rk2 <= 10),
- sw AS (SELECT sample, cb,
-               list_reduce(list(w ORDER BY da, aid),
-                           (a, b) -> a + b) AS sumw
-        FROM kept GROUP BY 1, 2),
- cm AS (SELECT sample, cb, t.i AS d1,
-               list_reduce(list(corr[t.i] * w ORDER BY da, aid),
-                           (a, b) -> a + b) AS sc
-        FROM kept CROSS JOIN {_M9_DIMS_T}
-        GROUP BY 1, 2, 3),
- corr2 AS (SELECT c.sample, c.cb, c.d1, c.sc / s.sumw AS m
-           FROM cm c JOIN sw s USING (sample, cb)),
- qd AS (SELECT sample, cb, t.i AS d1, cv[t.i] AS v
-        FROM qry CROSS JOIN {_M9_DIMS_T}),
- outq AS (SELECT q.sample, q.cb AS barcode,
-                 CAST(q.d1 - 1 AS INTEGER) AS dim,
-                 ROUND(CASE WHEN c.m IS NOT NULL THEN q.v + c.m
-                       ELSE q.v END, 6) + CAST(0.0 AS DOUBLE) AS value
-          FROM qd q LEFT JOIN corr2 c
-            ON c.sample = q.sample AND c.cb = q.cb AND c.d1 = q.d1),
- outr AS (SELECT sample, cb AS barcode, CAST(t.i - 1 AS INTEGER) AS dim,
-                 ROUND(cv[t.i], 6) + CAST(0.0 AS DOUBLE) AS value
-          FROM ref CROSS JOIN {_M9_DIMS_T})
-SELECT * FROM outr UNION ALL SELECT * FROM outq
-""")
-def q_integrate_exact(spark, sf):
-    """M9 under a FULL value oracle: the complete MNN integration
-    semantics (mutual-k anchors → inverse-squared-distance-weighted
-    corrections → per-cell shift) with integer-exact distances and
-    array_sort-pinned float folds, per-dimension output rows. The
-    oracle replays anchor search, weighting, and correction; the LSH
-    variant (m9_integrate_mnn_dist) remains the past-broadcast-range
-    path."""
-    from data_ingest_spark.operators import integrate as ig
-    return ig.integrate_mnn_exact(_emb_pc_arr(spark, sf))
-
-
-@_q("m10_spectral_embedding")
-def q_spectral(spark, sf):
-    from data_ingest_spark.operators import embedding as em
-    out = em.spectral_embedding(_emb_pc_cols(spark, sf), k=15)
-    return out.select("sample", "barcode", F.round("x", 6).alias("x"),
-                      F.round("y", 6).alias("y"), "method")
-
-
-@_q("m11_tsne")
-def q_tsne(spark, sf):
-    """M11 t-SNE (configureEmbedding.r:85-100): sklearn TSNE when the
-    library is present; in this container the deterministic spectral
-    fallback — the same contract as M10 (rows-only: iterative)."""
-    from data_ingest_spark.operators import embedding as em
-    out = em.embed_tsne(_emb_pc_cols(spark, sf))
-    return out.select("sample", "barcode", F.round("x", 6).alias("x"),
-                      F.round("y", 6).alias("y"), "method")
-
-
-@_q("x58_dedup_keep_best", f"""
-WITH corpus AS ({_DUP_SQL}),
- sc AS (SELECT doc_id, CAST((doc_id * 37) % 101 AS DOUBLE) AS score,
-               md5(text) AS h
-        FROM corpus),
- rk AS (SELECT doc_id, score,
-               ROW_NUMBER() OVER (PARTITION BY h
-                                  ORDER BY score DESC, doc_id ASC) AS rn
-        FROM sc)
-SELECT doc_id, score FROM rk WHERE rn = 1
-""")
-def q_dedup_keep_best(spark, sf):
-    """Survivorship-policy dedup: keep the highest-scoring copy per
-    content hash (deterministic tiebreak), exercised on the planted
-    duplicate corpus with a synthetic per-copy score."""
-    corpus = _dup_corpus(spark, sf).withColumn(
-        "score", ((F.col("doc_id") * 37) % 101).cast("double"))
-    return dd.dedup_keep_best(corpus, "score").select("doc_id", "score")
-
-
-@_q("p2_qc_filters", """
-WITH cells AS (
-  SELECT l_returnflag AS sample, l_orderkey AS barcode,
-         SUM(l_quantity) AS ncount,
-         CAST(COUNT(CASE WHEN l_quantity > 0 THEN 1 END) AS BIGINT)
-           AS nfeature,
-         SUM(CASE WHEN l_partkey % 50 = 0 THEN l_quantity ELSE 0 END)
-           / SUM(l_quantity) AS fmt
-  FROM lineitem GROUP BY 1, 2)
-SELECT sample, barcode, ncount, nfeature, ROUND(fmt, 9) AS fraction_mt
-FROM cells WHERE ncount >= 30 AND fmt <= 0.2
-""")
-def q_qc_filters(spark, sf):
-    """The ORCHESTRATION layer under a full value oracle: assemble_cells
-    → step chain (cellSize → mito → classifier-no-op) through run_qc's
-    Experiment/subset_cells machinery. All-integer sums make the
-    fraction comparisons engine-exact, so unlike p1 (which includes
-    eigen/RNG stages) this path hash-matches DuckDB."""
-    from data_ingest_spark.pipeline import Experiment, assemble_cells, run_qc
-    expr = expr_df(spark, sf)
-    genes = expr.select("gene").distinct().withColumn(
-        "name",
-        F.when(F.col("gene") % 50 == 0,
-               F.concat(F.lit("MT-"), F.col("gene")))
-        .otherwise(F.concat(F.lit("G"), F.col("gene"))))
-    cells = assemble_cells(expr, genes=genes)
-    exp = Experiment(expression=expr, cells=cells, genes=genes)
-    final, _ = run_qc(exp, {
-        "cellSizeDistribution": {"minCellSize": 30.0},
-        "mitochondrialContent": {"maxFraction": 0.2},
-    }, order=["cellSizeDistribution", "mitochondrialContent", "classifier"])
-    return final.cells.select(
-        "sample", "barcode",
-        F.col("nCount_RNA").cast("double").alias("ncount"),
-        F.col("nFeature_RNA").cast("long").alias("nfeature"),
-        F.round("fraction_mt", 9).alias("fraction_mt"))
-
-
-def _p1_oracle_sql(nfeat: int = 64, lpa_iters: int = 5) -> str:
-    """Full-value oracle for the end-to-end QC chain: size/mito
-    filters → (doublet gate, output-invariant at threshold 1.0) →
-    LogNormalize → vst-quad HVG top-N → ScaleData → scaled-HVG
-    reduced space → exact cosine kNN(10) → SNN Jaccard prune →
-    fixed-point LPA. Composed verbatim from the per-step oracles
-    (p2 cells, m5, m6_vst_quad, m7, m12, m13's LPA rounds)."""
-    sql = f"""
-WITH expr AS (SELECT l_returnflag AS sample, l_orderkey AS barcode,
-                     l_partkey AS gene, l_quantity AS cnt
-              FROM lineitem WHERE l_orderkey % 20 = 0),
- cells0 AS (SELECT sample, barcode, SUM(cnt) AS ncount,
-                   CAST(COUNT(CASE WHEN cnt > 0 THEN 1 END) AS BIGINT)
-                     AS nfeature,
-                   SUM(CASE WHEN gene % 50 = 0 THEN cnt ELSE 0 END)
-                     / SUM(cnt) AS fmt
-            FROM expr GROUP BY 1, 2),
- kept AS MATERIALIZED (SELECT sample, barcode, ncount, nfeature
-          FROM cells0 WHERE ncount >= 30 AND fmt <= 0.2),
- fx AS MATERIALIZED (SELECT e.sample, e.barcode, e.gene, e.cnt
-       FROM expr e JOIN kept k
-         ON e.sample = k.sample AND e.barcode = k.barcode),
- nc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM kept),
- g AS (SELECT gene, SUM(cnt) AS s, SUM(cnt * cnt) AS ss FROM fx GROUP BY 1),
- mom AS (SELECT gene, s / n AS mean, (ss - s * s / n) / (n - 1.0) AS variance,
-                n FROM g, nc),
- pos AS (SELECT gene, mean, variance, n,
-                log10(mean) AS x, log10(variance) AS y
-         FROM mom WHERE variance > 0.0),
- xm AS (SELECT AVG(x) AS xm FROM pos),
- pu AS (SELECT pos.*, x - xm AS u FROM pos, xm),
- sums AS (SELECT CAST(COUNT(*) AS DOUBLE) AS s0, SUM(u) AS s1,
-                 SUM(u * u) AS s2, SUM(u * u * u) AS s3,
-                 SUM(u * u * u * u) AS s4, SUM(y) AS sy,
-                 SUM(u * y) AS suy, SUM(u * u * y) AS su2y
-          FROM pu),
- coef AS (SELECT
-   (s0*(s2*s4-s3*s3) - s1*(s1*s4-s2*s3) + s2*(s1*s3-s2*s2)) AS det,
-   (sy*(s2*s4-s3*s3) - s1*(suy*s4-su2y*s3) + s2*(suy*s3-su2y*s2)) AS n0,
-   (s0*(suy*s4-su2y*s3) - sy*(s1*s4-s2*s3) + s2*(s1*su2y-s2*suy)) AS n1,
-   (s0*(s2*su2y-s3*suy) - s1*(s1*su2y-s3*sy) + sy*(s1*s3-s2*s2)) AS n2
-   FROM sums),
- fit AS (SELECT pu.gene, pu.mean, pu.n,
-                sqrt(power(10.0, (c.n0 / c.det) + (c.n1 / c.det) * pu.u
-                                 + (c.n2 / c.det) * pu.u * pu.u)) AS sd_exp
-         FROM pu, coef c),
- pg AS (SELECT e.gene,
-               SUM(LEAST(sqrt(f.n), (e.cnt - f.mean) / f.sd_exp)
-                   * LEAST(sqrt(f.n), (e.cnt - f.mean) / f.sd_exp)) AS s_nz,
-               CAST(COUNT(*) AS DOUBLE) AS nnz,
-               ANY_VALUE(f.mean) AS mean, ANY_VALUE(f.sd_exp) AS sd_exp,
-               ANY_VALUE(f.n) AS n
-        FROM fx e JOIN fit f ON e.gene = f.gene GROUP BY 1),
- sv AS (SELECT gene,
-               ROUND((s_nz + (n - nnz) * (mean / sd_exp) * (mean / sd_exp))
-                     / (n - 1.0), 6) AS r
-        FROM pg),
- hvg AS MATERIALIZED (SELECT gene FROM sv ORDER BY r DESC, gene
-                      LIMIT {nfeat}),
- gi AS MATERIALIZED (SELECT gene,
-        CAST(ROW_NUMBER() OVER (ORDER BY gene) AS INTEGER) - 1 AS gidx
-       FROM hvg),
- tot AS (SELECT sample, barcode, SUM(cnt) AS t FROM fx GROUP BY 1, 2),
- hn AS (SELECT e.sample, e.barcode, e.gene,
-               ln(1.0 + e.cnt / t.t * 10000.0) AS v
-        FROM fx e JOIN tot t
-          ON e.sample = t.sample AND e.barcode = t.barcode
-        JOIN hvg h ON e.gene = h.gene),
- st AS (SELECT gene, SUM(v) AS sv2, SUM(v * v) AS ssv FROM hn GROUP BY 1),
- mo AS (SELECT gene, sv2 / n AS mu,
-               sqrt((ssv - sv2 * sv2 / n) / (n - 1.0)) AS sd
-        FROM st, nc),
- sc AS (SELECT hn.sample, hn.barcode, hn.gene,
-               CASE WHEN mo.sd <= 0.0 THEN 0.0
-                    ELSE LEAST(10.0, (hn.v - mo.mu) / mo.sd) END AS scaled
-        FROM hn JOIN mo ON hn.gene = mo.gene),
- ssum AS (SELECT sample, barcode, gene, SUM(scaled) AS sv3
-          FROM sc GROUP BY 1, 2, 3),
- vcell AS (SELECT DISTINCT sample, barcode FROM sc),
- vec AS MATERIALIZED (
-   SELECT c.sample || '_' || CAST(c.barcode AS VARCHAR) AS id,
-          list(COALESCE(s.sv3, 0.0) ORDER BY g.gidx) AS v
-   FROM vcell c CROSS JOIN gi g
-   LEFT JOIN ssum s ON s.sample = c.sample AND s.barcode = c.barcode
-                   AND s.gene = g.gene
-   GROUP BY 1),
- s2c AS (SELECT a.id AS src, b.id AS dst,
-               ROUND(list_dot_product(a.v, b.v)
-                     / (sqrt(list_dot_product(a.v, a.v))
-                        * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-         FROM vec a CROSS JOIN vec b WHERE a.id <> b.id),
- rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
-                  ORDER BY cosine DESC, dst) AS rnk FROM s2c),
- e AS MATERIALIZED (SELECT src, dst FROM rk WHERE rnk <= 10),
- i2 AS (SELECT a.src AS u, b.src AS w2, COUNT(*) AS c
-        FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
-        GROUP BY 1, 2),
- sn AS (SELECT u, w2, CAST(c * ({_LPA_SCALE} // (20 - c)) AS DOUBLE) AS w
-        FROM i2 WHERE c / (20.0 - c) >= 1.0 / 15.0),
- und AS MATERIALIZED (SELECT u AS src, w2 AS dst, w FROM sn
-         UNION ALL SELECT w2, u, w FROM sn),
- l0 AS MATERIALIZED (
-   SELECT src AS id, src AS label FROM (SELECT DISTINCT src FROM und))"""
-    for k in range(lpa_iters):
-        sql += f""",
- v{k} AS (SELECT e.src, l.label AS nl, SUM(e.w) AS w
-          FROM und e JOIN l{k} l ON e.dst = l.id GROUP BY 1, 2),
- b{k} AS (SELECT src, MIN(nl) AS new FROM (
-            SELECT src, nl, w, MAX(w) OVER (PARTITION BY src) AS mw
-            FROM v{k}) t
-          WHERE w >= mw GROUP BY src),
- l{k + 1} AS MATERIALIZED (
-   SELECT l.id, COALESCE(b.new, l.label) AS label
-   FROM l{k} l LEFT JOIN b{k} b ON l.id = b.src)"""
-    return sql + f"""
-SELECT k.sample, k.barcode, l.label AS cluster,
-       CAST(k.ncount AS DOUBLE) AS ncount, k.nfeature
-FROM kept k LEFT JOIN l{lpa_iters} l
-  ON (k.sample || '_' || CAST(k.barcode AS VARCHAR)) = l.id"""
-
-
-@_q("p1_qc_pipeline", _p1_oracle_sql())
-def q_qc_pipeline(spark, sf):
-    """End-to-end stage 1→4 chain under a FULL value oracle: size +
-    mito filters → doublet gate (grid scorer runs; threshold 1.0 so
-    the gate is output-invariant and the oracle need not replay the
-    simulation) → LogNormalize → vst-quad HVG → ScaleData →
-    reduction='none' (cluster on the scaled HVG space — PCA is
-    deterministic only up to eigen-sign, so the SQL-replayable
-    composite pins the no-eigen path; m8/x99 pin the eigen stage on
-    their own) → exact kNN → SNN → fixed-point LPA — all through
-    run_qc's Experiment/subset_cells orchestration on a 1-in-20
-    barcode subsample. The Huber-IRLS band step is excluded (its
-    iterative reweighting is not SQL-replayable; m4/f11 pin that
-    operator separately)."""
-    from data_ingest_spark.pipeline import Experiment, assemble_cells, run_qc
-    expr = expr_df(spark, sf).filter(F.col("barcode") % 20 == 0)
-    genes = expr.select("gene").distinct().withColumn(
-        "name",
-        F.when(F.col("gene") % 50 == 0,
-               F.concat(F.lit("MT-"), F.col("gene")))
-        .otherwise(F.concat(F.lit("G"), F.col("gene"))))
-    cells = assemble_cells(expr, genes=genes)
-    exp = Experiment(expression=expr, cells=cells, genes=genes)
-    final, _ = run_qc(exp, {
-        "cellSizeDistribution": {"minCellSize": 30.0},
-        "mitochondrialContent": {"maxFraction": 0.2},
-        "doubletScores": {"probabilityThreshold": 1.0},
-        "dataIntegration": {"nfeatures": 64,
-                            "selection_method": "vst_quad",
-                            "reduction": "none", "integrate": False},
-        "configureEmbedding": {"k": 10, "computeEmbedding": False,
-                               "lpaIter": 5},
-    }, order=["cellSizeDistribution", "mitochondrialContent", "classifier",
-              "doubletScores", "dataIntegration", "configureEmbedding"])
-    return final.cells.select(
-        "sample", "barcode", "cluster",
-        F.col("nCount_RNA").cast("double").alias("ncount"),
-        F.col("nFeature_RNA").cast("long").alias("nfeature"))
-
-
-@_q("x34_decontam", f"""
-WITH src AS (SELECT doc_id, text FROM documents),{_shingle_ctes('src')},
- bsh AS (SELECT DISTINCT shingle FROM shx WHERE doc_id % 97 = 0),
- csh AS (SELECT doc_id, shingle FROM shx WHERE doc_id % 97 <> 0),
- sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM csh GROUP BY 1),
- hits AS (SELECT c.doc_id, COUNT(*) AS n_hit
-          FROM csh c JOIN bsh b ON c.shingle = b.shingle GROUP BY 1)
-SELECT h.doc_id, CAST(h.n_hit AS BIGINT) AS n_hit_shingles,
-       CAST(s.n_shingles AS BIGINT) AS n_shingles, TRUE AS contaminated
-FROM hits h JOIN sizes s ON s.doc_id = h.doc_id
-""")
-def q_decontam(spark, sf):
-    """Benchmark decontamination: docs sharing any 3-gram with the
-    held-out 'benchmark' slice (doc_id % 97 = 0). Benchmark shingles
-    broadcast; only the hit counts shuffle."""
-    docs = load(spark, sf, "documents")
-    bench = docs.filter(F.col("doc_id") % 97 == 0)
-    corpus = docs.filter(F.col("doc_id") % 97 != 0)
-    return dd.decontaminate(corpus, bench, k=3)
-
-
-def _pii_oracle_sql() -> str:
-    from data_ingest_spark.extensions.text import PII_PATTERNS
-    e, i, p = (PII_PATTERNS["email"], PII_PATTERNS["ipv4"],
-               PII_PATTERNS["phone"])
-    aug = ("text || ' contact doc' || CAST(doc_id AS VARCHAR)"
-           " || '@example.com from 10.0.'"
-           " || CAST(doc_id % 256 AS VARCHAR) || '.7 call +1 555 000 '"
-           " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')")
-    return f"""
-WITH aug AS (SELECT doc_id, {aug} AS t FROM documents)
-SELECT doc_id,
-  regexp_replace(regexp_replace(regexp_replace(
-    t, '{e}', '[EMAIL]', 'g'), '{i}', '[IPV4]', 'g'),
-    '{p}', '[PHONE]', 'g') AS clean_text,
-  CAST(len(regexp_extract_all(t, '{e}')) AS BIGINT) AS n_email,
-  CAST(len(regexp_extract_all(t, '{i}')) AS BIGINT) AS n_ipv4,
-  CAST(len(regexp_extract_all(t, '{p}')) AS BIGINT) AS n_phone
-FROM aug
-"""
-
-
-@_q("x35_pii_redact", _pii_oracle_sql())
-def q_pii_redact(spark, sf):
-    """PII scrubbing over a deterministically augmented corpus (each
-    doc gets a synthetic email/IP/phone derived from doc_id, so the
-    oracle checks real redactions, not all-zero counts)."""
-    from data_ingest_spark.extensions.text import pii_redact
-    docs = load(spark, sf, "documents")
-    aug = docs.select(
-        "doc_id",
-        F.concat(
-            F.col("text"), F.lit(" contact doc"),
-            F.col("doc_id").cast("string"), F.lit("@example.com from 10.0."),
-            (F.col("doc_id") % 256).cast("string"),
-            F.lit(".7 call +1 555 000 "),
-            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-        ).alias("text"))
-    out = pii_redact(aug)
-    return out.select("doc_id", "clean_text",
-                      F.col("n_email").cast("long").alias("n_email"),
-                      F.col("n_ipv4").cast("long").alias("n_ipv4"),
-                      F.col("n_phone").cast("long").alias("n_phone"))
-
-
-@_q("x36_bpe_pairs", """
-WITH t AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
-           FROM documents),
- wf AS (SELECT w, COUNT(*) AS f FROM t WHERE length(w) >= 2 GROUP BY 1),
- p AS (SELECT unnest([substr(w, i, 2) FOR i IN
-                      generate_series(1, length(w) - 1)]) AS pair, f
-       FROM wf),
- c AS (SELECT pair, CAST(SUM(f) AS BIGINT) AS pair_count FROM p GROUP BY 1)
-SELECT pair, pair_count FROM c ORDER BY pair_count DESC, pair LIMIT 50
-""")
-def q_bpe_pairs(spark, sf):
-    """First BPE merge iteration: adjacent-char pair counts over the
-    vocabulary, weighted by word frequency; integer-exact top-50."""
-    from data_ingest_spark.extensions.text import bpe_pair_counts
-    return bpe_pair_counts(load(spark, sf, "documents"), top_k=50)
-
-
-@_q("x37_token_drift", """
-WITH tok AS (SELECT source AS grp,
-                    unnest(string_split_regex(lower(text), '\\s+')) AS token
-             FROM documents),
- gt AS (SELECT grp, token, COUNT(*) AS n_gt FROM tok GROUP BY 1, 2),
- tm AS (SELECT token, SUM(n_gt) AS n_t FROM gt GROUP BY 1),
- gtot AS (SELECT grp, SUM(n_gt) AS g_tokens FROM gt GROUP BY 1),
- tot AS (SELECT SUM(n_gt) AS all_tokens FROM gt),
- sc AS (SELECT g.grp, g.token,
-               g.n_gt * t.all_tokens - m.n_t * go.g_tokens AS drift_score
-        FROM gt g JOIN tm m USING (token) JOIN gtot go USING (grp)
-             CROSS JOIN tot t),
- rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
-                  ORDER BY drift_score DESC, token) AS rk FROM sc)
-SELECT grp AS source, token, CAST(drift_score AS BIGINT) AS drift_score,
-       CAST(rk AS BIGINT) AS rk
-FROM rk WHERE rk <= 5
-""")
-def q_token_drift(spark, sf):
-    """Per-source distribution drift: top-5 over-represented tokens by
-    the exact-integer cross-product score (no float KL, bit-exact)."""
-    from data_ingest_spark.extensions.profile import token_drift
-    return token_drift(load(spark, sf, "documents"), group_col="source",
-                       top_k=5)
-
-
-def _curate_oracle_sql() -> str:
-    from data_ingest_spark.extensions.sampling import hash_bucket_sql
-    from data_ingest_spark.extensions.text import PII_PATTERNS
-    e, i, p = (PII_PATTERNS["email"], PII_PATTERNS["ipv4"],
-               PII_PATTERNS["phone"])
-    b = hash_bucket_sql("doc_id", 42)
-    sh = ("CASE WHEN len(tk) >= 3 THEN [tk[i] || ' ' || tk[i+1] || ' ' || "
-          "tk[i+2] FOR i IN generate_series(1, len(tk) - 2)] "
-          "ELSE [array_to_string(tk, ' ')] END")
-    return f"""
-WITH red AS (SELECT doc_id,
-        regexp_replace(regexp_replace(regexp_replace(
-          text, '{e}', '[EMAIL]', 'g'), '{i}', '[IPV4]', 'g'),
-          '{p}', '[PHONE]', 'g') AS t
-      FROM documents WHERE doc_id % 97 <> 0),
- qual AS (SELECT doc_id, t,
-                 len(string_split_regex(lower(t), '\\s+')) AS n_tokens
-          FROM red
-          WHERE len(string_split_regex(lower(t), '\\s+')) >= 30),
- first AS (SELECT doc_id, t, n_tokens, ROW_NUMBER() OVER (
-             PARTITION BY md5(t) ORDER BY doc_id) AS rk FROM qual),
- kept AS (SELECT doc_id, t, n_tokens FROM first WHERE rk = 1),
- ctoks AS (SELECT doc_id, string_split_regex(lower(t), '\\s+') AS tk
-           FROM kept),
- csh AS (SELECT DISTINCT doc_id, unnest({sh}) AS shingle FROM ctoks),
- btoks AS (SELECT string_split_regex(lower(text), '\\s+') AS tk
-           FROM documents WHERE doc_id % 97 = 0),
- bsh AS (SELECT DISTINCT unnest({sh}) AS shingle FROM btoks),
- dirty AS (SELECT DISTINCT c.doc_id FROM csh c JOIN bsh b USING (shingle)),
- clean AS (SELECT k.doc_id, k.n_tokens FROM kept k
-           LEFT JOIN dirty d ON k.doc_id = d.doc_id
-           WHERE d.doc_id IS NULL)
-SELECT doc_id,
-       CASE WHEN {b} < 9000 THEN 'train'
-            WHEN {b} < 9500 THEN 'valid'
-            ELSE 'test' END AS split,
-       CAST(n_tokens AS BIGINT) AS n_tokens
-FROM clean
-"""
-
-
-@_q("p3_curate", _curate_oracle_sql())
-def q_curate(spark, sf):
-    """End-to-end corpus curation under a full value oracle: PII scrub
-    → min-token quality gate → exact dedup keep-first → benchmark
-    decontamination (held-out doc_id % 97 = 0 slice) → deterministic
-    content-addressed train/valid/test split."""
-    from data_ingest_spark.extensions.curate import curate_corpus
-    docs = load(spark, sf, "documents")
-    bench = docs.filter(F.col("doc_id") % 97 == 0)
-    corpus = docs.filter(F.col("doc_id") % 97 != 0)
-    return curate_corpus(corpus, bench, min_tokens=30)
-
-
-@_q("x38_tokenize_ids", """
-WITH toks AS (SELECT doc_id,
-                     unnest(string_split_regex(lower(text), '\\s+')) AS token,
-                     unnest(generate_series(1,
-                       len(string_split_regex(lower(text), '\\s+')))) AS pos
-              FROM documents),
- counts AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY 1
-            ORDER BY c DESC, token LIMIT 1000),
- vocab AS (SELECT token, ROW_NUMBER() OVER (ORDER BY c DESC, token) - 1 AS tid
-           FROM counts)
-SELECT t.doc_id,
-       string_agg(CAST(COALESCE(v.tid, -1) AS VARCHAR), ','
-                  ORDER BY t.pos) AS ids_csv,
-       CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       CAST(SUM(CASE WHEN v.tid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_oov
-FROM toks t LEFT JOIN vocab v ON v.token = t.token
-GROUP BY t.doc_id
-""")
-def q_tokenize_ids(spark, sf):
-    """Vocab tokenization: frequency-ranked 1000-word vocabulary, docs
-    mapped to id sequences (OOV = -1), sequence order preserved."""
-    from data_ingest_spark.extensions.text import tokenize_with_vocab
-    return tokenize_with_vocab(load(spark, sf, "documents"),
-                               vocab_size=1000)
-
-
-@_q("e13_scd2", """
-WITH o AS (SELECT user_id, event_type, ts::TIMESTAMP AS ts, event_id,
-             CASE WHEN lag(event_type) OVER
-                    (PARTITION BY user_id ORDER BY ts, event_id)
-                  IS NOT DISTINCT FROM event_type THEN 0 ELSE 1 END AS chg
-           FROM events),
- isl AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS island
-         FROM o),
- runs AS (SELECT user_id, island, MIN(event_type) AS event_type,
-                 MIN(ts) AS valid_from,
-                 CAST(COUNT(*) AS BIGINT) AS n_events
-          FROM isl GROUP BY 1, 2)
-SELECT user_id, event_type, valid_from,
-       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
-         AS valid_to,
-       n_events
-FROM runs
-""")
-def q_scd2(spark, sf):
-    """SCD2 validity intervals over each user's event_type stream
-    (gaps-and-islands; consecutive equal values merge)."""
-    from data_ingest_spark.extensions.cdc import scd2_history
-    return scd2_history(events_df(spark, sf))
-
-
-@_q("x39_unigram_logprob", """
-WITH toks AS (SELECT doc_id,
-                unnest(string_split_regex(lower(text), '\\s+')) AS token
-              FROM documents),
- model AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY 1),
- scal AS (SELECT SUM(c) AS tot, COUNT(*) AS v FROM model),
- logp AS (SELECT token,
-                 CAST(ROUND(ln((c + 1.0) / (tot + v)) * 1000000) AS BIGINT)
-                   AS logp_i
-          FROM model CROSS JOIN scal)
-SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       ROUND(SUM(l.logp_i) / COUNT(*) / 1000000, 6) AS avg_logprob
-FROM toks t JOIN logp l ON l.token = t.token
-GROUP BY t.doc_id
-""")
-def q_unigram_logprob(spark, sf):
-    """Unigram-LM quality score: mean fixed-point token log-prob under
-    the corpus's own add-1 model (integer-exact reduction)."""
-    from data_ingest_spark.extensions.text import unigram_logprob
-    return unigram_logprob(load(spark, sf, "documents"))
-
-
-@_q("x40_boilerplate", f"""
-WITH src AS (SELECT doc_id, text FROM documents),{_shingle_ctes('src')},
- dfreq AS (SELECT shingle, COUNT(*) AS dfc FROM shx GROUP BY 1),
- marked AS (SELECT s.doc_id, CASE WHEN d.dfc >= 5 THEN 1 ELSE 0 END AS cm
-            FROM shx s JOIN dfreq d ON d.shingle = s.shingle)
-SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
-       CAST(SUM(cm) AS BIGINT) AS n_common,
-       ROUND(SUM(cm) / COUNT(*), 6) AS common_ratio
-FROM marked GROUP BY doc_id
-""")
-def q_boilerplate(spark, sf):
-    """Boilerplate detection: fraction of a doc's distinct 3-shingles
-    appearing in >= 5 documents corpus-wide."""
-    from data_ingest_spark.extensions.text import boilerplate_score
-    return boilerplate_score(load(spark, sf, "documents"), k=3, min_df=5)
-
-
-@_q("v5_tpch_q6", """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
-       CAST(COUNT(*) AS BIGINT) AS n_items
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1998-01-01'
-  AND l_shipdate < TIMESTAMP '1999-01-01'
-  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
-""")
-def q_tpch_q6(spark, sf):
-    """TPC-H Q6 shape (forecast revenue): fully-pushed-down selective
-    scan → single scalar aggregate. All four predicates reach the
-    parquet reader as PushedFilters; zero shuffles beyond the final
-    1-row partial-merge."""
-    li = load(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
-        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
-        & (F.col("l_quantity") < 24))
-    return li.agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
-        .alias("revenue"),
-        F.count("*").alias("n_items"))
-
-
-@_q("v6_tpch_q18", """
-WITH big AS (SELECT l_orderkey FROM lineitem
-             GROUP BY 1 HAVING SUM(l_quantity) > 200)
-SELECT c.c_custkey, o.o_orderkey, o.o_orderdate,
-       ROUND(o.o_totalprice, 2) AS o_totalprice,
-       ROUND(SUM(l.l_quantity), 2) AS total_qty
-FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
-     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-     JOIN big b ON b.l_orderkey = o.o_orderkey
-GROUP BY 1, 2, 3, 4
-ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
-""")
-def q_tpch_q18(spark, sf):
-    """TPC-H Q18 shape (large-volume customers): HAVING-filtered
-    aggregate drives a semi-join-style reduction of lineitem before
-    the customer/orders joins; top-100 via TakeOrderedAndProject."""
-    li = load(spark, sf, "lineitem")
-    big = (li.groupBy("l_orderkey")
-           .agg(F.sum("l_quantity").alias("_sq"))
-           .filter(F.col("_sq") > 200).select("l_orderkey"))
-    orders = load(spark, sf, "orders")
-    cust = load(spark, sf, "customer").select("c_custkey")
-    j = (li.join(F.broadcast(big), "l_orderkey")
-         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
-         .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]))
-    return (j.groupBy("c_custkey", "o_orderkey", "o_orderdate",
-                      F.round("o_totalprice", 2).alias("o_totalprice"))
-            .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
-            .orderBy(F.desc("o_totalprice"), "o_orderkey").limit(100))
-
-
-@_q("v10_tpch_q4", """
-SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
-FROM orders o
-WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
-  AND o.o_orderdate < TIMESTAMP '1999-01-01'
-  AND EXISTS (SELECT 1 FROM lineitem l
-              WHERE l.l_orderkey = o.o_orderkey
-                AND l.l_shipdate > o.o_orderdate)
-GROUP BY 1
-""")
-def q_tpch_q4(spark, sf):
-    """TPC-H Q4 shape (order-priority checking): correlated EXISTS as
-    an inner join + distinct with the SMALL side as the build — date
-    predicates push to the orders scan, cutting it to one year, and
-    that filtered frame (not the full lineitem) is what the join
-    builds/broadcasts. (The naive left-semi with orders probing made
-    Catalyst build a hashed relation over ALL of lineitem — the big
-    side — every run: measured 2x slower at sf0.1 and the wrong build
-    side at any scale.) The distinct on (orderkey, priority) is the
-    EXISTS collapse; its shuffle carries only qualifying orderkeys,
-    map-side-combined first."""
-    o = load(spark, sf, "orders").select(
-        "o_orderkey", "o_orderdate", "o_orderpriority").filter(
-        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")))
-    li = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
-    hits = (li.join(o, (o["o_orderkey"] == li["l_orderkey"])
-                    & (li["l_shipdate"] > o["o_orderdate"]))
-            .select("o_orderkey", "o_orderpriority").distinct())
-    return hits.groupBy("o_orderpriority").agg(
-        F.count("*").cast("long").alias("order_count"))
-
-
-@_q("v11_tpch_q13", """
-WITH c_orders AS (
-  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
-  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
-  GROUP BY 1)
-SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
-FROM c_orders GROUP BY 1
-""")
-def q_tpch_q13(spark, sf):
-    """TPC-H Q13 shape (customer order distribution): left outer join
-    preserving order-less customers, count of non-null keys per
-    customer, then a second aggregate over the counts — the two-level
-    shuffle pattern AQE coalesces at scale."""
-    c = load(spark, sf, "customer").select("c_custkey")
-    o = load(spark, sf, "orders").select("o_custkey", "o_orderkey")
-    per_cust = (c.join(o, c["c_custkey"] == o["o_custkey"], "left")
-                .groupBy("c_custkey")
-                .agg(F.count("o_orderkey").alias("c_count")))
-    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
-
-
-@_q("v12_tpch_q14", """
-SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
-                              THEN l.l_extendedprice * (1 - l.l_discount)
-                              ELSE 0 END), 2) AS promo_revenue,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue
-FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
-  AND l.l_shipdate < TIMESTAMP '1998-07-01'
-""")
-def q_tpch_q14(spark, sf):
-    """TPC-H Q14 shape (promotion effect): date-pruned lineitem scan,
-    broadcast join to part, conditional aggregate in one pass. The
-    promo share is reported as two separately-rounded sums so the
-    oracle comparison stays exact-at-6dp instead of a ratio of floats."""
-    li = load(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-07-01").cast("timestamp")))
-    p = load(spark, sf, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (li.join(F.broadcast(p),
-                    li["l_partkey"] == p["p_partkey"])
-            .agg(F.round(100.0 * F.sum(F.when(F.col("p_type") == "PROMO",
-                                              rev).otherwise(0.0)), 2)
-                 .alias("promo_revenue"),
-                 F.round(F.sum(rev), 2).alias("total_revenue")))
-
-
-@_q("v13_tpch_q16", """
-SELECT p.p_brand, p.p_type, p.p_size,
-       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
-FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
-WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 2, 3, 4, 5)
-GROUP BY 1, 2, 3
-""")
-def q_tpch_q16(spark, sf):
-    """TPC-H Q16 shape (parts/supplier relationship): exclusion
-    predicates on the dimension, distinct-count of suppliers per
-    (brand, type, size) via lineitem as the part-supplier bridge."""
-    p = (load(spark, sf, "part")
-         .filter((F.col("p_brand") != "Brand#1")
-                 & F.col("p_size").isin(1, 2, 3, 4, 5))
-         .select("p_partkey", "p_brand", "p_type", "p_size"))
-    li = load(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
-    return (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-            .groupBy("p_brand", "p_type", "p_size")
-            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
-
-
-@_q("v14_tpch_q22", """
-WITH avg_bal AS (SELECT AVG(c_acctbal) AS a FROM customer
-                 WHERE c_acctbal > 0.0),
- recent AS (SELECT DISTINCT o_custkey FROM orders
-            WHERE o_orderdate >= TIMESTAMP '2000-01-01')
-SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
-       ROUND(SUM(c.c_acctbal), 2) AS totacctbal
-FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey,
-     avg_bal
-WHERE c.c_acctbal > avg_bal.a
-  AND NOT EXISTS (SELECT 1 FROM recent r
-                  WHERE r.o_custkey = c.c_custkey)
-GROUP BY 1
-""")
-def q_tpch_q22(spark, sf):
-    """TPC-H Q22 shape (global sales opportunity): scalar-subquery
-    threshold kept lazy as a broadcast 1-row cross join, anti-join
-    against recently-active customers, broadcast nation lookup."""
-    c = load(spark, sf, "customer")
-    avg_bal = (c.filter(F.col("c_acctbal") > 0.0)
-               .agg(F.avg("c_acctbal").alias("_a")))
-    recent = (load(spark, sf, "orders")
-              .filter(F.col("o_orderdate")
-                      >= F.lit("2000-01-01").cast("timestamp"))
-              .select("o_custkey").distinct())
-    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
-    sel = (c.crossJoin(F.broadcast(avg_bal))
-           .filter(F.col("c_acctbal") > F.col("_a"))
-           .join(recent, c["c_custkey"] == recent["o_custkey"],
-                 "left_anti")
-           .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]))
-    return sel.groupBy("n_name").agg(
-        F.count("*").alias("numcust"),
-        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
-
-
-# --- TPC-H shapes Q7-Q10 (round 3; adapted to the available columns:
-# no partsupp table, so Q9's supplycost is a retailprice-derived
-# stand-in; the PLAN SHAPES — multi-way dim joins, conditional market
-# share, profit expression, returned-items top-k — are the point).
-
-
-@_q("v24_tpch_q2", """
-WITH cost AS (SELECT l_partkey, l_suppkey,
-                     (((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
-                        * 10000) // COUNT(*) + 5000) // 10000) / 100.0
-                         AS supply_cost
-              FROM lineitem GROUP BY 1, 2),
- reg AS (SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
-         FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
-          JOIN region r ON n.n_regionkey = r.r_regionkey
-         WHERE r.r_name = 'ASIA'),
- rc AS (SELECT c.l_partkey, c.l_suppkey, c.supply_cost
-        FROM cost c JOIN reg ON reg.s_suppkey = c.l_suppkey),
- mn AS (SELECT l_partkey, MIN(supply_cost) AS min_cost
-        FROM rc GROUP BY 1)
-SELECT reg.s_acctbal, reg.s_name, reg.n_name, p.p_partkey, p.p_brand,
-       rc.supply_cost
-FROM rc JOIN mn ON rc.l_partkey = mn.l_partkey
-             AND rc.supply_cost = mn.min_cost
- JOIN reg ON reg.s_suppkey = rc.l_suppkey
- JOIN part p ON p.p_partkey = rc.l_partkey
-WHERE p.p_size BETWEEN 10 AND 20
-ORDER BY reg.s_acctbal DESC, reg.n_name, reg.s_name, p.p_partkey
-LIMIT 100
-""")
-def q_tpch_q2(spark, sf):
-    """TPC-H Q2 (min-cost supplier, adapted: supply cost = the
-    supplier's average shipped price for the part — integer-cent
-    averages are engine-exact; no partsupp in the fixture): correlated
-    per-part MIN over region-scoped suppliers + 4-dim join, top-100
-    with full tie-break."""
-    # exact fixed-point average: integer cents summed exactly, scaled
-    # floor-div by count, half-up to cents — float AVG + ROUND straddles
-    # half-cent boundaries differently across engines
-    cost = (load(spark, sf, "lineitem")
-            .groupBy("l_partkey", "l_suppkey")
-            .agg((F.expr("((sum(cast(round(l_extendedprice * 100) as long)) "
-                         "* 10000) div count(*) + 5000) div 10000") / 100.0)
-                 .alias("supply_cost")))
-    s = load(spark, sf, "supplier")
-    n = load(spark, sf, "nation")
-    r = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
-    reg = (s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
-           .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
-           .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
-    rc = cost.join(F.broadcast(reg),
-                   F.col("l_suppkey") == F.col("s_suppkey"))
-    mn = rc.groupBy(F.col("l_partkey").alias("_pk")).agg(
-        F.min("supply_cost").alias("min_cost"))
-    p = load(spark, sf, "part").filter(
-        F.col("p_size").between(10, 20)).select(
-        "p_partkey", "p_brand")
-    return (rc.join(mn, (F.col("l_partkey") == F.col("_pk"))
-                    & (F.col("supply_cost") == F.col("min_cost")))
-            .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-            .select("s_acctbal", "s_name", "n_name", "p_partkey",
-                    "p_brand", "supply_cost")
-            .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
-            .limit(100))
-
-
-@_q("v25_tpch_q11", """
-WITH v AS (SELECT l.l_partkey,
-                  SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
-                      * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
-                      AS value_s
-           FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
-            JOIN nation n ON n.n_nationkey = s.s_nationkey
-           WHERE n.n_name = 'NATION_5'
-           GROUP BY 1),
- t AS (SELECT SUM(value_s) AS total_s FROM v)
-SELECT v.l_partkey AS p_partkey,
-       ((v.value_s + 50) // 100) / 100.0 AS part_value
-FROM v, t WHERE v.value_s * 10000 > t.total_s * 2
-""")
-def q_tpch_q11(spark, sf):
-    """TPC-H Q11 (important stock value, adapted: shipped value per
-    part from one nation's suppliers; keep parts holding > 0.02% of
-    the national total). The share test runs in exact int64
-    fixed-point on BOTH sides, so no float boundary can differ."""
-    l = load(spark, sf, "lineitem")
-    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
-    n = load(spark, sf, "nation").filter(F.col("n_name") == "NATION_5") \
-        .select("n_nationkey")
-    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc_c = F.round(F.col("l_discount") * 100).cast("long")
-    v = (l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
-         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-         .groupBy("l_partkey")
-         .agg(F.sum(price_c * (F.lit(100) - disc_c)).alias("value_s")))
-    t = v.agg(F.sum("value_s").alias("total_s"))
-    return (v.crossJoin(F.broadcast(t))
-            .filter(F.col("value_s") * 10000 > F.col("total_s") * 2)
-            .select(F.col("l_partkey").alias("p_partkey"),
-                    # half-up to cents in EXACT int64 ((v+50) div 100),
-                    # then one exact scale-down: a float ROUND here can
-                    # straddle the half-cent boundary differently per
-                    # engine (Spark rounds the shortest decimal repr,
-                    # DuckDB the binary value)
-                    (F.expr("(value_s + 50) div 100") / 100.0)
-                    .alias("part_value")))
-
-
-@_q("v26_tpch_q20", """
-WITH pq AS (SELECT l_partkey, l_suppkey,
-                   CAST(SUM(l_quantity) AS BIGINT) AS sq
-            FROM lineitem GROUP BY 1, 2),
- pt AS (SELECT l_partkey, SUM(sq) AS tq FROM pq GROUP BY 1),
- promo AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
- cand AS (SELECT DISTINCT pq.l_suppkey
-          FROM pq JOIN pt ON pq.l_partkey = pt.l_partkey
-           JOIN promo ON promo.p_partkey = pq.l_partkey
-          WHERE pq.sq * 10 > pt.tq)
-SELECT s.s_suppkey, s.s_name, n.n_name
-FROM supplier s JOIN cand ON cand.l_suppkey = s.s_suppkey
- JOIN nation n ON n.n_nationkey = s.s_nationkey
-""")
-def q_tpch_q20(spark, sf):
-    """TPC-H Q20 (excess-supply suppliers, adapted: suppliers shipping
-    >10% of some PROMO part's total quantity — integer
-    quantities keep the share test exact): the nested
-    IN-chain / semi-join shape."""
-    l = load(spark, sf, "lineitem")
-    pq = (l.groupBy("l_partkey", "l_suppkey")
-          .agg(F.sum("l_quantity").cast("long").alias("sq")))
-    pt = pq.groupBy(F.col("l_partkey").alias("_pk")).agg(
-        F.sum("sq").alias("tq"))
-    promo = load(spark, sf, "part").filter(
-        F.col("p_type") == "PROMO").select("p_partkey")
-    cand = (pq.join(pt, F.col("l_partkey") == F.col("_pk"))
-            .join(F.broadcast(promo),
-                  F.col("l_partkey") == F.col("p_partkey"))
-            .filter(F.col("sq") * 10 > F.col("tq"))
-            .select("l_suppkey").distinct())
-    s = load(spark, sf, "supplier")
-    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
-    return (s.join(cand, s["s_suppkey"] == cand["l_suppkey"], "left_semi")
-            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-            .select("s_suppkey", "s_name", "n_name"))
-
-
-@_q("v15_tpch_q7", """
-SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
-FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey
- JOIN orders o ON o.o_orderkey = l.l_orderkey
- JOIN customer c ON c.c_custkey = o.o_custkey
- JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
- JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
-  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
-  AND l.l_shipdate < TIMESTAMP '1998-01-01'
-GROUP BY 1, 2, 3
-""")
-def q_tpch_q7(spark, sf):
-    """TPC-H Q7 (volume shipping): revenue between two nations by
-    year and direction. Fact joins shuffle; all four dims broadcast."""
-    l = load(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= "1996-01-01")
-        & (F.col("l_shipdate") < "1998-01-01"))
-    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
-    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
-    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
-    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
-    n1 = n.select(F.col("n_nationkey").alias("_sk"),
-                  F.col("n_name").alias("supp_nation"))
-    n2 = n.select(F.col("n_nationkey").alias("_ck"),
-                  F.col("n_name").alias("cust_nation"))
-    j = (l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
-         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sk"))
-         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_ck"))
-         .filter(((F.col("supp_nation") == "NATION_1")
-                  & (F.col("cust_nation") == "NATION_2"))
-                 | ((F.col("supp_nation") == "NATION_2")
-                    & (F.col("cust_nation") == "NATION_1"))))
-    return (j.groupBy("supp_nation", "cust_nation",
-                      F.year("l_shipdate").cast("long").alias("l_year"))
-            .agg(F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 2)
-                 .alias("revenue")))
-
-
-@_q("v16_tpch_q8", """
-WITH vol AS (
- SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-        l.l_extendedprice * (1 - l.l_discount) AS volume,
-        n2.n_name AS supp_nation
- FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
-  JOIN supplier s ON s.s_suppkey = l.l_suppkey
-  JOIN orders o ON o.o_orderkey = l.l_orderkey
-  JOIN customer c ON c.c_custkey = o.o_custkey
-  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
-  JOIN region r ON n1.n_regionkey = r.r_regionkey
-  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
- WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
-   AND o.o_orderdate >= TIMESTAMP '1996-01-01'
-   AND o.o_orderdate < TIMESTAMP '1998-01-01')
-SELECT o_year,
-       ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
-                      ELSE 0 END) / SUM(volume), 6) AS mkt_share
-FROM vol GROUP BY 1
-""")
-def q_tpch_q8(spark, sf):
-    """TPC-H Q8 (national market share): 7-way star join, conditional
-    share-of-total per year."""
-    l = load(spark, sf, "lineitem")
-    p = load(spark, sf, "part").filter(F.col("p_type") == "PROMO") \
-        .select("p_partkey")
-    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
-    o = load(spark, sf, "orders").filter(
-        (F.col("o_orderdate") >= "1996-01-01")
-        & (F.col("o_orderdate") < "1998-01-01")) \
-        .select("o_orderkey", "o_custkey", "o_orderdate")
-    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
-    n = load(spark, sf, "nation")
-    r = load(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
-    n1 = (n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
-          .select(F.col("n_nationkey").alias("_ck_n")))
-    n2 = n.select(F.col("n_nationkey").alias("_sk_n"),
-                  F.col("n_name").alias("supp_nation"))
-    j = (l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
-         .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
-         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("_ck_n"))
-         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("_sk_n")))
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
-            .agg(F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)
-                      .otherwise(F.lit(0.0))) / F.sum(vol), 6)
-                .alias("mkt_share")))
-
-
-@_q("v17_tpch_q9", """
-SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-       ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
-                 * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)) * 10
-                 - CAST(ROUND(p.p_retailprice * 100) AS BIGINT)
-                 * CAST(l.l_quantity AS BIGINT) * 100)
-             / 100000.0, 2) AS profit
-FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
- JOIN supplier s ON s.s_suppkey = l.l_suppkey
- JOIN orders o ON o.o_orderkey = l.l_orderkey
- JOIN nation n ON s.s_nationkey = n.n_nationkey
-WHERE p.p_type IN ('PROMO', 'SMALL')
-GROUP BY 1, 2
-""")
-def q_tpch_q9(spark, sf):
-    """TPC-H Q9 (product-type profit): profit expression per supplier
-    nation and order year; 0.1·retailprice·qty stands in for the
-    partsupp supplycost (no partsupp table in the fixture)."""
-    l = load(spark, sf, "lineitem")
-    p = load(spark, sf, "part").filter(
-        F.col("p_type").isin("PROMO", "SMALL")) \
-        .select("p_partkey", "p_retailprice")
-    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
-    o = load(spark, sf, "orders").select("o_orderkey", "o_orderdate")
-    n = load(spark, sf, "nation").select("n_nationkey",
-                                         F.col("n_name").alias("nation"))
-    j = (l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
-         .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
-         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")))
-    # Exact int64 fixed-point (1e-5 dollars): the revenue-minus-cost
-    # cancellation otherwise lands on the half-cent boundary and the
-    # two engines' float sum orders disagree in the last cent.
-    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc_c = F.round(F.col("l_discount") * 100).cast("long")
-    retail_c = F.round(F.col("p_retailprice") * 100).cast("long")
-    qty_i = F.col("l_quantity").cast("long")
-    profit_scaled = (price_c * (F.lit(100) - disc_c) * F.lit(10)
-                     - retail_c * qty_i * F.lit(100))
-    return (j.groupBy("nation",
-                      F.year("o_orderdate").cast("long").alias("o_year"))
-            .agg(F.round(F.sum(profit_scaled) / F.lit(100000.0), 2)
-                 .alias("profit")))
-
-
-@_q("v18_tpch_q10", """
-WITH rev AS (
- SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
-        ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
- FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
-  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-  JOIN nation n ON c.c_nationkey = n.n_nationkey
- WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
-   AND o.o_orderdate < TIMESTAMP '1997-07-01'
-   AND l.l_returnflag = 'R'
- GROUP BY 1, 2, 3, 4)
-SELECT c_custkey, c_name, revenue, c_acctbal, n_name
-FROM rev ORDER BY revenue DESC, c_custkey LIMIT 20
-""")
-def q_tpch_q10(spark, sf):
-    """TPC-H Q10 (returned-item reporting): top-20 customers by
-    returned revenue in a two-quarter window; custkey tie-break."""
-    l = load(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R") \
-        .select("l_orderkey", "l_extendedprice", "l_discount")
-    o = load(spark, sf, "orders").filter(
-        (F.col("o_orderdate") >= "1997-01-01")
-        & (F.col("o_orderdate") < "1997-07-01")) \
-        .select("o_orderkey", "o_custkey")
-    c = load(spark, sf, "customer")
-    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
-    j = (l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]))
-    rev = (j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-           .agg(F.round(F.sum(F.col("l_extendedprice")
-                              * (1 - F.col("l_discount"))), 2)
-                .alias("revenue")))
-    return (rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
-            .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name"))
-
-
-# --- TPC-H shapes Q12/Q15/Q17/Q19/Q21 (round 3; adapted: no
-# l_shipmode/l_commitdate/l_receiptdate columns, so Q12 groups by
-# l_linestatus and Q21's lateness is shipdate > orderdate + 90 days —
-# the priority-count, scalar-subquery-max, correlated-avg,
-# disjunctive-predicate, and only-late-supplier shapes are intact).
-
-
-@_q("v19_tpch_q12", """
-SELECT l.l_linestatus AS ship_mode,
-       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
-  AND l.l_shipdate < TIMESTAMP '1998-01-01'
-  AND l.l_shipdate > o.o_orderdate
-GROUP BY 1
-""")
-def q_tpch_q12(spark, sf):
-    """TPC-H Q12 (shipping priority counts; l_linestatus stands in
-    for l_shipmode)."""
-    l = load(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= "1997-01-01")
-        & (F.col("l_shipdate") < "1998-01-01")) \
-        .select("l_orderkey", "l_linestatus", "l_shipdate")
-    o = load(spark, sf, "orders").select(
-        "o_orderkey", "o_orderdate", "o_orderpriority")
-    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-            .filter(F.col("l_shipdate") > F.col("o_orderdate"))
-            .groupBy(F.col("l_linestatus").alias("ship_mode"))
-            .agg(F.sum(F.when(hi, 1).otherwise(0)).cast("long")
-                 .alias("high_line_count"),
-                 F.sum(F.when(~hi, 1).otherwise(0)).cast("long")
-                 .alias("low_line_count")))
-
-
-@_q("v20_tpch_q15", """
-WITH rev AS (SELECT l_suppkey,
-                    ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
-                        AS total_revenue
-             FROM lineitem
-             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-               AND l_shipdate < TIMESTAMP '1997-04-01'
-             GROUP BY 1)
-SELECT s.s_suppkey, s.s_name, r.total_revenue
-FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
-WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
-""")
-def q_tpch_q15(spark, sf):
-    """TPC-H Q15 (top supplier): quarterly revenue per supplier,
-    scalar-subquery max filter (whole-frame max via 1-row broadcast
-    cross-join — no window over a single partition)."""
-    l = load(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= "1997-01-01")
-        & (F.col("l_shipdate") < "1997-04-01"))
-    rev = (l.groupBy("l_suppkey")
-           .agg(F.round(F.sum(F.col("l_extendedprice")
-                              * (1 - F.col("l_discount"))), 2)
-                .alias("total_revenue")))
-    mx = rev.agg(F.max("total_revenue").alias("_mx"))
-    s = load(spark, sf, "supplier").select("s_suppkey", "s_name")
-    return (rev.crossJoin(F.broadcast(mx))
-            .filter(F.col("total_revenue") == F.col("_mx"))
-            .join(F.broadcast(s),
-                  F.col("l_suppkey") == F.col("s_suppkey"))
-            .select("s_suppkey", "s_name", "total_revenue"))
-
-
-@_q("v21_tpch_q17", """
-WITH pa AS (SELECT l_partkey, AVG(l_quantity) AS avg_qty
-            FROM lineitem GROUP BY 1)
-SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
-       CAST(COUNT(*) AS BIGINT) AS n_lines
-FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
- JOIN pa ON pa.l_partkey = l.l_partkey
-WHERE p.p_brand = 'Brand#11' AND l.l_quantity < 0.2 * pa.avg_qty
-""")
-def q_tpch_q17(spark, sf):
-    """TPC-H Q17 (small-quantity-order revenue): correlated per-part
-    average quantity; integer quantities make the avg exact in both
-    engines, so the 0.2·avg comparison is engine-stable."""
-    l = load(spark, sf, "lineitem")
-    pa = l.groupBy(F.col("l_partkey").alias("_pk")).agg(
-        F.avg("l_quantity").alias("avg_qty"))
-    p = load(spark, sf, "part").filter(F.col("p_brand") == "Brand#11") \
-        .select("p_partkey")
-    j = (l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
-         .join(pa, F.col("l_partkey") == F.col("_pk"))
-         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty")))
-    return j.agg(F.round(F.sum("l_extendedprice") / 7.0, 2)
-                 .alias("avg_yearly"),
-                 F.count("*").cast("long").alias("n_lines"))
-
-
-@_q("v22_tpch_q19", """
-SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-       CAST(COUNT(*) AS BIGINT) AS n_lines
-FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
-       AND l.l_quantity BETWEEN 1 AND 11)
-   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
-       AND l.l_quantity BETWEEN 10 AND 20)
-   OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 15
-       AND l.l_quantity BETWEEN 20 AND 30)
-""")
-def q_tpch_q19(spark, sf):
-    """TPC-H Q19 (disjunctive predicate revenue): three OR'd
-    brand/size/quantity bands — the shape Catalyst must NOT turn into
-    three scans."""
-    l = load(spark, sf, "lineitem")
-    p = load(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
-    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
-    band = lambda b, smax, qlo, qhi: (
-        (F.col("p_brand") == b) & F.col("p_size").between(1, smax)
-        & F.col("l_quantity").between(qlo, qhi))
-    j = j.filter(band("Brand#12", 5, 1, 11)
-                 | band("Brand#23", 10, 10, 20)
-                 | band("Brand#24", 15, 20, 30))
-    return j.agg(F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 2)
-                 .alias("revenue"),
-                 F.count("*").cast("long").alias("n_lines"))
-
-
-@_q("v23_tpch_q21", """
-WITH lo AS (SELECT l.l_orderkey, l.l_suppkey,
-                   MAX(CASE WHEN l.l_shipdate >
-                                 o.o_orderdate + INTERVAL 90 DAY
-                            THEN 1 ELSE 0 END) AS is_late
-            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-            WHERE o.o_orderstatus = 'F'
-            GROUP BY 1, 2),
- ag AS (SELECT l_orderkey, COUNT(*) AS n_supp, SUM(is_late) AS n_late
-        FROM lo GROUP BY 1)
-SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
-FROM lo JOIN ag ON lo.l_orderkey = ag.l_orderkey
- JOIN supplier s ON s.s_suppkey = lo.l_suppkey
-WHERE lo.is_late = 1 AND ag.n_supp > 1 AND ag.n_late = 1
-GROUP BY 1
-""")
-def q_tpch_q21(spark, sf):
-    """TPC-H Q21 (suppliers who kept orders waiting): the only-late
-    supplier on multi-supplier finished orders — the EXISTS/NOT-EXISTS
-    pair expressed as per-order supplier aggregates (lateness =
-    shipdate > orderdate + 90 days; no commit/receipt dates in the
-    fixture)."""
-    l = load(spark, sf, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_shipdate")
-    o = load(spark, sf, "orders").filter(F.col("o_orderstatus") == "F") \
-        .select("o_orderkey", "o_orderdate")
-    late = F.when(F.col("l_shipdate")
-                  > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
-                  1).otherwise(0)
-    lo = (l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-          .groupBy("l_orderkey", "l_suppkey")
-          .agg(F.max(late).alias("is_late")))
-    ag = lo.groupBy(F.col("l_orderkey").alias("_ok")).agg(
-        F.count("*").alias("n_supp"), F.sum("is_late").alias("n_late"))
-    s = load(spark, sf, "supplier").select("s_suppkey", "s_name")
-    return (lo.join(ag, F.col("l_orderkey") == F.col("_ok"))
-            .filter((F.col("is_late") == 1) & (F.col("n_supp") > 1)
-                    & (F.col("n_late") == 1))
-            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-            .groupBy("s_name")
-            .agg(F.count("*").cast("long").alias("numwait")))
-
-
-@_q("x41_merge_upsert", """
-WITH src AS (SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
-                    ROUND(o_totalprice + 1.5, 2) AS o_totalprice
-             FROM orders WHERE o_orderkey % 10 = 0
-             UNION ALL
-             SELECT o_orderkey, o_custkey,
-                    ROUND(o_totalprice * 2, 2) AS o_totalprice
-             FROM orders WHERE o_orderkey % 7 = 0),
- tgt AS (SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2)
-               AS o_totalprice FROM orders)
-SELECT t.o_orderkey, t.o_custkey, t.o_totalprice FROM tgt t
-WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
-UNION ALL
-SELECT o_orderkey, o_custkey, o_totalprice FROM src
-""")
-def q_merge_upsert(spark, sf):
-    """MERGE/upsert snapshot: updates (orderkey % 7 = 0, doubled
-    price) replace matching rows; inserts (shifted keys) append;
-    everything else passes through."""
-    from data_ingest_spark.extensions.cdc import merge_upsert
-    orders = load(spark, sf, "orders").select(
-        "o_orderkey", "o_custkey",
-        F.round("o_totalprice", 2).alias("o_totalprice"))
-    inserts = (orders.filter(F.col("o_orderkey") % 10 == 0)
-               .select((F.col("o_orderkey") + 1000000000)
-                       .alias("o_orderkey"), "o_custkey",
-                       F.round(F.col("o_totalprice") + 1.5, 2)
-                       .alias("o_totalprice")))
-    updates = (orders.filter(F.col("o_orderkey") % 7 == 0)
-               .select("o_orderkey", "o_custkey",
-                       F.round(F.col("o_totalprice") * 2, 2)
-                       .alias("o_totalprice")))
-    return merge_upsert(orders, inserts.unionByName(updates),
-                        ["o_orderkey"])
-
-
-@_q("v7_scalar_functions", """
-SELECT o_orderkey,
-       regexp_matches(o_orderpriority, '^[12]') AS is_urgent,
-       o_orderstatus || ':' || o_orderpriority AS status_pri,
-       ROUND(log10(o_totalprice), 6) AS log_price,
-       CASE WHEN o_totalprice > 150000 THEN 'big' ELSE 'small' END
-           AS size_class,
-       lower(o_orderpriority) AS pri_lower,
-       md5(CAST(o_orderkey AS VARCHAR)) AS key_hash,
-       CAST(EXTRACT(year FROM o_orderdate::TIMESTAMP) AS BIGINT)
-           AS order_year,
-       CAST(EXTRACT(month FROM o_orderdate::TIMESTAMP) AS BIGINT)
-           AS order_month,
-       CAST(FLOOR(o_totalprice) AS BIGINT) AS price_int,
-       substr(CAST(o_orderkey AS VARCHAR), 1, 2) AS key_prefix
-FROM orders WHERE o_orderkey % 100 = 0
-""")
-def q_scalar_functions(spark, sf):
-    """X1–X9 scalar families in one oracle-checked row set: regex
-    predicate, string concat/lower/substr, math (log10/round), CASE,
-    hashing (md5), timestamp extraction, casts — all whole-stage
-    codegen, map-only, filter pushed to the scan."""
-    o = load(spark, sf, "orders").filter(F.col("o_orderkey") % 100 == 0)
-    if dict(o.dtypes).get("o_orderdate") == "bigint":
-        o = o.withColumn("o_orderdate",
-                         F.timestamp_micros(F.expr("o_orderdate div 1000")))
-    return o.select(
-        "o_orderkey",
-        F.col("o_orderpriority").rlike("^[12]").alias("is_urgent"),
-        F.concat_ws(":", "o_orderstatus", "o_orderpriority")
-        .alias("status_pri"),
-        F.round(F.log10("o_totalprice"), 6).alias("log_price"),
-        F.when(F.col("o_totalprice") > 150000, "big").otherwise("small")
-        .alias("size_class"),
-        F.lower("o_orderpriority").alias("pri_lower"),
-        F.md5(F.col("o_orderkey").cast("string").cast("binary"))
-        .alias("key_hash"),
-        F.year("o_orderdate").cast("long").alias("order_year"),
-        F.month("o_orderdate").cast("long").alias("order_month"),
-        F.floor("o_totalprice").cast("long").alias("price_int"),
-        F.substring(F.col("o_orderkey").cast("string"), 1, 2)
-        .alias("key_prefix"))
-
-
-@_q("x42_ann_recall", f"""
-WITH q AS (SELECT vec_id AS query_id, label, embedding::DOUBLE[] AS qv
-           FROM embeddings WHERE {_ANN_Q}),
- c AS (SELECT vec_id AS neighbor_id, label, embedding::DOUBLE[] AS cv
-       FROM embeddings),
- es AS (SELECT q.query_id, c.neighbor_id, {_COS} AS cosine
-        FROM q CROSS JOIN c WHERE c.neighbor_id <> q.query_id),
- er AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                  ORDER BY cosine DESC, neighbor_id) AS rank FROM es),
- vs AS (SELECT q.query_id, c.neighbor_id, {_COS} AS cosine
-        FROM q JOIN c ON q.label = c.label
-        WHERE c.neighbor_id <> q.query_id),
- vr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                  ORDER BY cosine DESC, neighbor_id) AS rank FROM vs),
- ex AS (SELECT query_id, neighbor_id FROM er WHERE rank <= 5),
- ap AS (SELECT query_id, neighbor_id FROM vr WHERE rank <= 5),
- hit AS (SELECT e.query_id, COUNT(a.neighbor_id) AS n_hit
-         FROM ex e LEFT JOIN ap a
-           ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-         GROUP BY 1)
-SELECT query_id, CAST(n_hit AS BIGINT) AS n_hit,
-       ROUND(n_hit / 5.0, 6) AS recall_at_5
-FROM hit
-""")
-def q_ann_recall(spark, sf):
-    """ANN quality evaluation under the oracle: per-query recall@5 of
-    the IVF index versus exact brute-force — the measurement that
-    decides whether a bucketed index is good enough to replace the
-    exact path at scale. Exact and approximate top-k both come from
-    the library operators; the join+count is integer-exact."""
-    emb = load(spark, sf, "embeddings")
-    queries = emb.filter(F.expr(_ANN_Q)).select(
-        F.col("vec_id").alias("query_id"), "label",
-        F.col("embedding").alias("query_vec"))
-    exact = sim.cosine_topk(emb, queries.drop("label"), k=5).select(
-        "query_id", "neighbor_id")
-    approx = sim.cosine_topk_ivf(emb, queries, k=5).select(
-        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an"))
-    hits = (exact.join(approx,
-                       (F.col("query_id") == F.col("aq"))
-                       & (F.col("neighbor_id") == F.col("an")), "left")
-            .groupBy("query_id")
-            .agg(F.count("an").alias("n_hit")))
-    return hits.select("query_id", "n_hit",
-                       F.round(F.col("n_hit") / 5.0, 6).alias("recall_at_5"))
-
-
-@_q("e14_cube", """
-SELECT COALESCE(event_type, '<all>') AS event_type,
-       COALESCE(CAST(user_id % 10 AS VARCHAR), '<all>') AS user_mod,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(value), 2) AS total_value
-FROM events
-GROUP BY CUBE (event_type, CAST(user_id % 10 AS VARCHAR))
-""")
-def q_cube(spark, sf):
-    """CUBE grouping sets: all 2^2 aggregation granularities in one
-    pass (Expand + single shuffle), NULL roll-up slots labeled."""
-    ev = load(spark, sf, "events").withColumn(
-        "user_mod", (F.col("user_id") % 10).cast("string"))
-    return (ev.cube("event_type", "user_mod")
-            .agg(F.count("*").alias("n"),
-                 F.round(F.sum("value"), 2).alias("total_value"))
-            .select(F.coalesce("event_type", F.lit("<all>"))
-                    .alias("event_type"),
-                    F.coalesce("user_mod", F.lit("<all>"))
-                    .alias("user_mod"),
-                    "n", "total_value"))
-
-
-@_q("e15_unpivot", """
-SELECT o_orderkey, kind, ROUND(val, 2) AS val
-FROM (SELECT o_orderkey, ROUND(o_totalprice, 2) AS price,
-             CAST(o_custkey AS DOUBLE) AS cust
-      FROM orders WHERE o_orderkey % 50 = 0)
-UNPIVOT (val FOR kind IN (price, cust))
-""")
-def q_unpivot(spark, sf):
-    """UNPIVOT/melt: wide columns → (key, kind, val) long rows via
-    the native unpivot (stack) — scan-side, no shuffle."""
-    o = (load(spark, sf, "orders")
-         .filter(F.col("o_orderkey") % 50 == 0)
-         .select("o_orderkey",
-                 F.round("o_totalprice", 2).alias("price"),
-                 F.col("o_custkey").cast("double").alias("cust")))
-    return (o.unpivot("o_orderkey", ["price", "cust"], "kind", "val")
-            .select("o_orderkey", "kind", F.round("val", 2).alias("val")))
-
-
-@_q("x43_count_min", """
-WITH toks AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
-              FROM documents),
- cells AS (SELECT r.r AS row,
-                  CAST(concat('0x', substr(md5(CAST(r.r AS VARCHAR) || ':'
-                       || tok), 1, 7)) AS BIGINT) % 1024 AS pos,
-                  COUNT(*) AS cell_count
-           FROM toks CROSS JOIN (VALUES (0), (1), (2), (3)) r(r)
-           GROUP BY 1, 2),
- probes AS (SELECT DISTINCT tok FROM toks ORDER BY tok LIMIT 20),
- est AS (SELECT p.tok, MIN(COALESCE(c.cell_count, 0)) AS est_count
-         FROM probes p CROSS JOIN (VALUES (0), (1), (2), (3)) r(r)
-         LEFT JOIN cells c
-           ON c.row = r.r
-          AND c.pos = CAST(concat('0x', substr(md5(CAST(r.r AS VARCHAR)
-                      || ':' || p.tok), 1, 7)) AS BIGINT) % 1024
-         GROUP BY 1),
- exact AS (SELECT tok, COUNT(*) AS true_count FROM toks GROUP BY 1)
-SELECT e.tok AS token, CAST(e.est_count AS BIGINT) AS est_count,
-       CAST(x.true_count AS BIGINT) AS true_count
-FROM est e JOIN exact x ON x.tok = e.tok
-""")
-def q_count_min(spark, sf):
-    """Count-Min sketch: build the 4×1024 integer cell state over the
-    token stream, estimate the 20 lexicographically-first tokens, and
-    emit estimate vs truth (est >= true by construction; both exact
-    integers, so the sketch itself is oracle-checked)."""
-    from data_ingest_spark.extensions.sketches import (count_min_build,
-                                                       count_min_estimate)
-    from data_ingest_spark.extensions.text import tokens_col
-    toks = (load(spark, sf, "documents")
-            .select(F.explode(tokens_col("text")).alias("token")))
-    sketch = count_min_build(toks, "token")
-    probes = (toks.select("token").distinct()
-              .orderBy("token").limit(20))
-    est = count_min_estimate(sketch, probes, "token")
-    exact = toks.groupBy("token").agg(F.count("*").alias("true_count"))
-    return (est.join(exact, "token")
-            .select("token", F.col("est_count").cast("long").alias("est_count"),
-                    F.col("true_count").cast("long").alias("true_count")))
-
-
-@_q("x44_bloom_prune", """
-WITH keys AS (SELECT DISTINCT c_custkey FROM customer
-              WHERE c_mktsegment = 'BUILDING'),
- bloom AS (SELECT DISTINCT
-             CAST(concat('0x', substr(md5(CAST(r.r AS VARCHAR) || ':'
-                  || CAST(c_custkey AS VARCHAR)), 1, 7)) AS BIGINT) % 4096
-               AS pos
-           FROM keys CROSS JOIN (VALUES (0), (1), (2)) r(r)),
- probe AS (SELECT o_orderkey, o_custkey FROM orders),
- passed AS (SELECT p.o_orderkey, p.o_custkey FROM probe p
-            WHERE NOT EXISTS (
-              SELECT 1 FROM (VALUES (0), (1), (2)) r(r)
-              WHERE CAST(concat('0x', substr(md5(CAST(r.r AS VARCHAR) || ':'
-                    || CAST(p.o_custkey AS VARCHAR)), 1, 7)) AS BIGINT)
-                    % 4096 NOT IN (SELECT pos FROM bloom))),
- truth AS (SELECT o_orderkey FROM probe
-           WHERE o_custkey IN (SELECT c_custkey FROM keys))
-SELECT CAST((SELECT COUNT(*) FROM probe) AS BIGINT) AS n_probe,
-       CAST((SELECT COUNT(*) FROM passed) AS BIGINT) AS n_pass,
-       CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
-       CAST((SELECT COUNT(*) FROM passed) -
-            (SELECT COUNT(*) FROM truth) AS BIGINT) AS n_false_pos
-""")
-def q_bloom_prune(spark, sf):
-    """Bloom-filter join pruning: a 4096-bit filter over BUILDING
-    customers prunes the orders probe side before any join. No false
-    negatives (every true match passes); the surviving excess is the
-    bounded false-positive set — all four counts integer-exact."""
-    from data_ingest_spark.extensions.sketches import (bloom_build,
-                                                       bloom_prune)
-    keys = (load(spark, sf, "customer")
-            .filter(F.col("c_mktsegment") == "BUILDING")
-            .select("c_custkey").distinct())
-    bloom = bloom_build(keys, "c_custkey")
-    probe = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
-    passed = bloom_prune(probe, bloom, "o_custkey")
-    truth = probe.join(keys, probe["o_custkey"] == keys["c_custkey"],
-                       "left_semi")
-    return (probe.agg(F.count("*").alias("n_probe"))
-            .crossJoin(passed.agg(F.count("*").alias("n_pass")))
-            .crossJoin(truth.agg(F.count("*").alias("n_true")))
-            .select("n_probe", "n_pass", "n_true",
-                    (F.col("n_pass") - F.col("n_true"))
-                    .alias("n_false_pos")))
-
-
-@_q("x45_semantic_dedup", f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
- b AS (SELECT vec_id, v, {_planes_sql()} AS bkt FROM e),
- prs AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b
-         FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
-         WHERE ROUND(list_dot_product(a.v, c.v)
-                     / (sqrt(list_dot_product(a.v, a.v))
-                        * sqrt(list_dot_product(c.v, c.v))), 6) >= 0.35),
- edges AS (SELECT id_a AS src, id_b AS dst FROM prs
-           UNION SELECT id_b, id_a FROM prs),
- nodes AS (SELECT DISTINCT src AS id FROM edges),
- walk AS (
-   WITH RECURSIVE reach(src, dst) AS (
-     SELECT id, id FROM nodes
-     UNION
-     SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-   SELECT src, dst FROM reach),
- comp AS (SELECT src AS vec_id, MIN(dst) AS cluster FROM walk GROUP BY 1)
-SELECT vec_id, cluster, vec_id = cluster AS kept FROM comp
-""")
-def q_semantic_dedup(spark, sf):
-    """Semantic dedup end-to-end: LSH-bucketed embedding-cosine pairs
-    → connected components → keep the minimum id per cluster. The
-    composed kept/dropped decision — the final step of the
-    embedding-tier dedup — under a full value oracle."""
-    from data_ingest_spark.extensions.dedup import dup_clusters
-    pairs = sim.embedding_near_dups(load(spark, sf, "embeddings"),
-                                    threshold=0.35).select("id_a", "id_b")
-    comp = dup_clusters(pairs, id_cols=("id_a", "id_b"))
-    return comp.select(F.col("doc_id").alias("vec_id"), "cluster",
-                       (F.col("doc_id") == F.col("cluster")).alias("kept"))
-
-
-@_q("x46_importance_sample", f"""
-WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk,
-                  length(text) AS nc,
-                  length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
-                    AS np
-           FROM documents),
- m AS (SELECT doc_id, len(tk) AS n_tokens,
-              np / nc AS pr,
-              len(list_filter(tk, x -> list_contains({_STOP_SQL}, x)))
-                / len(tk) AS sr
-       FROM t),
- q AS (SELECT doc_id,
-              ROUND(0.3 * least(1.0, n_tokens / 100.0)
-                    + 0.4 * (1.0 - pr) + 0.3 * sr, 6) AS quality_score
-       FROM m)
-SELECT doc_id, quality_score
-FROM q
-WHERE CAST(concat('0x', substr(md5('21:' || CAST(doc_id AS VARCHAR)), 1, 7))
-      AS BIGINT) % 10000
-    < FLOOR(quality_score * quality_score * 10000)
-""")
-def q_importance_sample(spark, sf):
-    """Quality-weighted sampling at temperature 2: keep probability =
-    quality_score², decided content-addressed — the step that turns a
-    quality signal into a training distribution, map-only and exactly
-    reproducible."""
-    from data_ingest_spark.extensions.sampling import importance_sample
-    scored = tx.text_quality(load(spark, sf, "documents")).select(
-        "doc_id", "quality_score")
-    return importance_sample(scored, "quality_score", temperature=2.0)
-
-
-@_q("x47_bigram_lm", """
-WITH t AS (SELECT string_split_regex(lower(text), '\\s+') AS tk
-           FROM documents),
- bg AS (SELECT unnest([{'w1': tk[i], 'w2': tk[i+1]}
-                       FOR i IN generate_series(1, len(tk) - 1)],
-                      recursive := true)
-        FROM t WHERE len(tk) >= 2),
- c AS (SELECT w1, w2, COUNT(*) AS pair_count FROM bg GROUP BY 1, 2),
- m AS (SELECT w1, SUM(pair_count) AS c1 FROM c GROUP BY 1)
-SELECT c.w1, c.w2, CAST(c.pair_count AS BIGINT) AS pair_count,
-       ROUND(c.pair_count / m.c1, 6) AS cond_prob
-FROM c JOIN m ON m.w1 = c.w1
-ORDER BY pair_count DESC, c.w1, c.w2 LIMIT 100
-""")
-def q_bigram_lm(spark, sf):
-    """Bigram LM: corpus pair counts + P(w2|w1), top-100."""
-    from data_ingest_spark.extensions.text import bigram_lm
-    return bigram_lm(load(spark, sf, "documents"), top_k=100)
-
-
-@_q("x48_diversity_sample", f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
- b AS (SELECT vec_id, {_planes_sql()} AS bucket FROM e)
-SELECT bucket, MIN(vec_id) AS rep_id,
-       CAST(COUNT(*) AS BIGINT) AS bucket_size
-FROM b GROUP BY 1
-""")
-def q_diversity_sample(spark, sf):
-    """Diversity-aware subset selection: one representative per
-    semantic LSH bucket (min id) + bucket mass — the cheap
-    coreset-style pick that spreads a sample across embedding-space
-    regions instead of density peaks. Map-side bucket hash, one
-    groupBy — no pairwise distances."""
-    emb = load(spark, sf, "embeddings")
-    planes = sim.hyperplanes(4, 64)
-    bucketed = emb.select(
-        "vec_id", sim.lsh_bucket_col("embedding", planes).alias("bucket"))
-    return (bucketed.groupBy("bucket")
-            .agg(F.min("vec_id").alias("rep_id"),
-                 F.count("*").alias("bucket_size")))
-
-
-@_q("x49_decayed_counts", """
-WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events),
- w AS (SELECT user_id,
-         CAST(ROUND(exp(-0.6931471805599453 *
-                (epoch(TIMESTAMP '2024-02-01 00:00:00') - epoch(ts))
-                / 86400.0) * 1000000) AS BIGINT) AS wi
-       FROM e WHERE ts <= TIMESTAMP '2024-02-01 00:00:00')
-SELECT user_id, ROUND(SUM(wi) / 1000000, 6) AS decayed_count,
-       CAST(COUNT(*) AS BIGINT) AS n_events
-FROM w GROUP BY 1
-""")
-def q_decayed_counts(spark, sf):
-    """Recency-decayed per-user activity (half-life 1 day, as of
-    2024-02-01): fixed-point per-row weights, exact integer sum."""
-    from data_ingest_spark.extensions.profile import decayed_counts
-    return decayed_counts(events_df(spark, sf), half_life_s=86400.0,
-                          asof_expr="TIMESTAMP '2024-02-01 00:00:00'")
-
-
-@_q("e16_json_props", """
-SELECT event_type,
-       CAST(CAST(json_extract(props, '$.k') AS INTEGER) // 10 AS BIGINT)
-         AS k_bucket,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(value), 2) AS total_value
-FROM events
-GROUP BY 1, 2
-""")
-def q_json_props(spark, sf):
-    """Semi-structured payload parsing: the events ``props`` JSON
-    string → typed field → bucketed aggregate. from_json with an
-    explicit schema stays JVM-side (no UDF) and prunes to the one
-    parsed field."""
-    from pyspark.sql.types import IntegerType, StructField, StructType
-    schema = StructType([StructField("k", IntegerType())])
-    ev = load(spark, sf, "events").withColumn(
-        "_p", F.from_json("props", schema))
-    return (ev.groupBy(
-                "event_type",
-                F.floor(F.col("_p.k") / 10).cast("long").alias("k_bucket"))
-            .agg(F.count("*").alias("n"),
-                 F.round(F.sum("value"), 2).alias("total_value")))
-
-
-@_q("v8_array_functions", """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-           WHERE vec_id % 25 = 0)
-SELECT vec_id,
-       CAST(len(v) AS BIGINT) AS dim,
-       ROUND(v[1], 6) AS first_val,
-       ROUND(sqrt(list_dot_product(v, v)), 6) AS l2_norm,
-       ROUND(list_aggregate(v, 'sum'), 6) AS sum_val,
-       ROUND(list_aggregate(v, 'max'), 6) AS max_val,
-       CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_positive
-FROM e
-""")
-def q_array_functions(spark, sf):
-    """Higher-order array functions as an explicit oracle row: size,
-    element access, dot-product norm, sequential fold (same fold order
-    in both engines ⇒ identical doubles), filter count."""
-    e = (load(spark, sf, "embeddings")
-         .filter(F.col("vec_id") % 25 == 0)
-         .select("vec_id",
-                 F.col("embedding").cast("array<double>").alias("v")))
-    dot = F.aggregate(F.zip_with("v", "v", lambda a, b: a * b),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    return e.select(
-        "vec_id",
-        F.size("v").cast("long").alias("dim"),
-        F.round(F.element_at("v", 1), 6).alias("first_val"),
-        F.round(F.sqrt(dot), 6).alias("l2_norm"),
-        F.round(F.aggregate("v", F.lit(0.0), lambda a, x: a + x), 6)
-        .alias("sum_val"),
-        F.round(F.array_max("v"), 6).alias("max_val"),
-        F.size(F.filter("v", lambda x: x > 0)).cast("long")
-        .alias("n_positive"))
-
-
-@_q("e17_datetime_functions", """
-SELECT event_id,
-       date_trunc('day', ts::TIMESTAMP) AS day,
-       date_trunc('hour', ts::TIMESTAMP) AS hour,
-       CAST(EXTRACT(dow FROM ts::TIMESTAMP) AS BIGINT) AS dow_sunday0,
-       CAST(EXTRACT(hour FROM ts::TIMESTAMP) AS BIGINT) AS hour_of_day,
-       CAST(EXTRACT(epoch FROM date_trunc('day', ts::TIMESTAMP))
-            AS BIGINT) AS day_epoch
-FROM events WHERE event_id % 97 = 0
-""")
-def q_datetime_functions(spark, sf):
-    """Datetime family: truncation, day-of-week (normalized to
-    Sunday=0 — Spark's dayofweek is Sunday=1), epoch extraction."""
-    ev = events_df(spark, sf).filter(F.col("event_id") % 97 == 0)
-    return ev.select(
-        "event_id",
-        F.date_trunc("day", "ts").alias("day"),
-        F.date_trunc("hour", "ts").alias("hour"),
-        (F.dayofweek("ts") - 1).cast("long").alias("dow_sunday0"),
-        F.hour("ts").cast("long").alias("hour_of_day"),
-        F.unix_timestamp(F.date_trunc("day", "ts")).cast("long")
-        .alias("day_epoch"))
-
-
-@_q("x50_image_features", """
-WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
-                  octet_length(encode(text)) AS nb FROM documents),
- tiled AS (SELECT doc_id,
-             substring(repeat(substring(hx, 1, 128),
-                       CAST(4096 // greatest(least(nb, 64), 1) AS INTEGER)
-                       + 1), 1, 8192) AS hx2
-           FROM d),
- px AS (SELECT doc_id,
-               CAST(concat('0x', substr(hx2, 2 * i - 1, 2)) AS BIGINT) AS v
-        FROM tiled CROSS JOIN (SELECT unnest(generate_series(1, 4096)) AS i))
-SELECT doc_id,
-       ROUND(SUM(v) / 4096.0, 6) AS mean_px,
-       CAST(MIN(v) AS INTEGER) AS min_px,
-       CAST(MAX(v) AS INTEGER) AS max_px,
-       CAST(SUM(CASE WHEN v // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS hist_0,
-       CAST(SUM(CASE WHEN v // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hist_1,
-       CAST(SUM(CASE WHEN v // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS hist_2,
-       CAST(SUM(CASE WHEN v // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS hist_3
-FROM px GROUP BY doc_id
-""")
-def q_image_features(spark, sf):
-    """decode(fake) → resize(64×64) → feature-extract: the full
-    three-stage multimodal chain, last stage emitting mean/min/max
-    intensity + 4-bin histogram — all integer-exact vs the hex-domain
-    oracle."""
-    docs = load(spark, sf, "documents").withColumn(
-        "payload", F.col("text").cast("binary"))
-    resized = mm.resize_image(mm.decode_image_fake(docs),
-                              width=64, height=64)
-    return mm.image_features(resized)
-
-
-@_q("x91_image_decode_real", """
-WITH p AS (SELECT doc_id,
-                  CAST(1 + doc_id % 13 AS INTEGER) AS width,
-                  CAST(1 + doc_id % 7 AS INTEGER) AS height,
-                  substr(repeat(md5(text), 9), 1,
-                         CAST((1 + doc_id % 13) * (1 + doc_id % 7) * 3
-                              AS INTEGER)) AS body
-           FROM documents),
- px AS (SELECT doc_id, width, height,
-               unnest(list_transform(range(1, len(body) + 1),
-                      i -> ord(substr(body, i, 1)))) AS v
-        FROM p)
-SELECT doc_id, width, height,
-       ROUND(SUM(v) * 1.0 / COUNT(*), 6) AS mean_px,
-       CAST(MIN(v) AS INTEGER) AS min_px,
-       CAST(MAX(v) AS INTEGER) AS max_px,
-       CAST(SUM(CASE WHEN v // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS hist_0,
-       CAST(SUM(CASE WHEN v // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hist_1,
-       CAST(SUM(CASE WHEN v // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS hist_2,
-       CAST(SUM(CASE WHEN v // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS hist_3
-FROM px GROUP BY 1, 2, 3
-""")
-def q_image_decode_real(spark, sf):
-    """REAL image decode under a full value oracle (round-3 verdict
-    #8): deterministic binary P6 PPM payloads are synthesized from
-    each document (header with a comment line, md5-derived raster),
-    decoded by the pure-numpy netpbm parser (`decode_payload` — no
-    PIL), and summarized by image_features. The oracle recomputes the
-    raster directly, so header parsing, dimension extraction, and the
-    raster offset are all value-checked."""
-    docs = load(spark, sf, "documents")
-    w = (F.lit(1) + F.col("doc_id") % 13).cast("int")
-    h = (F.lit(1) + F.col("doc_id") % 7).cast("int")
-    body = F.repeat(F.md5(F.col("text").cast("binary")), 9).substr(
-        F.lit(1), (w * h * 3).cast("int"))
-    payload = F.concat(
-        F.lit("P6\n# synthetic\n"), w.cast("string"), F.lit(" "),
-        h.cast("string"), F.lit("\n255\n"), body).cast("binary")
-    dec = mm.decode_image(
-        docs.select("doc_id", payload.alias("payload")))
-    feats = mm.image_features(dec)
-    return (dec.select("doc_id", "width", "height")
-            .join(feats, "doc_id"))
-
-
-def _lloyd_d2_sql(qe: str, ce: str) -> str:
-    return (f"CAST(list_sum(list_transform(range(1, 65), "
-            f"j -> ({qe}[j] - {ce}[j]) * ({qe}[j] - {ce}[j]))) AS BIGINT)")
-
-
-def _lloyd_iter_sql(i: int) -> str:
-    """One unrolled Lloyd round: assign to prior centroids c{i-1},
-    re-center as floor(sum/n) per dimension → c{i}."""
-    return f"""
-i{i} AS (SELECT q.vec_id, q.qe, c.cid,
-              {_lloyd_d2_sql('q.qe', 'c.ce')} AS dd
-       FROM q CROSS JOIN c{i - 1} c),
-a{i} AS (SELECT vec_id, qe, cid FROM (
-         SELECT vec_id, qe, cid,
-                ROW_NUMBER() OVER (PARTITION BY vec_id
-                                   ORDER BY dd, cid) AS rk
-         FROM i{i}) WHERE rk = 1),
-c{i} AS MATERIALIZED (
-  SELECT cid, list(m ORDER BY dim) AS ce FROM (
-    SELECT cid, t.i AS dim,
-           CAST(FLOOR(SUM(qe[t.i]) * 1.0 / COUNT(*)) AS BIGINT) AS m
-    FROM a{i} CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) t
-    GROUP BY cid, t.i) GROUP BY cid)"""
-
-
-@_q("x51_kmeans_ivf", f"""
-WITH q AS MATERIALIZED (
-  SELECT vec_id, embedding::DOUBLE[] AS ev,
-         list_transform(embedding,
-           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
-  FROM embeddings),
-c0 AS (SELECT vec_id AS cid, qe AS ce FROM q WHERE vec_id < 4),
-{_lloyd_iter_sql(1)},
-{_lloyd_iter_sql(2)},
-i3 AS MATERIALIZED (
-  SELECT q.vec_id, q.ev, c.cid, {_lloyd_d2_sql('q.qe', 'c.ce')} AS dd
-  FROM q CROSS JOIN c2 c),
-r3 AS (SELECT vec_id, ev, cid,
-              ROW_NUMBER() OVER (PARTITION BY vec_id
-                                 ORDER BY dd, cid) AS rk FROM i3),
-asg AS (SELECT vec_id AS neighbor_id, ev AS cv, cid FROM r3 WHERE rk = 1),
-pr AS (SELECT vec_id AS query_id, ev AS qv, cid FROM r3
-       WHERE rk <= 2 AND {_ANN_Q}),
-s AS (SELECT pr.query_id, a.neighbor_id,
-             ROUND(list_dot_product(pr.qv, a.cv) /
-                   (sqrt(list_dot_product(pr.qv, pr.qv)) *
-                    sqrt(list_dot_product(a.cv, a.cv))), 6) AS cosine
-      FROM pr JOIN asg a USING (cid)
-      WHERE a.neighbor_id <> pr.query_id),
-r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                     ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
-      FROM s)
-SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
-""")
-def q_kmeans_ivf(spark, sf):
-    """End-to-end KMeans-IVF ANN under a FULL value oracle: the coarse
-    quantizer is 2 unrolled fixed-point Lloyd iterations (seeds =
-    ids < 4), nprobe=2 search over the trained cells — the oracle
-    replays the identical training rounds in SQL. The Spark-ML-fit
-    variant (`cosine_topk_kmeans_ivf`) stays the production path for
-    arbitrary iteration counts; its recall is property-tested in
-    test_extensions."""
-    from data_ingest_spark.extensions.similarity import (
-        cosine_topk_fixed_ivf)
-    emb = load(spark, sf, "embeddings")
-    queries = emb.filter(F.expr(_ANN_Q)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_vec"))
-    return cosine_topk_fixed_ivf(emb, queries, k=5, n_cells=4,
-                                 n_iters=2, nprobe=2)
-
-
-def _morton_sql_terms(x: str, y: str, bits: int = 16) -> str:
-    terms = []
-    for i in range(bits):
-        terms.append(f"(({x} // {1 << i}) % 2) * {1 << (2 * i)}")
-        terms.append(f"(({y} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
-    return " + ".join(terms)
-
-
-@_q("x52_zorder", f"""
-SELECT o_orderkey,
-       CAST({_morton_sql_terms('(o_custkey % 65536)',
-                               '(CAST(FLOOR(o_totalprice) AS BIGINT) % 65536)')}
-            AS BIGINT) AS zcode
-FROM orders WHERE o_orderkey % 20 = 0
-""")
-def q_zorder(spark, sf):
-    """Z-order clustering key: 16-bit Morton interleave of
-    (custkey, price) — the layout key that makes min/max skipping work
-    on both columns; bit arithmetic, exact across engines. (Disjoint
-    OR terms ≡ the oracle's sum.)"""
-    from data_ingest_spark.functions.partitioning import morton_code
-    o = load(spark, sf, "orders").filter(F.col("o_orderkey") % 20 == 0)
-    return o.select(
-        "o_orderkey",
-        morton_code(F.col("o_custkey") % 65536,
-                    F.floor("o_totalprice").cast("long") % 65536)
-        .alias("zcode"))
-
-
-@_q("v9_window_functions", """
-WITH o AS (SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price
-           FROM orders WHERE o_custkey % 40 = 0)
-SELECT o_custkey, o_orderkey, price,
-       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
-       CAST(RANK() OVER w AS BIGINT) AS rnk,
-       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
-       ROUND(PERCENT_RANK() OVER w, 6) AS prank,
-       ROUND(CUME_DIST() OVER w, 6) AS cdist,
-       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
-       ROUND(LAG(price, 1, 0.0) OVER w, 2) AS prev_price,
-       ROUND(LEAD(price, 1, 0.0) OVER w, 2) AS next_price,
-       ROUND(SUM(price) OVER (PARTITION BY o_custkey ORDER BY price,
-             o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS running_total
-FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY price, o_orderkey)
-""")
-def q_window_functions(spark, sf):
-    """The analytic window-function family in one oracle row: ranking
-    (row_number/rank/dense_rank), distribution (percent_rank /
-    cume_dist / ntile), offsets (lag/lead), and a running frame — all
-    per-key windows, parallel across customers."""
-    w = W.partitionBy("o_custkey").orderBy("price", "o_orderkey")
-    o = (load(spark, sf, "orders").filter(F.col("o_custkey") % 40 == 0)
-         .select("o_custkey", "o_orderkey",
-                 F.round("o_totalprice", 2).alias("price")))
-    return o.select(
-        "o_custkey", "o_orderkey", "price",
-        F.row_number().over(w).cast("long").alias("rn"),
-        F.rank().over(w).cast("long").alias("rnk"),
-        F.dense_rank().over(w).cast("long").alias("drnk"),
-        F.round(F.percent_rank().over(w), 6).alias("prank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.lag("price", 1, 0.0).over(w), 2).alias("prev_price"),
-        F.round(F.lead("price", 1, 0.0).over(w), 2).alias("next_price"),
-        F.round(F.sum("price").over(
-            w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2)
-        .alias("running_total"))
-
-
-def _pq_oracle_sql() -> str:
-    books = sim.pq_codebooks(64, 8, 16)
-    rows = []
-    for j, bk in enumerate(books):
-        for c, vec in enumerate(bk):
-            lst = "[" + ", ".join(str(x) for x in vec) + "]"
-            n2 = sum(x * x for x in vec)
-            rows.append(f"({j}, {c}, {n2}, {lst}::DOUBLE[])")
-    values = ",\n  ".join(rows)
-    return f"""
-WITH cb(j, c, norm2, w) AS (VALUES
-  {values}),
- e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
- seg AS (SELECT vec_id, cb.j, cb.c,
-                ROUND(2 * list_dot_product(v[cb.j * 8 + 1 : cb.j * 8 + 8],
-                                           cb.w) - cb.norm2, 6) AS score
-         FROM e CROSS JOIN cb),
- pick AS (SELECT vec_id, j, c,
-                 ROW_NUMBER() OVER (PARTITION BY vec_id, j
-                                    ORDER BY score DESC, c) AS rn
-          FROM seg)
-SELECT vec_id,
-       string_agg(CAST(c AS VARCHAR), ',' ORDER BY j) AS pq_code
-FROM pick WHERE rn = 1 GROUP BY vec_id
-"""
-
-
-@_q("x53_pq_encode", _pq_oracle_sql())
-def q_pq_encode(spark, sf):
-    """PQ encoding: 64-dim float vectors → 8 codes from deterministic
-    codebooks (rounded-score argmax, exact across engines)."""
-    return sim.pq_encode(load(spark, sf, "embeddings"))
-
-
-def _pq_search_oracle_sql() -> str:
-    books = sim.pq_codebooks(64, 8, 16)
-    rows = []
-    for j, bk in enumerate(books):
-        for c, vec in enumerate(bk):
-            lst = "[" + ", ".join(str(x) for x in vec) + "]"
-            n2 = sum(x * x for x in vec)
-            rows.append(f"({j}, {c}, {n2}, {lst}::DOUBLE[])")
-    values = ",\n  ".join(rows)
-    return f"""
-WITH cb(j, c, norm2, w) AS (VALUES
-  {values}),
- e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
- seg AS (SELECT vec_id, cb.j, cb.c,
-                ROUND(2 * list_dot_product(v[cb.j * 8 + 1 : cb.j * 8 + 8],
-                                           cb.w) - cb.norm2, 6) AS score
-         FROM e CROSS JOIN cb),
- pick AS (SELECT vec_id, j, c,
-                 ROW_NUMBER() OVER (PARTITION BY vec_id, j
-                                    ORDER BY score DESC, c) AS rn
-          FROM seg),
- codes AS (SELECT vec_id, j, c FROM pick WHERE rn = 1),
- q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
- lut AS (SELECT q.query_id, cb.j, cb.c,
-                CAST(FLOOR((2 * list_dot_product(
-                       qv[cb.j * 8 + 1 : cb.j * 8 + 8], cb.w)
-                     - cb.norm2) * 1000000 + 0.5) AS BIGINT) AS s_i
-         FROM q CROSS JOIN cb),
- scored AS (SELECT l.query_id, cd.vec_id AS neighbor_id,
-                   SUM(l.s_i) AS score_i
-            FROM codes cd JOIN lut l ON l.j = cd.j AND l.c = cd.c
-            WHERE cd.vec_id <> l.query_id
-            GROUP BY 1, 2),
- rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                  ORDER BY score_i DESC, neighbor_id) AS rank
-        FROM scored)
-SELECT query_id, neighbor_id, CAST(score_i AS BIGINT) AS score_i,
-       CAST(rank AS BIGINT) AS rank
-FROM rk WHERE rank <= 5
-"""
-
-
-@_q("x54_pq_search", _pq_search_oracle_sql())
-def q_pq_search(spark, sf):
-    """PQ asymmetric-distance search: integer LUT scores over the
-    4-bit codes, top-5 per query — the complete compressed-domain ANN
-    path under a full value oracle."""
-    emb = load(spark, sf, "embeddings")
-    qids = [r["vec_id"] for r in
-            emb.filter(F.col("vec_id") % 50 == 0).select("vec_id")
-            .collect()]
-    return sim.pq_search(emb, qids, k=5)
-
-
-@_q("x55_quantize_int8", """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
- s AS (SELECT vec_id, v,
-              ROUND(list_aggregate(list_transform(v, x -> abs(x)), 'max')
-                    / 127.0, 6) AS scale
-       FROM e),
- q AS (SELECT vec_id, scale, v,
-              list_transform(v, x -> greatest(-127.0,
-                least(127.0, FLOOR(x / scale + 0.5)))) AS qv
-       FROM s)
-SELECT vec_id, scale,
-       array_to_string(list_transform(qv,
-         x -> CAST(CAST(x AS BIGINT) AS VARCHAR)), ',') AS q_csv,
-       ROUND(list_aggregate(list_transform(list_zip(v, qv),
-         p -> abs(p[1] - p[2] * scale)), 'max'), 6) AS max_err
-FROM q
-""")
-def q_quantize_int8(spark, sf):
-    """int8 embedding quantization with per-vector scale and a
-    reconstruction-error audit column."""
-    return sim.quantize_int8(load(spark, sf, "embeddings"))
-
-
-@_q("u3_intersect_except", """
-WITH cn AS (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nk
-            FROM customer),
- sn AS (SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS nk FROM supplier
-        WHERE s_acctbal > 4900.0)
-SELECT 'both' AS which, nk FROM (SELECT nk FROM cn INTERSECT
-                                 SELECT nk FROM sn) a
-UNION ALL
-SELECT 'cust_only' AS which, nk FROM (SELECT nk FROM cn EXCEPT
-                                      SELECT nk FROM sn) b
-""")
-def q_intersect_except(spark, sf):
-    """§2.6 set-operation surface beyond the reference: INTERSECT and
-    EXCEPT (distinct semantics) over nation key sets, tagged and
-    unioned into one result."""
-    cn = (load(spark, sf, "customer")
-          .select(F.col("c_nationkey").cast("long").alias("nk")).distinct())
-    sn = (load(spark, sf, "supplier")
-          .filter(F.col("s_acctbal") > 4900.0)
-          .select(F.col("s_nationkey").cast("long").alias("nk")).distinct())
-    both = cn.intersect(sn).select(F.lit("both").alias("which"), "nk")
-    only = cn.subtract(sn).select(F.lit("cust_only").alias("which"), "nk")
-    return both.unionByName(only)
-
-
-@_q("e20_grouping_sets", """
-WITH b AS (SELECT CAST(ts::TIMESTAMP::DATE AS VARCHAR) AS day,
-                  event_type, user_id % 10 AS cohort, value FROM events)
-SELECT COALESCE(day, 'ALL') AS day,
-       COALESCE(event_type, 'ALL') AS event_type,
-       COALESCE(CAST(cohort AS VARCHAR), 'ALL') AS cohort,
-       CAST(COUNT(value) AS BIGINT) AS n, ROUND(SUM(value), 2) AS total_value
-FROM b GROUP BY GROUPING SETS ((day, event_type), (event_type, cohort), ())
-""")
-def q_grouping_sets(spark, sf):
-    """Explicit GROUPING SETS (neither pure rollup nor cube): the
-    (day, type) and (type, cohort) marginals plus the grand total in
-    ONE pass — the multi-marginal reporting shape."""
-    b = load(spark, sf, "events").select(
-        F.col("ts").cast("date").cast("string").alias("day"),
-        "event_type",
-        (F.col("user_id") % 10).alias("cohort"),
-        "value")
-    b.createOrReplaceTempView("_gs_events")
-    return spark.sql("""
-        SELECT COALESCE(day, 'ALL') AS day,
-               COALESCE(event_type, 'ALL') AS event_type,
-               COALESCE(CAST(cohort AS STRING), 'ALL') AS cohort,
-               CAST(COUNT(value) AS BIGINT) AS n,
-               ROUND(SUM(value), 2) AS total_value
-        FROM _gs_events
-        GROUP BY GROUPING SETS ((day, event_type), (event_type, cohort), ())
-    """)
-
-
-@_q("x67_hierarchy_paths", """
-WITH RECURSIVE edges AS (
-  SELECT p_partkey AS child, p_partkey // 10 AS parent
-  FROM part WHERE p_partkey >= 10
-),
- paths(node, root, depth) AS (
-  SELECT child, child, 0 FROM edges
-  UNION ALL
-  SELECT p.node, e.parent, p.depth + 1
-  FROM paths p JOIN edges e ON e.child = p.root
-  WHERE p.depth < 6
-)
-SELECT node, root AS ancestor, CAST(depth AS BIGINT) AS depth
-FROM paths WHERE depth > 0
-""")
-def q_hierarchy_paths(spark, sf):
-    """Recursive-CTE equivalent: all (node, ancestor, depth) pairs of
-    the part-key decimal hierarchy (parent = key div 10). Spark has no
-    WITH RECURSIVE; the expansion is the standard bounded iterative
-    self-join with the frontier localCheckpoint'ed per level — the
-    same linear-shuffle-per-level shape a billion-edge hierarchy
-    needs. The DuckDB oracle IS a recursive CTE, so the driver checks
-    the full transitive closure."""
-    edges = (load(spark, sf, "part")
-             .filter(F.col("p_partkey") >= 10)
-             .select(F.col("p_partkey").alias("child"),
-                     (F.col("p_partkey") / 10).cast("long").alias("parent"))
-             ).localCheckpoint()
-    frontier = edges.select(F.col("child").alias("node"),
-                            F.col("parent").alias("ancestor"),
-                            F.lit(1).alias("depth"))
-    out = frontier
-    for d in range(2, 7):  # oracle recursion bound: depth <= 6
-        nxt = (frontier.join(
-                   edges.select(F.col("child").alias("ancestor"),
-                                F.col("parent").alias("_up")), "ancestor")
-               .select("node", F.col("_up").alias("ancestor"),
-                       F.lit(d).alias("depth")))
-        if nxt.isEmpty():
-            break
-        out = out.unionByName(nxt)
-        frontier = nxt.localCheckpoint()
-    return out.select("node", "ancestor", F.col("depth").cast("long"))
-
-
-@_q("e21_range_frame", """
-SELECT event_id, user_id,
-       ROUND(SUM(value) OVER (
-           PARTITION BY user_id ORDER BY ts
-           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 6)
-           AS trailing_1h_sum,
-       CAST(COUNT(*) OVER (
-           PARTITION BY user_id ORDER BY ts
-           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-           AS BIGINT) AS trailing_1h_n
-FROM events
-""")
-def q_range_frame(spark, sf):
-    """Time-RANGE window frames: per-user trailing-1-hour sum/count —
-    the moving-aggregate shape ROWS frames cannot express (frame width
-    is event-time, not row count). One shuffle on user_id; the frame
-    scan is sort-local within the partition."""
-    ev = load(spark, sf, "events")
-    ev.createOrReplaceTempView("_rf_events")
-    return spark.sql("""
-        SELECT event_id, user_id,
-               ROUND(SUM(value) OVER (
-                   PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
-                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
-                             AND CURRENT ROW), 6) AS trailing_1h_sum,
-               CAST(COUNT(*) OVER (
-                   PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
-                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
-                             AND CURRENT ROW) AS BIGINT) AS trailing_1h_n
-        FROM _rf_events
-    """)
-
-
-@_q("x70_hll_accuracy", """
-SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_n,
-       TRUE AS within_bound
-FROM lineitem
-""")
-def q_hll_accuracy(spark, sf):
-    """HLL quality gate, oracle-checkable the same way x57 checks
-    MinHash recall: emit the EXACT distinct count (hash-matched
-    against the oracle) plus a boolean asserting the engine's
-    approx_count_distinct landed within 3x its configured 5% rsd.
-    The approximate value itself can never hash-match — the bound
-    check is the contract."""
-    li = load(spark, sf, "lineitem")
-    agg = li.agg(
-        F.countDistinct("l_orderkey").cast("long").alias("exact_n"),
-        F.approx_count_distinct("l_orderkey", rsd=0.05).alias("_approx"))
-    return agg.select(
-        "exact_n",
-        (F.abs(F.col("_approx") - F.col("exact_n"))
-         / F.col("exact_n") < 0.15).alias("within_bound"))
-
-
-@_q("e22_approx_percentile_accuracy", """
-WITH ex AS (SELECT quantile_cont(o_totalprice, 0.5) AS p50,
-                   quantile_cont(o_totalprice, 0.95) AS p95,
-                   MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
-            FROM orders)
-SELECT ROUND(p50, 2) AS exact_p50, ROUND(p95, 2) AS exact_p95,
-       TRUE AS p50_ok, TRUE AS p95_ok
-FROM ex
-""")
-def q_approx_percentile_accuracy(spark, sf):
-    """approx_percentile quality gate: exact p50/p95 (hash-matched)
-    plus booleans asserting the sketch estimates fall within 5% of
-    the exact values — the bound that justifies using the mergeable
-    sketch at scale."""
-    o = load(spark, sf, "orders")
-    agg = o.agg(
-        F.expr("percentile(o_totalprice, 0.5)").alias("_e50"),
-        F.expr("percentile(o_totalprice, 0.95)").alias("_e95"),
-        F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("_a50"),
-        F.expr("approx_percentile(o_totalprice, 0.95, 1000)").alias("_a95"))
-    return agg.select(
-        F.round("_e50", 2).alias("exact_p50"),
-        F.round("_e95", 2).alias("exact_p95"),
-        (F.abs(F.col("_a50") - F.col("_e50")) / F.col("_e50") < 0.05)
-        .alias("p50_ok"),
-        (F.abs(F.col("_a95") - F.col("_e95")) / F.col("_e95") < 0.05)
-        .alias("p95_ok"))
-
-
-@_q("e23_gap_fill", """
-WITH d AS (SELECT user_id % 50 AS grp, ts::TIMESTAMP::DATE AS day,
-                  value FROM events),
- spans AS (SELECT grp, MIN(day) AS lo, MAX(day) AS hi FROM d GROUP BY 1),
- cal AS (SELECT grp, unnest(generate_series(lo, hi, INTERVAL 1 DAY))
-                     ::DATE AS day
-         FROM spans),
- agg AS (SELECT grp, day, CAST(COUNT(*) AS BIGINT) AS n,
-                ROUND(SUM(value), 2) AS total
-         FROM d GROUP BY 1, 2)
-SELECT c.grp, CAST(c.day AS VARCHAR) AS day,
-       COALESCE(a.n, 0) AS n, COALESCE(a.total, 0.0) AS total
-FROM cal c LEFT JOIN agg a ON a.grp = c.grp AND a.day = c.day
-""")
-def q_gap_fill(spark, sf):
-    """Time-series gap filling: a dense per-group daily calendar from
-    each group's min..max day, left-joined onto the actual daily
-    aggregates with zero-fill — the resampling pass dashboards and
-    window models need (a groupBy alone silently omits empty days).
-    Calendar generation is sequence()+explode per group row — no
-    driver loop, no cross join."""
-    d = load(spark, sf, "events").select(
-        (F.col("user_id") % 50).alias("grp"),
-        F.col("ts").cast("date").alias("day"), "value")
-    spans = d.groupBy("grp").agg(F.min("day").alias("lo"),
-                                 F.max("day").alias("hi"))
-    cal = spans.select(
-        "grp", F.explode(F.expr(
-            "sequence(lo, hi, interval 1 day)")).alias("day"))
-    agg = d.groupBy("grp", "day").agg(
-        F.count("*").cast("long").alias("n"),
-        F.round(F.sum("value"), 2).alias("total"))
-    return (cal.join(agg, ["grp", "day"], "left")
-            .select("grp", F.col("day").cast("string").alias("day"),
-                    F.coalesce("n", F.lit(0)).alias("n"),
-                    F.coalesce("total", F.lit(0.0)).alias("total")))
-
-
-@_q("e24_mad_outliers", """
-WITH med AS (SELECT o_orderpriority,
-                    quantile_cont(o_totalprice, 0.5) AS med
-             FROM orders GROUP BY 1),
- dev AS (SELECT o.o_orderpriority, o.o_orderkey, o.o_totalprice,
-                ABS(o.o_totalprice - m.med) AS ad, m.med
-         FROM orders o JOIN med m
-           ON o.o_orderpriority = m.o_orderpriority),
- mad AS (SELECT o_orderpriority, quantile_cont(ad, 0.5) AS mad
-         FROM dev GROUP BY 1)
-SELECT d.o_orderpriority AS priority, d.o_orderkey AS orderkey,
-       ROUND((d.o_totalprice - d.med) / (1.4826 * m.mad), 6)
-           AS robust_z,
-       (ABS(d.o_totalprice - d.med) > 3.0 * 1.4826 * m.mad)
-           AS is_outlier
-FROM dev d JOIN mad m ON d.o_orderpriority = m.o_orderpriority
-""")
-def q_mad_outliers(spark, sf):
-    """Robust per-group outlier flagging: median + MAD (scaled by the
-    1.4826 normal-consistency constant) instead of mean/stddev, so a
-    few extreme rows cannot drag the threshold — the robust twin of
-    the M4 regression band. Two exact-percentile aggregations plus a
-    broadcast join back; parity of interpolated percentiles across
-    engines is already pinned by e8."""
-    o = load(spark, sf, "orders").select(
-        "o_orderpriority", "o_orderkey", "o_totalprice")
-    med = o.groupBy("o_orderpriority").agg(
-        F.expr("percentile(o_totalprice, 0.5)").alias("med"))
-    dev = (o.join(F.broadcast(med), "o_orderpriority")
-           .withColumn("ad", F.abs(F.col("o_totalprice") - F.col("med"))))
-    mad = dev.groupBy(F.col("o_orderpriority").alias("_p")).agg(
-        F.expr("percentile(ad, 0.5)").alias("mad"))
-    return (dev.join(F.broadcast(mad),
-                     F.col("o_orderpriority") == F.col("_p"))
-            .select(F.col("o_orderpriority").alias("priority"),
-                    F.col("o_orderkey").alias("orderkey"),
-                    F.round((F.col("o_totalprice") - F.col("med"))
-                            / (F.lit(1.4826) * F.col("mad")), 6)
-                    .alias("robust_z"),
-                    (F.abs(F.col("o_totalprice") - F.col("med"))
-                     > F.lit(3.0) * F.lit(1.4826) * F.col("mad"))
-                    .alias("is_outlier")))
-
-
-@_q("x73_dq_checks", """
-WITH base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS v_nn,
-       CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
-                       OR o_totalprice > 1000000 THEN 1 ELSE 0 END)
-            AS BIGINT) AS v_rng,
-       CAST(SUM(CASE WHEN o_orderstatus IS NULL
-                       OR o_orderstatus NOT IN ('O', 'F', 'P')
-                     THEN 1 ELSE 0 END) AS BIGINT) AS v_set,
-       CAST(SUM(CASE WHEN NOT (o_orderdate <= o_orderdate)
-                     THEN 1 ELSE 0 END) AS BIGINT) AS v_expr
-       FROM orders),
- uq AS (SELECT CAST(COALESCE(SUM(CASE WHEN k > 1 THEN k END), 0) AS BIGINT)
-                 AS v_uq,
-               CAST(COALESCE(SUM(k), 0) AS BIGINT) AS n_uq
-        FROM (SELECT COUNT(*) AS k FROM orders GROUP BY o_orderkey))
-SELECT rule, col AS "column", v AS n_violations, n AS n_rows,
-       v = 0 AS pass
-FROM (
-  SELECT 'not_null' AS rule, 'o_custkey' AS col, v_nn AS v, n FROM base
-  UNION ALL SELECT 'in_range', 'o_totalprice', v_rng, n FROM base
-  UNION ALL SELECT 'in_set', 'o_orderstatus', v_set, n FROM base
-  UNION ALL SELECT 'expression', 'date_sane', v_expr, n FROM base
-  UNION ALL SELECT 'unique', 'o_orderkey', v_uq, n_uq FROM uq)
-""")
-def q_dq_checks(spark, sf):
-    """Declarative data-quality report over orders: five rule kinds
-    (null / range / set / expression / uniqueness), all row-local
-    rules fused into ONE aggregation pass — integer-exact, so the
-    full report hash-matches the oracle."""
-    from data_ingest_spark.functions.quality import check
-    o = load(spark, sf, "orders")
-    return check(o, [
-        {"rule": "not_null", "column": "o_custkey"},
-        {"rule": "in_range", "column": "o_totalprice",
-         "lo": 0.0, "hi": 1000000.0},
-        {"rule": "in_set", "column": "o_orderstatus",
-         "allowed": ["O", "F", "P"]},
-        {"rule": "expression", "column": "date_sane",
-         "expr": "o_orderdate <= o_orderdate"},
-        {"rule": "unique", "column": "o_orderkey"},
-    ])
-
-
-@_q("x74_ppl_buckets", """
-WITH toks AS (SELECT doc_id, lang,
-                unnest(string_split_regex(lower(text), '\\s+')) AS token
-              FROM documents),
- model AS (SELECT lang, token, COUNT(*) AS c FROM toks GROUP BY 1, 2),
- scal AS (SELECT lang, SUM(c) AS tot, COUNT(*) AS v FROM model GROUP BY 1),
- logp AS (SELECT m.lang, m.token,
-                 CAST(ROUND(ln((m.c + 1.0) / (s.tot + s.v)) * 1000000)
-                      AS BIGINT) AS logp_i
-          FROM model m JOIN scal s ON m.lang = s.lang),
- scored AS (SELECT t.doc_id, t.lang,
-                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
-                   ROUND(SUM(l.logp_i) / COUNT(*) / 1000000, 6)
-                     AS avg_logprob
-            FROM toks t
-            JOIN logp l ON l.lang = t.lang AND l.token = t.token
-            GROUP BY 1, 2)
-SELECT doc_id, lang, n_tokens, avg_logprob,
-       CASE NTILE(3) OVER (PARTITION BY lang
-                           ORDER BY avg_logprob DESC, doc_id ASC)
-            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
-       END AS bucket
-FROM scored
-""")
-def q_ppl_buckets(spark, sf):
-    """CCNet-style per-language perplexity tertiles: each document
-    scored under its own language's add-1 unigram LM (integer-exact
-    fixed-point reduction), then NTILE(3) per language → head /
-    middle / tail. The standard keep-head-and-middle curation gate."""
-    from data_ingest_spark.extensions.text import perplexity_buckets
-    return perplexity_buckets(load(spark, sf, "documents"))
-
-
-@_q("p4_training_prep", """
-WITH toks AS (SELECT doc_id, lang,
-                unnest(string_split_regex(lower(text), '\\s+')) AS token
-              FROM documents),
- model AS (SELECT lang, token, COUNT(*) AS c FROM toks GROUP BY 1, 2),
- scal AS (SELECT lang, SUM(c) AS tot, COUNT(*) AS v FROM model GROUP BY 1),
- logp AS (SELECT m.lang, m.token,
-                 CAST(ROUND(ln((m.c + 1.0) / (s.tot + s.v)) * 1000000)
-                      AS BIGINT) AS logp_i
-          FROM model m JOIN scal s ON m.lang = s.lang),
- scored AS (SELECT t.doc_id, t.lang,
-                   ROUND(SUM(l.logp_i) / COUNT(*) / 1000000, 6)
-                     AS avg_logprob
-            FROM toks t
-            JOIN logp l ON l.lang = t.lang AND l.token = t.token
-            GROUP BY 1, 2),
- bk AS (SELECT doc_id,
-               NTILE(3) OVER (PARTITION BY lang
-                              ORDER BY avg_logprob DESC, doc_id ASC) AS b
-        FROM scored),
- gated AS (SELECT d.doc_id, d.text FROM documents d
-           JOIN bk ON bk.doc_id = d.doc_id AND bk.b < 3),
- keep AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
- wt AS (SELECT g.doc_id,
-               len(string_split_regex(lower(g.text), '\\s+')) AS n_tokens
-        FROM gated g JOIN keep k ON k.doc_id = g.doc_id),
- r AS (SELECT doc_id, n_tokens,
-              SUM(n_tokens) OVER (ORDER BY doc_id
-                                  ROWS UNBOUNDED PRECEDING) - n_tokens
-                AS start_tok
-       FROM wt),
- s AS (SELECT doc_id, n_tokens,
-              CAST(FLOOR(start_tok / 512.0) AS BIGINT) AS seq_id
-       FROM r)
-SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-FROM s GROUP BY 1
-""")
-def q_training_prep(spark, sf):
-    """The tokenizer-facing capstone: perplexity gate (drop the tail
-    tertile per language) → exact dedup keep-first → whitespace token
-    counts → contiguous 512-token sequence packing via the distributed
-    prefix sum — reported per training sequence, full value oracle."""
-    from data_ingest_spark.extensions.curate import training_prep
-    return training_prep(load(spark, sf, "documents"))
-
-
-@_q("x76_token_entropy", """
-WITH toks AS (SELECT doc_id,
-                unnest(string_split_regex(lower(text), '\\s+')) AS token
-              FROM documents),
- hist AS (SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY 1, 2)
-SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
-       ROUND(ln(SUM(c))
-             - SUM(c * CAST(ROUND(ln(c) * 1000000) AS BIGINT))
-               / SUM(c) / 1000000, 6) AS entropy
-FROM hist GROUP BY doc_id
-""")
-def q_token_entropy(spark, sf):
-    """Per-doc Shannon entropy of the token histogram (integer-exact
-    fixed-point reduction) — the corpus-model-free degenerate-text
-    flag."""
-    from data_ingest_spark.extensions.text import token_entropy
-    return token_entropy(load(spark, sf, "documents"))
-
-
-@_q("e25_salted_agg", """
-SELECT event_type, CAST(COUNT(*) AS BIGINT) AS count_value,
-       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
-         AS sum_cents,
-       ROUND(MIN(value), 6) AS min_value, ROUND(MAX(value), 6)
-         AS max_value
-FROM events GROUP BY 1
-""")
-def q_salted_agg(spark, sf):
-    """Two-stage salted aggregation under the value oracle: the skew
-    path for a monster grouping key (each key shards across 16
-    partial groups, partials recombine exactly). The oracle is the
-    plain GROUP BY — algebraic partials are shard-invariant, and the
-    summed column is fixed-pointed so reassociation cannot move a
-    ulp."""
-    from data_ingest_spark.functions.partitioning import salted_agg
-    ev = load(spark, sf, "events").withColumn(
-        "cents", F.round(F.col("value") * 100).cast("long"))
-    out = salted_agg(ev, ["event_type"],
-                     {"value": "count", "cents": "sum"}, salt=16)
-    mm = salted_agg(ev, ["event_type"], {"value": "min"}, salt=16).join(
-        salted_agg(ev, ["event_type"], {"value": "max"}, salt=16),
-        "event_type")
-    return (out.join(mm, "event_type")
-            .select("event_type",
-                    F.col("count_value").cast("long").alias("count_value"),
-                    F.col("sum_cents").cast("long").alias("sum_cents"),
-                    F.round("min_value", 6).alias("min_value"),
-                    F.round("max_value", 6).alias("max_value")))
-
-
-@_q("e18_try_functions", """
-SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(CASE WHEN TRY_CAST(lang AS INTEGER) IS NULL
-                     THEN 1 ELSE 0 END) AS BIGINT) AS bad_int_casts,
-       CAST(SUM(CASE WHEN TRY_CAST(CAST(n_chars AS VARCHAR) AS BIGINT)
-                          = n_chars THEN 1 ELSE 0 END) AS BIGINT)
-       AS roundtrip_casts,
-       CAST(SUM(CASE WHEN (CASE WHEN n_chars % 7 = 0 THEN NULL
-                           ELSE ROUND(n_chars / (n_chars % 7), 6) END)
-                     IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-       AS div_null_rows
-FROM documents
-""")
-def q_try_functions(spark, sf):
-    """Error-safe scalar family: try_cast on unparseable strings,
-    cast round-trip, try_divide null-on-zero — the ANSI-adjacent
-    behaviors a pipeline relies on instead of job-killing exceptions.
-    DuckDB lacks try_divide, so the oracle guards the denominator
-    with CASE; the null-ness contract is what's compared."""
-    d = load(spark, sf, "documents")
-    bad = F.expr("try_cast(lang AS int)").isNull().cast("long")
-    rt = (F.expr("try_cast(cast(n_chars AS string) AS bigint)")
-          == F.col("n_chars")).cast("long")
-    div = F.round(F.try_divide(F.col("n_chars"),
-                               F.col("n_chars") % 7), 6)
-    return d.agg(F.count("*").alias("n_docs"),
-                 F.sum(bad).alias("bad_int_casts"),
-                 F.sum(rt).alias("roundtrip_casts"),
-                 F.sum(div.isNull().cast("long")).alias("div_null_rows"))
-
-
-@_q("x64_substring_dedup", f"""
-WITH corpus AS ({_NEARDUP_SQL}),
- toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS tk FROM corpus),
- long_docs AS (SELECT doc_id, tk FROM toks WHERE len(tk) >= 8),
- win AS (SELECT doc_id,
-                unnest([struct_pack(pos := i - 1,
-                         h := md5(array_to_string(tk[i:i+7], ' ')))
-                        FOR i IN generate_series(1, len(tk) - 7)]) AS u
-         FROM long_docs),
- sites AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM win),
- marked AS (SELECT doc_id, pos,
-                   ROW_NUMBER() OVER (PARTITION BY h
-                                      ORDER BY doc_id, pos) AS rk,
-                   COUNT(*) OVER (PARTITION BY h) AS n_sites
-            FROM sites),
- spans AS (SELECT doc_id, pos FROM marked WHERE n_sites > 1 AND rk > 1),
- covered AS (SELECT DISTINCT doc_id,
-                    unnest(generate_series(pos, pos + 7)) AS tpos
-             FROM spans),
- tok_rows AS (SELECT doc_id,
-                     unnest([struct_pack(tpos := i - 1, token := tk[i])
-                             FOR i IN generate_series(1, len(tk))]) AS u
-              FROM toks),
- trows AS (SELECT doc_id, u.tpos AS tpos, u.token AS token FROM tok_rows),
- kept AS (SELECT t.doc_id, t.tpos, t.token
-          FROM trows t LEFT JOIN covered c
-            ON t.doc_id = c.doc_id AND t.tpos = c.tpos
-          WHERE c.doc_id IS NULL),
- agg AS (SELECT doc_id,
-                array_to_string(list(token ORDER BY tpos), ' ') AS clean_text,
-                COUNT(*) AS kept_n
-         FROM kept GROUP BY 1),
- total AS (SELECT doc_id, len(tk) AS tot FROM toks)
-SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
-       CAST(t.tot - COALESCE(a.kept_n, 0) AS BIGINT) AS n_removed
-FROM total t LEFT JOIN agg a USING (doc_id)
-""")
-def q_substring_dedup(spark, sf):
-    """Exact-substring dedup (duplicated 8-token windows removed,
-    global-first occurrence kept) over the planted near-dup corpus —
-    the n-gram-postings formulation of suffix-array training-data
-    dedup."""
-    return dd.substring_dedup(_neardup_corpus(spark, sf), n=8)
-
-
-@_q("x65_line_boilerplate", f"""
-WITH corpus AS ({_NEARDUP_SQL}),
- base AS (SELECT doc_id,
-                 regexp_replace(text, '\\. ', chr(10), 'g') AS text
-          FROM corpus),
- lns AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM base),
- lrows AS (SELECT doc_id,
-                  unnest([struct_pack(pos := i - 1, line := ls[i])
-                          FOR i IN generate_series(1, len(ls))]) AS u
-           FROM lns),
- trows AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM lrows),
- boiler AS (SELECT line FROM trows
-            GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
- kept AS (SELECT t.doc_id, t.pos, t.line
-          FROM trows t LEFT JOIN boiler b ON t.line = b.line
-          WHERE b.line IS NULL),
- agg AS (SELECT doc_id,
-                array_to_string(list(line ORDER BY pos), chr(10))
-                  AS clean_text,
-                COUNT(*) AS kept_n
-         FROM kept GROUP BY 1),
- total AS (SELECT doc_id, len(ls) AS tot FROM lns)
-SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
-       CAST(t.tot - COALESCE(a.kept_n, 0) AS BIGINT) AS n_removed_lines
-FROM total t LEFT JOIN agg a USING (doc_id)
-""")
-def q_line_boilerplate(spark, sf):
-    """CCNet-style line-level boilerplate removal over the planted
-    near-dup corpus (sentences as lines): any line present in ≥2
-    distinct docs is dropped everywhere."""
-    base = _neardup_corpus(spark, sf).select(
-        "doc_id",
-        F.regexp_replace(F.col("text"), r"\. ", "\n").alias("text"))
-    return dd.line_boilerplate_removal(base, min_docs=2)
-
-
-_EXCERPT_SQL = (
-    "SELECT doc_id, text FROM documents UNION ALL "
-    "SELECT doc_id + 2000000, "
-    "array_to_string(string_split_regex(text, '\\s+')[1:12], ' ') "
-    "FROM documents WHERE doc_id % 10 = 0")
-
-
-def _excerpt_corpus(spark, sf):
-    docs = load(spark, sf, "documents").select("doc_id", "text")
-    ex = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
-        F.array_join(F.slice(F.split(F.col("text"), r"\s+"), 1, 12), " ")
-        .alias("text"))
-    return docs.unionByName(ex)
-
-
-@_q("x69_containment", f"""
-WITH corpus AS ({_EXCERPT_SQL}),{_shingle_ctes('corpus')},
- sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shx GROUP BY 1),
- rare AS (SELECT shingle FROM shx GROUP BY 1 HAVING COUNT(*) <= 1000),
- m AS (SELECT x.doc_id, x.shingle FROM shx x
-       JOIN rare r ON r.shingle = x.shingle),
- inter AS (SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
-                  COUNT(*) AS i
-           FROM m a JOIN m b ON a.shingle = b.shingle
-                            AND a.doc_id <> b.doc_id
-           GROUP BY 1, 2)
-SELECT contained_id, container_id,
-       ROUND(i / s.sz, 6) AS containment
-FROM inter JOIN sizes s ON s.doc_id = contained_id
-WHERE i / s.sz >= 0.8
-""")
-def q_containment(spark, sf):
-    """Excerpt-containment dedup over a corpus with planted 12-token
-    excerpts: every excerpt is flagged as contained in its source even
-    though its Jaccard to the source is near zero."""
-    return dd.containment_pairs(_excerpt_corpus(spark, sf),
-                                threshold=0.8, max_df=1000)
-
-
-@_q("x71_drop_contained", f"""
-WITH corpus AS ({_EXCERPT_SQL}),{_shingle_ctes('corpus')},
- sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shx GROUP BY 1),
- rare AS (SELECT shingle FROM shx GROUP BY 1 HAVING COUNT(*) <= 1000),
- m AS (SELECT x.doc_id, x.shingle FROM shx x
-       JOIN rare r ON r.shingle = x.shingle),
- inter AS (SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
-                  COUNT(*) AS i
-           FROM m a JOIN m b ON a.shingle = b.shingle
-                            AND a.doc_id <> b.doc_id
-           GROUP BY 1, 2),
- pairs AS (SELECT contained_id, container_id
-           FROM inter JOIN sizes s ON s.doc_id = contained_id
-           WHERE i / s.sz >= 0.8),
- mutual AS (SELECT p.contained_id, p.container_id FROM pairs p
-            WHERE EXISTS (SELECT 1 FROM pairs q
-                          WHERE q.contained_id = p.container_id
-                            AND q.container_id = p.contained_id)),
- drop_ids AS (
-   -- pair-level anti-join, NOT a projected EXCEPT: a doc non-mutually
-   -- contained in one container must drop even when it ALSO sits in a
-   -- mutual pair with a third doc (projecting before EXCEPT would
-   -- exempt it — divergence surfaced by the sf0.1 gate).
-   SELECT contained_id FROM pairs p
-   WHERE NOT EXISTS (SELECT 1 FROM mutual m
-                     WHERE m.contained_id = p.contained_id
-                       AND m.container_id = p.container_id)
-   UNION SELECT contained_id FROM mutual
-         WHERE contained_id > container_id)
-SELECT c.doc_id FROM corpus c
-LEFT JOIN drop_ids d ON d.contained_id = c.doc_id
-WHERE d.contained_id IS NULL
-""")
-def q_drop_contained(spark, sf):
-    """The containment KEEP-set: the excerpt corpus minus every doc
-    ≥0.8-contained in another (mutual-containment ties keep the
-    smaller id)."""
-    return dd.remove_contained(_excerpt_corpus(spark, sf),
-                               threshold=0.8).select("doc_id")
-
-
-@_q("x72_leakage_safe_split", """
-WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL
-                SELECT doc_id + 1000000, text
-                FROM documents WHERE doc_id % 10 = 0),
- groups AS (SELECT md5(text) AS h, MIN(doc_id) AS keep, COUNT(*) AS n
-            FROM corpus GROUP BY 1 HAVING COUNT(*) > 1),
- prs AS (SELECT g.keep AS id_a, c.doc_id AS id_b
-         FROM groups g JOIN corpus c ON md5(c.text) = g.h
-         WHERE c.doc_id > g.keep),
- edges AS (SELECT id_a AS src, id_b AS dst FROM prs
-           UNION SELECT id_b, id_a FROM prs),
- nodes AS (SELECT DISTINCT src AS id FROM edges),
- walk AS (
-   WITH RECURSIVE reach(src, dst) AS (
-     SELECT id, id FROM nodes
-     UNION
-     SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-   SELECT src, dst FROM reach),
- cl AS (SELECT src AS doc_id, MIN(dst) AS cluster FROM walk GROUP BY 1),
- rep AS (SELECT c.doc_id, COALESCE(cl.cluster, c.doc_id) AS rep
-         FROM corpus c LEFT JOIN cl ON cl.doc_id = c.doc_id),
- b AS (SELECT doc_id, rep, {bkt} AS bkt FROM rep)
-SELECT doc_id, rep,
-       CASE WHEN bkt < 8000 THEN 'train'
-            WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split
-FROM b
-""".format(bkt=_bucket_sql("rep", 42)))
-def q_leakage_safe_split(spark, sf):
-    """Dedup-aware split: exact-dup clusters of the planted corpus all
-    land in one split (split keyed on the cluster-minimum id), so
-    duplicated content cannot straddle train/test. Full value oracle:
-    per-doc (rep, split) assignment."""
-    from data_ingest_spark.extensions.sampling import leakage_safe_split
-    corpus = _dup_corpus(spark, sf)
-    pairs = (dd.exact_dedup(corpus)
-             .join(corpus.select(F.col("doc_id").alias("id_b"),
-                                 F.md5(F.col("text").cast("binary"))
-                                 .alias("content_hash")), "content_hash")
-             .filter(F.col("id_b") > F.col("keep_id"))
-             .select(F.col("keep_id").alias("id_a"), "id_b"))
-    out = leakage_safe_split(
-        corpus, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42)
-    return out.select("doc_id", "rep", "split")
-
-
-@_q("x56_intra_repetition", r"""
-WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
-              FROM documents),
- ng AS (SELECT doc_id,
-               array_to_string(t[u.i:least(u.i + 1, len(t))], ' ') AS g
-        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 1, 1))) AS u(i))
-SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
-       CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
-       ROUND((COUNT(*) - COUNT(DISTINCT g)) * 1.0 / COUNT(*), 6)
-       AS dup_ngram_ratio
-FROM ng GROUP BY doc_id
-""")
-def q_intra_repetition(spark, sf):
-    """Gopher-style intra-document repetition: fraction of word
-    bigrams repeated within the same doc. Map-only scan-speed gate."""
-    from data_ingest_spark.extensions.text import intra_doc_repetition
-    return intra_doc_repetition(load(spark, sf, "documents"), k=2)
-
-
-# ------------------------------------------- evaluation / curation (round 3b)
-
-from data_ingest_spark.extensions import evaluation as ev  # noqa: E402
-
-#: Shared int64 NDCG constants — embedded as literals in BOTH the Spark
-#: plan and the DuckDB oracle, so the DCG sum is exact integer math on
-#: each side (no cross-engine libm log2 drift).
-_W10 = ev.dcg_weights_fp(10)
-_I10 = ev.idcg_prefix_fp(10)
-
-
-@_q("x77_ranking_metrics", f"""
-WITH ranked AS (
-  SELECT user_id, event_id, value, (event_type = 'purchase') AS relevant,
-         ROW_NUMBER() OVER (PARTITION BY user_id
-                            ORDER BY value DESC, event_id ASC) AS rk
-  FROM events),
-per AS (
-  SELECT user_id,
-         CAST(MIN(CASE WHEN relevant THEN rk END) AS INTEGER)
-           AS first_rel_rank,
-         CAST(COALESCE(SUM(CASE WHEN relevant AND rk <= 10
-                           THEN ({_W10})[rk] ELSE 0 END), 0) AS BIGINT)
-           AS dcg_fp,
-         CAST(COUNT(CASE WHEN relevant THEN 1 END) AS BIGINT) AS n_relevant
-  FROM ranked GROUP BY 1)
-SELECT user_id, first_rel_rank, n_relevant,
-       ROUND(CASE WHEN first_rel_rank IS NULL THEN 0.0
-                  ELSE 1.0 / first_rel_rank END, 9) AS rr,
-       ROUND(CASE WHEN n_relevant = 0 THEN 0.0
-                  ELSE dcg_fp / ({_I10})[LEAST(n_relevant, 10)] END, 9)
-         AS ndcg_k
-FROM per
-""")
-def q_ranking_metrics(spark, sf):
-    """Retrieval-quality gate: per-user MRR + NDCG@10 over the scored
-    event list, relevance = purchase. Scaled-int DCG weights make the
-    metric hash-exact cross-engine."""
-    evdf = events_df(spark, sf).withColumn(
-        "relevant", F.col("event_type") == F.lit("purchase"))
-    return ev.ranking_metrics(evdf, k=10)
-
-
-@_q("x78_majority_vote", """
-WITH votes AS (SELECT user_id % 50 AS item, event_type AS label FROM events),
-c AS (SELECT item, label, CAST(COUNT(*) AS BIGINT) AS votes
-      FROM votes GROUP BY 1, 2),
-r AS (SELECT item, label, votes,
-             ROW_NUMBER() OVER (PARTITION BY item
-                                ORDER BY votes DESC, label ASC) AS rk,
-             CAST(SUM(votes) OVER (PARTITION BY item) AS BIGINT)
-               AS total_votes
-      FROM c)
-SELECT item, label AS majority_label, votes, total_votes,
-       ROUND(votes / total_votes, 9) AS agreement
-FROM r WHERE rk = 1
-""")
-def q_majority_vote(spark, sf):
-    """Annotation aggregation: majority label per item (users hashed
-    into 50 items, event_type as the vote) with deterministic
-    tiebreak + agreement ratio."""
-    votes = events_df(spark, sf).select(
-        (F.col("user_id") % 50).alias("item"),
-        F.col("event_type").alias("label"))
-    return ev.majority_vote(votes)
-
-
-@_q("x79_epoch_shuffle", """
-WITH r AS (SELECT doc_id,
-                  CAST(ROW_NUMBER() OVER (
-                         ORDER BY md5('17:' || CAST(doc_id AS VARCHAR)),
-                                  doc_id) - 1 AS BIGINT) AS pos
-           FROM documents)
-SELECT doc_id, pos, CAST(pos % 8 AS INTEGER) AS shard FROM r
-""")
-def q_epoch_shuffle(spark, sf):
-    """Deterministic global training-order shuffle (seed 17, 8 shards)
-    via the bucketed two-pass rank — no single-task global sort."""
-    from data_ingest_spark.extensions.sampling import epoch_shuffle
-    return epoch_shuffle(load(spark, sf, "documents"),
-                         seed=17, num_shards=8)
-
-
-@_q("x80_mix_quota", r"""
-WITH toks AS (SELECT source, doc_id,
-                     CAST(len(regexp_extract_all(
-                       lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
-                       AS BIGINT) AS n_tokens
-              FROM documents),
-s AS (SELECT source, ROW_NUMBER() OVER (ORDER BY source) AS idx,
-             COUNT(*) OVER () AS n
-      FROM (SELECT DISTINCT source FROM toks)),
-q AS (SELECT source, CAST(40000 // n
-             + CASE WHEN idx <= 40000 % n THEN 1 ELSE 0 END AS BIGINT)
-        AS quota FROM s),
-c AS (SELECT t.source, doc_id, n_tokens,
-             CAST(SUM(n_tokens) OVER (PARTITION BY t.source
-                    ORDER BY n_tokens DESC, doc_id ASC
-                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
-             quota
-      FROM toks t JOIN q ON t.source = q.source)
-SELECT source, doc_id, n_tokens, cum_tokens, quota
-FROM c WHERE cum_tokens <= quota
-""")
-def q_mix_quota(spark, sf):
-    """Exact-to-the-token corpus mixing: equal largest-remainder token
-    quotas per source, greedy per-source prefix."""
-    from data_ingest_spark.extensions.packing import mix_quota
-    toks = tx.token_count(load(spark, sf, "documents")).select(
-        "source", "doc_id", "n_tokens")
-    return mix_quota(toks, budget=40000)
-
-
-@_q("x81_preference_pairs", """
-WITH r AS (SELECT user_id, event_id, value,
-                  ROW_NUMBER() OVER (PARTITION BY user_id
-                    ORDER BY value DESC, event_id ASC) AS rk_top,
-                  ROW_NUMBER() OVER (PARTITION BY user_id
-                    ORDER BY value ASC, event_id DESC) AS rk_bot
-           FROM events WHERE event_type = 'click'),
-t AS (SELECT user_id, event_id AS chosen_id, value AS cs
-      FROM r WHERE rk_top = 1),
-b AS (SELECT user_id, event_id AS rejected_id, value AS rs
-      FROM r WHERE rk_bot = 1)
-SELECT t.user_id AS user_id, chosen_id, rejected_id,
-       ROUND(cs - rs, 9) AS margin
-FROM t JOIN b ON t.user_id = b.user_id WHERE cs > rs
-""")
-def q_preference_pairs(spark, sf):
-    """DPO/RM pair builder: per user the best- and worst-scored click
-    with deterministic tiebreaks; one grouped struct-min/max pass."""
-    clicks = events_df(spark, sf).filter(F.col("event_type") == "click")
-    return ev.preference_pairs(clicks)
-
-
-@_q("x82_lloyd_step", """
-WITH q AS (SELECT vec_id,
-                  list_transform(embedding,
-                    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
-                    AS qe
-           FROM embeddings),
-c AS (SELECT vec_id AS cid, qe AS ce FROM q WHERE vec_id < 4),
-d AS (SELECT q.vec_id, c.cid, q.qe,
-             CAST(list_sum(list_transform(range(1, 65),
-                  i -> (q.qe[i] - c.ce[i]) * (q.qe[i] - c.ce[i])))
-                  AS BIGINT) AS d2
-      FROM q CROSS JOIN c),
-a AS (SELECT vec_id, cid, qe FROM (
-        SELECT vec_id, cid, qe,
-               ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY d2, cid) AS rk
-        FROM d) WHERE rk = 1),
-x AS (SELECT cid, CAST(t.i AS INT) AS dim, qe[t.i] AS val
-      FROM a CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) t)
-SELECT cid, dim, CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(val) * 1.0 / COUNT(*), 6) AS mean_q
-FROM x GROUP BY 1, 2
-""")
-def q_lloyd_step(spark, sf):
-    """One exact fixed-point Lloyd iteration over the embeddings table
-    (4 deterministic seed centroids) — the KMeans-IVF coarse-quantizer
-    refinement under the full value oracle."""
-    from data_ingest_spark.extensions.similarity import lloyd_step
-    return lloyd_step(load(spark, sf, "embeddings"), k=4)
-
-
-@_q("x85_length_buckets", r"""
-WITH toks AS (SELECT CAST(len(regexp_extract_all(
-                lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n
-              FROM documents),
-bk AS (SELECT n, CAST(CASE WHEN n > 64 THEN 1 ELSE 0 END
-              + CASE WHEN n > 128 THEN 1 ELSE 0 END
-              + CASE WHEN n > 256 THEN 1 ELSE 0 END
-              + CASE WHEN n > 512 THEN 1 ELSE 0 END AS INTEGER) AS b
-       FROM toks),
-agg AS (SELECT b AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(n) AS BIGINT) AS sum_tokens,
-               CAST(MAX(n) AS BIGINT) AS mx
-        FROM bk GROUP BY 1),
-p AS (SELECT bucket,
-             CAST(CASE bucket WHEN 0 THEN 64 WHEN 1 THEN 128
-                  WHEN 2 THEN 256 WHEN 3 THEN 512 ELSE mx END AS BIGINT)
-               AS pad_target,
-             n_docs, sum_tokens FROM agg)
-SELECT bucket, pad_target, n_docs, sum_tokens,
-       CAST(pad_target * n_docs - sum_tokens AS BIGINT) AS waste_tokens,
-       ROUND((pad_target * n_docs - sum_tokens) * 1.0
-             / (pad_target * n_docs), 9) AS waste_frac
-FROM p
-""")
-def q_length_buckets(spark, sf):
-    """Dynamic-batching audit: boundary buckets over token counts with
-    exact padding-waste accounting."""
-    from data_ingest_spark.extensions.packing import length_buckets
-    toks = tx.token_count(load(spark, sf, "documents"))
-    return length_buckets(toks)
-
-
-@_q("x86_soft_dedup", f"""
-WITH corpus AS ({_DUP_SQL}),
- s AS (SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS cluster_size
-       FROM corpus GROUP BY 1)
-SELECT c.doc_id, s.cluster_size,
-       ROUND(1.0 / s.cluster_size, 9) AS weight
-FROM corpus c JOIN s ON md5(c.text) = s.h
-""")
-def q_soft_dedup(spark, sf):
-    """Soft dedup on the planted-duplicate corpus: per-doc sampling
-    weight 1/|content cluster| instead of a hard drop."""
-    return dd.soft_dedup_weights(_dup_corpus(spark, sf))
-
-
-@_q("x87_hard_negatives", """
-WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
- s AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
-              ROUND(list_dot_product(a.e, b.e)
-                    / (sqrt(list_dot_product(a.e, a.e))
-                       * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
-       FROM v a JOIN v b ON a.label <> b.label),
- r AS (SELECT ida, idb, cos,
-              ROW_NUMBER() OVER (PARTITION BY ida
-                                 ORDER BY cos DESC, idb) AS rk
-       FROM s)
-SELECT ida AS vec_id, idb AS neg_id, cos AS cosine,
-       CAST(rk AS INTEGER) AS rank
-FROM r WHERE rk <= 2
-""")
-def q_hard_negatives(spark, sf):
-    """Contrastive hard-negative mining: per vector, the 2 most-similar
-    vectors with a different label."""
-    from data_ingest_spark.extensions.similarity import hard_negatives
-    return hard_negatives(load(spark, sf, "embeddings"), k=2)
-
-
-@_q("x89_source_overlap", """
-WITH corpus AS (SELECT source, text FROM documents UNION ALL
-                SELECT 'mirror' AS source, text
-                FROM documents WHERE doc_id % 5 = 0),
- h AS (SELECT DISTINCT source AS s, md5(text) AS hh FROM corpus)
-SELECT a.s AS source_a, b.s AS source_b,
-       CAST(COUNT(*) AS BIGINT) AS n_shared
-FROM h a JOIN h b ON a.hh = b.hh AND a.s < b.s
-GROUP BY 1, 2
-""")
-def q_source_overlap(spark, sf):
-    """Cross-source content overlap on a corpus with a planted mirror
-    feed (every 5th doc re-ingested under source='mirror')."""
-    from data_ingest_spark.extensions.profile import source_overlap
-    docs = load(spark, sf, "documents")
-    corpus = docs.select("source", "text").unionByName(
-        docs.filter(F.col("doc_id") % 5 == 0)
-        .select(F.lit("mirror").alias("source"), "text"))
-    return source_overlap(corpus)
-
-
-@_q("e27_time_to_convert", """
-WITH s AS (SELECT user_id, MIN(ts) AS t0 FROM events
-           WHERE event_type = 'signup' GROUP BY 1),
- p AS (SELECT user_id, MIN(ts) AS t1 FROM events
-       WHERE event_type = 'purchase' GROUP BY 1),
- d AS (SELECT s.user_id,
-              CAST(date_diff('second', t0, t1) AS BIGINT) AS sec
-       FROM s JOIN p ON s.user_id = p.user_id WHERE t1 >= t0)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
-       CAST(MIN(sec) AS BIGINT) AS min_s,
-       ROUND(quantile_cont(sec, 0.5), 6) AS p50_s,
-       ROUND(quantile_cont(sec, 0.9), 6) AS p90_s,
-       CAST(MAX(sec) AS BIGINT) AS max_s
-FROM d
-""")
-def q_time_to_convert(spark, sf):
-    """Conversion-lag distribution: first signup -> first purchase per
-    user, exact p50/p90 over the lags. Two pushdown-filtered scans,
-    grouped mins, one join, one exact-percentile aggregate."""
-    ev = events_df(spark, sf)
-    s = (ev.filter(F.col("event_type") == "signup")
-         .groupBy("user_id").agg(F.min("ts").alias("t0")))
-    p = (ev.filter(F.col("event_type") == "purchase")
-         .groupBy("user_id").agg(F.min("ts").alias("t1")))
-    d = (s.join(p, "user_id").filter(F.col("t1") >= F.col("t0"))
-         .select((F.unix_timestamp("t1") - F.unix_timestamp("t0"))
-                 .cast("long").alias("sec")))
-    return d.agg(
-        F.count("*").cast("long").alias("n_users"),
-        F.min("sec").cast("long").alias("min_s"),
-        F.round(F.expr("percentile(sec, 0.5)"), 6).alias("p50_s"),
-        F.round(F.expr("percentile(sec, 0.9)"), 6).alias("p90_s"),
-        F.max("sec").cast("long").alias("max_s"))
-
-
-@_q("x88_ngram_novelty", f"""
-WITH corpus AS ({_DUP_SQL}),{_shingle_ctes('corpus')},
- fs AS (SELECT shingle, MIN(doc_id) AS first_id FROM shx GROUP BY 1)
-SELECT x.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
-       CAST(COUNT(CASE WHEN f.first_id = x.doc_id THEN 1 END) AS BIGINT)
-         AS n_novel,
-       ROUND(COUNT(CASE WHEN f.first_id = x.doc_id THEN 1 END) * 1.0
-             / COUNT(*), 9) AS novelty
-FROM shx x JOIN fs f ON f.shingle = x.shingle
-GROUP BY 1
-""")
-def q_ngram_novelty(spark, sf):
-    """Content novelty in id order over the planted-duplicate corpus:
-    duplicate copies score 0.0 novelty, originals near 1.0."""
-    return dd.ngram_novelty(_dup_corpus(spark, sf))
-
-
-@_q("m9_mnn_anchors", """
-WITH p AS (SELECT CAST(vec_id AS VARCHAR) AS id, label,
-                  embedding::DOUBLE[] AS e FROM embeddings),
- a AS (SELECT id, e FROM p WHERE label = 0),
- b AS (SELECT id, e FROM p WHERE label = 1),
- d AS (SELECT a.id AS ida, b.id AS idb,
-              list_sum(list_transform(range(1, 65),
-                i -> (a.e[i] - b.e[i]) * (a.e[i] - b.e[i]))) AS d2
-       FROM a CROSS JOIN b),
- r AS (SELECT ida, idb, ROUND(d2, 6) AS d2r,
-              ROW_NUMBER() OVER (PARTITION BY ida
-                                 ORDER BY ROUND(d2, 6), idb) AS ra,
-              ROW_NUMBER() OVER (PARTITION BY idb
-                                 ORDER BY ROUND(d2, 6), ida) AS rb
-       FROM d)
-SELECT ida, idb, d2r AS d2 FROM r WHERE ra <= 5 AND rb <= 5
-""")
-def q_mnn_anchors(spark, sf):
-    """Mutual-nearest-neighbor anchors between batches 0 and 1 of the
-    embeddings table — the hash-checkable exact core of the M9
-    integration's anchor search."""
-    from data_ingest_spark.operators.integrate import mnn_anchor_pairs
-    return mnn_anchor_pairs(_emb_pc_arr(spark, sf), "0", "1", k=5)
-
-
-#: Static BPE merge artifact for x84 (trained by bpe_train at sf0.01,
-#: n_merges=8 — a tokenizer ships as a frozen artifact, so the encode
-#: query embeds it in BOTH the Spark plan and the DuckDB oracle).
-#: All symbols alphanumeric ⇒ safe to splice into SQL literals.
-_BPE_MERGES = [("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
-               ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u")]
-
-
-def _bpe_fold_sql(inner: str, left: str, right: str) -> str:
-    m = left + right
-    return (f"list_reduce(list_transform({inner}, c -> [c]), "
-            f"(acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = '{left}' "
-            f"AND x[1] = '{right}' "
-            f"THEN list_concat(acc[1:len(acc)-1], ['{m}']) "
-            f"ELSE list_concat(acc, x) END)")
-
-
-def _bpe_encode_sql(merges: list[tuple[str, str]]) -> str:
-    expr = "list_transform(range(1, length(w) + 1), i -> substr(w, i, 1))"
-    for left, right in merges:
-        expr = _bpe_fold_sql(expr, left, right)
-    return rf"""
-WITH toks AS (
-  SELECT doc_id,
-         unnest(string_split_regex(lower(text), '\s+')) AS w,
-         generate_subscripts(string_split_regex(lower(text), '\s+'), 1)
-           AS pos
-  FROM documents),
-enc AS (SELECT doc_id, pos, {expr} AS t
-        FROM toks WHERE length(w) >= 1),
-doc AS (SELECT doc_id, flatten(list(t ORDER BY pos)) AS tt
-        FROM enc GROUP BY doc_id)
-SELECT doc_id, CAST(len(tt) AS BIGINT) AS n_tokens,
-       array_to_string(tt, ' ') AS tokens_str
-FROM doc
-"""
-
-
-def _bpe_round_sql(i: int) -> str:
-    """One unrolled BPE training round: pair counts over the round's
-    vocab state, argmax merge (count desc, pair asc, min_count 2),
-    apply the merge. An empty m{i} (best pair < 2) empties every later
-    state — exactly the trainer's early ``break``."""
-    return f"""
-px{i} AS (SELECT f, UNNEST(CASE WHEN len(seq) > 1
-            THEN list_transform(range(1, len(seq)),
-                 j -> {{'l': seq[j], 'r': seq[j+1]}})
-            ELSE []::STRUCT(l VARCHAR, r VARCHAR)[] END) AS u
-          FROM s{i - 1}),
-p{i} AS (SELECT u.l AS l, u.r AS r, SUM(f) AS c FROM px{i} GROUP BY 1, 2),
-m{i} AS MATERIALIZED (SELECT l, r, c FROM p{i} WHERE c >= 2
-                      ORDER BY c DESC, l, r LIMIT 1),
-s{i} AS MATERIALIZED (
-  SELECT f, list_reduce(list_transform(seq, ch -> [ch]),
-        (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.l AND x[1] = m.r
-                    THEN list_concat(acc[1:len(acc)-1], [m.l || m.r])
-                    ELSE list_concat(acc, x) END) AS seq
-  FROM s{i - 1} CROSS JOIN m{i} m)"""
-
-
-def _bpe_train_sql(n_merges: int = 8) -> str:
-    rounds = ",".join(_bpe_round_sql(i) for i in range(1, n_merges + 1))
-    finals = "\nUNION ALL ".join(
-        f"SELECT CAST({i - 1} AS INTEGER) AS rank, l AS \"left\", "
-        f"r AS \"right\", l || r AS merged, CAST(c AS BIGINT) AS pair_count "
-        f"FROM m{i}" for i in range(1, n_merges + 1))
-    return rf"""
-WITH toks AS (
-  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
-  FROM documents),
-s0 AS MATERIALIZED (
-  SELECT COUNT(*) AS f,
-         list_transform(range(1, length(w) + 1), i -> substr(w, i, 1))
-           AS seq
-  FROM toks WHERE length(w) >= 1 GROUP BY w),
-{rounds}
-{finals}
-"""
-
-
-@_q("x83_bpe_train", _bpe_train_sql(8))
-def q_bpe_train(spark, sf):
-    """Distributed BPE training over the documents corpus, now under a
-    FULL value oracle: the SQL unrolls the same 8 greedy merge rounds
-    (frequency-weighted pair counts over the vocab state, argmax with
-    count-desc/pair-asc tie-break, min_count=2 early stop) with
-    MATERIALIZED per-round states. Parity is additionally pinned by
-    the hypothesis mirror in tests/test_bpe.py."""
-    from data_ingest_spark.extensions.bpe import bpe_train
-    return bpe_train(load(spark, sf, "documents"), n_merges=8)
-
-
-@_q("x84_bpe_encode", _bpe_encode_sql(_BPE_MERGES))
-def q_bpe_encode(spark, sf):
-    """BPE tokenization with the frozen merge artifact: the per-merge
-    Catalyst array fold (no UDF) under the full value oracle."""
-    from data_ingest_spark.extensions.bpe import bpe_encode
-    return bpe_encode(load(spark, sf, "documents"), _BPE_MERGES)
-
-
-@_q("e26_incremental_rollup", """
-SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
-         AS sum_value,
-       MIN(ts) AS min_ts, MAX(ts) AS max_ts
-FROM events GROUP BY 1, 2
-""")
-def q_incremental_rollup(spark, sf):
-    """Incremental materialized-rollup maintenance: history state
-    (ts < Jan 21) merged with the new batch's partial state must
-    reproduce the full recompute — which is exactly what the oracle
-    computes. DECIMAL sums make the merge associativity exact."""
-    from data_ingest_spark.extensions.cdc import agg_state, merge_agg_state
-    evdf = events_df(spark, sf)
-    cutoff = F.lit("2024-01-21 00:00:00").cast("timestamp")
-    keys = ["user_id", "event_type"]
-    hist = agg_state(evdf.filter(F.col("ts") < cutoff), keys)
-    batch = agg_state(evdf.filter(F.col("ts") >= cutoff), keys)
-    merged = merge_agg_state(hist, batch, keys)
-    return merged.select(
-        "user_id", "event_type", "cnt",
-        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
-        "min_ts", "max_ts")
-
-
-@_q("x93_rrf_fusion", r"""
-WITH lexs AS (SELECT doc_id,
-        CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
-             t -> t IN ('data', 'query', 'sort', 'merge'))) AS BIGINT) AS s
-      FROM documents),
- lcand AS (SELECT doc_id, s FROM lexs ORDER BY s DESC, doc_id LIMIT 100),
- lrank AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id)
-                AS BIGINT) AS lex_rank FROM lcand),
- a AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
- sems AS (SELECT vec_id AS doc_id,
-          ROUND(list_dot_product(qv, cv)
-                / (sqrt(list_dot_product(qv, qv))
-                   * sqrt(list_dot_product(cv, cv))), 6) AS c
-          FROM (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings)
-               CROSS JOIN a),
- scand AS (SELECT doc_id, c FROM sems ORDER BY c DESC, doc_id LIMIT 100),
- srank AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, doc_id)
-                AS BIGINT) AS sem_rank FROM scand),
- fused AS (SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
-                  l.lex_rank, s.sem_rank,
-                  ROUND(COALESCE(1.0 / (60 + l.lex_rank), 0.0)
-                        + COALESCE(1.0 / (60 + s.sem_rank), 0.0), 6) AS rrf
-           FROM lrank l FULL OUTER JOIN srank s ON l.doc_id = s.doc_id)
-SELECT doc_id, lex_rank, sem_rank, rrf,
-       CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
-         AS fused_rank
-FROM fused
-""")
-def q_rrf_fusion(spark, sf):
-    """Hybrid retrieval: reciprocal-rank fusion (k0=60) of a lexical
-    ranking (query-term occurrence count) and a semantic ranking
-    (cosine to the vec_id=7 anchor embedding), top-100 candidates per
-    side. The lexical score is an exact integer; the cosine follows
-    the x5 convention (float64 + 6dp round before ranking)."""
-    docs = load(spark, sf, "documents")
-    emb = load(spark, sf, "embeddings")
-    qt = F.array(*[F.lit(t) for t in ["data", "query", "sort", "merge"]])
-    lex = docs.select(
-        "doc_id",
-        F.size(F.filter(tx.tokens_col("text"),
-                        lambda t: F.array_contains(qt, t)))
-        .cast("long").alias("lex_score"))
-    anchor = emb.filter(F.col("vec_id") == 7).select(
-        F.col("embedding").alias("_qv"))
-    sem = sim.with_cosine(
-        emb.select(F.col("vec_id").alias("doc_id"), "embedding")
-        .crossJoin(F.broadcast(anchor)),
-        "_qv", "embedding", out_col="sem_score").select(
-        "doc_id", "sem_score")
-    return ev.rrf_fuse(lex, sem, n_candidates=100)
-
-
-@_q("x94_url_canonical", r"""
-WITH u AS (SELECT doc_id,
-        'HTTPS://WWW.' || upper(source) || '.Example.com/docs/'
-        || CAST(doc_id % 40 AS VARCHAR)
-        || CASE doc_id % 3
-             WHEN 0 THEN '/?utm_source=feed&ref='
-                         || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=x'
-             WHEN 1 THEN '?ref=' || CAST(doc_id % 7 AS VARCHAR)
-                         || '&utm_medium=rss#frag'
-             ELSE '/'
-           END AS url
-      FROM documents),
- c AS (SELECT doc_id,
-        lower(regexp_extract(u0, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
-          AS scheme,
-        regexp_replace(u0, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS rest
-       FROM (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u0 FROM u)),
- h AS (SELECT doc_id, scheme,
-        regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)),
-                       '^www\.', '') AS host,
-        regexp_replace(rest, '^[^/?]*', '') AS pathq
-       FROM c),
- p AS (SELECT doc_id, scheme, host,
-        regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '')
-          AS path,
-        regexp_extract(pathq, '\?(.*)$', 1) AS query
-       FROM h),
- canon AS (SELECT doc_id,
-        scheme || '://' || host || path
-        || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical_url
-       FROM (SELECT doc_id, scheme, host, path,
-                    array_to_string(list_sort(list_filter(
-                        string_split(query, '&'),
-                        x -> NOT starts_with(x, 'utm_') AND x <> '')), '&')
-                      AS qs
-             FROM p))
-SELECT canonical_url, MIN(doc_id) AS keep_id,
-       CAST(COUNT(*) AS BIGINT) AS n_urls
-FROM canon GROUP BY 1
-""")
-def q_url_canonical(spark, sf):
-    """Crawl URL canonicalization + dedup: deterministic messy URLs
-    synthesized per document (mixed-case scheme/host, www, tracking
-    params, fragments, trailing slashes), canonicalized with
-    tx.canonical_url, then keep-min-id per canonical form."""
-    docs = load(spark, sf, "documents")
-    mod3 = F.col("doc_id") % 3
-    url = F.concat(
-        F.lit("HTTPS://WWW."), F.upper("source"),
-        F.lit(".Example.com/docs/"),
-        (F.col("doc_id") % 40).cast("string"),
-        F.when(mod3 == 0, F.concat(
-            F.lit("/?utm_source=feed&ref="),
-            (F.col("doc_id") % 7).cast("string"),
-            F.lit("&utm_campaign=x")))
-        .when(mod3 == 1, F.concat(
-            F.lit("?ref="), (F.col("doc_id") % 7).cast("string"),
-            F.lit("&utm_medium=rss#frag")))
-        .otherwise(F.lit("/")))
-    return (docs.select("doc_id", url.alias("url"))
-            .select("doc_id", tx.canonical_url("url").alias("canonical_url"))
-            .groupBy("canonical_url")
-            .agg(F.min("doc_id").alias("keep_id"),
-                 F.count("*").cast("long").alias("n_urls")))
-
-
-@_q("x95_random_projection", """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
- idx AS (SELECT unnest(generate_series(1, 64)) AS i),
- jj AS (SELECT unnest(generate_series(0, 7)) AS j),
- q AS (SELECT vec_id, i, CAST(floor(v[i] * 1000000.0 + 0.5) AS BIGINT)
-              AS qx
-       FROM e CROSS JOIN idx),
- s AS (SELECT vec_id, j,
-              SUM(qx * (CASE WHEN (((1103515245 * ((i - 1) * 8 + j)
-                                     + 12345) % 2147483648)
-                                   // 65536) % 2 = 1
-                             THEN 1 ELSE -1 END)) AS comp
-       FROM q CROSS JOIN jj GROUP BY 1, 2)
-SELECT vec_id, CAST(j AS INTEGER) AS dim, CAST(comp AS BIGINT) AS component
-FROM s
-""")
-def q_random_projection(spark, sf):
-    """Johnson-Lindenstrauss sign projection 64 -> 8 dims in exact
-    fixed-point int64 (sim.random_projection_fixed); the +/-1 matrix
-    derives from the same LCG expression in both engines."""
-    emb = load(spark, sf, "embeddings")
-    return sim.random_projection_fixed(emb, in_dim=64, out_dim=8)
-
-
-@_q("x96_ks_drift", """
-WITH vals AS (SELECT DISTINCT n_chars AS v FROM documents),
- srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents
-          GROUP BY 1),
- tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
- cs AS (SELECT source, n_chars AS v, COUNT(*) AS c FROM documents
-        GROUP BY 1, 2),
- cg AS (SELECT n_chars AS v, COUNT(*) AS c FROM documents GROUP BY 1),
- cums AS (SELECT s.source, v.v,
-                 SUM(COALESCE(cs.c, 0)) OVER (PARTITION BY s.source
-                     ORDER BY v.v) AS cum
-          FROM srcs s CROSS JOIN vals v
-          LEFT JOIN cs ON cs.source = s.source AND cs.v = v.v),
- cumg AS (SELECT v.v, SUM(COALESCE(cg.c, 0)) OVER (ORDER BY v.v) AS cum
-          FROM vals v LEFT JOIN cg ON cg.v = v.v)
-SELECT s.source, s.n AS n_docs,
-       ROUND(MAX(ABS(cums.cum / s.n - cumg.cum / t.n)), 6) AS ks_stat
-FROM cums JOIN srcs s ON cums.source = s.source
-     JOIN cumg ON cums.v = cumg.v CROSS JOIN tot t
-GROUP BY 1, 2
-""")
-def q_ks_drift(spark, sf):
-    """Per-source KS drift of the n_chars distribution vs the global
-    corpus (extensions.profile.ks_drift) — the distribution-shift
-    monitor between mixture sources."""
-    from data_ingest_spark.extensions.profile import ks_drift
-    return ks_drift(load(spark, sf, "documents"),
-                    group_col="source", value_col="n_chars")
-
-
-@_q("x97_doc_keywords", r"""
-WITH toks AS (SELECT doc_id,
-                     unnest(string_split_regex(lower(text), '\s+'))
-                       AS token
-              FROM documents),
- nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
- tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
-        GROUP BY 1, 2),
- dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
- s AS (SELECT t.doc_id, t.token, t.tf,
-              ROUND(t.tf * ln(nd.n / d.df), 6) AS score
-       FROM tf t JOIN dfq d USING (token) CROSS JOIN nd),
- r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-              ORDER BY score DESC, token) AS rank FROM s)
-SELECT doc_id, token, tf, score, CAST(rank AS INTEGER) AS rank
-FROM r WHERE rank <= 3
-""")
-def q_doc_keywords(spark, sf):
-    """Per-document top-3 TF-IDF keywords (tx.doc_keywords) — the
-    per-doc sibling of x16's corpus-level TF-IDF."""
-    return tx.doc_keywords(load(spark, sf, "documents"), top_k=3)
-
-
-@_q("x98_temperature_mix", """
-WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
-             FROM documents GROUP BY 1),
- w AS (SELECT source, n_docs,
-              CAST(floor(exp(0.3 * ln(CAST(n_docs AS DOUBLE)))
-                         * 1000000.0 + 0.5) AS BIGINT) AS wfp
-       FROM per),
- t AS (SELECT SUM(wfp) AS tot FROM w)
-SELECT source, n_docs,
-       ROUND(wfp / t.tot, 6) AS sample_rate,
-       CAST((10000 * wfp) // t.tot AS BIGINT) AS quota
-FROM w CROSS JOIN t
-""")
-def q_temperature_mix(spark, sf):
-    """Temperature-scaled source mixing rates (p_s proportional to
-    n_s^0.3, fixed-point normalization, exact integer quotas out of a
-    10000-doc budget) — extensions.packing.temperature_mix."""
-    from data_ingest_spark.extensions.packing import temperature_mix
-    return temperature_mix(load(spark, sf, "documents"),
-                           alpha=0.3, budget=10000)
-
-
-@_q("x99_power_pc1", """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
- idx AS (SELECT unnest(generate_series(1, 64)) AS i),
- q AS (SELECT vec_id, i, CAST(floor(ev[i] * 1000.0 + 0.5) AS BIGINT) AS qx
-       FROM e CROSS JOIN idx),
- st AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM q),
- cs AS (SELECT i, CAST(SUM(qx) AS BIGINT) AS s FROM q GROUP BY 1),
- c AS (SELECT q.vec_id, q.i, q.qx * st.n - cs.s AS cx
-       FROM q JOIN cs USING (i) CROSS JOIN st),
- cov AS (SELECT a.i - 1 AS j, b.i - 1 AS k,
-                CAST(SUM(a.cx * b.cx) AS BIGINT) // 1000000 AS cjk
-         FROM c a JOIN c b ON a.vec_id = b.vec_id
-         GROUP BY 1, 2),
- v0 AS (SELECT g.j AS k, CAST(1000 AS BIGINT) AS v
-        FROM (SELECT unnest(generate_series(0, 63)) AS j) g),
- u1 AS (SELECT cov.j, SUM(cov.cjk * v0.v) AS u FROM cov
-        JOIN v0 ON cov.k = v0.k GROUP BY 1),
- m1 AS (SELECT MAX(ABS(u)) AS m FROM u1),
- v1 AS (SELECT u1.j AS k, CAST((u1.u * 1000) // m1.m AS BIGINT) AS v
-        FROM u1 CROSS JOIN m1),
- u2 AS (SELECT cov.j, SUM(cov.cjk * v1.v) AS u FROM cov
-        JOIN v1 ON cov.k = v1.k GROUP BY 1),
- m2 AS (SELECT MAX(ABS(u)) AS m FROM u2),
- v2 AS (SELECT u2.j AS k, CAST((u2.u * 1000) // m2.m AS BIGINT) AS v
-        FROM u2 CROSS JOIN m2),
- u3 AS (SELECT cov.j, SUM(cov.cjk * v2.v) AS u FROM cov
-        JOIN v2 ON cov.k = v2.k GROUP BY 1),
- m3 AS (SELECT MAX(ABS(u)) AS m FROM u3),
- v3 AS (SELECT u3.j AS k, CAST((u3.u * 1000) // m3.m AS BIGINT) AS v
-        FROM u3 CROSS JOIN m3),
- sgn AS (SELECT CASE WHEN (SELECT v FROM v3 WHERE v <> 0
-                           ORDER BY k LIMIT 1) < 0
-                     THEN -1 ELSE 1 END AS s)
-SELECT v3.k AS dim, CAST(v3.v * sgn.s AS BIGINT) AS component
-FROM v3 CROSS JOIN sgn
-""")
-def q_power_pc1(spark, sf):
-    """Top principal component of the embedding covariance via 3
-    unrolled fixed-point power iterations (sim.power_iteration_pc1)
-    — the M8 eigen kernel under a full value oracle: quantization,
-    centering, covariance, matvec, renormalization and sign fix are
-    all exact integer arithmetic in both engines (integer division
-    truncates toward zero identically in Spark `div` and DuckDB
-    `//`)."""
-    emb = load(spark, sf, "embeddings")
-    return sim.power_iteration_pc1(emb, dim=64, n_iters=3)
-
-
-@_q("x100_ivf_incremental", """
-WITH q AS (SELECT vec_id,
-                  list_transform(embedding,
-                    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
-                    AS qe
-           FROM embeddings),
-c AS (SELECT vec_id AS cid, qe AS ce FROM q WHERE vec_id < 4),
-d AS (SELECT q.vec_id, c.cid, q.qe,
-             CAST(list_sum(list_transform(range(1, 65),
-                  i -> (q.qe[i] - c.ce[i]) * (q.qe[i] - c.ce[i])))
-                  AS BIGINT) AS d2
-      FROM q CROSS JOIN c),
-a AS (SELECT vec_id, cid, qe FROM (
-        SELECT vec_id, cid, qe,
-               ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY d2, cid) AS rk
-        FROM d) WHERE rk = 1),
-x AS (SELECT cid, CAST(t.i AS INT) AS dim, qe[t.i] AS val
-      FROM a CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) t)
-SELECT cid, dim, CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(val) AS BIGINT) AS sum_q
-FROM x GROUP BY 1, 2
-""")
-def q_ivf_incremental(spark, sf):
-    """Incremental ANN-index maintenance (the e26 merge ≡ recompute
-    pattern applied to the IVF coarse quantizer): the corpus splits
-    into history (vec_id < 250) and a new batch, each side computes
-    its mergeable cell state against the SAME seed centroids, and the
-    merged state must equal the oracle's full-corpus recompute —
-    proving a nightly vector-index refresh can process only the new
-    batch."""
-    emb = load(spark, sf, "embeddings")
-    cents = sim.ivf_seed_centroids(emb, k=4)
-    hist = sim.ivf_assign_state(emb.filter(F.col("vec_id") < 250), cents)
-    batch = sim.ivf_assign_state(emb.filter(F.col("vec_id") >= 250), cents)
-    return sim.merge_ivf_state(hist, batch)
-
-
-@_q("x101_skew_profile", """
-WITH counts AS (SELECT l_partkey AS key, COUNT(*) AS cnt
-                FROM lineitem GROUP BY 1),
- tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
-                CAST(COUNT(*) AS BIGINT) AS nk FROM counts),
- top AS (SELECT key, cnt FROM counts ORDER BY cnt DESC, key LIMIT 5)
-SELECT top.key, CAST(top.cnt AS BIGINT) AS cnt,
-       ROUND(top.cnt / t.total, 6) AS share,
-       ROUND(top.cnt * t.nk / t.total, 6) AS skew_factor,
-       CAST((top.cnt * t.nk) // t.total + 1 AS BIGINT) AS salt_hint
-FROM top CROSS JOIN tot t
-""")
-def q_skew_profile(spark, sf):
-    """Shuffle-key skew diagnostic over lineitem's part key: heaviest
-    5 keys, their share, skew factor vs the mean key, and the salt
-    count that flattens them (functions.partitioning.skew_profile) —
-    the planning analysis run before salted_join/salted_agg."""
-    from data_ingest_spark.functions.partitioning import skew_profile
-    return skew_profile(load(spark, sf, "lineitem"), "l_partkey")
-
-
-@_q("x102_winsorize", """
-WITH q AS (SELECT event_type,
-                  ROUND(quantile_cont(value, 0.05), 6) AS q_lo,
-                  ROUND(quantile_cont(value, 0.95), 6) AS q_hi
-           FROM events GROUP BY 1)
-SELECT e.event_type, q.q_lo, q.q_hi,
-       CAST(COUNT(*) AS BIGINT) AS n_total,
-       CAST(SUM(CASE WHEN e.value < q.q_lo THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_below,
-       CAST(SUM(CASE WHEN e.value > q.q_hi THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_above,
-       CAST(SUM(CAST(floor(least(greatest(e.value, q.q_lo), q.q_hi)
-                           * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
-         AS sum_clipped_fp
-FROM events e JOIN q USING (event_type)
-GROUP BY 1, 2, 3
-""")
-def q_winsorize(spark, sf):
-    """Per-event-type winsorization audit (p05/p95 exact interpolated
-    clip bounds rounded before use; integer clip counts; fixed-point
-    clipped sum) — extensions.profile.winsorize_stats."""
-    from data_ingest_spark.extensions.profile import winsorize_stats
-    return winsorize_stats(events_df(spark, sf))
-
-
-@_q("x103_pmi_collocations", r"""
-WITH tk AS (SELECT string_split_regex(lower(text), '\s+') AS t
-            FROM documents),
- uni AS (SELECT u.w, CAST(COUNT(*) AS BIGINT) AS cw
-         FROM (SELECT unnest(t) AS w FROM tk) u GROUP BY 1),
- ntok AS (SELECT CAST(SUM(cw) AS BIGINT) AS n FROM uni),
- bg AS (SELECT unnest([{'w1': t[i], 'w2': t[i+1]}
-                       FOR i IN generate_series(1, len(t) - 1)],
-                      recursive := true)
-        FROM tk WHERE len(t) >= 2),
- counts AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_count
-            FROM bg GROUP BY 1, 2),
- nbg AS (SELECT CAST(SUM(pair_count) AS BIGINT) AS n FROM counts),
- top AS (SELECT w1, w2, pair_count FROM counts WHERE pair_count >= 5
-         ORDER BY pair_count DESC, w1, w2 LIMIT 50)
-SELECT top.w1, top.w2, top.pair_count,
-       ROUND(ln(CAST(top.pair_count AS DOUBLE) * CAST(ntok.n AS DOUBLE)
-                * CAST(ntok.n AS DOUBLE)
-                / (CAST(nbg.n AS DOUBLE) * CAST(a.cw AS DOUBLE)
-                   * CAST(b.cw AS DOUBLE))), 6) AS pmi
-FROM top JOIN uni a ON a.w = top.w1
-         JOIN uni b ON b.w = top.w2
-         CROSS JOIN ntok CROSS JOIN nbg
-""")
-def q_pmi_collocations(spark, sf):
-    """Top-50 adjacent-bigram collocations by count with exact-ratio
-    PMI (tx.pmi_collocations) — phrase discovery for tokenizer
-    multi-word entries."""
-    return tx.pmi_collocations(load(spark, sf, "documents"),
-                               top_k=50, min_count=5)
-
-
-@_q("x104_temporal_split", """
-WITH s AS (SELECT event_type, user_id,
-                  CASE WHEN ts >= TIMESTAMP '2024-01-24 00:00:00'
-                         THEN 'test'
-                       WHEN ts >= TIMESTAMP '2024-01-24 00:00:00'
-                                  - INTERVAL 86400 SECOND
-                         THEN 'embargo'
-                       ELSE 'train' END AS split,
-                  ts
-           FROM events)
-SELECT split, event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-       MIN(ts) AS min_ts, MAX(ts) AS max_ts
-FROM s GROUP BY 1, 2
-""")
-def q_temporal_split(spark, sf):
-    """Train/embargo/test temporal split (cutoff Jan 24, 1-day embargo
-    gap — the autocorrelation leakage guard) summarized per split and
-    event type; extensions.sampling.temporal_split assigns the split
-    column at scan speed."""
-    from data_ingest_spark.extensions.sampling import temporal_split
-    ev = temporal_split(events_df(spark, sf), "2024-01-24 00:00:00",
-                        embargo_s=86400)
-    return ev.groupBy("split", "event_type").agg(
-        F.count("*").cast("long").alias("n_rows"),
-        F.count_distinct("user_id").cast("long").alias("n_users"),
-        F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts"))
-
-
-@_q("x105_profile_drift", """
-WITH b AS (SELECT doc_id,
-                  CASE WHEN doc_id % 11 = 0 THEN NULL ELSE lang END AS lang,
-                  source, n_chars + 5 AS n_chars
-           FROM documents WHERE doc_id % 7 <> 0),
- pa AS (
-   SELECT 'doc_id' AS col, CAST(COUNT(*) AS BIGINT) nr,
-          CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) nn,
-          CAST(COUNT(DISTINCT doc_id) AS BIGINT) nd,
-          CAST(MIN(doc_id) AS VARCHAR) mn, CAST(MAX(doc_id) AS VARCHAR) mx
-   FROM documents
-   UNION ALL
-   SELECT 'lang', COUNT(*),
-          CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-          CAST(COUNT(DISTINCT lang) AS BIGINT), MIN(lang), MAX(lang)
-   FROM documents
-   UNION ALL
-   SELECT 'n_chars', COUNT(*),
-          CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-          CAST(COUNT(DISTINCT n_chars) AS BIGINT),
-          CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
-   FROM documents),
- pb AS (
-   SELECT 'doc_id' AS col, CAST(COUNT(*) AS BIGINT) nr,
-          CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) nn,
-          CAST(COUNT(DISTINCT doc_id) AS BIGINT) nd,
-          CAST(MIN(doc_id) AS VARCHAR) mn, CAST(MAX(doc_id) AS VARCHAR) mx
-   FROM b
-   UNION ALL
-   SELECT 'lang', COUNT(*),
-          CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-          CAST(COUNT(DISTINCT lang) AS BIGINT), MIN(lang), MAX(lang)
-   FROM b
-   UNION ALL
-   SELECT 'n_chars', COUNT(*),
-          CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-          CAST(COUNT(DISTINCT n_chars) AS BIGINT),
-          CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
-   FROM b)
-SELECT pa.col AS column, CAST(pb.nr - pa.nr AS BIGINT) AS n_rows_delta,
-       CAST(pb.nn - pa.nn AS BIGINT) AS n_nulls_delta,
-       CAST(pb.nd - pa.nd AS BIGINT) AS n_distinct_delta,
-       pa.mn IS DISTINCT FROM pb.mn AS min_changed,
-       pa.mx IS DISTINCT FROM pb.mx AS max_changed
-FROM pa JOIN pb ON pa.col = pb.col
-""")
-def q_profile_drift(spark, sf):
-    """Snapshot profile drift (extensions.profile.profile_drift): the
-    incoming snapshot drops every 7th doc, nulls lang on doc_id%11=0
-    and shifts n_chars by +5 — the drift report must flag the row
-    drop, the null spike, and the range shift per column."""
-    from data_ingest_spark.extensions.profile import profile_drift
-    a = load(spark, sf, "documents")
-    b = (a.filter(F.col("doc_id") % 7 != 0)
-         .select("doc_id",
-                 F.when(F.col("doc_id") % 11 == 0, None)
-                 .otherwise(F.col("lang")).alias("lang"),
-                 "source",
-                 (F.col("n_chars") + 5).alias("n_chars")))
-    return profile_drift(a, b, cols=["doc_id", "lang", "n_chars"])
-
-
-@_q("x106_weighted_sample", """
-WITH h AS (
-  SELECT source, doc_id, n_chars,
-         (CAST(CAST(concat('0x', substr(md5('29:' ||
-              CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 10000 + 1
-           AS DOUBLE) / 10000.0) / CAST(n_chars AS DOUBLE) AS pri
-  FROM documents),
- r AS (SELECT *, CAST(ROW_NUMBER() OVER (
-           PARTITION BY source ORDER BY pri ASC, doc_id ASC) AS INT)
-           AS rank
-       FROM h)
-SELECT source, doc_id, n_chars, rank, ROUND(pri, 9) AS priority
-FROM r WHERE rank <= 25
-""")
-def q_weighted_sample(spark, sf):
-    """Sequential Poisson sampling (Ohlsson πps family): per source,
-    the 25 docs with the smallest u/w priority — weighted sampling
-    WITHOUT replacement, inclusion odds rising with n_chars. The
-    priority is a ratio of exact integers ((bucket+1)/10000 over the
-    weight), i.e. two IEEE correctly-rounded divisions, so the order
-    is bit-identical across engines — no transcendentals in the key."""
-    from data_ingest_spark.extensions.sampling import weighted_sample
-    docs = load(spark, sf, "documents")
-    return (weighted_sample(docs, "n_chars", 25, id_col="doc_id",
-                            by="source", seed=29)
-            .select("source", "doc_id", "n_chars", "rank", "priority"))
-
-
-@_q("x107_wilson_winrate", """
-WITH a AS (
-  SELECT user_id,
-         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-              AS BIGINT) AS wins,
-         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-              AS BIGINT) AS losses
-  FROM events WHERE event_type IN ('purchase', 'click')
-  GROUP BY user_id),
- s AS (
-  SELECT user_id, wins, losses, CAST(wins + losses AS BIGINT) AS n,
-         ROUND(CAST(wins AS DOUBLE) / CAST(wins + losses AS DOUBLE), 6)
-           AS win_rate,
-         ROUND((CAST(wins AS DOUBLE) / CAST(wins + losses AS DOUBLE)
-                + (1.96 * 1.96) / (2.0 * CAST(wins + losses AS DOUBLE))
-                - 1.96 * sqrt((CAST(wins AS DOUBLE)
-                                 / CAST(wins + losses AS DOUBLE)
-                               * (1.0 - CAST(wins AS DOUBLE)
-                                   / CAST(wins + losses AS DOUBLE))
-                               + (1.96 * 1.96)
-                                 / (4.0 * CAST(wins + losses AS DOUBLE)))
-                              / CAST(wins + losses AS DOUBLE)))
-               / (1.0 + (1.96 * 1.96) / CAST(wins + losses AS DOUBLE)), 6)
-           AS wilson_lcb
-  FROM a WHERE wins + losses > 0),
- r AS (SELECT *, CAST(ROW_NUMBER() OVER (
-           ORDER BY wilson_lcb DESC, user_id ASC) AS INT) AS rank
-       FROM s)
-SELECT user_id, wins, losses, n, win_rate, wilson_lcb, rank
-FROM r WHERE rank <= 50
-""")
-def q_wilson_winrate(spark, sf):
-    """Wilson lower-confidence-bound win-rate ranking over binary
-    preference outcomes (purchase = win, click = loss per user) — the
-    small-sample guard that stops a 2/2 item outranking a 90/100 one.
-    Top 50 by (LCB desc, id); the global rank is the bucketed two-pass
-    (no unpartitioned window), the LCB is rounded to 6dp before the
-    cut per the repo's m12/m9 convention."""
-    from data_ingest_spark.extensions.evaluation import wilson_winrate
-    return (wilson_winrate(events_df(spark, sf), group_col="user_id",
-                           outcome_col="event_type",
-                           win_value="purchase", loss_value="click",
-                           z=1.96, top_k=50)
-            .select("user_id", "wins", "losses", "n", "win_rate",
-                    "wilson_lcb", "rank"))
-
-
-@_q("x108_hist_merge", """
-WITH binned AS (
-  SELECT CAST(LEAST(13, GREATEST(0, FLOOR((value - 0.0) / 25.0)))
-              AS BIGINT) AS bin,
-         event_id
-  FROM events WHERE value IS NOT NULL),
- h AS (SELECT bin,
-              SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
-              SUM(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END) AS nb,
-              COUNT(*) AS nd
-       FROM binned GROUP BY bin)
-SELECT bin, ROUND(0.0 + bin * 25.0, 6) AS lo_edge,
-       ROUND(0.0 + (bin + 1) * 25.0, 6) AS hi_edge,
-       CAST(na + nb AS BIGINT) AS n_merged,
-       CAST(nd AS BIGINT) AS n_direct,
-       (na + nb) = nd AS consistent
-FROM h
-""")
-def q_hist_merge(spark, sf):
-    """Mergeable equi-width histogram with a merge ≡ recompute audit
-    (the e26/x100 pattern): build independent histogram states on the
-    even- and odd-event_id halves of the corpus, merge by summing bin
-    counts, and join against the direct single-pass build. At 100 TB
-    each ingest batch ships its ≤ nbins-row state and the refresh is a
-    tiny reduce instead of a full rescan."""
-    from data_ingest_spark.extensions.sketches import (equi_width_hist,
-                                                       merge_hists)
-    ev = events_df(spark, sf)
-    a = equi_width_hist(ev.filter(F.col("event_id") % 2 == 0),
-                        "value", 0.0, 350.0, 14)
-    b = equi_width_hist(ev.filter(F.col("event_id") % 2 != 0),
-                        "value", 0.0, 350.0, 14)
-    merged = merge_hists(a, b).withColumnRenamed("n", "n_merged")
-    direct = equi_width_hist(ev, "value", 0.0, 350.0, 14) \
-        .withColumnRenamed("n", "n_direct")
-    return (merged.join(direct, "bin", "full")
-            .select("bin",
-                    F.round(F.lit(0.0) + F.col("bin") * 25.0, 6)
-                    .alias("lo_edge"),
-                    F.round(F.lit(0.0) + (F.col("bin") + 1) * 25.0, 6)
-                    .alias("hi_edge"),
-                    F.coalesce("n_merged", F.lit(0)).cast("long")
-                    .alias("n_merged"),
-                    F.coalesce("n_direct", F.lit(0)).cast("long")
-                    .alias("n_direct"),
-                    (F.coalesce("n_merged", F.lit(0))
-                     == F.coalesce("n_direct", F.lit(0)))
-                    .alias("consistent")))
-
-
-@_q("x110_quantile_norm", """
-WITH d AS (SELECT doc_id, source, n_chars FROM documents),
- s AS (SELECT doc_id, source, n_chars,
-              CAST(ROW_NUMBER() OVER (PARTITION BY source
-                   ORDER BY n_chars, doc_id) AS BIGINT) AS src_rank,
-              CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS ns
-       FROM d),
- g AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id)
-              AS BIGINT) AS gpos,
-              CAST(n_chars AS BIGINT) AS gval
-       FROM d),
- p AS (SELECT doc_id, source, n_chars, src_rank,
-              ((2 * src_rank - 1) * (SELECT COUNT(*) FROM d)
-               + 2 * ns - 1) // (2 * ns) AS gp
-       FROM s)
-SELECT p.doc_id, p.source, p.n_chars, p.src_rank,
-       g.gval AS norm_value
-FROM p JOIN g ON g.gpos = p.gp
-""")
-def q_quantile_norm(spark, sf):
-    """Cross-source quantile normalization of document lengths: each
-    doc's n_chars is replaced by the corpus-wide value at its
-    within-source mid-rank quantile, aligning every source's length
-    distribution before mixing — integer-exact rank arithmetic, the
-    bucketed two-pass global rank, one position equi-join."""
-    from data_ingest_spark.extensions.profile import quantile_normalize
-    return quantile_normalize(load(spark, sf, "documents"),
-                              value_col="n_chars", group_col="source",
-                              id_col="doc_id")
-
-
-@_q("x111_skipgram_pairs", r"""
-WITH tk AS (SELECT string_split_regex(lower(text), '\s+') AS t
-            FROM documents),
- pr AS (
-   SELECT unnest([{'w1': t[i], 'w2': t[i+1], 'wt': 3}
-                  FOR i IN generate_series(1, len(t) - 1)],
-                 recursive := true)
-   FROM tk WHERE len(t) >= 2
-   UNION ALL
-   SELECT unnest([{'w1': t[i], 'w2': t[i+2], 'wt': 2}
-                  FOR i IN generate_series(1, len(t) - 2)],
-                 recursive := true)
-   FROM tk WHERE len(t) >= 3
-   UNION ALL
-   SELECT unnest([{'w1': t[i], 'w2': t[i+3], 'wt': 1}
-                  FOR i IN generate_series(1, len(t) - 3)],
-                 recursive := true)
-   FROM tk WHERE len(t) >= 4),
- c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_count,
-              CAST(SUM(wt) AS BIGINT) AS w_sum
-       FROM pr GROUP BY 1, 2)
-SELECT w1, w2, pair_count, w_sum FROM c
-WHERE pair_count >= 5 ORDER BY pair_count DESC, w1, w2 LIMIT 50
-""")
-def q_skipgram_pairs(spark, sf):
-    """Window-3 skip-gram co-occurrence counts with exact integer
-    proximity weights (tx.skipgram_pairs) — the word2vec/GloVe
-    training statistic; x103's PMI is the adjacent-only special
-    case. The oracle unrolls the three fixed offsets with unbounded
-    position comprehensions (the x47 form — no length cap)."""
-    return tx.skipgram_pairs(load(spark, sf, "documents"),
-                             window=3, top_k=50, min_count=5)
-
-
-_X112_COLS = [("o_orderkey", None), ("o_custkey", None),
-              ("o_orderstatus", "^[FO]$"), ("o_totalprice", None),
-              ("o_orderdate", None),
-              ("o_orderpriority", "^[1-5]-[A-Z ]+$")]
-
-
-def _x112_sql() -> str:
-    parts = []
-    for c, rx in _X112_COLS:
-        m = (f"ROUND(SUM(CASE WHEN regexp_matches(CAST({c} AS VARCHAR), "
-             f"'{rx}') THEN 1 ELSE 0 END) / COUNT(*), 9)"
-             if rx else "CAST(NULL AS DOUBLE)")
-        parts.append(f"""
-SELECT '{c}' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_null,
-       ROUND(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) / COUNT(*), 9)
-         AS null_frac,
-       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
-       MIN(CAST({c} AS VARCHAR)) AS min_value,
-       MAX(CAST({c} AS VARCHAR)) AS max_value,
-       {m} AS regex_match_frac
-FROM orders""")
-    return "\nUNION ALL".join(parts)
-
-
-@_q("x112_column_expectations", _x112_sql())
-def q_column_expectations(spark, sf):
-    """Per-column ingest-gate expectations over orders
-    (profile.column_expectations): null fractions, exact distincts,
-    VARCHAR min/max, and regex match rates for the enum-shaped
-    columns — the batch-acceptance report computed in ONE scan."""
-    from data_ingest_spark.extensions.profile import column_expectations
-    return column_expectations(
-        load(spark, sf, "orders"), [c for c, _ in _X112_COLS],
-        regex_rules={c: rx for c, rx in _X112_COLS if rx})
-
-
-@_q("x113_paragraph_dedup", rf"""
-WITH corpus AS ({_NEARDUP_SQL}),
- base AS (SELECT doc_id, string_split_regex(text, '\. ') AS ps
-          FROM corpus),
- prow AS (SELECT doc_id,
-                 unnest([{{'pos': i - 1, 'para': ps[i]}}
-                         FOR i IN generate_series(1, len(ps))],
-                        recursive := true)
-          FROM base),
- rk AS (SELECT doc_id, pos, para,
-               ROW_NUMBER() OVER (PARTITION BY md5(para)
-                                  ORDER BY doc_id, pos) AS rk
-        FROM prow),
- kept AS (SELECT doc_id, pos, para FROM rk WHERE rk = 1),
- tot AS (SELECT doc_id, len(ps) AS tot FROM base),
- agg AS (SELECT doc_id,
-                string_agg(para, '. ' ORDER BY pos) AS clean_text,
-                COUNT(*) AS nk
-         FROM kept GROUP BY 1)
-SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
-       CAST(t.tot - COALESCE(a.nk, 0) AS BIGINT) AS n_dropped
-FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
-""")
-def q_paragraph_dedup(spark, sf):
-    """Corpus-global exact paragraph dedup with first-occurrence
-    survivorship (dd.paragraph_dedup — the CCNet paragraph pass) on
-    the planted near-dup corpus: every paragraph the head-truncated
-    mirrors share with their originals survives only in the original
-    (smallest doc id), so the mirrors shrink and the originals pass
-    through intact."""
-    return dd.paragraph_dedup(_neardup_corpus(spark, sf))
-
-
-@_q("x114_mrr_jackknife", """
-WITH ranked AS (
-  SELECT user_id, event_id, value, (event_type = 'purchase') AS relevant,
-         ROW_NUMBER() OVER (PARTITION BY user_id
-                            ORDER BY value DESC, event_id ASC) AS rk
-  FROM events),
- per AS (SELECT user_id, MIN(CASE WHEN relevant THEN rk END) AS frr
-         FROM ranked GROUP BY 1),
- rr AS (SELECT CASE WHEN frr IS NOT NULL AND frr <= 10
-                    THEN 2520 // frr ELSE 0 END AS rr_fp FROM per),
- t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-              CAST(SUM(rr_fp) AS BIGINT) AS s FROM rr),
- q AS (SELECT CAST(SUM((t.s - t.n * rr.rr_fp)
-                       * (t.s - t.n * rr.rr_fp)) AS BIGINT) AS qq,
-              ANY_VALUE(t.n) AS n, ANY_VALUE(t.s) AS s
-       FROM rr, t),
- u AS (SELECT n AS n_queries,
-              CAST(s AS DOUBLE) / (n * 2520) AS mrr_d,
-              CASE WHEN n > 1 THEN
-                sqrt(CAST(qq AS DOUBLE) * (n - 1) / n)
-                / (CAST(n AS DOUBLE) * (n - 1) * 2520)
-              ELSE 0.0 END AS se_d
-       FROM q)
-SELECT n_queries, ROUND(mrr_d, 9) AS mrr, ROUND(se_d, 9) AS se_jack,
-       ROUND(mrr_d - 1.96 * se_d, 9) AS ci_lo,
-       ROUND(mrr_d + 1.96 * se_d, 9) AS ci_hi
-FROM u
-""")
-def q_mrr_jackknife(spark, sf):
-    """MRR@10 with a leave-one-query-out jackknife standard error and
-    95% CI (ev.mrr_jackknife) — fixed-point reciprocal ranks make the
-    MRR numerator and the jackknife spread exact int64, so the CI is
-    hash-exact cross-engine up to one shared sqrt."""
-    evdf = events_df(spark, sf).withColumn(
-        "relevant", F.col("event_type") == F.lit("purchase"))
-    return ev.mrr_jackknife(evdf, k=10)
-
-
-@_q("x115_class_report", """
-WITH pairs AS (
-  SELECT event_type AS gold,
-         CASE WHEN event_id % 7 < 5 THEN event_type ELSE 'view' END AS pred
-  FROM events),
- cm AS (SELECT gold, pred, CAST(COUNT(*) AS BIGINT) AS c
-        FROM pairs GROUP BY 1, 2),
- g AS (SELECT gold AS label, CAST(SUM(c) AS BIGINT) AS n_gold
-       FROM cm GROUP BY 1),
- p AS (SELECT pred AS label, CAST(SUM(c) AS BIGINT) AS n_pred
-       FROM cm GROUP BY 1),
- tp AS (SELECT gold AS label, c AS tp FROM cm WHERE gold = pred),
- rep AS (SELECT COALESCE(g.label, p.label) AS label,
-                COALESCE(g.n_gold, 0) AS n_gold,
-                COALESCE(p.n_pred, 0) AS n_pred
-         FROM g FULL JOIN p ON g.label = p.label)
-SELECT rep.label, rep.n_gold, rep.n_pred,
-       CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp,
-       ROUND(CASE WHEN rep.n_pred > 0
-                  THEN COALESCE(tp.tp, 0) / rep.n_pred ELSE 0.0 END, 9)
-         AS precision,
-       ROUND(CASE WHEN rep.n_gold > 0
-                  THEN COALESCE(tp.tp, 0) / rep.n_gold ELSE 0.0 END, 9)
-         AS recall,
-       ROUND(CASE WHEN rep.n_gold + rep.n_pred > 0
-                  THEN 2 * COALESCE(tp.tp, 0) / (rep.n_gold + rep.n_pred)
-                  ELSE 0.0 END, 9) AS f1
-FROM rep LEFT JOIN tp ON rep.label = tp.label
-""")
-def q_class_report(spark, sf):
-    """Per-class precision/recall/F1/support (ev.classification_report)
-    from a synthetic deterministic classifier over events (predicts
-    the true type 5/7 of the time, 'view' otherwise): exact-count
-    ratios, F1 via 2·tp/(n_gold+n_pred) — no float feeds a float."""
-    pairs = events_df(spark, sf).select(
-        F.col("event_type").alias("gold"),
-        F.when(F.col("event_id") % 7 < 5, F.col("event_type"))
-        .otherwise(F.lit("view")).alias("pred"))
-    return ev.classification_report(pairs)
-
-
-def _kcenter_sql(k: int = 8) -> str:
-    """Unrolled k-center greedy oracle (the x51/x83/m13 fixed-
-    iteration trick): per round, MIN squared quantized distance to the
-    selected set, then argmax with the (dmin DESC, vec_id ASC)
-    tie-break. MATERIALIZED hints keep DuckDB from re-inlining the
-    round CTEs exponentially (the m13 sf0.1 lesson)."""
-    d2 = ("CAST(list_sum(list_transform(range(1, 65), "
-          "i -> (q.qe[i] - s.qe[i]) * (q.qe[i] - s.qe[i]))) AS BIGINT)")
-    parts = [
-        "WITH q AS MATERIALIZED (SELECT vec_id, list_transform(embedding,"
-        " x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe"
-        " FROM embeddings)",
-        " sel0 AS MATERIALIZED (SELECT 0 AS sel_order, vec_id,"
-        " CAST(0 AS BIGINT) AS radius2, qe FROM q"
-        " ORDER BY vec_id ASC LIMIT 1)",
-    ]
-    for r in range(1, k):
-        parts.append(
-            f" s{r} AS MATERIALIZED (SELECT q.vec_id, MIN({d2}) AS dmin"
-            f" FROM q CROSS JOIN sel{r - 1} s GROUP BY q.vec_id)")
-        parts.append(
-            f" c{r} AS MATERIALIZED (SELECT {r} AS sel_order, s.vec_id,"
-            f" CAST(s.dmin AS BIGINT) AS radius2, q.qe"
-            f" FROM s{r} s JOIN q ON q.vec_id = s.vec_id"
-            f" ORDER BY s.dmin DESC, s.vec_id ASC LIMIT 1)")
-        parts.append(
-            f" sel{r} AS MATERIALIZED (SELECT * FROM sel{r - 1}"
-            f" UNION ALL SELECT * FROM c{r})")
-    return (",".join(parts)
-            + f" SELECT sel_order, vec_id, radius2 FROM sel{k - 1}")
-
-
-@_q("x109_kcenter_coreset", _kcenter_sql(8))
-def q_kcenter_coreset(spark, sf):
-    """Greedy k-center diversity coreset (Gonzalez farthest-point
-    traversal, k=8) over the embeddings table in exact fixed-point
-    arithmetic — selection order, chosen ids, and the per-round
-    max-min radius certificate all hash-match the 8-round unrolled
-    SQL oracle."""
-    from data_ingest_spark.extensions.similarity import kcenter_greedy
-    return kcenter_greedy(load(spark, sf, "embeddings"), k=8)
-
-
-@_q("x116_auc_rank", """
-WITH c AS (SELECT value AS s, CAST(COUNT(*) AS BIGINT) AS cnt,
-                  CAST(SUM(CASE WHEN event_type = 'purchase'
-                                THEN 1 ELSE 0 END) AS BIGINT) AS pos
-           FROM events WHERE value IS NOT NULL GROUP BY 1),
- w AS (SELECT s, cnt, pos,
-              COALESCE(SUM(cnt) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
-                       PRECEDING AND 1 PRECEDING), 0) AS below
-       FROM c),
- t AS (SELECT CAST(SUM(pos) AS HUGEINT) AS np,
-              CAST(SUM(cnt - pos) AS HUGEINT) AS nn,
-              SUM(CAST(pos AS HUGEINT)
-                  * CAST(2 * below + cnt + 1 AS HUGEINT)) AS r2,
-              CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
-                AS n_tie_groups
-       FROM w),
- a AS (SELECT np, nn, n_tie_groups,
-              CASE WHEN np > 0 AND nn > 0 THEN
-                CAST(r2 - np * (np + 1) AS DOUBLE)
-                / CAST(2 * np * nn AS DOUBLE)
-              ELSE 0.0 END AS auc_d
-       FROM t)
-SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
-       n_tie_groups, ROUND(auc_d, 9) AS auc,
-       ROUND(2 * auc_d - 1, 9) AS gini
-FROM a
-""")
-def q_auc_rank(spark, sf):
-    """Exact ROC-AUC over events (label = purchase, score = value) via
-    the Mann-Whitney midrank identity (ev.auc_rank): every sum up to
-    the single final division is integer (2x midranks are whole;
-    DECIMAL(38,0) accumulators mirror DuckDB's HUGEINT), so the AUC
-    and Gini hash-match the oracle exactly."""
-    evdf = events_df(spark, sf).select(
-        (F.col("event_type") == "purchase").alias("label"),
-        F.col("value").alias("score"))
-    return ev.auc_rank(evdf)
-
-
-@_q("x117_calibration", """
-WITH b AS (SELECT LEAST(CAST(FLOOR(((event_id % 1000) / 1000.0) * 10)
-                        AS INT), 9) AS bin,
-                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
-                    AS lab,
-                  CAST(ROUND(((event_id % 1000) / 1000.0) * 1000000)
-                       AS BIGINT) AS pfp
-           FROM events),
- g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
-              CAST(SUM(lab) AS BIGINT) AS n_pos,
-              CAST(SUM(pfp) AS HUGEINT) AS sp
-       FROM b GROUP BY 1)
-SELECT bin, n, n_pos,
-       ROUND(CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 9)
-         AS mean_p,
-       ROUND(n_pos / n, 9) AS frac_pos,
-       ROUND(ABS(CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
-                 - n_pos / n), 9) AS gap
-FROM g ORDER BY bin
-""")
-def q_calibration(spark, sf):
-    """Reliability-diagram bins (ev.calibration_bins) for a synthetic
-    deterministic predictor p = (event_id % 1000)/1000 against the
-    purchase label: per-bin exact mean prediction (fixed-point sum /
-    count) vs exact empirical positive rate."""
-    evdf = events_df(spark, sf).select(
-        (F.col("event_type") == "purchase").alias("label"),
-        ((F.col("event_id") % 1000) / 1000.0).alias("p"))
-    return ev.calibration_bins(evdf, bins=10)
-
-
-@_q("x118_cohens_kappa", """
-WITH pairs AS (
-  SELECT event_type AS a,
-         CASE WHEN event_id % 5 < 3 THEN event_type
-              ELSE CASE event_id % 3 WHEN 0 THEN 'click'
-                   WHEN 1 THEN 'view' ELSE 'purchase' END END AS b
-  FROM events),
- cm AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
-        FROM pairs GROUP BY 1, 2),
- ra AS (SELECT a AS l, CAST(SUM(c) AS HUGEINT) AS ra FROM cm GROUP BY 1),
- rb AS (SELECT b AS l, CAST(SUM(c) AS HUGEINT) AS rb FROM cm GROUP BY 1),
- pe AS (SELECT CAST(SUM(COALESCE(ra.ra, 0) * COALESCE(rb.rb, 0))
-                    AS HUGEINT) AS sumrc,
-               CAST(COUNT(*) AS BIGINT) AS n_labels
-        FROM ra FULL JOIN rb ON ra.l = rb.l),
- tot AS (SELECT CAST(SUM(c) AS HUGEINT) AS n,
-                CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS HUGEINT)
-                  AS agree
-         FROM cm)
-SELECT CAST(tot.n AS BIGINT) AS n, CAST(tot.agree AS BIGINT) AS n_agree,
-       pe.n_labels,
-       ROUND(CASE WHEN (tot.n * tot.n - pe.sumrc) <> 0 THEN
-               CAST(tot.n * tot.agree - pe.sumrc AS DOUBLE)
-               / CAST(tot.n * tot.n - pe.sumrc AS DOUBLE)
-             ELSE 0.0 END, 9) AS kappa
-FROM tot, pe
-""")
-def q_cohens_kappa(spark, sf):
-    """Cohen's kappa (ev.cohens_kappa) between the true event_type and
-    a synthetic second annotator that agrees 3/5 of the time: the
-    (n*agree - SUM r_i*c_i) / (n^2 - SUM r_i*c_i) form is a single
-    exact division of DECIMAL(38,0)/HUGEINT integers."""
-    evdf = events_df(spark, sf).select(
-        F.col("event_type").alias("rater_a"),
-        F.when(F.col("event_id") % 5 < 3, F.col("event_type"))
-        .otherwise(F.when(F.col("event_id") % 3 == 0, F.lit("click"))
-                   .when(F.col("event_id") % 3 == 1, F.lit("view"))
-                   .otherwise(F.lit("purchase"))).alias("rater_b"))
-    return ev.cohens_kappa(evdf)
-
-
-@_q("x119_interval_merge", """
-WITH iv AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS s,
-                   epoch_us(ts::TIMESTAMP)
-                   + CAST(ROUND(value * 1000000) AS BIGINT) AS e
-            FROM events),
- m AS (SELECT user_id, s, e,
-              MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
-                           ROWS BETWEEN UNBOUNDED PRECEDING
-                           AND 1 PRECEDING) AS pm
-       FROM iv),
- fl AS (SELECT user_id, s, e,
-               CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS brk
-        FROM m),
- isl AS (SELECT user_id, s, e,
-                SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
-                               ROWS BETWEEN UNBOUNDED PRECEDING
-                               AND CURRENT ROW) AS g
-         FROM fl)
-SELECT user_id, MIN(s) AS span_start, MAX(e) AS span_end,
-       CAST(COUNT(*) AS BIGINT) AS n_merged
-FROM isl GROUP BY user_id, g
-""")
-def q_interval_merge(spark, sf):
-    """Per-user span union (cdc.merge_intervals) over activity
-    intervals [ts, ts + value seconds] in exact integer microseconds —
-    the PII-span / validity-window consolidation primitive, via the
-    SCD2 island idiom (running MAX(end) marks breaks)."""
-    from data_ingest_spark.extensions.cdc import merge_intervals
-    evdf = events_df(spark, sf)
-    # ts is TIMESTAMP_NTZ; the session is pinned to UTC so the cast
-    # to TIMESTAMP is lossless and matches DuckDB's epoch_us.
-    s = F.unix_micros(F.col("ts").cast("timestamp"))
-    iv = evdf.select(
-        "user_id", s.alias("start"),
-        (s + F.round(F.col("value") * 1000000).cast("long")).alias("end"))
-    return merge_intervals(iv, key_col="user_id",
-                           start_col="start", end_col="end")
-
-
-@_q("x120_cdc_chunks", """
-WITH d AS (SELECT doc_id, text AS t, CAST(length(text) AS INT) AS n
-           FROM documents),
- c AS (SELECT doc_id, n,
-              CASE WHEN n >= 4 THEN
-                list_filter(range(4, CAST(n AS BIGINT) + 1), i ->
-                  ((((unicode(t[i-3]) * 31 + unicode(t[i-2])) * 31
-                     + unicode(t[i-1])) * 31 + unicode(t[i])) % 64) = 0)
-              ELSE [] END AS cuts
-       FROM d),
- f AS (SELECT doc_id, n, cuts,
-              [CAST(0 AS BIGINT)] || cuts
-              || (CASE WHEN COALESCE(cuts[-1], 0) < n OR n = 0
-                       THEN [CAST(n AS BIGINT)] ELSE [] END) AS fl
-       FROM c),
- l AS (SELECT doc_id, n, cuts,
-              list_transform(range(2, CAST(len(fl) AS BIGINT) + 1),
-                             i -> fl[CAST(i AS INT)]
-                                  - fl[CAST(i AS INT) - 1]) AS lens
-       FROM f)
-SELECT doc_id, CAST(len(lens) AS BIGINT) AS n_chunks,
-       CAST(n AS BIGINT) AS len_chars,
-       ROUND(n / len(lens), 9) AS avg_chunk_len,
-       CAST(COALESCE(list_max(lens), 0) AS BIGINT) AS max_chunk_len,
-       list_reduce(list_prepend(CAST(0 AS BIGINT), cuts),
-                   (acc, c) -> (acc * 1000003 + c) % 2147483647)
-         AS boundary_hash
-FROM l
-""")
-def q_cdc_chunks(spark, sf):
-    """Content-defined chunking stats (tx.cdc_chunk_stats) over
-    documents with the Rabin-style 4-char rolling-hash boundary rule
-    (hash % 64 == 0): chunk count, exact average length, max length,
-    and a positional checksum of the cut list — byte-shift-insensitive
-    chunking, the delta-dedup primitive. The oracle covers the
-    no-min-size configuration; FastCDC min-size suppression is
-    unit-tested against a Python mirror."""
-    docs = load(spark, sf, "documents")
-    return tx.cdc_chunk_stats(docs, window=4, mask=63, min_chunk=1)
-
-
-@_q("x121_decontam_spans", """
-WITH toks AS (SELECT doc_id,
-                     string_split_regex(lower(text), '\\s+') AS tk
-              FROM documents),
- grams AS (SELECT doc_id,
-                  CASE WHEN len(tk) >= 3 THEN
-                    list_transform(range(0, CAST(len(tk) AS BIGINT) - 2),
-                      p -> {'p': p,
-                            'g': tk[CAST(p AS INT) + 1] || ' '
-                                 || tk[CAST(p AS INT) + 2] || ' '
-                                 || tk[CAST(p AS INT) + 3]})
-                  ELSE [] END AS gs
-           FROM toks),
- bsh AS (SELECT DISTINCT u.g AS g
-         FROM grams, UNNEST(gs) AS t(u) WHERE doc_id % 97 = 0),
- pos AS (SELECT doc_id, u.p AS p, u.g AS g
-         FROM grams, UNNEST(gs) AS t(u) WHERE doc_id % 97 <> 0),
- mk AS (SELECT pos.doc_id, pos.p,
-               CASE WHEN bsh.g IS NOT NULL THEN 1 ELSE 0 END AS hit
-        FROM pos LEFT JOIN bsh ON pos.g = bsh.g),
- agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_positions,
-                CAST(SUM(hit) AS BIGINT) AS n_hits
-         FROM mk GROUP BY 1),
- hitrows AS (SELECT doc_id, p FROM mk WHERE hit = 1),
- isl AS (SELECT doc_id, p,
-                p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p)
-                  AS grp
-         FROM hitrows),
- runs AS (SELECT doc_id, COUNT(*) AS run FROM isl GROUP BY doc_id, grp),
- lr AS (SELECT doc_id, CAST(MAX(run) AS BIGINT) AS longest_run
-        FROM runs GROUP BY 1),
- fh AS (SELECT doc_id, CAST(MIN(p) AS BIGINT) AS first_hit_pos
-        FROM hitrows GROUP BY 1)
-SELECT agg.doc_id, agg.n_positions, agg.n_hits, fh.first_hit_pos,
-       lr.longest_run
-FROM agg JOIN fh USING (doc_id) JOIN lr USING (doc_id)
-WHERE agg.n_hits > 0
-""")
-def q_decontam_spans(spark, sf):
-    """Span-level decontamination (tx.decontam_spans): WHERE the
-    benchmark n-grams occur inside each corpus document (first hit
-    position, longest consecutive matching run), not just whether —
-    the excise-the-span variant of x34, same doc_id%97 benchmark
-    split, k=3 at test scale (k=13 in production)."""
-    docs = load(spark, sf, "documents")
-    bench = docs.filter(F.col("doc_id") % 97 == 0)
-    corpus = docs.filter(F.col("doc_id") % 97 != 0)
-    return tx.decontam_spans(corpus, bench, k=3)
-
-
-@_q("x122_theil_sen", """
-WITH e AS (SELECT user_id AS k, event_id AS i, epoch(ts) AS t,
-                  value AS v FROM events),
- s AS (SELECT a.k, ((b.v - a.v) * 3600.0) / (b.t - a.t) AS sl
-       FROM e a JOIN e b ON a.k = b.k AND a.i < b.i AND a.t <> b.t),
- r AS (SELECT k, sl,
-              ROW_NUMBER() OVER (PARTITION BY k ORDER BY sl) AS rn,
-              COUNT(*) OVER (PARTITION BY k) AS n FROM s)
-SELECT k AS user_id, CAST(MAX(n) AS BIGINT) AS n_pairs,
-       ROUND(AVG(sl), 6) AS theil_slope
-FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
-GROUP BY 1
-""")
-def q_theil_sen(spark, sf):
-    """Per-user Theil–Sen robust trend (rg.theil_sen) of event value
-    over time, in value-units/hour — the median-of-pairwise-slopes
-    estimator; the positional median pick makes the whole iterative-
-    free construction value-checkable."""
-    return rg.theil_sen(load(spark, sf, "events"))
-
-
-@_q("x123_good_turing", r"""
-WITH tk AS (SELECT string_split_regex(lower(text), '\s+') AS t
-            FROM documents),
- sh AS (SELECT CASE WHEN len(t) >= 3 THEN
-                 [t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
-                  FOR i IN generate_series(1, len(t) - 2)]
-               ELSE [array_to_string(t, ' ')] END AS gs
-        FROM tk),
- uni AS (SELECT u.w, CAST(COUNT(*) AS BIGINT) AS cw
-         FROM (SELECT unnest(gs) AS w FROM sh) u GROUP BY 1),
- spec AS (SELECT cw AS r, CAST(COUNT(*) AS BIGINT) AS n_r
-          FROM uni GROUP BY 1),
- tot AS (SELECT CAST(SUM(cw) AS DOUBLE) AS n FROM uni)
-SELECT s.r, s.n_r,
-       ROUND(CAST(s.r + 1 AS DOUBLE) * CAST(nx.n_r AS DOUBLE)
-             / CAST(s.n_r AS DOUBLE), 6) AS r_star,
-       ROUND(CAST(s.r AS DOUBLE) * CAST(s.n_r AS DOUBLE) / tot.n, 6)
-         AS mass
-FROM spec s LEFT JOIN spec nx ON nx.r = s.r + 1 CROSS JOIN tot
-WHERE s.r <= 10
-""")
-def q_good_turing(spark, sf):
-    """Good–Turing frequency spectrum (tx.good_turing_spectrum) over
-    word-trigram types: count-of-counts n_r, Turing-adjusted r*, and
-    per-class mass; the r=1 mass is the unseen-mass estimate used to
-    size a tokenizer vocab before training."""
-    return tx.good_turing_spectrum(load(spark, sf, "documents"))
-
-
-@_q("x124_zipf_fit", r"""
-WITH tk AS (SELECT source AS g,
-                   string_split_regex(lower(text), '\s+') AS t
-            FROM documents),
- uni AS (SELECT g, u.w, CAST(COUNT(*) AS BIGINT) AS cw
-         FROM (SELECT g, unnest(t) AS w FROM tk) u GROUP BY 1, 2),
- rk AS (SELECT g, cw,
-               ROW_NUMBER() OVER (PARTITION BY g
-                                  ORDER BY cw DESC, w ASC) AS r
-        FROM uni),
- pts AS (SELECT g, ln(CAST(r AS DOUBLE)) AS x,
-                ln(CAST(cw AS DOUBLE)) AS y
-         FROM rk WHERE r <= 100),
- fit AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx,
-                SUM(y) AS sy, SUM(x * x) AS sxx, SUM(x * y) AS sxy
-         FROM pts GROUP BY 1)
-SELECT g AS source, CAST(n AS BIGINT) AS n_ranked,
-       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
-         AS zipf_slope,
-       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
-             / n, 6) AS zipf_intercept
-FROM fit
-""")
-def q_zipf_fit(spark, sf):
-    """Per-source Zipf exponent (tx.zipf_fit): OLS of ln(count) ~
-    ln(rank) over each source's top-100 tokens — a one-number
-    distribution fingerprint that flags template/boilerplate-heavy
-    sources before they skew a training mix."""
-    return tx.zipf_fit(load(spark, sf, "documents"))
-
-
-@_q("x125_entity_resolution", r"""
-WITH corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL SELECT doc_id + 1000000, text
-            FROM documents WHERE doc_id % 10 = 0
-  UNION ALL SELECT doc_id + 2000000, text || ' ' || lang
-            FROM documents WHERE doc_id % 7 = 0),
- tk AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
-        FROM corpus),
- keyed AS (SELECT doc_id, concat_ws(' ', t[1], t[2]) AS blk, t FROM tk),
- bok AS (SELECT blk FROM keyed GROUP BY 1 HAVING COUNT(*) <= 50),
- kb AS (SELECT keyed.doc_id, keyed.blk, keyed.t
-        FROM keyed JOIN bok USING (blk)),
- sh AS (SELECT DISTINCT doc_id, u.s AS shingle
-        FROM kb, UNNEST(CASE WHEN len(t) >= 3 THEN
-                          [t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
-                           FOR i IN generate_series(1, len(t) - 2)]
-                        ELSE [array_to_string(t, ' ')] END) AS u(s)),
- sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
- cand AS (SELECT a.doc_id AS ia, b.doc_id AS ib
-          FROM kb a JOIN kb b ON a.blk = b.blk AND a.doc_id < b.doc_id),
- inter AS (SELECT c.ia, c.ib, COUNT(*) AS i
-           FROM cand c JOIN sh x ON x.doc_id = c.ia
-                       JOIN sh y ON y.doc_id = c.ib
-                                AND y.shingle = x.shingle
-           GROUP BY 1, 2),
- edges AS (SELECT i.ia, i.ib
-           FROM inter i JOIN sizes na ON na.doc_id = i.ia
-                        JOIN sizes nb ON nb.doc_id = i.ib
-           WHERE i.i / (na.n + nb.n - i.i) >= 0.6),
- und AS (SELECT ia AS src, ib AS dst FROM edges
-         UNION SELECT ib, ia FROM edges),
- nodes AS (SELECT DISTINCT src AS id FROM und),
- walk AS (
-   WITH RECURSIVE reach(src, dst) AS (
-     SELECT id, id FROM nodes
-     UNION
-     SELECT r.src, e.dst FROM reach r JOIN und e ON r.dst = e.src)
-   SELECT src, MIN(dst) AS lbl FROM reach GROUP BY 1),
- ent AS (SELECT c.doc_id, COALESCE(w.lbl, c.doc_id) AS entity_id
-         FROM corpus c LEFT JOIN walk w ON w.src = c.doc_id),
- sz AS (SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_members
-        FROM ent GROUP BY 1)
-SELECT ent.doc_id, ent.entity_id, sz.n_members
-FROM ent JOIN sz USING (entity_id)
-""")
-def q_entity_resolution(spark, sf):
-    """End-to-end entity resolution (dd.resolve_entities) over a
-    three-source corpus — originals, exact republications (+1e6,
-    doc_id%10=0), and fuzzy variants with one appended token (+2e6,
-    doc_id%7=0): first-2-token blocking with a superblock cap, exact
-    trigram-shingle Jaccard >= 0.6, then connected components so
-    transitive matches share one entity; the oracle recomputes the
-    closure with a recursive CTE."""
-    docs = load(spark, sf, "documents")
-    corpus = (docs.select("doc_id", "text")
-              .unionByName(docs.filter(F.col("doc_id") % 10 == 0)
-                           .select((F.col("doc_id") + 1000000)
-                                   .alias("doc_id"), "text"))
-              .unionByName(docs.filter(F.col("doc_id") % 7 == 0)
-                           .select((F.col("doc_id") + 2000000)
-                                   .alias("doc_id"),
-                                   F.concat_ws(" ", "text", "lang")
-                                   .alias("text"))))
-    return dd.resolve_entities(corpus)
-
-
-def _phash_core_sql() -> str:
-    """Shared x126/x127 oracle core: the full pHash pipeline in SQL
-    ending in a ``ph(doc_id, phash, n_above)`` CTE, sharing the exact
-    fixed-point DCT basis with the Spark kernel (multimodal.
-    phash_cos_table is injected as a VALUES list, so both engines run
-    identical integer arithmetic end to end)."""
-    from data_ingest_spark.extensions.multimodal import phash_cos_table
-    cos = ", ".join(f"({u}, {i}, {c})" for u, i, c in phash_cos_table(8))
-    return f"""
- p AS (SELECT doc_id,
-              CAST(1 + doc_id % 13 AS INTEGER) AS w,
-              CAST(1 + doc_id % 7 AS INTEGER) AS h,
-              substr(repeat(md5(text), 9), 1,
-                     CAST((1 + doc_id % 13) * (1 + doc_id % 7) * 3
-                          AS INTEGER)) AS body
-       FROM documents),
- ct AS (SELECT * FROM (VALUES {cos}) AS t(u, i, c)),
- gi AS (SELECT CAST(range AS INTEGER) AS g FROM range(0, 8)),
- g8 AS (SELECT p.doc_id, gi.g AS i, gj.g AS j,
-               (ord(substr(body, (((gi.g * h) // 8) * w
-                                  + ((gj.g * w) // 8)) * 3 + 1, 1))
-              + ord(substr(body, (((gi.g * h) // 8) * w
-                                  + ((gj.g * w) // 8)) * 3 + 2, 1))
-              + ord(substr(body, (((gi.g * h) // 8) * w
-                                  + ((gj.g * w) // 8)) * 3 + 3, 1))) // 3
-                 AS gray
-        FROM p, gi, gi AS gj),
- dct AS (SELECT g8.doc_id, cu.u AS u, cv.u AS v,
-                SUM(CAST(g8.gray AS BIGINT) * CAST(cu.c AS BIGINT)
-                    * CAST(cv.c AS BIGINT)) AS f
-         FROM g8 JOIN ct cu ON cu.i = g8.i JOIN ct cv ON cv.i = g8.j
-         GROUP BY 1, 2, 3),
- low AS (SELECT doc_id, u, v, f FROM dct
-         WHERE u < 4 AND v < 4 AND NOT (u = 0 AND v = 0)),
- med AS (SELECT doc_id, f AS m FROM
-           (SELECT doc_id, f, ROW_NUMBER() OVER (PARTITION BY doc_id
-                                                 ORDER BY f, u, v) AS rn
-            FROM low)
-         WHERE rn = 8),
- ph AS (SELECT l.doc_id,
-               CAST(SUM(CASE WHEN l.f > med.m
-                             THEN 1 << (l.u * 4 + l.v) ELSE 0 END)
-                    AS BIGINT) AS phash,
-               CAST(SUM(CASE WHEN l.f > med.m THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_above
-        FROM low l JOIN med ON med.doc_id = l.doc_id
-        GROUP BY 1)"""
-
-
-@_q("x126_phash", "WITH" + _phash_core_sql()
-    + "\nSELECT doc_id, phash, n_above FROM ph")
-def q_phash(spark, sf):
-    """Perceptual image hash (mm.phash) over REAL decoded pixels —
-    the x91 synthetic P6 PPM payloads run through the pure-numpy
-    decoder, then gray → 8×8 nearest-neighbor downsample → exact
-    fixed-point 2-D DCT → median-thresholded low-frequency bits. The
-    oracle recomputes every stage from the raster in SQL with the
-    SAME quantized DCT basis, so decode, sampling, transform, and
-    thresholding are all value-checked."""
-    docs = load(spark, sf, "documents")
-    w = (F.lit(1) + F.col("doc_id") % 13).cast("int")
-    h = (F.lit(1) + F.col("doc_id") % 7).cast("int")
-    body = F.repeat(F.md5(F.col("text").cast("binary")), 9).substr(
-        F.lit(1), (w * h * 3).cast("int"))
-    payload = F.concat(
-        F.lit("P6\n# synthetic\n"), w.cast("string"), F.lit(" "),
-        h.cast("string"), F.lit("\n255\n"), body).cast("binary")
-    dec = mm.decode_image(docs.select("doc_id", payload.alias("payload")))
-    return mm.phash(dec)
-
-
-@_q("x127_phash_neardup", "WITH" + _phash_core_sql() + """
-,pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT)
-                    AS hamming
-           FROM ph a JOIN ph b ON a.doc_id < b.doc_id)
-SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 2
-""")
-def q_phash_neardup(spark, sf):
-    """Visual near-dup pairs (mm.phash_neardup_pairs): banded Hamming
-    join over the x126 hashes — max_dist+1 bands give PERFECT recall
-    by pigeonhole, so the banded plan provably equals the oracle's
-    brute-force all-pairs scan while doing a bucket join's work."""
-    docs = load(spark, sf, "documents")
-    w = (F.lit(1) + F.col("doc_id") % 13).cast("int")
-    h = (F.lit(1) + F.col("doc_id") % 7).cast("int")
-    body = F.repeat(F.md5(F.col("text").cast("binary")), 9).substr(
-        F.lit(1), (w * h * 3).cast("int"))
-    payload = F.concat(
-        F.lit("P6\n# synthetic\n"), w.cast("string"), F.lit(" "),
-        h.cast("string"), F.lit("\n255\n"), body).cast("binary")
-    dec = mm.decode_image(docs.select("doc_id", payload.alias("payload")))
-    return mm.phash_neardup_pairs(mm.phash(dec), bits=16, max_dist=2)
-
-
-@_q("x128_kneser_ney", r"""
-WITH tk AS (SELECT string_split_regex(lower(text), '\s+') AS t
-            FROM documents),
- bg AS (SELECT unnest([{'w1': t[i], 'w2': t[i + 1]}
-                       FOR i IN generate_series(1, len(t) - 1)],
-                      recursive := true)
-        FROM tk WHERE len(t) >= 2),
- counts AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
-            FROM bg GROUP BY 1, 2),
- ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cw1,
-                CAST(COUNT(*) AS BIGINT) AS nr
-         FROM counts GROUP BY 1),
- cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS nl
-          FROM counts GROUP BY 1),
- tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM counts)
-SELECT counts.w1, counts.w2, counts.c AS pair_count,
-       ROUND((CAST(counts.c AS DOUBLE) - 0.75) / CAST(ctx.cw1 AS DOUBLE)
-             + (0.75 * CAST(ctx.nr AS DOUBLE) / CAST(ctx.cw1 AS DOUBLE))
-               * (CAST(cont.nl AS DOUBLE) / tot.t), 6) AS p_kn
-FROM counts JOIN ctx ON ctx.w1 = counts.w1
-            JOIN cont ON cont.w2 = counts.w2
-            CROSS JOIN tot
-ORDER BY counts.c DESC, counts.w1, counts.w2 LIMIT 100
-""")
-def q_kneser_ney(spark, sf):
-    """Interpolated Kneser-Ney bigram LM (tx.kneser_ney_bigrams):
-    absolute discount 0.75 with continuation-count backoff — the
-    Chen-Goodman benchmark smoother, derived entirely from one
-    bigram-count aggregation; top-100 bigrams value-checked."""
-    return tx.kneser_ney_bigrams(load(spark, sf, "documents"))
-
-
-@_q("x129_kmv_timeline", """
-WITH dh AS (SELECT DISTINCT CAST(ts AS DATE) AS d,
-                   CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
-                                            1, 15)) AS BIGINT) AS h
-            FROM events),
- days AS (SELECT DISTINCT d AS d2 FROM dh),
- cum AS (SELECT DISTINCT days.d2, dh.h
-         FROM days JOIN dh ON dh.d <= days.d2),
- r AS (SELECT d2, h, ROW_NUMBER() OVER (PARTITION BY d2 ORDER BY h) AS rk,
-              COUNT(*) OVER (PARTITION BY d2) AS nd
-       FROM cum)
-SELECT CAST(d2 AS VARCHAR) AS day, CAST(MAX(nd) AS BIGINT) AS n_exact,
-       ROUND(CASE WHEN MAX(nd) < 64 THEN CAST(MAX(nd) AS DOUBLE)
-             ELSE 63.0 / (MAX(CASE WHEN rk = 64 THEN h END)
-                          / 1152921504606846976.0) END, 6) AS kmv_estimate
-FROM r WHERE rk <= 64 GROUP BY d2
-""")
-def q_kmv_timeline(spark, sf):
-    """Cumulative distinct-user timeline from merged per-day KMV
-    sketches (sk.kmv_timeline): the oracle sketches each day's full
-    cumulative prefix from scratch, so the row-for-row match PROVES
-    the merge identity min-k(union) = min-k(union of per-day min-k) —
-    the property that lets an incremental ingest keep only bounded
-    per-batch state."""
-    from data_ingest_spark.extensions.sketches import kmv_timeline
-    return kmv_timeline(load(spark, sf, "events"))
-
-
-@_q("x130_ppjoin", f"""
-WITH corpus AS ({_NEARDUP_SQL}),{_shingle_ctes('corpus')},
- sizes AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY 1),
- inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-           FROM shx a JOIN shx b ON a.shingle = b.shingle
-                                AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-SELECT i.id_a, i.id_b, ROUND(i.i / (sa.n + sb.n - i.i), 6) AS jaccard
-FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
-             JOIN sizes sb ON sb.doc_id = i.id_b
-WHERE i.i / (sa.n + sb.n - i.i) >= 0.6
-""")
-def q_ppjoin(spark, sf):
-    """Exact set-similarity self-join via prefix filtering
-    (dd.ppjoin, the PPJoin/AllPairs construction): only each
-    document's rarest n - ceil(0.6n) + 1 shingles are indexed, yet
-    recall is provably perfect — the oracle verifies that by brute
-    all-pairs over every shingle-sharing pair."""
-    return dd.ppjoin(_neardup_corpus(spark, sf))
-
-
-def _bfs_oracle_sql(rounds: int = 8) -> str:
-    """g3 oracle: multi-source BFS unrolled as ``rounds`` Bellman-Ford
-    relaxations over the undirected k=10 kNN graph (exact integer
-    distances make every round value-checkable, the g1 convention)."""
-    ctes = [f"WITH {_KNN_EDGES_SQL},",
-            " d AS (SELECT src, dst FROM r WHERE rank <= 10),",
-            " und AS MATERIALIZED (SELECT src, dst FROM d"
-            " UNION SELECT dst, src FROM d),",
-            " nodes AS (SELECT DISTINCT src AS id FROM und),",
-            " d0 AS (SELECT id, CASE WHEN CAST(id AS BIGINT) % 100 = 0"
-            " THEN 0 END AS d FROM nodes),"]
-    # MATERIALIZED is load-bearing: every round reads the previous one
-    # twice (carry + relax), and an inlined CTE chain would expand the
-    # kNN base plan 2^rounds times.
-    for r in range(1, rounds + 1):
-        ctes.append(
-            f" d{r} AS MATERIALIZED (SELECT p.id, MIN(p.d) AS d FROM"
-            f" (SELECT id, d FROM d{r-1}"
-            f"  UNION ALL"
-            f"  SELECT e.dst AS id, x.d + 1 AS d"
-            f"  FROM d{r-1} x JOIN und e ON e.src = x.id"
-            f"  WHERE x.d IS NOT NULL) p GROUP BY 1),")
-    body = "\n".join(ctes).rstrip(",")
-    return (f"{body}\n"
-            f"SELECT id AS vec_id, CAST(d AS BIGINT) AS hops"
-            f" FROM d{rounds}")
-
-
-@_q("g3_bfs_hops", _bfs_oracle_sql(8))
-def q_bfs_hops(spark, sf):
-    """Multi-source BFS hop distances (graph.bfs_hops) from the
-    vec_id%100=0 anchor set over the k=10 kNN graph — 8 relaxation
-    rounds, each one join + one groupBy-min; the oracle unrolls the
-    same rounds so every hop count is value-checked."""
-    from data_ingest_spark.operators.graph import bfs_hops
-    knn = _emb_knn(spark, sf, k=10, cached=True)
-    seeds = (load(spark, sf, "embeddings")
-             .filter(F.col("vec_id") % 100 == 0)
-             .select(F.col("vec_id").cast("string").alias("id")))
-    return (bfs_hops(knn.select("src", "dst"), seeds)
-            .select(F.col("id").alias("vec_id"), "hops"))
-
-
-@_q("x131_standardize_dims", """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
- px AS (SELECT vec_id,
-               unnest(list_transform(range(1, len(v) + 1),
-                      i -> {'dim': i - 1,
-                            'q': CAST(round(v[CAST(i AS INT)] * 1000000)
-                                      AS BIGINT)}),
-                      recursive := true)
-        FROM e),
- st AS (SELECT dim, COUNT(*) AS n, SUM(q) AS s, SUM(q * q) AS ss
-        FROM px GROUP BY 1)
-SELECT px.vec_id, CAST(px.dim AS BIGINT) AS dim,
-       CASE WHEN st.ss * st.n = st.s * st.s THEN 0.0
-            ELSE ROUND((CAST(px.q AS DOUBLE) - CAST(st.s AS DOUBLE) / st.n)
-                 / sqrt(CAST(st.ss AS DOUBLE) / st.n
-                        - (CAST(st.s AS DOUBLE) / st.n)
-                          * (CAST(st.s AS DOUBLE) / st.n)), 6)
-       END AS z
-FROM px JOIN st USING (dim)
-""")
-def q_standardize_dims(spark, sf):
-    """Per-dimension z-score standardization of the embeddings table
-    (sim.standardize_dims): exact int64 moment aggregates + one
-    pinned-order double expression, so the full 64-dim standardized
-    matrix is value-checked row for row."""
-    return sim.standardize_dims(load(spark, sf, "embeddings"))
-
-
-@_q("x132_log_odds", rf"""
-WITH tk AS (SELECT source AS g,
-                   string_split_regex(lower(text), '\s+') AS t
-            FROM documents),
- uni AS (SELECT g, u.w, CAST(COUNT(*) AS BIGINT) AS c
-         FROM (SELECT g, unnest(t) AS w FROM tk) u GROUP BY 1, 2),
- ng AS (SELECT g, CAST(SUM(c) AS BIGINT) AS ng FROM uni GROUP BY 1),
- cw AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM uni GROUP BY 1),
- n AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni),
- sc AS (SELECT uni.g, uni.w, uni.c, cw.cw - uni.c AS c_out,
-               (ln((CAST(uni.c AS DOUBLE) + 0.5)
-                   / (CAST(ng.ng AS DOUBLE) - CAST(uni.c AS DOUBLE) + 0.5))
-                - ln((CAST(cw.cw - uni.c AS DOUBLE) + 0.5)
-                     / (n.n - CAST(ng.ng AS DOUBLE)
-                        - CAST(cw.cw - uni.c AS DOUBLE) + 0.5)))
-               / sqrt(1.0 / (CAST(uni.c AS DOUBLE) + 0.5)
-                      + 1.0 / (CAST(cw.cw - uni.c AS DOUBLE) + 0.5)) AS z
-         FROM uni JOIN ng USING (g) JOIN cw USING (w) CROSS JOIN n),
- r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY g
-                                    ORDER BY ROUND(z, 6) DESC, w) AS rk
-       FROM sc)
-SELECT g AS source, w AS token, c AS c_in, c_out,
-       ROUND(z, 6) AS z
-FROM r WHERE rk <= 10
-""")
-def q_log_odds(spark, sf):
-    """Per-source discriminative terms by smoothed log-odds z-score
-    (tx.log_odds_terms, the Monroe 'Fightin Words' construction with
-    a Haldane prior) — variance-aware source fingerprints for mixing
-    and exclusion decisions; top-10 per source value-checked."""
-    return tx.log_odds_terms(load(spark, sf, "documents"))
-
-
-@_q("x133_mannwhitney", """
-WITH e AS (SELECT event_type AS g, value AS v FROM events),
- vc AS (SELECT v, g, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
- tv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM vc GROUP BY 1),
- rk AS (SELECT v, t, SUM(t) OVER (ORDER BY v) - t AS less FROM tv),
- rg AS (SELECT vc.g, CAST(SUM(vc.c) AS BIGINT) AS ng,
-               SUM(vc.c * (CAST(rk.less AS DOUBLE)
-                           + (CAST(rk.t AS DOUBLE) + 1.0) / 2.0)) AS rsum
-        FROM vc JOIN rk USING (v) GROUP BY 1),
- tot AS (SELECT CAST(SUM(t) AS DOUBLE) AS nn,
-                CAST(SUM(t * t * t - t) AS DOUBLE) AS tie FROM tv)
-SELECT g AS event_type, ng AS n_g,
-       ROUND(rsum - CAST(ng AS DOUBLE) * (CAST(ng AS DOUBLE) + 1.0) / 2.0,
-             6) AS u_stat,
-       ROUND((rsum - CAST(ng AS DOUBLE) * (CAST(ng AS DOUBLE) + 1.0) / 2.0
-              - CAST(ng AS DOUBLE) * (nn - CAST(ng AS DOUBLE)) / 2.0)
-             / sqrt(CAST(ng AS DOUBLE) * (nn - CAST(ng AS DOUBLE)) / 12.0
-                    * ((nn + 1.0) - tie / (nn * (nn - 1.0)))), 6) AS z
-FROM rg CROSS JOIN tot
-""")
-def q_mannwhitney(spark, sf):
-    """Mann-Whitney U of each event type's value distribution vs the
-    rest (pf.mannwhitney_u): exact midranks via the bucketed two-pass
-    global rank, tie-corrected normal z — the drift-triage sibling of
-    x96 under a full value oracle."""
-    from data_ingest_spark.extensions.profile import mannwhitney_u
-    return mannwhitney_u(load(spark, sf, "events"))
-
-
-@_q("x134_charset_quality", r"""
-WITH c AS (SELECT doc_id,
-                  CASE WHEN doc_id % 5 = 0
-                       THEN text || ' café � naïve'
-                       ELSE text END AS text
-           FROM documents),
- m AS (SELECT doc_id, length(text) AS nc,
-              length(regexp_replace(text, '[\x00-\x7F]', '', 'g'))
-                AS na,
-              length(text) - length(regexp_replace(text,
-                '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS ctl,
-              length(text) - length(regexp_replace(text, '�', '',
-                                                   'g')) AS rep
-       FROM c)
-SELECT doc_id, CAST(nc AS BIGINT) AS n_chars,
-       CAST(na AS BIGINT) AS n_non_ascii,
-       ROUND(na * 1.0 / nc, 6) AS non_ascii_ratio,
-       CAST(ctl AS BIGINT) AS n_control,
-       CAST(rep AS BIGINT) AS n_replacement,
-       (ctl = 0 AND rep = 0 AND ROUND(na * 1.0 / nc, 6) < 0.3)
-         AS charset_ok
-FROM m
-""")
-def q_charset_quality(spark, sf):
-    """Encoding-health screen (tx.charset_quality) over a corpus with
-    deterministic mojibake injected into every fifth document (accents
-    + a U+FFFD replacement char), so the non-ASCII ratio, control and
-    replacement counts, and the ok verdict are all value-checked on
-    both clean and damaged rows."""
-    docs = load(spark, sf, "documents")
-    mutated = docs.select(
-        "doc_id",
-        F.when(F.col("doc_id") % 5 == 0,
-               F.concat(F.col("text"),
-                        F.lit(" café � naïve")))
-        .otherwise(F.col("text")).alias("text"))
-    return tx.charset_quality(mutated)
-
-
-@_q("e28_attribution", """
-WITH o AS (SELECT user_id, ts, event_id, event_type,
-                  LAST_VALUE(CASE WHEN event_type <> 'purchase'
-                                  THEN event_type END IGNORE NULLS)
-                    OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING
-                               AND 1 PRECEDING) AS touch
-           FROM events),
- c AS (SELECT COALESCE(touch, 'direct') AS touch_type FROM o
-       WHERE event_type = 'purchase'),
- tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM c)
-SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_conversions,
-       ROUND(COUNT(*) / tot.n, 6) AS share
-FROM c CROSS JOIN tot GROUP BY 1, tot.n
-""")
-def q_attribution(spark, sf):
-    """Last-touch conversion attribution (ev.last_touch_attribution):
-    each purchase credits the user's most recent preceding
-    non-purchase event type (ts then event_id tie-break), 'direct'
-    when none — the point-in-time-correct windowed formulation."""
-    return ev.last_touch_attribution(load(spark, sf, "events"))
-
-
-@_q("e29_window_funnel", """
-WITH u1 AS (SELECT user_id, MIN(epoch(ts)) AS t1 FROM events
-            WHERE event_type = 'view' GROUP BY 1),
- r2 AS (SELECT e.user_id, MIN(epoch(e.ts)) AS t FROM events e
-        JOIN u1 USING (user_id)
-        WHERE e.event_type = 'click' AND epoch(e.ts) > u1.t1
-        GROUP BY 1),
- a2 AS (SELECT u1.user_id, u1.t1,
-               CASE WHEN r2.t IS NOT NULL AND r2.t - u1.t1 <= 604800.0
-                    THEN r2.t END AS t2
-        FROM u1 LEFT JOIN r2 USING (user_id)),
- r3 AS (SELECT e.user_id, MIN(epoch(e.ts)) AS t FROM events e
-        JOIN a2 USING (user_id)
-        WHERE a2.t2 IS NOT NULL AND e.event_type = 'signup'
-          AND epoch(e.ts) > a2.t2
-        GROUP BY 1),
- a3 AS (SELECT a2.user_id, a2.t1, a2.t2,
-               CASE WHEN r3.t IS NOT NULL AND r3.t - a2.t1 <= 604800.0
-                    THEN r3.t END AS t3
-        FROM a2 LEFT JOIN r3 USING (user_id)),
- r4 AS (SELECT e.user_id, MIN(epoch(e.ts)) AS t FROM events e
-        JOIN a3 USING (user_id)
-        WHERE a3.t3 IS NOT NULL AND e.event_type = 'purchase'
-          AND epoch(e.ts) > a3.t3
-        GROUP BY 1),
- a4 AS (SELECT a3.user_id, a3.t1, a3.t2, a3.t3,
-               CASE WHEN r4.t IS NOT NULL AND r4.t - a3.t1 <= 604800.0
-                    THEN r4.t END AS t4
-        FROM a3 LEFT JOIN r4 USING (user_id))
-SELECT CAST(1 + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
-              + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)
-              + (CASE WHEN t4 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS funnel_depth,
-       CAST(COUNT(*) AS BIGINT) AS n_users
-FROM a4 GROUP BY 1
-""")
-def q_window_funnel(spark, sf):
-    """Time-bound ordered funnel (ev.window_funnel, windowFunnel
-    semantics with the deterministic greedy-earliest chain):
-    view -> click -> signup -> purchase within 7 days of the first
-    view; the oracle walks the same chain step by step, so every
-    user's depth is value-checked via the histogram."""
-    return ev.window_funnel(
-        load(spark, sf, "events"),
-        steps=["view", "click", "signup", "purchase"])
-
-
-@_q("x140_simhash_neardup", f"""
-WITH corpus AS ({_NEARDUP_SQL}),
- toks AS (SELECT doc_id, unnest(string_split_regex(lower(text),
-                                                   '\\s+')) AS tok
-          FROM corpus),
- h AS (SELECT doc_id, md5(tok) AS hh FROM toks),
- bits AS (SELECT doc_id, {_SIMHASH_BITS} FROM h GROUP BY doc_id),
- sh AS (SELECT doc_id, {_SIMHASH_CONCAT} AS simhash FROM bits),
- v AS (SELECT doc_id,
-              CAST(list_sum(list_transform(range(1, 17),
-                   i -> CASE WHEN substr(simhash, CAST(i AS INT), 1)
-                               = '1'
-                             THEN 1 << (16 - CAST(i AS INT))
-                             ELSE 0 END)) AS BIGINT) AS hv
-       FROM sh),
- p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-              CAST(bit_count(xor(a.hv, b.hv)) AS BIGINT) AS hamming
-       FROM v a JOIN v b ON a.doc_id < b.doc_id)
-SELECT id_a, id_b, hamming FROM p WHERE hamming <= 2
-""")
-def q_simhash_neardup(spark, sf):
-    """Text near-dup pairs by banded Hamming join over SimHash
-    (tx.simhash -> mm.phash_neardup_pairs): max_dist+1 bands give
-    pigeonhole-perfect recall, proven against the oracle's brute
-    all-pairs scan — the text sibling of x127 and the scalable
-    shortlist ahead of exact Jaccard verification (x130)."""
-    sh = tx.simhash(_neardup_corpus(spark, sf))
-    hv = sh.select("doc_id",
-                   F.conv(F.col("simhash"), 2, 10).cast("long")
-                   .alias("hv"))
-    return mm.phash_neardup_pairs(hv, hash_col="hv", bits=16,
-                                  max_dist=2)
-
-
-@_q("x135_mutual_knn", f"""
-WITH {_KNN_EDGES_SQL},
- t1 AS (SELECT src, dst, cosine FROM r WHERE rank = 1)
-SELECT a.src AS id_a, a.dst AS id_b, a.cosine
-FROM t1 a JOIN t1 b ON a.src = b.dst AND a.dst = b.src
-WHERE a.src < a.dst
-""")
-def q_mutual_knn(spark, sf):
-    """Reciprocal top-1 neighbor pairs (nb.mutual_knn_pairs) over the
-    exact kNN edge list — the high-precision alignment shortlist used
-    inside MNN/bitext/record-linkage pipelines."""
-    from data_ingest_spark.operators.neighbors import mutual_knn_pairs
-    return mutual_knn_pairs(_emb_knn(spark, sf, k=10, cached=True))
-
-
-@_q("x136_stratified_kfold", """
-WITH h AS (SELECT doc_id, lang,
-                  md5('17:' || CAST(doc_id AS VARCHAR)) AS hh
-           FROM documents),
- r AS (SELECT doc_id, lang,
-              ROW_NUMBER() OVER (PARTITION BY lang
-                                 ORDER BY hh, doc_id) AS rn
-       FROM h)
-SELECT doc_id, lang AS stratum,
-       CAST((rn - 1) % 5 AS BIGINT) AS fold
-FROM r
-""")
-def q_stratified_kfold(spark, sf):
-    """Deterministic stratified 5-fold assignment (sp.stratified_kfold,
-    seed 17): md5-permuted round-robin within each language stratum,
-    so every fold carries each stratum's share to within one row."""
-    from data_ingest_spark.extensions.sampling import stratified_kfold
-    return stratified_kfold(load(spark, sf, "documents"), k=5)
-
-
-@_q("x137_vocab_coverage", r"""
-WITH t AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
-           FROM documents),
- c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1),
- rk AS (SELECT ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rank,
-               SUM(n) OVER (ORDER BY n DESC, w) AS mass
-        FROM c),
- tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
- tgt AS (SELECT p.pct, (tot.total * p.pct + 99) // 100 AS need
-         FROM (VALUES (50), (75), (90), (95), (99)) AS p(pct)
-         CROSS JOIN tot)
-SELECT CAST(tgt.pct AS BIGINT) AS pct,
-       CAST(MIN(rk.rank) AS BIGINT) AS vocab_needed,
-       CAST(MIN(rk.mass) AS BIGINT) AS tokens_covered
-FROM rk JOIN tgt ON rk.mass >= tgt.need
-GROUP BY 1
-""")
-def q_vocab_coverage(spark, sf):
-    """Vocabulary coverage curve (tx.vocab_coverage): entries needed
-    to cover 50/75/90/95/99% of corpus tokens — the tokenizer/embed-
-    table sizing curve, ranked scalably by count-bucket prefix sums."""
-    return tx.vocab_coverage(load(spark, sf, "documents"))
-
-
-@_q("x138_psi_drift", """
-WITH e AS (SELECT event_type AS g,
-                  CAST(FLOOR(value / 50.0) AS BIGINT) AS b,
-                  (event_id % 2 = 0) AS ref FROM events),
- counts AS (SELECT g, b,
-                   CAST(SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT)
-                     AS cr,
-                   CAST(SUM(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT)
-                     AS cc
-            FROM e GROUP BY 1, 2),
- tots AS (SELECT g, CAST(SUM(cr) AS DOUBLE) AS nr,
-                 CAST(SUM(cc) AS DOUBLE) AS nc,
-                 CAST(COUNT(*) AS DOUBLE) AS nb
-          FROM counts GROUP BY 1),
- terms AS (SELECT counts.g,
-                  ((CAST(cr AS DOUBLE) + 0.5) / (nr + 0.5 * nb)
-                   - (CAST(cc AS DOUBLE) + 0.5) / (nc + 0.5 * nb))
-                  * ln(((CAST(cr AS DOUBLE) + 0.5) / (nr + 0.5 * nb))
-                       / ((CAST(cc AS DOUBLE) + 0.5)
-                          / (nc + 0.5 * nb))) AS t
-           FROM counts JOIN tots USING (g))
-SELECT g AS event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
-       ROUND(SUM(t), 6) AS psi
-FROM terms GROUP BY 1
-""")
-def q_psi_drift(spark, sf):
-    """Population Stability Index per event type between the even/odd
-    event-id slices (pf.psi_drift) — a deterministic A/A split, so
-    PSI near 0 is itself the calibration check; Laplace-smoothed
-    bucket shares make every term finite and value-checkable."""
-    from data_ingest_spark.extensions.profile import psi_drift
-    return psi_drift(load(spark, sf, "events"))
-
-
-@_q("x139_feature_hash", r"""
-WITH tk AS (SELECT doc_id, unnest(string_split_regex(lower(text),
-                                                     '\s+')) AS w
-            FROM documents),
- m AS (SELECT doc_id,
-              CAST(concat('0x', substr(md5(w), 1, 7)) AS BIGINT)
-                % 1024 AS dim,
-              CAST(concat('0x', substr(md5(w), 8, 1)) AS BIGINT)
-                % 2 * 2 - 1 AS sgn
-       FROM tk)
-SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS weight
-FROM m GROUP BY 1, 2 HAVING SUM(sgn) <> 0
-""")
-def q_feature_hash(spark, sf):
-    """Hashing-trick featurization (tx.feature_hash): md5 token ->
-    1024-dim signed counts, vocabulary-free and mergeable; the exact
-    long-form feature matrix is value-checked."""
-    return tx.feature_hash(load(spark, sf, "documents"))
-
+# Family modules register their queries into REGISTRY at import time.
+# Import order preserves the historical registration order (the
+# driver-sample prefix is pinned separately by _ROUND6_PRIORITY).
+from data_ingest_spark.harness import q_core      # noqa: E402,F401
+from data_ingest_spark.harness import q_extensions  # noqa: E402,F401
+from data_ingest_spark.harness import q_events    # noqa: E402,F401
+from data_ingest_spark.harness import q_ml        # noqa: E402,F401
+from data_ingest_spark.harness import q_analytics  # noqa: E402,F401
+from data_ingest_spark.harness import q_curation  # noqa: E402,F401
 
 # Driver-sample ordering. The correctness driver checks a bounded
 # prefix of ``queries()`` each round; rounds 2-4 verified 150 distinct
@@ -7894,3 +144,4 @@ def queries() -> dict[str, Builder]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: sql for name, (fn, sql) in _ordered().items() if sql is not None}
+
