@@ -111,6 +111,11 @@ HEADLINE = [
     # same reason as the round-4b ops (scheduler noise, not plans).
     "x125_entity_resolution",
     "x130_ppjoin",
+    # round-6 additions to the headline: the banded-Hamming SimHash
+    # near-dup join (the heaviest round-5b operator, 2.23M pairs at
+    # sf0.1) and the rewritten one-shuffle window funnel.
+    "x140_simhash_neardup",
+    "e29_window_funnel",
 ]
 
 
@@ -173,7 +178,13 @@ def main() -> int:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
-            _evict_all(spark)
+            # Between reps: SQL-cache clear only (identical rep
+            # semantics to every prior round's record).
+            spark.catalog.clearCache()
+        # Between queries: also evict leaked persisted/checkpointed
+        # RDD blocks and run an untimed full GC, so no query pays for
+        # a predecessor's session state.
+        _evict_all(spark)
         timings[name] = round(best, 2)
     spark.stop()
 
