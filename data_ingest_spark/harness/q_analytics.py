@@ -18,6 +18,7 @@ from data_ingest_spark.harness.registry import (_q, load, expr_df,
                                                 _EXPR_SQL)
 from data_ingest_spark.extensions import dedup as dd  # noqa: E402
 from data_ingest_spark.extensions import similarity as sim  # noqa: E402
+from data_ingest_spark.extensions import multimodal as mm  # noqa: E402
 from data_ingest_spark.extensions import text as tx  # noqa: E402
 from data_ingest_spark.harness.registry import events_df  # noqa: E402
 from data_ingest_spark.harness.q_extensions import (_ANN_Q, _COS,  # noqa: E402
