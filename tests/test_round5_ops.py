@@ -729,3 +729,65 @@ def test_window_funnel_depths_and_window_cutoff(spark):
                df, ["view", "click", "signup", "purchase"],
                window_sec=10800).collect()}
     assert out == {4: 1, 1: 2, 3: 1}
+
+
+def _funnel_mirror(events, steps, window_sec):
+    """Greedy-earliest chain walked per user, literal iterative form
+    (t1 = min step-1 ts; t_{i+1} = min step-(i+1) ts strictly after
+    t_i, accepted only within window of t1) — the docstring spec,
+    independent of the fold implementation."""
+    from collections import defaultdict
+    per = defaultdict(list)
+    for u, typ, ts in events:
+        per[u].append((typ, ts))
+    hist = defaultdict(int)
+    for u, evs in per.items():
+        firsts = [ts for typ, ts in evs if typ == steps[0]]
+        if not firsts:
+            continue
+        t1 = min(firsts)
+        depth, tprev = 1, t1
+        for step in steps[1:]:
+            cand = [ts for typ, ts in evs if typ == step and ts > tprev]
+            if not cand:
+                break
+            tn = min(cand)
+            if tn - t1 > window_sec:
+                break
+            depth, tprev = depth + 1, tn
+        hist[depth] += 1
+    return dict(hist)
+
+
+def test_window_funnel_fold_matches_iterative_mirror(spark):
+    """Property check of the round-6 single-fold rewrite: on randomized
+    event sets (ties, repeats, missing steps, out-of-order arrival) the
+    sorted-collect fold must equal the literal per-step greedy-earliest
+    walk."""
+    import random
+    from datetime import datetime, timedelta
+    from data_ingest_spark.extensions.evaluation import window_funnel
+    rng = random.Random(20260815)
+    steps = ["view", "click", "signup", "purchase"]
+    t0 = datetime(2024, 1, 1)
+    for trial in range(5):
+        events = []
+        for u in range(40):
+            for _ in range(rng.randint(0, 12)):
+                typ = rng.choice(steps)
+                # coarse hour grid forces ts ties within and across steps
+                h = rng.randint(0, 9)
+                events.append((u, typ, h * 3600))
+        if not events:
+            continue
+        window_sec = rng.choice([3600, 3 * 3600, 10 * 3600])
+        expected = _funnel_mirror(events, steps, window_sec)
+        rows = [(i, t0 + timedelta(seconds=s), u, typ, 0.0, "")
+                for i, (u, typ, s) in enumerate(events)]
+        df = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value",
+                   "props"])
+        got = {r["funnel_depth"]: r["n_users"]
+               for r in window_funnel(df, steps,
+                                      window_sec=window_sec).collect()}
+        assert got == expected, (trial, window_sec)
