@@ -14,6 +14,15 @@ The index is two parquet tables:
 indexed near-dup pairs computed against the STORED tables — the
 archive is never re-shingled. Ids must be unique across batches (the
 incremental contract callers already hold for dedup_against).
+
+Durability layout (round 6): the live tables resolve through an
+optional ``CURRENT`` generation pointer — compaction writes a fresh
+``gen-<n>`` and commits with ONE atomic ``os.replace`` of the
+pointer, so readers always see a complete generation and a crashed
+compaction leaves the live index untouched. With ``tag=`` the append
+targets a ``batch=<tag>`` Hive subdir as an idempotent overwrite
+(exactly-once replay; see update_dedup_index and
+examples/incremental_ingest.py's staged-commit loop).
 """
 
 from __future__ import annotations
