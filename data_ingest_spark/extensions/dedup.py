@@ -236,13 +236,26 @@ def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     membership = shingle_sets(df, id_col, text_col, k).persist()
     bb = minhash_bands(membership, id_col, text_col, k, num_hashes, bands,
                        membership=True)
-    # Candidate generation as ONE groupBy(band, bucket) + a map-side
-    # ordered-pair expansion, instead of the historical band self-join
-    # (2 exchanges) — the collect_list per bucket is bounded by bucket
-    # occupancy, the same O(bucket²) the self-join would emit, and the
-    # cross-band dedup is the single remaining pair shuffle.
-    cand = (
-        bb.groupBy("band", "bucket")
+    cand = lsh_candidate_pairs(bb, id_col)
+    return jaccard_of_pairs(cand, membership).filter(
+        F.col("jaccard") >= threshold)
+
+
+def lsh_candidate_pairs(bands: DataFrame,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Distinct (id_a, id_b) candidate pairs (id_a < id_b) from an LSH
+    band table (id, band, bucket) — the pre-verification stage of
+    :func:`near_dup_pairs`, exposed so callers can audit the filter's
+    PRECISION (what fraction of candidates verify) as well as compose
+    custom verification.
+
+    Plan shape: ONE groupBy(band, bucket) + a map-side ordered-pair
+    expansion, instead of the historical band self-join (2 exchanges)
+    — the collect_list per bucket is bounded by bucket occupancy, the
+    same O(bucket²) the self-join would emit, and the cross-band dedup
+    is the single remaining pair shuffle."""
+    return (
+        bands.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
         .filter(F.size("_ids") > 1)
         .select(F.explode(F.expr(
@@ -253,8 +266,6 @@ def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
                 F.col("_p.id_b").alias("id_b"))
         .distinct()
     )
-    return jaccard_of_pairs(cand, membership).filter(
-        F.col("jaccard") >= threshold)
 
 
 def jaccard_pairs_blocked(df: DataFrame, block_cols: list[str],
@@ -834,3 +845,114 @@ def ppjoin(df: DataFrame, id_col: str = "doc_id",
             .filter(F.col("jaccard") >= t)
             .select("id_a", "id_b",
                     F.round("jaccard", 6).alias("jaccard")))
+
+
+def blocked_pairs(df: DataFrame, block_cols: list[str],
+                  id_col: str = "doc_id") -> DataFrame:
+    """Generic blocking-key pair generator: all within-block ordered
+    pairs (``<col>_a``, ``<col>_b`` for every non-block column, block
+    columns kept once). The record-linkage front half — comparison
+    features and scoring compose on top (:func:`fellegi_sunter_score`).
+
+    100 TB posture: the self-join keys on the block columns, so the
+    shuffle is partitioned by block and pair count is Σ|block|² — never
+    all-pairs. Oversized blocks (degenerate keys) are the skew risk;
+    AQE skew-split handles moderate cases, and a production run caps
+    block size the same way fingerprint_pairs caps posting lists."""
+    rest = [c for c in df.columns if c not in block_cols]
+    a = df.select(*block_cols,
+                  *[F.col(c).alias(f"{c}_a") for c in rest])
+    b = df.select(*block_cols,
+                  *[F.col(c).alias(f"{c}_b") for c in rest])
+    return a.join(b, block_cols).filter(
+        F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+
+
+def fellegi_sunter_score(pairs: DataFrame, feature_cols: list[str],
+                         m: list[float], u: list[float],
+                         upper: float = 3.0,
+                         lower: float = 0.0) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage over candidate
+    pairs with boolean comparison-feature columns: per-feature
+    agreement weight ln(m/u) and disagreement weight ln((1−m)/(1−u)),
+    summed to a total match weight, thresholded into
+    match / possible / nonmatch.
+
+    Determinism: the weights are computed DRIVER-side from the m/u
+    literals and embedded as double constants (rounded to 9dp), so
+    both engines sum identical numbers — no runtime libm in the
+    checked expression. m/u here are fixed inputs (the classical EM
+    estimation step is out of scope; at scale it is two aggregation
+    passes over the same feature columns)."""
+    import math
+    total = F.lit(0.0)
+    for feat, mi, ui in zip(feature_cols, m, u):
+        wa = round(math.log(mi / ui), 9)
+        wd = round(math.log((1 - mi) / (1 - ui)), 9)
+        total = total + F.when(F.col(feat), F.lit(wa)).otherwise(F.lit(wd))
+    return pairs.withColumn("weight", F.round(total, 6)).withColumn(
+        "decision",
+        F.when(F.col("weight") >= upper, F.lit("match"))
+        .when(F.col("weight") >= lower, F.lit("possible"))
+        .otherwise(F.lit("nonmatch")))
+
+
+def sorted_neighborhood_pairs(df: DataFrame, key: "F.Column",
+                              window: int = 3,
+                              id_col: str = "doc_id") -> DataFrame:
+    """Sorted-neighborhood method (Hernández & Stolfo): sort the
+    corpus by a cheap blocking key, compare only records within a
+    sliding window of ``window`` positions. Returns candidate pairs
+    with both payloads (``<col>_a`` / ``<col>_b``), id-normalized so
+    ``id_col + '_a' < id_col + '_b'``.
+
+    The global order comes from the W5 two-pass dense-rank scheme
+    (rank within the key's first character, offset by the collected
+    per-prefix counts — windows.dense_ids_scalable), so there is no
+    single-task global sort and no unpartitioned WindowExec; the
+    neighbor join is an equi-join on the dense rank, shuffled by rank.
+    Pair count is exactly window·n — linear in the corpus."""
+    from data_ingest_spark.operators.windows import dense_ids_scalable
+    keyed = df.withColumn("_key", key).withColumn(
+        "_pk", F.substring(F.col("_key"), 1, 1))
+    ranked = dense_ids_scalable(keyed, order=["_pk", "_key", id_col],
+                                id_col="_rn").drop("_pk", "_key")
+    rest = [c for c in df.columns]
+    a = ranked.select(F.col("_rn"),
+                      *[F.col(c).alias(f"{c}_a") for c in rest])
+    b = (ranked.select(F.col("_rn").alias("_rnb"),
+                       *[F.col(c).alias(f"{c}_b") for c in rest])
+         .withColumn("_off", F.explode(F.array(
+             *[F.lit(i) for i in range(1, window + 1)])))
+         .withColumn("_rn", F.col("_rnb") - F.col("_off"))
+         .drop("_rnb", "_off"))
+    swap = F.col(f"{id_col}_a") > F.col(f"{id_col}_b")
+    paired = a.join(b, "_rn").drop("_rn")
+    out = [F.when(swap, F.col(f"{c}_b")).otherwise(F.col(f"{c}_a"))
+           .alias(f"{c}_a") for c in rest]
+    out += [F.when(swap, F.col(f"{c}_a")).otherwise(F.col(f"{c}_b"))
+            .alias(f"{c}_b") for c in rest]
+    return paired.select(*out)
+
+
+def fingerprint_pairs(fps: DataFrame, fp_col: str = "fp",
+                      id_col: str = "doc_id", min_shared: int = 10,
+                      max_df: int = 50) -> DataFrame:
+    """Near-dup pairs from any (id, fingerprint) table — documents
+    sharing ≥ ``min_shared`` fingerprints (winnowing, phash bands,
+    CDC chunk hashes all produce this shape). Fingerprints appearing
+    in more than ``max_df`` documents are dropped as template/
+    boilerplate fingerprints BEFORE pair expansion — the df-cap that
+    bounds every posting list, so bucket fan-out is ≤ max_df² and the
+    plan never approaches all-pairs regardless of corpus size."""
+    return (fps.groupBy(fp_col)
+            .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("_ids"))
+            .filter((F.size("_ids") > 1) & (F.size("_ids") <= max_df))
+            .select(F.explode(F.expr(
+                "flatten(transform(_ids, (x, i) -> "
+                "transform(slice(_ids, i + 2, size(_ids)), "
+                "y -> struct(x AS id_a, y AS id_b))))")).alias("_p"))
+            .groupBy(F.col("_p.id_a").alias("id_a"),
+                     F.col("_p.id_b").alias("id_b"))
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))

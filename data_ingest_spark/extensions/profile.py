@@ -510,3 +510,122 @@ def psi_drift(df: DataFrame, group_col: str = "event_type",
     return (j.groupBy(F.col("_g").alias(group_col))
             .agg(F.count("*").cast("long").alias("n_buckets"),
                  F.round(F.sum(term), 6).alias("psi")))
+
+
+def gap_regularity(events: DataFrame, user_col: str = "user_id",
+                   ts_col: str = "ts", id_col: str = "event_id",
+                   min_gaps: int = 7,
+                   cv_threshold: float = 0.5) -> DataFrame:
+    """Bot/automation detection by inter-event timing regularity: the
+    coefficient of variation (σ/μ) of a user's inter-event gaps.
+    Humans are bursty (cv ≳ 1); schedulers and scripts are metronomic
+    (cv ≈ 0). Flags users with ≥ ``min_gaps`` gaps and cv below the
+    threshold.
+
+    Determinism: gaps are exact integer MICROSECONDS (lag over a
+    (user; ts, id)-ordered window — the id tie-break makes duplicate
+    timestamps deterministic); moments are exact decimal(38,0)
+    aggregates (Σx up to 2^53 is double-exact, Σx² is not — same
+    convention as auc_rank). The mean is rounded half-up IN INTEGER
+    µs — (2Σx + n) div 2n — because Σx/n lands exactly on half-µs
+    boundaries whenever n | 2Σx, where double ROUND(x, 6) is
+    engine-divergent (DuckDB's ×1e6 drifts a hair below the half);
+    the remaining floating math is one cast-divide-sqrt chain per
+    user, identical in both engines.
+
+    One partitioned window + one groupBy(user) — a single shuffle on
+    the user key at any scale."""
+    wl = W.partitionBy(user_col).orderBy(ts_col, id_col)
+    # parquet TIMESTAMP(NTZ) → session-tz TIMESTAMP is lossless here
+    # and matches DuckDB's epoch_us (same convention as x119).
+    g = (events.withColumn(
+            "_us", F.unix_micros(F.col(ts_col).cast("timestamp")))
+         .withColumn("_gap", F.col("_us") - F.lag("_us").over(wl))
+         .filter(F.col("_gap").isNotNull())
+         .select(user_col, F.col("_gap").cast("decimal(38,0)").alias("_g")))
+    agg = g.groupBy(user_col).agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("_g").alias("_s"),
+        F.sum(F.col("_g") * F.col("_g")).alias("_ss"))
+    n = F.col("n_gaps")
+    sd = F.col("_s").cast("double")
+    num = (n.cast("decimal(38,0)") * F.col("_ss")
+           - F.col("_s") * F.col("_s")).cast("double")
+    den = (n * (n - 1)).cast("double")
+    cv = F.sqrt(num / den) / (sd / n)
+    mean_us = F.expr("(2 * CAST(_s AS BIGINT) + n_gaps) "
+                     "div (2 * n_gaps)")
+    return (agg.filter((n >= min_gaps) & (F.col("_s") > 0))
+            .select(user_col, "n_gaps",
+                    (mean_us.cast("double") / F.lit(1000000.0))
+                    .alias("mean_gap_s"),
+                    F.round(cv, 6).alias("cv_gap"),
+                    (cv < F.lit(cv_threshold)).alias("is_regular")))
+
+
+def gini_by_group(df: DataFrame, group_col: str = "source",
+                  value_col: str = "n_chars",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Gini concentration of a non-negative integer measure within
+    each group — the corpus-balance audit (how concentrated is the
+    token/byte mass of each source across its documents; G=0 uniform,
+    G→1 a few documents dominate). Rank formula
+    G = (2·Σᵢ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over ascending xᵢ.
+
+    Determinism: ranks come from a (value, id)-ordered partitioned
+    window, and Σ i·xᵢ is invariant under permutation of tied values,
+    so ties cannot flip the result; numerator and denominator are
+    exact int64, divided once."""
+    wr = W.partitionBy(group_col).orderBy(value_col, id_col)
+    ranked = (df.withColumn("_rk", F.row_number().over(wr))
+              .select(group_col, F.col(value_col).cast("long").alias("_x"),
+                      "_rk"))
+    agg = ranked.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_x").alias("_sx"),
+        F.sum(F.col("_rk") * F.col("_x")).alias("_sxr"))
+    num = (F.lit(2) * F.col("_sxr")
+           - (F.col("n_docs") + 1) * F.col("_sx")).cast("double")
+    den = (F.col("n_docs") * F.col("_sx")).cast("double")
+    return agg.select(group_col, "n_docs",
+                      F.round(num / den, 6).alias("gini"))
+
+
+def js_divergence(a: DataFrame, b: DataFrame, text_col: str = "text",
+                  buckets: int = 64) -> DataFrame:
+    """Jensen–Shannon divergence (nats) between the hashed-token
+    distributions of two corpus slices — the symmetric, bounded
+    (≤ ln 2) drift metric for comparing token mixes across sources,
+    snapshots, or train/eval splits (PSI's cousin: JSD is defined even
+    when a bucket is empty on one side).
+
+    Tokens hash into ``buckets`` fixed buckets via the md5-prefix
+    int64 (cross-engine exact), so the distributions are bounded-state
+    aggregates: two token explodes, one groupBy(bucket) each, a
+    buckets-sized outer join, one final fold — corpus-size-independent
+    memory at any scale."""
+    def _counts(df: DataFrame, name: str) -> DataFrame:
+        tok = df.select(F.explode(tokens_col(text_col)).alias("_t"))
+        bkt = (F.conv(F.substring(F.md5(F.col("_t").cast("binary")), 1, 7),
+                      16, 10).cast("long") % buckets)
+        return (tok.select(bkt.alias("bucket"))
+                .groupBy("bucket").agg(F.count("*").alias(name)))
+    # ≤ buckets rows; materialized once via a lazy localCheckpoint so
+    # the totals crossJoin doesn't re-run both corpus scans (the
+    # ks_drift pattern — GC-reclaimable, unlike persist).
+    j = (_counts(a, "ca").join(_counts(b, "cb"), "bucket", "full")
+         .select("bucket", F.coalesce("ca", F.lit(0)).alias("ca"),
+                 F.coalesce("cb", F.lit(0)).alias("cb"))
+         .localCheckpoint(eager=False))
+    tot = j.agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+    p = F.col("ca").cast("double") / F.col("ta")
+    q = F.col("cb").cast("double") / F.col("tb")
+    m = (p + q) / F.lit(2.0)
+    term = (F.when(F.col("ca") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+            + F.when(F.col("cb") > 0, q * F.log(q / m)).otherwise(F.lit(0.0)))
+    return (j.crossJoin(F.broadcast(tot))
+            .agg(F.sum(F.when(F.col("ca") > 0, 1).otherwise(0))
+                 .cast("long").alias("n_buckets_a"),
+                 F.sum(F.when(F.col("cb") > 0, 1).otherwise(0))
+                 .cast("long").alias("n_buckets_b"),
+                 F.round(F.sum(term) / F.lit(2.0), 6).alias("jsd")))

@@ -1260,3 +1260,56 @@ def feature_hash(df: DataFrame, id_col: str = "doc_id",
             .groupBy(id_col, "dim")
             .agg(F.sum("_sgn").cast("long").alias("weight"))
             .filter(F.col("weight") != 0))
+
+
+def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", k: int = 8,
+                           window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03): hash every character ``k``-gram, then keep the minimum
+    hash of every sliding window of ``window`` consecutive positions.
+    Guarantees every exact match of length ≥ k + window − 1 shares a
+    fingerprint, with expected density 2/(window+1) — the standard
+    plagiarism / near-dup fingerprint, robust to insertions that
+    shift positions (unlike fixed-stride sampling).
+
+    Returns distinct (id, fp) rows; feed to dedup.fingerprint_pairs.
+
+    Determinism & cross-engine: the gram hash is the first 12 hex
+    digits of md5 (48 bits — collision-free in practice) parsed as
+    int64; the window minimum is VALUE-distinct, so both engines select
+    the identical fingerprint set with no tie-break sensitivity.
+
+    Plan shape: one map-side gram explode (arrays bounded by doc
+    length), one partitioned window (doc, pos) for the running min,
+    one distinct — no joins, no driver state. Documents shorter than
+    k + window − 1 have no full window and are dropped (both engines)."""
+    min_len = k + window - 1
+    grams = (df.filter(F.length(text_col) >= min_len)
+             .select(F.col(id_col), F.posexplode(F.expr(
+                 f"transform(sequence(1, length({text_col}) - {k - 1}), "
+                 f"i -> substring({text_col}, i, {k}))"))
+                 .alias("_pos0", "_g")))
+    h = F.conv(F.substring(F.md5(F.col("_g").cast("binary")), 1, 12),
+               16, 10).cast("long")
+    wmin = (W.partitionBy(id_col).orderBy("_pos0")
+            .rowsBetween(-(window - 1), 0))
+    return (grams.withColumn("_h", h)
+            .withColumn("_mn", F.min("_h").over(wmin))
+            .filter(F.col("_pos0") >= window - 1)
+            .select(F.col(id_col), F.col("_mn").alias("fp"))
+            .distinct())
+
+
+def token_fertility(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    len_col: str = "n_chars") -> DataFrame:
+    """Per-document tokenizer-fertility metrics: whitespace token
+    count and characters per token (the compression a tokenizer must
+    beat; by-language fertility gaps are how multilingual corpora get
+    token budgets wrong). Map-only — aggregate by language/length
+    bucket downstream."""
+    n_tok = F.size(F.split(F.col(text_col), r"\s+"))
+    return df.withColumn("n_tokens", n_tok.cast("long")).withColumn(
+        "chars_per_token",
+        F.round(F.col(len_col).cast("double") / F.col("n_tokens"), 6))

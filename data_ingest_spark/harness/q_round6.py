@@ -1,0 +1,307 @@
+"""Round-6 additions: record linkage (Fellegi–Sunter, sorted
+neighborhood), LSH precision audit, winnowing fingerprints, timing
+regularity (bot detection), tokenizer fertility, corpus-concentration
+Gini, and Jensen–Shannon token drift.
+
+Registered AFTER the round-6 driver-verification backlog (the
+_ROUND6_PRIORITY prefix in registry.py) — these never displace the
+never-sampled queries from the driver's 50-slot sample (round-5
+verdict ask #1).
+
+The shared ``_q`` decorator writes into registry.REGISTRY at import
+time.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from data_ingest_spark.extensions import dedup as dd
+from data_ingest_spark.extensions import profile as pf
+from data_ingest_spark.extensions import text as tx
+from data_ingest_spark.harness.q_extensions import (_DUP_SQL, _NEARDUP_SQL,
+                                                    _MINHASH_FOUND_CTES,
+                                                    _dup_corpus,
+                                                    _neardup_corpus,
+                                                    _shingle_ctes)
+from data_ingest_spark.harness.registry import _q, events_df, load
+
+# ------------------------------------------------------ record linkage
+
+#: Fellegi–Sunter m/u probabilities for the three customer comparison
+#: features (mktsegment equality, acctbal within 50, custkey within
+#: 100). Fixed inputs — the EM estimation step is out of scope; the
+#: ln-weights are PRECOMPUTED here and embedded as double literals in
+#: BOTH engines, so the checked expression contains no runtime libm.
+_FS_M = [0.95, 0.8, 0.6]
+_FS_U = [0.2, 0.05, 0.01]
+_FS_WA = [round(math.log(m / u), 9) for m, u in zip(_FS_M, _FS_U)]
+_FS_WD = [round(math.log((1 - m) / (1 - u)), 9)
+          for m, u in zip(_FS_M, _FS_U)]
+
+
+@_q("x141_fellegi_sunter", f"""
+WITH c AS (SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment,
+                  CAST(FLOOR(c_acctbal / 500) AS INTEGER) AS blk
+           FROM customer),
+ pr AS (SELECT a.c_nationkey,
+               (a.c_mktsegment = b.c_mktsegment) AS f_seg,
+               (ABS(a.c_acctbal - b.c_acctbal) < 50.0) AS f_bal,
+               (ABS(a.c_custkey - b.c_custkey) < 100) AS f_key
+        FROM c a JOIN c b
+          ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+         AND a.c_custkey < b.c_custkey),
+ sc AS (SELECT c_nationkey,
+               ROUND((CASE WHEN f_seg THEN {_FS_WA[0]}
+                           ELSE {_FS_WD[0]} END)
+                   + (CASE WHEN f_bal THEN {_FS_WA[1]}
+                           ELSE {_FS_WD[1]} END)
+                   + (CASE WHEN f_key THEN {_FS_WA[2]}
+                           ELSE {_FS_WD[2]} END), 6) AS weight
+        FROM pr),
+ dec AS (SELECT c_nationkey, weight,
+                CASE WHEN weight >= 3.0 THEN 'match'
+                     WHEN weight >= 0.0 THEN 'possible'
+                     ELSE 'nonmatch' END AS decision
+         FROM sc)
+SELECT c_nationkey, decision, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(weight), 6) AS avg_weight
+FROM dec GROUP BY 1, 2
+""")
+def q_fellegi_sunter(spark, sf):
+    """Probabilistic record linkage over blocked customer pairs:
+    block on (nation, acctbal/500 bucket), compare three features,
+    score with precomputed Fellegi–Sunter ln-weights, classify, and
+    summarize per (nation, decision). Pair count is Σ|block|² — never
+    all-pairs (dedup.blocked_pairs docstring)."""
+    cust = load(spark, sf, "customer").withColumn(
+        "_blk", F.floor(F.col("c_acctbal") / 500).cast("int"))
+    pairs = dd.blocked_pairs(cust, ["c_nationkey", "_blk"],
+                             id_col="c_custkey")
+    feats = (pairs
+             .withColumn("f_seg", F.col("c_mktsegment_a")
+                         == F.col("c_mktsegment_b"))
+             .withColumn("f_bal", F.abs(F.col("c_acctbal_a")
+                                        - F.col("c_acctbal_b")) < 50.0)
+             .withColumn("f_key", F.abs(F.col("c_custkey_a")
+                                        - F.col("c_custkey_b")) < 100))
+    scored = dd.fellegi_sunter_score(feats, ["f_seg", "f_bal", "f_key"],
+                                     m=_FS_M, u=_FS_U)
+    return scored.groupBy("c_nationkey", "decision").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg("weight"), 6).alias("avg_weight"))
+
+
+@_q("x143_sorted_neighborhood", f"""
+WITH corpus AS ({_DUP_SQL}),
+ r AS (SELECT doc_id, text,
+              ROW_NUMBER() OVER (ORDER BY lower(substr(text, 1, 30)),
+                                 doc_id) AS rn
+       FROM corpus),
+ pr AS (SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+               GREATEST(a.doc_id, b.doc_id) AS id_b,
+               levenshtein(substr(a.text, 1, 60),
+                           substr(b.text, 1, 60)) AS lev
+        FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + 3)
+SELECT id_a, id_b, CAST(lev AS BIGINT) AS lev
+FROM pr WHERE lev <= 20
+""")
+def q_sorted_neighborhood(spark, sf):
+    """Sorted-neighborhood dedup: sort by a 30-char lowercased prefix
+    key, compare only records within a 3-position sliding window
+    (pair count = 3n), verify with Levenshtein on the 60-char head.
+    Global order via the W5 two-pass dense rank — no single-task sort
+    (dedup.sorted_neighborhood_pairs docstring)."""
+    pairs = dd.sorted_neighborhood_pairs(
+        _dup_corpus(spark, sf),
+        F.lower(F.substring(F.col("text"), 1, 30)), window=3)
+    return (pairs.select(
+        F.col("doc_id_a").alias("id_a"), F.col("doc_id_b").alias("id_b"),
+        F.levenshtein(F.substring(F.col("text_a"), 1, 60),
+                      F.substring(F.col("text_b"), 1, 60))
+        .cast("long").alias("lev"))
+        .filter(F.col("lev") <= 20))
+
+
+# --------------------------------------------- dedup audits / winnowing
+
+@_q("x142_lsh_precision", f"""
+WITH corpus AS ({_NEARDUP_SQL}),{_shingle_ctes('corpus')},{_MINHASH_FOUND_CTES}
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM found) AS n_verified,
+       ROUND((SELECT COUNT(*) FROM found) * 1.0
+             / (SELECT COUNT(*) FROM cand), 6) AS precision_at_t
+""")
+def q_lsh_precision(spark, sf):
+    """Precision of the MinHash-LSH banding filter: what fraction of
+    band-bucket candidate pairs verify at Jaccard ≥ 0.5. The
+    complement of x57's recall audit — together they bound the
+    filter's operating point, each under a full value oracle."""
+    membership = dd.shingle_sets(_neardup_corpus(spark, sf)).persist()
+    bb = dd.minhash_bands(membership, membership=True)
+    cand = dd.lsh_candidate_pairs(bb)
+    verified = dd.jaccard_of_pairs(cand, membership).filter(
+        F.col("jaccard") >= 0.5)
+    return (cand.agg(F.count("*").alias("n_candidates"))
+            .crossJoin(verified.agg(F.count("*").alias("n_verified")))
+            .select("n_candidates", "n_verified",
+                    F.round(F.col("n_verified") / F.col("n_candidates"), 6)
+                    .alias("precision_at_t")))
+
+
+@_q("x148_winnowing", f"""
+WITH corpus AS ({_NEARDUP_SQL}),
+ pos AS (SELECT doc_id, text,
+                unnest(generate_series(1, length(text) - 7)) AS p
+         FROM corpus WHERE length(text) >= 11),
+ h AS (SELECT doc_id, p,
+              CAST(concat('0x', substr(md5(substr(text, p, 8)), 1, 12))
+                   AS BIGINT) AS hv
+       FROM pos),
+ mn AS (SELECT doc_id, p,
+               MIN(hv) OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                 AS fp
+        FROM h),
+ fps AS (SELECT DISTINCT doc_id, fp FROM mn WHERE p >= 4),
+ grp AS (SELECT fp FROM fps
+         GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND 50),
+ pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        JOIN grp g ON g.fp = a.fp)
+SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 10
+""")
+def q_winnowing(spark, sf):
+    """Winnowing near-dup pairs: per-doc SIGMOD'03 fingerprints
+    (8-char grams, window 4), then pairs sharing ≥ 10 fingerprints
+    through the df-capped posting lists (≤ 50 docs per fingerprint).
+    Position-shift-robust — catches the head-truncated copies that
+    break fixed-stride sampling."""
+    fps = tx.winnowing_fingerprints(_neardup_corpus(spark, sf))
+    return dd.fingerprint_pairs(fps, min_shared=10, max_df=50)
+
+
+# --------------------------------------------------- profiling / drift
+
+@_q("x144_bot_regularity", """
+WITH g AS (SELECT user_id, event_id,
+                  epoch_us(ts::TIMESTAMP)
+                  - lag(epoch_us(ts::TIMESTAMP))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS gap
+           FROM events),
+ a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+              SUM(CAST(gap AS DECIMAL(38,0))) AS s,
+              SUM(CAST(gap AS DECIMAL(38,0)) * CAST(gap AS DECIMAL(38,0)))
+                AS ss
+       FROM g WHERE gap IS NOT NULL GROUP BY 1)
+SELECT user_id, n_gaps,
+       CAST((2 * CAST(s AS BIGINT) + n_gaps) // (2 * n_gaps) AS DOUBLE)
+         / 1000000.0 AS mean_gap_s,
+       ROUND(SQRT(CAST(n_gaps * ss - s * s AS DOUBLE)
+                  / (n_gaps * (n_gaps - 1)))
+             / (CAST(s AS DOUBLE) / n_gaps), 6) AS cv_gap,
+       (SQRT(CAST(n_gaps * ss - s * s AS DOUBLE)
+             / (n_gaps * (n_gaps - 1)))
+        / (CAST(s AS DOUBLE) / n_gaps) < 0.5) AS is_regular
+FROM a WHERE n_gaps >= 7 AND s > 0
+""")
+def q_bot_regularity(spark, sf):
+    """Inter-event timing regularity per user (bot detection): cv of
+    exact-µs gaps from decimal moment aggregates — one window + one
+    shuffle on the user key (profile.gap_regularity docstring)."""
+    return pf.gap_regularity(events_df(spark, sf))
+
+
+@_q("x146_gini_source", """
+WITH r AS (SELECT source, n_chars,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY n_chars, doc_id) AS rk
+           FROM documents)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(2 * SUM(rk * n_chars) - (COUNT(*) + 1) * SUM(n_chars)
+                  AS DOUBLE)
+             / CAST(COUNT(*) * SUM(n_chars) AS DOUBLE), 6) AS gini
+FROM r GROUP BY 1
+""")
+def q_gini_source(spark, sf):
+    """Per-source Gini concentration of character mass — the
+    corpus-balance audit (profile.gini_by_group). Exact int64 rank
+    formula, tie-stable by construction."""
+    return pf.gini_by_group(load(spark, sf, "documents"),
+                            "source", "n_chars", "doc_id")
+
+
+@_q("x147_js_divergence", """
+WITH ta AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS t
+            FROM documents WHERE doc_id % 2 = 0),
+ tb AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS t
+        FROM documents WHERE doc_id % 2 = 1),
+ ca AS (SELECT CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT) % 64
+                 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS ca FROM ta GROUP BY 1),
+ cb AS (SELECT CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT) % 64
+                 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cb FROM tb GROUP BY 1),
+ j AS (SELECT COALESCE(ca.bucket, cb.bucket) AS bucket,
+              COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+       FROM ca FULL JOIN cb ON ca.bucket = cb.bucket),
+ t AS (SELECT SUM(ca) AS ta, SUM(cb) AS tb FROM j)
+SELECT CAST(SUM(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_buckets_a,
+       CAST(SUM(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_buckets_b,
+       ROUND(SUM(CASE WHEN ca > 0
+                      THEN (CAST(ca AS DOUBLE) / ta)
+                           * LN((CAST(ca AS DOUBLE) / ta)
+                                / ((CAST(ca AS DOUBLE) / ta
+                                    + CAST(cb AS DOUBLE) / tb) / 2.0))
+                      ELSE 0.0 END
+               + CASE WHEN cb > 0
+                      THEN (CAST(cb AS DOUBLE) / tb)
+                           * LN((CAST(cb AS DOUBLE) / tb)
+                                / ((CAST(ca AS DOUBLE) / ta
+                                    + CAST(cb AS DOUBLE) / tb) / 2.0))
+                      ELSE 0.0 END) / 2.0, 6) AS jsd
+FROM j, t
+""")
+def q_js_divergence(spark, sf):
+    """Jensen–Shannon divergence between the hashed-token
+    distributions of the even- and odd-id document halves
+    (profile.js_divergence) — bounded-state drift metric, 64 fixed
+    buckets at any corpus size."""
+    docs = load(spark, sf, "documents")
+    return pf.js_divergence(docs.filter(F.col("doc_id") % 2 == 0),
+                            docs.filter(F.col("doc_id") % 2 == 1))
+
+
+@_q("x145_token_fertility", """
+WITH f AS (SELECT lang,
+                  LEAST(9, n_chars // 100) AS bucket,
+                  len(string_split_regex(text, '\\s+')) AS n_tokens,
+                  ROUND(CAST(n_chars AS DOUBLE)
+                        / len(string_split_regex(text, '\\s+')), 6)
+                    AS cpt
+           FROM documents)
+SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       ROUND(AVG(cpt), 6) AS avg_chars_per_token
+FROM f GROUP BY 1, 2
+""")
+def q_token_fertility(spark, sf):
+    """Tokenizer fertility by (language, length bucket): whitespace
+    token counts and characters-per-token — the by-language
+    compression profile a token-budgeted corpus mix needs
+    (text.token_fertility)."""
+    fert = tx.token_fertility(load(spark, sf, "documents"))
+    return (fert.withColumn(
+        "bucket", F.least(F.lit(9), F.floor(F.col("n_chars") / 100))
+        .cast("long"))
+        .groupBy("lang", "bucket")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tokens").alias("sum_tokens"),
+             F.round(F.avg("chars_per_token"), 6)
+             .alias("avg_chars_per_token")))

@@ -86,6 +86,7 @@ from data_ingest_spark.harness import q_events    # noqa: E402,F401
 from data_ingest_spark.harness import q_ml        # noqa: E402,F401
 from data_ingest_spark.harness import q_analytics  # noqa: E402,F401
 from data_ingest_spark.harness import q_curation  # noqa: E402,F401
+from data_ingest_spark.harness import q_round6   # noqa: E402,F401
 
 # Driver-sample ordering. The correctness driver checks a bounded
 # prefix of ``queries()`` each round; rounds 2-4 verified 150 distinct

@@ -1,0 +1,182 @@
+"""Round-6 operator additions: record linkage (blocked pairs,
+Fellegi–Sunter, sorted neighborhood), winnowing fingerprints +
+df-capped fingerprint pairs, LSH candidate extraction, timing
+regularity, per-group Gini, JS divergence, token fertility."""
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from data_ingest_spark.extensions.dedup import (blocked_pairs,
+                                                fellegi_sunter_score,
+                                                fingerprint_pairs,
+                                                lsh_candidate_pairs,
+                                                near_dup_pairs,
+                                                sorted_neighborhood_pairs)
+from data_ingest_spark.extensions.profile import (gap_regularity,
+                                                  gini_by_group,
+                                                  js_divergence)
+from data_ingest_spark.extensions.text import (token_fertility,
+                                               winnowing_fingerprints)
+
+
+# ------------------------------------------------------- record linkage
+
+def test_blocked_pairs_within_block_only(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 30), (4, "b", 40)],
+        ["doc_id", "blk", "v"])
+    rows = blocked_pairs(df, ["blk"]).collect()
+    pairs = {(r["doc_id_a"], r["doc_id_b"]) for r in rows}
+    # C(3,2) within block a, none across blocks, ids ordered
+    assert pairs == {(1, 2), (1, 3), (2, 3)}
+    assert all(r["v_a"] == r["doc_id_a"] * 10 for r in rows)
+
+
+def test_fellegi_sunter_weights_and_decisions(spark):
+    m, u = [0.9, 0.8], [0.1, 0.2]
+    wa = [round(math.log(mi / ui), 9) for mi, ui in zip(m, u)]
+    wd = [round(math.log((1 - mi) / (1 - ui)), 9) for mi, ui in zip(m, u)]
+    df = spark.createDataFrame(
+        [(True, True), (True, False), (False, False)], ["f1", "f2"])
+    out = {(r["f1"], r["f2"]): (r["weight"], r["decision"])
+           for r in fellegi_sunter_score(df, ["f1", "f2"], m, u).collect()}
+    assert out[(True, True)] == (round(wa[0] + wa[1], 6), "match")
+    # ln(9)+ln((0.2)/(0.8)) = 2.197−1.386 ≈ 0.81 → possible
+    assert out[(True, False)] == (round(wa[0] + wd[1], 6), "possible")
+    assert out[(False, False)][1] == "nonmatch"
+
+
+def test_sorted_neighborhood_window_pairs(spark):
+    # sort key = text itself; order: a1(1) a2(3) b(2) c(4) z(5)
+    df = spark.createDataFrame(
+        [(1, "aa"), (3, "aa"), (2, "bb"), (4, "cc"), (5, "zz")],
+        ["doc_id", "text"])
+    rows = sorted_neighborhood_pairs(df, F.col("text"), window=2).collect()
+    pairs = {(r["doc_id_a"], r["doc_id_b"]) for r in rows}
+    # rank order by (text, id): 1,3,2,4,5 → window-2 adjacencies
+    assert pairs == {(1, 3), (1, 2), (2, 3), (2, 4), (3, 4), (2, 5),
+                     (4, 5)}
+    # normalization: id_a < id_b even where rank order says otherwise
+    assert all(r["doc_id_a"] < r["doc_id_b"] for r in rows)
+
+
+# ------------------------------------------ winnowing / fingerprint pairs
+
+def _winnow_py(text: str, k: int = 8, window: int = 4) -> set:
+    """Literal mirror of text.winnowing_fingerprints."""
+    if len(text) < k + window - 1:
+        return set()
+    hs = [int(hashlib.md5(text[i:i + k].encode()).hexdigest()[:12], 16)
+          for i in range(len(text) - k + 1)]
+    return {min(hs[i - window + 1:i + 1])
+            for i in range(window - 1, len(hs))}
+
+
+def test_winnowing_matches_python_mirror(spark):
+    import random
+    rng = random.Random(7)
+    docs = [(i, "".join(rng.choice("abcdef gh") for _ in range(
+        rng.randint(5, 60)))) for i in range(30)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {}
+    for r in winnowing_fingerprints(df).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for i, t in docs:
+        assert got.get(i, set()) == _winnow_py(t), f"doc {i}"
+
+
+def test_winnowing_shared_substring_guarantee():
+    # SIGMOD'03 guarantee on the mirror: any common substring of
+    # length ≥ k + window − 1 yields a shared fingerprint — here the
+    # whole of t inside a shifted copy.
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.text(alphabet="abcxy ", min_size=11, max_size=50),
+           st.text(alphabet="qz", min_size=1, max_size=5))
+    def prop(t, prefix):
+        assert _winnow_py(t) & _winnow_py(prefix + t)
+    prop()
+
+
+def test_fingerprint_pairs_min_shared_and_df_cap(spark):
+    rows = [(1, f) for f in range(12)] + [(2, f) for f in range(12)]
+    rows += [(3, 100), (4, 100)]          # only 1 shared
+    rows += [(i, 999) for i in range(40)]  # hot fp below df cap of 3
+    df = spark.createDataFrame(rows, ["doc_id", "fp"])
+    out = fingerprint_pairs(df, min_shared=10, max_df=3).collect()
+    assert [(r["id_a"], r["id_b"], r["n_shared"]) for r in out] == [(1, 2, 12)]
+
+
+def test_lsh_candidates_superset_of_verified_pairs(spark):
+    docs = [(i, f"w{i} common text body shared tokens here {i}")
+            for i in range(8)]
+    docs += [(100 + i, docs[i][1]) for i in range(4)]  # exact copies
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    from data_ingest_spark.extensions.dedup import minhash_bands
+    cand = {(r["id_a"], r["id_b"])
+            for r in lsh_candidate_pairs(minhash_bands(df)).collect()}
+    verified = {(r["id_a"], r["id_b"])
+                for r in near_dup_pairs(df, threshold=0.9).collect()}
+    assert verified and verified <= cand
+    assert all(a < b for a, b in cand)
+
+
+# ----------------------------------------------------- profiling kernels
+
+def test_gap_regularity_metronome_vs_bursty(spark):
+    base = 1_700_000_000_000_000  # µs epoch
+    rows = [(i, base + i * 1_000_000, 1) for i in range(10)]       # 1s grid
+    rows += [(100 + i, base + [0, 1, 10, 11, 100, 101, 500, 501,
+                               900, 1000][i] * 1_000_000, 2)
+             for i in range(10)]
+    df = spark.createDataFrame(rows, ["event_id", "us", "user_id"]) \
+        .select("event_id", F.timestamp_micros(F.col("us")).alias("ts"),
+                "user_id")
+    out = {r["user_id"]: r for r in gap_regularity(
+        df, min_gaps=5).collect()}
+    assert out[1]["cv_gap"] == 0.0 and out[1]["is_regular"]
+    assert out[1]["mean_gap_s"] == 1.0
+    assert out[2]["cv_gap"] > 0.5 and not out[2]["is_regular"]
+
+
+def test_gap_regularity_half_microsecond_mean_rounds_up(spark):
+    # gaps 1µs and 2µs: mean 1.5µs → half-up integer µs = 2
+    base = 1_700_000_000_000_000
+    rows = [(0, base, 1), (1, base + 1, 1), (2, base + 3, 1)]
+    df = spark.createDataFrame(rows, ["event_id", "us", "user_id"]) \
+        .select("event_id", F.timestamp_micros(F.col("us")).alias("ts"),
+                "user_id")
+    r = gap_regularity(df, min_gaps=2).collect()[0]
+    assert r["mean_gap_s"] == 2e-06
+
+
+def test_gini_uniform_zero_and_concentrated(spark):
+    rows = [(i, "u", 5) for i in range(4)]
+    rows += [(i, "c", 0) for i in range(4)] + [(99, "c", 100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    out = {r["source"]: r for r in gini_by_group(df).collect()}
+    assert out["u"]["gini"] == 0.0
+    # all mass on the last of 5 docs: G = (n−1)/n = 0.8
+    assert out["c"]["gini"] == 0.8
+
+
+def test_js_divergence_identical_zero_disjoint_ln2(spark):
+    a = spark.createDataFrame([(1, "alpha beta gamma")], ["doc_id", "text"])
+    same = js_divergence(a, a).collect()[0]
+    assert same["jsd"] == 0.0
+    # buckets: alpha 58, beta 43, gamma 13 vs delta 63, eta 29,
+    # theta 62 — fully disjoint, so JSD is exactly ln 2
+    b = spark.createDataFrame([(2, "delta eta theta")],
+                              ["doc_id", "text"])
+    dis = js_divergence(a, b).collect()[0]
+    assert dis["jsd"] == round(math.log(2), 6)
+
+
+def test_token_fertility_simple(spark):
+    df = spark.createDataFrame([(1, "ab cd", "en", 5)],
+                               ["doc_id", "text", "lang", "n_chars"])
+    r = token_fertility(df).collect()[0]
+    assert (r["n_tokens"], r["chars_per_token"]) == (2, 2.5)
