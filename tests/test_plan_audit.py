@@ -393,3 +393,27 @@ def test_round5_batch2_bounded_shuffles(spark):
                          # fold — 1 scan, 2 exchanges, step-count-free
                          ("e29_window_funnel", 2)):
         assert shuffle_count(q(spark, name)) <= max_sh, name
+
+
+def test_round6_batch_bounded_shuffles(spark):
+    """Round-6 operator batch plan pins. x141's linkage self-join keys
+    on the block columns (one shuffle, dimension-free scoring);
+    x144/x145/x146 are single-key window/aggregate plans; x148's
+    winnowing chain is explode -> per-doc window -> distinct ->
+    posting-list pair expansion; x143's neighbor join keys on the
+    dense rank (the two-pass W5 scheme, no global sort); x142 audits
+    the full LSH pipeline, whose static plan duplicates the persisted
+    membership subtree (runtime reuses it — same caveat as x57);
+    x147's static count includes the pre-checkpoint bucket subtrees."""
+    for name, max_sh in (("x141_fellegi_sunter", 2),
+                         ("x144_bot_regularity", 1),
+                         ("x145_token_fertility", 1),
+                         ("x146_gini_source", 1),
+                         ("x143_sorted_neighborhood", 3),
+                         ("x148_winnowing", 4),
+                         ("x147_js_divergence", 6),
+                         ("x142_lsh_precision", 16)):
+        assert shuffle_count(q(spark, name)) <= max_sh, name
+    for name in ("x141_fellegi_sunter", "x143_sorted_neighborhood",
+                 "x148_winnowing"):
+        assert_no_cartesian(q(spark, name))
