@@ -116,6 +116,14 @@ HEADLINE = [
     # sf0.1) and the rewritten one-shuffle window funnel.
     "x140_simhash_neardup",
     "e29_window_funnel",
+    # round-6b heavy representatives: winnowing fingerprints (the new
+    # heaviest text op, ~5 s at sf0.1), the blocked-linkage self-join,
+    # and the dense-rank neighbor join. x142/x144-x147 are sub-second
+    # or shape-duplicates (x142 ≈ x2's pipeline) and stay out per the
+    # round-5 headline policy.
+    "x148_winnowing",
+    "x141_fellegi_sunter",
+    "x143_sorted_neighborhood",
 ]
 
 

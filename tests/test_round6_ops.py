@@ -180,3 +180,32 @@ def test_token_fertility_simple(spark):
                                ["doc_id", "text", "lang", "n_chars"])
     r = token_fertility(df).collect()[0]
     assert (r["n_tokens"], r["chars_per_token"]) == (2, 2.5)
+
+
+def test_ppjoin_differential_vs_brute_force(spark):
+    """PPJoin's prefix filter claims PERFECT recall (pigeonhole on the
+    shared global order). Differential-test it: on a small random
+    corpus with a tiny vocabulary (to force overlaps), the output must
+    EQUAL the brute-force all-pairs exact Jaccard at the threshold —
+    no pair lost to the prefix index, none invented."""
+    import itertools
+    import random
+
+    from data_ingest_spark.extensions.dedup import ppjoin
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(3, 10))))
+            for i in range(24)]
+    sets = {i: set(t.lower().split()) for i, t in docs}
+    brute = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        j = inter / (len(sets[a]) + len(sets[b]) - inter)
+        if j >= 0.6:
+            brute[(a, b)] = round(j, 6)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ppjoin(df, k=1).collect()}
+    assert got == brute
