@@ -913,7 +913,9 @@ def sorted_neighborhood_pairs(df: DataFrame, key: "F.Column",
     neighbor join is an equi-join on the dense rank, shuffled by rank.
     Pair count is exactly window·n — linear in the corpus."""
     from data_ingest_spark.operators.windows import dense_ids_scalable
-    keyed = df.withColumn("_key", key).withColumn(
+    # A NULL key would sort first in Spark but last in DuckDB (and
+    # make the window nondeterministic) — pin it to the empty string.
+    keyed = df.withColumn("_key", F.coalesce(key, F.lit(""))).withColumn(
         "_pk", F.substring(F.col("_key"), 1, 1))
     ranked = dense_ids_scalable(keyed, order=["_pk", "_key", id_col],
                                 id_col="_rn").drop("_pk", "_key")
