@@ -209,3 +209,59 @@ def test_ppjoin_differential_vs_brute_force(spark):
     got = {(r["id_a"], r["id_b"]): r["jaccard"]
            for r in ppjoin(df, k=1).collect()}
     assert got == brute
+
+
+def test_winnowing_pairs_differential_vs_brute_force(spark):
+    """End-to-end x148 shape: winnowing fingerprints + df-capped
+    posting lists must equal the brute-force mirror (shared-count of
+    the python fingerprint sets, same df cap) on a random corpus with
+    planted near-copies."""
+    import itertools
+    import random
+
+    rng = random.Random(21)
+    docs = [(i, "".join(rng.choice("abcd ef") for _ in range(
+        rng.randint(12, 80)))) for i in range(20)]
+    docs += [(100 + i, "zz" + docs[i][1]) for i in range(6)]  # copies
+    fsets = {i: _winnow_py(t) for i, t in docs}
+    df_count = {}
+    for s in fsets.values():
+        for fp in s:
+            df_count[fp] = df_count.get(fp, 0) + 1
+    kept = {fp for fp, c in df_count.items() if 2 <= c <= 5}
+    brute = {}
+    for a, b in itertools.combinations(sorted(fsets), 2):
+        shared = len(fsets[a] & fsets[b] & kept)
+        if shared >= 3:
+            brute[(a, b)] = shared
+    from data_ingest_spark.extensions.dedup import fingerprint_pairs
+    from data_ingest_spark.extensions.text import winnowing_fingerprints
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {(r["id_a"], r["id_b"]): r["n_shared"]
+           for r in fingerprint_pairs(winnowing_fingerprints(sdf),
+                                      min_shared=3, max_df=5).collect()}
+    assert got == brute and brute  # non-vacuous: copies must pair
+
+
+def test_gini_mirror_hypothesis():
+    """Rank-formula Gini on the python mirror: scale invariance
+    (G(cx) = G(x)) and the exact uniform/concentrated endpoints."""
+    from hypothesis import given, settings, strategies as st
+
+    def gini_py(xs):
+        xs = sorted(xs)
+        n, sx = len(xs), sum(xs)
+        if sx == 0:
+            return None
+        sxr = sum((i + 1) * x for i, x in enumerate(xs))
+        return (2 * sxr - (n + 1) * sx) / (n * sx)
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=10**6),
+                    min_size=2, max_size=40).filter(lambda xs: sum(xs) > 0),
+           st.integers(min_value=1, max_value=1000))
+    def prop(xs, c):
+        g = gini_py(xs)
+        assert 0.0 <= g <= 1.0 - 1.0 / len(xs) + 1e-12
+        assert abs(gini_py([c * x for x in xs]) - g) < 1e-9
+    prop()
