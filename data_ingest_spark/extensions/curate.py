@@ -90,3 +90,51 @@ def training_prep(docs: DataFrame, budget: int = 512,
                  F.sum("n_tokens").cast("long").alias("total_tokens"),
                  F.min(id_col).alias("first_doc"),
                  F.max(id_col).alias("last_doc")))
+
+
+#: The five English stopwords the Gopher-style gate probes for. A
+#: quality English document of any length hits at least two.
+GOPHER_STOPWORDS = ["the", "of", "and", "to", "in"]
+
+
+def gopher_gate(docs: DataFrame, text_col: str = "text",
+                lang_col: str = "lang",
+                len_col: str = "n_chars") -> DataFrame:
+    """Gopher-style (Rae 2021 §A1.1) document-quality rule gate as ONE
+    map-only pass — five boolean rules plus the conjunction, kept
+    per-rule so curation can report WHY a document failed:
+
+      r_len      50 ≤ chars ≤ 20000
+      r_wordlen  2 ≤ mean word length ≤ 12
+      r_symbol   ≤ 25% non-alphanumeric-non-space chars (EN only —
+                 CJK text is all non-[A-Za-z0-9], the rule would
+                 reject every zh document)
+      r_stop     ≥ 2 distinct probe stopwords present (EN only)
+      r_distinct distinct-token ratio ≥ 0.30 (the map-only repetition
+                 screen; the windowed n-gram gates are x33/x56)
+
+    Everything is array/regex Column math over the tokens array — no
+    shuffle, no UDF; at 100 TB this is a pure scan-side filter that
+    fuses into whole-stage codegen."""
+    toks = tokens_col(text_col)
+    n_tok = F.size(toks)
+    is_en = F.col(lang_col) == "en"
+    mean_wl = F.col(len_col).cast("double") / n_tok
+    nonal = F.length(F.regexp_replace(F.col(text_col),
+                                      "[A-Za-z0-9 ]", ""))
+    stop_hits = sum(
+        (F.array_contains(toks, w).cast("int") for w in GOPHER_STOPWORDS),
+        F.lit(0))
+    out = (docs
+           .withColumn("r_len", F.col(len_col).between(50, 20000))
+           .withColumn("r_wordlen", (mean_wl >= 2.0) & (mean_wl <= 12.0))
+           .withColumn("r_symbol",
+                       (~is_en) | (nonal.cast("double")
+                                   / F.col(len_col) <= 0.25))
+           .withColumn("r_stop", (~is_en) | (stop_hits >= 2))
+           .withColumn("r_distinct",
+                       F.size(F.array_distinct(toks)).cast("double")
+                       / n_tok >= 0.30))
+    return out.withColumn(
+        "pass", F.col("r_len") & F.col("r_wordlen") & F.col("r_symbol")
+        & F.col("r_stop") & F.col("r_distinct"))

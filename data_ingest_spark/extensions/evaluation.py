@@ -585,3 +585,122 @@ def window_funnel(events: DataFrame, steps: list[str],
             .filter(F.col("_d") >= 1)
             .groupBy(F.col("_d").cast("long").alias("funnel_depth"))
             .agg(F.count("*").cast("long").alias("n_users")))
+
+
+def rbo_suffix_weights(k: int = 10, p: float = 0.9) -> list[float]:
+    """Truncated rank-biased-overlap suffix weights: W[m] = Σ_{d=m..k}
+    (1−p)·p^(d−1)/d, each term rounded to 9dp BEFORE summing so both
+    engines consume identical literals (the dcg_weights_fp
+    convention). An item appearing at ranks (ra, rb) in the two lists
+    is inside the depth-d intersection for every d ≥ max(ra, rb), so
+    truncated RBO = Σ_items W[max(ra, rb)] — one literal lookup per
+    common item, no per-depth loop."""
+    w = [round((1 - p) * p ** (d - 1) / d, 9) for d in range(1, k + 1)]
+    return [round(sum(w[m:]), 9) for m in range(k)]
+
+
+def rbo_overlap(df: DataFrame, group_col: str = "user_id",
+                item_col: str = "event_id", score_a: str = "value",
+                score_b: str = "ts", k: int = 10,
+                p: float = 0.9) -> DataFrame:
+    """Truncated rank-biased overlap (Webber 2010) between two top-k
+    rankings of each group's items — here "by score_a" vs "by
+    score_b" (e.g. engagement vs recency): the standard top-weighted
+    comparison of two retrieval/ranking policies, ∈ [0, 1].
+
+    Determinism: ranks are row_number with the item id as tie-break;
+    the geometric weights are driver-side literals (see
+    :func:`rbo_suffix_weights`); the score is Σ of ≤ k literal
+    lookups, rounded 6dp.
+
+    One shuffle on the group key (two in-partition windows), one
+    self-join of two k-row-per-group frames — bounded state per
+    group at any scale."""
+    wsuf = rbo_suffix_weights(k, p)
+    wmap = F.array(*[F.lit(x) for x in wsuf])
+    wa = W.partitionBy(group_col).orderBy(F.col(score_a).desc(),
+                                          F.col(item_col).asc())
+    wb = W.partitionBy(group_col).orderBy(F.col(score_b).desc(),
+                                          F.col(item_col).asc())
+    ranked = (df.withColumn("_ra", F.row_number().over(wa))
+              .withColumn("_rb", F.row_number().over(wb))
+              .filter((F.col("_ra") <= k) | (F.col("_rb") <= k)))
+    common = ranked.filter((F.col("_ra") <= k) & (F.col("_rb") <= k))
+    contrib = wmap[F.greatest("_ra", "_rb") - 1]
+    return (common.groupBy(group_col)
+            .agg(F.count("*").cast("long").alias("n_common"),
+                 F.round(F.sum(contrib), 6).alias("rbo")))
+
+
+def kendall_tau_b(df: DataFrame, group_col: str = "user_id",
+                  id_col: str = "event_id", x_col: str = "value",
+                  y_col: str = "_y") -> DataFrame:
+    """Kendall τ-b rank correlation between two measures within each
+    group, tie-corrected: τ-b = (C − D) / √((n₀−n₁)(n₀−n₂)) with n₀ =
+    n(n−1)/2 and n₁/n₂ the tied-pair counts in x/y. The
+    pairwise-agreement complement to Theil–Sen (x122) and
+    Mann-Whitney (x133).
+
+    All counts are exact integers from a within-group pair self-join
+    (id < id — pair count is Σ n_g², bounded by the group key, never
+    corpus-quadratic); the only floating math is one sqrt-divide,
+    rounded 6dp."""
+    base = df.select(group_col, F.col(id_col).alias("_i"),
+                     F.col(x_col).alias("_x"), F.col(y_col).alias("_yy"))
+    a = base.select(group_col, F.col("_i").alias("_ia"),
+                    F.col("_x").alias("_xa"), F.col("_yy").alias("_ya"))
+    b = base.select(group_col, F.col("_i").alias("_ib"),
+                    F.col("_x").alias("_xb"), F.col("_yy").alias("_yb"))
+    pairs = a.join(b, group_col).filter(F.col("_ia") < F.col("_ib"))
+    sx = F.signum(F.col("_xa") - F.col("_xb"))
+    sy = F.signum(F.col("_ya") - F.col("_yb"))
+    agg = pairs.groupBy(group_col).agg(
+        F.count("*").alias("n0"),
+        F.sum(F.when(sx * sy > 0, 1).otherwise(0)).alias("c"),
+        F.sum(F.when(sx * sy < 0, 1).otherwise(0)).alias("d"),
+        F.sum(F.when(sx == 0, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(sy == 0, 1).otherwise(0)).alias("n2"))
+    den = F.sqrt((F.col("n0") - F.col("n1")).cast("double")
+                 * (F.col("n0") - F.col("n2")).cast("double"))
+    return (agg.filter((F.col("n0") > F.col("n1"))
+                       & (F.col("n0") > F.col("n2")))
+            .select(group_col,
+                    F.col("c").cast("long").alias("concordant"),
+                    F.col("d").cast("long").alias("discordant"),
+                    F.round((F.col("c") - F.col("d")) / den, 6)
+                    .alias("tau_b")))
+
+
+def peak_concurrency(events: DataFrame, key_col: str = "event_type",
+                     ts_col: str = "ts", dur_col: str = "value",
+                     id_col: str = "event_id") -> DataFrame:
+    """Maximum simultaneous activity per key over intervals
+    [ts, ts + dur seconds] — the classic +1/−1 boundary sweep:
+    explode each interval into a start(+1) and end(−1) boundary, order
+    by (time, delta, id) within the key (an end at time t closes
+    BEFORE a start at t opens, so touching intervals don't
+    double-count), running-sum, take the max and the first time it is
+    reached.
+
+    Exact integer µs end-points (the x119 convention: round(dur·1e6)
+    as long); one partitioned window over the boundary stream — a
+    single shuffle on the key, 2 rows per event."""
+    s = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    e = s + F.round(F.col(dur_col) * 1000000).cast("long")
+    bounds = events.select(
+        key_col, F.col(id_col),
+        F.explode(F.array(
+            F.struct(s.alias("t"), F.lit(1).alias("delta")),
+            F.struct(e.alias("t"), F.lit(-1).alias("delta"))))
+        .alias("_b")).select(key_col, id_col,
+                             F.col("_b.t").alias("_t"),
+                             F.col("_b.delta").alias("_d"))
+    wrun = (W.partitionBy(key_col).orderBy("_t", "_d", id_col)
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    run = bounds.withColumn("_c", F.sum("_d").over(wrun))
+    return (run.withColumn("_peak", F.max("_c").over(
+                W.partitionBy(key_col)))
+            .filter(F.col("_c") == F.col("_peak"))
+            .groupBy(key_col)
+            .agg(F.max("_c").cast("long").alias("peak"),
+                 F.min("_t").alias("first_peak_t")))

@@ -1313,3 +1313,44 @@ def token_fertility(df: DataFrame, id_col: str = "doc_id",
     return df.withColumn("n_tokens", n_tok.cast("long")).withColumn(
         "chars_per_token",
         F.round(F.col(len_col).cast("double") / F.col("n_tokens"), 6))
+
+
+def term_dispersion(df: DataFrame, group_col: str = "source",
+                    text_col: str = "text", top_k: int = 50,
+                    min_count: int = 20) -> DataFrame:
+    """Gries' deviation-of-proportions (DP) term dispersion: how
+    unevenly a term's occurrences spread across corpus parts
+    (sources). DP = ½·Σ_parts |v_i − s_i| with v_i the term's share of
+    its occurrences in part i and s_i the part's share of all tokens;
+    0 = perfectly even, →1 = confined to one tiny part. The corpus-
+    linguistics complement to log-odds (x132): log-odds finds terms
+    that DISTINGUISH one part, DP finds terms that are UNRELIABLE
+    corpus-wide (burst in one crawl slice — navigation junk,
+    templates).
+
+    Parts with zero occurrences still contribute s_i, folded in
+    closed form: Σ|v−s| = 1 + Σ_{parts with c>0} (|v−s| − s), so the
+    aggregate never needs a dense term×part frame. Ranking uses the
+    ROUNDED dp (6dp) with the term as tie-break — deterministic
+    cross-engine. Bounded shuffles: token counts by (part, term),
+    part sizes, one final top-k window."""
+    tok = df.select(F.col(group_col).alias("_part"),
+                    F.explode(tokens_col(text_col)).alias("_t"))
+    cst = tok.groupBy("_part", "_t").agg(F.count("*").alias("_c"))
+    part_sz = tok.groupBy("_part").agg(F.count("*").alias("_ps"))
+    total = part_sz.agg(F.sum("_ps").alias("_tot"))
+    ct = cst.groupBy("_t").agg(F.sum("_c").alias("_ct"))
+    j = (cst.join(ct, "_t").filter(F.col("_ct") >= min_count)
+         .join(part_sz, "_part").crossJoin(F.broadcast(total)))
+    v = F.col("_c").cast("double") / F.col("_ct")
+    s = F.col("_ps").cast("double") / F.col("_tot")
+    dp = (F.lit(1.0) + F.sum(F.abs(v - s) - s)) / F.lit(2.0)
+    scored = (j.groupBy("_t", "_ct")
+              .agg(F.round(dp, 6).alias("dp")))
+    # global top-k via TakeOrderedAndProject (orderBy+limit), not an
+    # unpartitioned row_number window — no single-partition WindowExec
+    return (scored.orderBy(F.col("dp").desc(), F.col("_t").asc())
+            .limit(top_k)
+            .select(F.col("_t").alias("term"),
+                    F.col("_ct").cast("long").alias("n_occurrences"),
+                    "dp"))

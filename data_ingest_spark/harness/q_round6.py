@@ -305,3 +305,161 @@ def q_token_fertility(spark, sf):
              F.sum("n_tokens").alias("sum_tokens"),
              F.round(F.avg("chars_per_token"), 6)
              .alias("avg_chars_per_token")))
+
+
+# ------------------------------------------- round-6 batch 2: ranking
+# agreement, corpus-linguistics dispersion, quality gate, concurrency
+
+from data_ingest_spark.extensions import curate as cu  # noqa: E402
+from data_ingest_spark.extensions import evaluation as ev6  # noqa: E402
+
+#: RBO suffix weights (k=10, p=0.9) — literals shared by both engines.
+_RBO_W = ev6.rbo_suffix_weights(10, 0.9)
+_RBO_LIT = "[" + ", ".join(repr(w) for w in _RBO_W) + "]"
+
+
+@_q("x149_rbo", f"""
+WITH r AS (SELECT user_id, event_id,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY value DESC, event_id ASC)
+                    AS ra,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id ASC)
+                    AS rb
+           FROM events)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_common,
+       ROUND(SUM(({_RBO_LIT})[GREATEST(ra, rb)]), 6) AS rbo
+FROM r WHERE ra <= 10 AND rb <= 10
+GROUP BY 1
+""")
+def q_rbo(spark, sf):
+    """Truncated rank-biased overlap between each user's
+    by-engagement and by-recency top-10 — an item at ranks (ra, rb)
+    contributes the literal suffix weight W[max(ra, rb)]
+    (evaluation.rbo_overlap docstring), so the score is exact literal
+    arithmetic over integer ranks."""
+    return ev6.rbo_overlap(events_df(spark, sf))
+
+
+@_q("x150_kendall_tau", """
+WITH e AS (SELECT user_id, event_id, value,
+                  epoch_us(ts::TIMESTAMP) AS y FROM events),
+ p AS (SELECT a.user_id,
+              SIGN(a.value - b.value) AS sx, SIGN(a.y - b.y) AS sy
+       FROM e a JOIN e b ON a.user_id = b.user_id
+                        AND a.event_id < b.event_id),
+ g AS (SELECT user_id, COUNT(*) AS n0,
+              CAST(SUM(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c,
+              CAST(SUM(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS d,
+              SUM(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS n1,
+              SUM(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS n2
+       FROM p GROUP BY 1)
+SELECT user_id, c AS concordant, d AS discordant,
+       ROUND((c - d) / SQRT(CAST(n0 - n1 AS DOUBLE)
+                            * CAST(n0 - n2 AS DOUBLE)), 6) AS tau_b
+FROM g WHERE n0 > n1 AND n0 > n2
+""")
+def q_kendall_tau(spark, sf):
+    """Kendall τ-b between a user's engagement values and event times
+    (does engagement trend with recency?): exact integer
+    concordant/discordant/tie counts from the within-user pair join,
+    one sqrt-divide at the end (evaluation.kendall_tau_b)."""
+    ev = events_df(spark, sf).withColumn(
+        "_y", F.unix_micros(F.col("ts").cast("timestamp")))
+    return ev6.kendall_tau_b(ev)
+
+
+@_q("x151_term_dispersion", """
+WITH tok AS (SELECT source AS part,
+                    unnest(string_split_regex(lower(text), '\\s+')) AS t
+             FROM documents),
+ cst AS (SELECT part, t, CAST(COUNT(*) AS BIGINT) AS c
+         FROM tok GROUP BY 1, 2),
+ ps AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS psz
+        FROM tok GROUP BY 1),
+ tot AS (SELECT SUM(psz) AS tt FROM ps),
+ ct AS (SELECT t, SUM(c) AS ctt FROM cst GROUP BY 1),
+ j AS (SELECT cst.t, ct.ctt, cst.c, ps.psz, tot.tt
+       FROM cst JOIN ct ON ct.t = cst.t
+                JOIN ps ON ps.part = cst.part, tot
+       WHERE ct.ctt >= 20),
+ sc AS (SELECT t, ctt,
+               ROUND((1.0 + SUM(ABS(CAST(c AS DOUBLE) / ctt
+                                    - CAST(psz AS DOUBLE) / tt)
+                                - CAST(psz AS DOUBLE) / tt)) / 2.0, 6)
+                 AS dp
+        FROM j GROUP BY 1, 2)
+SELECT t AS term, CAST(ctt AS BIGINT) AS n_occurrences, dp
+FROM sc ORDER BY dp DESC, t ASC LIMIT 50
+""")
+def q_term_dispersion(spark, sf):
+    """Top-50 most source-skewed terms by Gries' DP dispersion —
+    the crawl-slice burst detector (text.term_dispersion docstring:
+    zero-occurrence parts folded in closed form, ranking on the
+    rounded score)."""
+    return tx.term_dispersion(load(spark, sf, "documents"))
+
+
+@_q("p5_gopher_gate", """
+WITH d AS (SELECT doc_id, text, lang, n_chars,
+                  string_split_regex(lower(text), '\\s+') AS toks
+           FROM documents),
+ rules AS (SELECT doc_id,
+    (n_chars BETWEEN 50 AND 20000) AS r_len,
+    (CAST(n_chars AS DOUBLE) / len(toks) >= 2.0
+     AND CAST(n_chars AS DOUBLE) / len(toks) <= 12.0) AS r_wordlen,
+    (lang != 'en' OR
+     CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+          AS DOUBLE) / n_chars <= 0.25) AS r_symbol,
+    (lang != 'en' OR
+     (CAST(list_contains(toks, 'the') AS INT)
+      + CAST(list_contains(toks, 'of') AS INT)
+      + CAST(list_contains(toks, 'and') AS INT)
+      + CAST(list_contains(toks, 'to') AS INT)
+      + CAST(list_contains(toks, 'in') AS INT)) >= 2) AS r_stop,
+    (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.30)
+      AS r_distinct
+  FROM d)
+SELECT doc_id, r_len, r_wordlen, r_symbol, r_stop, r_distinct,
+       (r_len AND r_wordlen AND r_symbol AND r_stop AND r_distinct)
+         AS pass
+FROM rules
+""")
+def q_gopher_gate(spark, sf):
+    """Gopher-style five-rule quality gate, one map-only scan-side
+    pass with per-rule booleans (curate.gopher_gate)."""
+    return cu.gopher_gate(load(spark, sf, "documents")).select(
+        "doc_id", "r_len", "r_wordlen", "r_symbol", "r_stop",
+        "r_distinct", "pass")
+
+
+@_q("e30_peak_concurrency", """
+WITH b AS (
+  SELECT event_type, event_id, epoch_us(ts::TIMESTAMP) AS t,
+         1 AS delta
+  FROM events
+  UNION ALL
+  SELECT event_type, event_id,
+         epoch_us(ts::TIMESTAMP)
+         + CAST(ROUND(value * 1000000) AS BIGINT) AS t, -1 AS delta
+  FROM events),
+ r AS (SELECT event_type, t,
+              SUM(delta) OVER (PARTITION BY event_type
+                               ORDER BY t, delta, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS c
+       FROM b),
+ p AS (SELECT event_type, MAX(c) AS peak FROM r GROUP BY 1)
+SELECT r.event_type, CAST(p.peak AS BIGINT) AS peak,
+       MIN(r.t) AS first_peak_t
+FROM r JOIN p ON p.event_type = r.event_type AND r.c = p.peak
+GROUP BY 1, 2
+""")
+def q_peak_concurrency(spark, sf):
+    """Maximum simultaneous activity per event type over
+    [ts, ts + value s] intervals, +1/−1 boundary sweep in exact
+    integer µs, with the first time the peak is reached
+    (evaluation.peak_concurrency)."""
+    return ev6.peak_concurrency(events_df(spark, sf))

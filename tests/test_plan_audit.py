@@ -417,3 +417,18 @@ def test_round6_batch_bounded_shuffles(spark):
     for name in ("x141_fellegi_sunter", "x143_sorted_neighborhood",
                  "x148_winnowing"):
         assert_no_cartesian(q(spark, name))
+
+
+def test_round6_batch2_bounded_shuffles(spark):
+    """Round-6 batch-2 plan pins. p5's five-rule gate is pure
+    scan-side Column math — ZERO exchanges; x149/e30 are one
+    window+aggregate on the group key; x150's pair join keys on the
+    user; x151's dispersion pipeline shuffles bounded token
+    aggregates with the part sizes and totals broadcast."""
+    for name, max_sh in (("p5_gopher_gate", 0),
+                         ("x149_rbo", 1),
+                         ("e30_peak_concurrency", 1),
+                         ("x150_kendall_tau", 2),
+                         ("x151_term_dispersion", 7)):
+        assert shuffle_count(q(spark, name)) <= max_sh, name
+    assert_no_cartesian(q(spark, "x150_kendall_tau"))

@@ -265,3 +265,87 @@ def test_gini_mirror_hypothesis():
         assert 0.0 <= g <= 1.0 - 1.0 / len(xs) + 1e-12
         assert abs(gini_py([c * x for x in xs]) - g) < 1e-9
     prop()
+
+
+# --------------------------------------------------- batch-2 kernels
+
+def test_rbo_identical_and_disjoint(spark):
+    from data_ingest_spark.extensions.evaluation import (rbo_overlap,
+                                                         rbo_suffix_weights)
+    w = rbo_suffix_weights(10, 0.9)
+    # user 1: value order == recency order (both descending with i) —
+    # identical top-10 → rbo = Σ_d W[d]; user 2: value order exactly
+    # reverses recency order over 20 items → top-10s are disjoint →
+    # no common row at all
+    rows = [(i, float(100 - i), 1000 - i, 1) for i in range(12)]
+    rows += [(100 + i, float(i), 2000 - i, 2) for i in range(20)]
+    df = spark.createDataFrame(rows, ["event_id", "value", "us", "user_id"]) \
+        .select("event_id", "value", "user_id",
+                F.timestamp_micros(F.col("us") * 1000000).alias("ts"))
+    out = {r["user_id"]: r for r in rbo_overlap(df).collect()}
+    assert out[1]["n_common"] == 10
+    assert out[1]["rbo"] == round(sum(w), 6)
+    assert 2 not in out
+
+
+def test_kendall_tau_perfect_and_reversed(spark):
+    from data_ingest_spark.extensions.evaluation import kendall_tau_b
+    rows = [(i, float(i), float(i), 1) for i in range(6)]        # agree
+    rows += [(10 + i, float(i), float(-i), 2) for i in range(6)]  # reverse
+    rows += [(20 + i, float(i // 2), float(i), 3) for i in range(6)]  # x ties
+    df = spark.createDataFrame(rows, ["event_id", "value", "_y", "user_id"])
+    out = {r["user_id"]: r for r in kendall_tau_b(df).collect()}
+    assert out[1]["tau_b"] == 1.0 and out[1]["discordant"] == 0
+    assert out[2]["tau_b"] == -1.0 and out[2]["concordant"] == 0
+    # x = [0,0,1,1,2,2], y = 0..5: C = 12, D = 0, n1 = 3, n0 = 15
+    import math
+    exp = round(12 / math.sqrt((15 - 3) * 15), 6)
+    assert out[3]["tau_b"] == exp
+
+
+def test_peak_concurrency_overlap_and_touching(spark):
+    from data_ingest_spark.extensions.evaluation import peak_concurrency
+    base = 1_700_000_000_000_000
+    rows = [(1, base, 10.0, "a"), (2, base + 5_000_000, 10.0, "a"),
+            (3, base + 20_000_000, 10.0, "a"),
+            # type b: touching intervals [0,10],[10,20] never overlap
+            (4, base, 10.0, "b"), (5, base + 10_000_000, 10.0, "b")]
+    df = spark.createDataFrame(
+        rows, ["event_id", "us", "value", "event_type"]).select(
+        "event_id", F.timestamp_micros(F.col("us")).alias("ts"),
+        "value", "event_type")
+    out = {r["event_type"]: r for r in peak_concurrency(df).collect()}
+    assert out["a"]["peak"] == 2
+    assert out["a"]["first_peak_t"] == base + 5_000_000
+    assert out["b"]["peak"] == 1
+    assert out["b"]["first_peak_t"] == base
+
+
+def test_term_dispersion_even_vs_confined(spark):
+    from data_ingest_spark.extensions.text import term_dispersion
+    # parts A and B, 8 tokens each: "even" appears 2+2, "burst" 4+0
+    docs = [(1, "A", "even even burst burst burst burst pad1 pad2"),
+            (2, "B", "even even pad3 pad4 pad5 pad6 pad7 pad8")]
+    df = spark.createDataFrame(docs, ["doc_id", "source", "text"])
+    out = {r["term"]: r["dp"] for r in
+           term_dispersion(df, top_k=50, min_count=2).collect()}
+    assert out["even"] == 0.0          # v = (.5,.5) = s
+    assert out["burst"] == 0.5         # v = (1,0), s = (.5,.5)
+
+
+def test_gopher_gate_rules(spark):
+    from data_ingest_spark.extensions.curate import gopher_gate
+    good = "the cat sat on the mat and went to sleep in the warm sun " * 2
+    sym = "@@@ ### $$$ %%% ^^^ &&& *** !!! ((( ))) " * 3
+    rep = "spam " * 40
+    zh = "中文" * 60
+    docs = [(1, good, "en"), (2, sym, "en"), (3, rep, "en"), (4, zh, "zh")]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "lang"]) \
+        .withColumn("n_chars", F.length("text"))
+    out = {r["doc_id"]: r for r in gopher_gate(df).collect()}
+    assert out[1]["pass"]
+    assert not out[2]["r_symbol"] and not out[2]["pass"]
+    assert not out[3]["r_distinct"] and not out[3]["pass"]
+    # zh: symbol/stop rules auto-pass; distinct ratio of "中文中文…"
+    # (one token) is 1.0
+    assert out[4]["r_symbol"] and out[4]["r_stop"]
