@@ -128,9 +128,13 @@ def gopher_gate(docs: DataFrame, text_col: str = "text",
     out = (docs
            .withColumn("r_len", F.col(len_col).between(50, 20000))
            .withColumn("r_wordlen", (mean_wl >= 2.0) & (mean_wl <= 12.0))
+           # multiplication form, not nonal/len ≤ 0.25: exactly
+           # equivalent for len > 0 (0.25 is dyadic, both sides exact
+           # doubles) and still FALSE-free at len = 0, where the
+           # division would yield NULL and poison `pass`
            .withColumn("r_symbol",
                        (~is_en) | (nonal.cast("double")
-                                   / F.col(len_col) <= 0.25))
+                                   <= 0.25 * F.col(len_col)))
            .withColumn("r_stop", (~is_en) | (stop_hits >= 2))
            .withColumn("r_distinct",
                        F.size(F.array_distinct(toks)).cast("double")

@@ -412,7 +412,7 @@ WITH d AS (SELECT doc_id, text, lang, n_chars,
      AND CAST(n_chars AS DOUBLE) / len(toks) <= 12.0) AS r_wordlen,
     (lang != 'en' OR
      CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
-          AS DOUBLE) / n_chars <= 0.25) AS r_symbol,
+          AS DOUBLE) <= 0.25 * n_chars) AS r_symbol,
     (lang != 'en' OR
      (CAST(list_contains(toks, 'the') AS INT)
       + CAST(list_contains(toks, 'of') AS INT)
