@@ -194,3 +194,58 @@ def test_streaming_corpus_curation_end_to_end(spark, tmp_path):
 
     got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert got == {1, 4}        # 2 gated, 3 deduped across batches
+
+
+def test_streaming_neardup_ingest_against_persistent_index(spark, tmp_path):
+    """Streaming near-dup gate over the persistent banded index: epoch
+    0 seeds the index; epoch 1's head-truncated copy of an epoch-0
+    document is caught by the bucket join + exact-Jaccard verify,
+    quarantined into the pairs table, and kept OUT of the curated
+    corpus; replaying an epoch's foreachBatch call leaves every output
+    unchanged (tagged-overwrite idempotence)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from data_ingest_spark.streaming.neardup_ingest import (
+        neardup_ingest_batch, start_neardup_ingest)
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src, exist_ok=True)
+    base = " ".join(f"tok{i}" for i in range(30))
+    other = " ".join(f"zzz{i}" for i in range(30))
+    batches = [
+        [(1, base), (2, other)],
+        # 3 = base minus its first two words (the planted near-dup),
+        # 4 = novel
+        [(3, " ".join(base.split()[2:])),
+         (4, " ".join(f"qq{i}" for i in range(30)))],
+    ]
+    for i, rows in enumerate(batches):
+        p = os.path.join(src, f"d{i}.parquet")
+        pq.write_table(pa.table({"doc_id": [r[0] for r in rows],
+                                 "text": [r[1] for r in rows]}), p)
+        t = time.time() + i
+        os.utime(p, (t, t))
+
+    idx = str(tmp_path / "idx")
+    cur = str(tmp_path / "curated")
+    prs = str(tmp_path / "pairs")
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = start_neardup_ingest(stream, idx, cur, prs,
+                             str(tmp_path / "ck"), threshold=0.5)
+    q.awaitTermination(120)
+
+    kept = {r["doc_id"] for r in spark.read.parquet(cur).collect()}
+    assert kept == {1, 2, 4}
+    got_pairs = [(r["id_new"], r["id_old"])
+                 for r in spark.read.parquet(prs).collect()]
+    assert got_pairs == [(3, 1)]
+
+    # replay epoch 1 (at-least-once redelivery): outputs unchanged
+    fn = neardup_ingest_batch(idx, cur, prs, threshold=0.5)
+    bdf = spark.createDataFrame(batches[1], ["doc_id", "text"])
+    fn(bdf, 1)
+    assert {r["doc_id"] for r in spark.read.parquet(cur).collect()} \
+        == {1, 2, 4}
+    assert [(r["id_new"], r["id_old"])
+            for r in spark.read.parquet(prs).collect()] == [(3, 1)]
