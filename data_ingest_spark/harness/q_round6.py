@@ -139,7 +139,12 @@ def q_lsh_precision(spark, sf):
     band-bucket candidate pairs verify at Jaccard ≥ 0.5. The
     complement of x57's recall audit — together they bound the
     filter's operating point, each under a full value oracle."""
-    membership = dd.shingle_sets(_neardup_corpus(spark, sf)).persist()
+    # lazy localCheckpoint, not persist: the membership subtree feeds
+    # four consumers (bands, sizes, both verify sides) — checkpointed
+    # it is ONE scan in the static plan too, and it is GC-reclaimable
+    # (the ppjoin pattern)
+    membership = dd.shingle_sets(_neardup_corpus(spark, sf)) \
+        .localCheckpoint(eager=False)
     bb = dd.minhash_bands(membership, membership=True)
     cand = dd.lsh_candidate_pairs(bb)
     verified = dd.jaccard_of_pairs(cand, membership).filter(
@@ -463,3 +468,21 @@ def q_peak_concurrency(spark, sf):
     integer µs, with the first time the peak is reached
     (evaluation.peak_concurrency)."""
     return ev6.peak_concurrency(events_df(spark, sf))
+
+
+@_q("x152_k_anonymity", """
+SELECT c_nationkey, c_mktsegment,
+       CAST(FLOOR(c_acctbal / 100) AS INTEGER) AS bal_bucket,
+       CAST(COUNT(*) AS BIGINT) AS class_size
+FROM customer
+GROUP BY 1, 2, 3 HAVING COUNT(*) < 5
+""")
+def q_k_anonymity(spark, sf):
+    """k-anonymity audit (k=5) over the (nation, segment, balance
+    bucket) quasi-identifiers: equivalence classes small enough to
+    re-identify a customer (profile.k_anonymity)."""
+    cust = load(spark, sf, "customer").select(
+        "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 100).cast("int").alias("bal_bucket"))
+    return pf.k_anonymity(cust,
+                          ["c_nationkey", "c_mktsegment", "bal_bucket"])

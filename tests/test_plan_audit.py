@@ -412,7 +412,9 @@ def test_round6_batch_bounded_shuffles(spark):
                          ("x143_sorted_neighborhood", 3),
                          ("x148_winnowing", 4),
                          ("x147_js_divergence", 6),
-                         ("x142_lsh_precision", 16)):
+                         # membership localCheckpoint collapses the
+                         # static duplication the old persist left
+                         ("x142_lsh_precision", 10)):
         assert shuffle_count(q(spark, name)) <= max_sh, name
     for name in ("x141_fellegi_sunter", "x143_sorted_neighborhood",
                  "x148_winnowing"):
@@ -429,6 +431,7 @@ def test_round6_batch2_bounded_shuffles(spark):
                          ("x149_rbo", 1),
                          ("e30_peak_concurrency", 1),
                          ("x150_kendall_tau", 2),
+                         ("x152_k_anonymity", 1),
                          ("x151_term_dispersion", 7)):
         assert shuffle_count(q(spark, name)) <= max_sh, name
     assert_no_cartesian(q(spark, "x150_kendall_tau"))

@@ -349,3 +349,14 @@ def test_gopher_gate_rules(spark):
     # zh: symbol/stop rules auto-pass; distinct ratio of "中文中文…"
     # (one token) is 1.0
     assert out[4]["r_symbol"] and out[4]["r_stop"]
+
+
+def test_k_anonymity_flags_small_classes_only(spark):
+    from data_ingest_spark.extensions.profile import k_anonymity
+    rows = [(i, "a", "x") for i in range(10)]      # class of 10: safe
+    rows += [(100, "b", "x"), (101, "b", "x")]      # class of 2: at risk
+    rows += [(200, "c", "y")]                       # class of 1: at risk
+    df = spark.createDataFrame(rows, ["id", "q1", "q2"])
+    out = {(r["q1"], r["q2"]): r["class_size"]
+           for r in k_anonymity(df, ["q1", "q2"], k=5).collect()}
+    assert out == {("b", "x"): 2, ("c", "y"): 1}
