@@ -360,3 +360,17 @@ def test_k_anonymity_flags_small_classes_only(spark):
     out = {(r["q1"], r["q2"]): r["class_size"]
            for r in k_anonymity(df, ["q1", "q2"], k=5).collect()}
     assert out == {("b", "x"): 2, ("c", "y"): 1}
+
+
+def test_auc_rank_skips_null_scores(spark):
+    """Regression (round-5 ADVICE): a NULL score used to become a NULL
+    coarse-bucket map key and fail at runtime — now null-scored rows
+    are excluded before the census, so the AUC equals the non-null
+    subset's."""
+    from data_ingest_spark.extensions.evaluation import auc_rank
+    rows = [(1, 0.9), (1, 0.8), (0, 0.4), (0, 0.1),
+            (1, None), (0, None)]
+    df = spark.createDataFrame(rows, "label int, score double")
+    r = auc_rank(df).collect()[0]
+    clean = auc_rank(df.filter(F.col("score").isNotNull())).collect()[0]
+    assert r["auc"] == clean["auc"] == 1.0
