@@ -1283,7 +1283,15 @@ def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
     Plan shape: one map-side gram explode (arrays bounded by doc
     length), one partitioned window (doc, pos) for the running min,
     one distinct — no joins, no driver state. Documents shorter than
-    k + window − 1 have no full window and are dropped (both engines)."""
+    k + window − 1 have no full window and are dropped (both engines).
+
+    A shuffle-free variant (per-row array HOFs: transform + slice +
+    array_min over the in-row hash array) was measured and REJECTED:
+    naively it O(L²)-recomputes the md5 array per position under
+    project-collapse, and even lambda-bound it runs 13.6 s vs 5.2 s
+    at sf0.1 — Spark evaluates higher-order array functions
+    interpreted, while this window form stays in codegen; its one
+    gram shuffle is linear (32 MB at sf0.1, SCALING.md)."""
     min_len = k + window - 1
     grams = (df.filter(F.length(text_col) >= min_len)
              .select(F.col(id_col), F.posexplode(F.expr(
