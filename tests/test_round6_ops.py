@@ -374,3 +374,34 @@ def test_auc_rank_skips_null_scores(spark):
     r = auc_rank(df).collect()[0]
     clean = auc_rank(df.filter(F.col("score").isNotNull())).collect()[0]
     assert r["auc"] == clean["auc"] == 1.0
+
+
+def test_banded_hamming_differential_vs_brute_force(spark):
+    """The banded-Hamming join claims EXACT recall (pigeonhole:
+    distance ≤ d pairs agree on one of d+1 bands). Differential-test
+    against brute force on random 16-bit hashes with planted
+    near-pairs — output must match all-pairs Hamming exactly, both
+    directions (none lost, none invented)."""
+    import itertools
+    import random
+
+    from data_ingest_spark.extensions.multimodal import phash_neardup_pairs
+
+    rng = random.Random(31)
+    hashes = {i: rng.randrange(1 << 16) for i in range(60)}
+    nid = 100
+    for i in range(0, 20, 2):         # plant exact + 1-bit + 2-bit
+        hashes[nid] = hashes[i]
+        hashes[nid + 1] = hashes[i] ^ (1 << rng.randrange(16))
+        hashes[nid + 2] = (hashes[i] ^ (1 << rng.randrange(16))
+                           ^ (1 << rng.randrange(16)))
+        nid += 3
+    brute = {}
+    for a, b in itertools.combinations(sorted(hashes), 2):
+        d = bin(hashes[a] ^ hashes[b]).count("1")
+        if d <= 2:
+            brute[(a, b)] = d
+    df = spark.createDataFrame(list(hashes.items()), ["doc_id", "phash"])
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in phash_neardup_pairs(df).collect()}
+    assert got == brute and brute
