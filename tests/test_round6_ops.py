@@ -405,3 +405,41 @@ def test_banded_hamming_differential_vs_brute_force(spark):
     got = {(r["id_a"], r["id_b"]): r["hamming"]
            for r in phash_neardup_pairs(df).collect()}
     assert got == brute and brute
+
+
+def test_containment_differential_vs_brute_force(spark):
+    """containment_pairs with the df-cap above the corpus size must
+    EQUAL brute-force all-pairs shingle containment — excerpts found
+    with the exact scores, nothing invented."""
+    import itertools
+    import random
+    import re
+
+    from data_ingest_spark.extensions.dedup import containment_pairs
+
+    def sh(text):
+        toks = re.split(r"\s+", text.lower())
+        if len(toks) >= 3:
+            return {" ".join(toks[i:i + 3])
+                    for i in range(len(toks) - 2)}
+        return {" ".join(toks)}
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(
+        rng.randint(6, 40)))) for i in range(15)]
+    # plant excerpts: doc 100+i = a 10-token slice of doc i
+    for i in range(5):
+        toks = docs[i][1].split()
+        if len(toks) >= 12:
+            docs.append((100 + i, " ".join(toks[1:11])))
+    sets = {i: sh(t) for i, t in docs}
+    brute = {}
+    for a, b in itertools.permutations(sorted(sets), 2):
+        c = len(sets[a] & sets[b]) / len(sets[a])
+        if c >= 0.8:
+            brute[(a, b)] = round(c, 6)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {(r["contained_id"], r["container_id"]): r["containment"]
+           for r in containment_pairs(df, max_df=10**6).collect()}
+    assert got == brute and brute
