@@ -443,3 +443,44 @@ def test_containment_differential_vs_brute_force(spark):
     got = {(r["contained_id"], r["container_id"]): r["containment"]
            for r in containment_pairs(df, max_df=10**6).collect()}
     assert got == brute and brute
+
+
+def test_dup_clusters_differential_vs_union_find(spark):
+    """Min-label CC vs a python union-find on a random sparse graph
+    (long chains included — the worst case for round-bounded
+    propagation): every node must land in the component labeled by
+    its true minimum member."""
+    import random
+
+    from data_ingest_spark.extensions.dedup import dup_clusters
+
+    rng = random.Random(11)
+    edges = [(i, i + 1) for i in range(0, 12)]          # 13-node chain
+    edges += [(rng.randrange(20, 60), rng.randrange(20, 60))
+              for _ in range(30)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        parent[find(x)] = find(y)
+
+    for a, b in edges:
+        union(a, b)
+    comp = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    truth = {n: min(members) for members in comp.values()
+             for n in members}
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["doc_id"]: r["cluster"]
+           for r in dup_clusters(df).collect()}
+    assert got == truth
