@@ -484,3 +484,111 @@ def test_dup_clusters_differential_vs_union_find(spark):
     got = {r["doc_id"]: r["cluster"]
            for r in dup_clusters(df).collect()}
     assert got == truth
+
+
+def test_peak_concurrency_differential_vs_sweep(spark):
+    """Boundary-sweep kernel vs a python mirror on random intervals
+    (including exact-touch and duplicate boundaries — the tie cases
+    the (t, delta, id) ordering must settle deterministically)."""
+    import random
+
+    from data_ingest_spark.extensions.evaluation import peak_concurrency
+
+    rng = random.Random(17)
+    base = 1_700_000_000_000_000
+    rows = []
+    for eid in range(60):
+        start = base + rng.randrange(0, 50) * 500_000     # 0.5 s grid
+        dur = rng.randrange(1, 8) * 0.5                    # exact .5 s
+        rows.append((eid, start, dur, ["a", "b"][eid % 2]))
+    # python mirror: ends sort before starts at the same instant
+    truth = {}
+    for key in ("a", "b"):
+        bounds = []
+        for eid, s, d, k in rows:
+            if k != key:
+                continue
+            e = s + round(d * 1_000_000)
+            bounds += [(s, 1, eid), (e, -1, eid)]
+        bounds.sort()
+        cur = peak = 0
+        first_t = None
+        for t, delta, _ in bounds:
+            cur += delta
+            if cur > peak:
+                peak, first_t = cur, t
+        truth[key] = (peak, first_t)
+    df = spark.createDataFrame(
+        rows, ["event_id", "us", "value", "event_type"]).select(
+        "event_id", F.timestamp_micros(F.col("us")).alias("ts"),
+        "value", "event_type")
+    got = {r["event_type"]: (r["peak"], r["first_peak_t"])
+           for r in peak_concurrency(df).collect()}
+    assert got == truth
+
+
+def test_kendall_tau_differential_vs_quadratic(spark):
+    """τ-b vs the direct O(n²) definition on random data with ties in
+    both variables."""
+    import math
+    import random
+
+    from data_ingest_spark.extensions.evaluation import kendall_tau_b
+
+    rng = random.Random(23)
+    rows = [(i, float(rng.randrange(6)), float(rng.randrange(6)), u)
+            for u in (1, 2, 3) for i in range(u * 100, u * 100 + 25)]
+    truth = {}
+    for u in (1, 2, 3):
+        pts = [(x, y) for (_, x, y, uu) in rows if uu == u]
+        c = d = n1 = n2 = 0
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                sx = (pts[i][0] > pts[j][0]) - (pts[i][0] < pts[j][0])
+                sy = (pts[i][1] > pts[j][1]) - (pts[i][1] < pts[j][1])
+                if sx == 0:
+                    n1 += 1
+                if sy == 0:
+                    n2 += 1
+                if sx * sy > 0:
+                    c += 1
+                elif sx * sy < 0:
+                    d += 1
+        n0 = len(pts) * (len(pts) - 1) // 2
+        truth[u] = round((c - d) / math.sqrt((n0 - n1) * (n0 - n2)), 6)
+    df = spark.createDataFrame(rows, ["event_id", "value", "_y", "user_id"])
+    got = {r["user_id"]: r["tau_b"] for r in kendall_tau_b(df).collect()}
+    assert got == truth
+
+
+def test_rbo_differential_vs_direct_definition(spark):
+    """Suffix-weight RBO vs the direct truncated definition
+    Σ_d w_d·|A_d ∩ B_d| on random rankings."""
+    import random
+
+    from data_ingest_spark.extensions.evaluation import (rbo_overlap,
+                                                         rbo_suffix_weights)
+
+    k, p = 10, 0.9
+    w = [round((1 - p) * p ** (d - 1) / d, 9) for d in range(1, k + 1)]
+    rng = random.Random(29)
+    rows = []
+    for u in (1, 2):
+        vals = rng.sample(range(100), 30)
+        ts = rng.sample(range(100), 30)
+        rows += [(u * 1000 + i, float(vals[i]), 10**15 + ts[i] * 10**6, u)
+                 for i in range(30)]
+    truth = {}
+    for u in (1, 2):
+        items = [(eid, v, t) for (eid, v, t, uu) in rows if uu == u]
+        ra = [e for e, _, _ in sorted(items, key=lambda x: (-x[1], x[0]))]
+        rb = [e for e, _, _ in sorted(items, key=lambda x: (-x[2], x[0]))]
+        s = sum(wd * len(set(ra[:d]) & set(rb[:d]))
+                for d, wd in zip(range(1, k + 1), w))
+        truth[u] = round(s, 6)
+    df = spark.createDataFrame(
+        rows, ["event_id", "value", "us", "user_id"]).select(
+        "event_id", "value", "user_id",
+        F.timestamp_micros(F.col("us")).alias("ts"))
+    got = {r["user_id"]: r["rbo"] for r in rbo_overlap(df).collect()}
+    assert got == truth
