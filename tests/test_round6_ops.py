@@ -592,3 +592,112 @@ def test_rbo_differential_vs_direct_definition(spark):
         F.timestamp_micros(F.col("us")).alias("ts"))
     got = {r["user_id"]: r["rbo"] for r in rbo_overlap(df).collect()}
     assert got == truth
+
+
+def test_gap_regularity_differential_vs_numpy(spark):
+    """cv/mean vs the literal decimal-moment mirror on random event
+    times with duplicate timestamps (the id tie-break case)."""
+    import math
+    import random
+
+    rng = random.Random(37)
+    base = 1_700_000_000_000_000
+    rows = []
+    for u in (1, 2):
+        times = sorted(rng.randrange(0, 10**9) for _ in range(30))
+        times[5] = times[4]                      # duplicate instant
+        rows += [(u * 1000 + i, base + t, u)
+                 for i, t in enumerate(times)]
+    truth = {}
+    for u in (1, 2):
+        evs = sorted((t, eid) for (eid, t, uu) in rows if uu == u)
+        gaps = [b[0] - a[0] for a, b in zip(evs, evs[1:])]
+        n, s = len(gaps), sum(gaps)
+        ss = sum(g * g for g in gaps)
+        cv = math.sqrt(float(n * ss - s * s) / (n * (n - 1))) / (s / n)
+        truth[u] = (n, float((2 * s + n) // (2 * n)) / 1e6,
+                    round(cv, 6))
+    df = spark.createDataFrame(rows, ["event_id", "us", "user_id"]) \
+        .select("event_id", F.timestamp_micros(F.col("us")).alias("ts"),
+                "user_id")
+    got = {r["user_id"]: (r["n_gaps"], r["mean_gap_s"], r["cv_gap"])
+           for r in gap_regularity(df, min_gaps=5).collect()}
+    assert got == truth
+
+
+def test_term_dispersion_differential_vs_mirror(spark):
+    """Gries DP vs the direct Σ_parts |v−s| definition (including
+    zero-occurrence parts, which the kernel folds in closed form)."""
+    import random
+    import re
+
+    from data_ingest_spark.extensions.text import term_dispersion
+
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [(i, f"src{i % 4}", " ".join(rng.choice(vocab)
+                                        for _ in range(20)))
+            for i in range(16)]
+    parts = {}
+    for _, p, t in docs:
+        for tok in re.split(r"\s+", t.lower()):
+            parts.setdefault(p, []).append(tok)
+    psz = {p: len(toks) for p, toks in parts.items()}
+    tot = sum(psz.values())
+    cnt = {}
+    for p, toks in parts.items():
+        for tok in toks:
+            cnt[(p, tok)] = cnt.get((p, tok), 0) + 1
+    ct = {}
+    for (p, tok), c in cnt.items():
+        ct[tok] = ct.get(tok, 0) + c
+    truth = {}
+    for tok, c_t in ct.items():
+        if c_t < 20:
+            continue
+        dp = 0.5 * sum(abs(cnt.get((p, tok), 0) / c_t - psz[p] / tot)
+                       for p in psz)
+        truth[tok] = (c_t, round(dp, 6))
+    df = spark.createDataFrame(docs, ["doc_id", "source", "text"])
+    got = {r["term"]: (r["n_occurrences"], r["dp"]) for r in
+           term_dispersion(df, top_k=1000, min_count=20).collect()}
+    assert got == truth and truth
+
+
+def test_js_divergence_differential_vs_mirror(spark):
+    """Bucketed JSD vs the direct two-distribution definition on
+    random corpora (partial bucket overlap)."""
+    import hashlib
+    import math
+    import random
+    import re
+
+    rng = random.Random(43)
+    vocab = [f"w{i}" for i in range(40)]
+    mk = lambda n: [(i, " ".join(rng.choice(vocab) for _ in range(15)))
+                    for i in range(n)]
+    da, db = mk(12), mk(12)
+
+    def counts(docs):
+        c = {}
+        for _, t in docs:
+            for tok in re.split(r"\s+", t.lower()):
+                b = int(hashlib.md5(tok.encode()).hexdigest()[:7],
+                        16) % 64
+                c[b] = c.get(b, 0) + 1
+        return c
+    ca, cb = counts(da), counts(db)
+    ta, tb = sum(ca.values()), sum(cb.values())
+    jsd = 0.0
+    for b in set(ca) | set(cb):
+        pv, qv = ca.get(b, 0) / ta, cb.get(b, 0) / tb
+        m = (pv + qv) / 2.0
+        if pv > 0:
+            jsd += 0.5 * pv * math.log(pv / m)
+        if qv > 0:
+            jsd += 0.5 * qv * math.log(qv / m)
+    a = spark.createDataFrame(da, ["doc_id", "text"])
+    b = spark.createDataFrame(db, ["doc_id", "text"])
+    r = js_divergence(a, b).collect()[0]
+    assert (r["n_buckets_a"], r["n_buckets_b"]) == (len(ca), len(cb))
+    assert r["jsd"] == round(jsd, 6)
