@@ -704,3 +704,42 @@ def peak_concurrency(events: DataFrame, key_col: str = "event_type",
             .groupBy(key_col)
             .agg(F.max("_c").cast("long").alias("peak"),
                  F.min("_t").alias("first_peak_t")))
+
+
+def pattern_negation(events: DataFrame, start: str = "signup",
+                     goal: str = "purchase", blocker: str = "click",
+                     within_s: int = 604800, user_col: str = "user_id",
+                     ts_col: str = "ts",
+                     id_col: str = "event_id") -> DataFrame:
+    """CEP negation pattern per user: occurrences of ``start`` whose
+    EARLIEST following ``goal`` arrives within ``within_s`` seconds
+    AND has no ``blocker`` event strictly between them — the
+    "converted without churning through support" class of funnel
+    question that plain ordered-step funnels (window_funnel) cannot
+    express.
+
+    One pass: per user, two conditional MIN-over-following window
+    aggregates give each start row its next goal and next blocker
+    time in exact integer µs; the negation is then a row-local
+    comparison (clean ⇔ next_goal ≤ start + T and next_blocker is
+    NULL or ≥ next_goal). A single shuffle on the user key, no joins,
+    no per-step iteration — the same plan at 20 pattern steps."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (W.partitionBy(user_col).orderBy("_us", id_col)
+         .rowsBetween(1, W.unboundedFollowing))
+    typed = events.select(user_col, F.col(id_col), "event_type",
+                          us.alias("_us"))
+    nxt = (typed
+           .withColumn("_ng", F.min(F.when(
+               F.col("event_type") == goal, F.col("_us"))).over(w))
+           .withColumn("_nb", F.min(F.when(
+               F.col("event_type") == blocker, F.col("_us"))).over(w))
+           .filter(F.col("event_type") == start))
+    conv = F.col("_ng").isNotNull() & (
+        F.col("_ng") - F.col("_us") <= within_s * 1_000_000)
+    clean = conv & (F.col("_nb").isNull()
+                    | (F.col("_nb") >= F.col("_ng")))
+    return (nxt.groupBy(user_col).agg(
+        F.count("*").cast("long").alias("n_starts"),
+        F.sum(conv.cast("int")).cast("long").alias("n_conversions"),
+        F.sum(clean.cast("int")).cast("long").alias("n_clean")))

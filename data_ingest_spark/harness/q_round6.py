@@ -486,3 +486,37 @@ def q_k_anonymity(spark, sf):
         F.floor(F.col("c_acctbal") / 100).cast("int").alias("bal_bucket"))
     return pf.k_anonymity(cust,
                           ["c_nationkey", "c_mktsegment", "bal_bucket"])
+
+
+@_q("e31_pattern_negation", """
+WITH t AS (SELECT user_id, event_id, event_type,
+                  epoch_us(ts::TIMESTAMP) AS us FROM events),
+ n AS (SELECT user_id, event_type, us,
+              MIN(CASE WHEN event_type = 'purchase' THEN us END)
+                OVER (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                AS ng,
+              MIN(CASE WHEN event_type = 'click' THEN us END)
+                OVER (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                AS nb
+       FROM t),
+ s AS (SELECT user_id,
+              (ng IS NOT NULL AND ng - us <= 604800000000)
+                AS conv,
+              (ng IS NOT NULL AND ng - us <= 604800000000
+               AND (nb IS NULL OR nb >= ng)) AS clean
+       FROM n WHERE event_type = 'signup')
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_starts,
+       CAST(SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_conversions,
+       CAST(SUM(CASE WHEN clean THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clean
+FROM s GROUP BY 1
+""")
+def q_pattern_negation(spark, sf):
+    """CEP negation funnel: signups converting to a purchase within 7
+    days with NO intervening click (evaluation.pattern_negation) —
+    the pattern class ordered-step funnels can't express, in one
+    window pass."""
+    return ev6.pattern_negation(events_df(spark, sf))

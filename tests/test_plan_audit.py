@@ -432,6 +432,7 @@ def test_round6_batch2_bounded_shuffles(spark):
                          ("e30_peak_concurrency", 1),
                          ("x150_kendall_tau", 2),
                          ("x152_k_anonymity", 1),
+                         ("e31_pattern_negation", 1),
                          ("x151_term_dispersion", 7)):
         assert shuffle_count(q(spark, name)) <= max_sh, name
     assert_no_cartesian(q(spark, "x150_kendall_tau"))

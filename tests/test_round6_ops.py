@@ -701,3 +701,30 @@ def test_js_divergence_differential_vs_mirror(spark):
     r = js_divergence(a, b).collect()[0]
     assert (r["n_buckets_a"], r["n_buckets_b"]) == (len(ca), len(cb))
     assert r["jsd"] == round(jsd, 6)
+
+
+def test_pattern_negation_semantics(spark):
+    from data_ingest_spark.extensions.evaluation import pattern_negation
+    base = 1_700_000_000_000_000
+    S = 1_000_000
+    rows = [
+        # user 1: signup -> purchase, no click between: clean
+        (1, base, "signup", 1), (2, base + 10 * S, "purchase", 1),
+        # user 2: signup -> click -> purchase: converts, not clean
+        (3, base, "signup", 2), (4, base + 5 * S, "click", 2),
+        (5, base + 10 * S, "purchase", 2),
+        # user 3: signup, purchase too late (outside window)
+        (6, base, "signup", 3), (7, base + 10**9 * S, "purchase", 3),
+        # user 4: click BEFORE signup then purchase: clean (strictly
+        # between only)
+        (8, base - 5 * S, "click", 4), (9, base, "signup", 4),
+        (10, base + 10 * S, "purchase", 4),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "us", "event_type",
+                                      "user_id"]).select(
+        "event_id", F.timestamp_micros(F.col("us")).alias("ts"),
+        "event_type", "user_id")
+    out = {r["user_id"]: (r["n_starts"], r["n_conversions"], r["n_clean"])
+           for r in pattern_negation(df).collect()}
+    assert out == {1: (1, 1, 1), 2: (1, 1, 0), 3: (1, 0, 0),
+                   4: (1, 1, 1)}
