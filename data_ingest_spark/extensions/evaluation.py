@@ -743,3 +743,56 @@ def pattern_negation(events: DataFrame, start: str = "signup",
         F.count("*").cast("long").alias("n_starts"),
         F.sum(conv.cast("int")).cast("long").alias("n_conversions"),
         F.sum(clean.cast("int")).cast("long").alias("n_clean")))
+
+
+def decay_attribution(events: DataFrame, conv_type: str = "purchase",
+                      touch_types: tuple = ("click", "view"),
+                      half_life_s: float = 86400.0,
+                      lookback_s: int = 604800,
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      id_col: str = "event_id") -> DataFrame:
+    """Time-decay multi-touch attribution: every conversion spreads
+    one unit of credit over the user's preceding touchpoints within
+    the lookback, weighted 0.5^(Δt/half_life) and normalized per
+    conversion — the standard alternative to last-touch (e28), which
+    hands the whole unit to the most recent touch.
+
+    Determinism at the float boundary (the x49/x39 convention): each
+    pair's decay weight is fixed-pointed ONCE (round(w·1e6) as int64),
+    the per-conversion normalizer is an exact integer sum, and the
+    credit division + final channel sum are the only float steps,
+    rounded 6dp.
+
+    Plan: one user-keyed join of conversions to touches (pair count
+    bounded by per-user activity — the attribution join every
+    warehouse runs), one groupBy(conversion) for normalizers, one
+    groupBy(channel). At 100 TB everything keys on user/conversion
+    ids; no global state."""
+    LN_HALF = -0.6931471805599453
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = events.select(F.col(user_col).alias("_u"),
+                         F.col(id_col).alias("_eid"),
+                         F.col("event_type"), us.alias("_us"))
+    conv = (base.filter(F.col("event_type") == conv_type)
+            .select(F.col("_u"), F.col("_eid").alias("_cid"),
+                    F.col("_us").alias("_cus")))
+    touch = (base.filter(F.col("event_type").isin(*touch_types))
+             .select(F.col("_u"), F.col("_eid").alias("_tid"),
+                     F.col("event_type").alias("channel"),
+                     F.col("_us").alias("_tus")))
+    pairs = (conv.join(touch, "_u")
+             .filter((F.col("_tus") < F.col("_cus"))
+                     & (F.col("_cus") - F.col("_tus")
+                        <= F.lit(int(lookback_s) * 1_000_000))))
+    age_s = (F.col("_cus") - F.col("_tus")).cast("double") / 1_000_000.0
+    w_fp = F.round(F.exp(F.lit(LN_HALF) * age_s / F.lit(half_life_s))
+                   * 1_000_000).cast("long")
+    weighted = pairs.withColumn("_w", w_fp)
+    norm = weighted.groupBy("_cid").agg(F.sum("_w").alias("_wsum"))
+    credited = (weighted.join(norm, "_cid")
+                .select("channel",
+                        (F.col("_w").cast("double")
+                         / F.col("_wsum")).alias("_credit")))
+    return (credited.groupBy("channel")
+            .agg(F.count("*").cast("long").alias("n_touches"),
+                 F.round(F.sum("_credit"), 6).alias("total_credit")))

@@ -645,3 +645,29 @@ def k_anonymity(df: DataFrame, quasi_cols: list[str],
     return (df.groupBy(*quasi_cols)
             .agg(F.count("*").cast("long").alias("class_size"))
             .filter(F.col("class_size") < k))
+
+
+def srm_check(df: DataFrame, arm_col: str = "arm",
+              ratios: list[float] | None = None) -> DataFrame:
+    """Sample-ratio-mismatch gate for experiment assignment: observed
+    unit counts per arm vs the expected split, with each arm's
+    chi-square contribution (o−e)²/e — the first thing to check
+    before reading any A/B result; a skewed split means broken
+    randomization, not a treatment effect. (The chi-square statistic
+    is Σ of the contribution column; critical values are the caller's
+    lookup — no p-value CDF crosses the engine boundary.)
+
+    One groupBy(arm) + a broadcast total: counts are exact integers,
+    the expected split enters as driver-side literals, one
+    multiply-divide chain per arm rounded 6dp."""
+    ratios = ratios or [0.5, 0.5]
+    rmap = F.array(*[F.lit(float(r)) for r in ratios])
+    counts = df.groupBy(arm_col).agg(F.count("*").alias("observed"))
+    total = counts.agg(F.sum("observed").alias("_n"))
+    e = F.col("_n") * rmap[F.col(arm_col).cast("int")]
+    contrib = ((F.col("observed") - e) * (F.col("observed") - e)) / e
+    return (counts.crossJoin(F.broadcast(total))
+            .select(arm_col,
+                    F.col("observed").cast("long").alias("observed"),
+                    F.round(e, 6).alias("expected"),
+                    F.round(contrib, 6).alias("chi2_contrib")))

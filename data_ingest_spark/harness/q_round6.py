@@ -520,3 +520,54 @@ def q_pattern_negation(spark, sf):
     the pattern class ordered-step funnels can't express, in one
     window pass."""
     return ev6.pattern_negation(events_df(spark, sf))
+
+
+@_q("e32_decay_attribution", """
+WITH t AS (SELECT user_id, event_id, event_type,
+                  epoch_us(ts::TIMESTAMP) AS us FROM events),
+ conv AS (SELECT user_id, event_id AS cid, us AS cus
+          FROM t WHERE event_type = 'purchase'),
+ touch AS (SELECT user_id, event_id AS tid, event_type AS channel,
+                  us AS tus
+           FROM t WHERE event_type IN ('click', 'view')),
+ pairs AS (SELECT c.cid, tt.channel,
+                  CAST(ROUND(EXP(-0.6931471805599453
+                              * (CAST(c.cus - tt.tus AS DOUBLE)
+                                 / 1000000.0) / 86400.0)
+                             * 1000000) AS BIGINT) AS w
+           FROM conv c JOIN touch tt
+             ON tt.user_id = c.user_id AND tt.tus < c.cus
+            AND c.cus - tt.tus <= 604800000000),
+ n AS (SELECT cid, SUM(w) AS wsum FROM pairs GROUP BY 1)
+SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+       ROUND(SUM(CAST(p.w AS DOUBLE) / n.wsum), 6) AS total_credit
+FROM pairs p JOIN n ON n.cid = p.cid
+GROUP BY 1
+""")
+def q_decay_attribution(spark, sf):
+    """Time-decay multi-touch attribution (24 h half-life, 7-day
+    lookback): conversions spread one normalized unit of credit over
+    prior click/view touches (evaluation.decay_attribution — the
+    fixed-point decay convention)."""
+    return ev6.decay_attribution(events_df(spark, sf))
+
+
+@_q("x153_srm_check", """
+WITH a AS (SELECT user_id % 2 AS arm FROM events),
+ c AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS observed
+       FROM a GROUP BY 1),
+ t AS (SELECT SUM(observed) AS n FROM c)
+SELECT arm, observed,
+       ROUND(t.n * (CASE WHEN arm = 0 THEN 0.5 ELSE 0.5 END), 6)
+         AS expected,
+       ROUND((observed - t.n * 0.5) * (observed - t.n * 0.5)
+             / (t.n * 0.5), 6) AS chi2_contrib
+FROM c, t
+""")
+def q_srm_check(spark, sf):
+    """Sample-ratio-mismatch gate over a user_id-parity arm
+    assignment of events (profile.srm_check): per-arm observed vs
+    expected counts and chi-square contributions."""
+    ev = events_df(spark, sf).select(
+        (F.col("user_id") % 2).alias("arm"))
+    return pf.srm_check(ev, ratios=[0.5, 0.5])

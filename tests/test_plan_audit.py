@@ -433,6 +433,8 @@ def test_round6_batch2_bounded_shuffles(spark):
                          ("x150_kendall_tau", 2),
                          ("x152_k_anonymity", 1),
                          ("e31_pattern_negation", 1),
+                         ("e32_decay_attribution", 3),
+                         ("x153_srm_check", 3),
                          ("x151_term_dispersion", 7)):
         assert shuffle_count(q(spark, name)) <= max_sh, name
     assert_no_cartesian(q(spark, "x150_kendall_tau"))

@@ -728,3 +728,34 @@ def test_pattern_negation_semantics(spark):
            for r in pattern_negation(df).collect()}
     assert out == {1: (1, 1, 1), 2: (1, 1, 0), 3: (1, 0, 0),
                    4: (1, 1, 1)}
+
+
+def test_decay_attribution_normalizes_and_decays(spark):
+    from data_ingest_spark.extensions.evaluation import decay_attribution
+    base = 1_700_000_000_000_000
+    H = 3600 * 1_000_000
+    rows = [
+        # one conversion with one click exactly one half-life before
+        # and one view exactly two half-lives before: weights
+        # 500000 : 250000 → credits 2/3 and 1/3
+        (1, base - H, "click", 1), (2, base - 2 * H, "view", 1),
+        (3, base, "purchase", 1),
+        # a touch AFTER the conversion gets nothing
+        (4, base + H, "click", 1),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "us", "event_type",
+                                      "user_id"]).select(
+        "event_id", F.timestamp_micros(F.col("us")).alias("ts"),
+        "event_type", "user_id")
+    out = {r["channel"]: (r["n_touches"], r["total_credit"])
+           for r in decay_attribution(df, half_life_s=3600.0).collect()}
+    assert out == {"click": (1, round(2 / 3, 6)),
+                   "view": (1, round(1 / 3, 6))}
+
+
+def test_srm_check_contributions(spark):
+    from data_ingest_spark.extensions.profile import srm_check
+    df = spark.createDataFrame([(0,)] * 60 + [(1,)] * 40, ["arm"])
+    out = {r["arm"]: r for r in srm_check(df).collect()}
+    assert out[0]["observed"] == 60 and out[0]["expected"] == 50.0
+    assert out[0]["chi2_contrib"] == 2.0 and out[1]["chi2_contrib"] == 2.0
