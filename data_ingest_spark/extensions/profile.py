@@ -671,3 +671,58 @@ def srm_check(df: DataFrame, arm_col: str = "arm",
                     F.col("observed").cast("long").alias("observed"),
                     F.round(e, 6).alias("expected"),
                     F.round(contrib, 6).alias("chi2_contrib")))
+
+
+def hourly_xcorr(events: DataFrame, type_a: str = "click",
+                 type_b: str = "purchase", lags: tuple = (0, 1),
+                 ts_col: str = "ts") -> DataFrame:
+    """Cross-correlation between two event streams' hourly count
+    series at the given hour lags — "do purchases track clicks, and
+    with what delay?", the monitoring / causal-sniff primitive.
+    Pearson r over the DENSIFIED hour grid (missing hours are real
+    zeros — skipping them biases r toward co-active hours; the grid
+    comes from an exact integer sequence over the observed span).
+
+    Determinism: counts are exact integers on an exact hour grid, all
+    five moment sums are exact int64 (counts ≤ events/hour, hours
+    bounded by the span), and r = cov/√(var_a·var_b) is one
+    sqrt-divide chain over those integers, rounded 6dp. Two shuffles
+    (hour-grid aggregate, lag-join) regardless of lag count."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    hrs = events.select((F.floor(us / 3_600_000_000)).alias("h"),
+                        F.col("event_type"))
+    counts = (hrs.filter(F.col("event_type").isin(type_a, type_b))
+              .groupBy("h")
+              .agg(F.sum((F.col("event_type") == type_a).cast("int"))
+                   .alias("ca"),
+                   F.sum((F.col("event_type") == type_b).cast("int"))
+                   .alias("cb")))
+    span = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    # span-bounded rows; materialized once via a lazy localCheckpoint
+    # so each lag branch (two join sides per lag) doesn't re-derive
+    # the corpus-side count subtree (the ks_drift pattern)
+    grid = (span.select(F.explode(F.sequence("h0", "h1")).alias("h"))
+            .join(counts, "h", "left")
+            .select("h", F.coalesce("ca", F.lit(0)).alias("ca"),
+                    F.coalesce("cb", F.lit(0)).alias("cb"))
+            .localCheckpoint(eager=False))
+    out = None
+    for lag in lags:
+        a = grid.select(F.col("h"), F.col("ca"))
+        b = grid.select((F.col("h") - lag).alias("h"),
+                        F.col("cb").alias("cb_l"))
+        j = a.join(b, "h")
+        n = F.count("*")
+        sa, sb = F.sum("ca"), F.sum("cb_l")
+        saa = F.sum(F.col("ca") * F.col("ca"))
+        sbb = F.sum(F.col("cb_l") * F.col("cb_l"))
+        sab = F.sum(F.col("ca") * F.col("cb_l"))
+        cov = (n * sab - sa * sb).cast("double")
+        va = (n * saa - sa * sa).cast("double")
+        vb = (n * sbb - sb * sb).cast("double")
+        row = j.agg(
+            F.lit(lag).cast("long").alias("lag_hours"),
+            n.cast("long").alias("n_hours"),
+            F.round(cov / F.sqrt(va * vb), 6).alias("pearson_r"))
+        out = row if out is None else out.unionByName(row)
+    return out

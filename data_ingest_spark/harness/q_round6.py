@@ -571,3 +571,39 @@ def q_srm_check(spark, sf):
     ev = events_df(spark, sf).select(
         (F.col("user_id") % 2).alias("arm"))
     return pf.srm_check(ev, ratios=[0.5, 0.5])
+
+
+@_q("e33_hourly_xcorr", """
+WITH h AS (SELECT epoch_us(ts::TIMESTAMP) // 3600000000 AS h,
+                  event_type
+           FROM events WHERE event_type IN ('click', 'purchase')),
+ c AS (SELECT h, SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS ca,
+              SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS cb
+       FROM h GROUP BY 1),
+ sp AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM c),
+ g AS (SELECT gs.h, COALESCE(c.ca, 0) AS ca, COALESCE(c.cb, 0) AS cb
+       FROM (SELECT unnest(generate_series(h0, h1)) AS h FROM sp) gs
+       LEFT JOIN c ON c.h = gs.h),
+ lagd AS (
+   SELECT 0 AS lag_hours, a.ca, b.cb AS cb_l
+   FROM g a JOIN g b ON b.h = a.h
+   UNION ALL
+   SELECT 1 AS lag_hours, a.ca, b.cb AS cb_l
+   FROM g a JOIN g b ON b.h - 1 = a.h)
+SELECT lag_hours, CAST(COUNT(*) AS BIGINT) AS n_hours,
+       ROUND(CAST(COUNT(*) * SUM(ca * cb_l) - SUM(ca) * SUM(cb_l)
+                  AS DOUBLE)
+             / SQRT(CAST(COUNT(*) * SUM(ca * ca) - SUM(ca) * SUM(ca)
+                         AS DOUBLE)
+                    * CAST(COUNT(*) * SUM(cb_l * cb_l)
+                           - SUM(cb_l) * SUM(cb_l) AS DOUBLE)), 6)
+         AS pearson_r
+FROM lagd GROUP BY 1
+""")
+def q_hourly_xcorr(spark, sf):
+    """Click→purchase hourly cross-correlation at lag 0 and 1 over the
+    densified hour grid (profile.hourly_xcorr): exact integer moments,
+    one sqrt-divide per lag."""
+    return pf.hourly_xcorr(events_df(spark, sf))

@@ -759,3 +759,25 @@ def test_srm_check_contributions(spark):
     out = {r["arm"]: r for r in srm_check(df).collect()}
     assert out[0]["observed"] == 60 and out[0]["expected"] == 50.0
     assert out[0]["chi2_contrib"] == 2.0 and out[1]["chi2_contrib"] == 2.0
+
+
+def test_hourly_xcorr_perfect_lag_tracking(spark):
+    """Purchases exactly mirror clicks one hour later → r(lag 1) = 1;
+    at lag 0 the series are deliberately anti-aligned."""
+    from data_ingest_spark.extensions.profile import hourly_xcorr
+    base = 1_700_000_000_000_000
+    H = 3_600_000_000
+    clicks = [3, 0, 5, 0, 7, 0]
+    rows, eid = [], 0
+    for h, c in enumerate(clicks):
+        for _ in range(c):
+            rows.append((eid, base + h * H, "click")); eid += 1
+        for _ in range(c):   # same count, one hour later
+            rows.append((eid, base + (h + 1) * H, "purchase")); eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "us", "event_type"]) \
+        .select("event_id", F.timestamp_micros(F.col("us")).alias("ts"),
+                "event_type")
+    out = {r["lag_hours"]: r["pearson_r"]
+           for r in hourly_xcorr(df).collect()}
+    assert out[1] == 1.0
+    assert out[0] < 0      # alternating series anti-correlate at lag 0
