@@ -726,3 +726,49 @@ def hourly_xcorr(events: DataFrame, type_a: str = "click",
             F.round(cov / F.sqrt(va * vb), 6).alias("pearson_r"))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def cusum_changepoint(events: DataFrame, type_col: str = "event_type",
+                      ts_col: str = "ts") -> DataFrame:
+    """Most-likely level-shift changepoint per event stream via the
+    CUSUM statistic over the densified hourly count series: with
+    partial sums P_t and grand total S over N hours, the scaled
+    deviation D_t = N·P_t − t·S peaks in magnitude at the most likely
+    changepoint (the exact-integer form of Σ(x_i − μ) — multiplying
+    through by N clears the rational mean). KS/PSI (x96/x138) say IF
+    two slices differ; CUSUM says WHEN a stream shifted.
+
+    Fully integer-exact end to end — counts, partials, D_t, and the
+    (|D| desc, hour asc) argmax are all int64; there is NO float in
+    the output, so the oracle match is bit-for-bit by construction.
+    One hour-grid aggregate + one per-type window cumsum + one
+    per-type argmax — two shuffles on the type key."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    hrs = events.select(F.col(type_col).alias("_ty"),
+                        F.floor(us / 3_600_000_000).alias("h"))
+    counts = hrs.groupBy("_ty", "h").agg(F.count("*").alias("c"))
+    span = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    types = counts.select("_ty").distinct()
+    grid = (types.crossJoin(F.broadcast(span))
+            .select("_ty", F.explode(F.sequence("h0", "h1")).alias("h"))
+            .join(counts, ["_ty", "h"], "left")
+            .select("_ty", "h", F.coalesce("c", F.lit(0)).alias("c")))
+    wcum = (W.partitionBy("_ty").orderBy("h")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wall = W.partitionBy("_ty")
+    d = (grid
+         .withColumn("_p", F.sum("c").over(wcum))
+         .withColumn("_t", F.row_number().over(
+             W.partitionBy("_ty").orderBy("h")))
+         .withColumn("_s", F.sum("c").over(wall))
+         .withColumn("_n", F.count("*").over(wall))
+         .withColumn("_d", F.col("_n") * F.col("_p")
+                     - F.col("_t") * F.col("_s")))
+    wpick = W.partitionBy("_ty").orderBy(F.abs(F.col("_d")).desc(),
+                                         F.col("h").asc())
+    return (d.withColumn("_rk", F.row_number().over(wpick))
+            .filter(F.col("_rk") == 1)
+            .select(F.col("_ty").alias(type_col),
+                    F.col("h").cast("long").alias("changepoint_hour"),
+                    F.abs(F.col("_d")).cast("long").alias("peak_cusum"),
+                    F.col("_n").cast("long").alias("n_hours")))

@@ -607,3 +607,40 @@ def q_hourly_xcorr(spark, sf):
     densified hour grid (profile.hourly_xcorr): exact integer moments,
     one sqrt-divide per lag."""
     return pf.hourly_xcorr(events_df(spark, sf))
+
+
+@_q("e34_cusum_changepoint", """
+WITH hrs AS (SELECT event_type AS ty,
+                    epoch_us(ts::TIMESTAMP) // 3600000000 AS h
+             FROM events),
+ c AS (SELECT ty, h, CAST(COUNT(*) AS BIGINT) AS c
+       FROM hrs GROUP BY 1, 2),
+ sp AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM c),
+ g AS (SELECT t.ty, gs.h, COALESCE(c.c, 0) AS c
+       FROM (SELECT DISTINCT ty FROM c) t
+       CROSS JOIN (SELECT unnest(generate_series(h0, h1)) AS h
+                   FROM sp) gs
+       LEFT JOIN c ON c.ty = t.ty AND c.h = gs.h),
+ d AS (SELECT ty, h,
+              SUM(c) OVER (PARTITION BY ty ORDER BY h
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS p,
+              ROW_NUMBER() OVER (PARTITION BY ty ORDER BY h) AS t,
+              SUM(c) OVER (PARTITION BY ty) AS s,
+              COUNT(*) OVER (PARTITION BY ty) AS n
+       FROM g),
+ sc AS (SELECT ty, h, n, n * p - t * s AS dd FROM d),
+ pick AS (SELECT ty, h, dd, n,
+                 ROW_NUMBER() OVER (PARTITION BY ty
+                                    ORDER BY ABS(dd) DESC, h ASC) AS rk
+          FROM sc)
+SELECT ty AS event_type, CAST(h AS BIGINT) AS changepoint_hour,
+       CAST(ABS(dd) AS BIGINT) AS peak_cusum,
+       CAST(n AS BIGINT) AS n_hours
+FROM pick WHERE rk = 1
+""")
+def q_cusum_changepoint(spark, sf):
+    """Per-stream CUSUM changepoint over the densified hourly series
+    (profile.cusum_changepoint) — integer-exact end to end, no floats
+    anywhere in the output."""
+    return pf.cusum_changepoint(events_df(spark, sf))

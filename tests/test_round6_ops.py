@@ -781,3 +781,23 @@ def test_hourly_xcorr_perfect_lag_tracking(spark):
            for r in hourly_xcorr(df).collect()}
     assert out[1] == 1.0
     assert out[0] < 0      # alternating series anti-correlate at lag 0
+
+
+def test_cusum_changepoint_finds_planted_shift(spark):
+    """A stream at 2/hour for 10 hours then 10/hour for 10 hours must
+    peak |CUSUM| exactly at the shift boundary."""
+    from data_ingest_spark.extensions.profile import cusum_changepoint
+    base = 1_700_000_000_000_000
+    H = 3_600_000_000
+    rows, eid = [], 0
+    for h in range(20):
+        for _ in range(2 if h < 10 else 10):
+            rows.append((eid, base + h * H + eid, "a")); eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "us", "event_type"]) \
+        .select("event_id", F.timestamp_micros(F.col("us")).alias("ts"),
+                "event_type")
+    r = cusum_changepoint(df).collect()[0]
+    # D_t = N·P_t − t·S peaks at t = 10 (hour index 9): |20·20 − 10·120|
+    assert r["changepoint_hour"] == (base // (H)) + 9
+    assert r["peak_cusum"] == abs(20 * 20 - 10 * 120)
+    assert r["n_hours"] == 20
