@@ -644,3 +644,39 @@ def q_cusum_changepoint(spark, sf):
     (profile.cusum_changepoint) — integer-exact end to end, no floats
     anywhere in the output."""
     return pf.cusum_changepoint(events_df(spark, sf))
+
+
+@_q("e35_kaplan_meier", """
+WITH pu AS (SELECT user_id,
+                   MIN(epoch_us(ts::TIMESTAMP) // 86400000000) AS f,
+                   MAX(epoch_us(ts::TIMESTAMP) // 86400000000) AS l
+            FROM events GROUP BY 1),
+ ge AS (SELECT MAX(l) AS e FROM pu),
+ lt AS (SELECT pu.l - pu.f AS dur, (pu.l < ge.e) AS churned
+        FROM pu, ge),
+ h AS (SELECT dur, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+                AS deaths
+       FROM lt GROUP BY 1),
+ r AS (SELECT dur, n, deaths,
+              SUM(n) OVER (ORDER BY dur DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS risk
+       FROM h),
+ s AS (SELECT dur, risk, deaths,
+              LN(1.0 - CAST(deaths AS DOUBLE) / risk) AS lnterm
+       FROM r)
+SELECT CAST(dur AS BIGINT) AS duration_days,
+       CAST(risk AS BIGINT) AS n_at_risk,
+       deaths AS n_churned,
+       ROUND(EXP(SUM(lnterm) OVER (ORDER BY dur ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)), 6) AS survival
+FROM s QUALIFY deaths > 0
+""")
+def q_kaplan_meier(spark, sf):
+    """User-lifetime Kaplan–Meier retention curve with censoring at
+    the corpus end (evaluation.kaplan_meier): exact integer risk sets
+    via a suffix sum over the duration histogram, survival as the
+    ln-sum product."""
+    return ev6.kaplan_meier(events_df(spark, sf))

@@ -437,6 +437,7 @@ def test_round6_batch2_bounded_shuffles(spark):
                          ("x153_srm_check", 3),
                          ("e33_hourly_xcorr", 2),
                          ("e34_cusum_changepoint", 3),
+                         ("e35_kaplan_meier", 5),
                          ("x151_term_dispersion", 7)):
         assert shuffle_count(q(spark, name)) <= max_sh, name
     assert_no_cartesian(q(spark, "x150_kendall_tau"))

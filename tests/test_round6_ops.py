@@ -801,3 +801,29 @@ def test_cusum_changepoint_finds_planted_shift(spark):
     assert r["changepoint_hour"] == (base // (H)) + 9
     assert r["peak_cusum"] == abs(20 * 20 - 10 * 120)
     assert r["n_hours"] == 20
+
+
+def test_kaplan_meier_textbook_example(spark):
+    """5 users: durations 1,1,2,3 churned + one censored at duration
+    4 (the corpus end). S(1) = 1−2/5 = 0.6; S(2) = 0.6·(1−1/3) = 0.4;
+    S(3) = 0.4·(1−1/2) = 0.2."""
+    from data_ingest_spark.extensions.evaluation import kaplan_meier
+    base = 1_700_000_000_000_000
+    D = 86_400_000_000
+    # user 5 spans to day 4 (the corpus end) so the day-3 ender
+    # churns while user 5 itself is censored
+    spans = {1: (0, 1), 2: (0, 1), 3: (0, 2), 4: (0, 3), 5: (0, 4)}
+    rows, eid = [], 0
+    for u, (a, b) in spans.items():
+        rows.append((eid, base + a * D, u)); eid += 1
+        rows.append((eid, base + b * D, u)); eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "us", "user_id"]) \
+        .select("event_id", F.timestamp_micros(F.col("us")).alias("ts"),
+                "user_id")
+    out = {r["duration_days"]: (r["n_at_risk"], r["n_churned"],
+                                r["survival"])
+           for r in kaplan_meier(df).collect()}
+    assert out[1] == (5, 2, 0.6)
+    assert out[2] == (3, 1, 0.4)
+    assert out[3] == (2, 1, 0.2)
+    assert 4 not in out        # the censored user produces no row
