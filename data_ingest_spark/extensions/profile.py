@@ -772,3 +772,42 @@ def cusum_changepoint(events: DataFrame, type_col: str = "event_type",
                     F.col("h").cast("long").alias("changepoint_hour"),
                     F.abs(F.col("_d")).cast("long").alias("peak_cusum"),
                     F.col("_n").cast("long").alias("n_hours")))
+
+
+def stratified_uplift(events: DataFrame, user_col: str = "user_id",
+                      conv_type: str = "purchase",
+                      n_strata: int = 4) -> DataFrame:
+    """Stratified conversion uplift between two experiment arms
+    (user-id parity here; the assignment column in production):
+    per-stratum conversion rates and their difference, where strata
+    are activity-volume buckets — the standard post-stratification
+    that removes activity imbalance an SRM check (x153) can't see.
+
+    Exact integer unit/conversion counts per (stratum, arm); the only
+    floats are the two rate divisions and their difference, rounded
+    6dp. Two shuffles: per-user rollup, then the stratum aggregate."""
+    per_user = (events.groupBy(user_col).agg(
+        F.count("*").alias("_n_ev"),
+        F.max((F.col("event_type") == conv_type).cast("int"))
+        .alias("_conv")))
+    stratum = F.least(F.lit(n_strata - 1),
+                      F.floor(F.col("_n_ev") / 25).cast("int"))
+    armed = per_user.select(
+        (F.col(user_col) % 2).cast("int").alias("arm"),
+        stratum.alias("stratum"), F.col("_conv"))
+    agg = (armed.groupBy("stratum").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("_conv")).otherwise(0))
+        .alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("_conv")).otherwise(0))
+        .alias("c1")))
+    r0 = F.col("c0").cast("double") / F.col("n0")
+    r1 = F.col("c1").cast("double") / F.col("n1")
+    return (agg.filter((F.col("n0") > 0) & (F.col("n1") > 0))
+            .select(F.col("stratum").cast("long").alias("stratum"),
+                    F.col("n0").cast("long").alias("n_control"),
+                    F.col("n1").cast("long").alias("n_treat"),
+                    F.round(r0, 6).alias("rate_control"),
+                    F.round(r1, 6).alias("rate_treat"),
+                    F.round(r1 - r0, 6).alias("uplift")))

@@ -680,3 +680,34 @@ def q_kaplan_meier(spark, sf):
     via a suffix sum over the duration histogram, survival as the
     ln-sum product."""
     return ev6.kaplan_meier(events_df(spark, sf))
+
+
+@_q("x154_stratified_uplift", """
+WITH pu AS (SELECT user_id, COUNT(*) AS n_ev,
+                   MAX(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS conv
+            FROM events GROUP BY 1),
+ ar AS (SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+               CAST(LEAST(3, CAST(n_ev // 25 AS INTEGER))
+                    AS INTEGER) AS stratum,
+               conv
+        FROM pu),
+ ag AS (SELECT stratum,
+               SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+               SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS c0,
+               SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+               SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS c1
+        FROM ar GROUP BY 1)
+SELECT CAST(stratum AS BIGINT) AS stratum,
+       CAST(n0 AS BIGINT) AS n_control, CAST(n1 AS BIGINT) AS n_treat,
+       ROUND(CAST(c0 AS DOUBLE) / n0, 6) AS rate_control,
+       ROUND(CAST(c1 AS DOUBLE) / n1, 6) AS rate_treat,
+       ROUND(CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0, 6)
+         AS uplift
+FROM ag WHERE n0 > 0 AND n1 > 0
+""")
+def q_stratified_uplift(spark, sf):
+    """Post-stratified conversion uplift between user-parity arms
+    with activity-bucket strata (profile.stratified_uplift) — the
+    analysis step after the x153 SRM gate."""
+    return pf.stratified_uplift(events_df(spark, sf))

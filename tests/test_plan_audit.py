@@ -438,6 +438,7 @@ def test_round6_batch2_bounded_shuffles(spark):
                          ("e33_hourly_xcorr", 2),
                          ("e34_cusum_changepoint", 3),
                          ("e35_kaplan_meier", 5),
+                         ("x154_stratified_uplift", 2),
                          ("x151_term_dispersion", 7)):
         assert shuffle_count(q(spark, name)) <= max_sh, name
     assert_no_cartesian(q(spark, "x150_kendall_tau"))

@@ -827,3 +827,24 @@ def test_kaplan_meier_textbook_example(spark):
     assert out[2] == (3, 1, 0.4)
     assert out[3] == (2, 1, 0.2)
     assert 4 not in out        # the censored user produces no row
+
+
+def test_stratified_uplift_known_rates(spark):
+    from data_ingest_spark.extensions.profile import stratified_uplift
+    base = 1_700_000_000_000_000
+    rows, eid = [], 0
+    # 4 low-activity users (stratum 0): controls 10/12 convert at
+    # 0/1... build: users 2,4 (arm 0) and 1,3 (arm 1); arm-0 users
+    # convert, arm-1 don't
+    for u in (1, 2, 3, 4):
+        for k in range(5):
+            t = "purchase" if (u % 2 == 0 and k == 0) else "view"
+            rows.append((eid, base + eid, t, u)); eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "us", "event_type",
+                                      "user_id"]).select(
+        "event_id", F.timestamp_micros(F.col("us")).alias("ts"),
+        "event_type", "user_id")
+    r = stratified_uplift(df).collect()
+    assert len(r) == 1 and r[0]["stratum"] == 0
+    assert (r[0]["rate_control"], r[0]["rate_treat"]) == (1.0, 0.0)
+    assert r[0]["uplift"] == -1.0
