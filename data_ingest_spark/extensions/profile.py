@@ -811,3 +811,48 @@ def stratified_uplift(events: DataFrame, user_col: str = "user_id",
                     F.round(r0, 6).alias("rate_control"),
                     F.round(r1, 6).alias("rate_treat"),
                     F.round(r1 - r0, 6).alias("uplift")))
+
+
+def seasonal_naive_backtest(events: DataFrame,
+                            type_col: str = "event_type",
+                            ts_col: str = "ts",
+                            season: int = 24) -> DataFrame:
+    """Backtest of the seasonal-naïve forecaster (ŷ_t = y_{t−season})
+    against the naïve-1 baseline (ŷ_t = y_{t−1}) on each stream's
+    densified hourly counts: per-stream MAE of both and their ratio —
+    MASE < 1 means the daily cycle carries real signal. The honest
+    floor every fancy forecaster must beat, and the first diagnostic
+    for "is this stream seasonal at all".
+
+    Exact integer errors (counts on an exact hour grid, integer
+    |y−ŷ| sums); the MAEs and their ratio are the only floats,
+    rounded 6dp. One grid aggregate + one per-stream window — two
+    shuffles on the stream key."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    hrs = events.select(F.col(type_col).alias("_ty"),
+                        F.floor(us / 3_600_000_000).alias("h"))
+    counts = hrs.groupBy("_ty", "h").agg(F.count("*").alias("c"))
+    span = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (counts.select("_ty").distinct()
+            .crossJoin(F.broadcast(span))
+            .select("_ty", F.explode(F.sequence("h0", "h1")).alias("h"))
+            .join(counts, ["_ty", "h"], "left")
+            .select("_ty", "h", F.coalesce("c", F.lit(0)).alias("c")))
+    wl = W.partitionBy("_ty").orderBy("h")
+    lagged = (grid.withColumn("_s", F.lag("c", season).over(wl))
+              .withColumn("_p", F.lag("c", 1).over(wl))
+              .filter(F.col("_s").isNotNull()))
+    agg = lagged.groupBy("_ty").agg(
+        F.count("*").alias("n_hours_eval"),
+        F.sum(F.abs(F.col("c") - F.col("_s"))).alias("_es"),
+        F.sum(F.abs(F.col("c") - F.col("_p"))).alias("_e1"))
+    mae_s = F.col("_es").cast("double") / F.col("n_hours_eval")
+    mae_1 = F.col("_e1").cast("double") / F.col("n_hours_eval")
+    return (agg.filter(F.col("_e1") > 0)
+            .select(F.col("_ty").alias(type_col),
+                    F.col("n_hours_eval").cast("long")
+                    .alias("n_hours_eval"),
+                    F.round(mae_s, 6).alias("mae_seasonal"),
+                    F.round(mae_1, 6).alias("mae_naive1"),
+                    F.round(F.col("_es").cast("double") / F.col("_e1"), 6)
+                    .alias("mase")))

@@ -711,3 +711,36 @@ def q_stratified_uplift(spark, sf):
     with activity-bucket strata (profile.stratified_uplift) — the
     analysis step after the x153 SRM gate."""
     return pf.stratified_uplift(events_df(spark, sf))
+
+
+@_q("e36_seasonal_backtest", """
+WITH hrs AS (SELECT event_type AS ty,
+                    epoch_us(ts::TIMESTAMP) // 3600000000 AS h
+             FROM events),
+ c AS (SELECT ty, h, CAST(COUNT(*) AS BIGINT) AS c
+       FROM hrs GROUP BY 1, 2),
+ sp AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM c),
+ g AS (SELECT t.ty, gs.h, COALESCE(c.c, 0) AS c
+       FROM (SELECT DISTINCT ty FROM c) t
+       CROSS JOIN (SELECT unnest(generate_series(h0, h1)) AS h
+                   FROM sp) gs
+       LEFT JOIN c ON c.ty = t.ty AND c.h = gs.h),
+ l AS (SELECT ty, c,
+              LAG(c, 24) OVER (PARTITION BY ty ORDER BY h) AS s,
+              LAG(c, 1) OVER (PARTITION BY ty ORDER BY h) AS p
+       FROM g),
+ a AS (SELECT ty, CAST(COUNT(*) AS BIGINT) AS n_hours_eval,
+              SUM(ABS(c - s)) AS es, SUM(ABS(c - p)) AS e1
+       FROM l WHERE s IS NOT NULL GROUP BY 1)
+SELECT ty AS event_type, n_hours_eval,
+       ROUND(CAST(es AS DOUBLE) / n_hours_eval, 6) AS mae_seasonal,
+       ROUND(CAST(e1 AS DOUBLE) / n_hours_eval, 6) AS mae_naive1,
+       ROUND(CAST(es AS DOUBLE) / e1, 6) AS mase
+FROM a WHERE e1 > 0
+""")
+def q_seasonal_backtest(spark, sf):
+    """Seasonal-naïve (lag-24) vs naïve-1 forecast backtest per event
+    stream over the densified hour grid
+    (profile.seasonal_naive_backtest): exact integer error sums,
+    MASE < 1 ⇔ the daily cycle predicts."""
+    return pf.seasonal_naive_backtest(events_df(spark, sf))

@@ -439,6 +439,7 @@ def test_round6_batch2_bounded_shuffles(spark):
                          ("e34_cusum_changepoint", 3),
                          ("e35_kaplan_meier", 5),
                          ("x154_stratified_uplift", 2),
+                         ("e36_seasonal_backtest", 3),
                          ("x151_term_dispersion", 7)):
         assert shuffle_count(q(spark, name)) <= max_sh, name
     assert_no_cartesian(q(spark, "x150_kendall_tau"))

@@ -848,3 +848,21 @@ def test_stratified_uplift_known_rates(spark):
     assert len(r) == 1 and r[0]["stratum"] == 0
     assert (r[0]["rate_control"], r[0]["rate_treat"]) == (1.0, 0.0)
     assert r[0]["uplift"] == -1.0
+
+
+def test_seasonal_backtest_perfect_daily_cycle(spark):
+    """A perfectly 24-periodic stream has mae_seasonal = 0 and
+    mase = 0; a flat-then-trend stream favors naive-1."""
+    from data_ingest_spark.extensions.profile import seasonal_naive_backtest
+    base = 1_700_000_000_000_000
+    H = 3_600_000_000
+    rows, eid = [], 0
+    for h in range(72):
+        for _ in range((h % 24) % 3 + 1):     # period-24 pattern
+            rows.append((eid, base + h * H, "cyclic")); eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "us", "event_type"]) \
+        .select("event_id", F.timestamp_micros(F.col("us")).alias("ts"),
+                "event_type")
+    r = seasonal_naive_backtest(df).collect()[0]
+    assert r["mae_seasonal"] == 0.0 and r["mase"] == 0.0
+    assert r["mae_naive1"] > 0
