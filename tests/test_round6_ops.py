@@ -351,6 +351,35 @@ def test_gopher_gate_rules(spark):
     assert out[4]["r_symbol"] and out[4]["r_stop"]
 
 
+def test_gopher_gate_null_rows_fail_closed(spark):
+    """Round-6 ADVICE (low): NULL lang / NULL text rows must produce
+    FALSE rules and a FALSE (never NULL) `pass`, so per-rule failure
+    reporting and pass-rate aggregates see the row instead of silently
+    skipping it."""
+    from pyspark.sql import types as T
+    from data_ingest_spark.extensions.curate import gopher_gate
+    good = "the cat sat on the mat and went to sleep in the warm sun " * 2
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_chars", T.IntegerType())])
+    docs = [(1, good, "en", len(good)),
+            (2, good, None, len(good)),   # NULL lang
+            (3, None, "en", None)]        # NULL text
+    df = spark.createDataFrame(docs, schema)
+    out = {r["doc_id"]: r for r in gopher_gate(df).collect()}
+    assert out[1]["pass"] is True
+    # NULL lang: EN-only rules treat it as non-EN (auto-pass), other
+    # rules evaluate on the real text — pass must be a real boolean
+    assert out[2]["pass"] is True
+    assert out[2]["r_symbol"] is True and out[2]["r_stop"] is True
+    # NULL text fails closed on every rule, never NULL
+    for rule in ("r_len", "r_wordlen", "r_symbol", "r_stop",
+                 "r_distinct", "pass"):
+        assert out[3][rule] is False, rule
+
+
 def test_k_anonymity_flags_small_classes_only(spark):
     from data_ingest_spark.extensions.profile import k_anonymity
     rows = [(i, "a", "x") for i in range(10)]      # class of 10: safe
@@ -761,6 +790,25 @@ def test_srm_check_contributions(spark):
     assert out[0]["chi2_contrib"] == 2.0 and out[1]["chi2_contrib"] == 2.0
 
 
+def test_srm_check_rejects_out_of_domain_arms(spark):
+    """Round-6 ADVICE (low): positional ratio-array indexing turned a
+    string arm label or an out-of-range integer into silent NULL
+    expected/chi2_contrib — the broken-assignment signal the gate
+    exists to catch. The validated domain must FAIL the query loudly
+    instead."""
+    import pytest
+    from data_ingest_spark.extensions.profile import srm_check
+    for bad in [[("control",)] * 5 + [("treat",)] * 5,   # string labels
+                [(0,)] * 5 + [(2,)] * 5,                 # index overflow
+                [(-1,)] * 5 + [(1,)] * 5]:               # negative arm
+        df = spark.createDataFrame(bad, ["arm"])
+        with pytest.raises(Exception, match="srm_check"):
+            srm_check(df, ratios=[0.5, 0.5]).collect()
+    # the valid domain still flows
+    ok = spark.createDataFrame([(0,)] * 6 + [(1,)] * 4, ["arm"])
+    assert srm_check(ok).count() == 2
+
+
 def test_hourly_xcorr_perfect_lag_tracking(spark):
     """Purchases exactly mirror clicks one hour later → r(lag 1) = 1;
     at lag 0 the series are deliberately anti-aligned."""
@@ -827,6 +875,51 @@ def test_kaplan_meier_textbook_example(spark):
     assert out[2] == (3, 1, 0.4)
     assert out[3] == (2, 1, 0.2)
     assert 4 not in out        # the censored user produces no row
+
+
+def test_kaplan_meier_all_longest_lived_churned(spark):
+    """Every max-duration user churned (deaths == at_risk at the last
+    row): 1 − d/n is exactly 0 there, Spark's F.log(0) is NULL and an
+    unguarded ln-sum would SKIP it, reporting the previous survival
+    instead of 0 (round-6 ADVICE, medium). The guard must emit
+    survival 0.0 at — and after — that row."""
+    from data_ingest_spark.extensions.evaluation import kaplan_meier
+    base = 1_700_000_000_000_000
+    D = 86_400_000_000
+    # users 1,2 span days 0-3 (dur 3, churned: last=3 < end=4);
+    # user 3 spans day 4 only (dur 0, censored at the corpus end).
+    # Histogram: dur 0 (n=1, deaths=0), dur 3 (n=2, deaths=2 = risk).
+    spans = {1: (0, 3), 2: (0, 3), 3: (4, 4)}
+    rows, eid = [], 0
+    for u, (a, b) in spans.items():
+        rows.append((eid, base + a * D, u)); eid += 1
+        rows.append((eid, base + b * D, u)); eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "us", "user_id"]) \
+        .select("event_id", F.timestamp_micros(F.col("us")).alias("ts"),
+                "user_id")
+    out = {r["duration_days"]: (r["n_at_risk"], r["n_churned"],
+                                r["survival"])
+           for r in kaplan_meier(df).collect()}
+    assert out == {3: (2, 2, 0.0)}
+
+
+def test_kaplan_meier_window_is_partitioned(spark, capfd):
+    """The histogram windows must keep a NON-FOLDABLE partition key:
+    F.lit(1) is constant-folded out of the spec and Spark logs 'No
+    Partition Defined for Window operation' (round-6 verdict ask #5).
+    capfd sees the JVM's console log, so the warning is caught at the
+    source."""
+    from data_ingest_spark.extensions.evaluation import kaplan_meier
+    base = 1_700_000_000_000_000
+    D = 86_400_000_000
+    rows = [(i, base + (i % 5) * D, i % 7) for i in range(40)]
+    df = spark.createDataFrame(rows, ["event_id", "us", "user_id"]) \
+        .select("event_id", F.timestamp_micros(F.col("us")).alias("ts"),
+                "user_id")
+    capfd.readouterr()                       # drain earlier output
+    kaplan_meier(df).collect()
+    err = capfd.readouterr().err
+    assert "No Partition Defined" not in err
 
 
 def test_stratified_uplift_known_rates(spark):

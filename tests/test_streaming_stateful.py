@@ -249,3 +249,35 @@ def test_streaming_neardup_ingest_against_persistent_index(spark, tmp_path):
         == {1, 2, 4}
     assert [(r["id_new"], r["id_old"])
             for r in spark.read.parquet(prs).collect()] == [(3, 1)]
+
+
+def test_neardup_ingest_string_ids_epoch0_schema(spark, tmp_path):
+    """Round-6 ADVICE (low): the first-epoch EMPTY pairs frame must
+    carry the id column's ACTUAL type. With string doc ids a
+    hardcoded 'id_new long' epoch-0 file under pairs_path makes any
+    read spanning both epochs fail on schema merge; deriving the type
+    from docs.schema keeps the table readable."""
+    from data_ingest_spark.streaming.neardup_ingest import (
+        neardup_ingest_batch)
+
+    idx = str(tmp_path / "idx")
+    cur = str(tmp_path / "curated")
+    prs = str(tmp_path / "pairs")
+    fn = neardup_ingest_batch(idx, cur, prs, threshold=0.5)
+    base = " ".join(f"tok{i}" for i in range(30))
+    e0 = spark.createDataFrame(
+        [("doc-a", base),
+         ("doc-b", " ".join(f"zzz{i}" for i in range(30)))],
+        ["doc_id", "text"])
+    fn(e0, 0)
+    e1 = spark.createDataFrame(
+        [("doc-c", " ".join(base.split()[2:]))], ["doc_id", "text"])
+    fn(e1, 1)
+    # the cross-epoch read is the regression: long epoch-0 ids would
+    # fail the parquet schema merge here
+    pairs = spark.read.parquet(prs)
+    assert dict(pairs.dtypes)["id_new"] == "string"
+    assert [(r["id_new"], r["id_old"]) for r in pairs.collect()] \
+        == [("doc-c", "doc-a")]
+    kept = {r["doc_id"] for r in spark.read.parquet(cur).collect()}
+    assert kept == {"doc-a", "doc-b"}
