@@ -5,16 +5,35 @@ curated corpus.
 
 This is the streaming twin of examples/incremental_ingest.py's daily
 batch loop: the same banded index, the same tagged-batch idempotence,
-driven by foreachBatch instead of an orchestrator. Exactly-once comes
-from composing two mechanisms:
+driven by foreachBatch instead of an orchestrator.
+
+EXACTLY-ONCE CONTRACT (shared with the batch loop — one recovery
+story, two commit mechanisms):
 
   - Structured Streaming's checkpoint guarantees each epoch is
-    DELIVERED at-least-once with a stable epoch_id;
+    DELIVERED at-least-once with a stable epoch_id; the checkpoint
+    advance is this path's COMMIT POINT, playing exactly the role
+    the parquet ledger append plays in the batch loop.
   - every write this sink performs is an OVERWRITE of the epoch's own
     deterministic subdir (``batch=e<epoch>`` for the index tables via
     update_dedup_index's tag, and for the curated/pairs outputs here),
     so a replayed epoch rewrites exactly its own rows — at-least-once
     delivery × idempotent writes = exactly-once state.
+
+Crash-window walk (what happens when an epoch HALF-writes — e.g.
+curated/batch=e<N> landed but pairs/batch=e<N> did not): the
+checkpoint has not advanced, so Structured Streaming redelivers the
+epoch with the SAME epoch_id; update_dedup_index's archive side
+EXCLUDES the epoch's own ``batch=e<N>`` subdir (dedup_index.py), so
+the replay computes the identical pairs from the identical committed
+archive, then mode("overwrite") replaces the half-written curated
+subdir and writes the missing pairs subdir. Epoch-0 corner: a crash
+after build_dedup_index but before the curated write makes the
+replay take the UPDATE path (the index now exists) against an
+archive that excludes batch=e0 — i.e. an empty archive — yielding no
+pairs and every doc kept, the same final state as the uncrashed
+seed. Both windows are pinned by
+tests/test_streaming_stateful.py::test_neardup_ingest_mid_epoch_crash_replay.
 
 100 TB posture: per micro-batch work is the incremental-dedup shape —
 the batch side is shingled once, the archive side is read pre-bucketed

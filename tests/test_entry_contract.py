@@ -33,15 +33,13 @@ def test_registry_contract_shapes(entry_mod):
     assert len(q) >= 130 and len(o) >= 125
     assert set(o) <= set(q)
     rows_only = set(q) - set(o)
-    # only the iterative-ML set may lack oracles
-    # (x51/x83/m13_louvain_dist graduated to full fixed-iteration
-    # oracles in round 4; p1_qc_pipeline graduated in round 5;
-    # m2_doublet_scores retired in r5, m6_vst retired in r6 — each in
-    # favor of a value-oracled twin)
-    assert rows_only <= {"m8_pca", "m9_integrate_mnn",
-                         "m9_integrate_mnn_dist",
-                         "m10_spectral_embedding", "m10_spectral_dist",
-                         "m11_tsne", "m13_louvain"}
+    # Round 7 closed the rows-only list entirely (round-6 verdict ask
+    # #4, the m6_vst pattern): every registry query carries a full
+    # DuckDB value oracle. The retired declarations' operators stay
+    # under tests/test_ml_pipeline.py property tests; their oracled
+    # twins (x99_power_pc1, m9_integrate_exact, m13_louvain_dist)
+    # remain registered.
+    assert rows_only == set()
     assert all(callable(fn) for fn in q.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper()
                for s in o.values())

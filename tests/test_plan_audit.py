@@ -127,18 +127,22 @@ def test_tpch_q6_full_pushdown_no_join(spark):
 
 
 def test_doublets_grid_scans_fact_table_twice_only(spark):
-    """m2: the per-cell aggregate and distinct-point table are shared
-    through exchange reuse (round 6 dropped the persists — identical
-    data movement, ~1 s less AQE stage-barrier latency at sf0.1), so
-    after execution the FINAL adaptive plan must dedupe the repeated
-    subtrees: >= 3 ReusedExchange nodes, i.e. the fact parquet feeds
-    exactly two live exchanges (per-cell stats + the pair-sum join)
-    with every other consumer reading a reused stage."""
+    """m2: the per-cell aggregate and the distinct-point table are
+    materialized ONCE each via lazy localCheckpoints (round-7 rewrite;
+    round 6's ReuseExchange sharing still dragged the full logical
+    subtree into a 19-exchange static plan whose AQE stage barriers
+    dominated wall time — 4.6 s -> 1.4 s at sf0.1 under bench
+    conditions). The receipt: the final adaptive plan consumes ONLY
+    the two checkpointed tables — every parquet byte of the fact
+    table was read inside the two checkpoint-materialization jobs
+    (per-cell stats; pair-sum join), never re-derived in the main
+    query."""
     df = q(spark, "m2_doublets_native")
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in final
-    assert final.count("ReusedExchange") >= 3
+    assert final.count("Scan parquet") == 0
+    assert final.count("ExistingRDD") >= 2
 
 
 def test_ppl_buckets_broadcasts_model(spark):

@@ -281,3 +281,60 @@ def test_neardup_ingest_string_ids_epoch0_schema(spark, tmp_path):
         == [("doc-c", "doc-a")]
     kept = {r["doc_id"] for r in spark.read.parquet(cur).collect()}
     assert kept == {"doc-a", "doc-b"}
+
+
+def test_neardup_ingest_mid_epoch_crash_replay(spark, tmp_path):
+    """Round-6 verdict ask #6: the streaming gate's recovery story,
+    exercised at its two crash windows (mirrors the batch loop's
+    mid-crash replay in test_incremental_example.py).
+
+    Window A (epoch 0): crash AFTER build_dedup_index seeded the
+    index but BEFORE curated/pairs landed. The replay must take the
+    update path against an archive that excludes batch=e0 (= empty),
+    keep every doc, and converge to the uncrashed seed state.
+
+    Window B (epoch 1): crash after curated/batch=e1 HALF-wrote
+    (garbage rows) and before pairs/batch=e1 existed. The replay must
+    overwrite the garbage with the correct gate output and write the
+    missing pairs."""
+    from data_ingest_spark.extensions.dedup_index import (
+        _live_root, build_dedup_index)
+    from data_ingest_spark.streaming.neardup_ingest import (
+        neardup_ingest_batch)
+
+    idx = str(tmp_path / "idx")
+    cur = str(tmp_path / "curated")
+    prs = str(tmp_path / "pairs")
+    fn = neardup_ingest_batch(idx, cur, prs, threshold=0.5)
+    base = " ".join(f"tok{i}" for i in range(30))
+    e0 = spark.createDataFrame(
+        [(1, base), (2, " ".join(f"zzz{i}" for i in range(30)))],
+        ["doc_id", "text"])
+
+    # --- window A: simulate the partial epoch-0 (index only) ---
+    build_dedup_index(e0.select("doc_id", "text"), idx, "doc_id",
+                      "text", k=3, tag="e0")
+    assert os.path.exists(f"{_live_root(idx)}/bands")
+    assert not os.path.exists(cur)
+    fn(e0, 0)                                   # the replay
+    assert {r["doc_id"] for r in spark.read.parquet(cur).collect()} \
+        == {1, 2}
+    assert spark.read.parquet(prs).count() == 0
+
+    # --- window B: half-written curated, missing pairs ---
+    e1 = spark.createDataFrame(
+        [(3, " ".join(base.split()[2:])),       # near-dup of 1
+         (4, " ".join(f"qq{i}" for i in range(30)))], ["doc_id", "text"])
+    garbage = spark.createDataFrame([(999, "GARBAGE")],
+                                    ["doc_id", "text"])
+    garbage.write.mode("overwrite").parquet(f"{cur}/batch=e1")
+    assert not os.path.exists(f"{prs}/batch=e1")
+    fn(e1, 1)                                   # the replay
+    kept = {r["doc_id"] for r in spark.read.parquet(cur).collect()}
+    assert kept == {1, 2, 4}                    # garbage overwritten
+    assert [(r["id_new"], r["id_old"])
+            for r in spark.read.parquet(prs).collect()] == [(3, 1)]
+    # a second replay converges to the same state (idempotence)
+    fn(e1, 1)
+    assert {r["doc_id"] for r in spark.read.parquet(cur).collect()} \
+        == {1, 2, 4}
