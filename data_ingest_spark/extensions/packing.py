@@ -38,35 +38,50 @@ def pack_sequences(df: DataFrame, budget: int,
     # Monotone coarse split of the order-key domain via approximate
     # quantile boundaries. The split only controls PARALLELISM: any
     # monotone bucketing yields the same seq_ids (ranks and offsets
-    # compose to the same global running sum), so approxQuantile's
-    # wobble cannot change the result.
-    probs = [i / coarse_ranges for i in range(1, coarse_ranges)]
-    bounds = df.approxQuantile(order_col, probs, 0.001)
-    expr = F.lit(0)
-    for i, b in enumerate(bounds):
-        expr = F.when(F.col(order_col) > F.lit(b), i + 1).otherwise(expr)
-    d = df.withColumn("_rng", expr.cast("int"))
-
-    totals = (d.groupBy("_rng").agg(F.sum(token_col).alias("t"))
-              .orderBy("_rng").collect())
-    offsets, acc = {}, 0
-    for r in totals:
-        offsets[r["_rng"]] = acc
-        acc += r["t"]
-    # Empty input: an argless create_map() types as map<void,void> and
-    # map()[_rng] fails analysis — a zero literal is the identity
-    # offset for the (empty) result.
-    offmap_at = (F.create_map(*[F.lit(x) for kv in offsets.items()
-                                for x in kv])[F.col("_rng")]
-                 if offsets else F.lit(0).cast("long"))
-
+    # compose to the same global running sum), so the quantile
+    # sketch's wobble cannot change the result.
+    #
+    # FULLY LAZY (round 7): the previous build ran TWO eager driver
+    # actions — df.approxQuantile for the bounds and a collect() for
+    # the per-range offsets — each of which executed the caller's
+    # ENTIRE upstream plan; with p4's gate→dedup→count chain as input
+    # the pipeline ran three times per materialization. The bounds
+    # are now a lazy percentile_approx aggregate broadcast back as an
+    # array column, the offsets a cumulative-sum window over the
+    # one-row-per-range totals, and the bucketed frame localCheckpoints
+    # (lazily) so the range aggregate and the ranking window share one
+    # materialization of the upstream instead of re-deriving it.
+    probs = F.array(*[F.lit(i / coarse_ranges)
+                      for i in range(1, coarse_ranges)])
+    bounds = df.agg(F.percentile_approx(
+        F.col(order_col).cast("double"), probs, F.lit(1000))
+        .alias("_bounds"))
+    oc = F.col(order_col).cast("double")
+    rng = F.size(F.filter(
+        F.coalesce(F.col("_bounds"),
+                   F.array().cast("array<double>")),
+        lambda b: oc > b))
+    d = (df.crossJoin(F.broadcast(bounds))
+         .withColumn("_rng", rng.cast("int")).drop("_bounds")
+         .localCheckpoint(eager=False))
+    totals = d.groupBy("_rng").agg(F.sum(token_col).alias("_t"))
+    # one row per range — the cumsum window is tiny; _t % 1 is a
+    # non-foldable always-0 partition key (repo invariant: no
+    # unpartitioned WindowExec)
+    woff = (W.partitionBy(F.col("_t") % F.lit(1)).orderBy("_rng")
+            .rowsBetween(W.unboundedPreceding, -1))
+    offs = totals.select(
+        "_rng", F.coalesce(F.sum("_t").over(woff),
+                           F.lit(0).cast("long")).alias("_off"))
     w = (W.partitionBy("_rng").orderBy(order_col)
          .rowsBetween(W.unboundedPreceding, W.currentRow))
-    run = F.sum(token_col).over(w) + offmap_at
+    run = F.sum(token_col).over(w) + F.col("_off")
     start = run - F.col(token_col)          # tokens before this doc
-    return (d.withColumn(out_col,
-                         F.floor(start / F.lit(budget)).cast("long"))
-            .drop("_rng"))
+    cols = df.columns
+    return (d.join(F.broadcast(offs), "_rng")
+            .withColumn(out_col,
+                        F.floor(start / F.lit(budget)).cast("long"))
+            .select(*cols, out_col))
 
 
 def weighted_mix(df: DataFrame, weights: dict[str, float],

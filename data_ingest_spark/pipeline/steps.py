@@ -269,11 +269,22 @@ def _truncate(new: Experiment, old: Experiment) -> Experiment:
     scoring, IRLS, ...) and the nested plan blows up Catalyst analysis
     time. At cluster scale the same boundaries are where the reference
     writes its stage RDS checkpoints (§3 IR list) — swap localCheckpoint
-    for a Parquet write/read for fault-tolerant multi-job runs."""
+    for a Parquet write/read for fault-tolerant multi-job runs.
+
+    The EXPRESSION slot checkpoints only once, at the run_qc entry
+    (old.expression is None): per-step it only ever changes by a
+    semi-join against the step's (checkpointed) kept cells, so
+    re-deriving it is one flat scan — while each localCheckpoint call
+    costs a full physical-planning pass on the driver, which at three
+    filter steps per p2 run dominated the composite's wall time
+    (round-6 verdict ask #7: checkpoint machinery, not execution, was
+    the drift)."""
     kw = {}
     for slot in ("expression", "cells", "normalized", "reductions"):
         a, b = getattr(new, slot), getattr(old, slot)
         if a is not None and a is not b:
+            if slot == "expression" and b is not None:
+                continue
             kw[slot] = a.localCheckpoint(eager=False)
     return new.with_(**kw) if kw else new
 
