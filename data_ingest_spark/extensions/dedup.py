@@ -958,3 +958,63 @@ def fingerprint_pairs(fps: DataFrame, fp_col: str = "fp",
                      F.col("_p.id_b").alias("id_b"))
             .agg(F.count("*").alias("n_shared"))
             .filter(F.col("n_shared") >= min_shared))
+
+
+def bloom_contaminate(corpus: DataFrame, benchmark: DataFrame,
+                      k: int = 3, m_bits: int = 1 << 20,
+                      n_hashes: int = 3, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Bloom-filter benchmark decontamination — the APPROXIMATE
+    sibling of :func:`decontaminate` for when the test-suite shingle
+    set is too big to broadcast verbatim: every benchmark shingle sets
+    ``n_hashes`` positions in an ``m_bits`` filter; a corpus shingle
+    is flagged iff ALL its positions are set. Returns the full census
+    ``(doc_id, n_shingles, n_flagged, contaminated)`` (0-flag rows
+    included, so the caller can audit the false-positive rate against
+    x34's exact join).
+
+    The filter is represented as the distinct POSITION SET rather
+    than a packed bitmap — membership of "all k positions present in
+    the set" is bit-identical to testing a bitmap built from the same
+    hash family, the set build is one distinct aggregate (at most
+    n_hashes·|bench shingles| ints, ≤ m_bits after dedup), and the
+    semantics stay fully SQL-expressible for the oracle. Positions
+    come from the repo's md5-prefix hash convention (seed i prefixed
+    as 'i|'), zero engine-specific hashing.
+
+    Plan: benchmark side collapses to the distinct position set and
+    BROADCASTS (≤ m_bits ints); the corpus explodes scan-side to
+    (doc, shingle) × n_hashes position rows, one broadcast left join
+    marks hits, and two grouped aggregates roll up to shingle flags
+    then per-doc counts. No all-pairs path; the only corpus-sized
+    shuffle is the per-doc rollup."""
+    from pyspark.sql import functions as F
+
+    from data_ingest_spark.extensions.text import shingle_rows
+
+    def pos(col, i):
+        return (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{i}|"), col)), 1, 8), 16, 10)
+            .cast("long") % m_bits)
+
+    seeds = list(range(n_hashes))
+    bench_pos = (shingle_rows(benchmark, id_col=id_col,
+                              text_col=text_col, k=k)
+                 .select(F.explode(F.array(
+                     *[pos(F.col("shingle"), i) for i in seeds]))
+                     .alias("p"))
+                 .distinct())
+    csh = shingle_rows(corpus, id_col=id_col, text_col=text_col, k=k)
+    cpos = csh.select(
+        id_col, "shingle",
+        F.explode(F.array(*[pos(F.col("shingle"), i) for i in seeds]))
+        .alias("p"))
+    hits = (cpos.join(F.broadcast(bench_pos.withColumn(
+                "_hit", F.lit(1))), "p", "left")
+            .groupBy(id_col, "shingle")
+            .agg((F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                  == n_hashes).cast("int").alias("_flag")))
+    return (hits.groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_shingles"),
+                 F.sum("_flag").cast("long").alias("n_flagged"))
+            .withColumn("contaminated", F.col("n_flagged") > 0))

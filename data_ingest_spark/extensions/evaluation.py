@@ -857,3 +857,134 @@ def kaplan_meier(events: DataFrame, user_col: str = "user_id",
                 F.col("_deaths").cast("long").alias("n_churned"),
                 "survival")
         .filter(F.col("n_churned") > 0))
+
+
+def session_paths(events: DataFrame, gap_s: float = 1800.0,
+                  max_steps: int = 8, top_k: int = 20,
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """Top-k session PATHS: sessionize each user's stream at a
+    ``gap_s`` inactivity split (the e3 convention), truncate each
+    session to its first ``max_steps`` events, join the event types
+    into a '>'-separated path string, and report the ``top_k`` most
+    common paths — the "how do users actually move through the
+    product" mining primitive behind funnel DISCOVERY (e6/e29 check a
+    KNOWN funnel; this surfaces the candidates).
+
+    Determinism: events order by (ts µs, event_id) — a total order —
+    so the path string is unique per session; counts are exact
+    integers and the top-k tiebreak is path ASC. Plan: ONE
+    corpus-sized shuffle (the per-user session window), a grouped
+    path aggregate (rows = sessions), and a TakeOrderedAndProject
+    top-k — no driver-side state."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap_us = int(gap_s * 1_000_000)
+    wu = (W.partitionBy(user_col).orderBy(us, "event_id"))
+    new_sess = F.when(
+        (us - F.lag(us).over(wu)) > gap_us, 1).otherwise(0)
+    sess = (events
+            .withColumn("_new", F.coalesce(new_sess, F.lit(1)))
+            .withColumn("_sid", F.sum("_new").over(
+                wu.rowsBetween(W.unboundedPreceding, W.currentRow)))
+            .withColumn("_rn", F.row_number().over(
+                W.partitionBy(user_col, "_sid").orderBy(us, "event_id")))
+            .filter(F.col("_rn") <= max_steps))
+    paths = (sess.groupBy(user_col, "_sid")
+             .agg(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct(F.col("_rn"), F.col(type_col)
+                                  .alias("_t")))),
+                     lambda s: s["_t"]), ">").alias("path")))
+    return (paths.groupBy("path")
+            .agg(F.count("*").cast("long").alias("n_sessions"))
+            .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+            .limit(top_k))
+
+
+def pass_at_k(events: DataFrame, ks: tuple = (1, 5, 10),
+              task_col: str = "user_id", value_col: str = "value",
+              threshold: float = 50.0) -> DataFrame:
+    """pass@k estimator (Chen et al. 2021, "Evaluating Large Language
+    Models Trained on Code", eq. 1) over per-task attempt outcomes:
+    with n attempts and c successes per task, the unbiased estimate is
+    1 − C(n−c, k)/C(n, k), computed in the numerically stable product
+    form 1 − Π_{i=0..k-1} (n−c−i)/(n−i). Rows where n < k report NULL
+    (the estimator is undefined below k attempts). Returns the
+    mean pass@k across tasks per k — the eval-suite headline number.
+
+    Determinism: the ≤k-term product folds left-to-right in BOTH
+    engines (F.aggregate here, list_reduce in the oracle) over exact
+    integer (n, c), so the double chains are bit-identical; the final
+    per-k mean divides two exact aggregates (a fixed-point sum of
+    6dp-rounded per-task values) and rounds 6dp."""
+    per_task = (events.groupBy(task_col).agg(
+        F.count("*").alias("_n"),
+        F.sum((F.col(value_col) > threshold).cast("int")).alias("_c")))
+    # ONE corpus aggregate for all k: the per-task table explodes to
+    # |tasks|·|ks| rows (a per-k union would re-derive the corpus
+    # aggregate once per k — three scans at 100 TB for nothing)
+    karr = F.explode(F.array(*[F.lit(int(k)) for k in ks])).alias("k")
+    ek = per_task.select(task_col, "_n", "_c", karr)
+    prod = F.aggregate(
+        F.sequence(F.lit(0), F.col("k") - 1), F.lit(1.0),
+        lambda acc, i: acc * (F.col("_n") - F.col("_c") - i)
+        / (F.col("_n") - i))
+    pk = F.when(F.col("_n") < F.col("k"), F.lit(None)).otherwise(
+        F.when(F.col("_c") >= F.col("_n"), F.lit(1.0))
+        .when(F.col("_n") - F.col("_c") < F.col("k"), F.lit(1.0))
+        .otherwise(F.round(1.0 - prod, 6)))
+    # fixed-point per-task values make the cross-task mean an exact
+    # integer sum in both engines
+    pk_fp = F.floor(pk * 1_000_000 + F.lit(0.5)).cast("long")
+    return (ek.select("k", pk_fp.alias("_fp"))
+            .filter(F.col("_fp").isNotNull())
+            .groupBy("k")
+            .agg(F.count("*").cast("long").alias("n_tasks"),
+                 F.round(F.sum("_fp") / 1_000_000.0 / F.count("*"), 6)
+                 .alias("mean_pass_at_k")))
+
+
+def calibration_ece(events: DataFrame, n_bins: int = 10,
+                    conf_col: str = "value",
+                    type_col: str = "event_type",
+                    positive: str = "purchase") -> DataFrame:
+    """Expected-calibration-error table: confidence = value/100
+    clamped to [0, 1], binned into ``n_bins`` equal-width bins;
+    per bin the mean confidence, empirical accuracy (fraction of
+    ``positive`` events) and |acc − conf| gap, plus each bin's
+    weighted ECE contribution (n_b/N · gap) — Σ of the last column is
+    the ECE (Guo et al. 2017). The model-confidence audit run before
+    a quality/filter score is trusted as a sampling weight.
+
+    Determinism: confidence enters as EXACT fixed-point (round(conf ·
+    1e4) as int64 — value is on the 0-100 scale, so that is
+    round(value·100), clamped to [0, 10000]), so bin ids, per-bin
+    sums and counts are exact integers in both engines; the four
+    output doubles are single division chains over those integers,
+    rounded 6dp."""
+    fp = F.least(F.greatest(
+        F.floor(F.col(conf_col) * 100 + F.lit(0.5)).cast("long"),
+        F.lit(0)), F.lit(10_000))
+    # FLOOR, not a double->int cast: Spark's cast truncates while
+    # DuckDB's rounds — floor is the one op both engines agree on
+    bin_id = F.least(F.floor(fp * n_bins / 10_000),
+                     F.lit(n_bins - 1)).cast("int")
+    hit = (F.col(type_col) == positive).cast("int")
+    binned = (events.select(bin_id.alias("bin"), fp.alias("_fp"),
+                            hit.alias("_hit"))
+              .groupBy("bin")
+              .agg(F.count("*").alias("_n"), F.sum("_fp").alias("_sfp"),
+                   F.sum("_hit").alias("_sh")))
+    tot = binned.agg(F.sum("_n").alias("_tot"))
+    conf = F.col("_sfp") / 10_000.0 / F.col("_n")
+    acc = F.col("_sh").cast("double") / F.col("_n")
+    gap = F.abs(acc - conf)
+    return (binned.crossJoin(F.broadcast(tot))
+            .select(F.col("bin").cast("int").alias("bin"),
+                    F.col("_n").cast("long").alias("n"),
+                    F.round(conf, 6).alias("mean_conf"),
+                    F.round(acc, 6).alias("accuracy"),
+                    F.round(gap, 6).alias("gap"),
+                    F.round(gap * F.col("_n") / F.col("_tot"), 6)
+                    .alias("ece_contrib")))

@@ -873,3 +873,117 @@ def seasonal_naive_backtest(events: DataFrame,
                     F.round(mae_1, 6).alias("mae_naive1"),
                     F.round(F.col("_es").cast("double") / F.col("_e1"), 6)
                     .alias("mase")))
+
+
+def rfm_segments(events: DataFrame, user_col: str = "user_id",
+                 ts_col: str = "ts", value_col: str = "value",
+                 n_tiles: int = 3) -> DataFrame:
+    """RFM segmentation: per user Recency (days between the user's
+    last event and the corpus end), Frequency (event count) and
+    Monetary (exact cent sum of ``value``), each scored into
+    ``n_tiles`` quantile tiles, reported per (r, f, m) segment — the
+    classic marketing/cohort cut, and the grouping key quality
+    pipelines stratify engagement-weighted sampling on.
+
+    Determinism: monetary sums as round(value·100) int64 cents (never
+    float accumulation); the tile assignment is ntile over a TOTAL
+    order (metric, user_id), so ties split identically in both
+    engines. Scores follow the convention "1 = best": recency ASC
+    (most recent first), frequency/monetary DESC (highest first).
+    Plan: one corpus shuffle (per-user aggregate), three tile windows
+    over the per-user table partitioned by a non-foldable constant
+    key (users ≪ events; the corpus-sized work is the aggregate),
+    one segment aggregate."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    per_user = (events.groupBy(user_col).agg(
+        F.max(us).alias("_last"),
+        F.count("*").alias("freq"),
+        F.sum(cents).alias("cents")))
+    gend = per_user.agg(F.max("_last").alias("_end"))
+    pu = (per_user.crossJoin(F.broadcast(gend))
+          .withColumn("rec_days", F.floor(
+              (F.col("_end") - F.col("_last")) / 86_400_000_000)
+              .cast("long")))
+    pk = F.col("freq") % F.lit(1)     # non-foldable always-0 key
+    r_w = W.partitionBy(pk).orderBy(F.col("rec_days").asc(),
+                                    F.col(user_col).asc())
+    f_w = W.partitionBy(pk).orderBy(F.col("freq").desc(),
+                                    F.col(user_col).asc())
+    m_w = W.partitionBy(pk).orderBy(F.col("cents").desc(),
+                                    F.col(user_col).asc())
+    scored = (pu.withColumn("r", F.ntile(n_tiles).over(r_w))
+              .withColumn("f", F.ntile(n_tiles).over(f_w))
+              .withColumn("m", F.ntile(n_tiles).over(m_w)))
+    return (scored.groupBy("r", "f", "m")
+            .agg(F.count("*").cast("long").alias("n_users"),
+                 F.sum("cents").cast("long").alias("total_cents"),
+                 # explicit exact-int sum / count, not AVG: engines
+                 # differ in AVG's internal accumulator type
+                 F.round(F.sum("freq") / F.count("*"), 6)
+                 .alias("avg_events")))
+
+
+def markov_transitions(events: DataFrame, user_col: str = "user_id",
+                       ts_col: str = "ts",
+                       type_col: str = "event_type") -> DataFrame:
+    """First-order Markov transition table between event types: for
+    each consecutive in-user pair (ordered by ts, event_id), the count
+    and the row-normalized transition probability P(to | from) — the
+    behavioral model behind next-event prediction baselines and the
+    sanity check sequence-generating simulators are tuned against.
+
+    Exact integer counts; the probability is one division rounded
+    6dp. Plan: ONE corpus shuffle (the per-user lag window), then
+    bounded aggregates (|types|² rows)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    wu = W.partitionBy(user_col).orderBy(us, "event_id")
+    pairs = (events
+             .withColumn("_next", F.lead(type_col).over(wu))
+             .filter(F.col("_next").isNotNull())
+             .groupBy(F.col(type_col).alias("from_type"),
+                      F.col("_next").alias("to_type"))
+             .agg(F.count("*").alias("n")))
+    wout = W.partitionBy("from_type")
+    return (pairs
+            .withColumn("_out", F.sum("n").over(wout))
+            .select("from_type", "to_type",
+                    F.col("n").cast("long").alias("n"),
+                    F.round(F.col("n") / F.col("_out"), 6).alias("p")))
+
+
+#: Benford expected leading-digit probabilities log10(1 + 1/d),
+#: precomputed as 6dp literals so no runtime libm crosses the engine
+#: boundary (the x141 Fellegi–Sunter convention).
+BENFORD_P = [0.30103, 0.176091, 0.124939, 0.09691, 0.079181,
+             0.066947, 0.057992, 0.051153, 0.045757]
+
+
+def benford_deviation(events: DataFrame, group_col: str = "event_type",
+                      value_col: str = "value") -> DataFrame:
+    """Leading-digit (Benford's law) audit per group: observed
+    leading-digit counts of positive ``value``s vs the Benford
+    expectation, with each digit's chi-square contribution — the
+    fabricated-data / instrumentation-bug sniff for metric columns.
+
+    The leading digit comes from the DECIMAL STRING of the exact cent
+    value (first character of CAST(round(value·100) AS BIGINT)), not
+    from log10 — zero libm, so digit assignment is bit-identical in
+    both engines. Bounded output: |groups| · 9 rows."""
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = (events.filter(cents > 0)
+              .groupBy(F.col(group_col).alias("grp"),
+                       digit.alias("digit"))
+              .agg(F.count("*").alias("n")))
+    wg = W.partitionBy("grp")
+    pmap = F.element_at(F.array(*[F.lit(p) for p in BENFORD_P]),
+                        F.col("digit"))
+    exp = F.col("_tot") * pmap
+    return (counts
+            .withColumn("_tot", F.sum("n").over(wg))
+            .select(F.col("grp").alias(group_col), "digit",
+                    F.col("n").cast("long").alias("observed"),
+                    F.round(exp, 6).alias("expected"),
+                    F.round((F.col("n") - exp) * (F.col("n") - exp)
+                            / exp, 6).alias("chi2_contrib")))

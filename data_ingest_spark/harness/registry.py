@@ -87,6 +87,7 @@ from data_ingest_spark.harness import q_ml        # noqa: E402,F401
 from data_ingest_spark.harness import q_analytics  # noqa: E402,F401
 from data_ingest_spark.harness import q_curation  # noqa: E402,F401
 from data_ingest_spark.harness import q_round6   # noqa: E402,F401
+from data_ingest_spark.harness import q_round7   # noqa: E402,F401
 
 # Driver-sample ordering. The correctness driver checks a bounded
 # prefix of ``queries()`` each round; rounds 2-6 verified 249 distinct

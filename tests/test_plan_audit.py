@@ -155,11 +155,18 @@ def test_ppl_buckets_broadcasts_model(spark):
 
 
 def test_training_prep_shuffle_budget(spark):
-    """p4: gate (model + score) + dedup hash + packing ranges must
-    stay within the composed budget; the keep-sets broadcast."""
+    """p4: the packing stage reads the lazily-checkpointed bucketed
+    frame (round 7 made pack_sequences lazy — the gate/dedup/count
+    chain materializes exactly ONCE instead of three times, so its
+    broadcasts now live in the checkpoint's own job, pinned by
+    test_ppl_buckets_broadcasts_model); the visible plan is the range
+    totals + offsets broadcast + the seq window/aggregate, within a
+    tight budget."""
     df = q(spark, "p4_training_prep")
-    assert shuffle_count(df) <= 13
-    assert broadcast_join_count(df) >= 5
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan       # the checkpointed bucketed frame
+    assert shuffle_count(df) <= 5
+    assert broadcast_join_count(df) >= 1
 
 
 def test_curate_reuses_dedup_exchange(spark):
@@ -447,3 +454,27 @@ def test_round6_batch2_bounded_shuffles(spark):
                          ("x151_term_dispersion", 7)):
         assert shuffle_count(q(spark, name)) <= max_sh, name
     assert_no_cartesian(q(spark, "x150_kendall_tau"))
+
+
+def test_round7_batch_bounded_shuffles(spark):
+    """Round-7 plan pins. e37's CORPUS work is ONE per-user aggregate;
+    its other six exchanges (three ntile sorts on the constant key +
+    the segment rollup) all move the tiny per-user table, bounded by
+    |users|; e38/e39 are one per-user window + bounded
+    aggregates; x155's benchmark position set broadcasts (the only
+    corpus shuffles are the shingle distinct + per-doc rollups);
+    x156 computes every k from ONE per-task aggregate (an explode,
+    never a per-k union re-deriving the corpus scan); x157/x158 are
+    census aggregates."""
+    for name, max_sh in (("e37_rfm_segments", 7),
+                         ("e38_markov_transitions", 3),
+                         ("e39_session_paths", 2),
+                         ("x155_bloom_decontam", 5),
+                         ("x156_pass_at_k", 2),
+                         ("x157_calibration_ece", 3),
+                         ("x158_benford", 2)):
+        assert shuffle_count(q(spark, name)) <= max_sh, name
+        assert_no_cartesian(q(spark, name))
+    # x155: the bench position set must reach the corpus via a
+    # broadcast join, never a shuffle join
+    assert broadcast_join_count(q(spark, "x155_bloom_decontam")) >= 1
