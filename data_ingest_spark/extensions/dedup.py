@@ -917,8 +917,11 @@ def sorted_neighborhood_pairs(df: DataFrame, key: "F.Column",
     # make the window nondeterministic) — pin it to the empty string.
     keyed = df.withColumn("_key", F.coalesce(key, F.lit(""))).withColumn(
         "_pk", F.substring(F.col("_key"), 1, 1))
-    ranked = dense_ids_scalable(keyed, order=["_pk", "_key", id_col],
-                                id_col="_rn").drop("_pk", "_key")
+    # lazy checkpoint: the rank frame feeds BOTH pair sides; without
+    # it the 3-shuffle dense-id subtree duplicates in the static plan
+    ranked = (dense_ids_scalable(keyed, order=["_pk", "_key", id_col],
+                                 id_col="_rn").drop("_pk", "_key")
+              .localCheckpoint(eager=False))
     rest = [c for c in df.columns]
     a = ranked.select(F.col("_rn"),
                       *[F.col(c).alias(f"{c}_a") for c in rest])

@@ -988,3 +988,179 @@ def calibration_ece(events: DataFrame, n_bins: int = 10,
                     F.round(gap, 6).alias("gap"),
                     F.round(gap * F.col("_n") / F.col("_tot"), 6)
                     .alias("ece_contrib")))
+
+
+def fleiss_kappa(subjects: DataFrame, id_col: str = "doc_id",
+                 n_raters: int = 5, n_cats: int = 3) -> DataFrame:
+    """Fleiss' kappa for inter-rater agreement over ``n_raters``
+    synthetic raters per subject (categories from the repo's seeded
+    md5-prefix hash convention, so both engines derive the identical
+    rating matrix) — the multi-rater generalization of x118's Cohen
+    kappa, the labeling-QA gate for annotation campaigns with rotating
+    rater pools.
+
+    Exactness: with R raters and subject-category counts n_ij, every
+    term is integer — P̄ = (Σ_ij n_ij² − N·R) / (N·R·(R−1)) and
+    P̄_e = (Σ_j C_j²) / (N·R)² — so kappa is a two-division chain over
+    three int64 aggregates; nothing float accumulates. Plan: one
+    map-side explode (×R), two bounded aggregates."""
+    rater = F.explode(F.array(*[F.lit(i) for i in range(n_raters)]))
+    rated = subjects.select(F.col(id_col).alias("_s"),
+                            rater.alias("_r"))
+    cat = (F.conv(F.substring(
+        F.md5(F.concat(F.col("_s").cast("string"), F.lit("#"),
+                       F.col("_r").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % n_cats)
+    nij = (rated.select("_s", cat.alias("_c"))
+           .groupBy("_s", "_c").agg(F.count("*").alias("_n")))
+    per_subj = nij.groupBy("_s").agg(
+        F.sum(F.col("_n") * F.col("_n")).alias("_s2"))
+    per_cat = nij.groupBy("_c").agg(F.sum("_n").alias("_cj"))
+    tots = per_subj.agg(F.count("*").alias("_N"),
+                        F.sum("_s2").alias("_S2"))
+    catsq = per_cat.agg(F.sum(F.col("_cj") * F.col("_cj")).alias("_T"))
+    row = tots.join(catsq.hint("broadcast"))
+    r = F.lit(n_raters)
+    nr = F.col("_N") * r
+    pbar = (F.col("_S2") - nr) / (nr * (r - 1))
+    pe = F.col("_T") / (nr * nr)
+    return row.select(
+        F.col("_N").cast("long").alias("n_subjects"),
+        F.lit(n_raters).cast("long").alias("n_raters"),
+        F.round(pbar, 6).alias("p_bar"),
+        F.round(pe, 6).alias("p_e"),
+        F.round((pbar - pe) / (1 - pe), 6).alias("kappa"))
+
+
+def bradley_terry(events: DataFrame, user_col: str = "user_id",
+                  item_col: str = "event_type",
+                  value_col: str = "value",
+                  iters: int = 2) -> DataFrame:
+    """Bradley–Terry preference strengths from pairwise comparisons:
+    within each user, item a "beats" item b when the user's exact
+    cent total for a exceeds b's (ties abstain); the per-pair win
+    matrix feeds ``iters`` unrolled MM updates (Hunter 2004,
+    p_i ← W_i / Σ_j n_ij/(p_i+p_j)) from a uniform start — the
+    RLHF/arena rating primitive over x81's preference-pair shape.
+
+    Determinism: wins/comparison counts are exact ints; each MM
+    term n_ij/(p_i+p_j) quantizes to 1e-9 fixed-point int64 BEFORE
+    the per-item sum (so summation order can't move the result), and
+    each iteration's p re-quantizes to 9dp. Plan: one corpus shuffle
+    (user×item aggregate), a per-user bounded self-join (≤|items|²
+    per user), then |items|²-row iterate frames."""
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    ui = (events.select(F.col(user_col).alias("u"),
+                        F.col(item_col).alias("i"), cents.alias("c"))
+          .groupBy("u", "i").agg(F.sum("c").alias("c")))
+    a, b = ui.alias("a"), ui.alias("b")
+    duel = (a.join(b, (F.col("a.u") == F.col("b.u"))
+                   & (F.col("a.i") < F.col("b.i")))
+            .filter(F.col("a.c") != F.col("b.c"))
+            .groupBy(F.col("a.i").alias("ia"), F.col("b.i").alias("ib"))
+            .agg(F.sum((F.col("a.c") > F.col("b.c")).cast("long"))
+                 .alias("w_ab"),
+                 F.sum((F.col("b.c") > F.col("a.c")).cast("long"))
+                 .alias("w_ba")))
+    # symmetric (i, j, n_ij, wins_of_i_over_j) view
+    sym = (duel.select(F.col("ia").alias("i"), F.col("ib").alias("j"),
+                       (F.col("w_ab") + F.col("w_ba")).alias("n"),
+                       F.col("w_ab").alias("w"))
+           .unionByName(duel.select(
+               F.col("ib").alias("i"), F.col("ia").alias("j"),
+               (F.col("w_ab") + F.col("w_ba")).alias("n"),
+               F.col("w_ba").alias("w"))))
+    wins = sym.groupBy("i").agg(F.sum("w").alias("wins"),
+                                F.sum("n").alias("n_comp"))
+    p = wins.select("i", F.lit(1.0).alias("p"))
+    for _ in range(iters):
+        pj = p.select(F.col("i").alias("j"), F.col("p").alias("pj"))
+        terms = (sym.join(p.hint("broadcast"), "i")
+                 .join(pj.hint("broadcast"), "j")
+                 .select("i", F.floor(
+                     F.col("n") / (F.col("p") + F.col("pj")) * 1e9
+                     + F.lit(0.5)).cast("long").alias("_t")))
+        denom = terms.groupBy("i").agg(F.sum("_t").alias("_d"))
+        p = (wins.join(denom, "i")
+             .select("i", (F.floor(F.col("wins") * 1e9
+                                   / (F.col("_d") / 1e9) + F.lit(0.5))
+                           / 1e9).alias("p")))
+    tot = p.agg(F.sum("p").alias("_tp"))
+    return (wins.join(p, "i").join(tot.hint("broadcast"))
+            .select(F.col("i").alias(item_col),
+                    F.col("wins").cast("long").alias("wins"),
+                    F.col("n_comp").cast("long").alias("n_comparisons"),
+                    F.round(F.col("p") / F.col("_tp"), 6).alias("rating")))
+
+
+def self_bleu(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text",
+              group_col: str = "source") -> DataFrame:
+    """Self-BLEU-2 corpus diversity audit (Zhu et al. 2018): each doc
+    scores as a CANDIDATE against the next doc (by id) in its group
+    as the REFERENCE — high self-BLEU means the corpus repeats itself,
+    the generation-diversity red flag. Per group: pair count and mean
+    clipped unigram/bigram precision and BLEU-2 (geometric mean ×
+    brevity penalty).
+
+    Per-pair p1/p2 are exact int ratios (clipped-count sums over
+    candidate length); BLEU-2 = BP·sqrt(p1·p2) quantizes to 1e-6
+    fixed-point BEFORE the group mean so the aggregate sums int64,
+    immune to float summation order. The brevity penalty is the
+    LINEAR min(1, len_c/len_r) rather than Papineni's exp(1 − r/c):
+    same monotonicity and fixed points (1 at equal length, → 0 as the
+    candidate shrinks), but an exact int-ratio double instead of
+    libm exp, whose last-ulp engine drift can flip the 1e-6
+    fixed-point floor (the repo's zero-libm determinism convention). Plan: n-gram explodes are
+    map-side; the only shuffles are the per-(pair, gram) count
+    aggregates and their pair join — linear in token count."""
+    wg = W.partitionBy("_g").orderBy(F.col("_id").asc())
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    base = docs.select(F.col(id_col).alias("_id"),
+                       F.col(group_col).alias("_g"),
+                       toks.alias("_tk"))
+    pairs = (base
+             .withColumn("_rtk", F.lead("_tk").over(wg))
+             .filter(F.col("_rtk").isNotNull())
+             .filter((F.size("_tk") >= 2) & (F.size("_rtk") >= 2)))
+
+    def grams(col: str, n: int) -> F.Column:
+        if n == 1:
+            return F.col(col)
+        return F.expr(
+            f"transform(slice({col}, 1, size({col}) - 1), "
+            f"(x, k) -> concat(x, ' ', element_at({col}, k + 2)))")
+
+    def clipped(n: int, name: str) -> DataFrame:
+        cand = (pairs.select("_id", "_g",
+                             F.explode(grams("_tk", n)).alias("_gr"))
+                .groupBy("_id", "_g", "_gr")
+                .agg(F.count("*").alias("_cc")))
+        ref = (pairs.select("_id", F.explode(grams("_rtk", n)).alias("_gr"))
+               .groupBy("_id", "_gr").agg(F.count("*").alias("_cr")))
+        per = (cand.join(ref, ["_id", "_gr"], "left")
+               .groupBy("_id", "_g")
+               .agg(F.sum(F.least("_cc", F.coalesce("_cr", F.lit(0))))
+                    .alias(f"_clip{name}"),
+                    F.sum("_cc").alias(f"_tot{name}")))
+        return per
+
+    joined = (clipped(1, "1").join(clipped(2, "2"), ["_id", "_g"])
+              .join(pairs.select("_id", F.size("_tk").alias("_lc"),
+                                 F.size("_rtk").alias("_lr")), "_id"))
+    p1 = F.col("_clip1") / F.col("_tot1")
+    p2 = F.col("_clip2") / F.col("_tot2")
+    bp = F.when(F.col("_lc") >= F.col("_lr"), F.lit(1.0)).otherwise(
+        F.col("_lc") / F.col("_lr"))
+    fx = lambda c: F.floor(c * 1e6 + F.lit(0.5)).cast("long")  # noqa: E731
+    per_pair = joined.select(
+        "_g", fx(p1).alias("_fp1"), fx(p2).alias("_fp2"),
+        fx(bp * F.sqrt(p1 * p2)).alias("_fb"))
+    return (per_pair.groupBy(F.col("_g").alias(group_col))
+            .agg(F.count("*").cast("long").alias("n_pairs"),
+                 F.round(F.sum("_fp1") / 1e6 / F.count("*"), 6)
+                 .alias("mean_p1"),
+                 F.round(F.sum("_fp2") / 1e6 / F.count("*"), 6)
+                 .alias("mean_p2"),
+                 F.round(F.sum("_fb") / 1e6 / F.count("*"), 6)
+                 .alias("mean_self_bleu2")))

@@ -987,3 +987,168 @@ def benford_deviation(events: DataFrame, group_col: str = "event_type",
                     F.round(exp, 6).alias("expected"),
                     F.round((F.col("n") - exp) * (F.col("n") - exp)
                             / exp, 6).alias("chi2_contrib")))
+
+
+def active_users(events: DataFrame, user_col: str = "user_id",
+                 ts_col: str = "ts", week: int = 7,
+                 month: int = 28) -> DataFrame:
+    """DAU/WAU/MAU engagement census: for every calendar day in the
+    corpus span, the distinct users active that day, in the trailing
+    ``week`` days, and in the trailing ``month`` days, plus the
+    DAU/MAU "stickiness" ratio — the growth-accounting table every
+    event pipeline publishes first.
+
+    The trailing-window distinct counts are computed by EXPLODING each
+    distinct (day, user) pair into the ``w`` future days it
+    contributes to, then one distinct-aggregate per day — a linear
+    map-side fan-out (×7 + ×28) instead of a day×user-day range join,
+    so the shuffle stays proportional to user-days and partial
+    aggregation dedups map-side. Days with zero activity still appear
+    (densified grid), with dau 0 and NULL stickiness when mau is 0."""
+    day = F.to_date(F.col(ts_col))
+    ud = events.select(day.alias("d"),
+                       F.col(user_col).alias("u")).distinct()
+    bounds = ud.agg(F.min("d").alias("_mn"), F.max("d").alias("_mx"))
+    grid = (bounds.select(F.explode(F.sequence(
+        F.col("_mn"), F.col("_mx"))).alias("day")))
+
+    def trailing(w: int, name: str) -> DataFrame:
+        contrib = ud.select(
+            F.explode(F.sequence(
+                F.col("d"), F.date_add(F.col("d"), w - 1))).alias("day"),
+            "u")
+        return (contrib.join(grid.hint("broadcast"), "day")
+                .groupBy("day")
+                .agg(F.count_distinct("u").alias(name)))
+
+    dau = ud.groupBy(F.col("d").alias("day")).agg(
+        F.count_distinct("u").alias("dau"))
+    out = (grid.join(dau, "day", "left")
+           .join(trailing(week, "wau"), "day", "left")
+           .join(trailing(month, "mau"), "day", "left")
+           .select("day",
+                   F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),
+                   F.coalesce("wau", F.lit(0)).cast("long").alias("wau"),
+                   F.coalesce("mau", F.lit(0)).cast("long").alias("mau")))
+    stick = F.when(F.col("mau") > 0,
+                   F.round(F.col("dau") / F.col("mau"), 6))
+    return out.withColumn("stickiness", stick)
+
+
+def power_user_curve(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts", window_days: int = 28) -> DataFrame:
+    """The L28 power-user curve: over the trailing ``window_days``
+    ending at the corpus max day, the distribution of active-days per
+    user — (active_days, n_users, pct_users). A healthy habit product
+    is right-heavy; a smile curve means a split population. Bounded
+    output (≤ window_days rows); two shuffles (user-day distinct +
+    the per-user count)."""
+    day = F.to_date(F.col(ts_col))
+    ud = events.select(day.alias("d"),
+                       F.col(user_col).alias("u")).distinct()
+    end = ud.agg(F.max("d").alias("_mx"))
+    win = (ud.join(end.hint("broadcast"))
+           .filter(F.col("d") >= F.date_sub(F.col("_mx"),
+                                            window_days - 1)))
+    per_user = win.groupBy("u").agg(F.count("*").alias("active_days"))
+    tot = per_user.agg(F.count("*").alias("_nu"))
+    return (per_user.groupBy("active_days")
+            .agg(F.count("*").alias("n_users"))
+            .join(tot.hint("broadcast"))
+            .select(F.col("active_days").cast("long").alias("active_days"),
+                    F.col("n_users").cast("long").alias("n_users"),
+                    F.round(F.col("n_users") / F.col("_nu"), 6)
+                    .alias("pct_users")))
+
+
+def basket_lift(lineitem: DataFrame, basket_col: str = "l_orderkey",
+                item: F.Column | None = None,
+                min_count: int = 10) -> DataFrame:
+    """Market-basket association rules over order co-occurrence:
+    support / directional confidence / lift for every item pair
+    appearing in ≥ ``min_count`` shared baskets. ``item`` defaults to
+    the part-category proxy l_partkey % 100 so the co-occurrence
+    matrix is dense enough to rank.
+
+    Plan: distinct (basket, item) → self-join ON basket (the shuffle
+    keys both sides by basket; per-basket fan-out is bounded by
+    basket size, never all-pairs) → bounded |items|² aggregate; the
+    per-item margins and the basket total broadcast back onto it."""
+    item = item if item is not None else (F.col("l_partkey") % 100)
+    bi = (lineitem.select(F.col(basket_col).alias("b"),
+                          item.cast("long").alias("i"))
+          .distinct())
+    n_baskets = bi.select("b").distinct().agg(
+        F.count("*").alias("_nb"))
+    margins = bi.groupBy("i").agg(F.count("*").alias("_ni"))
+    a, c = bi.alias("a"), bi.alias("c")
+    pairs = (a.join(c, (F.col("a.b") == F.col("c.b"))
+                    & (F.col("a.i") < F.col("c.i")))
+             .groupBy(F.col("a.i").alias("item_a"),
+                      F.col("c.i").alias("item_b"))
+             .agg(F.count("*").alias("n_ab"))
+             .filter(F.col("n_ab") >= min_count))
+    ma = margins.select(F.col("i").alias("item_a"),
+                        F.col("_ni").alias("_na"))
+    mb = margins.select(F.col("i").alias("item_b"),
+                        F.col("_ni").alias("_nb_item"))
+    return (pairs.join(ma.hint("broadcast"), "item_a")
+            .join(mb.hint("broadcast"), "item_b")
+            .join(n_baskets.hint("broadcast"))
+            .select("item_a", "item_b",
+                    F.col("n_ab").cast("long").alias("n_ab"),
+                    F.round(F.col("n_ab") / F.col("_nb"), 6)
+                    .alias("support"),
+                    F.round(F.col("n_ab") / F.col("_na"), 6)
+                    .alias("conf_a_to_b"),
+                    F.round(F.col("n_ab") / F.col("_nb_item"), 6)
+                    .alias("conf_b_to_a"),
+                    F.round(F.col("n_ab") * F.col("_nb")
+                            / (F.col("_na") * F.col("_nb_item")), 6)
+                    .alias("lift")))
+
+
+def welch_ttest(events: DataFrame, arm: F.Column | None = None,
+                value_col: str = "value") -> DataFrame:
+    """Welch's unequal-variance t-test between two arms (default
+    user_id % 2) on exact cent values: one row with per-arm n / mean,
+    the t statistic and the Welch–Satterthwaite degrees of freedom —
+    the A/B significance primitive next to x153's SRM gate and x154's
+    stratified uplift.
+
+    Moments accumulate as int64 cent sums (never float), so the
+    means/variances are single division chains over exact integers —
+    engine-identical at 6dp. ONE map-side-combined aggregate, one
+    1-row result."""
+    arm = arm if arm is not None else (F.col("user_id") % 2)
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    g = (events.select(arm.cast("int").alias("g"), cents.alias("c"))
+         .groupBy("g")
+         .agg(F.count("*").alias("n"), F.sum("c").alias("s"),
+              F.sum(F.col("c") * F.col("c")).alias("ss")))
+    a = g.filter(F.col("g") == 0).alias("a")
+    b = g.filter(F.col("g") == 1).alias("b")
+    row = a.join(b.hint("broadcast"))
+
+    def mean(side):
+        return F.col(f"{side}.s") / F.col(f"{side}.n")
+
+    def var(side):
+        return ((F.col(f"{side}.ss")
+                 - F.col(f"{side}.s") * F.col(f"{side}.s")
+                 / F.col(f"{side}.n"))
+                / (F.col(f"{side}.n") - 1))
+
+    se0 = var("a") / F.col("a.n")
+    se1 = var("b") / F.col("b.n")
+    t = (mean("a") - mean("b")) / F.sqrt(se0 + se1)
+    df = ((se0 + se1) * (se0 + se1)
+          / (se0 * se0 / (F.col("a.n") - 1)
+             + se1 * se1 / (F.col("b.n") - 1)))
+    return row.select(
+        F.col("a.n").cast("long").alias("n0"),
+        F.col("b.n").cast("long").alias("n1"),
+        F.round(mean("a"), 6).alias("mean_cents_0"),
+        F.round(mean("b"), 6).alias("mean_cents_1"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df, 6).alias("welch_df"))

@@ -233,3 +233,294 @@ def q_benford(spark, sf):
     value's decimal string — zero libm — with the Benford expectation
     as shared 6dp literals."""
     return pf.benford_deviation(events_df(spark, sf))
+
+
+# ---------------------------------------------- round-7b: growth analytics
+
+@_q("e40_active_users", """
+WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS u FROM events),
+ b AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM ud),
+ grid AS (SELECT CAST(x AS DATE) AS day
+          FROM (SELECT UNNEST(generate_series(mn, mx, INTERVAL 1 DAY))
+                AS x FROM b)),
+ dau AS (SELECT d AS day, CAST(COUNT(DISTINCT u) AS BIGINT) AS dau
+         FROM ud GROUP BY 1),
+ wau AS (SELECT g.day, CAST(COUNT(DISTINCT u.u) AS BIGINT) AS wau
+         FROM grid g JOIN ud u ON u.d BETWEEN g.day - 6 AND g.day
+         GROUP BY 1),
+ mau AS (SELECT g.day, CAST(COUNT(DISTINCT u.u) AS BIGINT) AS mau
+         FROM grid g JOIN ud u ON u.d BETWEEN g.day - 27 AND g.day
+         GROUP BY 1)
+SELECT CAST(g.day AS VARCHAR) AS day,
+       COALESCE(dau.dau, 0) AS dau, COALESCE(wau.wau, 0) AS wau,
+       COALESCE(mau.mau, 0) AS mau,
+       CASE WHEN COALESCE(mau.mau, 0) > 0
+            THEN ROUND(COALESCE(dau.dau, 0) * 1.0 / mau.mau, 6)
+       END AS stickiness
+FROM grid g LEFT JOIN dau ON dau.day = g.day
+LEFT JOIN wau ON wau.day = g.day
+LEFT JOIN mau ON mau.day = g.day
+""")
+def q_active_users(spark, sf):
+    """DAU/WAU/MAU + stickiness over the densified corpus day grid
+    (profile.active_users): trailing-window distincts via bounded
+    map-side explode, never a day×user-day range join. The day casts
+    to string at the harness boundary only (pandas renders Spark
+    DateType as date objects but DuckDB DATE as midnight
+    timestamps)."""
+    out = pf.active_users(events_df(spark, sf))
+    return out.withColumn("day", F.col("day").cast("string"))
+
+
+@_q("e41_basket_lift", """
+WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 100 AS i
+            FROM lineitem),
+ nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS nb FROM bi),
+ m AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS ni FROM bi GROUP BY 1),
+ p AS (SELECT a.i AS item_a, c.i AS item_b,
+              CAST(COUNT(*) AS BIGINT) AS n_ab
+       FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i
+       GROUP BY 1, 2 HAVING COUNT(*) >= 10)
+SELECT p.item_a, p.item_b, p.n_ab,
+       ROUND(p.n_ab * 1.0 / nb.nb, 6) AS support,
+       ROUND(p.n_ab * 1.0 / ma.ni, 6) AS conf_a_to_b,
+       ROUND(p.n_ab * 1.0 / mb.ni, 6) AS conf_b_to_a,
+       ROUND(p.n_ab * 1.0 * nb.nb / (ma.ni * mb.ni), 6) AS lift
+FROM p CROSS JOIN nb
+JOIN m ma ON ma.i = p.item_a JOIN m mb ON mb.i = p.item_b
+""")
+def q_basket_lift(spark, sf):
+    """Market-basket support/confidence/lift over part-category
+    co-occurrence within orders (profile.basket_lift): the
+    association-rule miner; per-basket bounded self-join, |items|²
+    aggregate."""
+    return pf.basket_lift(load(spark, sf, "lineitem"))
+
+
+@_q("e42_power_user_curve", """
+WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS u FROM events),
+ e AS (SELECT MAX(d) AS mx FROM ud),
+ w AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS active_days
+       FROM ud CROSS JOIN e WHERE d >= mx - 27 GROUP BY 1),
+ t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM w)
+SELECT active_days, CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(COUNT(*) * 1.0 / t.nu, 6) AS pct_users
+FROM w CROSS JOIN t GROUP BY active_days, t.nu
+""")
+def q_power_user_curve(spark, sf):
+    """The L28 power-user curve (profile.power_user_curve): trailing
+    28-day active-days histogram — the habit-strength census."""
+    return pf.power_user_curve(events_df(spark, sf))
+
+
+# ---------------------------------------------- round-7b: stats / labeling
+
+@_q("x159_welch_ttest", """
+WITH g AS (SELECT CAST(user_id % 2 AS INTEGER) AS g,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS s,
+                  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                           * CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS ss
+           FROM events GROUP BY 1),
+ c AS (SELECT g, n, s * 1.0 / n AS m,
+              (ss - s * 1.0 * s / n) / (n - 1) AS v
+       FROM g),
+ a AS (SELECT * FROM c WHERE g = 0), b AS (SELECT * FROM c WHERE g = 1),
+ se AS (SELECT a.n AS n0, b.n AS n1, a.m AS m0, b.m AS m1,
+               a.v / a.n AS se0, b.v / b.n AS se1
+        FROM a CROSS JOIN b)
+SELECT n0, n1, ROUND(m0, 6) AS mean_cents_0, ROUND(m1, 6) AS mean_cents_1,
+       ROUND((m0 - m1) / sqrt(se0 + se1), 6) AS t_stat,
+       ROUND((se0 + se1) * (se0 + se1)
+             / (se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1)), 6)
+         AS welch_df
+FROM se
+""")
+def q_welch_ttest(spark, sf):
+    """Welch's t between the user_id-parity arms on exact cent values
+    (profile.welch_ttest): int64 moments, single division chains —
+    the A/B significance gate beside x153/x154."""
+    return pf.welch_ttest(events_df(spark, sf))
+
+
+@_q("x160_fleiss_kappa", """
+WITH r AS (SELECT UNNEST([0, 1, 2, 3, 4]) AS r),
+ rated AS (SELECT d.doc_id AS s, r.r,
+                  CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)
+                                               || '#'
+                                               || CAST(r.r AS VARCHAR)),
+                                           1, 8)) AS BIGINT) % 3 AS c
+           FROM documents d CROSS JOIN r),
+ nij AS (SELECT s, c, CAST(COUNT(*) AS BIGINT) AS n
+         FROM rated GROUP BY 1, 2),
+ ps AS (SELECT s, CAST(SUM(n * n) AS BIGINT) AS s2 FROM nij GROUP BY 1),
+ tots AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+                 CAST(SUM(s2) AS BIGINT) AS s2a
+          FROM ps),
+ tc AS (SELECT CAST(SUM(cj * cj) AS BIGINT) AS t
+        FROM (SELECT c, CAST(SUM(n) AS BIGINT) AS cj
+              FROM nij GROUP BY 1))
+SELECT nn AS n_subjects, CAST(5 AS BIGINT) AS n_raters,
+       ROUND((s2a - nn * 5) * 1.0 / ((nn * 5) * 4), 6) AS p_bar,
+       ROUND(t * 1.0 / ((nn * 5) * (nn * 5)), 6) AS p_e,
+       ROUND(((s2a - nn * 5) * 1.0 / ((nn * 5) * 4)
+              - t * 1.0 / ((nn * 5) * (nn * 5)))
+             / (1 - t * 1.0 / ((nn * 5) * (nn * 5))), 6) AS kappa
+FROM tots CROSS JOIN tc
+""")
+def q_fleiss_kappa(spark, sf):
+    """Fleiss' kappa over 5 seeded synthetic raters × 3 categories on
+    the documents table (evaluation.fleiss_kappa): all-integer
+    numerators, two-division chain — multi-rater labeling QA."""
+    return ev.fleiss_kappa(load(spark, sf, "documents"))
+
+
+@_q("x161_bradley_terry", """
+WITH ui AS (SELECT user_id AS u, event_type AS i,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS c
+            FROM events GROUP BY 1, 2),
+ duel AS (SELECT a.i AS ia, b.i AS ib,
+                 CAST(SUM(CASE WHEN a.c > b.c THEN 1 ELSE 0 END)
+                      AS BIGINT) AS w_ab,
+                 CAST(SUM(CASE WHEN b.c > a.c THEN 1 ELSE 0 END)
+                      AS BIGINT) AS w_ba
+          FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+          WHERE a.c <> b.c GROUP BY 1, 2),
+ sym AS (SELECT ia AS i, ib AS j, w_ab + w_ba AS n, w_ab AS w FROM duel
+         UNION ALL
+         SELECT ib, ia, w_ab + w_ba, w_ba FROM duel),
+ wins AS (SELECT i, CAST(SUM(w) AS BIGINT) AS wins,
+                 CAST(SUM(n) AS BIGINT) AS n_comp
+          FROM sym GROUP BY 1),
+ p0 AS (SELECT i, 1.0 AS p FROM wins),
+ t1 AS (SELECT s.i, CAST(FLOOR(s.n / (pa.p + pb.p) * 1e9 + 0.5)
+                         AS BIGINT) AS t
+        FROM sym s JOIN p0 pa ON pa.i = s.i JOIN p0 pb ON pb.i = s.j),
+ d1 AS (SELECT i, CAST(SUM(t) AS BIGINT) AS d FROM t1 GROUP BY 1),
+ p1 AS (SELECT w.i, FLOOR(w.wins * 1e9 / (d.d / 1e9) + 0.5) / 1e9 AS p
+        FROM wins w JOIN d1 d ON d.i = w.i),
+ t2 AS (SELECT s.i, CAST(FLOOR(s.n / (pa.p + pb.p) * 1e9 + 0.5)
+                         AS BIGINT) AS t
+        FROM sym s JOIN p1 pa ON pa.i = s.i JOIN p1 pb ON pb.i = s.j),
+ d2 AS (SELECT i, CAST(SUM(t) AS BIGINT) AS d FROM t2 GROUP BY 1),
+ p2 AS (SELECT w.i, FLOOR(w.wins * 1e9 / (d.d / 1e9) + 0.5) / 1e9 AS p
+        FROM wins w JOIN d2 d ON d.i = w.i),
+ tp AS (SELECT SUM(p) AS tp FROM p2)
+SELECT p2.i AS event_type, w.wins, w.n_comp AS n_comparisons,
+       ROUND(p2.p / tp.tp, 6) AS rating
+FROM p2 JOIN wins w ON w.i = p2.i CROSS JOIN tp
+""")
+def q_bradley_terry(spark, sf):
+    """Bradley–Terry strengths from per-user event-type spend duels,
+    2 unrolled MM iterations with 1e-9 fixed-point terms
+    (evaluation.bradley_terry) — the arena-rating primitive."""
+    return ev.bradley_terry(events_df(spark, sf))
+
+
+@_q("x162_self_bleu", """
+WITH base AS (SELECT doc_id AS id, source AS g,
+                     string_split_regex(lower(text), '\\s+') AS tk
+              FROM documents),
+ pr AS (SELECT id, g, tk,
+               LEAD(tk) OVER (PARTITION BY g ORDER BY id) AS rtk
+        FROM base),
+ pairs AS (SELECT * FROM pr
+           WHERE rtk IS NOT NULL AND len(tk) >= 2 AND len(rtk) >= 2),
+ c1 AS (SELECT id, g, UNNEST(tk) AS gr FROM pairs),
+ c1c AS (SELECT id, g, gr, CAST(COUNT(*) AS BIGINT) AS cc
+         FROM c1 GROUP BY 1, 2, 3),
+ r1 AS (SELECT id, UNNEST(rtk) AS gr FROM pairs),
+ r1c AS (SELECT id, gr, CAST(COUNT(*) AS BIGINT) AS cr
+         FROM r1 GROUP BY 1, 2),
+ u1 AS (SELECT c.id, c.g,
+               CAST(SUM(LEAST(c.cc, COALESCE(r.cr, 0))) AS BIGINT)
+                 AS clip1,
+               CAST(SUM(c.cc) AS BIGINT) AS tot1
+        FROM c1c c LEFT JOIN r1c r ON r.id = c.id AND r.gr = c.gr
+        GROUP BY 1, 2),
+ c2 AS (SELECT id, g,
+               UNNEST([tk[i] || ' ' || tk[i + 1]
+                       FOR i IN generate_series(1, len(tk) - 1)]) AS gr
+        FROM pairs),
+ c2c AS (SELECT id, g, gr, CAST(COUNT(*) AS BIGINT) AS cc
+         FROM c2 GROUP BY 1, 2, 3),
+ r2 AS (SELECT id,
+               UNNEST([rtk[i] || ' ' || rtk[i + 1]
+                       FOR i IN generate_series(1, len(rtk) - 1)]) AS gr
+        FROM pairs),
+ r2c AS (SELECT id, gr, CAST(COUNT(*) AS BIGINT) AS cr
+         FROM r2 GROUP BY 1, 2),
+ u2 AS (SELECT c.id, c.g,
+               CAST(SUM(LEAST(c.cc, COALESCE(r.cr, 0))) AS BIGINT)
+                 AS clip2,
+               CAST(SUM(c.cc) AS BIGINT) AS tot2
+        FROM c2c c LEFT JOIN r2c r ON r.id = c.id AND r.gr = c.gr
+        GROUP BY 1, 2),
+ pp AS (SELECT u1.g,
+               CAST(FLOOR(u1.clip1 / u1.tot1 * 1e6 + 0.5) AS BIGINT)
+                 AS fp1,
+               CAST(FLOOR(u2.clip2 / u2.tot2 * 1e6 + 0.5) AS BIGINT)
+                 AS fp2,
+               CAST(FLOOR((CASE WHEN len(p.tk) >= len(p.rtk) THEN 1.0
+                                ELSE len(p.tk) / len(p.rtk)
+                           END
+                           * sqrt((u1.clip1 / u1.tot1)
+                                  * (u2.clip2 / u2.tot2))) * 1e6 + 0.5)
+                    AS BIGINT) AS fb
+        FROM u1 JOIN u2 ON u2.id = u1.id
+        JOIN pairs p ON p.id = u1.id)
+SELECT g AS source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(SUM(fp1) / 1e6 / COUNT(*), 6) AS mean_p1,
+       ROUND(SUM(fp2) / 1e6 / COUNT(*), 6) AS mean_p2,
+       ROUND(SUM(fb) / 1e6 / COUNT(*), 6) AS mean_self_bleu2
+FROM pp GROUP BY 1
+""")
+def q_self_bleu(spark, sf):
+    """Self-BLEU-2 diversity audit per source (evaluation.self_bleu):
+    adjacent-doc candidate/reference pairs, clipped n-gram precision
+    as exact int ratios, 1e-6 fixed-point pair scores."""
+    return ev.self_bleu(load(spark, sf, "documents"))
+
+
+def _g4_oracle_sql() -> str:
+    from data_ingest_spark.harness.q_ml import _KNN_EDGES_SQL
+    return f"""
+WITH {_KNN_EDGES_SQL},
+ d AS (SELECT src, dst FROM r WHERE rank <= 10),
+ u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       FROM d WHERE src <> dst),
+ deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+         FROM (SELECT a AS v FROM u UNION ALL SELECT b FROM u)
+         GROUP BY 1),
+ tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         FROM u e1 JOIN u e2 ON e1.b = e2.a
+         JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
+ tv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS tri
+        FROM (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri)
+        GROUP BY 1),
+ pn AS (SELECT deg.v, deg.deg, COALESCE(tv.tri, 0) AS tri
+        FROM deg LEFT JOIN tv ON tv.v = deg.v WHERE deg.deg >= 2),
+ cc AS (SELECT CAST(FLOOR(2e6 * tri / (deg * (deg - 1)) + 0.5)
+               AS BIGINT) AS cc6
+        FROM pn)
+SELECT CAST(LEAST(FLOOR(cc6 / 100000.0), 9) AS INTEGER) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       ROUND(SUM(cc6) / 1e6 / COUNT(*), 6) AS mean_cc
+FROM cc GROUP BY 1
+"""
+
+
+@_q("g4_clustering_coeff", _g4_oracle_sql())
+def q_clustering_coeff(spark, sf):
+    """Local clustering-coefficient histogram of the undirected k=10
+    kNN graph (graph.clustering_coefficient): canonical-order triangle
+    joins keyed by node, exact fixed-point bucket means — graph
+    cohesion next to g2's global triangle count."""
+    from data_ingest_spark.harness.q_ml import _emb_knn
+    from data_ingest_spark.operators.graph import clustering_coefficient
+    knn = _emb_knn(spark, sf, k=10, cached=True)
+    return clustering_coefficient(knn.select("src", "dst"))

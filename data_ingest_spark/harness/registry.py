@@ -114,16 +114,22 @@ _ROUND7_PRIORITY = [
     "x147_js_divergence", "x148_winnowing",
     "x149_rbo", "x150_kendall_tau", "x151_term_dispersion",
     "x152_k_anonymity", "x153_srm_check", "x154_stratified_uplift",
-    # --- 28 oldest r2-verified re-samples (registration order) ---
+    # --- the round-7 additions (never driver-verified; fronting them
+    # here keeps the never-sampled backlog at ZERO after this round
+    # instead of re-creating a 7-query tail for round 8) ---
+    "e37_rfm_segments", "e38_markov_transitions", "e39_session_paths",
+    "x155_bloom_decontam", "x156_pass_at_k", "x157_calibration_ece",
+    "x158_benford",
+    "e40_active_users", "e41_basket_lift", "e42_power_user_curve",
+    "x159_welch_ttest", "x160_fleiss_kappa", "x161_bradley_terry",
+    "x162_self_bleu", "g4_clustering_coeff",
+    # --- oldest r2-verified re-samples (registration order) fill the
+    # remaining slots to 50 ---
     "a1_a2_cell_counts", "a3_gene_stats", "v1_sql_surface",
     "a4_percent_mt", "a5_ambient_census", "a6_median_gene_sum",
     "a7_singlet_max", "a8_distinct_values", "a10_histogram",
     "a12_checksum", "f1_min_cell_size", "f2_mt_content",
-    "f3_classifier_fdr", "f4_doublet_score", "f5_min_features",
-    "f6_prune", "f7_subset_samples", "f8_projection", "f9_mt_regex",
-    "f11_remove_outliers", "j1_emptydrops", "j2_doublet_scores",
-    "j3_align_annotations", "j4_sample_metadata", "j5_semi_features",
-    "j6_flag", "j7_cell_sets", "w1_barcode_rank",
+    "f3_classifier_fdr",
 ]
 # Backwards-compat aliases (round-4/5/6 names); same contract test.
 _ROUND6_PRIORITY = _ROUND7_PRIORITY

@@ -97,3 +97,47 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame,
         if (i + 1) % 3 == 0:
             dist = dist.localCheckpoint()
     return dist.select("id", F.col("d").cast("long").alias("hops"))
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient census over an undirected graph:
+    cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) for deg ≥ 2, reported as a
+    10-bucket histogram (bucket = min(floor(cc·10), 9)) with the
+    exact-fixed-point mean cc per bucket — the graph-cohesion
+    companion to the g2 triangle count (how clumped is the kNN /
+    co-occurrence graph, not just how many triangles).
+
+    Input is any (src, dst) edge list; it is canonicalized to
+    distinct a<b edges first. Triangle enumeration is the standard
+    two-join canonical-order form (each join keys on a vertex —
+    shuffles by node, never all-pairs); per-node triangle counts come
+    from exploding each triangle's three corners. Per-node cc rounds
+    HALF_UP to 6dp as a 1e-6 int so the bucket mean sums int64 —
+    engine-identical. Output ≤ 10 rows."""
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .filter(F.col("a") != F.col("b"))
+           .distinct().localCheckpoint(eager=False))
+    deg = (und.select(F.col("a").alias("v"))
+           .unionByName(und.select(F.col("b").alias("v")))
+           .groupBy("v").agg(F.count("*").alias("deg")))
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    tri_v = (tri.select(F.explode(F.array("x", "y", "z")).alias("v"))
+             .groupBy("v").agg(F.count("*").alias("tri")))
+    per_node = (deg.filter(F.col("deg") >= 2)
+                .join(tri_v, "v", "left")
+                .select("v", "deg",
+                        F.coalesce("tri", F.lit(0)).alias("tri")))
+    cc6 = F.floor(F.lit(2e6) * F.col("tri")
+                  / (F.col("deg") * (F.col("deg") - 1))
+                  + F.lit(0.5)).cast("long")
+    bucketed = per_node.select(
+        F.least(F.floor(cc6 / 100000.0), F.lit(9)).cast("int")
+        .alias("bucket"), cc6.alias("_cc6"))
+    return (bucketed.groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("n_nodes"),
+                 F.round(F.sum("_cc6") / 1e6 / F.count("*"), 6)
+                 .alias("mean_cc")))

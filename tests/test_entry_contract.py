@@ -60,12 +60,15 @@ def test_rotation_priority_names_resolve(spark):
     # every fronted name is oracle-paired
     oracles = registry.oracle_sql()
     assert all(n in oracles for n in registry._ROUND7_PRIORITY)
-    # Round-7 discipline (round-6 verdict ask #1): the first 22 slots
-    # must be EXACTLY the oracled remainder with no driver verdict
-    # across CORRECTNESS_r02-r06, so a green r07 closes driver
-    # verification at 271/271 oracled; the 28 spare slots re-sample
-    # only queries already driver-green in round 2 (regression
-    # re-confirmation — never new queries).
+    # Round-7 discipline (round-6 verdict ask #1, extended to the
+    # round-7 additions): the first 22 slots are EXACTLY the round-6
+    # verdict's never-driver-verified tail IN ITS ORDER; every oracled
+    # query with no driver verdict across CORRECTNESS_r02-r06
+    # (including queries added in round 7 itself) must be somewhere in
+    # the front-50, so a green r07 leaves the never-sampled backlog at
+    # ZERO; every remaining slot re-samples a query already
+    # driver-green in round 2 (regression re-confirmation — never a
+    # query that would displace the backlog).
     import json as _json
     import os as _os
     repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
@@ -80,13 +83,26 @@ def test_rotation_priority_names_resolve(spark):
             if rnd == 2:
                 r2 = keys
     if seen:
+        r6_tail = [
+            "e30_peak_concurrency", "e31_pattern_negation",
+            "e32_decay_attribution", "e33_hourly_xcorr",
+            "e34_cusum_changepoint", "e35_kaplan_meier",
+            "e36_seasonal_backtest", "p5_gopher_gate",
+            "x141_fellegi_sunter", "x142_lsh_precision",
+            "x143_sorted_neighborhood", "x144_bot_regularity",
+            "x145_token_fertility", "x146_gini_source",
+            "x147_js_divergence", "x148_winnowing",
+            "x149_rbo", "x150_kendall_tau", "x151_term_dispersion",
+            "x152_k_anonymity", "x153_srm_check",
+            "x154_stratified_uplift"]
+        assert list(registry._ROUND7_PRIORITY[:22]) == r6_tail
         never = {n for n, (fn, sql) in registry.REGISTRY.items()
                  if sql is not None and n not in seen}
-        assert set(registry._ROUND7_PRIORITY[:22]) == never, (
-            f"front-22 != never-driver-verified set: "
-            f"extra={set(registry._ROUND7_PRIORITY[:22]) - never} "
-            f"missing={never - set(registry._ROUND7_PRIORITY[:22])}")
-        resample = set(registry._ROUND7_PRIORITY[22:])
+        fronted = set(registry._ROUND7_PRIORITY)
+        assert never <= fronted, (
+            f"never-driver-verified queries missing from the front-50: "
+            f"{never - fronted}")
+        resample = fronted - never
         assert resample <= r2, (
             f"re-sample slots must hold r2-verified queries only: "
             f"{resample - r2}")

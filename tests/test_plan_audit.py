@@ -235,7 +235,11 @@ def test_mix_quota_broadcasts_quota_corpus_moves_once(spark):
     remaining exchanges carry one row per source."""
     df = q(spark, "x80_mix_quota")
     assert broadcast_join_count(df) >= 1
-    assert shuffle_count(df) <= 5
+    # 6 since the round-7 lazy dense-rank rework: the former eager
+    # offsets collect() hid a size aggregate + cumsum window as driver
+    # actions that re-executed the upstream; they now appear statically
+    # but run over the one-row-per-source frame.
+    assert shuffle_count(df) <= 6
 
 
 def test_bpe_and_lloyd_broadcast_and_bounded_shuffles(spark):
@@ -273,7 +277,11 @@ def test_round4_batch_bounded_shuffles(spark):
     map-only (the ±1 matrix folds into codegen — zero exchanges).
     x97 broadcasts the df table back onto tf. x98 does one grouped
     count then tiny-aggregate arithmetic."""
-    for name, max_sh in (("x93_rrf_fusion", 2), ("x94_url_canonical", 1),
+    # x93 counts 3 since the round-7 lazy dense-rank rework (the
+    # bounded-candidate rank windows' size-aggregate/cumsum exchanges
+    # are now in the static plan instead of hidden driver collects);
+    # all three run over ≤ n_candidates rows.
+    for name, max_sh in (("x93_rrf_fusion", 3), ("x94_url_canonical", 1),
                          ("x95_random_projection", 0),
                          ("x97_doc_keywords", 5),
                          ("x98_temperature_mix", 3)):

@@ -155,3 +155,162 @@ def test_benford_exact_digit_census(spark):
     out2 = benford_deviation(_ev(spark, rows)) \
         .agg(F.sum("observed")).collect()[0][0]
     assert out2 == 4
+
+
+def test_active_users_windows_and_gap_day(spark):
+    from data_ingest_spark.extensions.profile import active_users
+    rows = []
+    eid = 0
+    # u1 active days 0 and 2; u2 active day 0 only; day 1 is silent
+    for u, day in ((1, 0), (1, 2), (2, 0)):
+        rows.append((eid, BASE + day * DAY, u, "click", 1.0))
+        eid += 1
+    out = {str(r["day"]): r for r in active_users(_ev(spark, rows)).collect()}
+    assert len(out) == 3                      # densified grid incl. day 1
+    days = sorted(out)
+    d0, d1, d2 = (out[d] for d in days)
+    assert (d0["dau"], d0["wau"], d0["mau"]) == (2, 2, 2)
+    assert (d1["dau"], d1["wau"], d1["mau"]) == (0, 2, 2)  # trailing window
+    assert (d2["dau"], d2["wau"], d2["mau"]) == (1, 2, 2)
+    assert d2["stickiness"] == 0.5
+    assert d1["stickiness"] == 0.0
+
+
+def test_power_user_curve_histogram(spark):
+    from data_ingest_spark.extensions.profile import power_user_curve
+    rows, eid = [], 0
+    for u, ndays in ((1, 3), (2, 3), (3, 1)):
+        for d in range(ndays):
+            rows.append((eid, BASE + d * DAY, u, "click", 1.0))
+            eid += 1
+    out = {r["active_days"]: (r["n_users"], r["pct_users"])
+           for r in power_user_curve(_ev(spark, rows)).collect()}
+    assert out[3] == (2, round(2 / 3, 6))
+    assert out[1] == (1, round(1 / 3, 6))
+
+
+def test_basket_lift_independence_and_association(spark):
+    from data_ingest_spark.extensions.profile import basket_lift
+    rows = []
+    # items 1 and 2 ALWAYS co-occur (10 baskets); item 3 in every
+    # basket (20) so pairs (1,3)/(2,3) have lift 1.0
+    for b in range(10):
+        rows += [(b, 1), (b, 2), (b, 3)]
+    for b in range(10, 20):
+        rows.append((b, 3))
+    df = spark.createDataFrame(rows, ["l_orderkey", "i"])
+    out = {(r["item_a"], r["item_b"]): r
+           for r in basket_lift(df, item=F.col("i"),
+                                min_count=5).collect()}
+    perfect = out[(1, 2)]
+    assert perfect["n_ab"] == 10
+    assert perfect["conf_a_to_b"] == 1.0
+    assert perfect["lift"] == 2.0            # 10*20/(10*10)
+    assert out[(1, 3)]["lift"] == 1.0        # independent of 3
+    assert out[(1, 3)]["conf_a_to_b"] == 1.0
+    assert out[(1, 3)]["conf_b_to_a"] == 0.5
+
+
+def test_welch_ttest_matches_numpy(spark):
+    import numpy as np
+    from data_ingest_spark.extensions.profile import welch_ttest
+    rows, eid = [], 0
+    vals0 = [1.00, 2.00, 3.00, 4.00, 10.00]
+    vals1 = [2.50, 2.50, 3.50, 3.00]
+    for v in vals0:
+        rows.append((eid, BASE + eid, 2 * eid, "click", v)); eid += 1
+    for v in vals1:
+        rows.append((eid, BASE + eid, 2 * eid + 1, "click", v)); eid += 1
+    row = welch_ttest(_ev(spark, rows)).collect()[0]
+    a = np.array([v * 100 for v in vals0])
+    b = np.array([v * 100 for v in vals1])
+    se0, se1 = a.var(ddof=1) / len(a), b.var(ddof=1) / len(b)
+    t = (a.mean() - b.mean()) / math.sqrt(se0 + se1)
+    df = (se0 + se1) ** 2 / (se0 ** 2 / (len(a) - 1)
+                             + se1 ** 2 / (len(b) - 1))
+    assert row["n0"] == 5 and row["n1"] == 4
+    assert abs(row["t_stat"] - t) < 1e-5
+    assert abs(row["welch_df"] - df) < 1e-5
+
+
+def test_fleiss_kappa_matches_direct_computation(spark):
+    """Differential: recompute kappa in pure python from the same
+    md5-derived rating matrix."""
+    import hashlib
+    from data_ingest_spark.extensions.evaluation import fleiss_kappa
+    docs = spark.range(40).select(F.col("id").alias("doc_id"))
+    row = fleiss_kappa(docs, n_raters=5, n_cats=3).collect()[0]
+    nij = {}
+    for s in range(40):
+        for r in range(5):
+            h = hashlib.md5(f"{s}#{r}".encode()).hexdigest()[:8]
+            c = int(h, 16) % 3
+            nij[(s, c)] = nij.get((s, c), 0) + 1
+    N, R = 40, 5
+    s2 = sum(v * v for v in nij.values())
+    pbar = (s2 - N * R) / (N * R * (R - 1))
+    cj = {}
+    for (s, c), v in nij.items():
+        cj[c] = cj.get(c, 0) + v
+    pe = sum(v * v for v in cj.values()) / (N * R) ** 2
+    assert row["n_subjects"] == 40
+    assert abs(row["p_bar"] - pbar) < 1e-6
+    assert abs(row["kappa"] - (pbar - pe) / (1 - pe)) < 1e-6
+
+
+def test_bradley_terry_transitive_dominance(spark):
+    from data_ingest_spark.extensions.evaluation import bradley_terry
+    rows, eid = [], 0
+    # every user spends A > B > C
+    for u in range(6):
+        for ty, v in (("A", 9.0), ("B", 5.0), ("C", 1.0)):
+            rows.append((eid, BASE + eid, u, ty, v)); eid += 1
+    out = {r["event_type"]: r for r in
+           bradley_terry(_ev(spark, rows)).collect()}
+    assert out["A"]["wins"] == 12 and out["C"]["wins"] == 0
+    assert out["A"]["rating"] > out["B"]["rating"] > out["C"]["rating"]
+    assert abs(sum(r["rating"] for r in out.values()) - 1.0) < 1e-5
+
+
+def test_self_bleu_identical_and_disjoint(spark):
+    from data_ingest_spark.extensions.evaluation import self_bleu
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat", "dup"),
+         (2, "the cat sat on the mat", "dup"),
+         (3, "alpha beta gamma delta", "dis"),
+         (4, "one two three four five", "dis")],
+        ["doc_id", "text", "source"])
+    out = {r["source"]: r for r in self_bleu(docs).collect()}
+    assert out["dup"]["mean_self_bleu2"] == 1.0
+    assert out["dis"]["mean_self_bleu2"] == 0.0
+    assert out["dis"]["mean_p1"] == 0.0
+
+
+def test_self_bleu_brevity_penalty_linear(spark):
+    from data_ingest_spark.extensions.evaluation import self_bleu
+    # candidate doc 1 (4 tokens) vs reference doc 2 (8 tokens, a
+    # superset): p1 = p2 = 1, BP = 4/8
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "s"), (2, "a b c d e f g h", "s")],
+        ["doc_id", "text", "source"])
+    row = self_bleu(docs).collect()[0]
+    assert row["mean_p1"] == 1.0 and row["mean_p2"] == 1.0
+    assert row["mean_self_bleu2"] == 0.5
+
+
+def test_clustering_coefficient_known_graphs(spark):
+    from data_ingest_spark.operators.graph import clustering_coefficient
+    # K3 (full triangle): every node cc = 1 -> bucket 9
+    tri = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], ["src", "dst"])
+    out = clustering_coefficient(tri).collect()
+    assert len(out) == 1
+    assert (out[0]["bucket"], out[0]["n_nodes"], out[0]["mean_cc"]) \
+        == (9, 3, 1.0)
+    # path a-b-c: only b has deg >= 2, cc = 0
+    path = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], ["src", "dst"])
+    out = clustering_coefficient(path).collect()
+    assert len(out) == 1
+    assert (out[0]["bucket"], out[0]["n_nodes"], out[0]["mean_cc"]) \
+        == (0, 1, 0.0)
