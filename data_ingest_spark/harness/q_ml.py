@@ -310,8 +310,8 @@ def q_louvain_dist(spark, sf):
 WITH expr AS ({_EXPR_SQL}),
  c AS (SELECT sample, barcode, SUM(cnt) AS tot, COUNT(*) AS nf
        FROM expr GROUP BY 1, 2),
- nb AS (SELECT sample, GREATEST(1, COUNT(*) // 64) AS nbk
-        FROM c GROUP BY 1),
+ nb AS (SELECT sample, GREATEST(1, COUNT(*) // 128) AS nbk
+        FROM expr GROUP BY 1),
  ob AS (SELECT c.sample, c.barcode,
                CAST(concat('0x', substr(md5(CAST(c.barcode AS VARCHAR)),
                                         1, 8)) AS BIGINT) % nb.nbk AS bkt

