@@ -1164,3 +1164,137 @@ def self_bleu(docs: DataFrame, id_col: str = "doc_id",
                  .alias("mean_p2"),
                  F.round(F.sum("_fb") / 1e6 / F.count("*"), 6)
                  .alias("mean_self_bleu2")))
+
+
+def conformal_coverage(events: DataFrame, group_col: str = "event_type",
+                       value_col: str = "value",
+                       alpha_num: int = 1, alpha_den: int = 10) -> DataFrame:
+    """Split-conformal calibration audit (Vovk; Angelopoulos & Bates
+    2021): the even-user half calibrates, the odd-user half tests.
+    The predictor is the calibration half's per-group mean cent value;
+    nonconformity is |cents − pred|; q̂ is the EXACT order statistic
+    at rank ⌈(n_cal+1)(1−α)⌉ (never an interpolated quantile — rank
+    selection over integer scores is engine-identical); coverage is
+    the test-half fraction within q̂. A well-calibrated interval
+    covers ≥ 1−α — the distribution-free guarantee this audit
+    checks per group.
+
+    The prediction is an exact int ratio; nonconformity compares
+    |cents·n_cal − sum_cal| as pure int64 (cents − sum/n multiplied
+    through by n, so no float enters the ranking or the coverage
+    test). Plan: one grouped aggregate, one bounded per-group rank
+    window over the calibration half, one test-half census."""
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    base = events.select(F.col(group_col).alias("g"),
+                         (F.col("user_id") % 2 == 0).alias("is_cal"),
+                         cents.alias("c"))
+    calstat = (base.filter("is_cal").groupBy("g")
+               .agg(F.count("*").alias("n_cal"), F.sum("c").alias("s_cal")))
+    # nonconformity scaled by n_cal: |c·n − s| is exact int64
+    scored = (base.join(calstat.hint("broadcast"), "g")
+              .withColumn("_nc", F.abs(F.col("c") * F.col("n_cal")
+                                       - F.col("s_cal"))))
+    # ⌈(n+1)(1−α)⌉ in PURE INT arithmetic: (n+1)(den−num) can land
+    # exactly on a multiple of den, where the float form
+    # (n+1)·0.9 = 4500.0000000000009 would ceil one rank too high —
+    # and differently per engine.
+    rank_k = F.floor(((F.col("n_cal") + 1) * F.lit(alpha_den - alpha_num)
+                      + F.lit(alpha_den - 1)) / F.lit(alpha_den))
+    wq = W.partitionBy("g").orderBy(F.col("_nc").asc())
+    qhat = (scored.filter("is_cal")
+            .withColumn("_r", F.row_number().over(wq))
+            .filter(F.col("_r") == F.least(rank_k, F.col("n_cal")))
+            .select("g", F.col("_nc").alias("_q")))
+    test = (scored.filter(~F.col("is_cal"))
+            .join(qhat.hint("broadcast"), "g")
+            .groupBy("g")
+            .agg(F.max("n_cal").alias("n_cal"),
+                 F.count("*").alias("n_test"),
+                 F.sum((F.col("_nc") <= F.col("_q")).cast("long"))
+                 .alias("n_cov"),
+                 F.max("_q").alias("qs")))
+    return test.select(
+        F.col("g").alias(group_col),
+        F.col("n_cal").cast("long").alias("n_cal"),
+        F.col("n_test").cast("long").alias("n_test"),
+        # q̂ back on the cent scale (scaled score / n_cal)
+        F.round(F.col("qs") / F.col("n_cal"), 6).alias("qhat_cents"),
+        F.round(F.col("n_cov") / F.col("n_test"), 6).alias("coverage"))
+
+
+def shapley_attribution(events: DataFrame, user_col: str = "user_id",
+                        type_col: str = "event_type",
+                        conversion_type: str = "purchase") -> DataFrame:
+    """Data-driven Shapley channel attribution (Shapley 1953 over the
+    touchpoint lattice, the Zhao et al. 2018 marketing formulation):
+    a user's TOUCHSET is the set of non-conversion event types they
+    emitted; v(S) = conversion rate of users whose touchset is
+    EXACTLY S (0 for unobserved sets); channel c's credit is
+    Σ_{S ∌ c} w(|S|)·(v(S∪{c}) − v(S)) with the exact Shapley kernel
+    w(s) = s!(k−1−s)!/k! — the fair-division answer to "which channel
+    actually moves conversion", where last-touch (e28) and time-decay
+    (e32) only reward position.
+
+    Everything is engine-side: channels get bit indices by
+    lexicographic rank, touchsets become bitmasks, the full 2^k
+    lattice comes from a sequence explode (k = |channels| is tiny;
+    2^k rows), v(S) is an exact int ratio, and the Shapley kernel is
+    applied as integer factorial numerators over one k! denominator
+    literal. No driver-side collect anywhere."""
+    import math
+    conv = (events.groupBy(F.col(user_col).alias("u"))
+            .agg(F.max((F.col(type_col) == conversion_type)
+                       .cast("int")).alias("cv")))
+    ch = (events.filter(F.col(type_col) != conversion_type)
+          .select(F.col(type_col).alias("ch")).distinct())
+    wch = W.partitionBy(F.substring("ch", 1, 0)).orderBy("ch")
+    chbit = ch.withColumn("bit", F.row_number().over(wch) - 1)
+    touched = (events.filter(F.col(type_col) != conversion_type)
+               .select(F.col(user_col).alias("u"),
+                       F.col(type_col).alias("ch")).distinct()
+               .join(F.broadcast(chbit), "ch")
+               .groupBy("u")
+               .agg(F.sum(F.expr("shiftleft(1, bit)")
+                          .cast("long")).alias("mask")))
+    census = (conv.join(touched, "u", "left")
+              .select(F.coalesce("mask", F.lit(0)).alias("mask"), "cv")
+              .groupBy("mask")
+              .agg(F.count("*").alias("n"), F.sum("cv").alias("nc")))
+    k = chbit.agg(F.count("*").alias("k"))
+    lattice = (k.select(F.explode(F.sequence(
+        F.lit(0), F.expr("shiftleft(1, k)") - 1)).alias("m"), "k"))
+    v = (lattice.join(census.withColumnRenamed("mask", "m"), "m", "left")
+         .select("m", "k",
+                 F.when(F.col("n").isNotNull(),
+                        F.col("nc") / F.col("n"))
+                 .otherwise(F.lit(0.0)).alias("v")))
+    # pair every channel with every lattice set not containing it
+    pairs = (v.join(F.broadcast(chbit)).filter(
+        F.expr("shiftright(m, bit)").bitwiseAND(1) == 0))
+    v_with = v.select(F.col("m").alias("_mw"), F.col("v").alias("vw"))
+    joined = pairs.withColumn(
+        "_mw", F.col("m") + F.expr("shiftleft(1, bit)").cast("long")) \
+        .join(v_with.hint("broadcast"), "_mw")
+    s = F.bit_count(F.col("m"))
+    # w(s)·k! = s!(k−1−s)! via a precomputed factorial literal array
+    # (index 0..12 — k beyond 12 channels would overflow the kernel
+    # anyway and no event stream has that many)
+    facts = [1]
+    for i in range(1, 13):
+        facts.append(facts[-1] * i)
+    farr = F.array(*[F.lit(x) for x in facts])
+    wnum = (F.element_at(farr, (s + 1).cast("int"))
+            * F.element_at(farr, ((F.col("k") - 1 - s) + 1).cast("int"))
+            ).cast("double")
+    kfact = F.element_at(farr, (F.col("k") + 1).cast("int")).cast("double")
+    credit = wnum / kfact * (F.col("vw") - F.col("v"))
+    out = (joined.groupBy("bit")
+           .agg(F.round(F.sum(credit), 6).alias("shapley_credit")))
+    users_per = (touched.join(F.broadcast(chbit)).filter(
+        F.expr("shiftright(mask, bit)").bitwiseAND(1) == 1)
+        .groupBy("bit").agg(F.count("*").alias("touched_users")))
+    return (out.join(users_per, "bit", "left")
+            .join(F.broadcast(chbit), "bit")
+            .select(F.col("ch").alias(type_col), "shapley_credit",
+                    F.coalesce("touched_users", F.lit(0)).cast("long")
+                    .alias("touched_users")))

@@ -1152,3 +1152,109 @@ def welch_ttest(events: DataFrame, arm: F.Column | None = None,
         F.round(mean("b"), 6).alias("mean_cents_1"),
         F.round(t, 6).alias("t_stat"),
         F.round(df, 6).alias("welch_df"))
+
+
+def cuped_adjustment(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts", value_col: str = "value",
+                     split_days: int = 15) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013): per user, the
+    pre-period cent total (first ``split_days`` days) is the
+    covariate X, the experiment-period total is the metric Y;
+    θ = cov(X,Y)/var(X) over ALL users, and each arm (user parity)
+    reports its raw and adjusted means plus the variance ratio
+    var(Y − θX)/var(Y) — the standard sensitivity boost for A/B
+    metrics with a correlated pre-period.
+
+    All moments (ΣX, ΣY, ΣXY, ΣX², ΣY²) are exact int64 cent sums;
+    θ and every output is a division chain over them, engine-exact
+    at 6dp. Two shuffles (per-user aggregate; per-arm rollup)."""
+    day = F.to_date(F.col(ts_col))
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    start = events.agg(F.min(day).alias("_d0"))
+    per_user = (events.join(start.hint("broadcast"))
+                .groupBy(F.col(user_col).alias("u"))
+                .agg(F.sum(F.when(F.datediff(day, F.col("_d0"))
+                                  < split_days, cents).otherwise(0))
+                     .alias("x"),
+                     F.sum(F.when(F.datediff(day, F.col("_d0"))
+                                  >= split_days, cents).otherwise(0))
+                     .alias("y")))
+    glob = per_user.agg(
+        F.count("*").alias("n"), F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    # cast before the cross products: Σx·Σy of int64 cent sums
+    # overflows long at large SF (the x159 discipline)
+    theta = ((F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+              / F.col("n"))
+             / (F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+                / F.col("n")))
+    xbar = F.col("sx") / F.col("n")
+    arms = (per_user.withColumn("arm", (F.col("u") % 2).cast("int"))
+            .groupBy("arm")
+            .agg(F.count("*").alias("na"), F.sum("x").alias("ax"),
+                 F.sum("y").alias("ay"),
+                 F.sum(F.col("x") * F.col("x")).alias("axx"),
+                 F.sum(F.col("y") * F.col("y")).alias("ayy"),
+                 F.sum(F.col("x") * F.col("y")).alias("axy")))
+    j = arms.join(glob.hint("broadcast"))
+    mean_y = F.col("ay") / F.col("na")
+    mean_adj = mean_y - theta * (F.col("ax") / F.col("na") - xbar)
+    var_y = ((F.col("ayy") - F.col("ay").cast("double") * F.col("ay")
+              / F.col("na"))
+             / (F.col("na") - 1))
+    # var(Y − θX) expanded over the same exact moments
+    var_adj = ((F.col("ayy") - 2 * theta * F.col("axy")
+                + theta * theta * F.col("axx")
+                - (F.col("ay") - theta * F.col("ax"))
+                * (F.col("ay") - theta * F.col("ax")) / F.col("na"))
+               / (F.col("na") - 1))
+    return j.select(
+        "arm", F.col("na").cast("long").alias("n_users"),
+        F.round(theta, 6).alias("theta"),
+        F.round(mean_y, 6).alias("mean_cents"),
+        F.round(mean_adj, 6).alias("mean_cents_adj"),
+        F.round(var_adj / var_y, 6).alias("var_ratio"))
+
+
+def emd_drift(events: DataFrame, type_col: str = "event_type",
+              ts_col: str = "ts") -> DataFrame:
+    """Hour-of-day distribution drift as 1-D Wasserstein-1 (earth
+    mover's) distance between each event stream and the whole corpus:
+    EMD = Σ_h |CDF_type(h) − CDF_all(h)| over the 24 hourly bins —
+    the magnitude-aware companion to the PSI (x138) / JSD (x147) /
+    KS (x96) drift gates (EMD sees HOW FAR mass moved, not just that
+    it moved).
+
+    Counts are exact ints; each CDF is an exact-ratio double and the
+    24-term sum happens per group after 6dp-stable arithmetic.
+    Bounded: |types|·24 intermediate rows."""
+    hour = F.hour(F.col(ts_col)).alias("h")
+    per = (events.groupBy(F.col(type_col).alias("ty"), hour)
+           .agg(F.count("*").alias("c")))
+    # densify the 24-hour grid per type so CDFs align bin-for-bin
+    types = per.select("ty").distinct()
+    grid = types.crossJoin(
+        F.broadcast(events.sparkSession.range(24)
+                    .select(F.col("id").cast("int").alias("h"))))
+    dense = (grid.join(per, ["ty", "h"], "left")
+             .select("ty", "h", F.coalesce("c", F.lit(0)).alias("c")))
+    wt = W.partitionBy("ty").orderBy("h") \
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = dense.withColumn("_cum", F.sum("c").over(wt)) \
+        .withColumn("_tot", F.sum("c").over(W.partitionBy("ty")))
+    # corpus-wide CDF over the same grid (24 rows; the h % 1 key is a
+    # non-foldable always-0 partition, the repo's WindowExec invariant)
+    allc = (dense.groupBy("h").agg(F.sum("c").alias("ca")))
+    cuma = (allc.withColumn("_cuma", F.sum("ca").over(
+        W.partitionBy(F.col("h") % F.lit(1)).orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .withColumn("_tota", F.sum("ca").over(
+            W.partitionBy(F.col("h") % F.lit(1)))))
+    j = cum.join(cuma.select("h", "_cuma", "_tota").hint("broadcast"), "h")
+    term = F.abs(F.col("_cum") / F.col("_tot")
+                 - F.col("_cuma") / F.col("_tota"))
+    return (j.groupBy(F.col("ty").alias(type_col))
+            .agg(F.max("_tot").cast("long").alias("n_events"),
+                 F.round(F.sum(term), 6).alias("emd")))

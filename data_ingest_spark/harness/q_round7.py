@@ -524,3 +524,228 @@ def q_clustering_coeff(spark, sf):
     from data_ingest_spark.operators.graph import clustering_coefficient
     knn = _emb_knn(spark, sf, k=10, cached=True)
     return clustering_coefficient(knn.select("src", "dst"))
+
+
+# ------------------------------------------- round-7c: experimentation
+
+@_q("x163_logreg_newton", """
+WITH b AS (SELECT CAST(FLOOR(ln(1.0 + CAST(FLOOR(value * 100 + 0.5)
+                                            AS BIGINT)) * 1000000 + 0.5)
+                       AS BIGINT) AS xq,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           FROM events),
+ m1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS np,
+               SUM(CAST(xq AS HUGEINT)) AS sx,
+               SUM(CAST(xq AS HUGEINT) * xq) AS sxx,
+               SUM(CASE WHEN y = 1 THEN CAST(xq AS HUGEINT)
+                        ELSE 0 END) AS sx1
+        FROM b),
+ s1 AS (SELECT n, np, CAST(sx AS DOUBLE) / 1e6 AS sxd,
+               CAST(sxx AS DOUBLE) / 1e12 AS sxxd,
+               np - n / 2 AS g0,
+               CAST(sx1 AS DOUBLE) / 1e6 - CAST(sx AS DOUBLE) / 1e6 / 2
+                 AS g1
+        FROM m1),
+ bs AS (SELECT n, np,
+               4 * (sxxd * g0 - sxd * g1)
+                 / (n * sxxd - sxd * sxd) AS b0,
+               4 * (n * g1 - sxd * g0)
+                 / (n * sxxd - sxd * sxd) AS b1
+        FROM s1),
+ r2 AS (SELECT b.xq, b.y, s.b0, s.b1, s.n, s.np,
+               1.0 / (1.0 + exp(-(s.b0 + s.b1 * (b.xq / 1e6)))) AS p
+        FROM b CROSS JOIN bs s),
+ q2 AS (SELECT n, np, b0, b1, xq,
+               CAST(FLOOR(p * (1 - p) * 1e9 + 0.5) AS BIGINT) AS wq,
+               CAST(FLOOR((y - p) * 1e9 + 0.5) AS BIGINT) AS rq
+        FROM r2),
+ m2 AS (SELECT MAX(b0) AS b0, MAX(b1) AS b1, MAX(n) AS n, MAX(np) AS np,
+               CAST(SUM(CAST(wq AS HUGEINT)) AS DOUBLE) / 1e9 AS swd,
+               CAST(SUM(CAST(wq AS HUGEINT) * xq) AS DOUBLE) / 1e15
+                 AS swxd,
+               CAST(SUM(CAST(wq AS HUGEINT) * xq * xq) AS DOUBLE) / 1e21
+                 AS swxxd,
+               CAST(SUM(CAST(rq AS HUGEINT)) AS DOUBLE) / 1e9 AS srd,
+               CAST(SUM(CAST(rq AS HUGEINT) * xq) AS DOUBLE) / 1e15
+                 AS srxd
+        FROM q2)
+SELECT n, np AS n_pos,
+       ROUND(b0 + (swxxd * srd - swxd * srxd)
+                  / (swd * swxxd - swxd * swxd), 6) AS beta0,
+       ROUND(b1 + (swd * srxd - swxd * srd)
+                  / (swd * swxxd - swxd * swxd), 6) AS beta1
+FROM m2
+""")
+def q_logreg_newton(spark, sf):
+    """In-engine logistic regression, 2 unrolled Newton steps
+    (regression.logreg_newton2): P(purchase | ln(1+cents)) with
+    decimal-exact moments and 1e-9 fixed-point per-row weights —
+    fixed-iteration model TRAINING under a full value oracle."""
+    from data_ingest_spark.operators.regression import logreg_newton2
+    return logreg_newton2(events_df(spark, sf))
+
+
+@_q("x164_conformal", """
+WITH base AS (SELECT event_type AS g, user_id % 2 = 0 AS is_cal,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events),
+ cs AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_cal,
+               CAST(SUM(c) AS BIGINT) AS s_cal
+        FROM base WHERE is_cal GROUP BY 1),
+ sc AS (SELECT b.g, b.is_cal, cs.n_cal,
+               ABS(b.c * cs.n_cal - cs.s_cal) AS nc
+        FROM base b JOIN cs ON cs.g = b.g),
+ qh AS (SELECT g, nc AS q, n_cal FROM (
+          SELECT g, nc, n_cal,
+                 ROW_NUMBER() OVER (PARTITION BY g ORDER BY nc) AS r,
+                 ((n_cal + 1) * 9 + 9) // 10 AS rk
+          FROM sc WHERE is_cal)
+        WHERE r = LEAST(rk, n_cal)),
+ t AS (SELECT s.g, MAX(s.n_cal) AS n_cal,
+              CAST(COUNT(*) AS BIGINT) AS n_test,
+              CAST(SUM(CASE WHEN s.nc <= q.q THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_cov,
+              MAX(q.q) AS qs
+       FROM sc s JOIN qh q ON q.g = s.g WHERE NOT s.is_cal GROUP BY 1)
+SELECT g AS event_type, n_cal, n_test,
+       ROUND(qs * 1.0 / n_cal, 6) AS qhat_cents,
+       ROUND(n_cov * 1.0 / n_test, 6) AS coverage
+FROM t
+""")
+def q_conformal(spark, sf):
+    """Split-conformal calibration audit at α = 0.1
+    (evaluation.conformal_coverage): exact order-statistic q̂ over
+    integer-scaled nonconformity, per-group coverage on the held-out
+    half."""
+    return ev.conformal_coverage(events_df(spark, sf))
+
+
+@_q("x165_cuped", """
+WITH ev0 AS (SELECT user_id, CAST(ts AS DATE) AS d,
+                    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+             FROM events),
+ d0 AS (SELECT MIN(d) AS d0 FROM ev0),
+ pu AS (SELECT user_id AS u,
+               CAST(SUM(CASE WHEN d - d0.d0 < 15 THEN cents ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN d - d0.d0 >= 15 THEN cents ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM ev0 CROSS JOIN d0 GROUP BY 1),
+ g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+              CAST(SUM(y) AS BIGINT) AS sy,
+              CAST(SUM(x * x) AS BIGINT) AS sxx,
+              CAST(SUM(x * y) AS BIGINT) AS sxy
+       FROM pu),
+ th AS (SELECT n, sx,
+               (sxy - sx * 1.0 * sy / n) / (sxx - sx * 1.0 * sx / n)
+                 AS theta
+        FROM g),
+ arms AS (SELECT CAST(u % 2 AS INTEGER) AS arm,
+                 CAST(COUNT(*) AS BIGINT) AS na,
+                 CAST(SUM(x) AS BIGINT) AS ax, CAST(SUM(y) AS BIGINT) AS ay,
+                 CAST(SUM(x * x) AS BIGINT) AS axx,
+                 CAST(SUM(y * y) AS BIGINT) AS ayy,
+                 CAST(SUM(x * y) AS BIGINT) AS axy
+          FROM pu GROUP BY 1)
+SELECT arm, na AS n_users, ROUND(theta, 6) AS theta,
+       ROUND(ay * 1.0 / na, 6) AS mean_cents,
+       ROUND(ay * 1.0 / na - theta * (ax * 1.0 / na - sx * 1.0 / n), 6)
+         AS mean_cents_adj,
+       ROUND(((ayy - 2 * theta * axy + theta * theta * axx
+               - (ay - theta * ax) * (ay - theta * ax) / na)
+              / (na - 1))
+             / ((ayy - ay * 1.0 * ay / na) / (na - 1)), 6) AS var_ratio
+FROM arms CROSS JOIN th
+""")
+def q_cuped(spark, sf):
+    """CUPED variance reduction (profile.cuped_adjustment): pre-period
+    covariate θ-adjustment per arm, exact int64 cent moments — the
+    experiment-sensitivity tool beside x153/x154/x159."""
+    return pf.cuped_adjustment(events_df(spark, sf))
+
+
+@_q("e43_emd_drift", """
+WITH per AS (SELECT event_type AS ty,
+                    CAST(EXTRACT(hour FROM ts) AS INTEGER) AS h,
+                    CAST(COUNT(*) AS BIGINT) AS c
+             FROM events GROUP BY 1, 2),
+ grid AS (SELECT ty, h FROM (SELECT DISTINCT ty FROM per)
+          CROSS JOIN (SELECT CAST(UNNEST(range(0, 24)) AS INTEGER) AS h)),
+ dense AS (SELECT g.ty, g.h, COALESCE(per.c, 0) AS c
+           FROM grid g LEFT JOIN per ON per.ty = g.ty AND per.h = g.h),
+ cum AS (SELECT ty, h,
+                SUM(c) OVER (PARTITION BY ty ORDER BY h
+                             ROWS UNBOUNDED PRECEDING) AS cm,
+                SUM(c) OVER (PARTITION BY ty) AS tot
+         FROM dense),
+ ac AS (SELECT h, SUM(c) AS ca FROM dense GROUP BY 1),
+ acc AS (SELECT h, SUM(ca) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING)
+                AS cma,
+               SUM(ca) OVER () AS tota
+         FROM ac)
+SELECT cum.ty AS event_type, CAST(MAX(cum.tot) AS BIGINT) AS n_events,
+       ROUND(SUM(ABS(cm * 1.0 / tot - cma * 1.0 / tota)), 6) AS emd
+FROM cum JOIN acc ON acc.h = cum.h GROUP BY 1
+""")
+def q_emd_drift(spark, sf):
+    """Hour-of-day Wasserstein-1 drift per event stream vs the corpus
+    (profile.emd_drift): CDF-difference sum over the densified
+    24-bin grid — the magnitude-aware drift gate beside PSI/JSD/KS."""
+    return pf.emd_drift(events_df(spark, sf))
+
+
+@_q("e44_shapley_attribution", """
+WITH conv AS (SELECT user_id AS u,
+                     MAX(CASE WHEN event_type = 'purchase' THEN 1
+                              ELSE 0 END) AS cv
+              FROM events GROUP BY 1),
+ ch AS (SELECT ch, CAST(ROW_NUMBER() OVER (ORDER BY ch) - 1 AS INTEGER)
+               AS bit
+        FROM (SELECT DISTINCT event_type AS ch FROM events
+              WHERE event_type <> 'purchase')),
+ tu AS (SELECT DISTINCT user_id AS u, event_type AS ch FROM events
+        WHERE event_type <> 'purchase'),
+ um AS (SELECT tu.u, CAST(SUM(1 << ch.bit) AS BIGINT) AS mask
+        FROM tu JOIN ch ON ch.ch = tu.ch GROUP BY 1),
+ census AS (SELECT COALESCE(um.mask, 0) AS mask,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(conv.cv) AS BIGINT) AS nc
+            FROM conv LEFT JOIN um ON um.u = conv.u GROUP BY 1),
+ kk AS (SELECT CAST(COUNT(*) AS INTEGER) AS k FROM ch),
+ lattice AS (SELECT CAST(UNNEST(range(0, 1 << k)) AS BIGINT) AS m, k
+             FROM kk),
+ v AS (SELECT l.m, l.k,
+              CASE WHEN c.n IS NOT NULL THEN c.nc * 1.0 / c.n
+                   ELSE 0.0 END AS v
+       FROM lattice l LEFT JOIN census c ON c.mask = l.m),
+ pairs AS (SELECT v.m, v.k, v.v, ch.ch, ch.bit FROM v CROSS JOIN ch
+           WHERE (v.m >> ch.bit) & 1 = 0),
+ wv AS (SELECT p.m, p.k, p.v, p.ch, p.bit, v2.v AS vw
+        FROM pairs p JOIN v v2 ON v2.m = p.m + (1 << p.bit)),
+ cr AS (SELECT ch,
+               ROUND(SUM(
+                 CAST([1,1,2,6,24,120,720,5040,40320,362880,3628800,
+                       39916800,479001600][CAST(bit_count(m) AS INTEGER)
+                                           + 1]
+                      * [1,1,2,6,24,120,720,5040,40320,362880,3628800,
+                         39916800,479001600][k - 1
+                                             - CAST(bit_count(m)
+                                                    AS INTEGER) + 1]
+                      AS DOUBLE)
+                 / CAST([1,1,2,6,24,120,720,5040,40320,362880,3628800,
+                         39916800,479001600][k + 1] AS DOUBLE)
+                 * (vw - v)), 6) AS shapley_credit
+        FROM wv GROUP BY 1),
+ tc AS (SELECT ch.ch, CAST(COUNT(*) AS BIGINT) AS touched_users
+        FROM um JOIN ch ON (um.mask >> ch.bit) & 1 = 1 GROUP BY 1)
+SELECT cr.ch AS event_type, cr.shapley_credit,
+       COALESCE(tc.touched_users, 0) AS touched_users
+FROM cr LEFT JOIN tc ON tc.ch = cr.ch
+""")
+def q_shapley_attribution(spark, sf):
+    """Exact data-driven Shapley channel attribution over the 2^k
+    touchset lattice (evaluation.shapley_attribution): integer
+    factorial kernel, exact-ratio coalition values, no driver-side
+    math — the fair-division attribution beside e28 (last-touch) and
+    e32 (time-decay)."""
+    return ev.shapley_attribution(events_df(spark, sf))

@@ -182,3 +182,86 @@ def theil_sen(events: DataFrame, key_col: str = "user_id",
     return (mid.groupBy(F.col("_k").alias(key_col))
             .agg(F.max("_n").cast("long").alias("n_pairs"),
                  F.round(F.avg("_sl"), 6).alias("theil_slope")))
+
+
+def logreg_newton2(events: DataFrame, value_col: str = "value",
+                   type_col: str = "event_type",
+                   positive_type: str = "purchase") -> DataFrame:
+    """In-engine logistic regression: P(y=1 | x) with x = ln(1+cents),
+    fit by TWO unrolled Newton–Raphson steps from β = 0 — enough to
+    land within ~1e-3 of the converged MLE on well-conditioned 1-D
+    problems, and, because the iteration count is FIXED, every
+    intermediate is a deterministic function of exact aggregates, so
+    the whole fit carries a cross-engine value oracle (the x99/m13
+    fixed-iteration discipline applied to model TRAINING).
+
+    Determinism: x quantizes once to 1e-6 fixed-point int64 (the x39
+    pattern); step-1 moments (Σxq, Σxq², Σ_{y=1} xq) sum as
+    decimal(38,0) — exact integers, immune to float summation order.
+    Step 2's per-row sigmoid is libm exp, so its weights/residuals
+    quantize to 1e-9 fixed-point int64 per ROW before the decimal
+    sums (a last-ulp exp disagreement flips at most ±1e-9 on isolated
+    rows, invisible at the 6dp output). The 2×2 Newton solve is a
+    closed-form Cramer chain over identical doubles in both engines.
+
+    Plan: two map-side-combined aggregates over the scan (one per
+    step) + one broadcast of the 1-row β frame — no iteration state,
+    no driver math. Returns one row: (n, n_pos, beta0, beta1)."""
+    from pyspark.sql import functions as F
+
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    xq = F.floor(F.log(F.lit(1.0) + cents) * 1_000_000
+                 + F.lit(0.5)).cast("long")
+    y = (F.col(type_col) == positive_type).cast("int")
+    base = events.select(xq.alias("xq"), y.alias("y"))
+    dec = "decimal(38,0)"
+    m1 = base.agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("np"),
+        F.sum(F.col("xq").cast(dec)).alias("sx"),
+        F.sum((F.col("xq").cast(dec) * F.col("xq"))).alias("sxx"),
+        F.sum(F.when(F.col("y") == 1, F.col("xq")).otherwise(0)
+              .cast(dec)).alias("sx1"))
+    # Newton step 1 from beta = 0: p = 1/2, w = 1/4.
+    # g = [np − n/2, (sx1 − sx/2)/1e6]; H = 1/4·[[n, sx/1e6],
+    # [sx/1e6, sxx/1e12]]; beta = H⁻¹ g (Cramer).
+    sxd = F.col("sx").cast("double") / 1e6
+    sxxd = F.col("sxx").cast("double") / 1e12
+    g0 = F.col("np") - F.col("n") / 2
+    g1 = F.col("sx1").cast("double") / 1e6 - sxd / 2
+    detm = F.col("n") * sxxd - sxd * sxd
+    b0_1 = 4 * (sxxd * g0 - sxd * g1) / detm
+    b1_1 = 4 * (F.col("n") * g1 - sxd * g0) / detm
+    beta1f = m1.select(F.col("n"), F.col("np"),
+                       b0_1.alias("b0"), b1_1.alias("b1"))
+    # Newton step 2: per-row sigmoid at (b0, b1); weights/residuals
+    # quantized 1e-9 per row, summed exactly as decimal(38,0).
+    rowed = base.join(F.broadcast(beta1f))
+    p = F.lit(1.0) / (F.lit(1.0)
+                      + F.exp(-(F.col("b0")
+                                + F.col("b1") * (F.col("xq") / 1e6))))
+    wq = F.floor(p * (1 - p) * 1e9 + F.lit(0.5)).cast("long")
+    rq = F.floor((F.col("y") - p) * 1e9 + F.lit(0.5)).cast("long")
+    m2 = (rowed
+          .withColumn("_wq", wq).withColumn("_rq", rq)
+          .agg(F.max("b0").alias("b0"), F.max("b1").alias("b1"),
+               F.max("n").alias("n"), F.max("np").alias("np"),
+               F.sum(F.col("_wq").cast(dec)).alias("sw"),
+               F.sum(F.col("_wq").cast(dec) * F.col("xq")).alias("swx"),
+               F.sum(F.col("_wq").cast(dec) * F.col("xq")
+                     * F.col("xq")).alias("swxx"),
+               F.sum(F.col("_rq").cast(dec)).alias("sr"),
+               F.sum(F.col("_rq").cast(dec) * F.col("xq")).alias("srx")))
+    swd = F.col("sw").cast("double") / 1e9
+    swxd = F.col("swx").cast("double") / 1e15
+    swxxd = F.col("swxx").cast("double") / 1e21
+    srd = F.col("sr").cast("double") / 1e9
+    srxd = F.col("srx").cast("double") / 1e15
+    det2 = swd * swxxd - swxd * swxd
+    db0 = (swxxd * srd - swxd * srxd) / det2
+    db1 = (swd * srxd - swxd * srd) / det2
+    return m2.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("np").cast("long").alias("n_pos"),
+        F.round(F.col("b0") + db0, 6).alias("beta0"),
+        F.round(F.col("b1") + db1, 6).alias("beta1"))

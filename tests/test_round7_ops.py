@@ -314,3 +314,105 @@ def test_clustering_coefficient_known_graphs(spark):
     assert len(out) == 1
     assert (out[0]["bucket"], out[0]["n_nodes"], out[0]["mean_cc"]) \
         == (0, 1, 0.0)
+
+
+def test_cuped_reduces_variance_on_correlated_metric(spark):
+    from data_ingest_spark.extensions.profile import cuped_adjustment
+    rows, eid = [], 0
+    # users with persistent spend levels: pre and post both ~level,
+    # so the covariate explains most between-user variance
+    for u in range(40):
+        level = 1.0 + (u % 10)
+        for d in range(10):           # pre period (days 0..9)
+            rows.append((eid, BASE + d * DAY, u, "click", level)); eid += 1
+        for d in range(15, 25):       # post period
+            rows.append((eid, BASE + d * DAY, u, "click",
+                         level + 0.5)); eid += 1
+    out = {r["arm"]: r for r in
+           cuped_adjustment(_ev(spark, rows)).collect()}
+    assert set(out) == {0, 1}
+    for r in out.values():
+        assert r["var_ratio"] < 0.05          # near-total reduction
+        assert abs(r["theta"] - 1.0) < 0.05   # post ≈ pre + const
+
+
+def test_conformal_coverage_guarantee(spark):
+    from data_ingest_spark.extensions.evaluation import conformal_coverage
+    rows, eid = [], 0
+    # deterministic spread of values per group
+    for u in range(200):
+        rows.append((eid, BASE + eid, u, "g", 1.0 + (u * 7 % 100) / 10))
+        eid += 1
+    out = conformal_coverage(_ev(spark, rows)).collect()
+    r = out[0]
+    assert r["n_cal"] + r["n_test"] == 200
+    # split-conformal guarantee: coverage >= 1 - alpha (minus
+    # discreteness slack on a 100-point test half)
+    assert r["coverage"] >= 0.85
+    assert r["qhat_cents"] > 0
+
+
+def test_emd_drift_zero_for_identical_and_positive_for_shifted(spark):
+    from data_ingest_spark.extensions.profile import emd_drift
+    rows, eid = [], 0
+    # type A uniform over hours 0..11, type B identical -> both emd
+    # vs corpus = 0; type C all at hour 23 -> large emd
+    for h in range(12):
+        for ty in ("A", "B"):
+            rows.append((eid, BASE + h * HOUR, eid, ty, 1.0)); eid += 1
+    out = {r["event_type"]: r["emd"] for r in
+           emd_drift(_ev(spark, rows)).collect()}
+    assert out["A"] == 0.0 and out["B"] == 0.0
+    rows += [(eid + i, BASE + 23 * HOUR, 9000 + i, "C", 1.0)
+             for i in range(24)]
+    out = {r["event_type"]: r["emd"] for r in
+           emd_drift(_ev(spark, rows)).collect()}
+    assert out["C"] > 5.0           # mass moved ~11 hours on average
+    assert out["A"] == out["B"] > 0  # corpus now includes C
+
+
+def test_shapley_attribution_exact_two_channels(spark):
+    from data_ingest_spark.extensions.evaluation import shapley_attribution
+    rows, eid = [], 0
+    # 10 users touch only A: 8 convert. 10 touch only B: 2 convert.
+    # v({A}) = .8, v({B}) = .2, v({}) = 0, v({A,B}) = 0 (unobserved).
+    # k=2: phi_A = 1/2(v(A)-v(0)) + 1/2(v(AB)-v(B)) = .4 - .1 = .3
+    #      phi_B = 1/2(v(B)-v(0)) + 1/2(v(AB)-v(A)) = .1 - .4 = -.3
+    for u in range(10):
+        rows.append((eid, BASE + eid, u, "A", 1.0)); eid += 1
+        if u < 8:
+            rows.append((eid, BASE + eid, u, "purchase", 1.0)); eid += 1
+    for u in range(10, 20):
+        rows.append((eid, BASE + eid, u, "B", 1.0)); eid += 1
+        if u < 12:
+            rows.append((eid, BASE + eid, u, "purchase", 1.0)); eid += 1
+    out = {r["event_type"]: r for r in
+           shapley_attribution(_ev(spark, rows)).collect()}
+    assert out["A"]["shapley_credit"] == 0.3
+    assert out["B"]["shapley_credit"] == -0.3
+    assert out["A"]["touched_users"] == 10
+
+
+def test_logreg_newton_matches_numpy_two_steps(spark):
+    import numpy as np
+    from data_ingest_spark.operators.regression import logreg_newton2
+    rng = np.random.RandomState(7)
+    n = 800
+    x = rng.uniform(0, 8, n)
+    pp = 1 / (1 + np.exp(-(-1.5 + 0.5 * x)))
+    yy = (rng.uniform(size=n) < pp).astype(int)
+    vals = (np.exp(x) - 1) / 100.0
+    rows = [(i, BASE + i, i, "purchase" if t else "click", float(v))
+            for i, (v, t) in enumerate(zip(vals, yy))]
+    out = logreg_newton2(_ev(spark, rows)).collect()[0]
+    cents = np.floor(vals * 100 + 0.5)
+    xx = np.floor(np.log(1.0 + cents) * 1e6 + 0.5) / 1e6
+    X = np.stack([np.ones_like(xx), xx], 1)
+    b = np.zeros(2)
+    for _ in range(2):
+        p = 1 / (1 + np.exp(-(X @ b)))
+        b = b + np.linalg.solve(X.T @ (X * (p * (1 - p))[:, None]),
+                                X.T @ (yy - p))
+    assert out["n"] == n and out["n_pos"] == int(yy.sum())
+    assert abs(out["beta0"] - b[0]) < 1e-4
+    assert abs(out["beta1"] - b[1]) < 1e-4
