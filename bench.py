@@ -124,6 +124,19 @@ HEADLINE = [
     "x148_winnowing",
     "x141_fellegi_sunter",
     "x143_sorted_neighborhood",
+    # round-7 heavy representatives: the Self-BLEU n-gram clip join
+    # (the heaviest new text op), the two-pass Newton logistic fit
+    # (two full-corpus aggregates + a per-row sigmoid), the DAU/MAU
+    # trailing-window explode, the basket self-join, and the Shapley
+    # lattice. The sub-second round-7 stats ops (welch/fleiss/
+    # conformal/cuped/EMD/benford/RFM/markov) stay out per the
+    # round-5 headline policy (they measure scheduler noise); all
+    # stay fully oracle-gated in the correctness harness.
+    "x162_self_bleu",
+    "x163_logreg_newton",
+    "e40_active_users",
+    "e41_basket_lift",
+    "e44_shapley_attribution",
 ]
 
 
