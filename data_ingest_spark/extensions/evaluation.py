@@ -1012,7 +1012,8 @@ def fleiss_kappa(subjects: DataFrame, id_col: str = "doc_id",
                        F.col("_r").cast("string"))), 1, 8), 16, 10)
         .cast("long") % n_cats)
     nij = (rated.select("_s", cat.alias("_c"))
-           .groupBy("_s", "_c").agg(F.count("*").alias("_n")))
+           .groupBy("_s", "_c").agg(F.count("*").alias("_n"))
+           .localCheckpoint(eager=False))   # two rollups read it
     per_subj = nij.groupBy("_s").agg(
         F.sum(F.col("_n") * F.col("_n")).alias("_s2"))
     per_cat = nij.groupBy("_c").agg(F.sum("_n").alias("_cj"))
@@ -1052,7 +1053,9 @@ def bradley_terry(events: DataFrame, user_col: str = "user_id",
     cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
     ui = (events.select(F.col(user_col).alias("u"),
                         F.col(item_col).alias("i"), cents.alias("c"))
-          .groupBy("u", "i").agg(F.sum("c").alias("c")))
+          .groupBy("u", "i").agg(F.sum("c").alias("c"))
+          # both duel sides read this bounded (users × items) frame
+          .localCheckpoint(eager=False))
     a, b = ui.alias("a"), ui.alias("b")
     duel = (a.join(b, (F.col("a.u") == F.col("b.u"))
                    & (F.col("a.i") < F.col("b.i")))
@@ -1061,7 +1064,12 @@ def bradley_terry(events: DataFrame, user_col: str = "user_id",
             .agg(F.sum((F.col("a.c") > F.col("b.c")).cast("long"))
                  .alias("w_ab"),
                  F.sum((F.col("b.c") > F.col("a.c")).cast("long"))
-                 .alias("w_ba")))
+                 .alias("w_ba"))
+            # ≤ |items|² rows, re-read by EVERY MM iteration: without
+            # the checkpoint the whole duel subtree re-expands per
+            # iteration (static plan measured 148 exchanges / 84
+            # scans before; 3 after)
+            .localCheckpoint(eager=False))
     # symmetric (i, j, n_ij, wins_of_i_over_j) view
     sym = (duel.select(F.col("ia").alias("i"), F.col("ib").alias("j"),
                        (F.col("w_ab") + F.col("w_ba")).alias("n"),
@@ -1069,9 +1077,11 @@ def bradley_terry(events: DataFrame, user_col: str = "user_id",
            .unionByName(duel.select(
                F.col("ib").alias("i"), F.col("ia").alias("j"),
                (F.col("w_ab") + F.col("w_ba")).alias("n"),
-               F.col("w_ba").alias("w"))))
-    wins = sym.groupBy("i").agg(F.sum("w").alias("wins"),
-                                F.sum("n").alias("n_comp"))
+               F.col("w_ba").alias("w")))
+           .localCheckpoint(eager=False))
+    wins = (sym.groupBy("i").agg(F.sum("w").alias("wins"),
+                                 F.sum("n").alias("n_comp"))
+            .localCheckpoint(eager=False))
     p = wins.select("i", F.lit(1.0).alias("p"))
     for _ in range(iters):
         pj = p.select(F.col("i").alias("j"), F.col("p").alias("pj"))
@@ -1122,7 +1132,9 @@ def self_bleu(docs: DataFrame, id_col: str = "doc_id",
     pairs = (base
              .withColumn("_rtk", F.lead("_tk").over(wg))
              .filter(F.col("_rtk").isNotNull())
-             .filter((F.size("_tk") >= 2) & (F.size("_rtk") >= 2)))
+             .filter((F.size("_tk") >= 2) & (F.size("_rtk") >= 2))
+             # five consumers (4 n-gram explodes + the length join)
+             .localCheckpoint(eager=False))
 
     def grams(col: str, n: int) -> F.Column:
         if n == 1:
@@ -1248,14 +1260,17 @@ def shapley_attribution(events: DataFrame, user_col: str = "user_id",
     ch = (events.filter(F.col(type_col) != conversion_type)
           .select(F.col(type_col).alias("ch")).distinct())
     wch = W.partitionBy(F.substring("ch", 1, 0)).orderBy("ch")
-    chbit = ch.withColumn("bit", F.row_number().over(wch) - 1)
+    chbit = (ch.withColumn("bit", F.row_number().over(wch) - 1)
+             .localCheckpoint(eager=False))   # read 4x, ≤ k rows
     touched = (events.filter(F.col(type_col) != conversion_type)
                .select(F.col(user_col).alias("u"),
                        F.col(type_col).alias("ch")).distinct()
                .join(F.broadcast(chbit), "ch")
                .groupBy("u")
                .agg(F.sum(F.expr("shiftleft(1, bit)")
-                          .cast("long")).alias("mask")))
+                          .cast("long")).alias("mask"))
+               # users' masks feed the census AND per-channel counts
+               .localCheckpoint(eager=False))
     census = (conv.join(touched, "u", "left")
               .select(F.coalesce("mask", F.lit(0)).alias("mask"), "cv")
               .groupBy("mask")
@@ -1267,7 +1282,9 @@ def shapley_attribution(events: DataFrame, user_col: str = "user_id",
          .select("m", "k",
                  F.when(F.col("n").isNotNull(),
                         F.col("nc") / F.col("n"))
-                 .otherwise(F.lit(0.0)).alias("v")))
+                 .otherwise(F.lit(0.0)).alias("v"))
+         # 2^k rows, read by both the pair side and the S∪{c} lookup
+         .localCheckpoint(eager=False))
     # pair every channel with every lattice set not containing it
     pairs = (v.join(F.broadcast(chbit)).filter(
         F.expr("shiftright(m, bit)").bitwiseAND(1) == 0))

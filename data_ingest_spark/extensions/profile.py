@@ -1006,8 +1006,10 @@ def active_users(events: DataFrame, user_col: str = "user_id",
     aggregation dedups map-side. Days with zero activity still appear
     (densified grid), with dau 0 and NULL stickiness when mau is 0."""
     day = F.to_date(F.col(ts_col))
-    ud = events.select(day.alias("d"),
-                       F.col(user_col).alias("u")).distinct()
+    ud = (events.select(day.alias("d"),
+                        F.col(user_col).alias("u")).distinct()
+          # four consumers: bounds, dau, and the two trailing explodes
+          .localCheckpoint(eager=False))
     bounds = ud.agg(F.min("d").alias("_mn"), F.max("d").alias("_mx"))
     grid = (bounds.select(F.explode(F.sequence(
         F.col("_mn"), F.col("_mx"))).alias("day")))
@@ -1077,7 +1079,9 @@ def basket_lift(lineitem: DataFrame, basket_col: str = "l_orderkey",
     item = item if item is not None else (F.col("l_partkey") % 100)
     bi = (lineitem.select(F.col(basket_col).alias("b"),
                           item.cast("long").alias("i"))
-          .distinct())
+          .distinct()
+          # four consumers: both pair sides, margins, basket total
+          .localCheckpoint(eager=False))
     n_baskets = bi.select("b").distinct().agg(
         F.count("*").alias("_nb"))
     margins = bi.groupBy("i").agg(F.count("*").alias("_ni"))
@@ -1178,7 +1182,9 @@ def cuped_adjustment(events: DataFrame, user_col: str = "user_id",
                      .alias("x"),
                      F.sum(F.when(F.datediff(day, F.col("_d0"))
                                   >= split_days, cents).otherwise(0))
-                     .alias("y")))
+                     .alias("y"))
+                # the global-θ and per-arm rollups both read it
+                .localCheckpoint(eager=False))
     glob = per_user.agg(
         F.count("*").alias("n"), F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
@@ -1239,7 +1245,8 @@ def emd_drift(events: DataFrame, type_col: str = "event_type",
         F.broadcast(events.sparkSession.range(24)
                     .select(F.col("id").cast("int").alias("h"))))
     dense = (grid.join(per, ["ty", "h"], "left")
-             .select("ty", "h", F.coalesce("c", F.lit(0)).alias("c")))
+             .select("ty", "h", F.coalesce("c", F.lit(0)).alias("c"))
+             .localCheckpoint(eager=False))  # |types|·24 rows, read 2x
     wt = W.partitionBy("ty").orderBy("h") \
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     cum = dense.withColumn("_cum", F.sum("c").over(wt)) \

@@ -1,11 +1,18 @@
-"""Round-7 additions: behavioral analytics (RFM segmentation, Markov
-transitions, session-path mining), eval-suite primitives (pass@k,
-calibration ECE), a Bloom-position-set decontamination sibling of the
-exact x34 join, and a Benford leading-digit audit.
+"""Round-7 additions.
 
-Registered AFTER the round-7 driver-verification rotation (the
-_ROUND7_PRIORITY prefix in registry.py) — new queries never displace
-the fronted re-sample set (round-6 verdict ask #1 discipline).
+Batch 1 — behavioral analytics: RFM segmentation, Markov transitions,
+session-path mining, pass@k, calibration ECE, Bloom decontamination,
+Benford audit.
+Batch 2 (7b) — growth/labeling: DAU/WAU/MAU stickiness, market-basket
+lift, L28 power-user curve, Welch t, Fleiss kappa, Bradley–Terry,
+Self-BLEU, kNN-graph clustering coefficient.
+Batch 3 (7c) — experimentation: 2-step Newton logistic regression,
+split-conformal coverage, CUPED, hour-of-day EMD drift, exact Shapley
+attribution.
+
+All are IN the round-7 driver rotation (the _ROUND7_PRIORITY prefix in
+registry.py) behind the round-6 22-query tail, so the never-sampled
+backlog closes at zero this round.
 
 The shared ``_q`` decorator writes into registry.REGISTRY at import
 time.
