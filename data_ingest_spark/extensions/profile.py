@@ -1265,3 +1265,71 @@ def emd_drift(events: DataFrame, type_col: str = "event_type",
     return (j.groupBy(F.col("ty").alias(type_col))
             .agg(F.max("_tot").cast("long").alias("n_events"),
                  F.round(F.sum(term), 6).alias("emd")))
+
+
+def holt_forecast(events: DataFrame, type_col: str = "event_type",
+                  ts_col: str = "ts", alpha_q: float = 0.2,
+                  beta_q: float = 0.1) -> DataFrame:
+    """Holt linear (double) exponential smoothing per event stream
+    over densified hourly counts — the level+trend forecaster one rung
+    above e36's seasonal-naïve floor. Per stream: the smoothed final
+    level and trend, the one-step-ahead forecast, and the in-sample
+    one-step MAE (each step's |y_t − (l+b)| BEFORE updating — honest
+    walk-forward error, not a fit residual).
+
+    The recurrence (l' = α·y + (1−α)(l+b); b' = β(l'−l) + (1−β)b) is
+    inherently sequential, so it folds ENGINE-SIDE over each stream's
+    collected hour series (bounded: the corpus hour span) via
+    F.aggregate — the e29/x156 fold discipline — with the state
+    quantized to 1e-9 fixed-point after EVERY step so a last-ulp
+    disagreement cannot compound across the fold. State is the
+    3-vector [level, trend, abs-err-sum]; elements enter as [y, 0, 0]
+    so the DuckDB mirror can fold the same-typed list with the
+    initial state prepended (list_reduce has no separate seed type).
+    Plan: one grouped count, one bounded per-stream collect, map-side
+    fold — two shuffles."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    hrs = events.select(F.col(type_col).alias("_ty"),
+                        F.floor(us / 3_600_000_000).alias("h"))
+    counts = hrs.groupBy("_ty", "h").agg(F.count("*").alias("c"))
+    span = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (counts.select("_ty").distinct()
+            .crossJoin(F.broadcast(span))
+            .select("_ty", F.explode(F.sequence("h0", "h1")).alias("h"))
+            .join(counts, ["_ty", "h"], "left")
+            .select("_ty", "h",
+                    F.coalesce("c", F.lit(0)).cast("double").alias("c")))
+    ser = (grid.groupBy("_ty")
+           .agg(F.array_sort(F.collect_list(F.struct("h", "c")))
+                .alias("_s")))
+    ys = F.transform(F.col("_s"), lambda s: s["c"])
+    n = F.size(ys)
+
+    def q9(x):
+        return F.floor(x * 1e9 + F.lit(0.5)) / 1e9
+
+    a, b = F.lit(alpha_q), F.lit(beta_q)
+    init = F.array(F.element_at(ys, 1),
+                   q9(F.element_at(ys, 2) - F.element_at(ys, 1)),
+                   F.lit(0.0))
+
+    def step(acc, y):
+        l_prev, b_prev, e_prev = acc[0], acc[1], acc[2]
+        pred = l_prev + b_prev
+        err = q9(e_prev + F.abs(y - pred))
+        l_new = q9(a * y + (F.lit(1.0) - a) * pred)
+        b_new = q9(b * (l_new - l_prev) + (F.lit(1.0) - b) * b_prev)
+        return F.array(l_new, b_new, err)
+
+    folded = F.aggregate(F.slice(ys, 2, F.greatest(n - 1, F.lit(0))),
+                         init, step)
+    out = (ser.filter(n >= 2)
+           .withColumn("_f", folded))
+    return out.select(
+        F.col("_ty").alias(type_col),
+        n.cast("long").alias("n_hours"),
+        F.round(F.element_at("_f", 1), 6).alias("level"),
+        F.round(F.element_at("_f", 2), 6).alias("trend"),
+        F.round(F.element_at("_f", 1) + F.element_at("_f", 2), 6)
+        .alias("forecast_next"),
+        F.round(F.element_at("_f", 3) / (n - 1), 6).alias("mae_1step"))

@@ -756,3 +756,47 @@ def q_shapley_attribution(spark, sf):
     math — the fair-division attribution beside e28 (last-touch) and
     e32 (time-decay)."""
     return ev.shapley_attribution(events_df(spark, sf))
+
+
+@_q("e45_holt_forecast", """
+WITH hrs AS (SELECT event_type AS ty,
+                    CAST(FLOOR(epoch_us(ts::TIMESTAMP) / 3600000000)
+                         AS BIGINT) AS h
+             FROM events),
+ counts AS (SELECT ty, h, CAST(COUNT(*) AS BIGINT) AS c
+            FROM hrs GROUP BY 1, 2),
+ span AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM counts),
+ grid AS (SELECT t.ty, g.h FROM (SELECT DISTINCT ty FROM counts) t
+          CROSS JOIN (SELECT UNNEST(generate_series(h0, h1)) AS h
+                      FROM span) g),
+ dense AS (SELECT g.ty, g.h, CAST(COALESCE(c.c, 0) AS DOUBLE) AS c
+           FROM grid g LEFT JOIN counts c ON c.ty = g.ty AND c.h = g.h),
+ ser AS (SELECT ty, list(c ORDER BY h) AS ys FROM dense GROUP BY 1),
+ f AS (SELECT ty, len(ys) AS n,
+              list_reduce(
+                [[ys[1],
+                  FLOOR((ys[2] - ys[1]) * 1e9 + 0.5) / 1e9,
+                  0.0]]
+                || [[y, 0.0, 0.0] FOR y IN ys[2:]],
+                (a, e) -> [
+                  FLOOR((0.2 * e[1] + (1.0 - 0.2) * (a[1] + a[2]))
+                        * 1e9 + 0.5) / 1e9,
+                  FLOOR((0.1 * (FLOOR((0.2 * e[1] + (1.0 - 0.2)
+                                       * (a[1] + a[2]))
+                                      * 1e9 + 0.5) / 1e9 - a[1])
+                         + (1.0 - 0.1) * a[2]) * 1e9 + 0.5) / 1e9,
+                  FLOOR((a[3] + ABS(e[1] - (a[1] + a[2])))
+                        * 1e9 + 0.5) / 1e9]) AS fv
+       FROM ser WHERE len(ys) >= 2)
+SELECT ty AS event_type, CAST(n AS BIGINT) AS n_hours,
+       ROUND(fv[1], 6) AS level, ROUND(fv[2], 6) AS trend,
+       ROUND(fv[1] + fv[2], 6) AS forecast_next,
+       ROUND(fv[3] / (n - 1), 6) AS mae_1step
+FROM f
+""")
+def q_holt_forecast(spark, sf):
+    """Holt linear exponential smoothing per event stream
+    (profile.holt_forecast): 1e-9-quantized engine-side fold over the
+    densified hour series, walk-forward one-step MAE — the level+trend
+    forecaster above e36's seasonal-naïve floor."""
+    return pf.holt_forecast(events_df(spark, sf))

@@ -124,12 +124,12 @@ _ROUND7_PRIORITY = [
     "x159_welch_ttest", "x160_fleiss_kappa", "x161_bradley_terry",
     "x162_self_bleu", "g4_clustering_coeff",
     "x163_logreg_newton", "x164_conformal", "x165_cuped",
-    "e43_emd_drift", "e44_shapley_attribution",
+    "e43_emd_drift", "e44_shapley_attribution", "e45_holt_forecast",
     # --- oldest r2-verified re-samples (registration order) fill the
     # remaining slots to 50 ---
     "a1_a2_cell_counts", "a3_gene_stats", "v1_sql_surface",
     "a4_percent_mt", "a5_ambient_census", "a6_median_gene_sum",
-    "a7_singlet_max", "a8_distinct_values",
+    "a7_singlet_max",
 ]
 # Backwards-compat aliases (round-4/5/6 names); same contract test.
 _ROUND6_PRIORITY = _ROUND7_PRIORITY

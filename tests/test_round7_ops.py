@@ -416,3 +416,47 @@ def test_logreg_newton_matches_numpy_two_steps(spark):
     assert out["n"] == n and out["n_pos"] == int(yy.sum())
     assert abs(out["beta0"] - b[0]) < 1e-4
     assert abs(out["beta1"] - b[1]) < 1e-4
+
+
+def test_holt_forecast_exact_linear_series(spark):
+    """On an exactly linear hourly series (c_t = 5 + 2t) Holt locks on
+    immediately: level tracks the line, trend -> 2, one-step MAE = 0
+    (init b0 = c1 - c0 = 2 makes every walk-forward forecast exact)."""
+    from data_ingest_spark.extensions.profile import holt_forecast
+    rows, eid = [], 0
+    for t in range(48):
+        for _ in range(5 + 2 * t):
+            rows.append((eid, BASE + t * HOUR, eid, "lin", 1.0)); eid += 1
+    out = holt_forecast(_ev(spark, rows)).collect()[0]
+    assert out["n_hours"] == 48
+    assert out["mae_1step"] == 0.0
+    assert out["trend"] == 2.0
+    assert out["level"] == 5.0 + 2.0 * 47
+    assert out["forecast_next"] == out["level"] + 2.0
+
+
+def test_holt_forecast_matches_python_fold(spark):
+    """Differential: replicate the quantized fold in pure python on a
+    deterministic bumpy series."""
+    from data_ingest_spark.extensions.profile import holt_forecast
+    series = [(i * 7) % 13 + 1 for i in range(36)]
+    rows, eid = [], 0
+    for t, c in enumerate(series):
+        for _ in range(c):
+            rows.append((eid, BASE + t * HOUR, eid, "x", 1.0)); eid += 1
+    out = holt_forecast(_ev(spark, rows)).collect()[0]
+
+    def q9(x):
+        import math
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    l, b, e = float(series[0]), q9(series[1] - series[0]), 0.0
+    for y in series[1:]:
+        pred = l + b
+        e = q9(e + abs(y - pred))
+        l_new = q9(0.2 * y + (1.0 - 0.2) * pred)
+        b = q9(0.1 * (l_new - l) + (1.0 - 0.1) * b)
+        l = l_new
+    assert out["level"] == round(l, 6)
+    assert out["trend"] == round(b, 6)
+    assert out["mae_1step"] == round(e / (len(series) - 1), 6)
