@@ -43,6 +43,12 @@ def get_spark(app_name: str = "data-ingest-spark", cpus: int | None = None) -> S
         # machine (128 GiB); on a real cluster executors get their own
         # heaps and this knob is the driver only.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # The Janino compile cache holds 100 codegen units by default;
+        # a 70-query suite generates several hundred distinct
+        # WholeStageCodegen sources, so later queries thrash the cache
+        # and recompile on every rep (static conf — must be set before
+        # the first SQL context).
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
