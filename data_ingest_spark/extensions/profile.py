@@ -1333,3 +1333,54 @@ def holt_forecast(events: DataFrame, type_col: str = "event_type",
         F.round(F.element_at("_f", 1) + F.element_at("_f", 2), 6)
         .alias("forecast_next"),
         F.round(F.element_at("_f", 3) / (n - 1), 6).alias("mae_1step"))
+
+
+def mann_kendall(events: DataFrame, type_col: str = "event_type",
+                 ts_col: str = "ts") -> DataFrame:
+    """Mann–Kendall trend test per event stream over densified hourly
+    counts: S = Σ_{i<j} sign(c_j − c_i), the tie-corrected variance
+    Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18, and the
+    continuity-corrected z — the nonparametric is-there-a-trend gate
+    that pairs with x122's Theil–Sen slope (how steep) and e34's CUSUM
+    (where it broke).
+
+    S and both variance terms are exact int64; z is one division over
+    a correctly-rounded sqrt — engine-identical at 6dp. The pair
+    self-join is bounded by the HOUR-GRID size squared (time span,
+    not corpus size), keyed per stream."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    hrs = events.select(F.col(type_col).alias("_ty"),
+                        F.floor(us / 3_600_000_000).alias("h"))
+    counts = hrs.groupBy("_ty", "h").agg(F.count("*").alias("c"))
+    span = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    dense = (counts.select("_ty").distinct()
+             .crossJoin(F.broadcast(span))
+             .select("_ty", F.explode(F.sequence("h0", "h1")).alias("h"))
+             .join(counts, ["_ty", "h"], "left")
+             .select("_ty", "h", F.coalesce("c", F.lit(0)).alias("c"))
+             .localCheckpoint(eager=False))   # pair sides + tie census
+    a, b = dense.alias("a"), dense.alias("b")
+    s = (a.join(b, (F.col("a._ty") == F.col("b._ty"))
+                & (F.col("a.h") < F.col("b.h")))
+         .groupBy(F.col("a._ty").alias("_ty"))
+         .agg(F.sum(F.signum(F.col("b.c") - F.col("a.c")).cast("long"))
+              .alias("s_stat"),
+              (F.count("*")).alias("_pairs")))
+    ties = (dense.groupBy("_ty", "c").agg(F.count("*").alias("t"))
+            .groupBy("_ty")
+            .agg(F.sum("t").alias("n"),
+                 F.sum(F.col("t") * (F.col("t") - 1)
+                       * (2 * F.col("t") + 5)).alias("_tt")))
+    j = s.join(ties, "_ty")
+    var_s = ((F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+              - F.col("_tt")) / 18)
+    z = (F.when(F.col("s_stat") > 0,
+                (F.col("s_stat") - 1) / F.sqrt(var_s))
+         .when(F.col("s_stat") < 0,
+               (F.col("s_stat") + 1) / F.sqrt(var_s))
+         .otherwise(F.lit(0.0)))
+    return j.select(F.col("_ty").alias(type_col),
+                    F.col("n").cast("long").alias("n_hours"),
+                    F.col("s_stat").cast("long").alias("s_stat"),
+                    F.round(var_s, 6).alias("var_s"),
+                    F.round(z, 6).alias("z"))

@@ -800,3 +800,86 @@ def q_holt_forecast(spark, sf):
     densified hour series, walk-forward one-step MAE — the level+trend
     forecaster above e36's seasonal-naïve floor."""
     return pf.holt_forecast(events_df(spark, sf))
+
+
+@_q("x166_mann_kendall", """
+WITH hrs AS (SELECT event_type AS ty,
+                    CAST(FLOOR(epoch_us(ts::TIMESTAMP) / 3600000000)
+                         AS BIGINT) AS h
+             FROM events),
+ counts AS (SELECT ty, h, CAST(COUNT(*) AS BIGINT) AS c
+            FROM hrs GROUP BY 1, 2),
+ span AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM counts),
+ dense AS (SELECT t.ty, g.h, COALESCE(c.c, 0) AS c
+           FROM (SELECT DISTINCT ty FROM counts) t
+           CROSS JOIN (SELECT UNNEST(generate_series(h0, h1)) AS h
+                       FROM span) g
+           LEFT JOIN counts c ON c.ty = t.ty AND c.h = g.h),
+ s AS (SELECT a.ty, CAST(SUM(SIGN(b.c - a.c)) AS BIGINT) AS s_stat
+       FROM dense a JOIN dense b ON b.ty = a.ty AND a.h < b.h
+       GROUP BY 1),
+ ties AS (SELECT ty, CAST(SUM(t) AS BIGINT) AS n,
+                 CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt
+          FROM (SELECT ty, c, CAST(COUNT(*) AS BIGINT) AS t
+                FROM dense GROUP BY 1, 2)
+          GROUP BY 1)
+SELECT s.ty AS event_type, ties.n AS n_hours, s.s_stat,
+       ROUND((ties.n * (ties.n - 1) * (2 * ties.n + 5) - ties.tt)
+             / 18, 6) AS var_s,
+       ROUND(CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                       / sqrt((ties.n * (ties.n - 1) * (2 * ties.n + 5)
+                               - ties.tt) / 18)
+                  WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                       / sqrt((ties.n * (ties.n - 1) * (2 * ties.n + 5)
+                               - ties.tt) / 18)
+                  ELSE 0.0 END, 6) AS z
+FROM s JOIN ties ON ties.ty = s.ty
+""")
+def q_mann_kendall(spark, sf):
+    """Mann–Kendall trend test per event stream
+    (profile.mann_kendall): exact int S and tie-corrected variance
+    over the densified hour grid — is-there-a-trend beside x122's
+    slope and e34's changepoint."""
+    return pf.mann_kendall(events_df(spark, sf))
+
+
+def _g5_oracle_sql() -> str:
+    from data_ingest_spark.harness.q_ml import _KNN_EDGES_SQL
+    return f"""
+WITH {_KNN_EDGES_SQL},
+ d AS (SELECT src, dst FROM r WHERE rank <= 10),
+ u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       FROM d WHERE src <> dst),
+ deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+         FROM (SELECT a AS v FROM u UNION ALL SELECT b FROM u)
+         GROUP BY 1),
+ ed AS (SELECT da.deg AS x, db.deg AS y
+        FROM u JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b),
+ sym AS (SELECT x, y FROM ed UNION ALL SELECT y, x FROM ed),
+ m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(x) AS BIGINT) AS sx,
+              CAST(SUM(y) AS BIGINT) AS sy,
+              CAST(SUM(x * x) AS BIGINT) AS sxx,
+              CAST(SUM(y * y) AS BIGINT) AS syy,
+              CAST(SUM(x * y) AS BIGINT) AS sxy
+       FROM sym)
+SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+       CASE WHEN sqrt((sxx - sx * 1.0 * sx / m)
+                      * (syy - sy * 1.0 * sy / m)) > 0
+            THEN ROUND((sxy - sx * 1.0 * sy / m)
+                       / sqrt((sxx - sx * 1.0 * sx / m)
+                              * (syy - sy * 1.0 * sy / m)), 6)
+       END AS assortativity
+FROM m
+"""
+
+
+@_q("g5_assortativity", _g5_oracle_sql())
+def q_assortativity(spark, sf):
+    """Degree assortativity of the undirected k=10 kNN graph
+    (graph.degree_assortativity): exact int64 moments over the
+    symmetric edge list — do hubs link to hubs? Completes the graph
+    census beside g2 (triangles) and g4 (clustering coefficient)."""
+    from data_ingest_spark.harness.q_ml import _emb_knn
+    from data_ingest_spark.operators.graph import degree_assortativity
+    knn = _emb_knn(spark, sf, k=10, cached=True)
+    return degree_assortativity(knn.select("src", "dst"))

@@ -125,11 +125,11 @@ _ROUND7_PRIORITY = [
     "x162_self_bleu", "g4_clustering_coeff",
     "x163_logreg_newton", "x164_conformal", "x165_cuped",
     "e43_emd_drift", "e44_shapley_attribution", "e45_holt_forecast",
+    "x166_mann_kendall", "g5_assortativity",
     # --- oldest r2-verified re-samples (registration order) fill the
     # remaining slots to 50 ---
     "a1_a2_cell_counts", "a3_gene_stats", "v1_sql_surface",
-    "a4_percent_mt", "a5_ambient_census", "a6_median_gene_sum",
-    "a7_singlet_max",
+    "a4_percent_mt", "a5_ambient_census",
 ]
 # Backwards-compat aliases (round-4/5/6 names); same contract test.
 _ROUND6_PRIORITY = _ROUND7_PRIORITY

@@ -141,3 +141,48 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_nodes"),
                  F.round(F.sum("_cc6") / 1e6 / F.count("*"), 6)
                  .alias("mean_cc")))
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of an undirected
+    graph: the Pearson correlation of endpoint degrees over the
+    symmetric directed edge list — positive means hubs link to hubs
+    (social-network shape), negative means hubs link to leaves
+    (hub-and-spoke / kNN shapes). One row: (n_edges_undirected, r).
+
+    Degrees and all five moments are exact int64 (each undirected
+    edge contributes both (da, db) and (db, da), so Σx = Σy by
+    construction and the sums stay integers); r is a division chain
+    over them, engine-identical at 6dp. Plan: canonical-edge distinct,
+    degree aggregate, two broadcast joins of the degree table, one
+    1-row moment aggregate."""
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .filter(F.col("a") != F.col("b"))
+           .distinct().localCheckpoint(eager=False))
+    deg = (und.select(F.col("a").alias("v"))
+           .unionByName(und.select(F.col("b").alias("v")))
+           .groupBy("v").agg(F.count("*").alias("deg"))
+           .localCheckpoint(eager=False))
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("_db"))
+    ed = (und.join(da.hint("broadcast"), "a")
+          .join(db.hint("broadcast"), "b"))
+    sym = (ed.select(F.col("_da").alias("x"), F.col("_db").alias("y"))
+           .unionByName(ed.select(F.col("_db").alias("x"),
+                                  F.col("_da").alias("y"))))
+    m = sym.agg(F.count("*").alias("m"), F.sum("x").alias("sx"),
+                F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                F.sum(F.col("y") * F.col("y")).alias("syy"),
+                F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    num = F.col("sxy") - F.col("sx").cast("double") * F.col("sy") / F.col("m")
+    den = F.sqrt((F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+                  / F.col("m"))
+                 * (F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+                    / F.col("m")))
+    # zero degree variance (regular graphs) leaves r undefined: NULL,
+    # never a divide-by-zero (ANSI mode throws on it)
+    return m.select((F.col("m") / 2).cast("long").alias("n_edges"),
+                    F.when(den > 0, F.round(num / den, 6))
+                    .alias("assortativity"))

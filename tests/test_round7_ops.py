@@ -460,3 +460,42 @@ def test_holt_forecast_matches_python_fold(spark):
     assert out["level"] == round(l, 6)
     assert out["trend"] == round(b, 6)
     assert out["mae_1step"] == round(e / (len(series) - 1), 6)
+
+
+def test_mann_kendall_monotone_and_flat(spark):
+    from data_ingest_spark.extensions.profile import mann_kendall
+    rows, eid = [], 0
+    # strictly increasing hourly counts -> S = n(n-1)/2, large +z
+    for t in range(24):
+        for _ in range(t + 1):
+            rows.append((eid, BASE + t * HOUR, eid, "up", 1.0)); eid += 1
+    # constant counts -> S = 0, z = 0 (all one tie group)
+    for t in range(24):
+        for _ in range(3):
+            rows.append((eid, BASE + t * HOUR, eid, "flat", 1.0)); eid += 1
+    out = {r["event_type"]: r for r in
+           mann_kendall(_ev(spark, rows)).collect()}
+    n = 24
+    assert out["up"]["s_stat"] == n * (n - 1) // 2
+    assert out["up"]["z"] > 4.0
+    assert out["flat"]["s_stat"] == 0
+    assert out["flat"]["z"] == 0.0
+    # all-tied variance term zeroes the tie-corrected Var(S)
+    assert out["flat"]["var_s"] == 0.0
+
+
+def test_degree_assortativity_known_graphs(spark):
+    from data_ingest_spark.operators.graph import degree_assortativity
+    # star graph: perfect disassortativity, r = -1
+    star = spark.createDataFrame(
+        [("hub", f"leaf{i}") for i in range(5)], ["src", "dst"])
+    row = degree_assortativity(star).collect()[0]
+    assert row["n_edges"] == 5
+    assert row["assortativity"] == -1.0
+    # two disjoint edges: all degrees equal -> correlation undefined
+    # (zero variance) -> NULL, not a crash
+    pair = spark.createDataFrame(
+        [("a", "b"), ("c", "d")], ["src", "dst"])
+    row = degree_assortativity(pair).collect()[0]
+    assert row["n_edges"] == 2
+    assert row["assortativity"] is None
