@@ -499,3 +499,83 @@ def test_degree_assortativity_known_graphs(spark):
     row = degree_assortativity(pair).collect()[0]
     assert row["n_edges"] == 2
     assert row["assortativity"] is None
+
+
+def test_bradley_terry_matches_python_mm_fold(spark):
+    """Differential: replicate the quantized 2-iteration MM update in
+    pure python from the same duel matrix."""
+    import math
+    from collections import defaultdict
+    from data_ingest_spark.extensions.evaluation import bradley_terry
+    rows, eid = [], 0
+    spend = {"A": [9, 3, 7, 9, 2, 8], "B": [5, 6, 5, 1, 6, 4],
+             "C": [1, 8, 2, 3, 9, 1]}
+    for u in range(6):
+        for ty in spend:
+            rows.append((eid, BASE + eid, u, ty, float(spend[ty][u])))
+            eid += 1
+    out = {r["event_type"]: r for r in
+           bradley_terry(_ev(spark, rows)).collect()}
+
+    # python mirror
+    items = sorted(spend)
+    w = defaultdict(int)
+    for u in range(6):
+        for i in items:
+            for j in items:
+                if i < j and spend[i][u] != spend[j][u]:
+                    if spend[i][u] > spend[j][u]:
+                        w[(i, j)] += 1
+                    else:
+                        w[(j, i)] += 1
+    n = {(i, j): w[(i, j)] + w[(j, i)] for i in items for j in items
+         if i != j}
+    wins = {i: sum(w[(i, j)] for j in items if j != i) for i in items}
+    p = {i: 1.0 for i in items}
+    for _ in range(2):
+        terms = {i: sum(math.floor(n[(i, j)] / (p[i] + p[j]) * 1e9 + 0.5)
+                        for j in items if j != i and n[(i, j)] > 0)
+                 for i in items}
+        p = {i: math.floor(wins[i] * 1e9 / (terms[i] / 1e9) + 0.5) / 1e9
+             for i in items}
+    tot = sum(p.values())
+    for i in items:
+        assert out[i]["wins"] == wins[i]
+        assert out[i]["rating"] == round(p[i] / tot, 6)
+
+
+def test_self_bleu_matches_python_mirror(spark):
+    """Differential: clipped n-gram precision + linear BP in pure
+    python on a 3-doc group."""
+    import math
+    from collections import Counter
+    from data_ingest_spark.extensions.evaluation import self_bleu
+    texts = ["the cat sat on the mat today",
+             "the cat sat on a mat",
+             "a dog sat on the mat and the cat sat too"]
+    docs = spark.createDataFrame(
+        [(i, t, "g") for i, t in enumerate(texts)],
+        ["doc_id", "text", "source"])
+    row = self_bleu(docs).collect()[0]
+
+    def grams(toks, nn):
+        return Counter(tuple(toks[i:i + nn])
+                       for i in range(len(toks) - nn + 1))
+
+    fp1 = fp2 = fb = 0
+    for cand, ref in zip(texts[:-1], texts[1:]):
+        c, r = cand.lower().split(), ref.lower().split()
+        ps = []
+        for nn in (1, 2):
+            gc, gr = grams(c, nn), grams(r, nn)
+            clip = sum(min(v, gr.get(g, 0)) for g, v in gc.items())
+            ps.append(clip / sum(gc.values()))
+        bp = 1.0 if len(c) >= len(r) else len(c) / len(r)
+        q = lambda x: math.floor(x * 1e6 + 0.5)  # noqa: E731
+        fp1 += q(ps[0]); fp2 += q(ps[1])
+        fb += q(bp * math.sqrt(ps[0] * ps[1]))
+    np_ = len(texts) - 1
+    assert row["n_pairs"] == np_
+    assert row["mean_p1"] == round(fp1 / 1e6 / np_, 6)
+    assert row["mean_p2"] == round(fp2 / 1e6 / np_, 6)
+    assert row["mean_self_bleu2"] == round(fb / 1e6 / np_, 6)
