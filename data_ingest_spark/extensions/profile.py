@@ -1129,7 +1129,9 @@ def welch_ttest(events: DataFrame, arm: F.Column | None = None,
     g = (events.select(arm.cast("int").alias("g"), cents.alias("c"))
          .groupBy("g")
          .agg(F.count("*").alias("n"), F.sum("c").alias("s"),
-              F.sum(F.col("c") * F.col("c")).alias("ss")))
+              F.sum(F.col("c") * F.col("c")).alias("ss"))
+         # both arm slices read this 2-row frame
+         .localCheckpoint(eager=False))
     a = g.filter(F.col("g") == 0).alias("a")
     b = g.filter(F.col("g") == 1).alias("b")
     row = a.join(b.hint("broadcast"))
@@ -1384,3 +1386,132 @@ def mann_kendall(events: DataFrame, type_col: str = "event_type",
                     F.col("s_stat").cast("long").alias("s_stat"),
                     F.round(var_s, 6).alias("var_s"),
                     F.round(z, 6).alias("z"))
+
+
+def qte_deciles(events: DataFrame, user_col: str = "user_id",
+                value_col: str = "value") -> DataFrame:
+    """Quantile treatment effects: at each decile, the EXACT order
+    statistic of per-user cent totals in the treatment arm minus the
+    control arm — where the mean-based x159/x165 view hides
+    distributional shifts (a heavy-tail gain with a median loss nets
+    to zero in a t-test; it can't here).
+
+    Ranks are type-1 order statistics at ceil(q·n/100) computed in
+    pure int arithmetic; every output is an int64 cent value or an
+    int difference — bit-exact across engines, no rounding at all.
+    Plan: per-user aggregate, one rank window per arm, a 9-row decile
+    grid join."""
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    pu = (events.groupBy(F.col(user_col).alias("u"))
+          .agg(F.sum(cents).alias("c"))
+          .withColumn("arm", (F.col("u") % 2).cast("int")))
+    wr = W.partitionBy("arm").orderBy(F.col("c").asc(), F.col("u").asc())
+    ranked = (pu.withColumn("_r", F.row_number().over(wr))
+              .withColumn("_n", F.count("*").over(W.partitionBy("arm"))))
+    qs = events.sparkSession.range(1, 10).select(
+        (F.col("id") * 10).cast("int").alias("decile"))
+    # rank = ceil(q·n/100) in int arithmetic
+    picked = (ranked.join(F.broadcast(qs))
+              .filter(F.col("_r") == F.floor(
+                  (F.col("decile") * F.col("_n") + 99) / 100))
+              .select("decile", "arm", "c")
+              # 18 rows, read by both arm slices — keeps the rank
+              # window from running twice
+              .localCheckpoint(eager=False))
+    t = picked.filter(F.col("arm") == 1).select(
+        "decile", F.col("c").alias("q_treat"))
+    c = picked.filter(F.col("arm") == 0).select(
+        "decile", F.col("c").alias("q_control"))
+    return (t.join(c, "decile")
+            .select(F.col("decile").cast("int").alias("decile"),
+                    F.col("q_treat").cast("long").alias("q_treat_cents"),
+                    F.col("q_control").cast("long")
+                    .alias("q_control_cents"),
+                    (F.col("q_treat") - F.col("q_control")).cast("long")
+                    .alias("qte_cents")))
+
+
+def nb_dispersion(events: DataFrame, type_col: str = "event_type",
+                  ts_col: str = "ts") -> DataFrame:
+    """Overdispersion audit per event stream: mean/variance of the
+    densified hourly counts, the dispersion index var/mean (Poisson
+    ⇒ 1), and the method-of-moments negative-binomial fit
+    (p = m/v, r = m²/(v−m), defined only when v > m) — the
+    count-model sanity check behind rate alerting and synthetic-load
+    generators.
+
+    Moments are exact int64 (counts squared summed); every output is
+    a division chain over them, 6dp. Two bounded shuffles."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    hrs = events.select(F.col(type_col).alias("_ty"),
+                        F.floor(us / 3_600_000_000).alias("h"))
+    counts = hrs.groupBy("_ty", "h").agg(F.count("*").alias("c"))
+    span = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    dense = (counts.select("_ty").distinct()
+             .crossJoin(F.broadcast(span))
+             .select("_ty", F.explode(F.sequence("h0", "h1")).alias("h"))
+             .join(counts, ["_ty", "h"], "left")
+             .select("_ty", F.coalesce("c", F.lit(0)).alias("c")))
+    m = (dense.groupBy("_ty")
+         .agg(F.count("*").alias("n"), F.sum("c").alias("s"),
+              F.sum(F.col("c") * F.col("c")).alias("ss")))
+    mean = F.col("s") / F.col("n")
+    var = ((F.col("ss") - F.col("s").cast("double") * F.col("s")
+            / F.col("n")) / (F.col("n") - 1))
+    over = var > mean
+    return m.select(
+        F.col("_ty").alias(type_col),
+        F.col("n").cast("long").alias("n_hours"),
+        F.round(mean, 6).alias("mean_per_hour"),
+        F.round(var, 6).alias("var_per_hour"),
+        F.round(var / mean, 6).alias("dispersion_index"),
+        F.when(over, F.round(mean / var, 6)).alias("nb_p"),
+        F.when(over, F.round(mean * mean / (var - mean), 6))
+        .alias("nb_r"))
+
+
+def diff_in_diff(events: DataFrame, user_col: str = "user_id",
+                 ts_col: str = "ts", value_col: str = "value",
+                 split_days: int = 15) -> DataFrame:
+    """Difference-in-differences: per-user cent totals in the pre
+    (first ``split_days`` days) and post periods, averaged per arm
+    (user parity); DiD = (treat_post − treat_pre) − (control_post −
+    control_pre) — the causal-effect workhorse when assignment isn't
+    randomized, completing the experimentation battery (x153 SRM →
+    x159 Welch → x165 CUPED → x167 QTE → this).
+
+    Exact int64 cent sums; all four cell means and the DiD are
+    division chains over them, 6dp. One row."""
+    day = F.to_date(F.col(ts_col))
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    start = events.agg(F.min(day).alias("_d0"))
+    pu = (events.join(start.hint("broadcast"))
+          .groupBy(F.col(user_col).alias("u"))
+          .agg(F.sum(F.when(F.datediff(day, F.col("_d0")) < split_days,
+                            cents).otherwise(0)).alias("pre"),
+               F.sum(F.when(F.datediff(day, F.col("_d0")) >= split_days,
+                            cents).otherwise(0)).alias("post")))
+    g = (pu.withColumn("arm", (F.col("u") % 2).cast("int"))
+         .groupBy("arm")
+         .agg(F.count("*").alias("n"), F.sum("pre").alias("sp"),
+              F.sum("post").alias("so"))
+         # both arm slices read this 2-row frame — without the
+         # checkpoint the whole per-user subtree duplicates
+         .localCheckpoint(eager=False))
+    t = g.filter(F.col("arm") == 1).alias("t")
+    c = g.filter(F.col("arm") == 0).alias("c")
+    row = t.join(c.hint("broadcast"))
+
+    def mean(side, col):
+        return F.col(f"{side}.{col}") / F.col(f"{side}.n")
+
+    did = ((mean("t", "so") - mean("t", "sp"))
+           - (mean("c", "so") - mean("c", "sp")))
+    return row.select(
+        F.col("t.n").cast("long").alias("n_treat"),
+        F.col("c.n").cast("long").alias("n_control"),
+        F.round(mean("t", "sp"), 6).alias("treat_pre"),
+        F.round(mean("t", "so"), 6).alias("treat_post"),
+        F.round(mean("c", "sp"), 6).alias("control_pre"),
+        F.round(mean("c", "so"), 6).alias("control_post"),
+        F.round(did, 6).alias("did_cents"))

@@ -883,3 +883,102 @@ def q_assortativity(spark, sf):
     from data_ingest_spark.operators.graph import degree_assortativity
     knn = _emb_knn(spark, sf, k=10, cached=True)
     return degree_assortativity(knn.select("src", "dst"))
+
+
+@_q("x167_qte_deciles", """
+WITH pu AS (SELECT user_id AS u,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS c,
+                   CAST(user_id % 2 AS INTEGER) AS arm
+            FROM events GROUP BY 1),
+ rk AS (SELECT arm, c,
+               ROW_NUMBER() OVER (PARTITION BY arm ORDER BY c, u) AS r,
+               COUNT(*) OVER (PARTITION BY arm) AS n
+        FROM pu),
+ qs AS (SELECT CAST(UNNEST([10,20,30,40,50,60,70,80,90]) AS INTEGER)
+               AS decile),
+ picked AS (SELECT qs.decile, rk.arm, rk.c
+            FROM rk CROSS JOIN qs
+            WHERE rk.r = (qs.decile * rk.n + 99) // 100)
+SELECT t.decile, t.c AS q_treat_cents, c.c AS q_control_cents,
+       t.c - c.c AS qte_cents
+FROM (SELECT decile, c FROM picked WHERE arm = 1) t
+JOIN (SELECT decile, c FROM picked WHERE arm = 0) c
+  ON c.decile = t.decile
+""")
+def q_qte_deciles(spark, sf):
+    """Quantile treatment effects at every decile
+    (profile.qte_deciles): exact int order statistics per arm,
+    bit-exact outputs — the distributional view the mean-based
+    x159/x165 tests can't give."""
+    return pf.qte_deciles(events_df(spark, sf))
+
+
+@_q("x168_nb_dispersion", """
+WITH hrs AS (SELECT event_type AS ty,
+                    CAST(FLOOR(epoch_us(ts::TIMESTAMP) / 3600000000)
+                         AS BIGINT) AS h
+             FROM events),
+ counts AS (SELECT ty, h, CAST(COUNT(*) AS BIGINT) AS c
+            FROM hrs GROUP BY 1, 2),
+ span AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM counts),
+ dense AS (SELECT t.ty, COALESCE(c.c, 0) AS c
+           FROM (SELECT DISTINCT ty FROM counts) t
+           CROSS JOIN (SELECT UNNEST(generate_series(h0, h1)) AS h
+                       FROM span) g
+           LEFT JOIN counts c ON c.ty = t.ty AND c.h = g.h),
+ m AS (SELECT ty, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(c) AS BIGINT) AS s,
+              CAST(SUM(c * c) AS BIGINT) AS ss
+       FROM dense GROUP BY 1),
+ v AS (SELECT ty, n, s * 1.0 / n AS mean,
+              (ss - s * 1.0 * s / n) / (n - 1) AS var
+       FROM m)
+SELECT ty AS event_type, n AS n_hours,
+       ROUND(mean, 6) AS mean_per_hour,
+       ROUND(var, 6) AS var_per_hour,
+       ROUND(var / mean, 6) AS dispersion_index,
+       CASE WHEN var > mean THEN ROUND(mean / var, 6) END AS nb_p,
+       CASE WHEN var > mean THEN ROUND(mean * mean / (var - mean), 6)
+       END AS nb_r
+FROM v
+""")
+def q_nb_dispersion(spark, sf):
+    """Hourly-count overdispersion audit + method-of-moments
+    negative-binomial fit per stream (profile.nb_dispersion) — the
+    Poisson sanity check behind rate alerting."""
+    return pf.nb_dispersion(events_df(spark, sf))
+
+
+@_q("e46_diff_in_diff", """
+WITH ev0 AS (SELECT user_id, CAST(ts AS DATE) AS d,
+                    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+             FROM events),
+ d0 AS (SELECT MIN(d) AS d0 FROM ev0),
+ pu AS (SELECT user_id AS u,
+               CAST(SUM(CASE WHEN d - d0.d0 < 15 THEN cents ELSE 0 END)
+                    AS BIGINT) AS pre,
+               CAST(SUM(CASE WHEN d - d0.d0 >= 15 THEN cents ELSE 0 END)
+                    AS BIGINT) AS post
+        FROM ev0 CROSS JOIN d0 GROUP BY 1),
+ g AS (SELECT CAST(u % 2 AS INTEGER) AS arm,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(pre) AS BIGINT) AS sp,
+              CAST(SUM(post) AS BIGINT) AS so
+       FROM pu GROUP BY 1),
+ t AS (SELECT * FROM g WHERE arm = 1), c AS (SELECT * FROM g WHERE arm = 0)
+SELECT t.n AS n_treat, c.n AS n_control,
+       ROUND(t.sp * 1.0 / t.n, 6) AS treat_pre,
+       ROUND(t.so * 1.0 / t.n, 6) AS treat_post,
+       ROUND(c.sp * 1.0 / c.n, 6) AS control_pre,
+       ROUND(c.so * 1.0 / c.n, 6) AS control_post,
+       ROUND((t.so * 1.0 / t.n - t.sp * 1.0 / t.n)
+             - (c.so * 1.0 / c.n - c.sp * 1.0 / c.n), 6) AS did_cents
+FROM t CROSS JOIN c
+""")
+def q_diff_in_diff(spark, sf):
+    """Difference-in-differences on pre/post per-user cent totals
+    between the parity arms (profile.diff_in_diff) — the
+    observational causal estimate completing the experimentation
+    battery."""
+    return pf.diff_in_diff(events_df(spark, sf))

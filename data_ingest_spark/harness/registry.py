@@ -126,10 +126,10 @@ _ROUND7_PRIORITY = [
     "x163_logreg_newton", "x164_conformal", "x165_cuped",
     "e43_emd_drift", "e44_shapley_attribution", "e45_holt_forecast",
     "x166_mann_kendall", "g5_assortativity",
+    "x167_qte_deciles", "x168_nb_dispersion", "e46_diff_in_diff",
     # --- oldest r2-verified re-samples (registration order) fill the
     # remaining slots to 50 ---
-    "a1_a2_cell_counts", "a3_gene_stats", "v1_sql_surface",
-    "a4_percent_mt", "a5_ambient_census",
+    "a1_a2_cell_counts", "a3_gene_stats",
 ]
 # Backwards-compat aliases (round-4/5/6 names); same contract test.
 _ROUND6_PRIORITY = _ROUND7_PRIORITY

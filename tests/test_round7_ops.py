@@ -579,3 +579,57 @@ def test_self_bleu_matches_python_mirror(spark):
     assert row["mean_p1"] == round(fp1 / 1e6 / np_, 6)
     assert row["mean_p2"] == round(fp2 / 1e6 / np_, 6)
     assert row["mean_self_bleu2"] == round(fb / 1e6 / np_, 6)
+
+
+def test_qte_deciles_known_shift(spark):
+    """Treatment = control + constant 100-cent shift per user: every
+    decile QTE is exactly 100 cents (bit-exact ints)."""
+    from data_ingest_spark.extensions.profile import qte_deciles
+    rows, eid = [], 0
+    for i in range(40):
+        # control users (even ids): totals 1.00, 2.00, ... dollars
+        rows.append((eid, BASE + eid, 2 * i, "e", float(i + 1))); eid += 1
+        # treatment (odd ids): same ladder + 1 dollar
+        rows.append((eid, BASE + eid, 2 * i + 1, "e", float(i + 2))); eid += 1
+    out = {r["decile"]: r for r in qte_deciles(_ev(spark, rows)).collect()}
+    assert len(out) == 9
+    for d, r in out.items():
+        assert r["qte_cents"] == 100
+        assert r["q_treat_cents"] - r["q_control_cents"] == 100
+
+
+def test_nb_dispersion_poisson_vs_overdispersed(spark):
+    from data_ingest_spark.extensions.profile import nb_dispersion
+    rows, eid = [], 0
+    # constant 4/hour -> var 0, dispersion 0, no NB fit
+    for t in range(24):
+        for _ in range(4):
+            rows.append((eid, BASE + t * HOUR, eid, "flat", 1.0)); eid += 1
+    # bursty: alternating 0 and 8 -> mean 4, var > mean -> NB defined
+    for t in range(24):
+        for _ in range(8 if t % 2 == 0 else 0):
+            rows.append((eid, BASE + t * HOUR, eid, "burst", 1.0)); eid += 1
+    out = {r["event_type"]: r for r in
+           nb_dispersion(_ev(spark, rows)).collect()}
+    assert out["flat"]["var_per_hour"] == 0.0
+    assert out["flat"]["nb_r"] is None
+    b = out["burst"]
+    assert b["mean_per_hour"] == 4.0
+    assert b["dispersion_index"] > 1.0
+    assert b["nb_r"] is not None and b["nb_p"] < 1.0
+
+
+def test_diff_in_diff_planted_effect(spark):
+    """Both arms trend +2.00 pre->post; treatment gets an EXTRA +3.00
+    in the post period: DiD = 300 cents exactly."""
+    from data_ingest_spark.extensions.profile import diff_in_diff
+    rows, eid = [], 0
+    for u in range(20):
+        treat = u % 2 == 1
+        rows.append((eid, BASE + 1 * DAY, u, "e", 5.0)); eid += 1
+        post = 5.0 + 2.0 + (3.0 if treat else 0.0)
+        rows.append((eid, BASE + 20 * DAY, u, "e", post)); eid += 1
+    r = diff_in_diff(_ev(spark, rows)).collect()[0]
+    assert r["n_treat"] == 10 and r["n_control"] == 10
+    assert r["did_cents"] == 300.0
+    assert r["control_post"] - r["control_pre"] == 200.0
