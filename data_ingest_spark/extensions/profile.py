@@ -1120,16 +1120,22 @@ def welch_ttest(events: DataFrame, arm: F.Column | None = None,
     the A/B significance primitive next to x153's SRM gate and x154's
     stratified uplift.
 
-    Moments accumulate as int64 cent sums (never float), so the
-    means/variances are single division chains over exact integers —
-    engine-identical at 6dp. ONE map-side-combined aggregate, one
-    1-row result."""
+    Moments accumulate exactly (cent sums as int64; the squared
+    moment as decimal(38,0), the x163/auc_rank overflow discipline —
+    int64 Σc² throws ARITHMETIC_OVERFLOW under ANSI at large SF), so
+    the means/variances are single division chains over exact values
+    — engine-identical at 6dp. Degenerate guards: a 1-row arm has
+    undefined variance (n−1 = 0) and two zero-variance arms have an
+    undefined t — both yield NULL t/df, never ±∞/NaN (the
+    kaplan-meier ln(0) divergence class). ONE map-side-combined
+    aggregate, one 1-row result."""
     arm = arm if arm is not None else (F.col("user_id") % 2)
     cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
     g = (events.select(arm.cast("int").alias("g"), cents.alias("c"))
          .groupBy("g")
          .agg(F.count("*").alias("n"), F.sum("c").alias("s"),
-              F.sum(F.col("c") * F.col("c")).alias("ss"))
+              F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+              .alias("ss"))
          # both arm slices read this 2-row frame
          .localCheckpoint(eager=False))
     a = g.filter(F.col("g") == 0).alias("a")
@@ -1140,17 +1146,24 @@ def welch_ttest(events: DataFrame, arm: F.Column | None = None,
         return F.col(f"{side}.s") / F.col(f"{side}.n")
 
     def var(side):
-        return ((F.col(f"{side}.ss")
-                 - F.col(f"{side}.s") * F.col(f"{side}.s")
-                 / F.col(f"{side}.n"))
+        # s cast to double BEFORE the square (oracle: s * 1.0 * s):
+        # the int64 product overflows; the double product of an
+        # exactly-representable s is correctly rounded to the same
+        # double as the exact integer square.
+        return ((F.col(f"{side}.ss").cast("double")
+                 - F.col(f"{side}.s").cast("double")
+                 * F.col(f"{side}.s") / F.col(f"{side}.n"))
                 / (F.col(f"{side}.n") - 1))
 
+    ok = (F.col("a.n") > 1) & (F.col("b.n") > 1)
     se0 = var("a") / F.col("a.n")
     se1 = var("b") / F.col("b.n")
-    t = (mean("a") - mean("b")) / F.sqrt(se0 + se1)
-    df = ((se0 + se1) * (se0 + se1)
-          / (se0 * se0 / (F.col("a.n") - 1)
-             + se1 * se1 / (F.col("b.n") - 1)))
+    t = F.when(ok & ((se0 + se1) > 0),
+               (mean("a") - mean("b")) / F.sqrt(se0 + se1))
+    df = F.when(ok & ((se0 + se1) > 0),
+                (se0 + se1) * (se0 + se1)
+                / (se0 * se0 / (F.col("a.n") - 1)
+                   + se1 * se1 / (F.col("b.n") - 1)))
     return row.select(
         F.col("a.n").cast("long").alias("n0"),
         F.col("b.n").cast("long").alias("n1"),
@@ -1171,9 +1184,15 @@ def cuped_adjustment(events: DataFrame, user_col: str = "user_id",
     var(Y − θX)/var(Y) — the standard sensitivity boost for A/B
     metrics with a correlated pre-period.
 
-    All moments (ΣX, ΣY, ΣXY, ΣX², ΣY²) are exact int64 cent sums;
-    θ and every output is a division chain over them, engine-exact
-    at 6dp. Two shuffles (per-user aggregate; per-arm rollup)."""
+    All moments are exact: ΣX/ΣY as int64 cent sums, the squared and
+    cross moments (ΣXY, ΣX², ΣY²) as decimal(38,0) — the x163
+    overflow discipline (int64 Σx² throws ARITHMETIC_OVERFLOW under
+    ANSI at large SF). θ and every output is a division chain over
+    them, engine-exact at 6dp. Degenerate guards: zero pre-period
+    variance leaves θ undefined (NULL θ/adjusted columns) and a
+    1-user arm has undefined var(Y) (NULL var_ratio) — never a
+    divide-by-zero. Two shuffles (per-user aggregate; per-arm
+    rollup)."""
     day = F.to_date(F.col(ts_col))
     cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
     start = events.agg(F.min(day).alias("_d0"))
@@ -1187,34 +1206,44 @@ def cuped_adjustment(events: DataFrame, user_col: str = "user_id",
                      .alias("y"))
                 # the global-θ and per-arm rollups both read it
                 .localCheckpoint(eager=False))
+    dx = F.col("x").cast("decimal(38,0)")
     glob = per_user.agg(
         F.count("*").alias("n"), F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"))
+        F.sum(dx * F.col("x")).alias("sxx"),
+        F.sum(dx * F.col("y")).alias("sxy"))
     # cast before the cross products: Σx·Σy of int64 cent sums
     # overflows long at large SF (the x159 discipline)
-    theta = ((F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
-              / F.col("n"))
-             / (F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
-                / F.col("n")))
+    var_x = (F.col("sxx").cast("double")
+             - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
+    theta = F.when(
+        var_x != 0,
+        (F.col("sxy").cast("double")
+         - F.col("sx").cast("double") * F.col("sy") / F.col("n"))
+        / var_x)
     xbar = F.col("sx") / F.col("n")
     arms = (per_user.withColumn("arm", (F.col("u") % 2).cast("int"))
             .groupBy("arm")
             .agg(F.count("*").alias("na"), F.sum("x").alias("ax"),
                  F.sum("y").alias("ay"),
-                 F.sum(F.col("x") * F.col("x")).alias("axx"),
-                 F.sum(F.col("y") * F.col("y")).alias("ayy"),
-                 F.sum(F.col("x") * F.col("y")).alias("axy")))
+                 F.sum(dx * F.col("x")).alias("axx"),
+                 F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+                 .alias("ayy"),
+                 F.sum(dx * F.col("y")).alias("axy")))
     j = arms.join(glob.hint("broadcast"))
     mean_y = F.col("ay") / F.col("na")
     mean_adj = mean_y - theta * (F.col("ax") / F.col("na") - xbar)
-    var_y = ((F.col("ayy") - F.col("ay").cast("double") * F.col("ay")
-              / F.col("na"))
-             / (F.col("na") - 1))
+    # NULL (not 0/0) when the arm has a single user: the n−1 division
+    # is gated, so var_ratio below sees NULL and propagates it
+    var_y = F.when(
+        F.col("na") > 1,
+        (F.col("ayy").cast("double")
+         - F.col("ay").cast("double") * F.col("ay") / F.col("na"))
+        / (F.col("na") - 1))
     # var(Y − θX) expanded over the same exact moments
-    var_adj = ((F.col("ayy") - 2 * theta * F.col("axy")
-                + theta * theta * F.col("axx")
+    var_adj = ((F.col("ayy").cast("double")
+                - 2 * theta * F.col("axy").cast("double")
+                + theta * theta * F.col("axx").cast("double")
                 - (F.col("ay") - theta * F.col("ax"))
                 * (F.col("ay") - theta * F.col("ax")) / F.col("na"))
                / (F.col("na") - 1))
@@ -1223,7 +1252,8 @@ def cuped_adjustment(events: DataFrame, user_col: str = "user_id",
         F.round(theta, 6).alias("theta"),
         F.round(mean_y, 6).alias("mean_cents"),
         F.round(mean_adj, 6).alias("mean_cents_adj"),
-        F.round(var_adj / var_y, 6).alias("var_ratio"))
+        F.round(F.when(var_y > 0, var_adj / var_y), 6)
+        .alias("var_ratio"))
 
 
 def emd_drift(events: DataFrame, type_col: str = "event_type",
@@ -1276,8 +1306,11 @@ def holt_forecast(events: DataFrame, type_col: str = "event_type",
     over densified hourly counts — the level+trend forecaster one rung
     above e36's seasonal-naïve floor. Per stream: the smoothed final
     level and trend, the one-step-ahead forecast, and the in-sample
-    one-step MAE (each step's |y_t − (l+b)| BEFORE updating — honest
-    walk-forward error, not a fit residual).
+    one-step MAE (each step's |y_t − (l+b)| BEFORE updating). The
+    trend seed b0 = y2 − y1 makes the FIRST fold step's error
+    structurally zero (pred = y1 + (y2−y1) = y2), so the MAE divides
+    the error sum by n−2 — the count of genuinely predictive steps —
+    and is NULL for n ≤ 2 (no predictive step exists).
 
     The recurrence (l' = α·y + (1−α)(l+b); b' = β(l'−l) + (1−β)b) is
     inherently sequential, so it folds ENGINE-SIDE over each stream's
@@ -1334,7 +1367,8 @@ def holt_forecast(events: DataFrame, type_col: str = "event_type",
         F.round(F.element_at("_f", 2), 6).alias("trend"),
         F.round(F.element_at("_f", 1) + F.element_at("_f", 2), 6)
         .alias("forecast_next"),
-        F.round(F.element_at("_f", 3) / (n - 1), 6).alias("mae_1step"))
+        F.round(F.when(n > 2, F.element_at("_f", 3) / (n - 2)), 6)
+        .alias("mae_1step"))
 
 
 def mann_kendall(events: DataFrame, type_col: str = "event_type",

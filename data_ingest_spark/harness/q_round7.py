@@ -332,16 +332,20 @@ WITH g AS (SELECT CAST(user_id % 2 AS INTEGER) AS g,
                        AS BIGINT) AS ss
            FROM events GROUP BY 1),
  c AS (SELECT g, n, s * 1.0 / n AS m,
-              (ss - s * 1.0 * s / n) / (n - 1) AS v
+              CASE WHEN n > 1
+                   THEN (ss - s * 1.0 * s / n) / (n - 1) END AS v
        FROM g),
  a AS (SELECT * FROM c WHERE g = 0), b AS (SELECT * FROM c WHERE g = 1),
  se AS (SELECT a.n AS n0, b.n AS n1, a.m AS m0, b.m AS m1,
                a.v / a.n AS se0, b.v / b.n AS se1
         FROM a CROSS JOIN b)
 SELECT n0, n1, ROUND(m0, 6) AS mean_cents_0, ROUND(m1, 6) AS mean_cents_1,
-       ROUND((m0 - m1) / sqrt(se0 + se1), 6) AS t_stat,
-       ROUND((se0 + se1) * (se0 + se1)
-             / (se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1)), 6)
+       CASE WHEN (se0 + se1) > 0
+            THEN ROUND((m0 - m1) / sqrt(se0 + se1), 6) END AS t_stat,
+       CASE WHEN (se0 + se1) > 0
+            THEN ROUND((se0 + se1) * (se0 + se1)
+                       / (se0 * se0 / (n0 - 1)
+                          + se1 * se1 / (n1 - 1)), 6) END
          AS welch_df
 FROM se
 """)
@@ -644,8 +648,9 @@ WITH ev0 AS (SELECT user_id, CAST(ts AS DATE) AS d,
               CAST(SUM(x * y) AS BIGINT) AS sxy
        FROM pu),
  th AS (SELECT n, sx,
-               (sxy - sx * 1.0 * sy / n) / (sxx - sx * 1.0 * sx / n)
-                 AS theta
+               CASE WHEN (sxx - sx * 1.0 * sx / n) <> 0
+                    THEN (sxy - sx * 1.0 * sy / n)
+                         / (sxx - sx * 1.0 * sx / n) END AS theta
         FROM g),
  arms AS (SELECT CAST(u % 2 AS INTEGER) AS arm,
                  CAST(COUNT(*) AS BIGINT) AS na,
@@ -658,10 +663,13 @@ SELECT arm, na AS n_users, ROUND(theta, 6) AS theta,
        ROUND(ay * 1.0 / na, 6) AS mean_cents,
        ROUND(ay * 1.0 / na - theta * (ax * 1.0 / na - sx * 1.0 / n), 6)
          AS mean_cents_adj,
-       ROUND(((ayy - 2 * theta * axy + theta * theta * axx
-               - (ay - theta * ax) * (ay - theta * ax) / na)
-              / (na - 1))
-             / ((ayy - ay * 1.0 * ay / na) / (na - 1)), 6) AS var_ratio
+       ROUND(CASE WHEN na > 1
+                   AND ((ayy - ay * 1.0 * ay / na) / (na - 1)) > 0
+             THEN ((ayy - 2 * theta * axy + theta * theta * axx
+                    - (ay - theta * ax) * (ay - theta * ax) / na)
+                   / (na - 1))
+                  / ((ayy - ay * 1.0 * ay / na) / (na - 1)) END, 6)
+         AS var_ratio
 FROM arms CROSS JOIN th
 """)
 def q_cuped(spark, sf):
@@ -791,7 +799,7 @@ WITH hrs AS (SELECT event_type AS ty,
 SELECT ty AS event_type, CAST(n AS BIGINT) AS n_hours,
        ROUND(fv[1], 6) AS level, ROUND(fv[2], 6) AS trend,
        ROUND(fv[1] + fv[2], 6) AS forecast_next,
-       ROUND(fv[3] / (n - 1), 6) AS mae_1step
+       CASE WHEN n > 2 THEN ROUND(fv[3] / (n - 2), 6) END AS mae_1step
 FROM f
 """)
 def q_holt_forecast(spark, sf):

@@ -309,7 +309,10 @@ def doublet_scores_grid(expr: DataFrame, k: int = 10,
     # rows and hence no sc row; it still must be classified. With no
     # simulated doublet anywhere near it, its kNN vote is 0 ⇒ score
     # 0.0 / singlet — the defined contract, not a dropped row.
-    return (real_pts.join(F.broadcast(sc), ["sample", "qf1", "qf2"], "left")
+    # Unhinted join: sc has one row per distinct real (f1,f2) grid
+    # point, which grows with cell count — a forced broadcast would
+    # blow driver memory at large SF. AQE picks broadcast when small.
+    return (real_pts.join(sc, ["sample", "qf1", "qf2"], "left")
             .select("sample", "barcode",
                     F.coalesce(F.round("_score", 6), F.lit(0.0))
                     .alias("doublet_scores"),

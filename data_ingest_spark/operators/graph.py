@@ -154,8 +154,8 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     edge contributes both (da, db) and (db, da), so Σx = Σy by
     construction and the sums stay integers); r is a division chain
     over them, engine-identical at 6dp. Plan: canonical-edge distinct,
-    degree aggregate, two broadcast joins of the degree table, one
-    1-row moment aggregate."""
+    degree aggregate, two unhinted joins of the degree table (AQE
+    broadcasts when small), one 1-row moment aggregate."""
     und = (edges.select(F.least("src", "dst").alias("a"),
                         F.greatest("src", "dst").alias("b"))
            .filter(F.col("a") != F.col("b"))
@@ -166,8 +166,10 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
            .localCheckpoint(eager=False))
     da = deg.select(F.col("v").alias("a"), F.col("deg").alias("_da"))
     db = deg.select(F.col("v").alias("b"), F.col("deg").alias("_db"))
-    ed = (und.join(da.hint("broadcast"), "a")
-          .join(db.hint("broadcast"), "b"))
+    # Degree-table joins are unhinted: |deg| = |V| (cell count on the
+    # kNN graph), so a forced broadcast has unbounded scale risk. AQE
+    # broadcasts when the runtime size is actually small.
+    ed = und.join(da, "a").join(db, "b")
     sym = (ed.select(F.col("_da").alias("x"), F.col("_db").alias("y"))
            .unionByName(ed.select(F.col("_db").alias("x"),
                                   F.col("_da").alias("y"))))

@@ -459,7 +459,9 @@ def test_holt_forecast_matches_python_fold(spark):
         l = l_new
     assert out["level"] == round(l, 6)
     assert out["trend"] == round(b, 6)
-    assert out["mae_1step"] == round(e / (len(series) - 1), 6)
+    # n−2: the first fold step's error is structurally zero (b0 =
+    # y2−y1 makes pred = y2), so only n−2 steps are predictive
+    assert out["mae_1step"] == round(e / (len(series) - 2), 6)
 
 
 def test_mann_kendall_monotone_and_flat(spark):
@@ -633,3 +635,83 @@ def test_diff_in_diff_planted_effect(spark):
     assert r["n_treat"] == 10 and r["n_control"] == 10
     assert r["did_cents"] == 300.0
     assert r["control_post"] - r["control_pre"] == 200.0
+
+
+def test_welch_ttest_degenerate_arms_yield_null_not_inf(spark):
+    """The kaplan-meier ln(0) divergence class, applied proactively
+    (round-7 verdict #4): a 1-row arm has undefined variance and two
+    constant arms an undefined t — both must surface as NULL, never
+    ±inf/NaN, and identically in the DuckDB oracle's CASE guard."""
+    from data_ingest_spark.extensions.profile import welch_ttest
+    # arm 0 (even users): one row -> n-1 = 0
+    rows = [(0, BASE, 0, "e", 5.0),
+            (1, BASE + 1, 1, "e", 3.0), (2, BASE + 2, 3, "e", 4.0)]
+    r = welch_ttest(_ev(spark, rows)).collect()[0]
+    assert r["n0"] == 1 and r["n1"] == 2
+    assert r["t_stat"] is None and r["welch_df"] is None
+    assert r["mean_cents_0"] == 500.0
+    # both arms constant -> se0+se1 == 0 -> t undefined
+    rows = [(0, BASE, 0, "e", 2.0), (1, BASE + 1, 2, "e", 2.0),
+            (2, BASE + 2, 1, "e", 7.0), (3, BASE + 3, 3, "e", 7.0)]
+    r = welch_ttest(_ev(spark, rows)).collect()[0]
+    assert r["t_stat"] is None and r["welch_df"] is None
+
+
+def test_cuped_degenerate_single_user_arm_and_zero_var_x(spark):
+    from data_ingest_spark.extensions.profile import cuped_adjustment
+    # 3 users (one arm gets a single user); pre-period X identical
+    # for all users -> var(X) = 0 -> theta undefined -> NULL theta
+    # and NULL adjusted columns; the single-user arm additionally has
+    # undefined var(Y) -> NULL var_ratio. Raw means stay exact.
+    rows, eid = [], 0
+    for u in [0, 1, 2]:
+        rows.append((eid, BASE, u, "e", 4.0)); eid += 1            # pre
+        rows.append((eid, BASE + 20 * DAY, u, "e", 1.0 + u)); eid += 1
+    out = {r["arm"]: r for r in
+           cuped_adjustment(_ev(spark, rows)).collect()}
+    assert out[0]["n_users"] == 2 and out[1]["n_users"] == 1
+    for r in out.values():
+        assert r["theta"] is None
+        assert r["mean_cents_adj"] is None
+    assert out[1]["var_ratio"] is None          # n-1 = 0 arm
+    assert out[0]["mean_cents"] == 200.0        # (100+300)/2 post cents
+
+
+def test_diff_in_diff_empty_post_cell_is_zero_mean(spark):
+    """No post-period events at all: post sums are 0 (the otherwise(0)
+    arm of the conditional sum), so all post means and the DiD are
+    exactly 0 — never NULL or an error."""
+    from data_ingest_spark.extensions.profile import diff_in_diff
+    rows = [(i, BASE + i, u, "e", 2.0)
+            for i, u in enumerate([0, 1, 2, 3])]
+    r = diff_in_diff(_ev(spark, rows)).collect()[0]
+    assert r["treat_post"] == 0.0 and r["control_post"] == 0.0
+    assert r["did_cents"] == 0.0
+
+
+def test_diff_in_diff_missing_arm_yields_empty_frame(spark):
+    """Only even (control) users present: the treat slice is empty and
+    the 1-row cross join produces ZERO rows — the documented contract
+    (schema-stable empty result, not a fabricated row)."""
+    from data_ingest_spark.extensions.profile import diff_in_diff
+    rows = [(i, BASE + i, 2 * i, "e", 1.0) for i in range(4)]
+    out = diff_in_diff(_ev(spark, rows))
+    assert out.count() == 0
+    assert set(out.columns) == {"n_treat", "n_control", "treat_pre",
+                                "treat_post", "control_pre",
+                                "control_post", "did_cents"}
+
+
+def test_holt_forecast_two_hours_mae_null(spark):
+    """n = 2: the only fold step is the structurally-zero first one,
+    so mae_1step is NULL (n-2 = 0 predictive steps) while level/trend
+    are still defined."""
+    from data_ingest_spark.extensions.profile import holt_forecast
+    rows, eid = [], 0
+    for t, c in [(0, 3), (1, 5)]:
+        for _ in range(c):
+            rows.append((eid, BASE + t * HOUR, eid, "x", 1.0)); eid += 1
+    r = holt_forecast(_ev(spark, rows)).collect()[0]
+    assert r["n_hours"] == 2
+    assert r["mae_1step"] is None
+    assert r["trend"] == 2.0
