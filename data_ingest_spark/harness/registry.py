@@ -90,51 +90,29 @@ from data_ingest_spark.harness import q_round6   # noqa: E402,F401
 from data_ingest_spark.harness import q_round7   # noqa: E402,F401
 
 # Driver-sample ordering. The correctness driver checks a bounded
-# prefix of ``queries()`` each round; rounds 2-6 verified 249 distinct
-# queries with ZERO red rows (CORRECTNESS_r02-r06). Round 7 (verdict
-# ask #1) fronts EXACTLY the final oracled remainder that has never
-# received a driver verdict — the 22 round-6 additions (e30-e36,
-# p5_gopher_gate, x141-x154) = registry oracled keys minus the union
-# of CORRECTNESS_r02-r06 keys — closing driver verification at
-# 271/271 oracled. The 28 spare slots re-sample the OLDEST
-# r2-verified queries in registration order (regression
-# re-confirmation, as the round-6 verdict prescribed), displacing
-# nothing new. Every name carries a full DuckDB value oracle and
-# passed the builder's full local gates at BOTH sf0.01 and sf0.1
-# (COVERAGE.md).
-_ROUND7_PRIORITY = [
-    # --- the 22 never-driver-verified round-6 additions ---
-    "e30_peak_concurrency", "e31_pattern_negation",
-    "e32_decay_attribution", "e33_hourly_xcorr",
-    "e34_cusum_changepoint", "e35_kaplan_meier",
-    "e36_seasonal_backtest", "p5_gopher_gate",
-    "x141_fellegi_sunter", "x142_lsh_precision",
-    "x143_sorted_neighborhood", "x144_bot_regularity",
-    "x145_token_fertility", "x146_gini_source",
-    "x147_js_divergence", "x148_winnowing",
-    "x149_rbo", "x150_kendall_tau", "x151_term_dispersion",
-    "x152_k_anonymity", "x153_srm_check", "x154_stratified_uplift",
-    # --- the round-7 additions (never driver-verified; fronting them
-    # here keeps the never-sampled backlog at ZERO after this round
-    # instead of re-creating a 7-query tail for round 8) ---
-    "e37_rfm_segments", "e38_markov_transitions", "e39_session_paths",
-    "x155_bloom_decontam", "x156_pass_at_k", "x157_calibration_ece",
-    "x158_benford",
-    "e40_active_users", "e41_basket_lift", "e42_power_user_curve",
-    "x159_welch_ttest", "x160_fleiss_kappa", "x161_bradley_terry",
-    "x162_self_bleu", "g4_clustering_coeff",
-    "x163_logreg_newton", "x164_conformal", "x165_cuped",
-    "e43_emd_drift", "e44_shapley_attribution", "e45_holt_forecast",
-    "x166_mann_kendall", "g5_assortativity",
-    "x167_qte_deciles", "x168_nb_dispersion", "e46_diff_in_diff",
-    # --- oldest r2-verified re-samples (registration order) fill the
-    # remaining slots to 50 ---
-    "a1_a2_cell_counts", "a3_gene_stats",
-]
-# Backwards-compat aliases (round-4/5/6 names); same contract test.
-_ROUND6_PRIORITY = _ROUND7_PRIORITY
-_ROUND5_PRIORITY = _ROUND7_PRIORITY
-_ROUND4_PRIORITY = _ROUND7_PRIORITY
+# prefix of ``queries()`` each round; rounds 2-7 verified 297/297
+# registry queries with zero red rows (CORRECTNESS_r02-r07). From
+# round 8 the prefix is STALENESS-KEYED and self-maintaining
+# (round-7 verdict ask #1): ``tools/staleness.py`` statically traces
+# each builder's function-level call graph through the package,
+# blames each reached function's line span (-M -C, so refactors
+# don't reset times), and marks a query stale when its
+# implementation — builder, oracle SQL decorator, or any reached
+# operator function — was committed AFTER the round boundary of its
+# last driver-green CORRECTNESS row. The generated
+# ``harness/rotation.py`` fronts the verdict-pinned rewrites, then
+# stale queries most-recently-touched-first, then oldest-ledger
+# re-confirmation; queries cut by the 50-slot cap re-front
+# automatically next round (their ledger only ages). Regenerate
+# after any operator rewrite:  python tools/staleness.py --write
+from data_ingest_spark.harness.rotation import \
+    ROUND8_PRIORITY as _ROUND8_PRIORITY  # noqa: E402
+
+# Backwards-compat aliases (round-4..7 names); same contract test.
+_ROUND7_PRIORITY = _ROUND8_PRIORITY
+_ROUND6_PRIORITY = _ROUND8_PRIORITY
+_ROUND5_PRIORITY = _ROUND8_PRIORITY
+_ROUND4_PRIORITY = _ROUND8_PRIORITY
 
 
 def _ordered() -> dict[str, tuple[Builder, str | None]]:
