@@ -77,42 +77,97 @@ def _pair_counts(seqs: DataFrame) -> DataFrame:
             .agg(F.sum("f").alias("pair_count")))
 
 
+def _select_batch(cands: list[tuple[str, str, int]], limit: int,
+                  tail_bound: int = 0) -> list[tuple[str, str, int]]:
+    """Pick the maximal SAFE batch from candidates sorted by
+    (count desc, l asc, r asc): the longest symbol-disjoint PREFIX
+    (contiguity matters — skipping a conflicting pair and continuing
+    would let sequential BPE pick that skipped pair at an equal
+    count), capped at ``limit``, then trimmed so every member after
+    the first has count STRICTLY greater than the first non-accepted
+    candidate's count.
+
+    Why this is exactly sequential-equivalent: applying a
+    symbol-disjoint batch leaves every other original pair's count
+    unchanged, and every pair CREATED by an applied merge (x·ab /
+    ab·y from merging a·b) has count bounded by some pair that shares
+    a symbol with it — which, by prefix contiguity, sits at or after
+    the first non-accepted position, i.e. strictly below every
+    trimmed member's count. So at each simulated sequential step the
+    global argmax (with the lex tie-break) is exactly the next batch
+    member. The batch head needs no condition — it IS the argmax.
+
+    ``tail_bound`` is the caller's upper bound on the count of any
+    pair NOT in ``cands``: the K-th collected count when the top-K
+    collection came back full, 0 when ``cands`` is exhaustive (or
+    everything below it is already under min_count and hence
+    unreachable by the sequential loop)."""
+    if not cands:
+        return []
+    batch: list[tuple[str, str, int]] = []
+    symbols: set[str] = set()
+    next_count = tail_bound
+    for l, r, c in cands:
+        if len(batch) >= limit or {l, r, l + r} & symbols:
+            next_count = c
+            break
+        batch.append((l, r, c))
+        symbols |= {l, r, l + r}
+    while len(batch) > 1 and batch[-1][2] <= next_count:
+        batch.pop()
+    return batch
+
+
 def bpe_train(df: DataFrame, n_merges: int = 8, text_col: str = "text",
-              min_count: int = 2) -> DataFrame:
+              min_count: int = 2, batch: int = 1) -> DataFrame:
     """Learn ``n_merges`` BPE merges. Returns a DataFrame
     ``(rank, left, right, merged, pair_count)`` in training order.
 
     Each round: one vocabulary-sized shuffle (pair counts) and a
-    TakeOrderedAndProject argmax collected as a single row — the
+    TakeOrderedAndProject top-K collected in a single job — the
     standard iterative-training loop with the per-round working set
     bounded by |vocab|, never the corpus. Rounds stop early when the
     best pair drops under ``min_count``.
 
-    Scheduling note for large vocabularies: the per-round
-    ``limit(1).collect()`` launches ~2 jobs per merge, so a 32k-merge
-    training run is ~64k tiny jobs — fine for the word-frequency table
-    this operates on (rounds are sub-second), but if driver scheduling
-    ever dominates, batch the loop: take the top-B NON-OVERLAPPING
-    pairs per round (no shared left/right symbol) and apply them in
-    one pass — the standard producer-side batching that preserves BPE
-    semantics exactly for disjoint merges."""
+    ``batch`` > 1 batches the driver loop (round-7 verdict ask #3):
+    per round, collect the top ``4*batch`` candidates once and apply
+    the maximal SAFE disjoint prefix (see ``_select_batch`` — provably
+    identical output to the sequential loop) as ONE fused fold pass
+    and ONE checkpoint. A 32k-merge vocabulary goes from ~64k tiny
+    driver jobs (2 per merge) to ~64k/B — driver scheduling stops
+    dominating while the merge table stays bit-identical.
+    ``bpe_train.last_rounds`` records the driver-round count of the
+    most recent call (scheduling-cost observability for tests)."""
     spark = df.sparkSession
     seqs = (_word_freqs(df, text_col)
             .select("f", _char_seq("w").alias("seq"))
             .localCheckpoint())
     merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(n_merges):
+    rounds = 0
+    while len(merges) < n_merges:
+        remaining = n_merges - len(merges)
+        k = max(1, 4 * batch) if batch > 1 else 1
         top = (_pair_counts(seqs)
                .orderBy(F.col("pair_count").desc(), F.col("l").asc(),
                         F.col("r").asc())
-               .limit(1).collect())
-        if not top or top[0]["pair_count"] < min_count:
+               .limit(k).collect())
+        rounds += 1
+        cands = [(t["l"], t["r"], int(t["pair_count"])) for t in top
+                 if int(t["pair_count"]) >= min_count]
+        # unseen pairs can count at most the K-th collected count —
+        # unless the collection wasn't full (no unseen pairs) or
+        # min_count filtering already proved the tail sub-threshold
+        tail = cands[-1][2] if (len(top) == k and len(cands) == k) else 0
+        sel = _select_batch(cands, min(batch, remaining), tail) \
+            if batch > 1 else cands[:1]
+        if not sel:
             break
-        l, r, c = top[0]["l"], top[0]["r"], int(top[0]["pair_count"])
-        merges.append((rank, l, r, l + r, c))
-        seqs = (seqs.select("f", apply_merge(F.col("seq"), l, r)
-                            .alias("seq"))
-                .localCheckpoint())
+        col = F.col("seq")
+        for l, r, c in sel:
+            merges.append((len(merges), l, r, l + r, c))
+            col = apply_merge(col, l, r)
+        seqs = seqs.select("f", col.alias("seq")).localCheckpoint()
+    bpe_train.last_rounds = rounds
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, "
                 "pair_count long")

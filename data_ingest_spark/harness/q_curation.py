@@ -446,9 +446,12 @@ def q_bpe_train(spark, sf):
     (frequency-weighted pair counts over the vocab state, argmax with
     count-desc/pair-asc tie-break, min_count=2 early stop) with
     MATERIALIZED per-round states. Parity is additionally pinned by
-    the hypothesis mirror in tests/test_bpe.py."""
+    the hypothesis mirror in tests/test_bpe.py. batch=4 exercises the
+    driver-batched scheduler (safe disjoint prefix — provably
+    bit-identical merges to the sequential loop, so the unrolled
+    sequential SQL oracle is unchanged)."""
     from data_ingest_spark.extensions.bpe import bpe_train
-    return bpe_train(load(spark, sf, "documents"), n_merges=8)
+    return bpe_train(load(spark, sf, "documents"), n_merges=8, batch=4)
 
 
 @_q("x84_bpe_encode", _bpe_encode_sql(_BPE_MERGES))

@@ -108,3 +108,74 @@ def test_bpe_empty_and_single_char_words(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert bpe_train(empty).count() == 0
     assert bpe_encode(empty, [("a", "b")]).count() == 0
+
+
+def test_bpe_batched_equals_sequential_on_fixture_corpus(spark):
+    """Round-7 verdict ask #3: batched training (top-B disjoint safe
+    prefix per round) must produce the bit-identical merge table to
+    the sequential loop, in fewer driver rounds."""
+    texts = ["low lower lowest low low slow flow",
+             "new newer newest news renew",
+             "bold older boulder gold fold molder",
+             "the then there these them theme"]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    seq = [tuple(r) for r in
+           bpe_train(df, n_merges=12).orderBy("rank").collect()]
+    seq_rounds = bpe_train.last_rounds
+    bat = [tuple(r) for r in
+           bpe_train(df, n_merges=12, batch=4).orderBy("rank").collect()]
+    bat_rounds = bpe_train.last_rounds
+    assert bat == seq
+    assert len(seq) == 12
+    assert bat_rounds < seq_rounds
+
+
+def test_bpe_batched_matches_mirror_hypothesis(spark):
+    """The safe-prefix batch rule vs the pure-Python sequential mirror
+    on adversarial tiny-alphabet corpora (maximal tie/conflict
+    density — exactly where an unsound batch rule diverges)."""
+    from hypothesis import given, settings, strategies as st
+
+    word = st.text(alphabet="ab", min_size=1, max_size=5)
+    doc = st.lists(word, min_size=1, max_size=8).map(" ".join)
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=3),
+           st.integers(min_value=2, max_value=5))
+    def run(texts, b):
+        df = spark.createDataFrame(list(enumerate(texts)),
+                                   "doc_id long, text string")
+        got = [(r["left"], r["right"]) for r in
+               bpe_train(df, n_merges=5, batch=b)
+               .orderBy("rank").collect()]
+        assert got == _mirror_train(texts, 5), (texts, b)
+
+    run()
+
+
+def test_select_batch_rules():
+    """Unit pins for the safety rules: prefix contiguity, strict
+    count trim against the first non-accepted candidate, tail bound
+    for truncated collections."""
+    from data_ingest_spark.extensions.bpe import _select_batch
+    # disjoint prefix accepted; conflict ('lo' shares 'o'... actually
+    # shares nothing) — ('o','w') conflicts with ('l','o') via 'o'
+    cands = [("l", "o", 9), ("x", "y", 7), ("o", "w", 6), ("p", "q", 5)]
+    assert _select_batch(cands, 4) == [("l", "o", 9), ("x", "y", 7)]
+    # tie with the first non-accepted candidate trims the tail but
+    # never the head
+    cands = [("l", "o", 9), ("x", "y", 6), ("o", "w", 6)]
+    assert _select_batch(cands, 4) == [("l", "o", 9)]
+    # merged-symbol collision counts as a conflict: ("a","b") produces
+    # "ab", so a later pair consuming symbol "ab" must end the prefix
+    cands = [("a", "b", 9), ("ab", "c", 7)]
+    assert _select_batch(cands, 4) == [("a", "b", 9)]
+    # full top-K collection: unseen pairs bound the tail
+    cands = [("l", "o", 9), ("x", "y", 4)]
+    assert _select_batch(cands, 2, tail_bound=4) == [("l", "o", 9)]
+    assert _select_batch(cands, 2, tail_bound=3) == \
+        [("l", "o", 9), ("x", "y", 4)]
+    # limit cap: the first over-limit candidate bounds the trim
+    cands = [("l", "o", 9), ("x", "y", 7), ("p", "q", 7)]
+    assert _select_batch(cands, 2) == [("l", "o", 9)]

@@ -1,7 +1,11 @@
-"""Run the bench headline at the three driver scale factors and emit
-the SCALING.md markdown table.
+"""Run the bench headline at several scale factors and emit the
+SCALING.md markdown table.
 
 Usage: python tools/scaling_sweep.py [out.md]
+  SCALING_DIRS=dir1,dir2,... overrides the swept fixture dirs (e.g.
+  to include the locally generated localdata/sf1 — round-7 verdict
+  ask #2); labels are the dirs' basenames and the ratio column is
+  last/first.
 
 Each SF runs the same protocol as bench.py (min-of-2 steady-state
 reps, SQL-cache clear between reps, leaked-RDD eviction + untimed GC
@@ -16,14 +20,18 @@ import os
 import subprocess
 import sys
 
-SFS = ["sf0.001", "sf0.01", "sf0.1"]
+DEFAULT_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                "/root/testdata/sf0.1"]
 
 
 def main() -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dirs = [d for d in os.environ.get(
+        "SCALING_DIRS", ",".join(DEFAULT_DIRS)).split(",") if d]
+    labels = [os.path.basename(os.path.normpath(d)) for d in dirs]
     results: dict[str, dict[str, float]] = {}
-    for sf in SFS:
-        env = dict(os.environ, SPARK_GRAFT_SF_DIR=f"/root/testdata/{sf}")
+    for sf, d in zip(labels, dirs):
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=d)
         out = subprocess.run(
             [sys.executable, os.path.join(repo, "bench.py")],
             env=env, capture_output=True, text=True, check=True)
@@ -32,19 +40,22 @@ def main() -> int:
         print(f"# {sf}: total "
               f"{round(sum(results[sf].values()), 1)} s", file=sys.stderr)
 
-    names = [n for n in results[SFS[0]] if all(n in results[s] for s in SFS)]
-    lines = ["| query | sf0.001 | sf0.01 | sf0.1 | x(0.1/0.001) |",
-             "|---|---|---|---|---|"]
-    tot = {s: 0.0 for s in SFS}
+    names = [n for n in results[labels[0]]
+             if all(n in results[s] for s in labels)]
+    hdr = " | ".join(labels)
+    lines = [f"| query | {hdr} | x({labels[-1]}/{labels[0]}) |",
+             "|---|" + "---|" * (len(labels) + 1)]
+    tot = {s: 0.0 for s in labels}
     for n in names:
-        a, b, c = (results[s][n] for s in SFS)
-        for s, v in zip(SFS, (a, b, c)):
+        vals = [results[s][n] for s in labels]
+        for s, v in zip(labels, vals):
             tot[s] += v
-        ratio = c / a if a > 0 else float("nan")
-        lines.append(f"| {n} | {a:.2f} | {b:.2f} | {c:.2f} | {ratio:.1f} |")
-    a, b, c = (tot[s] for s in SFS)
-    lines.append(f"| **total** | **{a:.1f}** | **{b:.1f}** | **{c:.1f}** "
-                 f"| **{c / a:.1f}** |")
+        ratio = vals[-1] / vals[0] if vals[0] > 0 else float("nan")
+        cells = " | ".join(f"{v:.2f}" for v in vals)
+        lines.append(f"| {n} | {cells} | {ratio:.1f} |")
+    vals = [tot[s] for s in labels]
+    cells = " | ".join(f"**{v:.1f}**" for v in vals)
+    lines.append(f"| **total** | {cells} | **{vals[-1] / vals[0]:.1f}** |")
     text = "\n".join(lines) + "\n"
     if len(sys.argv) > 1:
         with open(sys.argv[1], "w") as fh:
