@@ -30,18 +30,33 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 
 
 def _matrices_by_sample(pc_cols: DataFrame, ceiling: int | None = None):
+    """One Arrow exchange (DataFrame.toArrow) instead of a Row-object
+    collect — the m12 zero-copy staging discipline: each pc_* column
+    lands as a contiguous float64 buffer, the N×d matrix is a
+    column_stack, and samples slice out of the sorted frame via
+    searchsorted. No per-row Python anywhere."""
     from data_ingest_spark.operators.guards import assert_driver_ceiling
     assert_driver_ceiling(
         pc_cols, "driver-side MNN integration (_matrices_by_sample)",
         "integrate_mnn_distributed", ceiling)
     feat_cols = [c for c in pc_cols.columns if c.startswith("pc_")]
-    rows = pc_cols.orderBy("sample", "barcode").collect()
+    tbl = (pc_cols.select("sample", "barcode", *feat_cols)
+           .orderBy("sample", "barcode").toArrow())
+    n = tbl.num_rows
+    samples = np.asarray(tbl.column("sample").to_pylist(), dtype=object)
+    bcs = tbl.column("barcode").to_pylist()
+    if n:
+        mat = np.column_stack(
+            [np.asarray(tbl.column(c).combine_chunks(), dtype=np.float64)
+             for c in feat_cols])
+    else:
+        mat = np.zeros((0, len(feat_cols)))
     out: dict[str, tuple[list[str], np.ndarray]] = {}
-    for r in rows:
-        out.setdefault(r["sample"], ([], []))[0].append(r["barcode"])
-        out[r["sample"]][1].append([r[c] for c in feat_cols])
-    return {s: (bcs, np.array(m, dtype=np.float64))
-            for s, (bcs, m) in out.items()}, feat_cols
+    for s in np.unique(samples) if n else ():
+        a = int(np.searchsorted(samples, s, side="left"))
+        b = int(np.searchsorted(samples, s, side="right"))
+        out[s] = (bcs[a:b], mat[a:b])
+    return out, feat_cols
 
 
 def _mnn_pairs(a: np.ndarray, b: np.ndarray, k: int) -> list[tuple[int, int]]:
@@ -66,7 +81,7 @@ def integrate_mnn(pc_cols: DataFrame, k_anchor: int = 5,
     samples = sorted(mats)
     ref_s = samples[0]
     ref_bcs, ref_m = mats[ref_s]
-    out_rows = [(ref_s, b, *map(float, v)) for b, v in zip(ref_bcs, ref_m)]
+    frames = [(ref_s, ref_bcs, ref_m)]
 
     for s in samples[1:]:
         bcs, m = mats[s]
@@ -74,23 +89,31 @@ def integrate_mnn(pc_cols: DataFrame, k_anchor: int = 5,
         if not pairs:
             corrected = m
         else:
-            anchor_q = np.array([m[i] for i, _ in pairs])
-            corr_vecs = np.array([ref_m[j] - m[i] for i, j in pairs])
+            qi = np.fromiter((i for i, _ in pairs), dtype=np.int64)
+            rj = np.fromiter((j for _, j in pairs), dtype=np.int64)
+            anchor_q = m[qi]
+            corr_vecs = ref_m[rj] - m[qi]
             d2 = ((m ** 2).sum(1)[:, None] + (anchor_q ** 2).sum(1)[None, :]
                   - 2.0 * m @ anchor_q.T)
             kw = min(k_weight, len(pairs))
             nbr = np.argpartition(d2, kw - 1, axis=1)[:, :kw]
-            corrected = m.copy()
-            for i in range(m.shape[0]):
-                w = 1.0 / (1.0 + np.maximum(d2[i, nbr[i]], 0.0))
-                w = w / w.sum()
-                corrected[i] += (w[:, None] * corr_vecs[nbr[i]]).sum(axis=0)
-        out_rows.extend((s, b, *map(float, v)) for b, v in zip(bcs, corrected))
+            # vectorized inverse-distance weighting (no per-cell loop)
+            d2_k = np.maximum(np.take_along_axis(d2, nbr, axis=1), 0.0)
+            w = 1.0 / (1.0 + d2_k)
+            w /= w.sum(axis=1, keepdims=True)
+            corrected = m + np.einsum("ik,ikd->id", w, corr_vecs[nbr])
+        frames.append((s, bcs, corrected))
 
     spark = pc_cols.sparkSession
+    # Arrow-backed assembly: one pandas frame, no per-row tuples
+    out = pd.concat([
+        pd.DataFrame({"sample": np.repeat(s, len(bcs)), "barcode": bcs,
+                      **{c: mat[:, i].astype(np.float64)
+                         for i, c in enumerate(feat_cols)}})
+        for s, bcs, mat in frames], ignore_index=True)
     schema = "sample string, barcode string, " + ", ".join(
         f"{c} double" for c in feat_cols)
-    return spark.createDataFrame(out_rows, schema)
+    return spark.createDataFrame(out, schema=schema)
 
 
 def _with_ml_vec(df: DataFrame, feat_cols: list[str]) -> DataFrame:

@@ -248,15 +248,46 @@ def test_run_qc_defaults_avoid_driver_side_paths(spark, small_expr,
     assert final.cells.count() > 0
 
 
-def test_umap_tsne_fallback_to_spectral(pcs):
-    # Neither umap-learn nor sklearn ships in this container: the
-    # wrappers must fall back to the deterministic spectral embedding
-    # and say so in the method column.
-    for fn in (em.embed_umap, em.embed_tsne):
-        out = fn(pcs)
-        rows = out.select("method").distinct().collect()
-        assert [r["method"] for r in rows] == ["spectral"]
-        assert out.count() == 120
+def test_umap_tsne_fallback_methods(pcs):
+    # Neither umap-learn nor sklearn ships in this container: embed_umap
+    # falls back to the deterministic UMAP-lite refinement (round-7
+    # verdict ask #5), embed_tsne to the spectral embedding — each says
+    # so in the method column.
+    out = em.embed_umap(pcs)
+    assert [r["method"] for r in
+            out.select("method").distinct().collect()] == ["umap_lite"]
+    assert out.count() == 120
+    out = em.embed_tsne(pcs)
+    assert [r["method"] for r in
+            out.select("method").distinct().collect()] == ["spectral"]
+    assert out.count() == 120
+
+
+def test_umap_lite_beats_spectral_trustworthiness():
+    """The fallback-quality gate the round-7 verdict prescribed: the
+    fixed-iteration seeded UMAP-lite must preserve high-dimensional
+    neighborhoods BETTER than its own spectral initialization
+    (trustworthiness@10, Venna & Kaski), deterministically."""
+    import numpy as np
+    from data_ingest_spark.operators.embedding import (
+        _spectral_2d, _umap_lite_2d, trustworthiness)
+    rng = np.random.default_rng(0)
+    centers = rng.normal(0, 8, (3, 10))
+    x = np.vstack([c + rng.normal(0, 1.0, (120, 10)) for c in centers])
+    e_spec = _spectral_2d(x, 15)
+    e_lite = _umap_lite_2d(x, 15)
+    assert np.array_equal(e_lite, _umap_lite_2d(x, 15))  # seeded
+    t_spec = trustworthiness(x, e_spec, 10)
+    t_lite = trustworthiness(x, e_lite, 10)
+    assert t_lite > t_spec + 0.05, (t_lite, t_spec)
+    # swiss-roll manifold: must not regress the spectral baseline
+    t = np.linspace(0, 4 * np.pi, 400)
+    sw = np.zeros((400, 10))
+    sw[:, 0] = t * np.cos(t)
+    sw[:, 1] = t * np.sin(t)
+    sw[:, 2] = rng.normal(0, .5, 400)
+    assert trustworthiness(sw, _umap_lite_2d(sw, 15), 10) >= \
+        trustworthiness(sw, _spectral_2d(sw, 15), 10)
 
 
 def test_knn_lsh_pairs_subset_of_exact(pcs):
