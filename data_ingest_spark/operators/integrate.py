@@ -278,25 +278,6 @@ def mnn_anchor_pairs(pc_arr: DataFrame, sample_a: str, sample_b: str,
             .select("ida", "idb", F.col("_d2").alias("d2")))
 
 
-def _d2q_udf():
-    """Arrow-vectorized exact int64 squared distance between two
-    quantized array<long> columns. Identical integers to the
-    zip_with/aggregate Column fold (which Spark evaluates INTERPRETED
-    — measured ~10x slower on the 1M-pair candidate sets of
-    integrate_mnn_exact); values stay < 3e14, far from i64 wrap."""
-    @F.pandas_udf("long")
-    def d2q(a: pd.Series, b: pd.Series) -> pd.Series:
-        if not len(a):
-            return pd.Series([], dtype="int64")
-        # np.stack over the per-row ndarrays (no .tolist() — boxing
-        # 88M values to Python floats dominated the sf0.1 runtime)
-        x = np.stack(a.values).astype(np.int64, copy=False)
-        y = np.stack(b.values).astype(np.int64, copy=False)
-        d = x - y
-        return pd.Series((d * d).sum(axis=1))
-    return d2q
-
-
 def integrate_mnn_exact(pc_arr: DataFrame, k_anchor: int = 5,
                         k_weight: int = 10, scale: int = 10**6,
                         id_col: str = "barcode",
@@ -348,27 +329,100 @@ def integrate_mnn_exact(pc_arr: DataFrame, k_anchor: int = 5,
                         "integrate_mnn_distributed or integrate_auto",
                         max_pairs)
 
-    # Both rank windows shuffle ONLY (ids, int distance) — the 64-dim
-    # arrays would multiply the window shuffle ~40x; vectors re-attach
-    # by id after the top-k filters (broadcast joins, tiny).
-    d2q = _d2q_udf()
-    # Checkpoint the scored tables before their rank windows: the
-    # chained two-window plan otherwise re-evaluates the Arrow scoring
-    # stage per window pass (measured 6.3s -> 0.8s on the sf0.1 cross).
-    cross = (qry.select("sample", F.col("cb").alias("qb"), "cq")
-             .join(F.broadcast(ref.select(F.col("cb").alias("rb"),
-                                          F.col("cq").alias("rq"))))
-             .select("sample", "qb", "rb",
-                     d2q(F.col("cq"), F.col("rq")).alias("_d2"))
-             .localCheckpoint(eager=False))
-    wa = W.partitionBy("sample", "qb").orderBy("_d2", "rb")
+    # Candidate search is map-side BLAS against the broadcast ref
+    # matrix — the knn_exact shape — instead of a |qry|×|ref| row
+    # exchange scored pair-by-pair (the previous form; 36M exchanged
+    # rows and 266 s at the local sf1 probe, 60x for 10x data).
+    # Exactness is preserved: quantized coords are ~1e6, so every
+    # float64 intermediate of the matmul identity stays < 2^53 and
+    # d2 round-trips to the identical int64 the pair fold produced;
+    # tie-breaks replay the (d2, rb) / (d2, qb) lexicographic ranks.
+    # Each qry partition emits ONLY its per-query top-k plus its
+    # per-(sample, ref) partial top-k; the global per-ref rank is a
+    # window over the k·|ref|·partitions partials (two-phase top-k —
+    # a partition's beyond-top-k rows can never rank globally).
+    ref_tbl = ref.select("cb", "cq").toArrow()
+    rb_ids = np.array(ref_tbl.column("cb").to_pylist(), dtype=object)
+    if len(rb_ids):
+        rflat = np.asarray(ref_tbl.column("cq").combine_chunks()
+                           .flatten(), dtype=np.float64)
+        rmat = rflat.reshape(len(rb_ids), -1)
+    else:
+        rmat = np.zeros((0, max(dims, 1)))
+    # store ref in rb-string order: a STABLE argsort along the ref
+    # axis then breaks distance ties toward the smaller rb — the
+    # exact (d2, rb) rank the oracle replays
+    rb_order = np.argsort(rb_ids.astype(str), kind="stable")
+    rb_ids = rb_ids[rb_order]
+    rmat = rmat[rb_order] if len(rb_ids) else rmat
+    rr_sq = (rmat * rmat).sum(axis=1)
+    bc_ref = pc_arr.sparkSession.sparkContext.broadcast(
+        (rb_ids, rmat, rr_sq))
+    ka = k_anchor
+
+    def mnn_fn(batches):
+        rb_ids_, rmat_, rr_ = bc_ref.value
+        nref = rmat_.shape[0]
+        take = min(ka, nref)
+        # block rows so the float64 d2 tile stays ~64MB at any |ref|
+        blk = max(1, int(8_000_000 / max(nref, 1)))
+        for pdf in batches:
+            if not len(pdf) or not nref:
+                continue
+            out = []
+            for smp, grp in pdf.groupby("sample", sort=False):
+                qmat = np.stack(grp["cq"].values).astype(np.float64)
+                cbs = grp["cb"].to_numpy(dtype=object)
+                # qb-string order so the stable argsort along the
+                # query axis encodes the (d2, qb) tie-break
+                oq = np.argsort(cbs.astype(str), kind="stable")
+                qmat, cbs = qmat[oq], cbs[oq]
+                for lo in range(0, qmat.shape[0], blk):
+                    q = qmat[lo:lo + blk]
+                    d2 = ((q * q).sum(axis=1)[:, None] + rr_[None, :]
+                          - 2.0 * (q @ rmat_.T))
+                    d2i = np.rint(d2).astype(np.int64)
+                    rows = d2i.shape[0]
+                    # per-query top-k (exact (d2, rb) order)
+                    selq = np.argsort(d2i, axis=1,
+                                      kind="stable")[:, :take]
+                    out.append(pd.DataFrame({
+                        "sample": smp,
+                        "qb": np.repeat(cbs[lo:lo + blk], take),
+                        "rb": rb_ids_[selq.ravel()],
+                        "_d2": np.take_along_axis(
+                            d2i, selq, axis=1).ravel(),
+                        "_side": "q"}))
+                    # per-ref BLOCK-partial top-k (exact (d2, qb)
+                    # order); the global per-ref rank is the window
+                    # downstream — block partials are a superset
+                    kr = min(take, rows)
+                    selr = np.argsort(d2i, axis=0,
+                                      kind="stable")[:kr]
+                    out.append(pd.DataFrame({
+                        "sample": smp,
+                        "qb": cbs[lo:lo + blk][selr.ravel()],
+                        "rb": np.tile(rb_ids_, kr),
+                        "_d2": np.take_along_axis(
+                            d2i, selr, axis=0).ravel(),
+                        "_side": "r"}))
+            yield pd.concat(out, ignore_index=True) if out else \
+                pd.DataFrame({"sample": [], "qb": [], "rb": [],
+                              "_d2": pd.Series([], dtype="int64"),
+                              "_side": []})
+
+    scored = (qry.select("sample", "cb", "cq")
+              .mapInPandas(mnn_fn, "sample string, qb string, "
+                                   "rb string, _d2 long, _side string")
+              .localCheckpoint(eager=False))
     wb = W.partitionBy("sample", "rb").orderBy("_d2", "qb")
-    mutual = (cross
-              .withColumn("_ra", F.row_number().over(wa))
-              .withColumn("_rb", F.row_number().over(wb))
-              .filter((F.col("_ra") <= k_anchor)
-                      & (F.col("_rb") <= k_anchor))
-              .select("sample", "qb", "rb"))
+    ref_top = (scored.filter(F.col("_side") == "r")
+               .withColumn("_rb", F.row_number().over(wb))
+               .filter(F.col("_rb") <= k_anchor)
+               .select("sample", "qb", "rb"))
+    mutual = (scored.filter(F.col("_side") == "q")
+              .select("sample", "qb", "rb")
+              .join(ref_top, ["sample", "qb", "rb"]))
     # mutual (≤ k_anchor·|ref| rows) is the broadcast side; qry stays
     # the streamed big table.
     anchors = (qry.select("sample", F.col("cb").alias("qb"),
