@@ -834,14 +834,55 @@ def ppjoin(df: DataFrame, id_col: str = "doc_id",
     pref = (mem.join(dfreq, "shingle").join(sizes, id_col)
             .withColumn("_pos", F.row_number().over(wdoc))
             .filter(F.col("_pos") <= pref_len)
-            .select(id_col, "shingle"))
-    cand = (pref.select(F.col(id_col).alias("id_a"), "shingle")
-            .join(pref.select(F.col(id_col).alias("id_b"), "shingle"),
-                  "shingle")
-            .filter(F.col("id_a") < F.col("id_b"))
+            .select(id_col, "shingle", "_pos", "_n"))
+    # Length + positional filters (the PP in PPJoin — both are EXACT
+    # upper-bound prunes, so recall stays perfect and the verified
+    # result is unchanged): Jaccard ≥ t ⟺ overlap ≥ ⌈t/(1+t)·(na+nb)⌉
+    # =: α (integer arithmetic on the rational t), and a candidate
+    # seen at prefix positions (pa, pb) can overlap at most
+    # 1 + min(na−pa, nb−pb). Without these, a corpus with NO rare
+    # shingles (the synthetic fixed-vocab fixture at sf1) candidate-
+    # explodes quadratically: measured 454 s → the filters prune
+    # before the distinct and the membership verify join.
+    num, den = threshold_num, threshold_den
+    pa = pref.select(F.col(id_col).alias("id_a"), "shingle",
+                     F.col("_pos").alias("_pa"), F.col("_n").alias("_na"))
+    pb = pref.select(F.col(id_col).alias("id_b"), "shingle",
+                     F.col("_pos").alias("_pb"), F.col("_n").alias("_nb"))
+    alpha = F.ceil((F.lit(num) * (F.col("_na") + F.col("_nb")))
+                   / F.lit(num + den))
+    ubound = 1 + F.least(F.col("_na") - F.col("_pa"),
+                         F.col("_nb") - F.col("_pb"))
+    cand = (pa.join(pb, "shingle")
+            .filter((F.col("id_a") < F.col("id_b"))
+                    & (F.lit(den) * F.col("_nb")
+                       >= F.lit(num) * F.col("_na"))
+                    & (F.lit(den) * F.col("_na")
+                       >= F.lit(num) * F.col("_nb"))
+                    & (ubound >= alpha))
             .select("id_a", "id_b").distinct())
+    # Verify with ONE row per candidate: per-doc sorted shingle
+    # arrays + array_intersect, instead of exploding every candidate
+    # by its membership rows (the jaccard_of_pairs shape — candidates
+    # × ~|set| intermediate rows, the dominant cost once the corpus
+    # has no rare shingles). Sets are distinct by construction, so
+    # |A∩B| from array_intersect is exact.
+    sets_arr = (mem.groupBy(id_col)
+                .agg(F.array_sort(F.collect_list("shingle"))
+                     .alias("_set"), F.count("*").alias("_n")))
     t = threshold_num / threshold_den
-    return (jaccard_of_pairs(cand, mem, id_col)
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    return (cand
+            .join(sets_arr.select(F.col(id_col).alias("id_a"),
+                                  F.col("_set").alias("_sa"),
+                                  F.col("_n").alias("_na")), "id_a")
+            .join(sets_arr.select(F.col(id_col).alias("id_b"),
+                                  F.col("_set").alias("_sb"),
+                                  F.col("_n").alias("_nb")), "id_b")
+            .withColumn("_i", inter)
+            .withColumn("jaccard",
+                        F.col("_i") / (F.col("_na") + F.col("_nb")
+                                       - F.col("_i")))
             .filter(F.col("jaccard") >= t)
             .select("id_a", "id_b",
                     F.round("jaccard", 6).alias("jaccard")))

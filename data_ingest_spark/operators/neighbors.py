@@ -145,41 +145,64 @@ def knn_exact(scores: DataFrame, k: int = 20,
         kk = min(k, n - 1)
         # chunk so the similarity block stays ~200M float64s
         chunk = max(1, int(2e8 / max(n, 1)))
+        dst_str = dst_ids.astype(str)
         for pdf in batches:
-            q = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            # np.stack over the per-row ndarrays (no .tolist() boxing)
+            q = np.stack(pdf["_v"].values).astype(np.float64, copy=False)
             q_ids = pdf["id"].to_numpy(dtype=object)
+            q_str = q_ids.astype(str)
             for lo in range(0, len(q), chunk):
                 hi = min(lo + chunk, len(q))
                 sim = q[lo:hi] @ m.T
                 sim /= np.outer(np.sqrt((q[lo:hi] ** 2).sum(axis=1)),
                                 m_norms)
                 sim = _round6_half_up(sim)
-                out_src, out_dst, out_cos, out_rank = [], [], [], []
-                for i in range(hi - lo):
-                    row = sim[i]
-                    cand = np.flatnonzero(dst_ids != q_ids[lo + i])
-                    vals = row[cand]
-                    if len(cand) > kk:
-                        # keep ALL candidates tied with the kk-th value
-                        # so the dst tie-break sees the full tie group
-                        thr = np.partition(vals, len(vals) - kk)[len(vals) - kk]
-                        keep = cand[vals >= thr]
-                    else:
-                        keep = cand
-                    order = np.lexsort((dst_ids[keep].astype(str),
-                                        -row[keep]))[:kk]
-                    sel = keep[order]
-                    out_src.extend([q_ids[lo + i]] * len(sel))
-                    out_dst.extend(dst_ids[sel])
-                    out_cos.extend(row[sel])
-                    out_rank.extend(range(1, len(sel) + 1))
-                yield pd.DataFrame({"src": out_src, "dst": out_dst,
-                                    "cosine": out_cos, "rank": out_rank})
+                # self-exclusion: dst_ids is in ascending-string order,
+                # so each query's own column (if present) is found by
+                # one searchsorted and masked to -inf
+                pos = np.searchsorted(dst_str, q_str[lo:hi])
+                rix = np.arange(hi - lo)
+                hit = pos < n
+                hit[hit] &= dst_str[pos[hit]] == q_str[lo:hi][hit]
+                sim[rix[hit], pos[hit]] = -np.inf
+                # exact (cosine desc, dst asc) top-k VECTORIZED, no
+                # per-row python loop (the sf1 probe measured the loop
+                # at 118x for 10x data): O(n) argpartition finds each
+                # row's kk-th value, the ≥-threshold mask keeps every
+                # tied candidate, and ONE global lexsort over the
+                # ~rows·kk masked entries (row, -cos, dst-ascending
+                # col) replays the exact rank order — linear in the
+                # similarity tile instead of a full row argsort.
+                nsim = -sim
+                kth = np.partition(nsim, kk - 1, axis=1)[:, kk - 1:kk]
+                ri, ci = np.nonzero(nsim <= kth)
+                vals = nsim[ri, ci]
+                order = np.lexsort((ci, vals, ri))
+                ri_s, ci_s = ri[order], ci[order]
+                counts = np.bincount(ri_s, minlength=hi - lo)
+                starts = np.concatenate(
+                    ([0], np.cumsum(counts[:-1])))
+                take = (starts[:, None]
+                        + np.arange(kk)[None, :]).ravel()
+                sel_c = ci_s[take]
+                yield pd.DataFrame({
+                    "src": np.repeat(q_ids[lo:hi], kk),
+                    "dst": dst_ids[sel_c],
+                    "cosine": sim[np.repeat(np.arange(hi - lo), kk),
+                                  sel_c],
+                    "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32),
+                                    hi - lo)})
 
     # Map over the STAGED copy, not `base`: the (possibly expensive)
     # upstream lineage was already evaluated once by the stage write,
-    # so the query side is a plain parquet scan.
-    staged = scores.sparkSession.read.parquet(path)
+    # so the query side is a plain parquet scan. Repartition it to
+    # full parallelism — the staging write compacts to one ~10MB file
+    # per 100k cells, and an un-split scan would run the entire
+    # O(N²) scoring on ONE core (the sf1 probe measured exactly that:
+    # 148 s single-threaded vs ~12 s split 32 ways).
+    spark = scores.sparkSession
+    staged = spark.read.parquet(path).repartition(
+        spark.sparkContext.defaultParallelism)
     return staged.mapInPandas(
         fn, "src string, dst string, cosine double, rank int")
 
