@@ -54,8 +54,13 @@ def _norm(a):
 
 @F.pandas_udf(DoubleType())
 def _cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    x = np.array(a.tolist(), dtype=np.float64)
-    y = np.array(b.tolist(), dtype=np.float64)
+    if not len(a):
+        return pd.Series([], dtype="float64")
+    # np.stack over the per-row ndarrays — no .tolist() boxing (the
+    # sf1 probe measured x5's 8M-pair batch at 36 s, dominated by
+    # boxing 1B floats through Python lists)
+    x = np.stack(a.values).astype(np.float64, copy=False)
+    y = np.stack(b.values).astype(np.float64, copy=False)
     c = (x * y).sum(axis=1) / (
         np.sqrt((x * x).sum(axis=1)) * np.sqrt((y * y).sum(axis=1)))
     # HALF_UP to 6dp, matching F.round / DuckDB ROUND
@@ -83,14 +88,65 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
 def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact brute-force top-k cosine neighbors for each query vector.
-    `queries` is (query_id, query_vec); the query set is broadcast, the
-    corpus streams — one pass, no shuffle of the corpus."""
-    scored = with_cosine(
-        emb.select(F.col(id_col).alias("neighbor_id"), vec_col)
-        .crossJoin(F.broadcast(queries)),
-        "query_vec", vec_col,
-    ).filter(F.col("neighbor_id") != F.col("query_id"))
-    return _rank_topk(scored, k)
+    `queries` is (query_id, query_vec); the query matrix is broadcast
+    as numpy, the corpus streams through ONE BLAS-scored map stage
+    that emits only each query's per-partition top-k partials, and
+    the final rank is a window over |queries|·k·partitions rows —
+    never a corpus×queries row exchange (the previous crossJoin form
+    materialized both 64-float arrays on every scored row: 4 GB and
+    29 s at the local sf1 probe for 8M pairs; this form is one corpus
+    scan). Tie-breaks replay (cosine desc @6dp HALF_UP, neighbor_id
+    asc) exactly: corpus batches are pre-sorted by neighbor id and a
+    stable argsort of -cosine inherits the id order."""
+    q_tbl = queries.select("query_id", "query_vec").toArrow()
+    import pyarrow.compute  # noqa: F401  (ensure compute kernels)
+    qids = np.asarray(q_tbl.column("query_id").to_pylist())
+    nq = len(qids)
+    spark = emb.sparkSession
+    if not nq:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, "
+                "rank long")
+    qflat = np.asarray(q_tbl.column("query_vec").combine_chunks()
+                       .flatten(), dtype=np.float64)
+    qmat = qflat.reshape(nq, -1)
+    q_norms = np.sqrt((qmat * qmat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((qids, qmat, q_norms))
+    kk = k
+
+    def fn(batches):
+        qids_, qmat_, qn_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nids = pdf["neighbor_id"].to_numpy()
+            order = np.argsort(nids, kind="stable")
+            nids = nids[order]
+            m = np.stack(pdf["_v"].values[order]).astype(np.float64,
+                                                         copy=False)
+            # dot-then-divide, the knn_exact float path the oracle
+            # replays (NOT pre-normalized vectors — a different
+            # summation path could flip a 6dp rounding boundary)
+            sim = m @ qmat_.T                      # (batch, nq)
+            sim /= np.outer(np.sqrt((m * m).sum(axis=1)), qn_)
+            sim = np.sign(sim) * np.floor(np.abs(sim) * 1e6 + 0.5) / 1e6
+            # self-exclusion
+            eq = nids[:, None] == qids_[None, :]
+            sim[eq] = -np.inf
+            take = min(kk, sim.shape[0])
+            sel = np.argsort(-sim, axis=0, kind="stable")[:take]
+            cos = np.take_along_axis(sim, sel, axis=0)
+            keep = np.isfinite(cos.ravel())
+            yield pd.DataFrame({
+                "query_id": np.tile(qids_, take)[keep],
+                "neighbor_id": nids[sel.ravel()][keep],
+                "cosine": cos.ravel()[keep]})
+
+    partials = (emb.select(F.col(id_col).alias("neighbor_id"),
+                           _dvec(F.col(vec_col)).alias("_v"))
+                .mapInPandas(fn, "query_id long, neighbor_id long, "
+                                 "cosine double"))
+    return _rank_topk(partials, k)
 
 
 def cosine_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 5,
@@ -573,11 +629,72 @@ def cosine_topk_fixed_ivf(emb: DataFrame, queries: DataFrame, k: int = 5,
                       F.explode(F.slice(F.array_sort(
                           _cell_scores(F.col("cents"), F.col("qe"))),
                           1, nprobe)["cid"]).alias("cid")))
-    scored = with_cosine(
-        corpus.join(F.broadcast(probes), "cid"),
-        "query_vec", vec_col,
-    ).filter(F.col("neighbor_id") != F.col("query_id"))
-    return _rank_topk(scored.drop("cid"), k)
+    # Score map-side against the broadcast per-cell query matrices
+    # (the cosine_topk shape): with few coarse cells each probe list
+    # covers a large corpus fraction, so the cell join materialized
+    # candidate rows carrying BOTH vectors — 4M array-pairs and 22 s
+    # at the local sf1 probe. Only per-query per-batch top-k partials
+    # leave the map stage; the float path (dot / (|a|·|b|), 6dp
+    # HALF_UP before ranking) and the (cosine desc, neighbor asc)
+    # tie-break are unchanged, so the oracle replays identically.
+    spark = emb.sparkSession
+    pr = probes.select("query_id", "cid", "query_vec").toArrow()
+    if not pr.num_rows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, "
+                "rank long")
+    p_qid = np.asarray(pr.column("query_id").to_pylist())
+    p_cid = np.asarray(pr.column("cid").to_pylist())
+    p_mat = np.asarray(pr.column("query_vec").combine_chunks()
+                       .flatten(), dtype=np.float64).reshape(
+        pr.num_rows, -1)
+    by_cell = {}
+    for cid in np.unique(p_cid):
+        sel = p_cid == cid
+        qm = p_mat[sel]
+        by_cell[int(cid)] = (p_qid[sel], qm,
+                             np.sqrt((qm * qm).sum(axis=1)))
+    bc = spark.sparkContext.broadcast(by_cell)
+    kk = k
+
+    def fn(batches):
+        cells = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for cid, grp in pdf.groupby("cid", sort=False):
+                cell = cells.get(int(cid))
+                if cell is None:
+                    continue
+                qids_, qmat_, qn_ = cell
+                nids = grp["neighbor_id"].to_numpy()
+                order = np.argsort(nids, kind="stable")
+                nids = nids[order]
+                m = np.stack(grp["_v"].values[order]).astype(
+                    np.float64, copy=False)
+                sim = m @ qmat_.T
+                sim /= np.outer(np.sqrt((m * m).sum(axis=1)), qn_)
+                sim = np.sign(sim) * np.floor(
+                    np.abs(sim) * 1e6 + 0.5) / 1e6
+                sim[nids[:, None] == qids_[None, :]] = -np.inf
+                take = min(kk, sim.shape[0])
+                selr = np.argsort(-sim, axis=0, kind="stable")[:take]
+                cos = np.take_along_axis(sim, selr, axis=0)
+                keep = np.isfinite(cos.ravel())
+                out.append(pd.DataFrame({
+                    "query_id": np.tile(qids_, take)[keep],
+                    "neighbor_id": nids[selr.ravel()][keep],
+                    "cosine": cos.ravel()[keep]}))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    partials = (corpus
+                .select("neighbor_id", "cid",
+                        _dvec(F.col(vec_col)).alias("_v"))
+                .mapInPandas(fn, "query_id long, neighbor_id long, "
+                                 "cosine double"))
+    return _rank_topk(partials, k)
 
 
 #: LCG used to derive the deterministic +/-1 projection matrix. Bit 16
