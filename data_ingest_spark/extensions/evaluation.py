@@ -1133,6 +1133,11 @@ def self_bleu(docs: DataFrame, id_col: str = "doc_id",
              .withColumn("_rtk", F.lead("_tk").over(wg))
              .filter(F.col("_rtk").isNotNull())
              .filter((F.size("_tk") >= 2) & (F.size("_rtk") >= 2))
+             # (A round-robin repartition here — to spread the
+             # ≤|groups| non-empty window partitions before the n-gram
+             # explodes — was measured and REJECTED: the extra
+             # token-array shuffle costs more than the parallelism
+             # gains, 2.2 s → 3.4 s at sf0.1.)
              # five consumers (4 n-gram explodes + the length join)
              .localCheckpoint(eager=False))
 

@@ -180,9 +180,15 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     Near-duplicate documents agree on most bits (compare via Hamming
     distance on the bit string).
 
-    One explode + one groupBy(id) — shuffle volume proportional to
-    token occurrences, the scalable SimHash shape (no per-pair work)."""
-    tok = df.select(id_col, F.explode(tokens_col(text_col)).alias("_tok"))
+    One doc-level hash repartition by id, then explode + groupBy(id) —
+    the explode + md5 + nibble votes run full-parallel on the
+    repartition output (a small local parquet scans as 1-2 tasks
+    otherwise), and the groupBy reuses the id-partitioning with NO
+    further exchange: the only shuffle moves raw docs, not token
+    rows — the scalable SimHash shape (no per-pair work)."""
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    tok = (df.repartition(n_part, F.col(id_col))
+           .select(id_col, F.explode(tokens_col(text_col)).alias("_tok")))
     tok = tok.withColumn("_h", F.md5(F.col("_tok").cast("binary")))
     bits = []
     for pos in range(1, 17):
@@ -1280,10 +1286,17 @@ def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
     int64; the window minimum is VALUE-distinct, so both engines select
     the identical fingerprint set with no tie-break sensitivity.
 
-    Plan shape: one map-side gram explode (arrays bounded by doc
-    length), one partitioned window (doc, pos) for the running min,
-    one distinct — no joins, no driver state. Documents shorter than
-    k + window − 1 have no full window and are dropped (both engines).
+    Plan shape: one DOC-level hash repartition by id (explicit
+    partition count, so AQE cannot coalesce the tiny doc frame back
+    to one task), then the gram explode + md5 run ON the repartition
+    output — full-parallel and already hash-clustered by id, so the
+    window and the distinct both reuse the partitioning with no
+    further exchange. Shuffling docs instead of grams moves ~L bytes
+    per document through the wire instead of ~24·L gram rows (a 24×
+    exchange reduction at any scale); before this, the explode+hash
+    ran on the raw scan's partitions (documents.parquet is ONE small
+    file locally — 2 tasks hashed every gram while 30 cores idled).
+    Documents shorter than k + window − 1 are dropped (both engines).
 
     A shuffle-free variant (per-row array HOFs: transform + slice +
     array_min over the in-row hash array) was measured and REJECTED:
@@ -1293,7 +1306,9 @@ def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
     interpreted, while this window form stays in codegen; its one
     gram shuffle is linear (32 MB at sf0.1, SCALING.md)."""
     min_len = k + window - 1
+    n_part = df.sparkSession.sparkContext.defaultParallelism
     grams = (df.filter(F.length(text_col) >= min_len)
+             .repartition(n_part, F.col(id_col))
              .select(F.col(id_col), F.posexplode(F.expr(
                  f"transform(sequence(1, length({text_col}) - {k - 1}), "
                  f"i -> substring({text_col}, i, {k}))"))

@@ -177,7 +177,12 @@ def louvain_distributed(edges: DataFrame, resolution: float = 0.5,
     cluster boundaries can differ on ambiguous graphs; on
     well-separated communities both converge to the same partition
     (pinned by tests/test_clustering.py)."""
-    und = _undirect(edges).localCheckpoint()
+    # Hash-partition the edge list by dst ONCE before the checkpoint:
+    # every round joins und on dst, and localCheckpoint preserves the
+    # output partitioning, so the 8 per-round joins only ever exchange
+    # the (node-sized) labels frame — never the (edge-sized) und. At
+    # |E| >> |V| scale this removes the dominant per-round shuffle.
+    und = _undirect(edges).repartition(F.col("dst")).localCheckpoint()
     # deg + m2 once; both are reused every round.
     deg = und.groupBy(F.col("src").alias("id")).agg(
         F.sum("snn_weight").alias("deg")).localCheckpoint()
