@@ -67,6 +67,25 @@ def _load_staged(path: str):
     return _STAGED[path]
 
 
+def _load_staged_f32(path: str):
+    """(ids, mat, norms, m32) — :func:`_load_staged` plus a float32
+    UNIT-NORMALIZED copy of the matrix, cached per worker. The f32 copy
+    drives candidate PRESELECTION only (half the bytes through the
+    memory-bound similarity tile); every emitted cosine is recomputed
+    in float64 with the oracle's exact op order."""
+    key = path + "@f32"
+    if key not in _STAGED:
+        import numpy as np
+        ids, mat, norms = _load_staged(path)
+        if len(ids):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                m32 = (mat / norms[:, None]).astype(np.float32)
+        else:
+            m32 = mat.astype(np.float32)
+        _STAGED[key] = (ids, mat, norms, m32)
+    return _STAGED[key]
+
+
 def _normalized(vectors: DataFrame, vec_col: str = "pc") -> DataFrame:
     """Unit-norm ml.linalg vector column from an array or vector column
     — all JVM-side (array_to_vector + ML Normalizer), no Python UDF."""
@@ -137,13 +156,13 @@ def knn_exact(scores: DataFrame, k: int = 20,
         return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
 
     def fn(batches):
-        from data_ingest_spark.operators.neighbors import _load_staged
-        dst_ids, m, m_norms = _load_staged(path)
+        from data_ingest_spark.operators.neighbors import _load_staged_f32
+        dst_ids, m, m_norms, m32 = _load_staged_f32(path)
         if len(dst_ids) == 0:
             return
         n = len(dst_ids)
         kk = min(k, n - 1)
-        # chunk so the similarity block stays ~200M float64s
+        # chunk so the f32 similarity tile stays ~2e8 entries (800 MB)
         chunk = max(1, int(2e8 / max(n, 1)))
         dst_str = dst_ids.astype(str)
         for pdf in batches:
@@ -151,45 +170,51 @@ def knn_exact(scores: DataFrame, k: int = 20,
             q = np.stack(pdf["_v"].values).astype(np.float64, copy=False)
             q_ids = pdf["id"].to_numpy(dtype=object)
             q_str = q_ids.astype(str)
+            q_norms = np.sqrt((q ** 2).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                q32 = (q / q_norms[:, None]).astype(np.float32)
             for lo in range(0, len(q), chunk):
                 hi = min(lo + chunk, len(q))
-                sim = q[lo:hi] @ m.T
-                sim /= np.outer(np.sqrt((q[lo:hi] ** 2).sum(axis=1)),
-                                m_norms)
-                sim = _round6_half_up(sim)
+                # PRESELECTION in float32 over unit vectors: the big
+                # O(rows·n) tile is the memory-bound cost, so it runs
+                # at half the bytes and one pass (sgemm + negate +
+                # partition + one mask) — no full-tile normalize or
+                # round. The 1e-4 margin dominates the worst-case f32
+                # error of a 64-term unit dot (~1e-5) plus the 6dp
+                # rounding shift (5e-7), so the kept set provably
+                # contains every candidate the exact float64 path
+                # below could rank into the top kk (incl. ties).
+                nsim = q32[lo:hi] @ m32.T
+                np.negative(nsim, out=nsim)
                 # self-exclusion: dst_ids is in ascending-string order,
                 # so each query's own column (if present) is found by
-                # one searchsorted and masked to -inf
+                # one searchsorted and masked out
                 pos = np.searchsorted(dst_str, q_str[lo:hi])
                 rix = np.arange(hi - lo)
                 hit = pos < n
                 hit[hit] &= dst_str[pos[hit]] == q_str[lo:hi][hit]
-                sim[rix[hit], pos[hit]] = -np.inf
-                # exact (cosine desc, dst asc) top-k VECTORIZED, no
-                # per-row python loop (the sf1 probe measured the loop
-                # at 118x for 10x data): O(n) argpartition finds each
-                # row's kk-th value, the ≥-threshold mask keeps every
-                # tied candidate, and ONE global lexsort over the
-                # ~rows·kk masked entries (row, -cos, dst-ascending
-                # col) replays the exact rank order — linear in the
-                # similarity tile instead of a full row argsort.
-                nsim = -sim
+                nsim[rix[hit], pos[hit]] = np.inf
                 kth = np.partition(nsim, kk - 1, axis=1)[:, kk - 1:kk]
-                ri, ci = np.nonzero(nsim <= kth)
-                vals = nsim[ri, ci]
-                order = np.lexsort((ci, vals, ri))
-                ri_s, ci_s = ri[order], ci[order]
-                counts = np.bincount(ri_s, minlength=hi - lo)
+                ri, ci = np.nonzero(nsim <= kth + np.float32(1e-4))
+                # EXACT float64 cosine for the kept candidates only
+                # (~rows·(kk+ties) pairs), with the oracle's exact op
+                # order — dot / (|a|·|b|) rounded HALF_UP to 6 dp —
+                # then the (cosine desc, dst asc) rank replay via ONE
+                # global lexsort (row, -cos, dst-ascending col).
+                cos = np.einsum("ij,ij->i", q[lo + ri], m[ci])
+                cos /= q_norms[lo + ri] * m_norms[ci]
+                cos = _round6_half_up(cos)
+                order = np.lexsort((ci, -cos, ri))
+                counts = np.bincount(ri, minlength=hi - lo)
                 starts = np.concatenate(
                     ([0], np.cumsum(counts[:-1])))
                 take = (starts[:, None]
                         + np.arange(kk)[None, :]).ravel()
-                sel_c = ci_s[take]
+                sel = order[take]
                 yield pd.DataFrame({
                     "src": np.repeat(q_ids[lo:hi], kk),
-                    "dst": dst_ids[sel_c],
-                    "cosine": sim[np.repeat(np.arange(hi - lo), kk),
-                                  sel_c],
+                    "dst": dst_ids[ci[sel]],
+                    "cosine": cos[sel],
                     "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32),
                                     hi - lo)})
 
