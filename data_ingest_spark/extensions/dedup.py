@@ -589,6 +589,18 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
     containment denominator still uses the FULL shingle-set size, so
     the cap can only lose candidates (documented recall dial), never
     corrupt a reported score.
+
+    (A PPJoin-style prefix filter — generate candidates only from each
+    contained doc's ``floor(ra − threshold·sz) + 1`` rarest capped
+    shingles, then verify exact intersections per candidate pair —
+    was built and measured-REJECTED at the round-8 sf1 sweep: on a
+    high-collision corpus the candidate set is ~unique pairs (56M at
+    sf1, barely deduplicated), so the per-pair verify RE-EXPANDS to
+    candidates × |shingles(A)| ≈ 2.8B rows and runs 440+ s where the
+    direct co-occurrence count below streams its Σ df² ≈ 309M rows
+    through one partially-aggregating groupBy in 77 s. Prefix+verify
+    only wins when candidates are scarce; co-occurrence density is
+    this operator's true output-shaped cost.)
     """
     df = spread(df)
     membership = shingle_sets(df, id_col, text_col, k).persist()

@@ -383,28 +383,49 @@ def integrate_mnn_exact(pc_arr: DataFrame, k_anchor: int = 5,
                           - 2.0 * (q @ rmat_.T))
                     d2i = np.rint(d2).astype(np.int64)
                     rows = d2i.shape[0]
+                    # Top-k on both axes via partition + ≤-threshold
+                    # mask + ONE lexsort of the kept entries (the
+                    # knn_exact kernel shape) — a full stable argsort
+                    # of the tile per axis was the dominant cost of
+                    # the whole operator on memory-bound hosts. d2 is
+                    # integer-exact, so the value threshold keeps ties
+                    # losslessly; the lexsort minor key replays the
+                    # (d2, rb) / (d2, qb) order because both axes are
+                    # pre-sorted by id string.
                     # per-query top-k (exact (d2, rb) order)
-                    selq = np.argsort(d2i, axis=1,
-                                      kind="stable")[:, :take]
+                    kq = np.partition(d2i, take - 1,
+                                      axis=1)[:, take - 1:take]
+                    ri, ci = np.nonzero(d2i <= kq)
+                    vals = d2i[ri, ci]
+                    oq_ = np.lexsort((ci, vals, ri))
+                    cnt = np.bincount(ri, minlength=rows)
+                    st = np.concatenate(([0], np.cumsum(cnt[:-1])))
+                    sel = oq_[(st[:, None]
+                               + np.arange(take)[None, :]).ravel()]
                     out.append(pd.DataFrame({
                         "sample": smp,
                         "qb": np.repeat(cbs[lo:lo + blk], take),
-                        "rb": rb_ids_[selq.ravel()],
-                        "_d2": np.take_along_axis(
-                            d2i, selq, axis=1).ravel(),
+                        "rb": rb_ids_[ci[sel]],
+                        "_d2": vals[sel],
                         "_side": "q"}))
                     # per-ref BLOCK-partial top-k (exact (d2, qb)
                     # order); the global per-ref rank is the window
                     # downstream — block partials are a superset
                     kr = min(take, rows)
-                    selr = np.argsort(d2i, axis=0,
-                                      kind="stable")[:kr]
+                    kref = np.partition(d2i, kr - 1,
+                                        axis=0)[kr - 1:kr, :]
+                    ri2, ci2 = np.nonzero(d2i <= kref)
+                    vals2 = d2i[ri2, ci2]
+                    or_ = np.lexsort((ri2, vals2, ci2))
+                    cnt2 = np.bincount(ci2, minlength=nref)
+                    st2 = np.concatenate(([0], np.cumsum(cnt2[:-1])))
+                    sel2 = or_[(st2[:, None]
+                                + np.arange(kr)[None, :]).ravel()]
                     out.append(pd.DataFrame({
                         "sample": smp,
-                        "qb": cbs[lo:lo + blk][selr.ravel()],
-                        "rb": np.tile(rb_ids_, kr),
-                        "_d2": np.take_along_axis(
-                            d2i, selr, axis=0).ravel(),
+                        "qb": cbs[lo:lo + blk][ri2[sel2]],
+                        "rb": np.repeat(rb_ids_, kr),
+                        "_d2": vals2[sel2],
                         "_side": "r"}))
             yield pd.concat(out, ignore_index=True) if out else \
                 pd.DataFrame({"sample": [], "qb": [], "rb": [],
