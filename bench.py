@@ -166,6 +166,25 @@ def _evict_all(spark) -> None:
     spark.sparkContext._jvm.System.gc()
 
 
+#: Fixed canary (round-8 verdict ask #1): an UNCHANGING single-shuffle
+#: aggregation timed at suite start / middle / end. Its three readings
+#: quantify host drift WITHIN the suite and, round over round, the
+#: host factor between driver records — four untouched queries
+#: "regressed" 2.2-8.7x in BENCH_r08 purely from host noise, which a
+#: canary in the record makes attributable instead of alarming.
+CANARY = "a1_a2_cell_counts"
+
+#: A query whose two reps disagree by more than this factor gets a
+#: third rep, and its per-rep spread is reported in the JSON line.
+SPREAD_TRIGGER = 2.0
+
+
+def _run(spark, qs, name, sf_dir) -> float:
+    t0 = time.perf_counter()
+    qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -203,35 +222,66 @@ def main() -> int:
     # min-of-N steady-state time is the number that actually predicts
     # cluster behavior. Caches are cleared between reps, so operator
     # persist() calls are re-materialized — the rep measures the full
-    # plan, not a warm cache.
+    # plan, not a warm cache. A query whose two reps disagree by more
+    # than SPREAD_TRIGGER gets a THIRD rep (round-8 ask #1: one noisy
+    # rep must not survive as "the" number) and its spread is
+    # reported; all raw per-rep times are persisted to bench_raw.json
+    # next to this script.
     timings: dict[str, float] = {}
-    for name in names:
-        best = float("inf")
-        for _rep in range(2):
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-            # Between reps: SQL-cache clear only (identical rep
-            # semantics to every prior round's record).
+    raw: dict[str, list[float]] = {}
+    spread: dict[str, float] = {}
+    canary: dict[str, float] = {}
+
+    def canary_probe(slot: str) -> None:
+        reps = []
+        for _ in range(2):
+            reps.append(_run(spark, qs, CANARY, sf_dir))
             spark.catalog.clearCache()
+        _evict_all(spark)
+        canary[slot] = round(min(reps), 2)
+        raw[f"_canary_{slot}"] = [round(t, 3) for t in reps]
+
+    canary_probe("start")
+    for idx, name in enumerate(names):
+        reps = [_run(spark, qs, name, sf_dir)]
+        spark.catalog.clearCache()
+        reps.append(_run(spark, qs, name, sf_dir))
+        spark.catalog.clearCache()
+        if max(reps) / max(min(reps), 1e-9) > SPREAD_TRIGGER:
+            reps.append(_run(spark, qs, name, sf_dir))
+            spark.catalog.clearCache()
+            spread[name] = round(max(reps) / max(min(reps), 1e-9), 1)
         # Between queries: also evict leaked persisted/checkpointed
         # RDD blocks and run an untimed full GC, so no query pays for
         # a predecessor's session state.
         _evict_all(spark)
-        timings[name] = round(best, 2)
+        timings[name] = round(min(reps), 2)
+        raw[name] = [round(t, 3) for t in reps]
+        if idx == len(names) // 2:
+            canary_probe("mid")
+    canary_probe("end")
     spark.stop()
 
     total = round(sum(timings.values()), 2)
-    # Compact separators keep the single line well inside the driver's
-    # tail capture (~2 KB): r4's 80-query pretty-printed line overflowed
-    # it and the record lost its headline total ("parsed": null).
-    print(json.dumps({
+    # The spread dict is capped to the 4 widest entries so the line
+    # stays inside the driver's ~2 KB tail capture (r4's pretty-printed
+    # line overflowed it and lost the headline total); the full rep
+    # detail is in bench_raw.json.
+    top_spread = dict(sorted(spread.items(), key=lambda kv: -kv[1])[:4])
+    record = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }, separators=(",", ":")))
+        "canary": canary,
+        "spread": top_spread,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_raw.json"), "w") as fh:
+        json.dump({"sf": sf, "canary": canary, "spread": spread,
+                   "reps": raw}, fh, indent=1, sort_keys=True)
+    print(json.dumps(record, separators=(",", ":")))
     return 0
 
 

@@ -136,8 +136,20 @@ def bpe_train(df: DataFrame, n_merges: int = 8, text_col: str = "text",
     and ONE checkpoint. A 32k-merge vocabulary goes from ~64k tiny
     driver jobs (2 per merge) to ~64k/B — driver scheduling stops
     dominating while the merge table stays bit-identical.
-    ``bpe_train.last_rounds`` records the driver-round count of the
-    most recent call (scheduling-cost observability for tests)."""
+    :func:`bpe_train_with_rounds` additionally returns the driver-round
+    count (scheduling-cost observability)."""
+    return bpe_train_with_rounds(df, n_merges, text_col, min_count,
+                                 batch)[0]
+
+
+def bpe_train_with_rounds(df: DataFrame, n_merges: int = 8,
+                          text_col: str = "text", min_count: int = 2,
+                          batch: int = 1) -> tuple[DataFrame, int]:
+    """:func:`bpe_train` plus the number of driver rounds the loop ran
+    — ``(merges_df, rounds)``. The round count is how many top-K
+    collect jobs the training paid (the scheduling cost the ``batch``
+    parameter exists to amortize); returning it keeps the function
+    pure instead of parking mutable state on a function attribute."""
     spark = df.sparkSession
     seqs = (_word_freqs(df, text_col)
             .select("f", _char_seq("w").alias("seq"))
@@ -167,10 +179,10 @@ def bpe_train(df: DataFrame, n_merges: int = 8, text_col: str = "text",
             merges.append((len(merges), l, r, l + r, c))
             col = apply_merge(col, l, r)
         seqs = seqs.select("f", col.alias("seq")).localCheckpoint()
-    bpe_train.last_rounds = rounds
-    return spark.createDataFrame(
+    out = spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, "
                 "pair_count long")
+    return out, rounds
 
 
 def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],

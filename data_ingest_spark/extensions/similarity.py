@@ -86,7 +86,8 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
 
 
 def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                max_driver_rows: int | None = None) -> DataFrame:
     """Exact brute-force top-k cosine neighbors for each query vector.
     `queries` is (query_id, query_vec); the query matrix is broadcast
     as numpy, the corpus streams through ONE BLAS-scored map stage
@@ -97,7 +98,19 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     29 s at the local sf1 probe for 8M pairs; this form is one corpus
     scan). Tie-breaks replay (cosine desc @6dp HALF_UP, neighbor_id
     asc) exactly: corpus batches are pre-sorted by neighbor id and a
-    stable argsort of -cosine inherits the id order."""
+    stable argsort of -cosine inherits the id order.
+
+    The QUERY side is collected to the driver and broadcast at
+    plan-build time (an eager Spark job — compose accordingly), so it
+    is ceiling-guarded like every sanctioned driver materialization: a
+    query set above ``max_driver_rows`` (default
+    ``guards.DRIVER_ROWS_CEILING``) raises with a pointer at the
+    distributed siblings instead of silently OOMing the driver."""
+    from data_ingest_spark.operators.guards import assert_driver_ceiling
+    assert_driver_ceiling(
+        queries, "broadcast-query exact ANN (cosine_topk)",
+        "cosine_topk_lsh / cosine_topk_ivf (bucketed cell joins) for "
+        "corpus-sized query sets", max_driver_rows)
     q_tbl = queries.select("query_id", "query_vec").toArrow()
     import pyarrow.compute  # noqa: F401  (ensure compute kernels)
     qids = np.asarray(q_tbl.column("query_id").to_pylist())
@@ -601,7 +614,8 @@ def cosine_topk_fixed_ivf(emb: DataFrame, queries: DataFrame, k: int = 5,
                           n_cells: int = 4, n_iters: int = 2,
                           nprobe: int = 2, id_col: str = "vec_id",
                           vec_col: str = "embedding",
-                          scale: int = 10**6) -> DataFrame:
+                          scale: int = 10**6,
+                          max_driver_rows: int | None = None) -> DataFrame:
     """End-to-end IVF ANN whose coarse quantizer is the deterministic
     :func:`lloyd_centroids` fit — the whole index build AND search is
     exactly reproducible in SQL (unroll the same ``n_iters`` Lloyd
@@ -612,7 +626,18 @@ def cosine_topk_fixed_ivf(emb: DataFrame, queries: DataFrame, k: int = 5,
     probing are both map-side array folds (no shuffle); candidates
     join on the cell with the probe table broadcast; the only
     corpus-sized shuffle is the final per-query rank window. Cosine is
-    rounded to 6dp before ranking (cross-engine rank stability)."""
+    rounded to 6dp before ranking (cross-engine rank stability).
+
+    The PROBE table (|queries| × nprobe rows) is collected to the
+    driver and broadcast at plan-build time (an eager Spark job), so
+    it is ceiling-guarded: above ``max_driver_rows`` (default
+    ``guards.DRIVER_ROWS_CEILING``) it raises with a pointer at the
+    fully-distributed cell-join siblings."""
+    from data_ingest_spark.operators.guards import assert_driver_ceiling
+    assert_driver_ceiling(
+        queries, "broadcast-probe fixed-IVF ANN (cosine_topk_fixed_ivf)",
+        "cosine_topk_ivf / cosine_topk_kmeans_ivf (distributed cell "
+        "joins) for corpus-sized query sets", max_driver_rows)
     cent = lloyd_centroids(emb, n_cells, n_iters, id_col, vec_col, scale)
     cents = cent.agg(F.collect_list(F.struct("cid", "ce")).alias("cents"))
     corpus = (emb.select(F.col(id_col).alias("neighbor_id"), vec_col,

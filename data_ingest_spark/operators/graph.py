@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from data_ingest_spark.operators.clustering import pin_partitioning
+
 SCALE = 1_000_000_000_000
 
 
@@ -35,7 +37,11 @@ def pagerank(edges: DataFrame, max_iter: int = 5,
     """
     e = edges.select("src", "dst").distinct()
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    ew = e.join(deg, "src").localCheckpoint()
+    # Pin hash(src) for all rounds (clustering.pin_partitioning: a
+    # persisted repartition is the only partitioning carrier under AQE)
+    # — every per-round contribution join then reuses the partitioning
+    # and only exchanges the (node-sized) rank frame, never the edges.
+    ew = pin_partitioning(e.join(deg, "src"), "src")
 
     nodes = (e.select(F.col("src").alias("id"))
              .unionByName(e.select(F.col("dst").alias("id")))
@@ -56,7 +62,9 @@ def pagerank(edges: DataFrame, max_iter: int = 5,
                                    f"div {damping_den}"))
                          .cast("long").alias("r")))
         if (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint()
+            # lazy: truncation rides the next round's job instead of a
+            # blocking per-cadence driver job
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(
         "id", F.col("r").alias("rank_int"),
         F.round(F.col("r") / F.lit(float(SCALE)), 9).alias("rank"))
@@ -78,10 +86,14 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame,
 
     Returns ``(id, hops)`` over all nodes of the edge list.
     """
-    und = (edges.select("src", "dst")
-           .unionByName(edges.select(F.col("dst").alias("src"),
-                                     F.col("src").alias("dst")))
-           .distinct().localCheckpoint())
+    # pin_partitioning pins hash(src) across all frontier rounds — the
+    # per-round relaxation join then only exchanges the (node-sized)
+    # distance frame, never the edge list.
+    und = pin_partitioning(
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst")))
+        .distinct(), "src")
     nodes = und.select(F.col("src").alias("id")).distinct()
     dist = (nodes.join(seeds.select(F.col("id"), F.lit(0).alias("_d")),
                        "id", "left")
@@ -95,7 +107,7 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame,
         dist = (dist.unionByName(nbr)
                 .groupBy("id").agg(F.min("d").alias("d")))
         if (i + 1) % 3 == 0:
-            dist = dist.localCheckpoint()
+            dist = dist.localCheckpoint(eager=False)
     return dist.select("id", F.col("d").cast("long").alias("hops"))
 
 

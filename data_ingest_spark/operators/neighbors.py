@@ -121,7 +121,14 @@ def knn_exact(scores: DataFrame, k: int = 20,
 
     Determinism contract (shared with the DuckDB oracle): cosine =
     dot/(|a|·|b|) rounded HALF_UP to 6 dp BEFORE ranking, ties broken
-    by ascending dst string.
+    by ascending dst string. Zero-norm (or non-finite) vectors have no
+    defined cosine and raise a ValueError naming the offending ids —
+    never a silently-wrong neighbor set. The float32 preselection
+    margin scales with the vector dimension (4·d·eps, floor 1e-4), so
+    the kept-candidate superset proof holds for arbitrary-width input,
+    and rows whose tie-density inflates the kept set past ~8k
+    candidates fall back to an exact full-row float64 rescore — worst
+    case cost is the old full-tile path, not above it.
 
     ``stage_key``: opt-in staging reuse. A key that uniquely
     identifies the INPUT CONTENT (e.g. source path + projection) maps
@@ -165,6 +172,19 @@ def knn_exact(scores: DataFrame, k: int = 20,
         # chunk so the f32 similarity tile stays ~2e8 entries (800 MB)
         chunk = max(1, int(2e8 / max(n, 1)))
         dst_str = dst_ids.astype(str)
+        # Preselection margin SCALED WITH DIMENSION (advice r8): the
+        # worst-case f32 unit-dot error grows ~d·eps/2 per dot and the
+        # kept-set proof spends it twice (kth estimate + candidate), so
+        # 4·d·eps with a 1e-4 floor keeps the 64-dim behavior identical
+        # while staying provably superset for arbitrary-width vectors.
+        d = m.shape[1]
+        margin = np.float32(max(1e-4, 4.0 * d * np.finfo(np.float32).eps))
+        # Tie-density cap: a row keeping more than this many candidates
+        # (pathological duplicate-heavy inputs) is rescored by the FULL
+        # float64 row instead — exact either way, and the fallback
+        # bounds the rescore at the old full-tile cost instead of
+        # letting the fancy-indexed gather exceed it.
+        cap = max(8 * kk, kk + 64)
         for pdf in batches:
             # np.stack over the per-row ndarrays (no .tolist() boxing)
             q = np.stack(pdf["_v"].values).astype(np.float64, copy=False)
@@ -179,11 +199,11 @@ def knn_exact(scores: DataFrame, k: int = 20,
                 # O(rows·n) tile is the memory-bound cost, so it runs
                 # at half the bytes and one pass (sgemm + negate +
                 # partition + one mask) — no full-tile normalize or
-                # round. The 1e-4 margin dominates the worst-case f32
-                # error of a 64-term unit dot (~1e-5) plus the 6dp
-                # rounding shift (5e-7), so the kept set provably
-                # contains every candidate the exact float64 path
-                # below could rank into the top kk (incl. ties).
+                # round. The margin dominates the worst-case f32
+                # error of a d-term unit dot plus the 6dp rounding
+                # shift (5e-7), so the kept set provably contains
+                # every candidate the exact float64 path below could
+                # rank into the top kk (incl. ties).
                 nsim = q32[lo:hi] @ m32.T
                 np.negative(nsim, out=nsim)
                 # self-exclusion: dst_ids is in ascending-string order,
@@ -195,7 +215,44 @@ def knn_exact(scores: DataFrame, k: int = 20,
                 hit[hit] &= dst_str[pos[hit]] == q_str[lo:hi][hit]
                 nsim[rix[hit], pos[hit]] = np.inf
                 kth = np.partition(nsim, kk - 1, axis=1)[:, kk - 1:kk]
-                ri, ci = np.nonzero(nsim <= kth + np.float32(1e-4))
+                ri, ci = np.nonzero(nsim <= kth + margin)
+                counts = np.bincount(ri, minlength=hi - lo)
+                # Degenerate rows (zero-norm query or staged vectors ⇒
+                # NaN similarities ⇒ empty kept set) would make the
+                # fixed-stride gather below read other rows' entries —
+                # fail loudly instead (advice r8): cosine kNN is
+                # undefined on zero vectors.
+                if (counts < kk).any():
+                    bad = q_str[lo:hi][counts < kk][:5].tolist()
+                    raise ValueError(
+                        "knn_exact: query/staged rows with undefined "
+                        "cosine (zero-norm or non-finite vector) near "
+                        f"ids {bad}; drop or re-embed them first.")
+                dense = counts > cap
+                if dense.any():
+                    # exact full-row float64 rescore for tie-dense rows
+                    dr = np.nonzero(dense)[0]
+                    simd = q[lo + dr] @ m.T
+                    simd /= np.outer(q_norms[lo + dr], m_norms)
+                    simd = _round6_half_up(simd)
+                    hd = hit[dr]
+                    simd[np.arange(len(dr))[hd], pos[dr][hd]] = -np.inf
+                    seld = np.argsort(-simd, axis=1, kind="stable")[:, :kk]
+                    yield pd.DataFrame({
+                        "src": np.repeat(q_ids[lo + dr], kk),
+                        "dst": dst_ids[seld.ravel()],
+                        "cosine": np.take_along_axis(
+                            simd, seld, axis=1).ravel(),
+                        "rank": np.tile(
+                            np.arange(1, kk + 1, dtype=np.int32),
+                            len(dr))})
+                    keep = ~dense[ri]
+                    ri, ci = ri[keep], ci[keep]
+                    rows = np.nonzero(~dense)[0]
+                    if not len(rows):
+                        continue
+                else:
+                    rows = rix
                 # EXACT float64 cosine for the kept candidates only
                 # (~rows·(kk+ties) pairs), with the oracle's exact op
                 # order — dot / (|a|·|b|) rounded HALF_UP to 6 dp —
@@ -205,18 +262,17 @@ def knn_exact(scores: DataFrame, k: int = 20,
                 cos /= q_norms[lo + ri] * m_norms[ci]
                 cos = _round6_half_up(cos)
                 order = np.lexsort((ci, -cos, ri))
-                counts = np.bincount(ri, minlength=hi - lo)
                 starts = np.concatenate(
-                    ([0], np.cumsum(counts[:-1])))
+                    ([0], np.cumsum(counts[rows][:-1])))
                 take = (starts[:, None]
                         + np.arange(kk)[None, :]).ravel()
                 sel = order[take]
                 yield pd.DataFrame({
-                    "src": np.repeat(q_ids[lo:hi], kk),
+                    "src": np.repeat(q_ids[lo + rows], kk),
                     "dst": dst_ids[ci[sel]],
                     "cosine": cos[sel],
                     "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32),
-                                    hi - lo)})
+                                    len(rows))})
 
     # Map over the STAGED copy, not `base`: the (possibly expensive)
     # upstream lineage was already evaluated once by the stage write,

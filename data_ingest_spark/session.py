@@ -29,6 +29,15 @@ def get_spark(app_name: str = "data-ingest-spark", cpus: int | None = None) -> S
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # NOTE: spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
+        # stays at its default (false) ON PURPOSE: the iterative graph
+        # operators (LPA, Louvain) pin their edge frame's hash
+        # partitioning by PERSISTING the repartition — a checkpointed
+        # LogicalRDD reports UnknownPartitioning under AQE (measured on
+        # 4.1.2), so the cached plan is the only partitioning carrier —
+        # and flipping this flag to true lets AQE coalesce inside the
+        # cached plan, which re-inserts the per-round edge exchange the
+        # persist exists to remove (also measured).
         .config("spark.sql.session.timeZone", "UTC")
         # The harness events table stores TIMESTAMP(NANOS); Spark has no
         # nanosecond timestamp type, so read as long and convert (see

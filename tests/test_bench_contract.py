@@ -18,13 +18,25 @@ def test_headline_names_resolve():
 
 
 def test_emitted_line_fits_tail_capture():
+    """Worst case: every query 99.99 s, all three canary slots, and a
+    FULL 4-entry spread dict of the longest names (the r9 cap) — the
+    line must still fit the driver's ~2 KB tail capture."""
     import bench
     fake = {n: 99.99 for n in bench.HEADLINE}
+    longest = sorted(bench.HEADLINE, key=len)[-4:]
     line = json.dumps({
         "metric": "headline_queries_total",
         "value": round(sum(fake.values()), 2),
         "unit": "sec",
         "queries": fake,
         "sf": 0.1,
+        "canary": {"start": 99.99, "mid": 99.99, "end": 99.99},
+        "spread": {n: 99.9 for n in longest},
     }, separators=(",", ":"))
-    assert len(line) < 2048, len(line)
+    assert len(line) < 2000, len(line)
+
+
+def test_canary_is_headline_member():
+    import bench
+    assert bench.CANARY in bench.HEADLINE
+    assert bench.SPREAD_TRIGGER > 1.0

@@ -3,7 +3,8 @@ sequential pure-Python mirror."""
 
 import re
 
-from data_ingest_spark.extensions.bpe import bpe_encode, bpe_train
+from data_ingest_spark.extensions.bpe import (bpe_encode, bpe_train,
+                                              bpe_train_with_rounds)
 
 
 def _apply(s, left, right):
@@ -120,13 +121,12 @@ def test_bpe_batched_equals_sequential_on_fixture_corpus(spark):
              "the then there these them theme"]
     df = spark.createDataFrame(list(enumerate(texts)),
                                "doc_id long, text string")
-    seq = [tuple(r) for r in
-           bpe_train(df, n_merges=12).orderBy("rank").collect()]
-    seq_rounds = bpe_train.last_rounds
-    bat = [tuple(r) for r in
-           bpe_train(df, n_merges=12, batch=4).orderBy("rank").collect()]
-    bat_rounds = bpe_train.last_rounds
+    seq_df, seq_rounds = bpe_train_with_rounds(df, n_merges=12)
+    seq = [tuple(r) for r in seq_df.orderBy("rank").collect()]
+    bat_df, bat_rounds = bpe_train_with_rounds(df, n_merges=12, batch=4)
+    bat = [tuple(r) for r in bat_df.orderBy("rank").collect()]
     assert bat == seq
+    assert not hasattr(bpe_train, "last_rounds")
     assert len(seq) == 12
     assert bat_rounds < seq_rounds
 

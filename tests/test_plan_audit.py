@@ -465,6 +465,72 @@ def test_round6_batch2_bounded_shuffles(spark):
     assert_no_cartesian(q(spark, "x150_kendall_tau"))
 
 
+def _cached_leaf_builders(df):
+    """{output-name-signature: set(cacheBuilder hashes)} over the
+    InMemoryRelation leaves of the EXECUTED (cache-substituted) plan."""
+    plan = df._jdf.queryExecution().withCachedData()
+    leaves = plan.collectLeaves()
+    sigs: dict[str, set] = {}
+    for i in range(leaves.size()):
+        node = leaves.apply(i)
+        if node.getClass().getSimpleName() != "InMemoryRelation":
+            continue
+        out = node.output()
+        sig = ",".join(sorted(out.apply(j).name()
+                              for j in range(out.size())))
+        sigs.setdefault(sig, set()).add(node.cacheBuilder().hashCode())
+    return sigs
+
+
+def test_drop_contained_pairs_cached_once(spark):
+    """x71's 154 static exchanges collapse at runtime ONLY because the
+    containment-pairs subtree is persisted and all four consumers (the
+    mutual self-join's two sides + two drop-set branches) read ONE
+    cache (round-8 verdict ask #6). Receipt: every pairs-schema
+    InMemoryRelation leaf in the executed plan shares a single
+    CachedRDDBuilder — a refactor that drops the persist (no cached
+    leaf) or rebuilds the subtree per consumer (>1 builder) fails."""
+    df = q(spark, "x71_drop_contained")
+    df.collect()
+    sigs = _cached_leaf_builders(df)
+    pairs = [b for s, b in sigs.items() if "contained_id" in s]
+    assert pairs, f"pairs subtree no longer cached: {sorted(sigs)}"
+    assert all(len(b) == 1 for b in pairs), sigs
+
+
+def test_lpa_pagerank_edge_frame_partitioning_pinned(spark):
+    """The iterative graph operators must NOT re-exchange the edge
+    frame every round: pin_partitioning persists a repartition whose
+    hash partitioning the per-round joins reuse (a checkpoint alone
+    reports UnknownPartitioning under AQE — the round-8 regression
+    this guards against). Receipt: in a 2-round LPA plan (below the
+    checkpoint cadence, so the rounds stay visible) no Exchange on the
+    edge key sits above an InMemoryTableScan."""
+    from data_ingest_spark.operators import clustering as cl
+    edges = (spark.range(20000)
+             .select((F.col("id") % 500).cast("string").alias("src"),
+                     ((F.col("id") * 13) % 500).cast("string").alias("dst"),
+                     F.lit(1.0).alias("snn_weight")))
+    out = cl.label_propagation(edges, max_iter=2)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "InMemoryTableScan" not in ln:
+            continue
+        depth = len(ln) - len(ln.lstrip(" :+-*("))
+        for j in range(i - 1, max(0, i - 4), -1):
+            up = lines[j]
+            if "Exchange hashpartitioning(dst" in up and \
+                    "REPARTITION_BY_COL" not in up:
+                raise AssertionError(
+                    f"edge frame re-exchanged above its cache:\n{up}")
+    # and the cache itself exists exactly once
+    sigs = _cached_leaf_builders(out)
+    edge_sigs = [b for s, b in sigs.items() if "snn_weight" in s]
+    assert edge_sigs and all(len(b) == 1 for b in edge_sigs), sigs
+
+
 def test_round7_batch_bounded_shuffles(spark):
     """Round-7 plan pins. e37's CORPUS work is ONE per-user aggregate;
     its other six exchanges (three ntile sorts on the constant key +
