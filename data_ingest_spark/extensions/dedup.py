@@ -309,11 +309,17 @@ def dup_clusters(pairs: DataFrame, id_cols: tuple[str, str] = ("id_a", "id_b"),
     count over the label frame, so leave the default for graphs whose
     per-round state is expensive. The canonical corpus then follows
     with one semi-join on (doc_id = cluster)."""
+    from data_ingest_spark.operators.clustering import pin_partitioning
     a, b = id_cols
-    edges = (pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-             .unionByName(pairs.select(F.col(b).alias("src"),
-                                       F.col(a).alias("dst")))
-             .distinct().localCheckpoint())
+    # pin hash(dst) across all min-propagation rounds (persisted
+    # repartition — a checkpoint alone loses the partitioning under
+    # AQE; see clustering.pin_partitioning): the per-round neighbor
+    # join then only exchanges the node-sized label frame.
+    edges = pin_partitioning(
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionByName(pairs.select(F.col(b).alias("src"),
+                                  F.col(a).alias("dst")))
+        .distinct(), "dst")
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("lbl", F.col("id")))
     for i in range(max_iter):

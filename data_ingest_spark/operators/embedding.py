@@ -262,7 +262,14 @@ def spectral_embedding_distributed(edges: DataFrame, n_iter: int = 30,
     clustering's `_undirect`."""
     from pyspark.sql import functions as F
 
-    und = edges.select("src", "dst", "snn_weight").localCheckpoint()
+    from data_ingest_spark.operators.clustering import pin_partitioning
+
+    # pin hash(dst) across all power-iteration rounds (persisted
+    # repartition — a checkpoint alone loses the partitioning under
+    # AQE; see clustering.pin_partitioning): each round's propagation
+    # join then only exchanges the node-sized state frame.
+    und = pin_partitioning(
+        edges.select("src", "dst", "snn_weight"), "dst")
     deg = und.groupBy(F.col("src").alias("id")).agg(
         F.sum("snn_weight").alias("deg")).localCheckpoint()
 

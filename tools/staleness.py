@@ -46,11 +46,15 @@ from collections import defaultdict
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PKG = os.path.join(REPO, "data_ingest_spark")
 SLOTS = 50
-# Queries the round-7 verdict names as rewritten-after-verification;
-# pinned first regardless of the computed order.
+# Queries whose implementation was REWRITTEN this round (round 9:
+# pin_partitioning in LPA/Louvain/PageRank/BFS, the knn_exact
+# margin/degenerate/tie-dense rework, the ANN ceiling guards, the
+# bpe_train return-value refactor); pinned first regardless of the
+# computed order.
 FORCE_FRONT = [
-    "m2_doublets_native", "m12_knn_exact", "w5_dense_ids",
-    "x26_sequence_packing", "x80_mix_quota", "e29_window_funnel",
+    "m13_label_propagation", "m13_louvain_dist", "g1_pagerank",
+    "g3_bfs_hops", "m12_knn_exact", "m12_snn_graph", "x5_ann_topk",
+    "x51_kmeans_ivf", "x83_bpe_train",
 ]
 # Ordering-only modules: their edits must not flood the stale set.
 # Semantic helpers living in registry (expr_df/events_df/load) are
@@ -273,15 +277,18 @@ def main() -> int:
             fresh.append((lg, q))
 
     front = list(FORCE_FRONT)
-    # Stale tail: most-recently-touched code first — fresh rewrites
-    # are the likeliest regression source and lag the most rounds if
-    # missed; old refactor flags spill to the next round's rotation.
-    for lg, q, touched in sorted(
-            stale, key=lambda t: (-t[2], t[0], order.index(t[1]))):
-        if q not in front:
-            front.append(q)
+    # Round-9 policy (round-8 verdict ask #4): after the forced
+    # rewrites, fill STRICTLY OLDEST-LEDGER-FIRST across stale and
+    # fresh alike — the r2/r3 tail is now three-plus rounds old by age
+    # alone and retiring it beats re-confirming merely-reachable
+    # staleness (the full 297-query oracle gate replicates locally
+    # every round; the driver ledger is what ages). Anything cut by
+    # the 50-slot cap re-fronts next round — its ledger only gets
+    # older.
+    ranked = ([(lg, q) for lg, q, _t in stale]
+              + [(lg, q) for lg, q in fresh])
     n_stale = len({q for _lg, q, _t in stale} | set(FORCE_FRONT))
-    for lg, q in sorted(fresh, key=lambda t: (t[0], order.index(t[1]))):
+    for lg, q in sorted(ranked, key=lambda t: (t[0], order.index(t[1]))):
         if len(front) >= SLOTS:
             break
         if q not in front:
@@ -301,10 +308,10 @@ def main() -> int:
         with open(gen, "w", encoding="utf-8") as fh:
             fh.write(
                 '"""GENERATED by tools/staleness.py — do not edit.\n\n'
-                "Driver-sample priority: stale-first (implementation "
-                "touched after the\nquery's last driver-green round, "
-                "or never sampled), then oldest-ledger\nregression "
-                "re-confirmation. Regenerate after any operator "
+                "Driver-sample priority: this round's forced rewrites "
+                "first, then\nstrictly oldest-driver-ledger rows "
+                "(stale and fresh alike) — ledger\nage is the debt "
+                "being retired. Regenerate after any operator "
                 "rewrite:\n\n    python tools/staleness.py --write\n"
                 '"""\n\nROUND8_PRIORITY = [\n')
             for q in front:
