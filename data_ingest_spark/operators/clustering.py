@@ -281,7 +281,9 @@ def louvain_distributed(edges: DataFrame, resolution: float = 0.5,
                   .select("id", F.coalesce("_new", "comm").alias("comm"),
                           "deg"))
         if (i + 1) % checkpoint_every == 0:
-            labels = labels.localCheckpoint()
+            # lazy: truncation rides the next round's job instead of a
+            # blocking per-cadence driver job (the LPA treatment)
+            labels = labels.localCheckpoint(eager=False)
 
     # canonical cluster id = min member id
     rep = labels.groupBy("comm").agg(F.min("id").alias("cluster"))

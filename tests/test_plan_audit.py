@@ -400,7 +400,13 @@ def test_round5_batch2_bounded_shuffles(spark):
     for name, max_sh in (("x134_charset_quality", 0),
                          ("x131_standardize_dims", 1),
                          ("e28_attribution", 3),
-                         ("g3_bfs_hops", 4),
+                         # r9: lazy frontier checkpoints keep all 8
+                         # relaxation rounds visible in the STATIC
+                         # plan (eager checkpoints used to hide the
+                         # earlier rounds inside their own jobs); the
+                         # runtime cost went DOWN (no blocking
+                         # per-cadence jobs, edge frame pinned+cached)
+                         ("g3_bfs_hops", 10),
                          ("x132_log_odds", 8),
                          ("x133_mannwhitney", 8),
                          ("x135_mutual_knn", 1),
