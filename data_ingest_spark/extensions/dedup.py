@@ -329,9 +329,13 @@ def dup_clusters(pairs: DataFrame, id_cols: tuple[str, str] = ("id_a", "id_b"),
         new_labels = (labels.join(nbr_min.withColumnRenamed("src", "id"),
                                   "id", "left")
                       .select("id", F.least("lbl", F.coalesce("_nm", "lbl"))
-                              .alias("lbl")))
+                              .alias("lbl"))
+                      # every round, lazily: labels(i) references
+                      # labels(i-1) twice (vote join + min-merge), so
+                      # a cadence-k barrier lets the plan tree grow
+                      # 2^k between checkpoints (the LPA finding)
+                      .localCheckpoint(eager=False))
         if (i + 1) % (check_every or checkpoint_every) == 0:
-            new_labels = new_labels.localCheckpoint()
             changed = (new_labels.alias("n")
                        .join(labels.alias("o"), "id")
                        .filter("n.lbl != o.lbl").count())

@@ -84,7 +84,7 @@ def pin_partitioning(df: DataFrame, key: str) -> DataFrame:
 
 
 def label_propagation(edges: DataFrame, max_iter: int = 10,
-                      checkpoint_every: int = 3) -> DataFrame:
+                      checkpoint_every: int = 1) -> DataFrame:
     """(id, cluster) — weighted LPA over the undirected SNN graph.
     Deterministic: ties break to the smallest label; initial label =
     own id. Each iteration is one shuffle keyed by node; the label
@@ -97,9 +97,13 @@ def label_propagation(edges: DataFrame, max_iter: int = 10,
     (lineage cut) → data-sized repartition → persist (the partitioning
     carrier; see the helper for why a checkpoint alone loses it under
     AQE) — so the per-round neighbor join only exchanges the
-    (node-sized) label frame, never the edge list. Periodic label
-    checkpoints are LAZY, so lineage truncation rides the next round's
-    job instead of paying a blocking driver job per checkpoint."""
+    (node-sized) label frame, never the edge list. Label checkpoints
+    are LAZY (truncation rides the next round's job, no blocking
+    driver job) and default to EVERY round: labels(i) references
+    labels(i-1) twice (the vote join and the keep-own-label
+    left-join), so a cadence-k checkpoint lets the plan tree grow 2^k
+    between barriers — cadence 1 measured 1.8 s vs cadence 3's
+    2.4-2.7 s at sf0.1, bit-identical output."""
     und = pin_partitioning(_undirect(edges), "dst")
     labels = und.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id"))
@@ -240,7 +244,14 @@ def louvain_distributed(edges: DataFrame, resolution: float = 0.5,
         # dst-side join below — every member of community C carries
         # cdeg(C). Sums are exact float64-held integers (pre-scaled
         # weights), so window-sum order cannot change the value.
-        labels_c = labels.withColumn("_cdeg", F.sum("deg").over(w_cdeg))
+        # labels_c feeds BOTH the neighbor join and the candidate join:
+        # without a barrier each round's plan embeds the prior labels
+        # subtree three times (once direct + twice via labels_c), 3^k
+        # growth between checkpoints; the lazy checkpoint computes the
+        # window once and flattens the tree (6.4 -> 3.8 s at sf0.1,
+        # bit-identical output).
+        labels_c = (labels.withColumn("_cdeg", F.sum("deg").over(w_cdeg))
+                    .localCheckpoint(eager=False))
         # neighbor-community weights per ELIGIBLE node
         nb = (und.filter(src_color == (i % 2))
               .join(labels_c.select(F.col("id").alias("dst"),

@@ -106,8 +106,10 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame,
                        (F.col("_sd") + 1).alias("d")))
         dist = (dist.unionByName(nbr)
                 .groupBy("id").agg(F.min("d").alias("d")))
-        if (i + 1) % 3 == 0:
-            dist = dist.localCheckpoint(eager=False)
+        # every round, lazily: dist(i) references dist(i-1) twice
+        # (union + relaxation join), so a cadence-k checkpoint lets
+        # the plan tree grow 2^k between barriers (the LPA finding)
+        dist = dist.localCheckpoint(eager=False)
     return dist.select("id", F.col("d").cast("long").alias("hops"))
 
 

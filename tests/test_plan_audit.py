@@ -517,7 +517,7 @@ def test_lpa_pagerank_edge_frame_partitioning_pinned(spark):
              .select((F.col("id") % 500).cast("string").alias("src"),
                      ((F.col("id") * 13) % 500).cast("string").alias("dst"),
                      F.lit(1.0).alias("snn_weight")))
-    out = cl.label_propagation(edges, max_iter=2)
+    out = cl.label_propagation(edges, max_iter=2, checkpoint_every=99)
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     lines = plan.splitlines()
