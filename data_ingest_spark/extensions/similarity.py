@@ -866,8 +866,11 @@ def power_iteration_pc1(emb: DataFrame, dim: int = 64, n_iters: int = 3,
              .select(F.col("j").alias("k"),
                      F.expr(f"(_u * {int(v_scale)}) div _m").alias("_v")))
         # (checkpoint_iterates=False keeps the fully lazy plan so the
-        # audit suite can inspect the covariance stage)
-        v = v.localCheckpoint() if checkpoint_iterates else v.persist()
+        # audit suite can inspect the covariance stage); the checkpoint
+        # is lazy — truncation rides the next round's job instead of a
+        # blocking 64-row driver job per iteration
+        v = (v.localCheckpoint(eager=False) if checkpoint_iterates
+             else v.persist())
     lead = (v.filter(F.col("_v") != 0).orderBy("k").limit(1)
             .select(F.signum(F.col("_v").cast("double"))
                     .cast("long").alias("_sgn")))

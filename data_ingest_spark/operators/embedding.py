@@ -312,7 +312,12 @@ def spectral_embedding_distributed(edges: DataFrame, n_iter: int = 30,
                         (u1 * F.pow(n1sq, F.lit(-0.5))).alias("v1"),
                         (u2 * F.pow(n2sq, F.lit(-0.5))).alias("v2")))
 
-    state = _orthonormalize(state).localCheckpoint()
+    # lazy per-round checkpoints (the LPA finding): _orthonormalize
+    # references its input twice (moment aggregation + the rescale
+    # select), so without a per-round barrier the plan tree doubles
+    # per round; lazy keeps the flattening without a blocking driver
+    # job per iteration.
+    state = _orthonormalize(state).localCheckpoint(eager=False)
     for _ in range(n_iter):
         nbr = (und.join(state.select(F.col("id").alias("dst"),
                                      F.col("v1").alias("_w1"),
@@ -326,7 +331,7 @@ def spectral_embedding_distributed(edges: DataFrame, n_iter: int = 30,
                           / F.col("deg")).alias("v1"),
                          (F.coalesce("s2", F.lit(0.0))
                           / F.col("deg")).alias("v2")))
-        state = _orthonormalize(state).localCheckpoint()
+        state = _orthonormalize(state).localCheckpoint(eager=False)
 
     # deterministic global sign: the smallest-id node among those with
     # |value| >= half the max is made positive — scalar lookups, never

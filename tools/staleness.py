@@ -54,7 +54,8 @@ SLOTS = 50
 FORCE_FRONT = [
     "m13_label_propagation", "m13_louvain_dist", "g1_pagerank",
     "g3_bfs_hops", "m12_knn_exact", "m12_snn_graph", "x5_ann_topk",
-    "x51_kmeans_ivf", "x83_bpe_train",
+    "x51_kmeans_ivf", "x83_bpe_train", "x125_entity_resolution",
+    "x99_power_pc1",
 ]
 # Ordering-only modules: their edits must not flood the stale set.
 # Semantic helpers living in registry (expr_df/events_df/load) are
