@@ -277,8 +277,12 @@ def main() -> int:
         "canary": canary,
         "spread": top_spread,
     }
+    # One raw file PER scale factor (bench_raw_sf0.1.json etc.): the
+    # scaling sweep runs this script once per SF dir, and a single
+    # filename would leave only the last leg's raw evidence.
+    label = os.path.basename(os.path.normpath(sf_dir))
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_raw.json"), "w") as fh:
+                           f"bench_raw_{label}.json"), "w") as fh:
         json.dump({"sf": sf, "canary": canary, "spread": spread,
                    "reps": raw}, fh, indent=1, sort_keys=True)
     print(json.dumps(record, separators=(",", ":")))

@@ -300,9 +300,11 @@ def dup_clusters(pairs: DataFrame, id_cols: tuple[str, str] = ("id_a", "id_b"),
     min of its own label and its neighbors' labels — one join + one
     groupBy per round, converging in O(component diameter) rounds
     (near-dup clusters are shallow: most are cliques from a shared
-    bucket). Lineage is truncated periodically like
-    clustering.label_propagation. ``check_every`` sets the
-    convergence-test cadence (default: the checkpoint cadence) —
+    bucket). Lineage is truncated lazily EVERY round (the label frame
+    is referenced twice per round, so any longer cadence grows the
+    plan tree 2^k between barriers); ``checkpoint_every`` therefore
+    only sets the DEFAULT convergence-test cadence. ``check_every``
+    overrides that cadence —
     shallow duplicate graphs converge in 2-3 rounds, so callers that
     know their components are flat (entity resolution, exact-dup
     stars) pass 1 and stop paying for rounds 3-5; each test is one

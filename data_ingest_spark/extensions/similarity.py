@@ -628,16 +628,21 @@ def cosine_topk_fixed_ivf(emb: DataFrame, queries: DataFrame, k: int = 5,
     corpus-sized shuffle is the final per-query rank window. Cosine is
     rounded to 6dp before ranking (cross-engine rank stability).
 
-    The PROBE table (|queries| × nprobe rows) is collected to the
-    driver and broadcast at plan-build time (an eager Spark job), so
-    it is ceiling-guarded: above ``max_driver_rows`` (default
-    ``guards.DRIVER_ROWS_CEILING``) it raises with a pointer at the
-    fully-distributed cell-join siblings."""
-    from data_ingest_spark.operators.guards import assert_driver_ceiling
+    The PROBE table (|queries| × nprobe rows, each carrying the full
+    query vector) is collected to the driver and broadcast at
+    plan-build time (an eager Spark job), so it is ceiling-guarded:
+    the guard divides the row ceiling (``max_driver_rows``, default
+    ``guards.DRIVER_ROWS_CEILING``) by ``nprobe`` — what lands on the
+    driver is the EXPLODED probe table, not the query table — and
+    raises with a pointer at the fully-distributed cell-join
+    siblings."""
+    from data_ingest_spark.operators.guards import (DRIVER_ROWS_CEILING,
+                                                    assert_driver_ceiling)
+    lim = DRIVER_ROWS_CEILING if max_driver_rows is None else max_driver_rows
     assert_driver_ceiling(
         queries, "broadcast-probe fixed-IVF ANN (cosine_topk_fixed_ivf)",
         "cosine_topk_ivf / cosine_topk_kmeans_ivf (distributed cell "
-        "joins) for corpus-sized query sets", max_driver_rows)
+        "joins) for corpus-sized query sets", max(lim // max(nprobe, 1), 1))
     cent = lloyd_centroids(emb, n_cells, n_iters, id_col, vec_col, scale)
     cents = cent.agg(F.collect_list(F.struct("cid", "ce")).alias("cents"))
     corpus = (emb.select(F.col(id_col).alias("neighbor_id"), vec_col,

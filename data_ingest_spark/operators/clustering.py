@@ -77,6 +77,16 @@ def pin_partitioning(df: DataFrame, key: str) -> DataFrame:
     - ``persist``: a CACHED plan's output partitioning IS preserved
       (``canChangeCachedPlanOutputPartitioning=false`` default), so
       consumers skip the exchange; this is the partitioning carrier.
+
+    Storage contract: this holds TWO copies of the frame for the
+    session (the checkpoint blocks — which must not be dropped, their
+    lineage is truncated — and the persisted repartition, which
+    recomputes FROM the checkpoint if evicted). Both are
+    MEMORY_AND_DISK, so the worst case is 2× the frame on disk, an
+    accepted cost for O(rounds) edge-sized exchanges saved; a caller
+    that is done with the returned frame can ``unpersist()`` it to
+    release the cached copy early (the bench harness evicts both
+    between queries).
     """
     ck = df.localCheckpoint()
     n = max(ck.rdd.getNumPartitions(), 1)

@@ -80,9 +80,11 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame,
     ``max_hops`` frontier-expansion rounds of min-distance relaxation:
     each round is one join keyed on the source node plus one groupBy
     min — linear shuffles in |edges|, no driver state, lineage cut
-    every 3 rounds (the pagerank cadence). Distances are exact small
-    integers, so every intermediate round is oracle-checkable; nodes
-    farther than ``max_hops`` (or disconnected) report NULL.
+    lazily EVERY round (dist(i) references dist(i-1) twice, so any
+    longer cadence grows the plan tree 2^k between barriers).
+    Distances are exact small integers, so every intermediate round is
+    oracle-checkable; nodes farther than ``max_hops`` (or
+    disconnected) report NULL.
 
     Returns ``(id, hops)`` over all nodes of the edge list.
     """

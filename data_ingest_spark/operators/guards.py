@@ -47,17 +47,20 @@ def assert_pair_ceiling(n_a: int, n_b: int, what: str, alternative: str,
 
 def assert_driver_ceiling(df: DataFrame, what: str, alternative: str,
                           ceiling: int | None = None) -> int:
-    """Count ``df`` and raise if it exceeds the driver-side ceiling.
+    """Count ``df`` (bounded) and raise if it exceeds the driver-side
+    ceiling.
 
-    Returns the row count (callers often want it anyway). The count is
-    one cheap aggregate on an input that is about to be collected
-    regardless — the guard never adds meaningful cost to the fallback
-    it protects."""
+    Returns the row count, saturated at ceiling+1: the count runs
+    under a ``limit(ceiling + 1)`` so the guard's cost is bounded even
+    when the input plan is expensive — an over-limit input is rejected
+    after producing just enough rows to prove it, not after a full
+    evaluation (no caller uses the exact count; they collect right
+    after, which is the real evaluation)."""
     lim = DRIVER_ROWS_CEILING if ceiling is None else ceiling
-    n = df.count()
+    n = df.limit(lim + 1).count()
     if n > lim:
         raise ValueError(
-            f"{what}: input has {n:,} rows, above the driver-side "
-            f"ceiling of {lim:,}. This is the sanctioned small-data "
+            f"{what}: input has more than {lim:,} rows, above the "
+            f"driver-side ceiling. This is the sanctioned small-data "
             f"fallback; for inputs this size use {alternative}.")
     return n

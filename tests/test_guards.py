@@ -110,16 +110,22 @@ def test_knn_exact_rejects_zero_norm_vectors(spark):
 
 def test_knn_exact_tie_dense_fallback_exact(spark):
     """Near-duplicate-heavy input inflates the float32 kept set past
-    the per-row cap; those rows must fall back to the exact full-row
+    the per-row cap (k=3 ⇒ cap = max(8k, k+64) = 67, so the corpus
+    must exceed 67 near-identical vectors for the branch to fire —
+    100 here); those rows must fall back to the exact full-row
     rescore and still return the oracle ranking (cosine desc @6dp,
-    dst asc) — pinned against a numpy brute-force mirror."""
+    dst asc) — pinned against a numpy brute-force mirror. A handful
+    of distinct vectors keeps the ordinary gather path exercised in
+    the SAME batch (mixed dense/non-dense rows)."""
     import numpy as np
     from data_ingest_spark.operators import neighbors as nb
     rng = np.random.default_rng(7)
+    n = 100
     base = rng.normal(size=4)
     vecs = [base + (1e-9 * rng.normal(size=4) if i % 2 else 0.0)
-            for i in range(40)]
-    ids = [f"d{i:02d}" for i in range(40)]
+            for i in range(n - 5)]
+    vecs += [rng.normal(size=4) for _ in range(5)]  # non-dense rows
+    ids = [f"d{i:03d}" for i in range(n)]
     df = spark.createDataFrame(
         [(i, v.tolist()) for i, v in zip(ids, vecs)],
         "barcode string, pc array<double>")
@@ -131,7 +137,7 @@ def test_knn_exact_tie_dense_fallback_exact(spark):
     sims = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
     np.fill_diagonal(sims, -np.inf)
     for i, src in enumerate(ids):
-        order = sorted(range(40), key=lambda j: (-sims[i, j], ids[j]))[:3]
+        order = sorted(range(n), key=lambda j: (-sims[i, j], ids[j]))[:3]
         for rk, j in enumerate(order, 1):
             assert out[(src, rk)] == (ids[j], sims[i, j]), (src, rk)
 
