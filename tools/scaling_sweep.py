@@ -25,6 +25,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 DEFAULT_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
                 "/root/testdata/sf0.1"]
@@ -37,7 +38,13 @@ def main() -> int:
     labels = [os.path.basename(os.path.normpath(d)) for d in dirs]
     results: dict[str, dict[str, float]] = {}
     canaries: dict[str, dict[str, float]] = {}
-    for sf, d in zip(labels, dirs):
+    for i, (sf, d) in enumerate(zip(labels, dirs)):
+        if i:
+            # let the previous leg's JVM teardown/GC drain before the
+            # next leg's canary reads "suite start" — the r9 final
+            # sweep's sf1 canary opened at 1.99 s vs 0.96 settled
+            # purely from the preceding leg's shutdown load
+            time.sleep(15)
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=d)
         out = subprocess.run(
             [sys.executable, os.path.join(repo, "bench.py")],
