@@ -502,46 +502,158 @@ def lloyd_step(emb: DataFrame, k: int = 4, id_col: str = "vec_id",
 
 def hard_negatives(emb: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding", label_col: str = "label",
-                   k: int = 1) -> DataFrame:
+                   k: int = 1,
+                   max_driver_rows: int | None = None) -> DataFrame:
     """Hard-negative mining for embedding/retriever training: for each
     vector, the ``k`` most-cosine-similar vectors carrying a DIFFERENT
     label — the negatives that actually move a contrastive loss.
     Returns ``(vec_id, neg_id, cosine, rank)``.
 
-    Brute variant (broadcast cross + rank window, exact); at corpus
-    scale swap the candidate generation for the LSH/IVF buckets in
-    this module — the ranking and label-exclusion logic is unchanged."""
-    dot = F.aggregate(F.zip_with("_va", "_vb", lambda x, y: x * y),
-                      F.lit(0.0), lambda a, x: a + x)
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
-    # norms are per-VECTOR, so compute them once per side before the
-    # cross join (3 folds per pair -> 1); dividing the dot by the same
-    # two sqrt values keeps the float path identical to the oracle's
-    # dot/(sqrt·sqrt) formula.
-    a = emb.select(F.col(id_col).alias("_ia"),
-                   F.col(label_col).alias("_la"),
-                   F.transform(F.col(vec_col),
-                               lambda x: x.cast("double")).alias("_va")
-                   ).withColumn("_na", norm(F.col("_va")))
-    b = emb.select(F.col(id_col).alias("_ib"),
-                   F.col(label_col).alias("_lb"),
-                   F.transform(F.col(vec_col),
-                               lambda x: x.cast("double")).alias("_vb")
-                   ).withColumn("_nb", norm(F.col("_vb")))
-    # rank on the ROUNDED similarity (the m12 kNN convention): raw
-    # doubles can differ in the last ulp across engines and flip
-    # near-tie ranks; 6dp + id tiebreak is deterministic everywhere.
-    cos = F.round(dot / (F.col("_na") * F.col("_nb")), 6)
-    w = W.partitionBy("_ia").orderBy(F.desc("_cos"), F.asc("_ib"))
-    return (a.join(F.broadcast(b), F.col("_la") != F.col("_lb"))
-            .withColumn("_cos", cos)
-            .withColumn("rank", F.row_number().over(w))
+    Exact variant via the ``cosine_topk`` broadcast-matrix shape: the
+    table (every vector is a query) is collected once, broadcast as
+    numpy, and the corpus streams through ONE BLAS-scored map stage
+    that masks same-label (and either-NULL-label, matching SQL
+    ``a.label <> b.label``) pairs and emits per-query per-partition
+    top-k partials; the shuffles are a corpus repartition feeding the
+    map (parallelism, not data movement) and the final rank window
+    over |corpus|·k·partitions rows. The previous broadcast-NLJ form
+    materialized every label-mismatched PAIR as a row and paid a
+    64-element interpreted fold per pair — ~300M pair rows and >12
+    min at the local sf1 probe (20k vectors); this form measures
+    6.0 s there. Rounding/tie-break contract unchanged: rank on
+    cosine at 6dp HALF_UP descending, neighbor id ascending.
+
+    The plan-build collect is ceiling-guarded like every sanctioned
+    driver materialization; above ``max_driver_rows`` (default
+    ``guards.DRIVER_ROWS_CEILING``) use the LSH/IVF bucketed
+    candidate generation in this module — the label-exclusion ranking
+    composes the same way."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from data_ingest_spark.operators.guards import assert_driver_ceiling
+    assert_driver_ceiling(
+        emb.select(id_col), "broadcast-table hard-negative mining "
+        "(hard_negatives)",
+        "cosine_topk_lsh / cosine_topk_ivf bucketed candidates + a "
+        "label-exclusion rank for corpus-sized inputs", max_driver_rows)
+    q_tbl = (emb.select(F.col(id_col).alias("_qid"),
+                        F.col(label_col).alias("_qlab"),
+                        _dvec(F.col(vec_col)).alias("_qv"))
+             .toArrow())
+    spark = emb.sparkSession
+    id_type = emb.schema[id_col].dataType
+    out_schema = StructType([
+        StructField(id_col, id_type),
+        StructField("neg_id", id_type),
+        StructField("cosine", DoubleType()),
+    ])
+    qids = np.asarray(q_tbl.column("_qid").to_pylist())
+    qlab_cat = pd.Categorical(q_tbl.column("_qlab").to_pylist())
+    nq = len(qids)
+    if not nq:
+        return spark.createDataFrame([], out_schema).withColumn(
+            "rank", F.lit(1).cast("int"))
+    qflat = np.asarray(q_tbl.column("_qv").combine_chunks().flatten(),
+                       dtype=np.float64)
+    qmat = qflat.reshape(nq, -1)
+    q_norms = np.sqrt((qmat * qmat).sum(axis=1))
+    # labels as int codes (NULL -> -1): the mask compare below is then
+    # a C int broadcast, not |batch|x|nq| Python-object __eq__ calls.
+    # The categories are complete (the q side IS the full table), so a
+    # corpus label never falls outside them.
+    qcodes = np.asarray(qlab_cat.codes, dtype=np.int32)
+    bc = spark.sparkContext.broadcast(
+        (qids, qcodes, list(qlab_cat.categories), qmat, q_norms))
+    kk = k
+
+    def fn(batches):
+        qids_, qcodes_, qcats_, qmat_, qn_ = bc.value
+        qnull_ = qcodes_ < 0
+        qinv_ = 1.0 / qn_
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nids = pdf["_nid"].to_numpy()
+            ncodes = np.asarray(
+                pd.Categorical(pdf["_nlab"], categories=qcats_).codes,
+                dtype=np.int32)
+            nnull = ncodes < 0
+            m = np.stack(pdf["_nv"].values).astype(np.float64, copy=False)
+            inv_mn = 1.0 / np.sqrt((m * m).sum(axis=1))
+            rows = m.shape[0]
+            take = min(kk, rows)
+            # query columns in chunks: bounds the sim tile at
+            # rows x 4096 however large the (corpus-sized) query
+            # matrix is
+            for c0 in range(0, len(qids_), 4096):
+                c1 = min(c0 + 4096, len(qids_))
+                sim = m @ qmat_[c0:c1].T            # (rows, chunk)
+                sim *= inv_mn[:, None]
+                sim *= qinv_[None, c0:c1]
+                # HALF_UP 6dp BEFORE ranking (module convention):
+                # sign*floor(|x|*1e6 + 0.5)/1e6, with the sign carried
+                # as a bool mask + masked negate (np.sign materializes
+                # a full float tile and is pathologically slow in this
+                # numpy build — measured 14 s on an 82M tile vs 0.2 s
+                # for the compare)
+                neg = sim < 0
+                np.abs(sim, out=sim)
+                sim *= 1e6
+                sim += 0.5
+                np.floor(sim, out=sim)
+                sim /= 1e6
+                np.negative(sim, out=sim, where=neg)
+                # SQL `a.label <> b.label`: equal labels AND NULL-on-
+                # either-side pairs are not candidates. Zero-norm
+                # vectors (NaN cosine) are cleaned to -inf here too so
+                # the argmax scan below never sees a NaN (numpy argmax
+                # treats NaN as maximal, which would poison whole
+                # columns).
+                sim[(ncodes[:, None] == qcodes_[None, c0:c1])
+                    | nnull[:, None] | qnull_[None, c0:c1]
+                    | ~np.isfinite(sim)] = -np.inf
+                # Per-query-column top-k SUPERSET: `take` rounds of
+                # argmax-and-blank (argmax is a fast streaming
+                # reduction; this build's argpartition/argsort run at
+                # ~4M elts/s and dominated the first cut of this
+                # rewrite), then keep every row with sim >= the
+                # take-th value. Boundary ties are all kept — the
+                # final rank window applies the exact (cosine desc,
+                # id asc) order, so partials only need to be
+                # supersets. Blanked cells are restored before the
+                # final compare.
+                cols = np.arange(c1 - c0)
+                hits, kth = [], None
+                for _ in range(take):
+                    am = np.argmax(sim, axis=0)
+                    kth = sim[am, cols]
+                    hits.append((am, kth.copy()))
+                    sim[am, cols] = -np.inf
+                for am, vals in hits:
+                    sim[am, cols] = vals
+                mask = sim >= kth[None, :]
+                mask &= sim > -np.inf
+                ri, ci = np.nonzero(mask)
+                yield pd.DataFrame({
+                    id_col: qids_[c0 + ci],
+                    "neg_id": nids[ri],
+                    "cosine": sim[ri, ci]})
+
+    # Spread the corpus scan to full parallelism before the scored
+    # map (the knn_exact r8 lesson: a small parquet arrives as 1-2
+    # splits, and O(N·Q) scoring on one core is the whole wall —
+    # 127 s vs ~8 s at the local sf1 probe). The exchange carries
+    # only (id, label, vector) rows, negligible next to the scoring
+    # it parallelizes.
+    partials = (emb.select(F.col(id_col).alias("_nid"),
+                           F.col(label_col).alias("_nlab"),
+                           _dvec(F.col(vec_col)).alias("_nv"))
+                .repartition(spark.sparkContext.defaultParallelism)
+                .mapInPandas(fn, out_schema))
+    w = W.partitionBy(id_col).orderBy(F.desc("cosine"), F.asc("neg_id"))
+    return (partials.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .select(F.col("_ia").alias(id_col),
-                    F.col("_ib").alias("neg_id"),
-                    F.col("_cos").alias("cosine"),
-                    F.col("rank").cast("int").alias("rank")))
+            .withColumn("rank", F.col("rank").cast(IntegerType())))
 
 
 def _fixed_vec(col, scale: int):

@@ -260,14 +260,15 @@ def test_bpe_and_lloyd_broadcast_and_bounded_shuffles(spark):
 
 def test_round3b_batch2_bounded_shuffles(spark):
     """x85-x88 + the MNN anchors stay within their pinned exchange
-    budgets; the hard-negative and anchor cross joins broadcast the
-    reference side instead of shuffling it."""
+    budgets. x87 uses the cosine_topk broadcast-MATRIX shape (a
+    sparkContext broadcast feeding mapInPandas — no join node at all;
+    its one exchange is the final rank window), so only the anchor
+    cross join still pins a broadcast-join node."""
     for name, max_sh in (("x85_length_buckets", 1), ("x86_soft_dedup", 2),
-                         ("x87_hard_negatives", 1), ("x88_ngram_novelty", 4),
+                         ("x87_hard_negatives", 2), ("x88_ngram_novelty", 4),
                          ("m9_mnn_anchors", 2)):
         assert shuffle_count(q(spark, name)) <= max_sh, name
-    for name in ("x87_hard_negatives", "m9_mnn_anchors"):
-        assert broadcast_join_count(q(spark, name)) >= 1, name
+    assert broadcast_join_count(q(spark, "m9_mnn_anchors")) >= 1
 
 
 def test_round4_batch_bounded_shuffles(spark):
