@@ -56,6 +56,8 @@ FORCE_FRONT = [
     "g3_bfs_hops", "m12_knn_exact", "m12_snn_graph", "x5_ann_topk",
     "x51_kmeans_ivf", "x83_bpe_train", "x125_entity_resolution",
     "x99_power_pc1",
+    # round-9 late rewrite: hard_negatives broadcast-matrix scoring
+    "x87_hard_negatives",
 ]
 # Ordering-only modules: their edits must not flood the stale set.
 # Semantic helpers living in registry (expr_df/events_df/load) are
