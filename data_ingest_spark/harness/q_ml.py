@@ -66,6 +66,39 @@ def _emb_knn(spark, sf, k: int = 10, cached: bool = False):
                         stage_key=key)
 
 
+def _emb_snn_scaled(spark, sf, k: int = 10):
+    """Scaled SNN edge list staged PER SESSION under the embeddings
+    content key — the second half of the Seurat ``@graphs`` pattern
+    (FindNeighbors stores both the kNN and the pruned SNN graph on the
+    object; configureEmbedding.r:111-115). The clustering consumers
+    (LPA, distributed Louvain) read the one staged copy; the producer
+    query (m12_snn_graph) deliberately does NOT use it, so its bench
+    number keeps measuring the SNN self-join itself. The stage path
+    embeds the Spark application id, so nothing is reused across
+    bench/oracle invocations — every run computes from the parquet
+    inputs."""
+    import os
+    import re
+    import tempfile
+    from data_ingest_spark.operators import neighbors as nb
+    knn = _emb_knn(spark, sf, k=k, cached=True)
+    snn = nb.snn_graph(knn, k=k).withColumn(
+        "snn_weight",
+        F.round(F.col("snn_weight") * _LPA_SCALE).cast("double"))
+    try:
+        st = os.stat(os.path.join(sf, "embeddings.parquet"))
+        key = f"embsnn_{sf}_{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        return snn
+    app = spark.sparkContext.applicationId
+    safe = re.sub(r"[^A-Za-z0-9_.-]", "_", f"{key}_{app}")
+    path = os.path.join(tempfile.gettempdir(), f"snn_stage_{safe}",
+                        f"snn_k{k}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        snn.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def _emb_pc_cols(spark, sf, dim: int = 64):
     emb = _emb_pc_arr(spark, sf)
     cols = [F.col("pc").getItem(i).alias(f"pc_{i}") for i in range(dim)]
@@ -153,12 +186,9 @@ WITH {_KNN_EDGES_SQL},
 def q_label_propagation(spark, sf):
     """Weighted LPA, 5 rounds, integer-scaled votes (see _LPA_SCALE).
     Fully oracle-checked: the DuckDB side unrolls the same 5 rounds."""
-    from data_ingest_spark.operators import clustering as cl, neighbors as nb
-    knn = _emb_knn(spark, sf, k=10, cached=True)
-    snn = nb.snn_graph(knn, k=10).withColumn(
-        "snn_weight",
-        F.round(F.col("snn_weight") * _LPA_SCALE).cast("double"))
-    return cl.label_propagation(snn, max_iter=5)
+    from data_ingest_spark.operators import clustering as cl
+    return cl.label_propagation(_emb_snn_scaled(spark, sf, k=10),
+                                max_iter=5)
 
 
 def _pagerank_oracle_sql(iters: int = 5) -> str:
@@ -292,12 +322,9 @@ def q_louvain_dist(spark, sf):
     rounds on the integer-scaled SNN graph (see _LPA_SCALE — exact
     float64 integers make the modularity gains bit-identical). The
     scale path for FindClusters(algorithm=1)."""
-    from data_ingest_spark.operators import clustering as cl, neighbors as nb
-    knn = _emb_knn(spark, sf, k=10, cached=True)
-    snn = nb.snn_graph(knn, k=10).withColumn(
-        "snn_weight",
-        F.round(F.col("snn_weight") * _LPA_SCALE).cast("double"))
-    return cl.louvain_distributed(snn, resolution=0.5, max_iter=8)
+    from data_ingest_spark.operators import clustering as cl
+    return cl.louvain_distributed(_emb_snn_scaled(spark, sf, k=10),
+                                  resolution=0.5, max_iter=8)
 
 
 # (m2_doublet_scores — the applyInPandas small-sample fallback twin —

@@ -232,10 +232,18 @@ def louvain_distributed(edges: DataFrame, resolution: float = 0.5,
     # — never the (edge-sized) und. At |E| >> |V| scale this removes
     # the dominant per-round shuffle.
     und = pin_partitioning(_undirect(edges), "dst")
-    # deg + m2 once; both are reused every round.
+    # 2m is a SCALAR: collect it once at build (one tiny aggregate over
+    # the pinned edge cache — Σ und weights ≡ Σ node degrees, and the
+    # weights are integer-valued float64 so the sum is order-exact)
+    # instead of broadcast-joining a 1-row frame into every round's
+    # candidate frame (the r8 form paid one AQE broadcast stage × 8
+    # rounds for it). deg itself is NOT checkpointed separately any
+    # more: its only remaining consumer is the round-0 labels frame,
+    # whose own checkpoint at the end of round 1 truncates the lineage
+    # — the separate eager checkpoint was one more blocking driver job.
+    m2_val = float(und.agg(F.sum("snn_weight")).collect()[0][0] or 0.0)
     deg = und.groupBy(F.col("src").alias("id")).agg(
-        F.sum("snn_weight").alias("deg")).localCheckpoint()
-    m2 = deg.agg(F.sum("deg").alias("_m2"))  # 1-row, broadcast below
+        F.sum("snn_weight").alias("deg"))
     # 2-coloring hash: first 8 md5 hex chars as an int (not crc32 —
     # md5 is the one stable hash every SQL engine shares, so an oracle
     # can replay the identical color classes). The color is a PURE
@@ -245,34 +253,50 @@ def louvain_distributed(edges: DataFrame, resolution: float = 0.5,
     src_color = (F.conv(F.substring(F.md5(F.col("src").cast("string")),
                                     1, 8), 16, 10).cast("long") % 2)
     labels = deg.select("id", F.col("id").alias("comm"), "deg")
-    w_cdeg = W.partitionBy("comm")
 
     for i in range(max_iter):
-        # Community degree rides the labels frame as a window sum (one
-        # exchange by comm) instead of a groupBy + re-join (two); the
-        # NEIGHBOR community's degree then arrives for free through the
-        # dst-side join below — every member of community C carries
-        # cdeg(C). Sums are exact float64-held integers (pre-scaled
-        # weights), so window-sum order cannot change the value.
-        # labels_c feeds BOTH the neighbor join and the candidate join:
-        # without a barrier each round's plan embeds the prior labels
-        # subtree three times (once direct + twice via labels_c), 3^k
-        # growth between checkpoints; the lazy checkpoint computes the
-        # window once and flattens the tree (6.4 -> 3.8 s at sf0.1,
-        # bit-identical output).
-        labels_c = (labels.withColumn("_cdeg", F.sum("deg").over(w_cdeg))
-                    .localCheckpoint(eager=False))
-        # neighbor-community weights per ELIGIBLE node
+        # Community degree as a map-side-combined groupBy(comm) joined
+        # back (r9 rewrite of the r8 window form): the window exchanged
+        # every |V|-row label across the cluster per round, the groupBy
+        # partial-aggregates to |C| rows before its exchange and the
+        # join back is unhinted — AQE broadcasts the (shrinking)
+        # community-degree table locally and falls back to a shuffled
+        # join when |C| is cluster-scale. Sums are exact float64-held
+        # integers (pre-scaled weights) either way, so the value cannot
+        # depend on aggregation order or join strategy.
+        cdeg = labels.groupBy("comm").agg(F.sum("deg").alias("_cdeg"))
+        # ONE shared projection for both consumers below: the neighbor
+        # join takes it by condition (dst == id) instead of a renamed
+        # copy, so both joins' build subtrees are canonically identical
+        # and AQE's stage cache materializes ONE broadcast per round
+        # instead of two.
+        labels_c = labels.join(cdeg, "comm").select("id", "comm", "deg",
+                                                    "_cdeg")
+        # Neighbor-community weights per ELIGIBLE node. ONE exchange
+        # serves both the vote aggregate and the best-move window
+        # below: repartition("src") clusters the joined votes by node,
+        # the groupBy(src, _nc) then needs no further exchange
+        # (hash(src) already clusters (src, _nc)) and the rank window
+        # partitioned by the same key rides it too. The r8 form paid
+        # two exchanges here (hash(src,_nc) for the combine, hash(id)
+        # for the window); the single raw-vote exchange carries the
+        # joined edge rows once instead of the combined votes twice —
+        # at k≈10 neighbors with few distinct labels the byte totals
+        # are comparable and the round loses a full stage barrier.
         nb = (und.filter(src_color == (i % 2))
-              .join(labels_c.select(F.col("id").alias("dst"),
-                                    F.col("comm").alias("_nc"),
-                                    F.col("_cdeg").alias("_ncdeg")), "dst")
+              .join(labels_c, F.col("dst") == labels_c["id"])
+              .select(F.col("src"), F.col("snn_weight"),
+                      F.col("comm").alias("_nc"),
+                      F.col("_cdeg").alias("_ncdeg"))
+              .repartition("src")
               .groupBy(F.col("src").alias("id"), F.col("_nc"))
               .agg(F.sum("snn_weight").alias("_w"),
                    F.first("_ncdeg").alias("_ncdeg")))
         cand = (
-            nb.join(labels_c.select("id", "comm", "deg"), "id")
-              .crossJoin(F.broadcast(m2))
+            # consume the SAME labels_c subtree as the neighbor join
+            # (no narrowing Project) so the broadcast is built once;
+            # the extra _cdeg column is dropped by the final select.
+            nb.join(labels_c, "id")
               .withColumn(
                   "_cdeg_adj",
                   F.when(F.col("_nc") == F.col("comm"),
@@ -286,11 +310,12 @@ def louvain_distributed(edges: DataFrame, resolution: float = 0.5,
               .withColumn(
                   "_gain",
                   F.col("_w") - F.lit(resolution) * F.col("deg")
-                  * F.col("_cdeg_adj") / F.col("_m2"))
+                  * F.col("_cdeg_adj") / F.lit(m2_val))
         )
         # best positive move per eligible node, tie-break to the
-        # smallest community id; the window reuses the id partitioning
-        # of the join just above — no extra exchange.
+        # smallest community id; the window reuses the hash(src=id)
+        # partitioning established by the repartition above — no
+        # extra exchange.
         w_best = W.partitionBy("id").orderBy(F.desc("_gain"), F.asc("_nc"))
         best = (
             cand.filter(F.col("_gain") > 1e-12)
@@ -301,10 +326,17 @@ def louvain_distributed(edges: DataFrame, resolution: float = 0.5,
         labels = (labels.join(best, "id", "left")
                   .select("id", F.coalesce("_new", "comm").alias("comm"),
                           "deg"))
-        if (i + 1) % checkpoint_every == 0:
-            # lazy: truncation rides the next round's job instead of a
-            # blocking per-cadence driver job (the LPA treatment)
-            labels = labels.localCheckpoint(eager=False)
+        # ONE plan (and one lazy checkpoint) per round, cadence 1: the
+        # r8 form checkpointed labels_c separately every round AND
+        # labels every 2 rounds — two AdaptiveSparkPlan executions per
+        # round, each materializing its own stage set. With labels
+        # checkpointed each round the per-round plan references the
+        # prior checkpoint a bounded 3× (direct + twice via labels_c)
+        # and the shared cdeg exchange is AQE-stage-cache reused, so
+        # the tree stays flat without the second barrier (measured:
+        # 115 → ~60 AQE stage jobs per execution at sf0.1,
+        # bit-identical output).
+        labels = labels.localCheckpoint(eager=False)
 
     # canonical cluster id = min member id
     rep = labels.groupBy("comm").agg(F.min("id").alias("cluster"))
