@@ -57,20 +57,40 @@ def _deletion_keys(col: F.Column, depth: int = 1) -> F.Column:
 
 def _deletion_rows(vals: DataFrame, col: str, depth: int) -> DataFrame:
     """``(value, _kv)`` deletion-variant rows via an Arrow map stage —
-    the identical key set as ``explode(_deletion_keys(...))`` (which
-    Spark evaluates as an INTERPRETED higher-order expression: 5.1 s
-    for 1.6M depth-2 keys at sf0.1 vs ~1 s here). Python string
-    slicing per distinct value, set-deduped like array_union."""
+    the identical key set as ``explode(_deletion_keys(...))`` over the
+    distinct values (which Spark evaluates as an INTERPRETED
+    higher-order expression: 5.1 s for 1.6M depth-2 keys at sf0.1 vs
+    ~1 s here). Python string slicing per distinct value, set-deduped
+    like array_union.
+
+    Parallelism + dedup in ONE exchange: the raw (possibly duplicated)
+    values are hash-repartitioned by value to an EXPLICIT
+    ``defaultParallelism`` task count, and the generator skips values
+    it has already expanded via a per-task seen-set — hash partitioning
+    puts every copy of a value in the same task, so the local skip IS
+    a global distinct. The former ``.distinct()`` + repartition pair
+    could never parallelize: the repartition (same key, same count) is
+    optimizer-collapsed into the distinct's exchange, which AQE then
+    coalesces to 1-2 tasks on kilobyte-sized shuffles, serializing the
+    ≈ n²/2-per-value expansion while every other core idles. The
+    explicit-count repartition is AQE-coalesce-proof; the seen-set is
+    bounded by the task's distinct values (vocabulary-scale)."""
     from pyspark.sql.types import StringType, StructField, StructType
 
     schema = StructType([StructField(col, StringType()),
                          StructField("_kv", StringType())])
+    n_part = vals.sparkSession.sparkContext.defaultParallelism
+    vals = vals.repartition(n_part, F.col(col))
 
     def gen(batches):
         import pandas as pd
+        seen: set = set()
         for pdf in batches:
             out_v, out_k = [], []
             for s0 in pdf[col]:
+                if s0 in seen:
+                    continue
+                seen.add(s0)
                 n = len(s0)
                 ks = {s0}
                 for i in range(n):
@@ -104,10 +124,10 @@ def fuzzy_join(left: DataFrame, right: DataFrame, col: str,
             "deletion blocking is implemented for max_dist 1 and 2")
     ren = {c: c + suffix for c in right.columns}
     rcol = ren[col]
-    lvals = (_deletion_rows(left.select(col).distinct(), col, max_dist)
+    lvals = (_deletion_rows(left.select(col), col, max_dist)
              .select(col, F.xxhash64("_kv").alias("_k")))
-    rvals = (_deletion_rows(right.select(F.col(col).alias(rcol))
-                            .distinct(), rcol, max_dist)
+    rvals = (_deletion_rows(right.select(F.col(col).alias(rcol)),
+                            rcol, max_dist)
              .select(rcol, F.xxhash64("_kv").alias("_k")))
     matched = (lvals.join(rvals, "_k")
                .select(col, rcol).distinct()

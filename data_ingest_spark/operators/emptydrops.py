@@ -156,15 +156,21 @@ def empty_drops(expr: DataFrame, lower: float = 100.0,
     """
     totals = expr.groupBy("sample", "barcode").agg(F.sum("count").alias("_t"))
     cells_bc = totals.filter(F.col("_t") > lower).select("sample", "barcode")
-    gene_all = expr.groupBy("sample", "gene").agg(
-        F.sum("count").alias("_g_all"))
-    gene_cells = (
-        expr.join(cells_bc, ["sample", "barcode"])
-        .groupBy("sample", "gene")
-        .agg(F.sum("count").alias("_g_cells"))
-    )
+    # ONE conditional aggregation replaces the former two corpus-wide
+    # passes (gene totals, then gene totals over the joined cell
+    # slice, then an outer join of the two): left-join the small
+    # non-ambient barcode list (AQE broadcasts it) and split each
+    # (sample, gene) sum by the flag in the same map-side combine.
+    # amb = all − cells stays exact integer arithmetic; the saved
+    # corpus scan + gene-keyed shuffle is the dominant cost at scale.
+    flagged = expr.join(
+        cells_bc.withColumn("_is_cell", F.lit(1)),
+        ["sample", "barcode"], "left")
     weights = (
-        gene_all.join(gene_cells, ["sample", "gene"], "left")
+        flagged.groupBy("sample", "gene")
+        .agg(F.sum("count").alias("_g_all"),
+             F.sum(F.when(F.col("_is_cell") == 1, F.col("count")))
+             .alias("_g_cells"))
         .select("sample", "gene",
                 (F.col("_g_all") - F.coalesce(F.col("_g_cells"), F.lit(0))
                  + F.lit(alpha)).alias("w"))

@@ -274,6 +274,25 @@ def test_fuzzy_join_distance_two_semantics(spark):
     assert got == want
 
 
+def test_deletion_rows_dedup_and_parallelism(spark):
+    """The r9 rewrite moved the value-distinct INTO the map task (a
+    per-task seen-set over hash-partitioned input) so the expansion
+    parallelizes: duplicated input values must still yield exactly one
+    (value, _kv) row set, and the map stage must run on the explicit
+    defaultParallelism partition count (not an AQE-coalesced 1)."""
+    from data_ingest_spark.extensions.fuzzy import _deletion_rows
+
+    df = spark.createDataFrame(
+        [("abc",)] * 5 + [("xy",)] * 3 + [("q",)], "name string")
+    out = _deletion_rows(df, "name", 2)
+    rows = out.collect()
+    assert len(rows) == len(set((r["name"], r["_kv"]) for r in rows))
+    got = {r["_kv"] for r in rows if r["name"] == "abc"}
+    assert got == {"abc", "ab", "ac", "bc", "a", "b", "c"}
+    assert (out.rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism)
+
+
 def test_audio_features_known_values(spark):
     from data_ingest_spark.extensions import multimodal as mm
     # bytes [100, 156, 100]: centered [-28, 28, -28] -> 2 crossings,
