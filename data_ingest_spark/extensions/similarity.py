@@ -289,8 +289,11 @@ def cosine_topk_kmeans_ivf(emb: DataFrame, query_ids: list[int],
             probe_rows.append((r["query_id"], list(map(float, v)),
                                int(cell)))
     spark = emb.sparkSession
-    probes = spark.createDataFrame(
-        probe_rows, f"query_id long, query_vec array<double>, ivf_cell int")
+    from data_ingest_spark.functions.localrel import arrow_local_df
+    probes = arrow_local_df(
+        spark, probe_rows,
+        "query_id long, query_vec array<double>, ivf_cell int",
+        ["query_id", "query_vec", "ivf_cell"])
 
     scored = with_cosine(
         assigned.select(F.col(id_col).alias("neighbor_id"),

@@ -63,9 +63,11 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256,
     else:
         hk = v.orderBy("_h").limit(k).agg(F.max("_h")).collect()[0][0]
         est_val = (k - 1) / (hk / TWO_60)
-    return df.sparkSession.createDataFrame(
-        [(int(nd), round(est_val, 6))],
-        "n_distinct_exact long, kmv_estimate double")
+    from data_ingest_spark.functions.localrel import arrow_local_df
+    return arrow_local_df(
+        df.sparkSession, [(int(nd), round(est_val, 6))],
+        "n_distinct_exact long, kmv_estimate double",
+        ["n_distinct_exact", "kmv_estimate"])
 
 
 def hll_distinct(df: DataFrame, col: str,

@@ -1227,9 +1227,11 @@ def vocab_coverage(df: DataFrame, text_col: str = "text",
               .select((rmap[F.col("_c")] + F.col("_lr")).alias("_rank"),
                       (mmap[F.col("_c")] + F.col("_lr") * F.col("_c"))
                       .alias("_mass")))
-    targets = df.sparkSession.createDataFrame(
+    from data_ingest_spark.functions.localrel import arrow_local_df
+    targets = arrow_local_df(
+        df.sparkSession,
         [(int(p), (total * int(p) + 99) // 100) for p in pcts],
-        "pct long, _need long")
+        "pct long, _need long", ["pct", "_need"])
     return (ranked.join(F.broadcast(targets),
                         F.col("_mass") >= F.col("_need"))
             .groupBy("pct")

@@ -74,9 +74,10 @@ def cell_size_distribution(exp: Experiment, config: dict) -> StepResult:
     thr = cfg["minCellSize"]
     if isinstance(thr, dict):
         spark = exp.cells.sparkSession
-        thr_df = spark.createDataFrame(
-            [(s, float(v)) for s, v in thr.items()],
-            "sample string, _thr double")
+        from data_ingest_spark.functions.localrel import arrow_local_df
+        thr_df = arrow_local_df(
+            spark, [(s, float(v)) for s, v in thr.items()],
+            "sample string, _thr double", ["sample", "_thr"])
         kept = (exp.cells.join(F.broadcast(thr_df), "sample")
                 .filter(F.col("nCount_RNA") >= F.col("_thr")).drop("_thr"))
     else:
@@ -142,9 +143,10 @@ def doublet_scores_step(exp: Experiment, config: dict) -> StepResult:
     thr = cfg["probabilityThreshold"]
     if isinstance(thr, dict):
         spark = exp.cells.sparkSession
-        thr_df = spark.createDataFrame(
-            [(s, float(v)) for s, v in thr.items()],
-            "sample string, _thr double")
+        from data_ingest_spark.functions.localrel import arrow_local_df
+        thr_df = arrow_local_df(
+            spark, [(s, float(v)) for s, v in thr.items()],
+            "sample string, _thr double", ["sample", "_thr"])
         kept = (exp.cells.join(F.broadcast(thr_df), "sample")
                 .filter(F.col("doublet_scores") <= F.col("_thr"))
                 .drop("_thr"))

@@ -560,3 +560,25 @@ def test_round7_batch_bounded_shuffles(spark):
     # x155: the bench position set must reach the corpus via a
     # broadcast join, never a shuffle join
     assert broadcast_join_count(q(spark, "x155_bloom_decontam")) >= 1
+
+
+def test_arrow_local_relations_never_touch_python(spark):
+    """Round-9 pin: small driver-built tables must enter plans as
+    Arrow LocalTableScan relations, not as pickled-list RDD scans —
+    the list form pays one Python-worker round-trip per slice on
+    EVERY action over the table (~4.5 s of executor time per noop
+    save of an 8-row table on local[32], measured). Covers the shared
+    helper and the two hottest call sites (the BPE merge table and
+    the IVF probe list build their frames through it)."""
+    from data_ingest_spark.functions.localrel import arrow_local_df
+
+    df = arrow_local_df(spark, [(1, "a"), (2, "b")],
+                        "id long, v string", ["id", "v"])
+    plan = physical_plan(df)
+    assert "LocalTableScan" in plan or "Scan OneRowRelation" in plan
+    assert "ExistingRDD" not in plan
+    assert df.collect() == [(1, "a"), (2, "b")]
+    # empty input keeps the declared schema
+    empty = arrow_local_df(spark, [], "id long, v string", ["id", "v"])
+    assert empty.schema.simpleString() == "struct<id:bigint,v:string>"
+    assert empty.count() == 0
