@@ -37,13 +37,13 @@ DENSITY_BOUND = {
     "x69_containment": 26.0,        # Σ df² grows ~88× on 30-word vocab
     "x140_simhash_neardup": 25.0,   # 16-bit simhash saturates at 55k docs
     "x141_fellegi_sunter": 25.0,    # Σ|block|² by contract
-    "x90_fuzzy_join2": 15.0,        # deletion-key candidates Σ|block|²
     "m9_integrate_exact": 24.0,     # deliberately exact O(|q|·|r|) anchor
-    # verify volume on the low-entropy corpus; measured 8.2 and 16.9
-    # across two same-code sweeps (the sf1 leg of the second started
-    # on a loaded host — canary start 1.99 s vs 0.96 settled), so the
-    # bound covers the real ratio plus that measured noise band
-    "x130_ppjoin": 22.0,
+    # Removed r9: x90_fuzzy_join2 (the round-9 in-task-dedup rewrite
+    # parallelized the deletion-key expansion; step ratio 8.0 → 1.78,
+    # genuinely linear now) and x130_ppjoin (measured 4.75 this sweep;
+    # its r8 8.2/16.9 readings were host-noise — if a future loaded
+    # host pushes it past the generic bound again, re-add with the
+    # df-cap dial named, per the failure message's workflow).
 }
 
 
