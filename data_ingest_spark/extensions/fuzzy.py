@@ -88,7 +88,10 @@ def _deletion_rows(vals: DataFrame, col: str, depth: int) -> DataFrame:
         for pdf in batches:
             out_v, out_k = [], []
             for s0 in pdf[col]:
-                if s0 in seen:
+                # null keys can never match (equality join + null
+                # levenshtein), so skip them instead of crashing the
+                # stage on len(None)
+                if s0 is None or s0 in seen:
                     continue
                 seen.add(s0)
                 n = len(s0)

@@ -30,5 +30,17 @@ def arrow_local_df(spark: SparkSession, rows: list, schema: str,
     lists thereof)."""
     import pandas as pd
 
+    # The whole point of this helper is the Arrow conversion path; if
+    # the session has Arrow off the createDataFrame below silently
+    # degrades to the pickled-RDD path (Scan ExistingRDD) the helper
+    # exists to avoid. Fail loudly instead of quietly regressing.
+    if str(spark.conf.get("spark.sql.execution.arrow.pyspark.enabled",
+                          "false")).lower() != "true":
+        raise RuntimeError(
+            "arrow_local_df requires "
+            "spark.sql.execution.arrow.pyspark.enabled=true (the "
+            "session builder in data_ingest_spark.session sets it); "
+            "without it every action pays one Python round-trip per "
+            "slice of this local relation.")
     pdf = pd.DataFrame(rows, columns=columns)
     return spark.createDataFrame(pdf, schema=schema)

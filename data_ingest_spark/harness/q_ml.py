@@ -78,9 +78,8 @@ def _emb_snn_scaled(spark, sf, k: int = 10):
     bench/oracle invocations — every run computes from the parquet
     inputs."""
     import os
-    import re
-    import tempfile
     from data_ingest_spark.operators import neighbors as nb
+    from data_ingest_spark.operators import staging
     knn = _emb_knn(spark, sf, k=k, cached=True)
     snn = nb.snn_graph(knn, k=k).withColumn(
         "snn_weight",
@@ -90,11 +89,8 @@ def _emb_snn_scaled(spark, sf, k: int = 10):
         key = f"embsnn_{sf}_{st.st_mtime_ns}_{st.st_size}"
     except OSError:
         return snn
-    app = spark.sparkContext.applicationId
-    safe = re.sub(r"[^A-Za-z0-9_.-]", "_", f"{key}_{app}")
-    path = os.path.join(tempfile.gettempdir(), f"snn_stage_{safe}",
-                        f"snn_k{k}.parquet")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    path = f"{staging.stage_dir(spark, 'snn_stage_', key)}/snn_k{k}.parquet"
+    if not staging.path_exists(spark, f"{path}/_SUCCESS"):
         snn.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 

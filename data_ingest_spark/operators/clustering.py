@@ -203,8 +203,7 @@ def louvain_driver(edges: DataFrame, resolution: float = 0.5,
 
 
 def louvain_distributed(edges: DataFrame, resolution: float = 0.5,
-                        max_iter: int = 8,
-                        checkpoint_every: int = 2) -> DataFrame:
+                        max_iter: int = 8) -> DataFrame:
     """(id, cluster) — distributed Louvain phase 1: parallel greedy
     modularity moves over the edge list, the standard vertex-parallel
     scheme (each round every *eligible* node evaluates the gain of

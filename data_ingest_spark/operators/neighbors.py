@@ -144,24 +144,19 @@ def knn_exact(scores: DataFrame, k: int = 20,
                          F.col(vec_col).cast("array<double>").alias("_v"))
     reuse = False
     if stage_dir is None:
-        import os
-        import re
-        import tempfile
+        # SESSION-scoped staging (optimization rounds 9/10): the stage
+        # path embeds the Spark application id, so reuse happens only
+        # WITHIN one session (kNN -> SNN -> clustering share one
+        # staging, the Seurat @graphs pattern) and never across
+        # bench/oracle invocations — every run computes from the
+        # parquet inputs. The root resolves via operators.staging
+        # (conf/env on a cluster, local temp dir only under local[*]).
+        from data_ingest_spark.operators import staging
+        spark_ = scores.sparkSession
+        stage_dir = staging.stage_dir(spark_, "knn_stage_", stage_key)
         if stage_key is not None:
-            # SESSION-scoped staging (optimization round 9): the stage
-            # path embeds the Spark application id, so reuse happens
-            # only WITHIN one session (kNN -> SNN -> clustering share
-            # one staging, the Seurat @graphs pattern) and never
-            # across bench/oracle invocations — every run computes
-            # from the parquet inputs.
-            app = scores.sparkSession.sparkContext.applicationId
-            safe = re.sub(r"[^A-Za-z0-9_.-]", "_", f"{stage_key}_{app}")
-            stage_dir = os.path.join(tempfile.gettempdir(),
-                                     f"knn_stage_{safe}")
-            reuse = os.path.exists(
-                os.path.join(stage_dir, "matrix.parquet", "_SUCCESS"))
-        else:
-            stage_dir = tempfile.mkdtemp(prefix="knn_stage_")
+            reuse = staging.path_exists(
+                spark_, f"{stage_dir}/matrix.parquet/_SUCCESS")
     path = f"{stage_dir.rstrip('/')}/matrix.parquet"
     if not reuse:
         base.write.mode("overwrite").parquet(path)
@@ -316,19 +311,17 @@ def knn_exact_cached(scores: DataFrame, k: int = 20,
     (no reuse is possible if the input content can't be named)."""
     if stage_key is None:
         return knn_exact(scores, k=k, id_cols=id_cols, vec_col=vec_col)
-    import os
-    import re
-    import tempfile
     # Session-scoped like knn_exact's staging: reuse within one Spark
-    # application only, never across bench/oracle invocations.
-    app = scores.sparkSession.sparkContext.applicationId
-    safe = re.sub(r"[^A-Za-z0-9_.-]", "_", f"{stage_key}_{app}")
-    stage_dir = os.path.join(tempfile.gettempdir(), f"knn_stage_{safe}")
-    epath = os.path.join(stage_dir, f"edges_k{k}.parquet")
-    if not os.path.exists(os.path.join(epath, "_SUCCESS")):
+    # application only, never across bench/oracle invocations; path
+    # resolution via operators.staging (cluster-safe root).
+    from data_ingest_spark.operators import staging
+    spark = scores.sparkSession
+    sdir = staging.stage_dir(spark, "knn_stage_", stage_key)
+    epath = f"{sdir}/edges_k{k}.parquet"
+    if not staging.path_exists(spark, f"{epath}/_SUCCESS"):
         knn_exact(scores, k=k, id_cols=id_cols, vec_col=vec_col,
                   stage_key=stage_key).write.mode("overwrite").parquet(epath)
-    return scores.sparkSession.read.parquet(epath)
+    return spark.read.parquet(epath)
 
 
 def knn_lsh(scores: DataFrame, k: int = 20, bucket_length: float = 0.5,

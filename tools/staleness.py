@@ -46,18 +46,16 @@ from collections import defaultdict
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PKG = os.path.join(REPO, "data_ingest_spark")
 SLOTS = 50
-# Queries whose implementation was REWRITTEN this round (round 9:
-# pin_partitioning in LPA/Louvain/PageRank/BFS, the knn_exact
-# margin/degenerate/tie-dense rework, the ANN ceiling guards, the
-# bpe_train return-value refactor); pinned first regardless of the
-# computed order.
+# Queries whose implementation was REWRITTEN after the rotation was
+# last regenerated; pinned first regardless of the computed order.
+# Round 10: the seven round-9 rewrites that shipped AFTER the r9
+# rotation was generated and therefore never got a driver-verified row
+# (round-9 verdict ask #1), plus this round's own rewrites (appended
+# as they land — regenerate after each).
 FORCE_FRONT = [
-    "m13_label_propagation", "m13_louvain_dist", "g1_pagerank",
-    "g3_bfs_hops", "m12_knn_exact", "m12_snn_graph", "x5_ann_topk",
-    "x51_kmeans_ivf", "x83_bpe_train", "x125_entity_resolution",
-    "x99_power_pc1",
-    # round-9 late rewrite: hard_negatives broadcast-matrix scoring
-    "x87_hard_negatives",
+    "x90_fuzzy_join2", "x84_bpe_encode", "x36_bpe_pairs",
+    "x21_kmv_distinct", "p2_qc_filters", "p4_training_prep",
+    "x137_vocab_coverage",
 ]
 # Ordering-only modules: their edits must not flood the stale set.
 # Semantic helpers living in registry (expr_df/events_df/load) are
