@@ -693,35 +693,106 @@ def lloyd_centroids(emb: DataFrame, k: int = 4, n_iters: int = 2,
     IEEE semantics in any engine, so a SQL oracle can unroll the same
     ``n_iters`` rounds and match bit-for-bit.
 
-    Plan: centroids collapse to ONE broadcast row of k structs, so
-    assignment is map-side (zero shuffle); the update's
-    ``posexplode → groupBy(cid, dim)`` shuffles only k·dim partial
-    aggregates per task (map-side combine). One corpus-independent
-    shuffle per iteration — the 100 TB Lloyd loop."""
+    Plan (r10 rewrite, guide §4/§5): quantization stays a plan-side
+    fold (value parity with the SQL oracle by construction), but each
+    round's assignment + per-cell partial sums run as int64 numpy
+    inside ONE mapInPandas corpus pass (`_lloyd_assign_partials` —
+    exact integer argmin, ties to the smallest cid, identical to the
+    former interpreted `_cell_scores` fold), emitting k·dim partial
+    rows per task that are summed in one fixed-size groupBy and
+    collected; the centroid matrix ships in the task closure (k·dim
+    ints — driver-sized by construction). floor(sum/count) happens on
+    the driver with the same IEEE double ops Spark's
+    floor(cast(long as double)/...) performs. One Spark job per
+    iteration, zero broadcast builds, zero checkpoints — the r9 form
+    paid a collect_list aggregate job, a broadcast exchange AND a
+    blocking eager localCheckpoint per round, plus an interpreted
+    per-row d2 fold over every (vector, centroid) pair. Identical
+    values: pinned by the x51 oracle, which unrolls the same rounds
+    in SQL."""
+    from data_ingest_spark.functions.localrel import arrow_local_df
+    rows = lloyd_centroid_rows(emb, k, n_iters, id_col, vec_col, scale)
+    return arrow_local_df(emb.sparkSession, rows,
+                          "cid long, ce array<bigint>", ["cid", "ce"])
+
+
+def _cent_arrays(cent_rows: list[tuple[int, list[int]]]):
+    """(cids int64[k], centers int64[k×dim]) sorted by cid — numpy form
+    of the centroid list; argmin over rows then replays the
+    (d2, cid)-struct array_min tie-break exactly."""
+    cids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+    mat = np.array([ce for _, ce in cent_rows], dtype=np.int64)
+    order = np.argsort(cids, kind="stable")
+    return cids[order], mat[order]
+
+
+def _lloyd_assign_partials(q_df, cent_rows):
+    """One corpus pass: exact int64 nearest-centroid assignment (argmin
+    of Σ(qe−ce)², ties to the smallest cid) + per-(cell, dim) partial
+    sums and counts in numpy; k·dim partial rows leave each task."""
+    cids, mat = _cent_arrays(cent_rows)
+    kk, dim = mat.shape
+
+    def fn(batches):
+        sums = np.zeros((kk, dim), dtype=np.int64)
+        cnts = np.zeros(kk, dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qe = np.stack(pdf["qe"].values).astype(np.int64, copy=False)
+            d = qe[:, None, :] - mat[None, :, :]
+            d2 = (d * d).sum(axis=2)              # exact int64
+            a = d2.argmin(axis=1)                 # first min = smallest cid
+            np.add.at(sums, a, qe)
+            cnts += np.bincount(a, minlength=kk)
+            seen = True
+        if seen:
+            idx = np.arange(kk)
+            yield pd.DataFrame({
+                "cid": np.repeat(cids, dim),
+                "dim": np.tile(np.arange(dim, dtype=np.int64), kk),
+                "s": sums.reshape(-1),
+                "n": np.repeat(cnts, dim)})
+
+    return (q_df.select("qe")
+            .mapInPandas(fn, "cid long, dim long, s long, n long")
+            .groupBy("cid", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n")))
+
+
+def lloyd_centroid_rows(emb: DataFrame, k: int = 4, n_iters: int = 2,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        scale: int = 10**6) -> list[tuple[int, list[int]]]:
+    """Driver-side form of :func:`lloyd_centroids`: the sorted
+    ``(cid, ce)`` list after ``n_iters`` rounds. Every per-round
+    artifact that crosses to the driver is k·dim fixed-size; the
+    corpus-sized work (assignment + per-cell partial sums) stays
+    distributed."""
+    import math
     q = emb.select(F.col(id_col),
                    _fixed_vec(F.col(vec_col), scale).alias("qe"))
-    cent = (q.filter(F.col(id_col) < k)
-            .select(F.col(id_col).cast("long").alias("cid"),
-                    F.col("qe").alias("ce")))
+    cent = sorted(
+        (int(r["cid"]), [int(x) for x in r["ce"]])
+        for r in q.filter(F.col(id_col) < k)
+                  .select(F.col(id_col).cast("long").alias("cid"),
+                          F.col("qe").alias("ce")).collect())
     for _ in range(n_iters):
-        cents = cent.agg(F.collect_list(F.struct("cid", "ce"))
-                         .alias("cents"))
-        assigned = (q.crossJoin(F.broadcast(cents))
-                    .select(F.array_min(
-                        _cell_scores(F.col("cents"), F.col("qe")))["cid"]
-                        .alias("cid"), "qe"))
-        cent = (assigned
-                .select("cid", F.posexplode("qe").alias("dim", "val"))
-                .groupBy("cid", "dim")
-                .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
-                .select("cid", "dim",
-                        F.floor(F.col("s") / F.col("n")).cast("long")
-                        .alias("m"))
-                .groupBy("cid")
-                .agg(F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                    lambda s: s["m"]).alias("ce"))
-                .localCheckpoint())
+        if not cent:
+            break
+        upd = _lloyd_assign_partials(q, cent).collect()
+        acc: dict = {}
+        for r in upd:
+            if r["n"]:
+                acc[(r["cid"], r["dim"])] = (r["s"], r["n"])
+        ndim = len(cent[0][1])
+        # floor(sum / count) in double — float(int) and the division
+        # are the identical IEEE ops Spark's cast(long as double) /
+        # floor perform, so the values match the r9 distributed form
+        cent = [(cid, [int(math.floor(float(acc[(cid, d)][0])
+                                      / float(acc[(cid, d)][1])))
+                       for d in range(ndim)])
+                for cid in sorted({c for c, _ in acc})]
     return cent
 
 
@@ -737,20 +808,25 @@ def cosine_topk_fixed_ivf(emb: DataFrame, queries: DataFrame, k: int = 5,
     rounds), so unlike the Spark-ML-trained variant this query carries
     a full value oracle. ``queries`` is ``(query_id, query_vec)``.
 
-    Plan: centroids broadcast as one row; corpus assignment and query
-    probing are both map-side array folds (no shuffle); candidates
-    join on the cell with the probe table broadcast; the only
-    corpus-sized shuffle is the final per-query rank window. Cosine is
-    rounded to 6dp before ranking (cross-engine rank stability).
+    Plan (r10 rewrite, guide §4): ONE corpus map stage does both the
+    exact int64 nearest-cell assignment (numpy argmin over the
+    closure-shipped k×dim centroid matrix — the same (d2, cid)
+    ordering the former interpreted `_cell_scores` fold produced) and
+    the BLAS cosine scoring against the per-cell probe matrices; only
+    per-query per-batch top-k partials leave the stage, and the only
+    corpus-sized shuffle is the final rank window. Probing (nprobe
+    nearest cells per query) happens on the driver over the collected
+    query table — the same table this function always collected for
+    the probe broadcast. Cosine stays dot/(|a|·|b|), 6dp HALF_UP
+    before ranking, tie-break (cosine desc, neighbor asc) — the
+    oracle replays identically.
 
-    The PROBE table (|queries| × nprobe rows, each carrying the full
-    query vector) is collected to the driver and broadcast at
-    plan-build time (an eager Spark job), so it is ceiling-guarded:
-    the guard divides the row ceiling (``max_driver_rows``, default
+    The QUERY table is collected to the driver at plan-build time (an
+    eager Spark job), so it is ceiling-guarded: the guard divides the
+    row ceiling (``max_driver_rows``, default
     ``guards.DRIVER_ROWS_CEILING``) by ``nprobe`` — what lands on the
-    driver is the EXPLODED probe table, not the query table — and
-    raises with a pointer at the fully-distributed cell-join
-    siblings."""
+    driver is the probe-exploded footprint — and raises with a
+    pointer at the fully-distributed cell-join siblings."""
     from data_ingest_spark.operators.guards import (DRIVER_ROWS_CEILING,
                                                     assert_driver_ceiling)
     lim = DRIVER_ROWS_CEILING if max_driver_rows is None else max_driver_rows
@@ -758,65 +834,64 @@ def cosine_topk_fixed_ivf(emb: DataFrame, queries: DataFrame, k: int = 5,
         queries, "broadcast-probe fixed-IVF ANN (cosine_topk_fixed_ivf)",
         "cosine_topk_ivf / cosine_topk_kmeans_ivf (distributed cell "
         "joins) for corpus-sized query sets", max(lim // max(nprobe, 1), 1))
-    cent = lloyd_centroids(emb, n_cells, n_iters, id_col, vec_col, scale)
-    cents = cent.agg(F.collect_list(F.struct("cid", "ce")).alias("cents"))
-    corpus = (emb.select(F.col(id_col).alias("neighbor_id"), vec_col,
-                         _fixed_vec(F.col(vec_col), scale).alias("qe"))
-              .crossJoin(F.broadcast(cents))
-              .select("neighbor_id", vec_col,
-                      F.array_min(
-                          _cell_scores(F.col("cents"), F.col("qe")))["cid"]
-                      .alias("cid")))
-    probes = (queries
-              .withColumn("qe", _fixed_vec(F.col("query_vec"), scale))
-              .crossJoin(F.broadcast(cents))
-              .select("query_id", "query_vec",
-                      F.explode(F.slice(F.array_sort(
-                          _cell_scores(F.col("cents"), F.col("qe"))),
-                          1, nprobe)["cid"]).alias("cid")))
-    # Score map-side against the broadcast per-cell query matrices
-    # (the cosine_topk shape): with few coarse cells each probe list
-    # covers a large corpus fraction, so the cell join materialized
-    # candidate rows carrying BOTH vectors — 4M array-pairs and 22 s
-    # at the local sf1 probe. Only per-query per-batch top-k partials
-    # leave the map stage; the float path (dot / (|a|·|b|), 6dp
-    # HALF_UP before ranking) and the (cosine desc, neighbor asc)
-    # tie-break are unchanged, so the oracle replays identically.
     spark = emb.sparkSession
-    pr = probes.select("query_id", "cid", "query_vec").toArrow()
-    if not pr.num_rows:
+
+    def _empty() -> DataFrame:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, "
                 "rank long")
-    p_qid = np.asarray(pr.column("query_id").to_pylist())
-    p_cid = np.asarray(pr.column("cid").to_pylist())
-    p_mat = np.asarray(pr.column("query_vec").combine_chunks()
+
+    cent_rows = lloyd_centroid_rows(emb, n_cells, n_iters, id_col,
+                                    vec_col, scale)
+    if not cent_rows:
+        return _empty()
+    cids, mat = _cent_arrays(cent_rows)
+    # probe selection on the driver: quantization stays a plan-side
+    # fold (parity by construction); the nprobe cells per query are
+    # the first nprobe of the exact (d2, cid)-ascending order — the
+    # array_sort(slice(...)) the r9 plan evaluated per probe row
+    pq = (queries.withColumn("qe", _fixed_vec(F.col("query_vec"), scale))
+          .select("query_id", "query_vec", "qe").toArrow())
+    if not pq.num_rows:
+        return _empty()
+    p_qid = np.asarray(pq.column("query_id").to_pylist())
+    p_mat = np.asarray(pq.column("query_vec").combine_chunks()
                        .flatten(), dtype=np.float64).reshape(
-        pr.num_rows, -1)
-    by_cell = {}
-    for cid in np.unique(p_cid):
-        sel = p_cid == cid
-        qm = p_mat[sel]
-        by_cell[int(cid)] = (p_qid[sel], qm,
-                             np.sqrt((qm * qm).sum(axis=1)))
+        pq.num_rows, -1)
+    p_qe = np.asarray(pq.column("qe").to_pylist(), dtype=np.int64)
+    by_cell: dict = {}
+    for i in range(pq.num_rows):
+        d = p_qe[i][None, :] - mat
+        d2 = (d * d).sum(axis=1)
+        for j in np.lexsort((cids, d2))[:nprobe]:
+            by_cell.setdefault(int(cids[j]), []).append(i)
+    for cid, idxs in list(by_cell.items()):
+        qm = p_mat[idxs]
+        by_cell[cid] = (p_qid[idxs], qm, np.sqrt((qm * qm).sum(axis=1)))
     bc = spark.sparkContext.broadcast(by_cell)
     kk = k
+    a_cids, a_mat = cids, mat
 
     def fn(batches):
         cells = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
+            qe = np.stack(pdf["qe"].values).astype(np.int64, copy=False)
+            d = qe[:, None, :] - a_mat[None, :, :]
+            assign = a_cids[(d * d).sum(axis=2).argmin(axis=1)]
+            all_nids = pdf["neighbor_id"].to_numpy()
             out = []
-            for cid, grp in pdf.groupby("cid", sort=False):
+            for cid in np.unique(assign):
                 cell = cells.get(int(cid))
                 if cell is None:
                     continue
                 qids_, qmat_, qn_ = cell
-                nids = grp["neighbor_id"].to_numpy()
+                rows = np.flatnonzero(assign == cid)
+                nids = all_nids[rows]
                 order = np.argsort(nids, kind="stable")
                 nids = nids[order]
-                m = np.stack(grp["_v"].values[order]).astype(
+                m = np.stack(pdf["_v"].values[rows[order]]).astype(
                     np.float64, copy=False)
                 sim = m @ qmat_.T
                 sim /= np.outer(np.sqrt((m * m).sum(axis=1)), qn_)
@@ -834,8 +909,9 @@ def cosine_topk_fixed_ivf(emb: DataFrame, queries: DataFrame, k: int = 5,
             if out:
                 yield pd.concat(out, ignore_index=True)
 
-    partials = (corpus
-                .select("neighbor_id", "cid",
+    partials = (emb
+                .select(F.col(id_col).alias("neighbor_id"),
+                        _fixed_vec(F.col(vec_col), scale).alias("qe"),
                         _dvec(F.col(vec_col)).alias("_v"))
                 .mapInPandas(fn, "query_id long, neighbor_id long, "
                                  "cosine double"))
@@ -888,116 +964,121 @@ def random_projection_fixed(emb: DataFrame, in_dim: int = 64,
                     F.col("component").cast("long").alias("component")))
 
 
-def power_iteration_pc1(emb: DataFrame, dim: int = 64, n_iters: int = 3,
-                        id_col: str = "vec_id", vec_col: str = "embedding",
-                        q_scale: int = 10**3, c_shift: int = 10**6,
-                        v_scale: int = 10**3,
-                        checkpoint_iterates: bool = True) -> DataFrame:
-    """Top principal component by ``n_iters`` unrolled power
-    iterations in EXACT integer arithmetic — the distributed eigen
-    kernel behind PCA (M8), made hash-checkable the same way the
-    Lloyd step makes KMeans checkable: quantize once, then every
-    matvec, renormalization, and sign fix is integer math that both
-    engines reproduce bit-for-bit. Returns ``(dim, component)`` — the
-    64 fixed-point coordinates of v_k (scale ``v_scale``, sign fixed
-    so the first nonzero coordinate is positive).
-
-    Construction (all exact): q = floor(x·q_scale + 0.5) int64;
-    centered c = q·n − colsum (column means cleared of division by
-    scaling through n); covariance C_jk = Σ_r c_rj·c_rk is an exact
-    int64 aggregate over a 64×64 key space; each iteration computes
-    u = (C div c_shift)·v and renormalizes v' = (u·v_scale) div
-    max|u| with integer division. Bounds at the tested SFs
-    (|x| ≤ 0.6, n ≤ 2000): C ≤ 1.2e16, u·v_scale ≤ 7.7e17 — inside
-    int64; for corpus-scale n switch the two sums to DECIMAL(38,0)
-    (both engines aggregate 128-bit exactly).
-
-    Plan shape: the covariance is ONE shuffle of 4096-key partial
-    sums (the per-row outer product explodes scan-side and map-side
-    combines — the corpus is never joined to itself); everything
-    after operates on the 64×64 aggregate with broadcast iterates.
-    Iterating longer costs one tiny broadcast join per step,
-    independent of corpus size."""
+def pc1_moment_rows(emb: DataFrame, dim: int = 64,
+                    vec_col: str = "embedding",
+                    q_scale: int = 10**3) -> DataFrame:
+    """ONE corpus pass producing everything :func:`power_iteration_pc1`
+    needs: the raw second-moment matrix Σ q qᵀ (rows ``(j, k, _p)`` for
+    j,k ∈ [0, dim)), the per-dimension column sums (marker band
+    ``j = -1``), and the row count (marker ``j = k = -2``) — int64 BLAS
+    per partition via Arrow, dim² + dim + 1 partial rows per task into
+    one fixed-size groupBy. The r9 form paid a SECOND corpus pass for
+    the count/colsum aggregate; folding them into the same mapInPandas
+    partials halves the corpus I/O."""
     q = F.transform(F.col(vec_col).cast("array<double>"),
                     lambda x: F.floor(x * q_scale + F.lit(0.5)))
-    rows = emb.select(F.col(id_col), q.alias("_q"))
-    stats = rows.agg(
-        F.count("*").cast("long").alias("_n"),
-        *[F.sum(F.get("_q", i)).alias(f"_s{i}") for i in range(dim)])
-    colsum = F.array(*[F.col(f"_s{i}") for i in range(dim)])
+    rows = emb.select(q.alias("_q"))
 
-    # RAW second-moment matrix Σ q qᵀ as Arrow partial sums (int64
-    # BLAS per partition, dim² rows per partition leave the stage).
-    # The centered covariance then follows from the exact integer
-    # identity Σ(q·n − s)(q·n − s)ᵀ = n²·Σqqᵀ − n·s sᵀ — the SAME
-    # integers the previous per-element explode produced, without
-    # pushing corpus_rows × dim² elements through an INTERPRETED
-    # higher-order-function expression (Spark does not codegen array
-    # lambdas; measured ~3x on the 2000×64 sf0.1 corpus).
-    def _craw_fn(batches):
+    def fn(batches):
         import numpy as np
         import pandas as pd
         acc = np.zeros((dim, dim), dtype=np.int64)
-        seen = False
+        cs = np.zeros(dim, dtype=np.int64)
+        cnt = 0
         for pdf in batches:
             if len(pdf):
                 m = np.stack(pdf["_q"].values).astype(np.int64, copy=False)
                 acc += m.T @ m
-                seen = True
-        if seen:
+                cs += m.sum(axis=0)
+                cnt += len(pdf)
+        if cnt:
             idx = np.arange(dim, dtype=np.int64)
             yield pd.DataFrame({
-                "j": np.repeat(idx, dim).astype(np.int32),
-                "k": np.tile(idx, dim).astype(np.int32),
-                "_p": acc.reshape(-1)})
+                "j": np.concatenate([np.repeat(idx, dim),
+                                     np.full(dim, -1), [-2]]).astype("int32"),
+                "k": np.concatenate([np.tile(idx, dim),
+                                     idx, [-2]]).astype("int32"),
+                "_p": np.concatenate([acc.reshape(-1), cs, [cnt]])})
 
-    craw = (rows.select("_q").mapInPandas(_craw_fn, "j int, k int, _p long")
-            .groupBy("j", "k").agg(F.sum("_p").alias("_craw")))
-    cov = (craw.crossJoin(F.broadcast(stats))
-           .withColumn("_sj", F.element_at(colsum, F.col("j") + 1))
-           .withColumn("_sk", F.element_at(colsum, F.col("k") + 1))
-           .select("j", "k",
-                   F.expr(f"(_n * _n * _craw - _n * _sj * _sk) "
-                          f"div {int(c_shift)}").alias("_cjk"))
-           # each unrolled iteration references the covariance again —
-           # a lazy localCheckpoint runs the corpus pass once AND lets
-           # the blocks be GC-reclaimed after the query (persist() pins
-           # them in the CacheManager for the session's lifetime)
-           .localCheckpoint(eager=False))
+    return (rows.mapInPandas(fn, "j int, k int, _p long")
+            .groupBy("j", "k").agg(F.sum("_p").alias("_p")))
+
+
+def _div_tz(a: int, b: int) -> int:
+    """Spark SQL's integer ``div`` (truncate toward zero) on exact
+    Python ints — the same op DuckDB's ``//`` performs, pinned by
+    tests/test_round4_ops.py::test_power_pc1_matches_integer_mirror."""
+    return -((-a) // b) if (a < 0) != (b < 0) else abs(a) // abs(b)
+
+
+def power_iteration_pc1(emb: DataFrame, dim: int = 64, n_iters: int = 3,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        q_scale: int = 10**3, c_shift: int = 10**6,
+                        v_scale: int = 10**3) -> DataFrame:
+    """Top principal component by ``n_iters`` power iterations in
+    EXACT integer arithmetic — the eigen kernel behind PCA (M8), made
+    hash-checkable the same way the Lloyd step makes KMeans checkable:
+    quantize once, then every matvec, renormalization, and sign fix is
+    integer math that both engines reproduce bit-for-bit. Returns
+    ``(dim, component)`` — the 64 fixed-point coordinates of v_k
+    (scale ``v_scale``, sign fixed so the first nonzero coordinate is
+    positive).
+
+    Construction (all exact, identical values to the r9 distributed
+    form — pinned by the integer mirror in test_round4_ops): q =
+    floor(x·q_scale + 0.5) int64; covariance from the integer identity
+    Σ(q·n − s)(q·n − s)ᵀ = n²·Σqqᵀ − n·s·sᵀ, shifted
+    C_jk = (n²·craw_jk − n·s_j·s_k) div c_shift; each iteration
+    u = C·v, v' = (u·v_scale) div max|u|; div truncates toward zero in
+    both Spark and DuckDB (:func:`_div_tz`). Bounds at the tested SFs
+    (|x| ≤ 0.6, n ≤ 2000): C ≤ 1.2e16, u·v_scale ≤ 7.7e17 — inside
+    int64; for corpus-scale n the int64 partial sums in
+    :func:`pc1_moment_rows` are the binding width (switch to
+    DECIMAL(38,0)/object partials there first).
+
+    Plan shape (r10 rewrite, guide §5 driver health): ONE corpus pass
+    (:func:`pc1_moment_rows`) whose dim²+dim+1-row aggregate — a fixed
+    size independent of corpus rows, the m13-2m/x87 collect precedent
+    — is collected to the driver, and the power iterations run on the
+    driver over the 64×64 integer matrix: zero per-round Spark jobs.
+    The r9 form unrolled each iteration as broadcast join + groupBy +
+    crossJoin + lazy localCheckpoint over 64-row frames; qtime showed
+    <1 s of stage runtime under ~1.7 s of wall — the residual was
+    Catalyst plan-build and job scheduling, which no distributed
+    shape removes at ANY scale because the frames are iterate-sized,
+    not corpus-sized. The result returns as an Arrow local relation
+    (LocalTableScan; one row per dimension)."""
+    from data_ingest_spark.functions.localrel import arrow_local_df
     spark = emb.sparkSession
-    v = spark.range(dim).select(
-        F.col("id").cast("int").alias("k"),
-        F.lit(v_scale).cast("long").alias("_v"))
+
+    def _empty() -> DataFrame:
+        return arrow_local_df(spark, [], "dim int, component long",
+                              ["dim", "component"])
+
+    moments = {(r["j"], r["k"]): r["_p"]
+               for r in pc1_moment_rows(emb, dim, vec_col,
+                                        q_scale).collect()}
+    n = moments.get((-2, -2), 0)
+    if n == 0:
+        # empty corpus: the r9 form's iterate nulls filtered to an
+        # empty frame; same contract here
+        return _empty()
+    s = [moments[(-1, k)] for k in range(dim)]
+    cov = [[_div_tz(n * n * moments[(j, k)] - n * s[j] * s[k], c_shift)
+            for k in range(dim)] for j in range(dim)]
+    v = [v_scale] * dim
     for _ in range(n_iters):
-        # u feeds both the renormalizer and the next iterate; a lazy
-        # localCheckpoint makes the 64-row table compute once so the
-        # lineage DAG does not re-execute the shared subtree once per
-        # reference (2^k tiny jobs otherwise), without pinning blocks
-        # in the CacheManager across the session
-        u = (cov.join(F.broadcast(v), "k")
-             .groupBy("j").agg(F.sum(F.col("_cjk") * F.col("_v"))
-                               .alias("_u"))).localCheckpoint(eager=False)
-        umax = u.agg(F.max(F.abs("_u")).alias("_m"))
-        # localCheckpoint (the LPA-loop convention) truncates the
-        # iterate's lineage: without it the unrolled plan re-nests the
-        # whole prior DAG per reference and Catalyst planning time
-        # dominates the 64-row compute
-        v = (u.crossJoin(F.broadcast(umax))
-             .select(F.col("j").alias("k"),
-                     F.expr(f"(_u * {int(v_scale)}) div _m").alias("_v")))
-        # (checkpoint_iterates=False keeps the fully lazy plan so the
-        # audit suite can inspect the covariance stage); the checkpoint
-        # is lazy — truncation rides the next round's job instead of a
-        # blocking 64-row driver job per iteration
-        v = (v.localCheckpoint(eager=False) if checkpoint_iterates
-             else v.persist())
-    lead = (v.filter(F.col("_v") != 0).orderBy("k").limit(1)
-            .select(F.signum(F.col("_v").cast("double"))
-                    .cast("long").alias("_sgn")))
-    return (v.crossJoin(F.broadcast(lead))
-            .select(F.col("k").alias("dim"),
-                    (F.col("_v") * F.col("_sgn")).cast("long")
-                    .alias("component")))
+        u = [sum(cov[j][k] * v[k] for k in range(dim))
+             for j in range(dim)]
+        m = max(abs(x) for x in u)
+        if m == 0:
+            # degenerate (zero covariance) corpus: the distributed
+            # form's div-by-zero nulls propagated to an empty result
+            return _empty()
+        v = [_div_tz(x * v_scale, m) for x in u]
+    sgn = next((-1 if x < 0 else 1) for x in v if x != 0)
+    return arrow_local_df(spark, [(k, v[k] * sgn) for k in range(dim)],
+                          "dim int, component long", ["dim", "component"])
 
 
 def ivf_seed_centroids(emb: DataFrame, k: int = 4, id_col: str = "vec_id",

@@ -307,18 +307,22 @@ def test_ks_drift_scans_corpus_once(spark):
 
 
 def test_power_pc1_covariance_single_corpus_shuffle(spark):
-    """x99: the covariance is the only corpus-sized aggregation (the
-    per-row outer product explodes scan-side, partials combine
-    map-side) and the iterates are broadcast — no corpus self-join
-    anywhere. Audited on the lazy variant (the registry query
-    checkpoints each 64-row iterate, which hides the lineage)."""
-    from data_ingest_spark.extensions.similarity import power_iteration_pc1
+    """x99 (r10 shape): everything the iteration needs — second
+    moments, column sums, row count — comes out of ONE corpus scan and
+    ONE fixed-size shuffle (dim²+dim+1 partial rows per task); the
+    power iterations themselves run on the driver over the collected
+    64×64 matrix, so the returned frame is a LocalTableScan with no
+    Python/RDD re-entry."""
+    from data_ingest_spark.extensions.similarity import (pc1_moment_rows,
+                                                         power_iteration_pc1)
     emb = registry.load(spark, SF, "embeddings")
-    df = power_iteration_pc1(emb, dim=64, n_iters=1,
-                             checkpoint_iterates=False)
-    assert len(scan_columns(df)) <= 2  # stats pass + covariance pass
-    assert broadcast_join_count(df) >= 3
-    assert_no_cartesian(df)
+    mom = pc1_moment_rows(emb, dim=64)
+    assert len(scan_columns(mom)) == 1   # one corpus pass, not two
+    assert shuffle_count(mom) == 1       # the fixed-size groupBy
+    assert_no_cartesian(mom)
+    out = power_iteration_pc1(emb, dim=64, n_iters=1)
+    plan = physical_plan(out)
+    assert "LocalTableScan" in plan and "ExistingRDD" not in plan
 
 
 def test_ivf_incremental_and_skew_profile_plans(spark):

@@ -1,10 +1,10 @@
-"""Capture .explain("formatted") for headline queries into plans/r09/.
+"""Capture .explain("formatted") for headline queries into plans/<round>/.
 
-Usage: python tools/explain_capture.py <suffix> [query ...]
+Usage: [PLANS_ROUND=r10] python tools/explain_capture.py <suffix> [query ...]
 
-Writes plans/r09/<query>_<suffix>.txt for each named query (default:
-every bench.py HEADLINE query). The suffix is "before"/"after" per the
-optimization-round evidence contract.
+Writes plans/<round>/<query>_<suffix>.txt for each named query (default:
+every bench.py HEADLINE query; round defaults to r10). The suffix is
+"before"/"after" per the optimization-round evidence contract.
 """
 
 from __future__ import annotations
@@ -29,7 +29,8 @@ def main() -> int:
     names = only or [n for n in bench.HEADLINE if n in qs]
 
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r09")
+        os.path.abspath(__file__))), "plans",
+        os.environ.get("PLANS_ROUND", "r10"))
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         try:

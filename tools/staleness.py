@@ -56,6 +56,11 @@ FORCE_FRONT = [
     "x90_fuzzy_join2", "x84_bpe_encode", "x36_bpe_pairs",
     "x21_kmv_distinct", "p2_qc_filters", "p4_training_prep",
     "x137_vocab_coverage",
+    # round-10 rewrites: driver-side power iteration (x99), numpy
+    # Lloyd assignment + driver-side centroid update (x51/x82/x100
+    # family share the operators)
+    "x51_kmeans_ivf", "x99_power_pc1", "x82_lloyd_step",
+    "x100_ivf_incremental", "x5_ann_topk",
 ]
 # Ordering-only modules: their edits must not flood the stale set.
 # Semantic helpers living in registry (expr_df/events_df/load) are
