@@ -43,7 +43,18 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame | None = None,
     red = pii_redact(docs, id_col=id_col, text_col=text_col)
     clean = (red.select(id_col, F.col("clean_text").alias(text_col))
              .withColumn("n_tokens", F.size(tokens_col(text_col)))
-             .filter(F.col("n_tokens") >= min_tokens))
+             .filter(F.col("n_tokens") >= min_tokens)
+             # ONE materialization of the scrubbed+gated corpus: the
+             # triple-regex scrub is the most expensive map in the
+             # chain and the plan references this frame from five
+             # leaves (dedup hash side, dedup join-back, decontam
+             # shingle side via kept, and the final output) — without
+             # the checkpoint every leaf is its own parquet scan that
+             # re-runs the regexes (the r9 plan showed 5 corpus scans,
+             # each with the full scrub in its condition). Lazy, so
+             # the first consumer's job pays it exactly once
+             # (guide §5: reuse >> recompute for an expensive map).
+             .localCheckpoint(eager=False))
     kept = dedup_keep_first(clean, id_col=id_col, text_col=text_col)
     if benchmark is not None:
         hits = decontaminate(kept, benchmark, k=shingle_k,

@@ -855,10 +855,16 @@ def ppjoin(df: DataFrame, id_col: str = "doc_id",
                            + F.lit(threshold_den) - 1)
                           / F.lit(threshold_den)) + 1)
     wdoc = W.partitionBy(id_col).orderBy("_df", "shingle")
+    # ONE materialization of the prefix table (r10): pa and pb below
+    # are projections of this same frame, and without the checkpoint
+    # the planner computes the whole df-join + per-doc rarity window
+    # subtree TWICE — once per join side (the r9 plan shows two full
+    # Window copies; qtime put ~16 executor-seconds in each).
     pref = (mem.join(dfreq, "shingle").join(sizes, id_col)
             .withColumn("_pos", F.row_number().over(wdoc))
             .filter(F.col("_pos") <= pref_len)
-            .select(id_col, "shingle", "_pos", "_n"))
+            .select(id_col, "shingle", "_pos", "_n")
+            .localCheckpoint(eager=False))
     # Length + positional filters (the PP in PPJoin — both are EXACT
     # upper-bound prunes, so recall stays perfect and the verified
     # result is unchanged): Jaccard ≥ t ⟺ overlap ≥ ⌈t/(1+t)·(na+nb)⌉
@@ -877,6 +883,17 @@ def ppjoin(df: DataFrame, id_col: str = "doc_id",
                    / F.lit(num + den))
     ubound = 1 + F.least(F.col("_na") - F.col("_pa"),
                          F.col("_nb") - F.col("_pb"))
+    # Explicit-count repartition on the pair key before the distinct
+    # (the x90 lesson, guide §2.5): the surviving candidate pairs are
+    # kilobytes-to-megabytes, so an optimizer-placed exchange here
+    # gets AQE-coalesced to 1-2 tasks and SERIALIZES the whole
+    # downstream verify (per-pair array_intersect over full shingle
+    # sets — the expansion work); the bench measured a 15x rep spread
+    # from exactly this. A user repartition on the distinct's own key
+    # set satisfies its distribution requirement (partition-local
+    # dedup stays exact), carries the same partitioning into the
+    # verify join's stream side, and AQE never coalesces it.
+    n_part = df.sparkSession.sparkContext.defaultParallelism
     cand = (pa.join(pb, "shingle")
             .filter((F.col("id_a") < F.col("id_b"))
                     & (F.lit(den) * F.col("_nb")
@@ -884,13 +901,19 @@ def ppjoin(df: DataFrame, id_col: str = "doc_id",
                     & (F.lit(den) * F.col("_na")
                        >= F.lit(num) * F.col("_nb"))
                     & (ubound >= alpha))
-            .select("id_a", "id_b").distinct())
+            .select("id_a", "id_b")
+            .repartition(n_part, F.col("id_a"), F.col("id_b"))
+            .distinct())
     # Verify with ONE row per candidate: per-doc sorted shingle
     # arrays + array_intersect, instead of exploding every candidate
     # by its membership rows (the jaccard_of_pairs shape — candidates
     # × ~|set| intermediate rows, the dominant cost once the corpus
     # has no rare shingles). Sets are distinct by construction, so
     # |A∩B| from array_intersect is exact.
+    # (No checkpoint here: the id_a/id_b consumers' subtrees are
+    # canonically identical, so AQE's stage cache already reuses one
+    # materialized aggregate — measured r10: a checkpoint added a
+    # barrier and zero speedup.)
     sets_arr = (mem.groupBy(id_col)
                 .agg(F.array_sort(F.collect_list("shingle"))
                      .alias("_set"), F.count("*").alias("_n")))

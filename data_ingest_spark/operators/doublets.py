@@ -251,6 +251,22 @@ def doublet_scores_grid(expr: DataFrame, k: int = 10,
            .withColumn("gx", F.expr(f"f1 div {grid}"))
            .withColumn("gy", F.expr(f"f2 div {grid}"))
            .localCheckpoint(eager=False))
+    # Runtime-conditional broadcast (r10, guide §3.1): the candidate
+    # join and the final score join both key on frames derived from
+    # ptw, whose checkpointed ExistingRDD carries no size statistics —
+    # AQE plans them as 4-exchange sort-merge joins regardless of how
+    # small the distinct-point table is. ptw materializes here anyway
+    # (first action on the lazy checkpoint), so counting it is a
+    # cached-block count; below the driver ceiling the joins take an
+    # explicit broadcast (plan: 4 Exchanges + 2 SMJ → 1 Exchange), and
+    # above it the unhinted SMJ fallback keeps the documented
+    # blow-no-driver contract. Join strategy never changes values.
+    from data_ingest_spark.operators.guards import DRIVER_ROWS_CEILING
+    ptw_small = (ptw.limit(DRIVER_ROWS_CEILING + 1).count()
+                 <= DRIVER_ROWS_CEILING)
+
+    def maybe_bcast(df):
+        return F.broadcast(df) if ptw_small else df
     qall = ptw.filter(F.col("m0") > 0).withColumn(
         "m0a", F.col("m0") - 1)     # a real query excludes itself
     # fast path: own-point multiplicity covers k ⇒ closed form
@@ -271,7 +287,8 @@ def doublet_scores_grid(expr: DataFrame, k: int = 10,
                  (F.col("qgx") + F.col("_o.dx")).alias("gx"),
                  (F.col("qgy") + F.col("_o.dy")).alias("gy")))
     same_pt = (F.col("f1") == F.col("qf1")) & (F.col("f2") == F.col("qf2"))
-    cnd = (q.join(ptw.select("sample", "gx", "gy", "f1", "f2", "m0", "m1"),
+    cnd = (q.join(maybe_bcast(ptw.select("sample", "gx", "gy",
+                                         "f1", "f2", "m0", "m1")),
                   ["sample", "gx", "gy"])
            .withColumn("m0a", F.col("m0") - F.when(same_pt, 1).otherwise(0))
            # exact int64 squared distance (~5e6 per axis -> < 6e13)
@@ -309,10 +326,12 @@ def doublet_scores_grid(expr: DataFrame, k: int = 10,
     # rows and hence no sc row; it still must be classified. With no
     # simulated doublet anywhere near it, its kNN vote is 0 ⇒ score
     # 0.0 / singlet — the defined contract, not a dropped row.
-    # Unhinted join: sc has one row per distinct real (f1,f2) grid
-    # point, which grows with cell count — a forced broadcast would
-    # blow driver memory at large SF. AQE picks broadcast when small.
-    return (real_pts.join(sc, ["sample", "qf1", "qf2"], "left")
+    # sc has one row per distinct real (f1,f2) grid point (≤ |ptw|),
+    # so it shares ptw's broadcast decision: an UNCONDITIONAL
+    # broadcast would blow driver memory at large SF, the counted
+    # guard cannot.
+    return (real_pts.join(maybe_bcast(sc), ["sample", "qf1", "qf2"],
+                          "left")
             .select("sample", "barcode",
                     F.coalesce(F.round("_score", 6), F.lit(0.0))
                     .alias("doublet_scores"),

@@ -61,6 +61,10 @@ FORCE_FRONT = [
     # family share the operators)
     "x51_kmeans_ivf", "x99_power_pc1", "x82_lloyd_step",
     "x100_ivf_incremental", "x5_ann_topk",
+    # r10: conditional-broadcast grid joins (m2), prefix-table
+    # checkpoint + pair repartition (x130), scrubbed-corpus
+    # checkpoint (p3)
+    "m2_doublets_native", "x130_ppjoin", "p3_curate",
 ]
 # Ordering-only modules: their edits must not flood the stale set.
 # Semantic helpers living in registry (expr_df/events_df/load) are
