@@ -855,16 +855,19 @@ def ppjoin(df: DataFrame, id_col: str = "doc_id",
                            + F.lit(threshold_den) - 1)
                           / F.lit(threshold_den)) + 1)
     wdoc = W.partitionBy(id_col).orderBy("_df", "shingle")
-    # ONE materialization of the prefix table (r10): pa and pb below
-    # are projections of this same frame, and without the checkpoint
-    # the planner computes the whole df-join + per-doc rarity window
-    # subtree TWICE — once per join side (the r9 plan shows two full
-    # Window copies; qtime put ~16 executor-seconds in each).
+    # NO checkpoint on the prefix table: pa and pb are canonically
+    # identical subtrees, so AQE's stage/exchange reuse already
+    # materializes the df-join + rarity window ONCE and replays the
+    # shuffle files for the second side. A localCheckpoint here was
+    # measured (r10, 6 reps per variant, isolated session) at
+    # 5.7–8.7 s vs 2.9–3.7 s without — the checkpoint serializes the
+    # full prefix table through block-manager storage and, worse,
+    # severs the subtree from AQE so each side loses the coalesced
+    # runtime statistics. Exchange reuse is the cheaper dedup.
     pref = (mem.join(dfreq, "shingle").join(sizes, id_col)
             .withColumn("_pos", F.row_number().over(wdoc))
             .filter(F.col("_pos") <= pref_len)
-            .select(id_col, "shingle", "_pos", "_n")
-            .localCheckpoint(eager=False))
+            .select(id_col, "shingle", "_pos", "_n"))
     # Length + positional filters (the PP in PPJoin — both are EXACT
     # upper-bound prunes, so recall stays perfect and the verified
     # result is unchanged): Jaccard ≥ t ⟺ overlap ≥ ⌈t/(1+t)·(na+nb)⌉
