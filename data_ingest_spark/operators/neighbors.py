@@ -283,6 +283,13 @@ def knn_exact(scores: DataFrame, k: int = 20,
     # per 100k cells, and an un-split scan would run the entire
     # O(N²) scoring on ONE core (the sf1 probe measured exactly that:
     # 148 s single-threaded vs ~12 s split 32 ways).
+    # NOTE (r10, measured-REJECTED): a work-adaptive task count
+    # (≥ ~4e6 dots per task ⇒ 1 task at N=2k) looked right on
+    # executor-seconds (32 per-worker matrix loads ≈ 10 exec-s for
+    # 25 ms of BLAS) but LOST on wall-clock in an interleaved A/B
+    # (m12_knn 1.93 vs 1.29 s min-of-4 at sf0.1): the per-task
+    # overhead is PARALLEL — 32 loads cost ~0.3 s of wall — while a
+    # 1-task map serializes the scan→exchange→score→emit chain.
     spark = scores.sparkSession
     staged = spark.read.parquet(path).repartition(
         spark.sparkContext.defaultParallelism)

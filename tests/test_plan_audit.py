@@ -384,14 +384,23 @@ def test_round5_batch_bounded_shuffles(spark):
     x128) shuffles token aggregates only; x125/x129/x130 are the
     composite pipelines (entity resolution, sketch-merge timeline,
     prefix-filtered join) whose exchange budgets are pinned so a
-    refactor can't silently regress them into wider plans."""
+    refactor can't silently regress them into wider plans.
+
+    x130's 16 reflects the candidate join's pa/pb sides being
+    projections of one prefix subtree, which the static plan prints
+    twice (AQE reuses identical stages at runtime — the executed plan
+    at sf0.01 shows ReusedExchange nodes). The r10 localCheckpoint
+    that statically deduped it back to 8 measured ~2x SLOWER
+    end-to-end (block-manager serialization of the full prefix table
+    + lost AQE stats), so the pin accepts the mirrored static count —
+    interleaved reps: ckpt 5.1-9.9 s vs none 2.8-4.3 s at sf0.1."""
     for name, max_sh in (("x126_phash", 0), ("x127_phash_neardup", 1),
                          ("x122_theil_sen", 1), ("x124_zipf_fit", 2),
                          ("x123_good_turing", 6),
                          ("x125_entity_resolution", 7),
                          ("x128_kneser_ney", 7),
                          ("x129_kmv_timeline", 9),
-                         ("x130_ppjoin", 8)):
+                         ("x130_ppjoin", 16)):
         assert shuffle_count(q(spark, name)) <= max_sh, name
 
 
