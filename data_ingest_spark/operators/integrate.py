@@ -324,7 +324,8 @@ def integrate_mnn_exact(pc_arr: DataFrame, k_anchor: int = 5,
     # are cheap: ref/qry are slim projections of one scan, and qry is
     # about to be materialized by its checkpoint anyway.
     from data_ingest_spark.operators.guards import assert_pair_ceiling
-    assert_pair_ceiling(qry.count(), ref.count(),
+    n_qry, n_ref = qry.count(), ref.count()
+    assert_pair_ceiling(n_qry, n_ref,
                         "exact MNN integration (integrate_mnn_exact)",
                         "integrate_mnn_distributed or integrate_auto",
                         max_pairs)
@@ -432,7 +433,29 @@ def integrate_mnn_exact(pc_arr: DataFrame, k_anchor: int = 5,
                               "_d2": pd.Series([], dtype="int64"),
                               "_side": []})
 
-    scored = (qry.select("sample", "cb", "cq")
+    # Spread the scoring maps to full parallelism WHEN THE WORK PAYS
+    # FOR AN EXCHANGE (the knn_exact lesson, r10, made data-derived):
+    # qry inherits the parquet scan's split count — a ~21 MB scan at
+    # sf1 arrives as TWO partitions, so the O(|qry|·|ref|) BLAS below
+    # ran 2-way (qtime: 25.8 executor-seconds in a 2-task stage ≈
+    # 13 s of serial wall; the 8-vs-32-core ratio was 1.03 because
+    # neither leg could use more than 2 cores). The repartition fixed
+    # that (sf1: 37.6 → 15.2 s) but costs ~0.25 s of pure exchange at
+    # sf0.1 where the whole tile is <1M pairs — so it is gated on the
+    # pair count ALREADY computed for the ceiling guard above: below
+    # ~4 tasks' worth of scoring (4e6 pairs/task, the knn_exact
+    # task-size yardstick) the scan's own splits win. The exchange
+    # carries only (sample, cb, cq) — cv stays out of it (project
+    # before the exchange, guide §2.3) — and BOTH map stages read the
+    # same frame. Partition layout never affects results: every row's
+    # top-k is scored against the full broadcast ref/anchor matrix,
+    # and the per-ref block partials are supersets that the
+    # downstream window ranks globally.
+    qpar = qry.select("sample", "cb", "cq")
+    if n_qry * n_ref >= 16_000_000:
+        qpar = qpar.repartition(pc_arr.sparkSession.sparkContext
+                                .defaultParallelism)
+    scored = (qpar
               .mapInPandas(mnn_fn, "sample string, qb string, "
                                    "rb string, _d2 long, _side string")
               .localCheckpoint(eager=False))
@@ -510,7 +533,7 @@ def integrate_mnn_exact(pc_arr: DataFrame, k_anchor: int = 5,
                                 "aid": out_a,
                                 "_da": pd.Series(out_d, dtype="int64")})
 
-    near = (qry.select("sample", "cb", "cq")
+    near = (qpar
             .mapInPandas(topk_fn,
                          "sample string, cb string, aid string, _da long")
             .join(F.broadcast(anchors.select("sample", "aid", "corr")),

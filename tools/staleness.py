@@ -61,10 +61,12 @@ FORCE_FRONT = [
     # family share the operators)
     "x51_kmeans_ivf", "x99_power_pc1", "x82_lloyd_step",
     "x100_ivf_incremental", "x5_ann_topk",
-    # r10: conditional-broadcast grid joins (m2), prefix-table
-    # checkpoint + pair repartition (x130), scrubbed-corpus
-    # checkpoint (p3)
+    # r10: conditional-broadcast grid joins (m2), pair repartition
+    # (x130; its prefix-table checkpoint was measured-rejected and
+    # removed), scrubbed-corpus checkpoint (p3), pair-count-gated
+    # scoring repartition (m9)
     "m2_doublets_native", "x130_ppjoin", "p3_curate",
+    "m9_integrate_exact",
 ]
 # Ordering-only modules: their edits must not flood the stale set.
 # Semantic helpers living in registry (expr_df/events_df/load) are
