@@ -40,6 +40,16 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame | None = None,
     """Run the full curation chain; returns
     ``(doc_id, split, n_tokens)`` for every surviving document."""
     weights = weights or DEFAULT_SPLITS
+    # NOTE (r10, measured-REJECTED): widening the scan before the
+    # scrub (spread / 8×-per-split repartition) looked right — the
+    # triple-regex scrub runs at the scan's split count, 2 tasks at
+    # sf1 — but an interleaved A/B at BOTH SFs showed it a wash at
+    # sf1 (4.59 vs 4.34 s min-of-4; AQE overlaps the scrub's
+    # materialization with the chain's other independent stage
+    # futures, so the serial scrub wall is hidden) and a full
+    # spread-to-32 ~0.7 s SLOWER at sf0.1 (every post-checkpoint
+    # stage inherits the 32-block fan-out, pure dispatch on a 1.8 MB
+    # corpus). At 100 TB the scan yields >= cores splits by itself.
     red = pii_redact(docs, id_col=id_col, text_col=text_col)
     clean = (red.select(id_col, F.col("clean_text").alias(text_col))
              .withColumn("n_tokens", F.size(tokens_col(text_col)))

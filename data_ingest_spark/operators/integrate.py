@@ -437,20 +437,24 @@ def integrate_mnn_exact(pc_arr: DataFrame, k_anchor: int = 5,
     # FOR AN EXCHANGE (the knn_exact lesson, r10, made data-derived):
     # qry inherits the parquet scan's split count — a ~21 MB scan at
     # sf1 arrives as TWO partitions, so the O(|qry|·|ref|) BLAS below
-    # ran 2-way (qtime: 25.8 executor-seconds in a 2-task stage ≈
-    # 13 s of serial wall; the 8-vs-32-core ratio was 1.03 because
-    # neither leg could use more than 2 cores). The repartition fixed
-    # that (sf1: 37.6 → 15.2 s) but costs ~0.25 s of pure exchange at
-    # sf0.1 where the whole tile is <1M pairs — so it is gated on the
-    # pair count ALREADY computed for the ceiling guard above: below
-    # ~4 tasks' worth of scoring (4e6 pairs/task, the knn_exact
-    # task-size yardstick) the scan's own splits win. The exchange
-    # carries only (sample, cb, cq) — cv stays out of it (project
-    # before the exchange, guide §2.3) — and BOTH map stages read the
-    # same frame. Partition layout never affects results: every row's
-    # top-k is scored against the full broadcast ref/anchor matrix,
-    # and the per-ref block partials are supersets that the
-    # downstream window ranks globally.
+    # runs as a 2-task stage on the query's critical path. On a
+    # multi-node cluster that caps the scoring at two executors no
+    # matter the cluster size; the repartition is what lets it use
+    # every node. Honest local caveat (measured r10): on local[32]
+    # an interleaved sf1 A/B is a WASH (min 8.4 s with vs 8.7 s
+    # without, both task orders) because numpy's implicit BLAS
+    # threading already spreads the 2 workers' matmuls across the one
+    # shared-memory host — a confound a real cluster does not have.
+    # The exchange is gated on the pair count ALREADY computed for
+    # the ceiling guard above (below ~4 tasks' worth of scoring at
+    # 4e6 pairs/task the scan's own splits win — an unconditional
+    # exchange measured +0.25 s at sf0.1, interleaved) and carries
+    # only (sample, cb, cq) — cv stays out of it (project before the
+    # exchange, guide §2.3); BOTH map stages read the same frame.
+    # Partition layout never affects results: every row's top-k is
+    # scored against the full broadcast ref/anchor matrix, and the
+    # per-ref block partials are supersets that the downstream window
+    # ranks globally.
     qpar = qry.select("sample", "cb", "cq")
     if n_qry * n_ref >= 16_000_000:
         qpar = qpar.repartition(pc_arr.sparkSession.sparkContext
