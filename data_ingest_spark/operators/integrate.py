@@ -278,6 +278,22 @@ def mnn_anchor_pairs(pc_arr: DataFrame, sample_a: str, sample_b: str,
             .select("ida", "idb", F.col("_d2").alias("d2")))
 
 
+#: One scoring task's worth of query×ref pairs (the knn_exact task-
+#: size yardstick: ~4e6 dot products ≈ 0.1-0.3 s of BLAS); the
+#: scoring exchange is taken at >= 4 tasks' worth of work.
+_SCORING_PAIRS_PER_TASK = 4_000_000
+
+
+def _scoring_exchange_pays(n_qry: int, n_ref: int) -> bool:
+    """Whether integrate_mnn_exact's scoring maps should pay a
+    repartition to full parallelism (see the comment at the call
+    site): True when the O(n_qry·n_ref) BLAS amounts to at least ~4
+    tasks of work, so a 1-2-split scan would bottleneck a multi-node
+    cluster; False for small inputs where the scan's own splits win
+    (an unconditional exchange measured +0.25 s at sf0.1)."""
+    return n_qry * n_ref >= 4 * _SCORING_PAIRS_PER_TASK
+
+
 def integrate_mnn_exact(pc_arr: DataFrame, k_anchor: int = 5,
                         k_weight: int = 10, scale: int = 10**6,
                         id_col: str = "barcode",
@@ -456,7 +472,7 @@ def integrate_mnn_exact(pc_arr: DataFrame, k_anchor: int = 5,
     # per-ref block partials are supersets that the downstream window
     # ranks globally.
     qpar = qry.select("sample", "cb", "cq")
-    if n_qry * n_ref >= 16_000_000:
+    if _scoring_exchange_pays(n_qry, n_ref):
         qpar = qpar.repartition(pc_arr.sparkSession.sparkContext
                                 .defaultParallelism)
     scored = (qpar

@@ -169,7 +169,23 @@ def test_integrate_mnn_reduces_batch_shift(spark, pcs):
     assert gap_after < gap_before * 0.5
 
 
-def test_assemble_cells_and_run_qc(spark, small_expr):
+def test_mnn_scoring_exchange_gate(spark):
+    """r10: integrate_mnn_exact's scoring repartition is gated on the
+    pair count (>= ~4 tasks' worth of BLAS at 4e6 pairs/task) — small
+    inputs must keep the scan's own splits (no round-robin exchange in
+    the plan), and the predicate flips exactly at the documented
+    threshold so a refactor can't silently drop the multi-node path."""
+    assert not ig._scoring_exchange_pays(1_300, 700)       # sf0.1 regime
+    assert not ig._scoring_exchange_pays(3_999, 4_000)
+    assert ig._scoring_exchange_pays(4_000, 4_000)         # 16M pairs
+    assert ig._scoring_exchange_pays(13_000, 6_600)        # sf1 regime
+    rows = [("sa" if i % 2 else "sb", f"b{i:03d}",
+             [float(i % 7), float(i % 5)]) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "sample string, barcode string, pc array<double>")
+    plan = ig.integrate_mnn_exact(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "RoundRobinPartitioning" not in plan
     genes = spark.createDataFrame(
         [(f"G{g:02d}", f"SYM{g}" if g else "MT-X") for g in range(20)],
         "gene string, name string")
